@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Relational, TpcH}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — query registry + DuckDB oracles.
+  *
+  * Naming maps to SURVEY.md §2 operator ids (pN/aN/jN = the reference's
+  * projection/aggregation/join families) plus the LLM-data-pipeline
+  * operator set (dedup/sim/text/mm). Queries without an oracle entry are
+  * non-SQL-expressible (hash-signature operators) — the driver records a
+  * rows-only check; their semantics are covered by ScalaTest specs.
+  *
+  * Determinism contract with the oracles (hash compare): integer cents
+  * for money sums, formatted strings for dates, int/int single-division
+  * doubles, BIGINT casts on all DuckDB sums (DuckDB SUM(int)→HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.keywordPageView(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- projections / filters / ETL (SURVEY §2.3) ----
+    "p1_json_etl" -> (Relational.p1JsonEtl _),
+    "p2_envelope_filter" -> (Relational.p2EnvelopeFilter _),
+    "p3_transition_delta" -> (Relational.p3TransitionDelta _),
+    // ---- aggregations (SURVEY §2.5) ----
+    "a1_window_count" -> (Relational.a1WindowCount _),
+    "a2_keyed_window_agg" -> (Relational.a2KeyedWindowAgg _),
+    "a3_global_window" -> (Relational.a3GlobalWindow _),
+    "a5_distinct_agg" -> (Relational.a5DistinctAgg _),
+    "a6_first_seen_uv" -> (Relational.a6FirstSeenUv _),
+    "a6_backflow" -> ((s: SparkSession, d: String) => Relational.a6Backflow(s, d)),
+    "a7_latest_value" -> (Relational.a7LatestValue _),
+    "a8_is_new_fix" -> (Relational.a8IsNewFix _),
+    // ---- joins (SURVEY §2.4) ----
+    "j1_multiway_join" -> (Relational.j1MultiwayJoin _),
+    "j2_stream_inner_join" -> (Relational.j2StreamInnerJoin _),
+    "j3_interval_join" -> (Relational.j3IntervalJoin _),
+    "j4_dim_lookup" -> (Relational.j4DimLookup _),
+    "j5_dim_chain" -> (Relational.j5DimChain _),
+    "j8_config_routing" -> (Relational.j8ConfigRouting _),
+    "j9_explode_tokens" -> (Relational.j9ExplodeTokens _),
+    "keyword_page_view" -> (Relational.keywordPageView _),
+    // ---- TPC-H-style benchmark heads ----
+    "q1_pricing" -> (TpcH.q1Pricing _),
+    "q3_shipping" -> (TpcH.q3Shipping _),
+    "q5_local_supplier" -> (TpcH.q5LocalSupplier _),
+    // ---- deduplication ----
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // ---- similarity search ----
+    "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "sim_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "sim_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
+    // ---- text analysis ----
+    "text_lang_id" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.qualityScore _),
+    "text_token_count" -> (TextAnalysis.tokenCount _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // ---- multimodal plumbing ----
+    "mm_binary_meta" -> (Multimodal.binaryMeta _),
+    "mm_decode_stub" -> (Multimodal.decodeStub _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_json_etl" ->
+      """SELECT event_id, user_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events
+         WHERE event_type IN ('click', 'view')
+           AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""",
+
+    "p2_envelope_filter" ->
+      """SELECT event_id, user_id, value AS amount
+         FROM events WHERE event_type = 'purchase'""",
+
+    "p3_transition_delta" ->
+      """SELECT event_id, user_id, value - prev AS delta
+         FROM (SELECT event_id, user_id, value,
+                      lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)
+         WHERE prev IS NOT NULL AND value > prev""",
+
+    "a1_window_count" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+                strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS edt,
+                event_type, count(*) AS ct
+         FROM events GROUP BY 1, 2, 3""",
+
+    "a2_keyed_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+                strftime(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS edt,
+                event_type,
+                count(*) AS pv_ct,
+                count(DISTINCT user_id) AS uv_ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2, 3""",
+
+    "a3_global_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+                count(*) AS ct,
+                count(DISTINCT user_id) AS uv_ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1""",
+
+    "a5_distinct_agg" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS user_ct,
+                count(*) AS ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1""",
+
+    "a6_first_seen_uv" ->
+      """SELECT cur_date, count(*) AS uv_ct
+         FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS cur_date, user_id FROM events)
+         GROUP BY 1""",
+
+    "a6_backflow" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            g AS (SELECT user_id, d, lag(d) OVER (PARTITION BY user_id ORDER BY d) AS pd FROM days)
+         SELECT strftime(d, '%Y-%m-%d') AS cur_date, count(*) AS back_ct
+         FROM g WHERE pd IS NOT NULL AND date_diff('day', pd, d) > 2
+         GROUP BY 1""",
+
+    "a7_latest_value" ->
+      """WITH l AS (SELECT event_type, user_id, value,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events)
+         SELECT event_type, count(*) AS ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM l WHERE rn = 1 GROUP BY 1""",
+
+    "a8_is_new_fix" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1),
+            daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT strftime(d, '%Y-%m-%d') AS cur_date,
+                CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_ct,
+                CAST(SUM(CASE WHEN d > fd THEN 1 ELSE 0 END) AS BIGINT) AS returning_ct
+         FROM daily JOIN fd USING (user_id) GROUP BY 1""",
+
+    "j1_multiway_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, p_name, s_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN part ON l_partkey = p_partkey
+         LEFT JOIN supplier ON l_suppkey = s_suppkey""",
+
+    "j2_stream_inner_join" ->
+      """SELECT p.event_id AS pay_id, s.event_id AS signup_id, p.user_id
+         FROM events p JOIN events s
+           ON p.user_id = s.user_id AND CAST(p.ts AS DATE) = CAST(s.ts AS DATE)
+         WHERE p.event_type = 'purchase' AND s.event_type = 'signup'""",
+
+    "j3_interval_join" ->
+      """SELECT p.event_id AS pay_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL '15 minutes' AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+
+    "j4_dim_lookup" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+    "j5_dim_chain" ->
+      """SELECT s_name, n_name, r_name, total_cents, line_ct
+         FROM (SELECT l_suppkey,
+                      CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                      count(*) AS line_ct
+               FROM lineitem GROUP BY 1) a
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+
+    "j8_config_routing" ->
+      """SELECT e.event_id, e.event_type, e.user_id, c.sink_table
+         FROM events e
+         JOIN (VALUES ('purchase', 'dwd_trade_purchase'),
+                      ('click', 'dwd_traffic_click'),
+                      ('signup', 'dwd_user_signup')) AS c(event_type, sink_table)
+           ON e.event_type = c.event_type""",
+
+    "j9_explode_tokens" ->
+      """SELECT word, count(*) AS ct
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY 1""",
+
+    "keyword_page_view" ->
+      """SELECT source, keyword, count(*) AS keyword_ct
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS keyword
+               FROM documents WHERE lang = 'en')
+         GROUP BY 1, 2""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                o_orderpriority,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2, 3""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+
+    "dedup_exact" ->
+      """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_ct
+         FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+         GROUP BY 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+            sh_all AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s FROM idx),
+            rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 64),
+            sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+                CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""",
+
+    "sim_brute_topk" ->
+      """WITH qe AS (SELECT vec_id AS q_id, i,
+                            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+                     WHERE vec_id < 20),
+            ce AS (SELECT vec_id AS c_id, i,
+                          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                   FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+            qn AS (SELECT q_id, CAST(SUM(v * v) AS BIGINT) AS qn FROM qe GROUP BY 1),
+            cn AS (SELECT c_id, CAST(SUM(v * v) AS BIGINT) AS cn FROM ce GROUP BY 1),
+            dots AS (SELECT q_id, c_id, CAST(SUM(qe.v * ce.v) AS BIGINT) AS dot
+                     FROM qe JOIN ce USING (i) GROUP BY 1, 2),
+            scored AS (SELECT q_id, c_id,
+                              CAST(dot AS DOUBLE) / sqrt(CAST(qn * cn AS DOUBLE)) AS sim
+                       FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id)
+                       WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, sim,
+                         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                  FROM scored)
+         SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim FROM r WHERE rnk <= 10""",
+
+    "sim_cosine_neardup" ->
+      """WITH ae AS (SELECT vec_id AS id_a, i,
+                            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+                     WHERE vec_id < 200),
+            be AS (SELECT vec_id AS id_b, i,
+                          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                   FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+            na AS (SELECT id_a, CAST(SUM(v * v) AS BIGINT) AS na FROM ae GROUP BY 1),
+            nb AS (SELECT id_b, CAST(SUM(v * v) AS BIGINT) AS nb FROM be GROUP BY 1),
+            dots AS (SELECT id_a, id_b, CAST(SUM(ae.v * be.v) AS BIGINT) AS dot
+                     FROM ae JOIN be USING (i) WHERE id_a < id_b GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS sim
+         FROM dots JOIN na USING (id_a) JOIN nb USING (id_b)
+         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= 0.3""",
+
+    "text_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_ct
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1)
+         SELECT d.doc_id, d.lang, s.stop_ct,
+                CASE WHEN s.stop_ct >= 2 THEN 'en' ELSE 'und' END AS pred_lang
+         FROM documents d JOIN s ON d.doc_id = s.doc_id""",
+
+    "text_quality" ->
+      """WITH s AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_ct
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS uniq_ct,
+                s.stop_ct,
+                CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                  / len(string_split(d.text, ' ')) AS uniq_ratio,
+                CAST(s.stop_ct AS DOUBLE) / len(string_split(d.text, ' ')) AS stop_ratio,
+                (CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                  / len(string_split(d.text, ' ')))
+                * (1.0 - CAST(s.stop_ct AS DOUBLE) / len(string_split(d.text, ' '))) AS q_score
+         FROM documents d JOIN s ON d.doc_id = s.doc_id""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+                CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
+         FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         FROM documents""",
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                lower(hex(substring(text, 1, 8))) AS header_hex
+         FROM documents""",
+
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+                           unnest(generate_series(0, octet_length(CAST(text AS BLOB)) // 128 - 1)) AS i
+                    FROM documents)
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                lower(hex(substring(text, CAST(i * 128 + 1 AS INT), 32))) AS frame_hex
+         FROM f""",
+  )
 }

@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Tuned for the driver's local[32] harness but every knob is chosen for
+  * cluster semantics too: AQE on (skew-join splitting + partition
+  * coalescing at 100 TB), explicit shuffle partitioning, UTC-pinned
+  * session time (the reference hardcodes GMT+8 in DateFormatUtil.java:21;
+  * we pin instead of inheriting host tz so day-boundary state semantics
+  * are reproducible).
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: String = "*"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

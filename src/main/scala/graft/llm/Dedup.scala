@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four tiers, all shuffle-conscious:
+  *  - exact: one hash-groupBy (map-side partial agg, single shuffle);
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  *    index (join on shingle → count shared), never all-pairs;
+  *  - MinHash+LSH: 64 permutations / 8 bands × 8 rows — candidate pairs
+  *    only from band-bucket collisions, the 100 TB-scale path;
+  *  - SimHash: 64-bit signature + banded Hamming join.
+  *
+  * All hashing is xxhash64-based (Spark-native, codegen'd,
+  * deterministic) so signatures are reproducible across runs/clusters.
+  */
+object Dedup {
+
+  private val NGRAM = 3
+
+  /** Distinct word shingles per doc: (doc_id, shingle). */
+  private def shingles(docs: DataFrame, n: Int = NGRAM): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, greatest(size(w) - $n, 0)), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+          .as("s"))
+      .filter(expr(s"size(split(s, ' ')) = $n"))
+      .distinct()
+
+  /** Exact dedup: md5-of-content groups, keep the smallest doc_id.
+    * At 100 TB this is the cheapest pass: hash each doc once, one
+    * shuffle on the 128-bit digest, no text comparison.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_ct"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) over the
+    * rare-shingle space. Inverted-index join: pairs are generated only
+    * for docs sharing a shingle. Shingles with document frequency >
+    * dfCap are excluded from the similarity space entirely (both the
+    * intersection AND the per-doc sizes) — this bounds the worst bucket
+    * self-join at dfCap², keeping the operator near-linear in corpus
+    * size at 100 TB, and is applied identically in the DuckDB oracle.
+    * Output doubles are single int/int divisions (bit-exact vs oracle).
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+                   dfCap: Int = 64): DataFrame = {
+    val shAll = shingles(Tables.documents(spark, sfDir))
+    val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val sh = shAll.join(rare, "s").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val shared = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  private val P = 2147483647L // Mersenne prime 2^31-1
+  private def hashI(i: Int, x: Column): Column =
+    pmod((lit(2 * i + 1) * x + lit(7919L * (i + 1))) % lit(P) + lit(P), lit(P))
+
+  /** MinHash signatures: 64 permutation-minima per doc.
+    * One explode + one groupBy with 64 codegen'd min() aggregates
+    * (map-side combine → single shuffle on doc_id).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String, numHashes: Int = 64): DataFrame = {
+    val base = shingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(P)).as("x"))
+    val aggs = (0 until numHashes).map(i => min(hashI(i, col("x"))).as(s"h$i"))
+    base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs (8 bands × 8 rows), with the
+    * signature-agreement Jaccard estimate. Candidates come from
+    * band-hash bucket self-joins only — the scale path for near-dup at
+    * 100 TB (all-pairs never materializes).
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String,
+                 numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(spark, sfDir, numHashes)
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"h$i")): _*))
+      .select(col("doc_id"), col("sig"))
+      .cache()
+    val bandedAll = sig.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // Hot-bucket cap (standard LSH practice): a band bucket with > 256
+    // docs generates O(bucket²) candidates while carrying ~no signal
+    // (docs that collide with everything) — drop those buckets so the
+    // candidate volume stays linear at scale.
+    val okBuckets = bandedAll.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bs")).filter(col("bs") <= 256)
+      .select(col("band"), col("band_hash"))
+    val banded = bandedAll.join(okBuckets, Seq("band", "band_hash"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+          / lit(numHashes))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash signature per doc: sign of per-bit weighted sums of
+    * token hashes. One explode + 64 codegen'd sum() aggregates.
+    */
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"), col("w"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, col("w")).otherwise(-col("w"))).as(s"b$j")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(j => expr(s"if(b$j > 0, shiftleft(1L, $j), 0L)"))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
+    * Hamming distance 8 of 64 bits must agree exactly on at least one
+    * chunk when distance < 4 chunks... conservatively we block on any
+    * chunk match), then exact Hamming filter via bit_count(xor).
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+    val sig = simhashSignatures(spark, sfDir).cache()
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val r = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

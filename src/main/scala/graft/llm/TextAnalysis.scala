@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, content fingerprinting.
+  *
+  * All per-document (embarrassingly parallel — no shuffle except final
+  * small aggregates), all codegen'd expressions (no UDFs), all
+  * deterministic: ratios are single int/int IEEE divisions, digests are
+  * md5 over canonicalized token sets.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a")
+
+  /** Language ID via stopword-marker counting (n-gram heuristic class).
+    * The marker lexicon is deliberately tiny/deterministic so the
+    * prediction is a pure function of the text — at scale this extends
+    * to per-language n-gram profile tables broadcast to executors.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("stop_ct", expr(s"size(filter(toks, t -> t in ($stops)))").cast("long"))
+      .withColumn("pred_lang", when(col("stop_ct") >= 2, lit("en")).otherwise(lit("und")))
+      .select(col("doc_id"), col("lang"), col("stop_ct"), col("pred_lang"))
+  }
+
+  /** Quality scoring: token counts, lexical diversity, stopword load.
+    * q_score = uniq_ratio * (1 - stop_ratio) — a deterministic proxy for
+    * the length/punct/stopword-ratio features the curation literature
+    * uses (e.g. C4/Gopher rules).
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("uniq_ct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("stop_ct", expr(s"size(filter(toks, t -> t in ($stops)))").cast("long"))
+      .withColumn("uniq_ratio", col("uniq_ct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_ct").cast("double") / col("n_tokens"))
+      .withColumn("q_score", col("uniq_ratio") * (lit(1.0) - col("stop_ratio")))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ct"), col("stop_ct"),
+        col("uniq_ratio"), col("stop_ratio"), col("q_score"))
+  }
+
+  /** Token counting: whitespace tokens, alphabetic regex tokens, and a
+    * BPE-ish chars/4 estimate (the standard LLM budgeting heuristic).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_tokens"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * an order-insensitive document signature (bag-of-words identity)
+    * for cheap cross-corpus duplicate detection.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+}

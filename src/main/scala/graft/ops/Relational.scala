@@ -1,0 +1,319 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Batch re-expressions of the reference warehouse's operator inventory
+  * (SURVEY.md §2) over the driver's test tables.
+  *
+  * Each method mirrors one operator family of
+  * seedoilz/realtime-data-warehouse (file:line cites below refer to
+  * /root/reference) as an idiomatic Catalyst-planned DataFrame query.
+  * Streaming variants with identical semantics live in graft.streaming.
+  *
+  * Oracle-exactness conventions (driver hash-compares vs DuckDB):
+  *  - money/value aggregates use integer cents via floor(x*100) — double
+  *    sums are addition-order-dependent, integer sums are exact;
+  *  - timestamps/dates in outputs are formatted strings;
+  *  - ratios are single int/int IEEE divisions (deterministic), never
+  *    accumulated doubles.
+  */
+object Relational {
+
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+  private def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** P1 — JSON parse + validity-filter ETL.
+    * Reference: DimApp.etl (DimApp.java:179-195), DwdBaseLog.etl
+    * (DwdBaseLog.java:225-246): parse string payload, drop structurally
+    * invalid records, project typed fields. get_json_object is
+    * codegen'd; the filter + projection push into the parquet scan.
+    */
+  def p1JsonEtl(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull && col("event_type").isin("click", "view") && col("k") >= 50)
+
+  /** P2/P4 — envelope filter + field projection.
+    * Reference: DwdTradeOrderDetail.filterOdTable
+    * (DwdTradeOrderDetail.java:133-151): WHERE table='x' AND
+    * type='insert' then `data`['col'] projections.
+    */
+  def p2EnvelopeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value").as("amount"))
+
+  /** P3/P6 — update-transition predicate + conditional delta.
+    * Reference: DwdTradeCartAdd.java:34,44-49 — emit only rows where the
+    * new value exceeds the previous one, with delta = new - old.
+    * Batch analog of the old/new CDC comparison via lag() per key.
+    */
+  def p3TransitionDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull && col("value") > col("prev"))
+      .select(col("event_id"), col("user_id"), (col("value") - col("prev")).as("delta"))
+  }
+
+  /** A1 — tumbling-window count with window start/end stamps.
+    * Reference: DwsTrafficSourceKeywordPageViewWindow.getWindowAggTable
+    * (:50-61): TUMBLE(row_time, 10s) GROUP BY key → count, stt, edt.
+    * 1-hour windows here (test data spans a year). Spark's window() is
+    * epoch-aligned, matching DuckDB's time_bucket.
+    */
+  def a1WindowCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("ct"))
+
+  /** A2 — keyed tumbling-window multi-metric aggregate.
+    * Reference: DwsTrafficVcChArIsNewPageViewWindow.getReduceFullStream
+    * (:70-97): per-key window sums (uv/sv/pv/durSum). Partial+final
+    * HashAggregate is automatic (map-side combine before the shuffle).
+    */
+  def a2KeyedWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(cents(col("value"))).as("sum_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("uv_ct"), col("sum_cents"))
+
+  /** A3 — global (un-keyed) tumbling-window reduce.
+    * Reference: windowAll apps, e.g. DwsTradeCartAddUuWindow.java:91-111.
+    * Flink collapses to parallelism 1; Spark still computes partial
+    * aggregates on all partitions and only merges finals — the shape
+    * that survives a 1000-executor scale-up.
+    */
+  def a3GlobalWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(cents(col("value"))).as("sum_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("ct"), col("uv_ct"), col("sum_cents"))
+
+  /** A5 — keyed aggregate with exact distinct-entity count.
+    * Reference: DwsTradeProvinceOrderWindow.java:117-145 accumulates a
+    * Set<String> orderIdSet and emits set.size. countDistinct is the
+    * set-oriented equivalent (exact, matching reference semantics);
+    * approx_count_distinct is the documented 100 TB fallback.
+    */
+  def a5DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("user_ct"),
+        count(lit(1)).as("ct"),
+        sum(cents(col("value"))).as("sum_cents"))
+
+  /** A6 — "first event per key per day" (UV derivation), batch analog.
+    * Reference: DwsTrafficVcChArIsNewPageViewWindow.mapUvBean (:120-179)
+    * keeps ValueState<lastSeenDate> and emits 1 on date change. The
+    * batch-equivalent semantics: distinct (user, day). Streaming
+    * implementation with real per-key state: graft.streaming.FirstSeenPerDay.
+    */
+  def a6FirstSeenUv(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(day(col("ts")).as("cur_date"), col("user_id"))
+      .distinct()
+      .groupBy(col("cur_date"))
+      .agg(count(lit(1)).as("uv_ct"))
+
+  /** A6 variant — activity-gap back-flow count.
+    * Reference: DwsUserUserLoginWindow.mapUserLoginBeanStream (:83-126):
+    * a user is "back" when the gap since their previous active day
+    * exceeds a threshold (7 days in the reference; 2 here because the
+    * synthetic events span 30 dense days with max gap 4).
+    */
+  def a6Backflow(spark: SparkSession, sfDir: String, gapDays: Int = 2): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("pd", lag(col("d"), 1).over(w))
+      .filter(col("pd").isNotNull && datediff(col("d"), col("pd")) > gapDays)
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("cur_date"))
+      .agg(count(lit(1)).as("back_ct"))
+  }
+
+  /** A7 — upsert correction: latest version per key wins.
+    * Reference: DwsTradeSkuOrderWindow.processBeanStream (:158-201)
+    * subtracts the previously-seen amounts so re-emitted upserts don't
+    * double-count. Batch equivalent: rank versions per key, keep the
+    * newest, aggregate over the deduplicated set.
+    */
+  def a7LatestValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ct"), sum(cents(col("value"))).as("sum_cents"))
+  }
+
+  /** A8 — is_new repair: classify activity as new vs returning using
+    * first-ever-seen day per key.
+    * Reference: DwdBaseLog.isNewFix (DwdBaseLog.java:143-186).
+    * The first-day table is tiny relative to events → broadcast-joined.
+    */
+  def a8IsNewFix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val firstDay = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("fd"))
+    val daily = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    daily.join(firstDay, "user_id")
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("cur_date"))
+      .agg(
+        sum(when(col("d") === col("fd"), 1).otherwise(0)).as("new_ct"),
+        sum(when(col("d") > col("fd"), 1).otherwise(0)).as("returning_ct"))
+  }
+
+  /** J1 — multi-way fact join: 1 inner + 2 left outer on keys.
+    * Reference: DwdTradeOrderDetail.getJoinTable (:68-93): order_detail
+    * ⋈ order_info ⟕ activity ⟕ coupon. Here: lineitem ⋈ orders ⟕ part
+    * ⟕ supplier. orders co-shuffles with lineitem on the order key;
+    * part/supplier qualify for broadcast at dim scale (AQE decides from
+    * runtime stats — at 100 TB the fact-fact side stays a shuffle join
+    * partitioned on the join key, dims broadcast).
+    */
+  def j1MultiwayJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(p, li("l_partkey") === p("p_partkey"), "left_outer")
+      .join(s, li("l_suppkey") === s("s_suppkey"), "left_outer")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_orderstatus"), col("p_name"), col("s_name"))
+  }
+
+  /** J2 — two-stream inner equi-join (same-day co-occurrence).
+    * Reference: DwdTradeOrderCancelDetail.java:61-81 joins the detail
+    * stream with the cancel stream on order_id within a short TTL.
+    */
+  def j2StreamInnerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pay_id"), col("user_id"), to_date(col("ts")).as("d"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), to_date(col("ts")).as("d"))
+    p.join(sg, Seq("user_id", "d"))
+      .select(col("pay_id"), col("signup_id"), col("user_id"))
+  }
+
+  /** J3 — interval join: payment ⋈ detail within an event-time range.
+    * Reference: DwdTradeOrderPaySucDetail.intervalJoin (:123-148):
+    * p.row_time BETWEEN od.row_time - 15 min AND od.row_time + 5 s.
+    * Here: click within [purchase.ts - 15 min, purchase.ts], same user.
+    * Equi-key on user_id keeps it a shuffled hash/SMJ join with a range
+    * residual — not a cross product — so it scales with key cardinality.
+    */
+  def j3IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pay_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    p.join(c, p("user_id") === c("user_id") &&
+        col("cts") >= col("pts") - expr("INTERVAL 15 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("pay_id"), col("click_id"))
+  }
+
+  /** J4 — dim lookup join (left) against slowly-changing dimensions.
+    * Reference: DwdInteractionCommentInfo.lookUpJoin (:53-69),
+    * FOR SYSTEM_TIME AS OF proc_time against HBase base_dic. Dim side
+    * explicitly broadcast — the Flink per-record RPC + Redis cache
+    * (J6/J7) collapses into one BroadcastHashJoin.
+    */
+  def j4DimLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val r = broadcast(Tables.region(spark, sfDir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "left_outer")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+  }
+
+  /** J5/J7 — post-aggregation chained dim enrichment.
+    * Reference: DwsTradeSkuOrderWindow.associateDim (:72-122): after the
+    * window agg, enrich sku→spu→c3→c2→c1→tm with sequential HBase Gets
+    * (sync/async/cached variants). Spark shape: aggregate first (small
+    * output), then chained broadcast joins — no RPC, no cache layer.
+    */
+  def j5DimChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val agg = li.groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("total_cents"),
+        count(lit(1)).as("line_ct"))
+    val s = broadcast(Tables.supplier(spark, sfDir))
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val r = broadcast(Tables.region(spark, sfDir))
+    agg.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("n_name"), col("r_name"),
+        col("total_cents"), col("line_ct"))
+  }
+
+  /** J8/P5/K2 — config-driven routing: the routing table is DATA.
+    * Reference: DimBroadcastFunction.java:17-93 + DwdBaseDb.java:79-129:
+    * a broadcast config stream routes CDC rows to sink tables and
+    * prunes columns per config. Spark shape: broadcast-join the fact
+    * stream with the (tiny, re-readable) config table; `sink_table`
+    * becomes an output column (the dynamic-topic Kafka sink reads it).
+    */
+  def j8ConfigRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val config = Seq(
+      ("purchase", "dwd_trade_purchase"),
+      ("click", "dwd_traffic_click"),
+      ("signup", "dwd_user_signup")).toDF("event_type", "sink_table")
+    Tables.events(spark, sfDir)
+      .join(broadcast(config), "event_type")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("sink_table"))
+  }
+
+  /** J9 — UDTF lateral join: tokenizer + explode.
+    * Reference: DwsTrafficSourceKeywordPageViewWindow.kwSplit (:63-69):
+    * LEFT JOIN LATERAL TABLE(KwSplit(keywords)). The IK analyzer
+    * (IkUtil.java:12-28) becomes whitespace tokenization (same operator
+    * shape: Generate over a split expression, fully codegen'd — no UDF).
+    */
+  def j9ExplodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("ct"))
+
+  /** Flagship composite (SURVEY §7.2 slice 2): filter → tokenize/explode
+    * → grouped count, the DwsTrafficSourceKeywordPageViewWindow analog:
+    * source→filter→UDTF→agg→sink in one declarative plan.
+    */
+  def keywordPageView(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("source"), explode(split(col("text"), " ")).as("keyword"))
+      .groupBy(col("source"), col("keyword"))
+      .agg(count(lit(1)).as("keyword_ct"))
+}

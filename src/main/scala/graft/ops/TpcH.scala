@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** TPC-H-style headline queries over the driver's star schema — the
+  * benchmark heads that exercise the scan→filter→join→agg spine at
+  * sf0.1 and are the shapes that dominate at 100 TB.
+  *
+  * Scale notes: q1 is a pure scan+partial-agg (no shuffle besides the
+  * 6-group final merge); q3/q5 shuffle facts on their join keys once and
+  * broadcast every dimension; all money math is integer cents so results
+  * are bit-exact vs the DuckDB oracle.
+  */
+object TpcH {
+
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  /** Q1-style pricing summary: scan + wide aggregate, 6 output groups. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style shipping priority: dim-filtered 3-way join, per-order revenue. */
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** Q5-style local-supplier revenue: 6-way join, group by nation.
+    * Facts (lineitem⋈orders) shuffle once on the order key; customer /
+    * supplier / nation / region all broadcast.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val r = broadcast(Tables.region(spark, sfDir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+  }
+}

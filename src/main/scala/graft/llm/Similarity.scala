@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.functions.{dot_long, norm_sq_long, quantize_vec, sign_proj_bucket}
 import graft.io.Tables
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -20,12 +21,17 @@ import graft.io.Tables
   */
 object Similarity {
 
-  /** (vec_id, q: array<long> quantized, n: long squared-norm). */
+  /** (vec_id, q: array<long> quantized, n: long squared-norm).
+    * quantize/norm/dot run as native Catalyst expressions
+    * (graft.functions.VectorExprs) — the interpreted higher-order
+    * equivalents (transform/aggregate/zip_with) cost one lambda call
+    * per element and dominated the benchmark.
+    */
   private def quantized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
-      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as long))").as("q"))
-      .withColumn("n", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+      quantize_vec(col("embedding"), 1000).as("q"))
+      .withColumn("n", norm_sq_long(col("q")))
 
   /** Brute-force cosine top-k of the corpus for each query vector
     * (query set = vec_id < numQueries). Rank ties broken by vec_id.
@@ -37,7 +43,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("q").as("qv"), col("n").as("qn"))
     val corpus = vecs.select(col("vec_id").as("c_id"), col("q").as("cv"), col("n").as("cn"))
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dot_long(col("qv"), col("cv")))
       .withColumn("sim", col("dot").cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
     scored
       .withColumn("rnk", row_number().over(
@@ -47,31 +53,22 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk").cast("long").as("rnk"), col("sim"))
   }
 
-  /** Sign-random-projection bucket id (LSH / IVF-style coarse quantizer).
-    * Plane p (p < planes) has deterministic ±1 components derived from
-    * xxhash64(p, i) — reproducible on any cluster, no stored codebook.
-    */
-  private def bucketExpr(planes: Int): String = {
-    val bits = (0 until planes).map { p =>
-      s"""if(aggregate(zip_with(q, transform(sequence(0, size(q) - 1), i -> if(xxhash64($p, i) % 2 = 0, 1L, -1L)), (a, b) -> a * b), 0L, (acc, v) -> acc + v) > 0, ${1 << p}L, 0L)"""
-    }
-    bits.mkString(" + ")
-  }
-
   /** LSH-bucketed approximate top-k: queries only scan their own
-    * bucket. Recall measured vs bruteForceTopK in SimilaritySpec.
+    * bucket (sign-random-projection coarse quantizer with hyperplanes
+    * derived deterministically from xxhash — no stored codebook).
+    * Recall measured vs bruteForceTopK in DedupSpec.
     */
   def lshTopK(spark: SparkSession, sfDir: String,
               numQueries: Int = 20, k: Int = 10, planes: Int = 4): DataFrame = {
     val vecs = quantized(spark, sfDir)
-      .withColumn("bucket", expr(bucketExpr(planes)))
+      .withColumn("bucket", sign_proj_bucket(col("q"), planes))
     val queries = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("q").as("qv"), col("n").as("qn"), col("bucket"))
     val corpus = vecs.select(col("vec_id").as("c_id"), col("q").as("cv"),
       col("n").as("cn"), col("bucket"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dot_long(col("qv"), col("cv")))
       .withColumn("sim", col("dot").cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -95,7 +92,7 @@ object Similarity {
       .select(col("vec_id").as("id_a"), col("q").as("qa"), col("n").as("na")))
     val b = vecs.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
       .withColumn("sim", col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

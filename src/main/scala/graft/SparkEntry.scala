@@ -31,6 +31,7 @@ object SparkEntry {
     "a1_window_count" -> (Relational.a1WindowCount _),
     "a2_keyed_window_agg" -> (Relational.a2KeyedWindowAgg _),
     "a3_global_window" -> (Relational.a3GlobalWindow _),
+    "a4_decimal_window_agg" -> (Relational.a4DecimalWindowAgg _),
     "a5_distinct_agg" -> (Relational.a5DistinctAgg _),
     "a6_first_seen_uv" -> (Relational.a6FirstSeenUv _),
     "a6_backflow" -> ((s: SparkSession, d: String) => Relational.a6Backflow(s, d)),
@@ -63,6 +64,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.qualityScore _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_stub" -> (Multimodal.decodeStub _),
@@ -109,6 +111,14 @@ object SparkEntry {
                 count(DISTINCT user_id) AS uv_ct,
                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "a4_decimal_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+                event_type,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_amount_cents,
+                CAST(MAX(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_amount_cents,
+                count(*) AS order_ct
+         FROM events GROUP BY 1, 2""",
 
     "a5_distinct_agg" ->
       """SELECT event_type,

@@ -173,6 +173,72 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm): polynomial rolling hash over k-gram token
+    * windows, then the minimum hash of each w-length window of k-gram
+    * hashes (rightmost-min tie-break) forms the fingerprint set.
+    * Guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    * fingerprint — position-robust near-dup detection in one per-row
+    * pass, no shuffle.
+    */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val B = 0x9E3779B97F4A7C15L // odd multiplier (golden-ratio)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Long])
+      // token hashes
+      val h = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        h(i) = if (t == null) 0L else xxh(t)
+        i += 1
+      }
+      // polynomial rolling hash over k-grams: r_i = Σ_j h(i+j)·B^(k-1-j)
+      val m = n - k + 1
+      val r = new Array[Long](m)
+      var bk = 1L // B^(k-1)
+      var j = 1
+      while (j < k) { bk *= B; j += 1 }
+      var acc = 0L
+      j = 0
+      while (j < k) { acc = acc * B + h(j); j += 1 }
+      r(0) = acc
+      i = 1
+      while (i < m) {
+        acc = (acc - h(i - 1) * bk) * B + h(i + k - 1)
+        r(i) = acc
+        i += 1
+      }
+      // winnowing: min of each w-window of r (rightmost min)
+      val fps = new java.util.TreeSet[java.lang.Long]()
+      if (m <= w) {
+        var best = 0
+        i = 1
+        while (i < m) { if (r(i) <= r(best)) best = i; i += 1 }
+        fps.add(r(best))
+      } else {
+        i = 0
+        while (i + w <= m) {
+          var best = i
+          var t = i + 1
+          while (t < i + w) { if (r(t) <= r(best)) best = t; t += 1 }
+          fps.add(r(best))
+          i += 1
+        }
+      }
+      val out = new Array[Long](fps.size)
+      val it = fps.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Sign-random-projection bucket (LSH coarse quantizer): bit p of
     * the bucket is the sign of the projection of the vector onto a
     * deterministic ±1 hyperplane derived from xxhash64(p, i).
@@ -212,4 +278,6 @@ object functions {
   def minhash_shingle_sig(tokens: Column, ngram: Int = 3, numHashes: Int = 64): Column =
     c(MinHashShingleSig(e(tokens), ngram, numHashes))
   def sign_proj_bucket(v: Column, planes: Int): Column = c(SignProjBucket(e(v), planes))
+  def winnow_fingerprint(tokens: Column, k: Int = 5, w: Int = 4): Column =
+    c(WinnowFingerprint(e(tokens), k, w))
 }

@@ -60,6 +60,17 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_tokens"),
         ceil(col("n_chars").cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
 
+  /** Winnowing rolling-hash fingerprints (MOSS): one row per
+    * (doc, fingerprint) — the join-able form for shared-run near-dup
+    * detection. Native expression, no shuffle until the final explode.
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+                         k: Int = 5, w: Int = 4): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.functions.winnow_fingerprint(
+          split(col("text"), " "), k, w)).as("fp"))
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive document signature (bag-of-words identity)
     * for cheap cross-corpus duplicate detection.

@@ -110,6 +110,23 @@ object Relational {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("ct"), col("uv_ct"), col("sum_cents"))
 
+  /** A4 — keyed tumbling-window reduce over decimal amounts.
+    * Reference: DwsTradeSkuOrderWindow.reduceBeanStream (:124-156):
+    * per-sku window sums of BigDecimal original/activity/coupon/order
+    * amounts. DecimalType(18,2) arithmetic is exact (no float
+    * accumulation-order issues), matching the reference's BigDecimal.
+    */
+  def a4DecimalWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_amount_cents"),
+        (max(col("value").cast("decimal(18,2)")) * 100).cast("long").as("max_amount_cents"),
+        count(lit(1)).as("order_ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("event_type"), col("sum_amount_cents"), col("max_amount_cents"), col("order_ct"))
+
   /** A5 — keyed aggregate with exact distinct-entity count.
     * Reference: DwsTradeProvinceOrderWindow.java:117-145 accumulates a
     * Set<String> orderIdSet and emits set.size. countDistinct is the

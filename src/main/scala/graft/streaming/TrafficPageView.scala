@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One page-view row (the LogSplit pageDf contract, typed). */
+case class PageViewRow(mid: String, vc: String, ch: String, ar: String,
+                       isNew: String, lastPageId: String, durMs: Long,
+                       ts: Timestamp)
+
+/** Page view annotated with per-mid state flags. */
+case class TrafficBean(mid: String, vc: String, ch: String, ar: String,
+                       isNew: String, uvCt: Long, svCt: Long, pvCt: Long,
+                       durMs: Long, ts: Timestamp)
+
+/** DwsTrafficVcChArIsNewPageViewWindow — the reference's flagship DWS
+  * app (SURVEY.md §2.5 A2+A6) as one composed streaming pipeline:
+  *
+  *   page stream → per-mid stateful flags (uv: first view of the day,
+  *   sv: session start when last_page_id is null) → 10 s tumbling
+  *   window × (vc, ch, ar, is_new) → Σuv Σsv Σpv Σdur with [stt,edt).
+  *
+  * Reference: mapUvBean (:120-179) + keyBy (:99-106) + window/reduce
+  * (:59-97). flatMapGroupsWithState in Append mode composes with the
+  * downstream windowed aggregation — one state shuffle on mid, one agg
+  * shuffle on the window keys, both keyed so they scale horizontally.
+  */
+object TrafficPageView {
+
+  def annotate(pages: Dataset[PageViewRow]): Dataset[TrafficBean] = {
+    import pages.sparkSession.implicits._
+    pages.groupByKey(_.mid)
+      .flatMapGroupsWithState[Set[String], TrafficBean](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (mid: String, rows: Iterator[PageViewRow], state: GroupState[Set[String]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[String])
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
+            val day = fmt.format(r.ts)
+            val uv = if (!seen.contains(day)) { seen += day; 1L } else 0L
+            val sv = if (r.lastPageId == null) 1L else 0L
+            TrafficBean(mid, r.vc, r.ch, r.ar, r.isNew, uv, sv, 1L, r.durMs, r.ts)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Full app: annotate → windowed multi-metric aggregate. */
+  def apply(pages: Dataset[PageViewRow], windowLen: String = "10 seconds",
+            watermark: String = "5 seconds"): DataFrame =
+    WindowedAggs.keyedWindowAgg(
+      annotate(pages).toDF(), "ts", windowLen, watermark,
+      Seq("vc", "ch", "ar", "isNew"),
+      Seq(sum(col("uvCt")).as("uv_ct"), sum(col("svCt")).as("sv_ct"),
+        sum(col("pvCt")).as("pv_ct"), sum(col("durMs")).as("dur_sum")))
+}

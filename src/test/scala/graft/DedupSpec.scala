@@ -39,6 +39,26 @@ class DedupSpec extends SparkSpec {
       s"simhash missed near-identical pairs: $missed")
   }
 
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val nearDup = Dedup.ngramJaccard(spark, sf, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(nearDup.nonEmpty)
+    val fps = graft.llm.TextAnalysis.winnowFingerprints(spark, sf)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    nearDup.foreach { case (a, b) =>
+      val (fa, fb) = (fps(a), fps(b))
+      val overlap = (fa intersect fb).size.toDouble / math.min(fa.size, fb.size)
+      assert(overlap > 0.5, s"docs $a,$b near-dup but fingerprint overlap $overlap")
+    }
+    // and unrelated docs share few fingerprints
+    val ids = fps.keys.toSeq.sorted.take(20)
+    val pairs = for (i <- ids; j <- ids if i < j && !nearDup.contains((i, j))) yield (i, j)
+    val avgOverlap = pairs.map { case (a, b) =>
+      (fps(a) intersect fps(b)).size.toDouble / math.min(fps(a).size, fps(b).size)
+    }.sum / pairs.size
+    assert(avgOverlap < 0.2, s"unrelated docs overlap too much: $avgOverlap")
+  }
+
   test("exact dedup groups equal texts only") {
     val d = Dedup.exact(spark, sf)
     val total = d.selectExpr("sum(dup_ct)").as[Long].head()

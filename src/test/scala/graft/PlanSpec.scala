@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-shape assertions: the properties that make these queries scale
+  * (pushdown, pruning, broadcast strategy, codegen) are pinned here so
+  * a refactor that silently degrades the physical plan fails the build,
+  * not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // deterministic shape
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q1: shipdate filter pushed to parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("p2: column pruning — scan reads only needed events columns") {
+    val p = plan("p2_envelope_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("ts:"),
+      s"scan reads unneeded columns: $readSchema")
+    assert(readSchema.contains("event_id") && readSchema.contains("value"))
+  }
+
+  test("j4: dim lookups planned as broadcast hash joins") {
+    val p = plan("j4_dim_lookup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5: only the final aggregate shuffles (facts never re-shuffle)") {
+    val p = plan("q5_local_supplier")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected single agg exchange, got $exchanges:\n$p")
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen") {
+    val p = plan("q1_pricing")
+    // codegen'd operators print as "*(stageId) Op" in executedPlan
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"),
+      s"aggregate not codegen'd:\n$p")
+  }
+
+  test("j5: aggregate-then-enrich keeps dim joins broadcast after the agg") {
+    val p = plan("j5_dim_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 BHJ:\n$p")
+  }
+
+  test("sim_brute_topk: query side broadcasts; corpus never shuffles before scoring") {
+    val p = plan("sim_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast:\n$p")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.model.KeyDay
+import graft.streaming.Stateful
+
+/** Checkpoint/restart hardening (SURVEY.md §7.2 step 7): a stateful
+  * streaming query stopped and restarted from its checkpoint must
+  * restore per-key state — no duplicate emissions, no lost input.
+  */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstSeenPerDay state survives a query restart from checkpoint") {
+    val root = Files.createTempDirectory("graft_recovery").toString
+    val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+
+    def startQuery() =
+      Stateful.firstSeenPerDay(
+        spark.readStream.schema("key STRING, day STRING").json(in).as[KeyDay])
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+
+    Files.write(Paths.get(s"$in/b1.json"),
+      """{"key":"u1","day":"2024-01-01"}
+        |{"key":"u2","day":"2024-01-01"}""".stripMargin.getBytes)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+
+    // new input after shutdown: u1 same day (dup — must be suppressed by
+    // RESTORED state), u1 new day, u3 new key
+    Files.write(Paths.get(s"$in/b2.json"),
+      """{"key":"u1","day":"2024-01-01"}
+        |{"key":"u1","day":"2024-01-02"}
+        |{"key":"u3","day":"2024-01-01"}""".stripMargin.getBytes)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(outDir).select("key", "day")
+      .as[(String, String)].collect().toSeq
+    assert(rows.size == rows.toSet.size, s"duplicate emissions: $rows")
+    assert(rows.toSet == Set(
+      ("u1", "2024-01-01"), ("u2", "2024-01-01"),
+      ("u1", "2024-01-02"), ("u3", "2024-01-01")))
+  }
+}

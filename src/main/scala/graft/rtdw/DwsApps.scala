@@ -1,0 +1,126 @@
+package graft.rtdw
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.WindowedAggs
+
+/** Order-detail version carrying its dimension key (A7 state bean). */
+case class SkuAmount(id: String, skuId: String, ts: Long, amountCents: Long)
+case class SkuAmountDelta(skuId: String, ts: Long, deltaCents: Long)
+
+/** Login event for the user-login DWS app (A6 family). */
+case class LoginEvent(uid: String, day: String, ts: Timestamp)
+case class LoginFlags(uid: String, uuCt: Long, backCt: Long, ts: Timestamp)
+
+/** The reference's DWS-layer apps (realtime-dws module) composed from
+  * the engine's streaming primitives. Each is a pure Dataset transform
+  * usable in batch specs and behind readStream identically.
+  */
+object DwsApps {
+
+  /** DwsTradeSkuOrderWindow (SURVEY §2.5 A4+A7, §2.4 J5): upsert-aware
+    * per-sku amount windows. State keyed by order-detail id emits
+    * (new − last) deltas so window sums stay correct under re-emitted
+    * upserts (reference :158-201); downstream: tumbling window × sku →
+    * Σdelta, then broadcast dim enrichment (J5) by the caller.
+    */
+  def skuAmountDeltas(ds: Dataset[SkuAmount]): Dataset[SkuAmountDelta] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.id)
+      .flatMapGroupsWithState[(Long, Long), SkuAmountDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[SkuAmount], state: GroupState[(Long, Long)]) =>
+          var (lastTs, lastAmt) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(_.ts).flatMap { v =>
+            if (v.ts >= lastTs) {
+              val d = SkuAmountDelta(v.skuId, v.ts, v.amountCents - lastAmt)
+              lastTs = v.ts; lastAmt = v.amountCents
+              Some(d)
+            } else None
+          }
+          state.update((lastTs, lastAmt))
+          out.iterator
+      }
+  }
+
+  /** Full sku-order window: deltas → window agg → dim enrichment. */
+  def skuOrderWindow(orders: Dataset[SkuAmount], skuDim: DataFrame,
+                     windowLen: String = "10 seconds",
+                     watermark: String = "5 seconds"): DataFrame = {
+    val deltas = skuAmountDeltas(orders)
+      .withColumn("event_time", timestamp_millis(col("ts")))
+    val agged = WindowedAggs.keyedWindowAgg(deltas.toDF(), "event_time",
+      windowLen, watermark, Seq("skuId"),
+      Seq(sum(col("deltaCents")).as("order_amount_cents")))
+    agged.join(broadcast(skuDim), Seq("skuId"), "left_outer")
+  }
+
+  /** DwsTradeProvinceOrderWindow (A5+J7): per-province order amounts +
+    * exact distinct order count, enriched with the province name.
+    * At 100 TB swap countDistinct for approx_count_distinct(rsd) —
+    * same plan shape, sketch-mergeable.
+    */
+  def provinceOrderWindow(orderDetail: DataFrame, provinceDim: DataFrame,
+                          windowLen: String = "10 seconds",
+                          watermark: String = "5 seconds"): DataFrame = {
+    val src = orderDetail.withColumn("event_time", timestamp_millis(col("ts").cast("long")))
+    val agged = WindowedAggs.keyedWindowAgg(src, "event_time", windowLen, watermark,
+      Seq("province_id"),
+      Seq(sum(col("split_total_amount").cast("decimal(16,2)")).as("order_amount"),
+        approx_count_distinct(col("order_id")).as("order_ct")))
+    agged.join(broadcast(provinceDim), Seq("province_id"), "left_outer")
+  }
+
+  /** DwsTrafficSourceKeywordPageViewWindow (P7+J9+A1): search-keyword
+    * tokenization + windowed counts — the flagship slice, streaming.
+    */
+  def keywordWindow(pages: DataFrame, windowLen: String = "10 seconds",
+                    watermark: String = "5 seconds"): DataFrame = {
+    val kw = pages
+      .filter(col("last_page_id") === "search" &&
+        col("item_type") === "keyword" && col("item").isNotNull)
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .select(col("event_time"), explode(split(col("item"), " ")).as("keyword"))
+    WindowedAggs.keyedWindowAgg(kw, "event_time", windowLen, watermark,
+      Seq("keyword"), Seq(count(lit(1)).as("keyword_ct")))
+  }
+
+  /** DwsUserUserLoginWindow (A6 + 7-day back-flow): per-uid state emits
+    * unique-user and back-flow flags (reference :83-126); window-sum
+    * downstream.
+    */
+  def loginFlags(ds: Dataset[LoginEvent], gapDays: Int = 7): Dataset[LoginFlags] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.uid)
+      .flatMapGroupsWithState[String, LoginFlags](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows: Iterator[LoginEvent], state: GroupState[String]) =>
+          var lastDay = state.getOption.orNull
+          val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            if (e.day == lastDay) None
+            else {
+              val back =
+                if (lastDay != null &&
+                  java.time.temporal.ChronoUnit.DAYS.between(
+                    java.time.LocalDate.parse(lastDay),
+                    java.time.LocalDate.parse(e.day)) > gapDays) 1L
+                else 0L
+              val uu = 1L
+              lastDay = e.day
+              Some(LoginFlags(uid, uu, back, e.ts))
+            }
+          }
+          if (lastDay != null) state.update(lastDay)
+          out.iterator
+      }
+  }
+
+  /** Full login window: flags → global tumbling sums (A3 shape). */
+  def userLoginWindow(logins: Dataset[LoginEvent], windowLen: String = "10 seconds",
+                      watermark: String = "5 seconds", gapDays: Int = 7): DataFrame =
+    WindowedAggs.globalWindowAgg(loginFlags(logins, gapDays).toDF(), "ts",
+      windowLen, watermark,
+      Seq(sum(col("uuCt")).as("uu_ct"), sum(col("backCt")).as("back_ct")))
+}

@@ -173,6 +173,38 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Distinct word-n-gram shingle hashes of a token array — the
+    * join-able form for inverted-index similarity. 64-bit xxhash64
+    * identity: shingle-hash equality == shingle string equality with
+    * collision probability ~n²/2⁶⁵ (negligible at any corpus size that
+    * fits a join). Joining on longs instead of shingle strings shrinks
+    * shuffle width ~3× and removes string hashing from the join probe.
+    */
+  case class ShingleHashes(child: Expression, ngram: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i + ngram <= n) {
+        val parts = new Array[UTF8String](ngram)
+        var k = 0
+        while (k < ngram) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+        seen.add(xxh(UTF8String.concatWs(sep, parts: _*)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
     * the MOSS algorithm): polynomial rolling hash over k-gram token
     * windows, then the minimum hash of each w-length window of k-gram
@@ -280,4 +312,6 @@ object functions {
   def sign_proj_bucket(v: Column, planes: Int): Column = c(SignProjBucket(e(v), planes))
   def winnow_fingerprint(tokens: Column, k: Int = 5, w: Int = 4): Column =
     c(WinnowFingerprint(e(tokens), k, w))
+  def shingle_hashes(tokens: Column, ngram: Int = 3): Column =
+    c(ShingleHashes(e(tokens), ngram))
 }

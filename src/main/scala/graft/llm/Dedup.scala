@@ -21,15 +21,14 @@ object Dedup {
 
   private val NGRAM = 3
 
-  /** Distinct word shingles per doc: (doc_id, shingle). */
+  /** Distinct word-shingle HASHES per doc: (doc_id, s: long).
+    * Native ShingleHashes expression: one per-row pass, no string
+    * materialization; the inverted-index join shuffles 8-byte longs.
+    * Hash identity == string identity w.p. 1 − n²/2⁶⁵ (see VectorExprs).
+    */
   private def shingles(docs: DataFrame, n: Int = NGRAM): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, greatest(size(w) - $n, 0)), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
-          .as("s"))
-      .filter(expr(s"size(split(s, ' ')) = $n"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(graft.functions.functions.shingle_hashes(split(col("text"), " "), n)).as("s"))
 
   /** Exact dedup: md5-of-content groups, keep the smallest doc_id.
     * At 100 TB this is the cheapest pass: hash each doc once, one

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.model._
+import graft.streaming.Stateful
+
+/** Property-based invariants (SURVEY.md §5.3) for the stateful
+  * operator family — randomized inputs, algebraic postconditions.
+  */
+object StatefulProps extends Properties("Stateful") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val keyGen = Gen.oneOf("u1", "u2", "u3", "u4")
+  private val dayGen = Gen.choose(1, 9).map(d => f"2024-01-0$d%d")
+
+  property("firstSeenPerDay emits exactly distinct (key, day)") =
+    Prop.forAll(Gen.listOf(Gen.zip(keyGen, dayGen))) { evs =>
+      import spark.implicits._
+      val in = evs.map { case (k, d) => KeyDay(k, d) }
+      val out = Stateful.firstSeenPerDay(in.toDS()).collect()
+      out.map(f => (f.key, f.day)).toSet == in.map(e => (e.key, e.day)).toSet &&
+        out.length == in.map(e => (e.key, e.day)).distinct.length
+    }
+
+  property("upsertDeltas telescopes to the newest version per key") =
+    Prop.forAll(Gen.listOf(Gen.zip(keyGen, Gen.choose(0L, 5L), Gen.choose(-100L, 100L)))) { evs =>
+      import spark.implicits._
+      val in = evs.map { case (k, ts, amt) => VersionedAmount(k, ts, amt) }
+      val out = Stateful.upsertDeltas(in.toDS()).collect()
+      val sums = out.groupBy(_.key).view.mapValues(_.map(_.delta).sum).toMap
+      val expected = in.groupBy(_.key).view
+        .mapValues(vs => vs.maxBy(v => (v.ts, v.amount)).amount).toMap
+      sums == expected
+    }
+
+  property("isNewFix: at most one day per mid carries is_new=1") =
+    Prop.forAll(Gen.listOf(Gen.zip(keyGen, dayGen, Gen.oneOf("0", "1")))) { evs =>
+      import spark.implicits._
+      val in = evs.map { case (m, d, n) => VisitorHit(m, d, n) }
+      val out = Stateful.isNewFix(in.toDS()).collect()
+      out.filter(_.isNew == "1").groupBy(_.mid)
+        .forall { case (_, hits) => hits.map(_.day).distinct.size <= 1 }
+    }
+
+  property("window counts conserve total rows") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 86400L * 30))) { offsets =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val df = offsets.toDF("off")
+        .select(timestamp_seconds(lit(1704067200L) + col("off")).as("ts"))
+      val windowed = df.groupBy(window(col("ts"), "1 hour")).count()
+      windowed.agg(sum("count")).as[Long].head() == offsets.size.toLong
+    }
+}

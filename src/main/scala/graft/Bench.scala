@@ -26,12 +26,20 @@ object Bench {
     // JVM/codegen warm-up on the smallest SF (not timed)
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      try { fn(spark, warmDir).queryExecution.toRdd.count() } catch { case _: Throwable => }
     }
+    // toRdd.count() forces every output column to materialize —
+    // df.count() would let Catalyst eliminate left-outer joins and
+    // prune projections, under-measuring the queries.
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query cached intermediates so later queries aren't
+      // taxed by GC pressure from earlier ones
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

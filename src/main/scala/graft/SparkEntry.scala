@@ -68,6 +68,8 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_stub" -> (Multimodal.decodeStub _),
+    "mm_decode_partitions" -> ((s: SparkSession, d: String) =>
+      Multimodal.decodePartitions(s, d).toDF()),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
   )
 

@@ -1,8 +1,15 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
+
+/** Opaque media payload + typed metadata (the multimodal column contract). */
+case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+/** Output of the (stubbed) decode stage. */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
+                         height: Long, n_frames: Long)
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata.
   *
@@ -44,6 +51,33 @@ object Multimodal {
       pmod(xxhash64(col("payload")), lit(1920L)).plus(1).as("fake_width"),
       pmod(xxhash64(col("payload"), lit(1)), lit(1080L)).plus(1).as("fake_height"),
       (length(col("payload")) / lit(3)).cast("long").as("fake_n_frames"))
+  }
+
+  /** Batch-decode over partitions: the shape a real codec integration
+    * takes on a cluster — the (expensive) codec/library handle is
+    * initialized ONCE per partition/task, then streamed over that
+    * partition's rows; output is a typed Dataset that re-enters
+    * Catalyst. The codec itself is a STUB (no image/audio libs in this
+    * container): `initCodec` and the per-row "decode" are deterministic
+    * fakes with the real call sites marked.
+    */
+  def decodePartitions(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions { rows =>
+      // ??? real codec init goes here (once per task, not per row):
+      // val codec = ImageCodec.open(...)
+      val codecSeed = 0x5EED
+      rows.map { r =>
+        // ??? real decode: codec.decode(r.payload)
+        val h = java.util.Arrays.hashCode(r.payload).toLong ^ codecSeed
+        MediaFeatures(r.doc_id, r.payload.length.toLong,
+          math.floorMod(h, 1920L) + 1, math.floorMod(h >> 16, 1080L) + 1,
+          r.payload.length.toLong / 3)
+      }
+    }
   }
 
   /** Frame sampling plumbing: slice every k-th "frame" (byte window)

@@ -50,6 +50,8 @@ object SparkEntry {
     "q1_pricing" -> (TpcH.q1Pricing _),
     "q3_shipping" -> (TpcH.q3Shipping _),
     "q5_local_supplier" -> (TpcH.q5LocalSupplier _),
+    "q7_volume" -> (TpcH.q7Volume _),
+    "q18_large_orders" -> ((s: SparkSession, d: String) => TpcH.q18LargeOrders(s, d)),
     // ---- deduplication ----
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -58,6 +60,7 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "sim_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     // ---- text analysis ----
     "text_lang_id" -> (TextAnalysis.langId _),
@@ -243,6 +246,28 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1""",
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3""",
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+         SELECT c_name, c_custkey, l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date, total_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
 
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_ct

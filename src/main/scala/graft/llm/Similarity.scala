@@ -77,6 +77,56 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk").cast("long").as("rnk"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN with real learned coarse centroids:
+    * KMeans (deterministic seed) partitions the corpus into nlist
+    * cells; each query probes its nprobe nearest cells and scores only
+    * those — the FAISS-style scale path (scan fraction ≈ nprobe/nlist)
+    * with higher recall than sign-projection LSH because cells follow
+    * the data distribution. Centroids are tiny → probe assignment
+    * happens driver-side; the corpus is scanned once at train and once
+    * at query, never all-pairs.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              numQueries: Int = 20, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val vecs = quantized(spark, sfDir)
+      .withColumn("features", array_to_vector(
+        expr("transform(q, x -> cast(x as double))")))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(vecs.select(col("features")))
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("q"), col("n"), col("prediction").as("cell"))
+    val centers = model.clusterCenters
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"), col("n").as("qn"))
+      .collect()
+    // driver-side probe selection: nprobe nearest centroids per query
+    val probeRows = queries.flatMap { r =>
+      val qv = r.getSeq[Long](1).toArray
+      val qid = r.getLong(0); val qn = r.getLong(2)
+      centers.zipWithIndex.map { case (c, ci) =>
+        val d = c.toArray.zip(qv).map { case (cv, x) => val diff = cv - x; diff * diff }.sum
+        (qid, qv, qn, ci, d)
+      }.sortBy(_._5).take(nprobe).map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
+    }.toSeq
+    val probes = spark.createDataset(probeRows)
+      .toDF("q_id", "qv", "qn", "cell")
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dot", dot_long(col("qv"), col("q")))
+      .withColumn("sim", col("dot").cast("double") / sqrt((col("qn") * col("n")).cast("double")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("rnk").cast("long").as("rnk"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity floor,
     * for a bounded query slab (id_a < slab) vs the whole corpus — the
     * chunked-scan shape a 100 TB near-dup sweep actually runs (each

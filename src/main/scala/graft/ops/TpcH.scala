@@ -41,6 +41,49 @@ object TpcH {
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
   }
 
+  /** Q7-style nation-pair volume: fact join + two dim legs on
+    * different keys, grouped by (supplier nation, customer nation,
+    * ship year). Exercises multi-alias dim reuse (nation joined twice).
+    */
+  def q7Volume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n1 = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("volume_cents"))
+  }
+
+  /** Q18-style large-volume customers: aggregate-then-semi-join —
+    * orders whose total quantity exceeds a threshold, with customer
+    * context. The HAVING subquery becomes a filtered aggregate joined
+    * back to the facts (no correlated subquery at scale).
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String, minQty: Long = 150L): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("total_qty"))
+  }
+
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
     * Facts (lineitem⋈orders) shuffle once on the order key; customer /
     * supplier / nation / region all broadcast.

@@ -46,6 +46,26 @@ object StreamingJoins {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
   }
 
+  /** J1 left-outer leg — watermarked stream-stream LEFT join: matched
+    * rows emit immediately; unmatched left rows emit null-padded once
+    * the watermark passes the join window (Spark's state-cleanup
+    * point). This is the append-mode-honest version of the reference's
+    * retraction-based left joins (SURVEY §7.4 risk 2) — the
+    * foreachBatch join in DwdApps.orderDetail remains the low-latency
+    * primary.
+    */
+  def boundedLeftOuterJoin(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String,
+                           watermark: String, bound: String): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+      "left_outer")
+  }
+
   /** J4/J5/J7 — lookup join against a slowly-changing dimension.
     * Reference: FOR SYSTEM_TIME AS OF proc_time HBase lookups
     * (DwdInteractionCommentInfo.lookUpJoin:53-69) and the async/cached

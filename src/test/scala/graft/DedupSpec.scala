@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
     assert(avgOverlap < 0.2, s"unrelated docs overlap too much: $avgOverlap")
   }
 
+  test("IVF ANN recall beats its scan fraction and stays sane") {
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sf, numQueries = 10, k = 5, nlist = 8, nprobe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // probing half the cells (nprobe 4 / nlist 8) must recover well
+    // over half the true neighbors on near-uniform data
+    assert(recall > 0.3, s"IVF recall $recall implausibly low")
+  }
+
   test("exact dedup groups equal texts only") {
     val d = Dedup.exact(spark, sf)
     val total = d.selectExpr("sum(dup_ct)").as[Long].head()

@@ -12,6 +12,32 @@ import graft.streaming.Stateful
 class RecoverySpec extends SparkSpec {
   import spark.implicits._
 
+  test("state survives restart under the RocksDB state store (100 TB posture)") {
+    val root = Files.createTempDirectory("graft_rocks").toString
+    val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def startQuery() =
+        Stateful.firstSeenPerDay(
+          spark.readStream.schema("key STRING, day STRING").json(in).as[KeyDay])
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+      Files.write(Paths.get(s"$in/b1.json"), """{"key":"u1","day":"2024-01-01"}""".getBytes)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      Files.write(Paths.get(s"$in/b2.json"),
+        """{"key":"u1","day":"2024-01-01"}
+          |{"key":"u1","day":"2024-01-02"}""".stripMargin.getBytes)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(outDir).select("key", "day")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("u1", "2024-01-01"), ("u1", "2024-01-02")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("firstSeenPerDay state survives a query restart from checkpoint") {
     val root = Files.createTempDirectory("graft_recovery").toString
     val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"

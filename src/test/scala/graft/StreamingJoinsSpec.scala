@@ -60,6 +60,36 @@ class StreamingJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boundedLeftOuterJoin emits null-padded unmatched rows after watermark (streaming)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lms = MemoryStream[(String, Timestamp, String)]
+    val rms = MemoryStream[(String, Timestamp, String)]
+    val left = lms.toDF().toDF("k", "lts", "lv")
+    val right = rms.toDF().toDF("k", "rts", "rv")
+    val joined = StreamingJoins.boundedLeftOuterJoin(
+      left, right, "k", "lts", "rts", watermark = "0 seconds", bound = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("loj")
+      .outputMode("append").start()
+    try {
+      lms.addData(("a", ts("2024-01-01 00:00:01"), "L_match"),
+        ("b", ts("2024-01-01 00:00:02"), "L_lonely"))
+      rms.addData(("a", ts("2024-01-01 00:00:03"), "R1"))
+      q.processAllAvailable()
+      // push both watermarks far past the join window
+      lms.addData(("z", ts("2024-01-01 01:00:00"), "wm"))
+      rms.addData(("z2", ts("2024-01-01 01:00:00"), "wm"))
+      q.processAllAvailable()
+      lms.addData(("z3", ts("2024-01-01 02:00:00"), "wm"))
+      rms.addData(("z4", ts("2024-01-01 02:00:00"), "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("loj").select("lv", "rv")
+        .as[(String, Option[String])].collect().toMap
+      assert(rows("L_match") == Some("R1"))
+      assert(rows.get("L_lonely").exists(_.isEmpty), s"no null emission: $rows")
+    } finally q.stop()
+  }
+
   test("boundedInnerJoin equals reference J2 semantics in batch") {
     val l = Seq(("k1", ts("2024-01-01 00:00:00"), "L1")).toDF("k", "lts", "lv")
     val r = Seq(

@@ -45,6 +45,7 @@ object SparkEntry {
     "j5_dim_chain" -> (Relational.j5DimChain _),
     "j8_config_routing" -> (Relational.j8ConfigRouting _),
     "j9_explode_tokens" -> (Relational.j9ExplodeTokens _),
+    "j_asof_join" -> (Relational.asOfJoin _),
     "keyword_page_view" -> (Relational.keywordPageView _),
     // ---- TPC-H-style benchmark heads ----
     "q1_pricing" -> (TpcH.q1Pricing _),
@@ -208,6 +209,23 @@ object SparkEntry {
       """SELECT word, count(*) AS ct
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY 1""",
+
+    "j_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                  event_id AS click_id, CAST(NULL AS BIGINT) AS pay_id, 0 AS tag
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                  CAST(NULL AS BIGINT) AS click_id, event_id AS pay_id, 1 AS tag
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT pay_id, user_id, tag,
+                  last_value(click_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, tag, click_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+           FROM u)
+         SELECT pay_id, user_id, asof_click_id FROM j WHERE tag = 1""",
 
     "keyword_page_view" ->
       """SELECT source, keyword, count(*) AS keyword_ct

@@ -257,6 +257,31 @@ object Relational {
       .select(col("pay_id"), col("click_id"))
   }
 
+  /** As-of join (beyond the reference; standard temporal enrichment in
+    * training-data pipelines): each purchase picks the user's latest
+    * click AT OR BEFORE it. Implemented as union + partitioned
+    * last-value-ignore-nulls — ONE shuffle on (user) and a per-key sort,
+    * instead of a range join that degenerates to per-key cross products.
+    * This shape is why no custom SparkStrategy is needed: the windowed
+    * formulation is already the scalable physical plan.
+    */
+  def asOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null).cast("long").as("pay_id"), lit(0).as("tag"))
+    val pays = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        col("event_id").as("pay_id"), lit(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(pays)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("pay_id"), col("user_id"), col("asof_click_id"))
+  }
+
   /** J4 — dim lookup join (left) against slowly-changing dimensions.
     * Reference: DwdInteractionCommentInfo.lookUpJoin (:53-69),
     * FOR SYSTEM_TIME AS OF proc_time against HBase base_dic. Dim side

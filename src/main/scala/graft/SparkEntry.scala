@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // ---- similarity search ----
     "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -69,6 +70,8 @@ object SparkEntry {
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
+    "text_seq_pack" -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
+    "curate_corpus" -> (TextAnalysis.curateCorpus _),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
     "mm_decode_stub" -> (Multimodal.decodeStub _),
@@ -308,6 +311,73 @@ object SparkEntry {
          JOIN sizes sa ON doc_a = sa.doc_id
          JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+            sh_all AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s FROM idx),
+            rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 64),
+            sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            simpairs AS (SELECT doc_a, doc_b FROM p0
+                         JOIN sizes sa ON doc_a = sa.doc_id
+                         JOIN sizes sb ON doc_b = sb.doc_id
+                         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM simpairs
+                      UNION ALL SELECT doc_b, doc_a FROM simpairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach AS (SELECT node, node AS label FROM nodes
+                      UNION
+                      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node)
+         SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""",
+
+    "text_seq_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM d)
+         SELECT doc_id, source, n_tokens,
+                CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+         FROM c""",
+
+    "curate_corpus" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+            sh_all AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s FROM idx),
+            rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 64),
+            sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            simpairs AS (SELECT doc_a, doc_b FROM p0
+                         JOIN sizes sa ON doc_a = sa.doc_id
+                         JOIN sizes sb ON doc_b = sb.doc_id
+                         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM simpairs
+                      UNION ALL SELECT doc_b, doc_a FROM simpairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach AS (SELECT node, node AS label FROM nodes
+                      UNION
+                      SELECT e.a AS node, r.label FROM edges e JOIN reach r ON e.b = r.node),
+            cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+            losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+            docs AS (SELECT doc_id, text,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                              / len(string_split(text, ' ')) AS uniq_ratio
+                     FROM documents),
+            gated AS (SELECT * FROM docs
+                      WHERE n_tokens BETWEEN 20 AND 2000 AND uniq_ratio >= 0.2),
+            exact_canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+         SELECT g.doc_id, g.n_tokens
+         FROM gated g
+         JOIN exact_canon USING (doc_id)
+         WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)""",
 
     "sim_brute_topk" ->
       """WITH qe AS (SELECT vec_id AS q_id, i,

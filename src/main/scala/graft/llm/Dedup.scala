@@ -69,6 +69,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the similar-pair
+    * graph, labeled by the minimum doc_id of each component (the
+    * canonical survivor). Iterative min-label propagation to fixpoint —
+    * the candidate graph is sparse (bounded by the df-cap), so this
+    * converges in O(component diameter) joins; at extreme scale the
+    * same loop upgrades to the large-star/small-star algorithm without
+    * changing the contract. Output: (doc_id, cluster_id) for every doc
+    * that appears in at least one near-dup pair.
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("node", "nbr").cache()
+    var labels = edges.select(col("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("node", "nbr").withColumnRenamed("label", "nbr_label"), "nbr")
+        .groupBy(col("node")).agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(viaNbr, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** MinHash signatures: 64 permutation-minima per doc, computed in one
     * pass by the native MinHashShingleSig expression (shingling +
     * hashing + minima inside a single per-row kernel — no explode, no

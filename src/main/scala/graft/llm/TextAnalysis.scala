@@ -71,6 +71,46 @@ object TextAnalysis {
         explode(graft.functions.functions.winnow_fingerprint(
           split(col("text"), " "), k, w)).as("fp"))
 
+  /** Greedy sequence packing (token budgeting for training runs):
+    * within each source, documents pack into fixed-token bins in
+    * doc_id order — pack_id = floor(preceding-cumulative-tokens /
+    * maxTokens). One window cumsum, no driver loop; deterministic.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String, maxTokens: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / maxTokens).as("pack_id"))
+  }
+
+  /** End-to-end corpus curation keep-list: language gate + quality
+    * gates + exact-dedup canonical + near-dup canonical — the composed
+    * pipeline a pretraining corpus actually runs, as ONE declarative
+    * plan Catalyst optimizes jointly.
+    */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+    val gated = docs.filter(col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+      col("uniq_ratio") >= 0.2)
+    val exactCanon = gated
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDupLosers = Dedup.nearDupClusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    gated.join(exactCanon, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive document signature (bag-of-words identity)
     * for cheap cross-corpus duplicate detection.

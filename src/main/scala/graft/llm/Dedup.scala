@@ -79,28 +79,55 @@ object Dedup {
     * that appears in at least one near-dup pair.
     */
   def nearDupClusters(spark: SparkSession, sfDir: String,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      driverUnionFindLimit: Long = 1000000L): DataFrame = {
+    import spark.implicits._
     val pairs = ngramJaccard(spark, sfDir, threshold)
       .select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("node", "nbr").cache()
-    var labels = edges.select(col("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val viaNbr = edges
-        .join(labels.withColumnRenamed("node", "nbr").withColumnRenamed("label", "nbr_label"), "nbr")
-        .groupBy(col("node")).agg(min(col("nbr_label")).as("min_nbr"))
-      val next = labels.join(viaNbr, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+    val nPairs = pairs.count()
+    if (nPairs <= driverUnionFindLimit) {
+      // The thresholded candidate graph is orders of magnitude smaller
+      // than the corpus (that's the point of the threshold): union-find
+      // on the driver is exact and O(pairs α(pairs)) — collecting a
+      // million edges is cheap; collecting the CORPUS would not be.
+      val edges = pairs.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    } else {
+      // Giant-graph fallback: distributed min-label propagation to
+      // fixpoint (upgradeable to large-star/small-star).
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("node", "nbr").cache()
+      var labels = edges.select(col("node")).distinct()
+        .withColumn("label", col("node")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val viaNbr = edges
+          .join(labels.withColumnRenamed("node", "nbr").withColumnRenamed("label", "nbr_label"), "nbr")
+          .groupBy(col("node")).agg(min(col("nbr_label")).as("min_nbr"))
+        val next = labels.join(viaNbr, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** MinHash signatures: 64 permutation-minima per doc, computed in one

@@ -33,7 +33,9 @@ object SparkEntry {
     "a3_global_window" -> (Relational.a3GlobalWindow _),
     "a4_decimal_window_agg" -> (Relational.a4DecimalWindowAgg _),
     "a5_distinct_agg" -> (Relational.a5DistinctAgg _),
+    "a5_approx_distinct" -> ((s: SparkSession, d: String) => Relational.a5ApproxDistinct(s, d)),
     "a6_first_seen_uv" -> (Relational.a6FirstSeenUv _),
+    "a9_session_window" -> ((s: SparkSession, d: String) => Relational.a9SessionWindow(s, d)),
     "a6_backflow" -> ((s: SparkSession, d: String) => Relational.a6Backflow(s, d)),
     "a7_latest_value" -> (Relational.a7LatestValue _),
     "a8_is_new_fix" -> (Relational.a8IsNewFix _),
@@ -71,6 +73,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
     "text_seq_pack" -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
+    "text_normalize" -> (TextAnalysis.normalize _),
     "curate_corpus" -> (TextAnalysis.curateCorpus _),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -135,6 +138,25 @@ object SparkEntry {
                 count(*) AS ct,
                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1""",
+
+    "a9_session_window" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                    FROM events),
+            o AS (SELECT user_id, ts, cents,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+                  FROM e),
+            m AS (SELECT user_id, ts, cents,
+                         CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes'
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM o),
+            s AS (SELECT user_id, ts, cents,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM m)
+         SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt, user_id,
+                count(*) AS ct, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM s GROUP BY user_id, sid""",
 
     "a6_first_seen_uv" ->
       """SELECT cur_date, count(*) AS uv_ct
@@ -448,6 +470,12 @@ object SparkEntry {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
                 CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
+         FROM documents""",
+
+    "text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash
          FROM documents""",
 
     "text_fingerprint" ->

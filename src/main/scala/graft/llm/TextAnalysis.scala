@@ -60,6 +60,15 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_tokens"),
         ceil(col("n_chars").cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
 
+  /** Text normalization for dedup/canonicalization: lowercase,
+    * whitespace collapse, trim — the canonical pre-hash transform.
+    */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .withColumn("norm_hash", md5(col("norm_text")))
+
   /** Winnowing rolling-hash fingerprints (MOSS): one row per
     * (doc, fingerprint) — the join-able form for shared-run near-dup
     * detection. Native expression, no shuffle until the final explode.

@@ -203,6 +203,30 @@ object Relational {
         sum(when(col("d") > col("fd"), 1).otherwise(0)).as("returning_ct"))
   }
 
+  /** Session windows (beyond the reference — Spark-native
+    * `session_window`): per-user sessions closed by a 30-minute
+    * inactivity gap; batch-equivalent of streaming sessionization
+    * (the oracle expresses the same thing as gaps-and-islands).
+    */
+  def a9SessionWindow(spark: SparkSession, sfDir: String, gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("ct"), sum(cents(col("value"))).as("sum_cents"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("user_id"), col("ct"), col("sum_cents"))
+
+  /** A5 at 100 TB — sketch-based distinct (HyperLogLog++): same plan
+    * shape as the exact variant but mergeable partial sketches instead
+    * of exact sets. No oracle (approximate); DedupSpec bounds the error
+    * against the exact count.
+    */
+  def a5ApproxDistinct(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_user_ct"),
+        count(lit(1)).as("ct"))
+
   /** J1 — multi-way fact join: 1 inner + 2 left outer on keys.
     * Reference: DwdTradeOrderDetail.getJoinTable (:68-93): order_detail
     * ⋈ order_info ⟕ activity ⟕ coupon. Here: lineitem ⋈ orders ⟕ part

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: synthesize N rows (default 20M) in memory and measure
+  * the core operator families' throughput on local[32]. This is the
+  * "would the plan survive a 100× scale-up" check at the largest size
+  * the box can hold — shapes that are accidentally quadratic or
+  * shuffle-heavy show up immediately here.
+  *
+  * Synthetic columns are hash-derived from `id` (deterministic, no
+  * data generation pass): ~1M users, 5 event types, 30-day span.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 20000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev: DataFrame = spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(1000000L)).as("user_id"),
+      timestamp_seconds(lit(1704067200L) + pmod(xxhash64(col("id"), lit(1)), lit(86400L * 30))).as("ts"),
+      element_at(array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5)) + 1).cast("int")).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(50000L)).cast("double") / 100.0).as("value"))
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s out=$rows%-10d ${dt}%6.1fs  ${n / dt / 1e6}%6.1f M rows/s")
+    }
+
+    time("scan_filter_project") {
+      ev.filter(col("event_type") === "purchase" && col("value") > 250)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }
+    time("window_agg_keyed") {
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)), sum(floor(col("value") * 100).cast("long")))
+    }
+    time("distinct_users_per_day") {
+      ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .groupBy(col("d")).agg(count(lit(1)))
+    }
+    time("dedup_latest_per_user") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("event_type")).agg(count(lit(1)))
+    }
+    time("dedup_latest_max_by") {
+      // hash-agg formulation of "latest per key": map-side partial
+      // max_by instead of a full per-key sort — the 100 TB shape
+      ev.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)))
+    }
+    time("salted_hot_key_agg") {
+      // worst-case skew: 50% of rows share one key
+      val skewed = ev.withColumn("k",
+        when(pmod(col("event_id"), lit(2)) === 0, lit("HOT")).otherwise(col("user_id").cast("string")))
+      graft.ops.Skew.saltedSum(skewed, col("k"), col("event_id"), 64,
+        floor(col("value") * 100).cast("long"))
+    }
+    time("broadcast_dim_join") {
+      val dim = spark.range(1000000L).select(col("id").as("user_id"),
+        concat(lit("segment_"), pmod(col("id"), lit(10))).as("segment"))
+      ev.join(broadcast(dim), Seq("user_id")).groupBy(col("segment")).agg(count(lit(1)))
+    }
+    spark.stop()
+  }
+}

@@ -80,6 +80,38 @@ object StreamingDemo {
     splitQuery.processAllAvailable(); uvQuery.processAllAvailable(); dimQuery.processAllAvailable()
     splitQuery.stop(); uvQuery.stop(); dimQuery.stop()
 
+    // ---- full trade chain: CDC → DWD order-detail join → DWS sku window ----
+    val tradeDir = s"$root/topic_trade"
+    Files.createDirectories(Paths.get(tradeDir))
+    Files.write(Paths.get(s"$tradeDir/part-000.json"), Seq(
+      """{"database":"gmall","table":"order_detail","type":"insert","ts":1704067200000,"data":{"id":"d1","order_id":"o1","sku_id":"sku1","sku_num":"1","split_total_amount":"10.00"}}""",
+      """{"database":"gmall","table":"order_detail","type":"insert","ts":1704067201000,"data":{"id":"d2","order_id":"o1","sku_id":"sku2","sku_num":"2","split_total_amount":"20.00"}}""",
+      """{"database":"gmall","table":"order_info","type":"insert","ts":1704067200000,"data":{"id":"o1","user_id":"u1","province_id":"p1"}}""",
+      """{"database":"gmall","table":"order_detail_activity","type":"insert","ts":1704067200000,"data":{"order_detail_id":"d1","activity_id":"a1"}}""")
+      .mkString("\n").getBytes)
+    val dwdQuery = DimPipeline.parseCdc(spark.readStream.text(tradeDir).toDF("value"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ck_dwd")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.rtdw.DwdApps.orderDetail(batch.cache())
+          .write.mode("append").parquet(s"$out/dwd_trade_order_detail")
+      }.start()
+    dwdQuery.processAllAvailable(); dwdQuery.stop()
+
+    val dwd = spark.read.parquet(s"$out/dwd_trade_order_detail")
+    val skuAgg = dwd
+      .groupBy(window(timestamp_millis(col("ts")), "10 seconds"), col("sku_id"))
+      .agg(sum(col("split_total_amount").cast("decimal(16,2)")).as("order_amount"))
+      .select(date_format(col("window.start"), "HH:mm:ss").as("stt"),
+        col("sku_id"), col("order_amount"))
+
+    println("[demo] dwd_trade_order_detail (CDC multi-table join):")
+    dwd.select("id", "order_id", "user_id", "activity_id").orderBy("id").collect()
+      .foreach(r => println(s"[demo]   ${r.mkString(" | ")}"))
+    println("[demo] dws sku window over DWD output:")
+    skuAgg.orderBy("sku_id").collect()
+      .foreach(r => println(s"[demo]   ${r.mkString(" | ")}"))
+
     println("[demo] dwd splits:")
     Seq("dwd_traffic_page", "dwd_traffic_start", "dwd_traffic_display", "dwd_traffic_action")
       .foreach { s =>

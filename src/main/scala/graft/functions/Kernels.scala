@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static per-row kernels shared by the interpreted eval path and the
+  * generated-code path of graft's Catalyst expressions. A top-level
+  * Scala object emits static forwarders, so whole-stage-generated Java
+  * calls these directly — the expression participates in codegen
+  * instead of forcing its whole stage onto the interpreted path (what
+  * CodegenFallback would do).
+  */
+object Kernels {
+  val SEED = 42L
+  val MERSENNE: Long = 2147483647L
+
+  @inline private def xxh(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+
+  def quantize(arr: ArrayData, scale: Int, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    if (isFloat) while (i < n) { out(i) = math.floor(arr.getFloat(i).toDouble * scale).toLong; i += 1 }
+    else while (i < n) { out(i) = math.floor(arr.getDouble(i) * scale).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    var i = 0; val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val h = xxh(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Returns null when the doc has no complete shingle. */
+  def minhashShingleSig(arr: ArrayData, ngram: Int, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val p = MERSENNE
+    val seen = new java.util.HashSet[Long]()
+    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i + ngram <= n) {
+      val parts = new Array[UTF8String](ngram)
+      var k = 0
+      while (k < ngram) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      val x = ((xxh(UTF8String.concatWs(sep, parts: _*)) % p) + p) % p
+      if (seen.add(x)) {
+        var j = 0
+        while (j < numHashes) {
+          val h = (((2L * j + 1) * x + 7919L * (j + 1)) % p + p) % p
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen.isEmpty) null else new GenericArrayData(sig)
+  }
+
+  def shingleHashes(arr: ArrayData, ngram: Int): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i + ngram <= n) {
+      val parts = new Array[UTF8String](ngram)
+      var k = 0
+      while (k < ngram) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      seen.add(xxh(UTF8String.concatWs(sep, parts: _*)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def winnow(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    val B = 0x9E3779B97F4A7C15L
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      h(i) = if (t == null) 0L else xxh(t)
+      i += 1
+    }
+    val m = n - k + 1
+    val r = new Array[Long](m)
+    var bk = 1L
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    var acc = 0L
+    j = 0
+    while (j < k) { acc = acc * B + h(j); j += 1 }
+    r(0) = acc
+    i = 1
+    while (i < m) {
+      acc = (acc - h(i - 1) * bk) * B + h(i + k - 1)
+      r(i) = acc
+      i += 1
+    }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var best = 0
+      i = 1
+      while (i < m) { if (r(i) <= r(best)) best = i; i += 1 }
+      fps.add(r(best))
+    } else {
+      i = 0
+      while (i + w <= m) {
+        var best = i
+        var t = i + 1
+        while (t < i + w) { if (r(t) <= r(best)) best = t; t += 1 }
+        fps.add(r(best))
+        i += 1
+      }
+    }
+    val out = new Array[Long](fps.size)
+    val it = fps.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def signProjBucket(a: ArrayData, planes: Int): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0L; var i = 0
+      while (i < n) {
+        val sign = if ((XXH64.hashLong(i.toLong, p.toLong) & 1L) == 0L) 1L else -1L
+        s += a.getLong(i) * sign
+        i += 1
+      }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

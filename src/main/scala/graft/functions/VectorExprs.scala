@@ -1,60 +1,46 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot per-row kernels.
   *
   * Spark's higher-order functions (transform/aggregate/zip_with) are
   * interpreted per element — a 64-dim dot product via zip_with costs
   * ~64 lambda invocations per row. These expressions run the loop
-  * inside one JVM method per row (and DotLong/NormSqLong generate
-  * straight-line Java via doGenCode), which benchmarked ~4-10× faster
-  * on the similarity/dedup operators and removes the explode +
-  * 64-aggregate shuffles the declarative formulations needed.
+  * inside one JVM method per row and ALL generate code (DotLong /
+  * NormSqLong emit inline loops; the hash kernels emit a static call
+  * into graft.functions.Kernels), so they compose with whole-stage
+  * codegen instead of forcing their stage onto the interpreted path.
+  * Benchmarked ~4-10× over the declarative formulations and removed
+  * the explode + 64-aggregate shuffles.
   *
   * Hashing uses Spark's XXH64 (same kernel as the xxhash64() SQL
   * function, seed 42) so signatures are deterministic and reproducible
   * across clusters.
   */
 object VectorExprs {
-  val SEED = 42L
-  val MERSENNE: Long = 2147483647L // 2^31-1
-
-  private[functions] def xxh(s: UTF8String, seed: Long = SEED): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+  val SEED: Long = Kernels.SEED
+  val MERSENNE: Long = Kernels.MERSENNE
 
   /** floor(x * scale) per element: float/double array → long array. */
-  case class QuantizeVec(child: Expression, scale: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class QuantizeVec(child: Expression, scale: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val elemType = child.dataType.asInstanceOf[ArrayType].elementType
-      val n = arr.numElements()
-      val out = new Array[Long](n)
-      var i = 0
-      elemType match {
-        case FloatType =>
-          while (i < n) { out(i) = math.floor(arr.getFloat(i).toDouble * scale).toLong; i += 1 }
-        case DoubleType =>
-          while (i < n) { out(i) = math.floor(arr.getDouble(i) * scale).toLong; i += 1 }
-        case other => throw new IllegalArgumentException(s"QuantizeVec: $other")
-      }
-      new GenericArrayData(out)
-    }
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(v: Any): Any =
+      Kernels.quantize(v.asInstanceOf[ArrayData], scale, isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.quantize($a, $scale, $isFloat);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Integer dot product of two long arrays (codegen'd tight loop). */
-  case class DotLong(left: Expression, right: Expression)
-      extends BinaryExpression {
+  case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
@@ -105,196 +91,77 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 64-bit SimHash over a token array (per-occurrence weighting):
-    * bit j of the output is the sign of Σ_tokens (±1 by bit j of the
-    * token's xxhash64).
-    */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** 64-bit SimHash over a token array (per-occurrence weighting). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val acc = new Array[Int](64)
-      var i = 0; val n = arr.numElements()
-      while (i < n) {
-        val t = arr.getUTF8String(i)
-        if (t != null) {
-          val h = xxh(t)
-          var j = 0
-          while (j < 64) {
-            if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
-            j += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L; var j = 0
-      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
-      out
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.simhash64(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.simhash64($a);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** MinHash signature over word n-gram shingles, computed straight
-    * from the token array (shingling + hashing + 64 permutation minima
-    * in one pass; distinct shingles deduped by hash). Permutation i is
+  /** MinHash signature over word n-gram shingles, one pass from the
+    * token array (distinct shingles deduped by hash). Permutation i is
     * h_i(x) = ((2i+1)·x + 7919·(i+1)) mod (2³¹−1) over x = xxhash64
-    * mod p — matching Dedup's declarative formulation.
+    * mod p. Null when the doc has no complete shingle.
     */
   case class MinHashShingleSig(child: Expression, ngram: Int, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val p = MERSENNE
-      val seen = new java.util.HashSet[Long]()
-      val sig = Array.fill[Long](numHashes)(Long.MaxValue)
-      var i = 0
-      val sep = UTF8String.fromString(" ")
-      while (i + ngram <= n) {
-        val parts = new Array[UTF8String](ngram)
-        var k = 0
-        while (k < ngram) { parts(k) = arr.getUTF8String(i + k); k += 1 }
-        val shingle = UTF8String.concatWs(sep, parts: _*)
-        val x = ((xxh(shingle) % p) + p) % p
-        if (seen.add(x)) {
-          var j = 0
-          while (j < numHashes) {
-            val h = (((2L * j + 1) * x + 7919L * (j + 1)) % p + p) % p
-            if (h < sig(j)) sig(j) = h
-            j += 1
-          }
-        }
-        i += 1
-      }
-      if (seen.isEmpty) null else new GenericArrayData(sig)
-    }
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      Kernels.minhashShingleSig(v.asInstanceOf[ArrayData], ngram, numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |${ev.value} = graft.functions.Kernels.minhashShingleSig($a, $ngram, $numHashes);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Distinct word-n-gram shingle hashes of a token array — the
     * join-able form for inverted-index similarity. 64-bit xxhash64
-    * identity: shingle-hash equality == shingle string equality with
-    * collision probability ~n²/2⁶⁵ (negligible at any corpus size that
-    * fits a join). Joining on longs instead of shingle strings shrinks
-    * shuffle width ~3× and removes string hashing from the join probe.
+    * identity: hash equality == shingle equality w.p. 1 − n²/2⁶⁵.
     */
-  case class ShingleHashes(child: Expression, ngram: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashes(child: Expression, ngram: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      val sep = UTF8String.fromString(" ")
-      var i = 0
-      while (i + ngram <= n) {
-        val parts = new Array[UTF8String](ngram)
-        var k = 0
-        while (k < ngram) { parts(k) = arr.getUTF8String(i + k); k += 1 }
-        seen.add(xxh(UTF8String.concatWs(sep, parts: _*)))
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.shingleHashes(v.asInstanceOf[ArrayData], ngram)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.shingleHashes($a, $ngram);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
-    * the MOSS algorithm): polynomial rolling hash over k-gram token
-    * windows, then the minimum hash of each w-length window of k-gram
-    * hashes (rightmost-min tie-break) forms the fingerprint set.
-    * Guarantees any shared run of ≥ w+k-1 tokens yields a shared
-    * fingerprint — position-robust near-dup detection in one per-row
-    * pass, no shuffle.
+    * MOSS): polynomial rolling hash over k-gram token windows, minimum
+    * of each w-window kept. Any shared token run of ≥ w+k-1 tokens
+    * yields a shared fingerprint.
     */
-  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
-    private val B = 0x9E3779B97F4A7C15L // odd multiplier (golden-ratio)
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n < k) return new GenericArrayData(Array.empty[Long])
-      // token hashes
-      val h = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val t = arr.getUTF8String(i)
-        h(i) = if (t == null) 0L else xxh(t)
-        i += 1
-      }
-      // polynomial rolling hash over k-grams: r_i = Σ_j h(i+j)·B^(k-1-j)
-      val m = n - k + 1
-      val r = new Array[Long](m)
-      var bk = 1L // B^(k-1)
-      var j = 1
-      while (j < k) { bk *= B; j += 1 }
-      var acc = 0L
-      j = 0
-      while (j < k) { acc = acc * B + h(j); j += 1 }
-      r(0) = acc
-      i = 1
-      while (i < m) {
-        acc = (acc - h(i - 1) * bk) * B + h(i + k - 1)
-        r(i) = acc
-        i += 1
-      }
-      // winnowing: min of each w-window of r (rightmost min)
-      val fps = new java.util.TreeSet[java.lang.Long]()
-      if (m <= w) {
-        var best = 0
-        i = 1
-        while (i < m) { if (r(i) <= r(best)) best = i; i += 1 }
-        fps.add(r(best))
-      } else {
-        i = 0
-        while (i + w <= m) {
-          var best = i
-          var t = i + 1
-          while (t < i + w) { if (r(t) <= r(best)) best = t; t += 1 }
-          fps.add(r(best))
-          i += 1
-        }
-      }
-      val out = new Array[Long](fps.size)
-      val it = fps.iterator()
-      i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.winnow(v.asInstanceOf[ArrayData], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.winnow($a, $k, $w);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Sign-random-projection bucket (LSH coarse quantizer): bit p of
-    * the bucket is the sign of the projection of the vector onto a
-    * deterministic ±1 hyperplane derived from xxhash64(p, i).
+    * the bucket is the sign of the projection onto a deterministic ±1
+    * hyperplane derived from xxhash64(i, p).
     */
-  case class SignProjBucket(child: Expression, planes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class SignProjBucket(child: Expression, planes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val n = a.numElements()
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        var s = 0L; var i = 0
-        while (i < n) {
-          val sign = if ((XXH64.hashLong(i.toLong, p.toLong) & 1L) == 0L) 1L else -1L
-          s += a.getLong(i) * sign
-          i += 1
-        }
-        if (s > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.signProjBucket(v.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.signProjBucket($a, $planes);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 }

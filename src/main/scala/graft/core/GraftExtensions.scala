@@ -47,7 +47,10 @@ object GraftFunctions {
         if (es.length > 1) intArg(es(1), "k") else 5,
         if (es.length > 2) intArg(es(2), "w") else 4)),
     "graft_sign_proj_bucket" -> ((es: Seq[Expression]) =>
-      SignProjBucket(es.head, intArg(es(1), "planes"))))
+      SignProjBucket(es.head, intArg(es(1), "planes"))),
+    "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
+      ShingleHashes(es.head,
+        if (es.length > 1) intArg(es(1), "ngram") else 3)))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

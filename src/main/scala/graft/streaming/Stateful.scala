@@ -80,6 +80,21 @@ object Stateful {
       }
   }
 
+  /** A7-lite — watermark-bounded exact-duplicate drop: Spark's
+    * dropDuplicatesWithinWatermark keeps per-key state only for the
+    * watermark window (the reference's 30 s StateTtlConfig at
+    * DwsTradeSkuOrderWindow.java:165 is exactly this contract). Use
+    * when only the FIRST version of a key matters; upsertDeltas below
+    * when later versions must correct earlier ones.
+    */
+  def dropDupsWithinWatermark(df: org.apache.spark.sql.DataFrame,
+                              keys: Seq[String], tsCol: String,
+                              watermark: String): org.apache.spark.sql.DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    if (df.isStreaming) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
+
   /** A7 — upsert-correction: per-key retract emulation.
     * Reference: DwsTradeSkuOrderWindow.processBeanStream (:158-201):
     * MapState of last amounts; each re-emission of an order-detail id

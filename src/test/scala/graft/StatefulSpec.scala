@@ -77,6 +77,23 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDupsWithinWatermark suppresses within-watermark re-emissions (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val ms = MemoryStream[(String, Timestamp, Double)]
+    val df = ms.toDF().toDF("id", "ts", "amount")
+    val q = Stateful.dropDupsWithinWatermark(df, Seq("id"), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:01")
+      ms.addData(("a", t0, 1.0), ("a", t0, 1.0), ("b", t0, 2.0))
+      q.processAllAvailable()
+      ms.addData(("a", Timestamp.valueOf("2024-01-01 00:00:03"), 9.9)) // dup within watermark
+      q.processAllAvailable()
+      assert(spark.table("ddw").count() == 2) // a once, b once
+    } finally q.stop()
+  }
+
   test("upsertDeltas telescopes to latest value per key") {
     val in = Seq(
       VersionedAmount("o1", 1L, 100L),

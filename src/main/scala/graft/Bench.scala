@@ -33,21 +33,32 @@ object Bench {
     // prune projections, under-measuring the queries. Best-of-2 per
     // query filters transient host noise (shared box); cache is
     // cleared between runs so no run benefits from a previous one.
+    // A failing query reports an explicit "errors" entry and a -1
+    // time sentinel (never a fast-looking small number), and is
+    // excluded from the total.
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+          case t: Throwable =>
+            err = Some(t.getClass.getSimpleName + ": " +
+              String.valueOf(t.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
       }.min
-      name -> dt
+      (name, if (err.isEmpty) dt else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_ct":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

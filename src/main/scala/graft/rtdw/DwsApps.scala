@@ -89,7 +89,11 @@ object DwsApps {
 
   /** DwsUserUserLoginWindow (A6 + 7-day back-flow): per-uid state emits
     * unique-user and back-flow flags (reference :83-126); window-sum
-    * downstream.
+    * downstream. Transitions are [[graft.streaming.StateLogic.loginStep]]:
+    * uu emits only when the day STRICTLY advances past the stored last
+    * day, so a replayed or out-of-order older day can neither re-emit
+    * uu nor regress the state (the reference's equality-only compare
+    * double-counts on reordering). Property-tested in StatefulProps.
     */
   def loginFlags(ds: Dataset[LoginEvent], gapDays: Int = 7): Dataset[LoginFlags] = {
     import ds.sparkSession.implicits._
@@ -97,22 +101,13 @@ object DwsApps {
       .flatMapGroupsWithState[String, LoginFlags](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid, rows: Iterator[LoginEvent], state: GroupState[String]) =>
-          var lastDay = state.getOption.orNull
-          val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { e =>
-            if (e.day == lastDay) None
-            else {
-              val back =
-                if (lastDay != null &&
-                  java.time.temporal.ChronoUnit.DAYS.between(
-                    java.time.LocalDate.parse(lastDay),
-                    java.time.LocalDate.parse(e.day)) > gapDays) 1L
-                else 0L
-              val uu = 1L
-              lastDay = e.day
-              Some(LoginFlags(uid, uu, back, e.ts))
-            }
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.day, e.ts.getTime)).flatMap { e =>
+            val (uu, back, next) = graft.streaming.StateLogic.loginStep(last, e.day, gapDays)
+            last = Some(next)
+            if (uu) Some(LoginFlags(uid, 1L, if (back) 1L else 0L, e.ts)) else None
           }
-          if (lastDay != null) state.update(lastDay)
+          last.foreach(state.update)
           out.iterator
       }
   }

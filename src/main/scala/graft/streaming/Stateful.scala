@@ -24,21 +24,37 @@ object Stateful {
     * day changes. Emits every (key, day) exactly once; downstream
     * windowed counts of the emissions are exact daily UVs.
     *
-    * State is the SET of seen days compressed to "max day seen" plus a
-    * small recent-set so out-of-order days within the watermark still
-    * dedup correctly (the reference compares equality only, which
-    * double-counts on reordering — divergence documented in SURVEY §7.4).
+    * State is [[BoundedDays]]: the max day ever seen plus the days
+    * within [[StateLogic.DefaultRetainDays]] of it — ≤ retainDays+1
+    * entries per key FOREVER, independent of stream lifetime (the
+    * property that lets this run for years against a RocksDB store).
+    * Out-of-order days within the retain window still dedup exactly;
+    * older stragglers are dropped as already-seen (the watermark
+    * contract). The reference expires its ValueState after 1 day and
+    * re-counts a returning key (:133-136); keeping the max day (one
+    * string) avoids that double-count — divergence documented in
+    * SURVEY §7.4. Transitions live in [[StateLogic.firstSeenStep]] so
+    * the bound is property-tested without a Spark job (StatefulProps).
     */
   def firstSeenPerDay(ds: Dataset[KeyDay]): Dataset[FirstSeen] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState[Set[String], FirstSeen](
+      .flatMapGroupsWithState[BoundedDays, FirstSeen](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[KeyDay], state: GroupState[Set[String]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[String])
-          val newDays = rows.map(_.day).toSet -- seen
-          if (newDays.nonEmpty) state.update(seen ++ newDays)
-          newDays.iterator.map(d => FirstSeen(key, d))
+        (key: String, rows: Iterator[KeyDay], state: GroupState[BoundedDays]) =>
+          var st = state.getOption
+          // ascending day order within the batch: every distinct day is
+          // strictly greater than the running max, so a single batch
+          // emits exactly the distinct (key, day) set regardless of
+          // arrival order; the retain window only governs cross-batch
+          // stragglers.
+          val out = rows.map(_.day).toSet.toSeq.sorted.flatMap { d =>
+            val (emit, next) = StateLogic.firstSeenStep(st, d)
+            st = Some(next)
+            if (emit) Some(FirstSeen(key, d)) else None
+          }
+          st.foreach(state.update)
+          out.iterator
       }
   }
 

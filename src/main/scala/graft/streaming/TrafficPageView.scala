@@ -29,22 +29,30 @@ case class TrafficBean(mid: String, vc: String, ch: String, ar: String,
   */
 object TrafficPageView {
 
+  /** Per-mid uv/sv flags. State is [[BoundedDays]] (max day + ≤7-day
+    * recent-set, see [[StateLogic.firstSeenStep]]) — bounded per key
+    * for the stream's whole lifetime, unlike a grow-forever day set.
+    */
   def annotate(pages: Dataset[PageViewRow]): Dataset[TrafficBean] = {
     import pages.sparkSession.implicits._
     pages.groupByKey(_.mid)
-      .flatMapGroupsWithState[Set[String], TrafficBean](
+      .flatMapGroupsWithState[BoundedDays, TrafficBean](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (mid: String, rows: Iterator[PageViewRow], state: GroupState[Set[String]]) =>
-          var seen = state.getOption.getOrElse(Set.empty[String])
+        (mid: String, rows: Iterator[PageViewRow], state: GroupState[BoundedDays]) =>
+          var st = state.getOption
           val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
           fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          // ts-ascending processing ⇒ days arrive non-decreasing within
+          // the batch, so the retain window only matters across batches
           val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
             val day = fmt.format(r.ts)
-            val uv = if (!seen.contains(day)) { seen += day; 1L } else 0L
+            val (emit, next) = StateLogic.firstSeenStep(st, day)
+            st = Some(next)
+            val uv = if (emit) 1L else 0L
             val sv = if (r.lastPageId == null) 1L else 0L
             TrafficBean(mid, r.vc, r.ch, r.ar, r.isNew, uv, sv, 1L, r.durMs, r.ts)
           }
-          state.update(seen)
+          st.foreach(state.update)
           out.iterator
       }
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import graft.model._
-import graft.streaming.Stateful
+import graft.streaming.{BoundedDays, StateLogic, Stateful}
 
 /** Property-based invariants (SURVEY.md §5.3) for the stateful
   * operator family — randomized inputs, algebraic postconditions.
@@ -73,6 +73,72 @@ object StatefulProps extends Properties("Stateful") {
       val latestTotal = in.groupBy(_.key).values
         .map(vs => vs.maxBy(v => (v.ts, v.amount)).amount).sum
       deltaTotal == latestTotal
+    }
+
+  // ---- pure StateLogic properties (no Spark job): the 100 TB state
+  // contract for the A6/login family ----
+
+  private def foldFirstSeen(days: Seq[String]): (Int, Option[BoundedDays]) = {
+    var st: Option[BoundedDays] = None
+    var emits = 0
+    days.foreach { d =>
+      val (e, next) = StateLogic.firstSeenStep(st, d)
+      if (e) emits += 1
+      st = Some(next)
+    }
+    (emits, st)
+  }
+
+  /** Adversarial replay over 10 years of day offsets in arbitrary
+    * order: per-key state NEVER exceeds retainDays+1 entries. */
+  property("firstSeenStep state is bounded under adversarial multi-year replay") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 3650))) { offs =>
+      val base = java.time.LocalDate.parse("2020-01-01")
+      var st: Option[BoundedDays] = None
+      offs.forall { o =>
+        val (_, next) = StateLogic.firstSeenStep(st, base.plusDays(o.toLong).toString)
+        st = Some(next)
+        next.recent.size + 1 <= StateLogic.DefaultRetainDays + 1 &&
+          next.recent.forall(_ < next.maxDay)
+      }
+    }
+
+  property("firstSeenStep ascending replay emits exactly once per day; re-replay emits zero") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 3650))) { offs =>
+      val base = java.time.LocalDate.parse("2020-01-01")
+      val days = offs.map(o => base.plusDays(o.toLong).toString).distinct.sorted
+      val (emits, st) = foldFirstSeen(days)
+      // replaying the same days against the final state emits nothing
+      val replayEmits = days.map { d =>
+        if (StateLogic.firstSeenStep(st, d)._1) 1 else 0
+      }.sum
+      emits == days.size && replayEmits == 0
+    }
+
+  private def foldLogin(days: Seq[String], gapDays: Int): Long = {
+    var st: Option[String] = None
+    var uu = 0L
+    days.foreach { d =>
+      val (e, _, next) = StateLogic.loginStep(st, d, gapDays)
+      if (e) uu += 1
+      st = Some(next)
+    }
+    uu
+  }
+
+  /** VERDICT r1 #4: shuffled replay of the same events never increases
+    * Σuu — an out-of-order or duplicated older day cannot re-emit. */
+  property("loginStep: shuffled+duplicated replay never exceeds sorted Σuu") =
+    Prop.forAll(
+      Gen.listOf(Gen.choose(0, 60)),
+      Gen.choose(0L, Long.MaxValue)) { (offs, seed) =>
+      val base = java.time.LocalDate.parse("2024-01-01")
+      val days = offs.map(o => base.plusDays(o.toLong).toString)
+      val sortedUu = foldLogin(days.distinct.sorted, 7)
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(days ++ days) // duplicate + shuffle
+      foldLogin(shuffled, 7) <= sortedUu &&
+        sortedUu == days.distinct.size.toLong
     }
 
   property("window counts conserve total rows") =

@@ -11,53 +11,142 @@ import org.apache.spark.sql.functions._
   * keyed by PK (SQLUtil.getUpsertKafkaSQL:46-54,
   * DimHBaseSinkFunction.java:50-104). The Spark-native design is
   * `MERGE INTO` on an ACID table format; this container ships bare
-  * parquet, so we implement last-writer-wins merge as
-  * read + union + rank-1-per-key + atomic directory swap. The swap
-  * (write to `<dir>.tmp`, rename over) keeps readers from ever seeing
-  * a half-written table. On a lakehouse deployment this entire object
-  * is replaced by `MERGE INTO`; call sites don't change shape.
+  * parquet, so we implement last-writer-wins merge over a
+  * HASH-BUCKETED layout:
+  *
+  *   dir/__bucket=0/part-*.parquet ... dir/__bucket=N-1/...
+  *
+  * with `__bucket = pmod(xxhash64(pk), numBuckets)` — a stable,
+  * data-independent placement. A merge batch rewrites ONLY the buckets
+  * its keys hash into: per-batch I/O is O(touched buckets × bucket
+  * size), not O(table). For a continuously-upserted 100 TB DWD fact
+  * table with (say) 4096 buckets and a batch touching 50 of them, that
+  * is an ~80× I/O reduction over the previous full-table rewrite; the
+  * untouched buckets' files are never opened, rewritten, or moved
+  * (proved byte-identical in UpsertSpec). Each touched bucket is
+  * written to a `.tmp` staging dir and swapped in with a directory
+  * rename — readers of a bucket see either the old or the new version,
+  * never a half-written one (per-bucket snapshot; the global-snapshot
+  * upgrade is exactly what `MERGE INTO` on a lakehouse format buys,
+  * and this object is the single swap point for it).
   */
 object Upsert {
+
+  /** Buckets per table. Sized so one bucket of a continuously-merged
+    * table stays comfortably inside one executor's scan budget
+    * (~table_size / numBuckets); raise for bigger tables — placement
+    * is stable for a given value. Small here for local test data.
+    */
+  val DefaultNumBuckets = 16
+
+  private val BucketCol = "__bucket"
 
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Raw read of the table (includes the `__bucket` partition column
+    * when the table is bucketed).
+    */
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
     if (exists(spark, dir)) Some(spark.read.parquet(dir)) else None
 
-  /** Merge `updates` into the parquet table at `dir`.
+  /** Read the table's logical content (bucket column dropped). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop(BucketCol)
+
+  private def withBucket(df: DataFrame, pk: Seq[String], numBuckets: Int): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(concat_ws("", pk.map(c => col(c).cast("string")): _*)),
+        lit(numBuckets)).cast("int"))
+
+  /** Merge `updates` into the bucketed parquet table at `dir`.
     *  - rows with type='delete' remove their key;
     *  - otherwise newest `versionCol` per `pk` wins (ties: updates win).
+    * Only the buckets present in `updates` are read and rewritten.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             pk: Seq[String], versionCol: String,
-            deleteFlagCol: Option[String] = None): Unit = {
-    val existing = readIfExists(spark, dir)
-    val tagged = updates.withColumn("__src", lit(1))
-    val combined = existing match {
-      case Some(cur) =>
-        val aligned = tagged.select(cur.columns.map(col) :+ col("__src"): _*)
-        cur.withColumn("__src", lit(0)).unionByName(aligned)
-      case None => tagged
+            deleteFlagCol: Option[String] = None,
+            numBuckets: Int = DefaultNumBuckets): Unit = {
+    val tagged = withBucket(updates, pk, numBuckets).withColumn("__src", lit(1))
+    if (!exists(spark, dir)) {
+      // first write: full table create via staging-dir rename
+      val merged = resolve(tagged, pk, versionCol, deleteFlagCol)
+      writeBucketsAtomic(spark, dir, merged, touched = None)
+      return
     }
+    // buckets this batch touches — bounded by numBuckets, so the
+    // driver-side collect is O(numBuckets), never O(rows)
+    val touched = tagged.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+    val cur = spark.read.parquet(dir)
+      .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
+      .withColumn("__src", lit(0))
+    val aligned = tagged.select(cur.columns.map(col): _*)
+    val merged = resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol)
+    writeBucketsAtomic(spark, dir, merged, touched = Some(touched))
+  }
+
+  /** Last-writer-wins + delete resolution over a `__src`-tagged union. */
+  private def resolve(combined: DataFrame, pk: Seq[String], versionCol: String,
+                      deleteFlagCol: Option[String]): DataFrame = {
     val w = Window.partitionBy(pk.map(col): _*)
       .orderBy(col(versionCol).desc, col("__src").desc)
     val merged0 = combined
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
-    val merged = deleteFlagCol match {
+    deleteFlagCol match {
       case Some(f) => merged0.filter(col(f) =!= "delete" || col(f).isNull)
       case None => merged0
     }
-    overwriteAtomic(spark, dir, merged)
+  }
+
+  /** Stage `merged` (which carries `__bucket`) under `<dir>.tmp`
+    * partitioned by bucket, then swap bucket directories into place.
+    * touched=None swaps the whole table (initial create); Some(set)
+    * swaps exactly those buckets — the rest of the table is untouched
+    * on disk.
+    */
+  private def writeBucketsAtomic(spark: SparkSession, dir: String,
+                                 merged: DataFrame, touched: Option[Set[Int]]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(dir)
+    val tmp = new Path(dir + ".tmp")
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    touched match {
+      case None =>
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(tmp, target)
+      case Some(buckets) =>
+        buckets.foreach { b =>
+          val oldB = new Path(target, s"$BucketCol=$b")
+          val newB = new Path(tmp, s"$BucketCol=$b")
+          if (fs.exists(oldB)) fs.delete(oldB, true)
+          // a bucket whose keys were all deleted has no staged dir —
+          // removing the old one is the whole swap
+          if (fs.exists(newB)) fs.rename(newB, new Path(target, s"$BucketCol=$b"))
+        }
+        fs.delete(tmp, true)
+        // keep the table readable if every bucket emptied out: leave a
+        // zero-row file carrying the schema
+        val status = fs.listStatus(target)
+        if (!status.exists(_.getPath.getName.startsWith(s"$BucketCol="))) {
+          merged.drop(BucketCol).limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(new Path(target, s"$BucketCol=-1").toString)
+        }
+    }
   }
 
   /** Write df to `<dir>.tmp` then swap directories (readers of the old
     * data finish against already-open files; new readers see the new
-    * version — the poor man's snapshot isolation).
+    * version — the poor man's snapshot isolation). Used for
+    * non-keyed/full-refresh tables; keyed merges go through `merge`.
     */
   def overwriteAtomic(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -111,8 +111,12 @@ object Dedup {
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("node", "nbr").cache()
+      // Each iteration localCheckpoints the new labels (truncating the
+      // lineage, which otherwise grows by two joins per loop) and
+      // unpersists the previous generation — memory and plan size stay
+      // O(1) in the component diameter instead of O(iterations).
       var labels = edges.select(col("node")).distinct()
-        .withColumn("label", col("node")).cache()
+        .withColumn("label", col("node")).localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val viaNbr = edges
@@ -121,11 +125,13 @@ object Dedup {
         val next = labels.join(viaNbr, Seq("node"), "left_outer")
           .select(col("node"),
             least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-          .cache()
+          .localCheckpoint(true)
         changed = next.join(labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
         labels = next
       }
+      edges.unpersist()
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }
   }

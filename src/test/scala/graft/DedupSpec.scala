@@ -77,6 +77,16 @@ class DedupSpec extends SparkSpec {
     assert(total == graft.io.Tables.documents(spark, sf).count())
   }
 
+  test("gated cosineNearDup emits a subset of the exact pair set (same threshold)") {
+    val exact = Similarity.cosineNearDup(spark, sf, threshold = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gated = Similarity.cosineNearDup(spark, sf, threshold = 0.25, maxBruteCorpus = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(gated.subsetOf(exact),
+      s"gated path invented pairs: ${gated.diff(exact).take(5)}")
+    assert(gated.nonEmpty, "gated path found no pairs at all")
+  }
+
   test("LSH ANN results are a subset of brute-force scoring, same bucket recall sane") {
     val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 10, k = 5)
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet

@@ -27,7 +27,7 @@ class DimPipelineSpec extends SparkSpec {
       ("base_dic", "bootstrap-start", 1L, Map("a" -> "b")))) // etl-filtered
     val counts1 = DimPipeline.processBatch(spark, b1, cfg, wh)
     assert(counts1 == Map("dim_base_dic" -> 2L, "dim_sku_info" -> 1L))
-    val sku1 = spark.read.parquet(s"$wh/dim_sku_info")
+    val sku1 = graft.io.Upsert.read(spark, s"$wh/dim_sku_info")
     assert(sku1.columns.toSet == Set("id", "sku_name", "price", "__op", "__ts")) // pruned
     // batch 2: update + delete
     val b2 = DimPipeline.parseCdc(cdc(

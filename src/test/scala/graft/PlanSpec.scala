@@ -56,4 +56,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"queries not broadcast:\n$p")
   }
+
+  test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.llm.Similarity.cosineNearDup(spark, sf, maxBruteCorpus = 0)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"gated path still plans a nested-loop join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"no equi-join on bucket:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

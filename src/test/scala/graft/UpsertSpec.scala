@@ -1,0 +1,86 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Upsert
+
+/** The partition-pruned merge contract (VERDICT r1 #2): a merge batch
+  * rewrites only the buckets its keys hash into; every other bucket's
+  * files stay byte-identical on disk.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucketDirs(dir: String): Map[String, Map[String, Long]] =
+    new File(dir).listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length()).toMap
+      }.toMap
+
+  test("merge rewrites only touched buckets; untouched files byte-identical") {
+    val dir = Files.createTempDirectory("upsert").toString + "/t"
+    val base = (1 to 200).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
+    Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver")
+    val before = bucketDirs(dir)
+    assert(before.size > 1, s"expected multiple bucket dirs, got ${before.keySet}")
+
+    // checksum every parquet file before the second merge
+    def crcs(): Map[String, Long] =
+      new File(dir).listFiles().filter(_.isDirectory).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val c = new java.util.zip.CRC32()
+          c.update(Files.readAllBytes(f.toPath))
+          s"${d.getName}/${f.getName}" -> c.getValue
+        }
+      }.toMap
+    val crcBefore = crcs()
+
+    // second merge touches exactly one key → one bucket
+    val upd = Seq(("k7", 2L, "V7")).toDF("id", "ver", "payload")
+    Upsert.merge(spark, dir, upd, pk = Seq("id"), versionCol = "ver")
+    val touchedBucket = {
+      val b = upd.withColumn("b",
+        pmod(xxhash64(col("id").cast("string")), lit(Upsert.DefaultNumBuckets)))
+        .select("b").as[Long].head()
+      s"__bucket=$b"
+    }
+    val crcAfter = crcs()
+    val untouchedBefore = crcBefore.filterNot(_._1.startsWith(touchedBucket))
+    val untouchedAfter = crcAfter.filterNot(_._1.startsWith(touchedBucket))
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched bucket files changed: ${untouchedBefore.keySet.diff(untouchedAfter.keySet)}")
+    assert(crcBefore.keys.exists(_.startsWith(touchedBucket)), "touched bucket existed before")
+    assert(crcAfter.filter(_._1.startsWith(touchedBucket)) !=
+      crcBefore.filter(_._1.startsWith(touchedBucket)), "touched bucket was rewritten")
+
+    // merged content is correct: k7 updated, everything else intact
+    val m = Upsert.read(spark, dir).select("id", "payload").as[(String, String)].collect().toMap
+    assert(m("k7") == "V7" && m("k1") == "v1" && m.size == 200)
+  }
+
+  test("delete empties a bucket but the table stays readable") {
+    val dir = Files.createTempDirectory("upsertdel").toString + "/t"
+    val base = Seq(("a", 1L, "insert"), ("b", 1L, "insert")).toDF("id", "ver", "op")
+    Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver",
+      deleteFlagCol = Some("op"))
+    assert(Upsert.read(spark, dir).count() == 2)
+    val del = Seq(("a", 2L, "delete"), ("b", 2L, "delete")).toDF("id", "ver", "op")
+    Upsert.merge(spark, dir, del, pk = Seq("id"), versionCol = "ver",
+      deleteFlagCol = Some("op"))
+    assert(Upsert.read(spark, dir).count() == 0)
+  }
+
+  test("out-of-order version loses; ties go to the update") {
+    val dir = Files.createTempDirectory("upsertver").toString + "/t"
+    Upsert.merge(spark, dir, Seq(("k", 5L, "new")).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver")
+    Upsert.merge(spark, dir, Seq(("k", 3L, "stale")).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver")
+    assert(Upsert.read(spark, dir).select("v").as[String].head() == "new")
+    Upsert.merge(spark, dir, Seq(("k", 5L, "tie-upd")).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver")
+    assert(Upsert.read(spark, dir).select("v").as[String].head() == "tie-upd")
+  }
+}

@@ -47,6 +47,7 @@ object SparkEntry {
     "j5_dim_chain" -> (Relational.j5DimChain _),
     "j8_config_routing" -> (Relational.j8ConfigRouting _),
     "j9_explode_tokens" -> (Relational.j9ExplodeTokens _),
+    "j9_cjk_tokens" -> (Relational.j9CjkTokens _),
     "j_asof_join" -> (Relational.asOfJoin _),
     "keyword_page_view" -> (Relational.keywordPageView _),
     // ---- TPC-H-style benchmark heads ----
@@ -234,6 +235,18 @@ object SparkEntry {
       """SELECT word, count(*) AS ct
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY 1""",
+
+    "j9_cjk_tokens" ->
+      """WITH src AS (SELECT lang || translate(substring(md5(text), 1, 12),
+                        '0123456789abcdef', '零一二三四五六七八九十百千万亿兆') AS s
+                      FROM documents),
+            runs AS (SELECT unnest(regexp_extract_all(s, '[一-鿿]+|[^一-鿿\s]+')) AS r FROM src),
+            tok AS (SELECT unnest(CASE WHEN regexp_matches(r, '[一-鿿]') AND length(r) >= 2
+                           THEN list_transform(generate_series(1, length(r) - 1),
+                                               i -> substring(r, i, 2))
+                           ELSE [r] END) AS word
+                    FROM runs)
+         SELECT word, count(*) AS ct FROM tok GROUP BY 1""",
 
     "j_asof_join" ->
       """WITH u AS (

@@ -50,7 +50,8 @@ object GraftFunctions {
       SignProjBucket(es.head, intArg(es(1), "planes"))),
     "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
       ShingleHashes(es.head,
-        if (es.length > 1) intArg(es(1), "ngram") else 3)))
+        if (es.length > 1) intArg(es(1), "ngram") else 3)),
+    "graft_cjk_tokens" -> ((es: Seq[Expression]) => CjkTokens(es.head)))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -141,6 +141,45 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** CJK-aware tokenization (the IK-analyzer stand-in for J9 —
+    * reference IkUtil.java:12-28): whitespace-split, then each token is
+    * segmented into maximal CJK ([一-鿿], the unified-ideograph
+    * BMP block) and non-CJK runs. A CJK run of n ≥ 2 chars emits its
+    * n−1 overlapping character bigrams (the standard dictionary-free
+    * CJK segmentation); single CJK chars and non-CJK runs are emitted
+    * whole. Whitespace is the regex-\s set so the DuckDB oracle's
+    * regexp_extract_all formulation is token-identical.
+    */
+  def cjkTokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = str.length
+    @inline def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+    @inline def isCjk(c: Char) = c >= 0x4E00 && c <= 0x9FFF
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isWs(c)) i += 1
+      else if (isCjk(c)) {
+        var j = i + 1
+        while (j < n && isCjk(str.charAt(j))) j += 1
+        if (j - i == 1) out += UTF8String.fromString(str.substring(i, j))
+        else {
+          var k = i
+          while (k + 2 <= j) { out += UTF8String.fromString(str.substring(k, k + 2)); k += 1 }
+        }
+        i = j
+      } else {
+        var j = i + 1
+        while (j < n && !isWs(str.charAt(j)) && !isCjk(str.charAt(j))) j += 1
+        out += UTF8String.fromString(str.substring(i, j))
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def signProjBucket(a: ArrayData, planes: Int): Long = {
     val n = a.numElements()
     var bucket = 0L

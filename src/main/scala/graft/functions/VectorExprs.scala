@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot per-row kernels.
   *
@@ -151,6 +152,21 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** CJK-aware tokenizer (J9): whitespace split + character-bigram
+    * segmentation of CJK runs, one pass per row (kernel in
+    * [[Kernels.cjkTokens]]). Generates code — composes with the
+    * downstream Generate (explode) inside whole-stage codegen.
+    */
+  case class CjkTokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Kernels.cjkTokens(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.cjkTokens($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Sign-random-projection bucket (LSH coarse quantizer): bit p of
     * the bucket is the sign of the projection onto a deterministic ±1
     * hyperplane derived from xxhash64(i, p).
@@ -181,4 +197,5 @@ object functions {
     c(WinnowFingerprint(e(tokens), k, w))
   def shingle_hashes(tokens: Column, ngram: Int = 3): Column =
     c(ShingleHashes(e(tokens), ngram))
+  def cjk_tokens(text: Column): Column = c(CjkTokens(e(text)))
 }

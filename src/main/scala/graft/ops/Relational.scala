@@ -372,6 +372,32 @@ object Relational {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("ct"))
 
+  /** J9 with the reference's real concern — CJK keyword segmentation.
+    * Reference: the IK analyzer (IkUtil.java:12-28, KwSplit.java,
+    * DwsTrafficSourceKeywordPageViewWindow.java:63-69) exists to split
+    * CHINESE search keywords, which have no spaces. graft's stand-in is
+    * dictionary-free character-bigram segmentation (the classical CJK
+    * fallback IK itself uses for out-of-dictionary runs), implemented
+    * as the native CjkTokens expression: whitespace split + bigrams
+    * over maximal CJK runs, single pass per row, codegen'd.
+    *
+    * The test corpus has no CJK text, so the query derives a
+    * deterministic mixed-script keyword per doc (lang prefix + md5 hex
+    * transliterated to CJK via translate()) — both engines compute the
+    * identical string, making the bigram segmentation itself
+    * oracle-checkable, including the intra-token latin→CJK boundary.
+    */
+  def j9CjkTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.functions.cjk_tokens
+    val mixed = concat(col("lang"),
+      translate(substring(md5(col("text")), 1, 12),
+        "0123456789abcdef", "零一二三四五六七八九十百千万亿兆"))
+    Tables.documents(spark, sfDir)
+      .select(explode(cjk_tokens(mixed)).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("ct"))
+  }
+
   /** Flagship composite (SURVEY §7.2 slice 2): filter → tokenize/explode
     * → grouped count, the DwsTrafficSourceKeywordPageViewWindow analog:
     * source→filter→UDTF→agg→sink in one declarative plan.

@@ -75,6 +75,10 @@ object DwsApps {
 
   /** DwsTrafficSourceKeywordPageViewWindow (P7+J9+A1): search-keyword
     * tokenization + windowed counts — the flagship slice, streaming.
+    * Tokenization is the CJK-aware native expression (whitespace split
+    * + character bigrams over CJK runs — the IK-analyzer stand-in,
+    * reference IkUtil.java:12-28), so spaceless Chinese keywords
+    * segment instead of passing through as one token.
     */
   def keywordWindow(pages: DataFrame, windowLen: String = "10 seconds",
                     watermark: String = "5 seconds"): DataFrame = {
@@ -82,7 +86,8 @@ object DwsApps {
       .filter(col("last_page_id") === "search" &&
         col("item_type") === "keyword" && col("item").isNotNull)
       .withColumn("event_time", timestamp_millis(col("ts")))
-      .select(col("event_time"), explode(split(col("item"), " ")).as("keyword"))
+      .select(col("event_time"),
+        explode(graft.functions.functions.cjk_tokens(col("item"))).as("keyword"))
     WindowedAggs.keyedWindowAgg(kw, "event_time", windowLen, watermark,
       Seq("keyword"), Seq(count(lit(1)).as("keyword_ct")))
   }

@@ -68,6 +68,20 @@ class DwsAppsSpec extends SparkSpec {
     assert(out == Map("spark" -> 2L, "engine" -> 1L))
   }
 
+  test("keywordWindow: spaceless CJK keywords segment into bigrams (J9 fidelity)") {
+    val base = ts("2024-01-01 00:00:01").getTime
+    val pages = Seq(
+      ("m1", "search", "keyword", "苹果手机", base),        // 4-char query → 3 bigrams
+      ("m2", "search", "keyword", "苹果 iphone", base + 1000), // mixed spaced
+      ("m3", "search", "keyword", "小米手机", base + 2000))   // shares 手机 bigram
+      .toDF("mid", "last_page_id", "item_type", "item", "ts")
+    val out = DwsApps.keywordWindow(pages).select("keyword", "keyword_ct")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "苹果" -> 2L, "果手" -> 1L, "手机" -> 2L,
+      "iphone" -> 1L, "小米" -> 1L, "米手" -> 1L))
+  }
+
   test("provinceOrderWindow: per-province sums with dim name") {
     val base = ts("2024-01-01 00:00:01").getTime
     val od = Seq(

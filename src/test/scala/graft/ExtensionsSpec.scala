@@ -16,6 +16,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("graft_cjk_tokens segments mixed text: bigram CJK runs, whole latin runs") {
+    GraftFunctions.register(spark)
+    val toks = spark.sql(
+      """SELECT graft_cjk_tokens('buy苹果手机 now  雪') AS t""")
+      .as[Seq[String]].head()
+    assert(toks == Seq("buy", "苹果", "果手", "手机", "now", "雪"))
+    // pure whitespace text degrades to plain word split (no empties)
+    val en = spark.sql("SELECT graft_cjk_tokens(' spark  engine ') AS t")
+      .as[Seq[String]].head()
+    assert(en == Seq("spark", "engine"))
+  }
+
   test("SQL similarity pipeline composes from registered functions") {
     GraftFunctions.register(spark)
     graft.io.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")

@@ -45,6 +45,7 @@ object SparkEntry {
     "j3_interval_join" -> (Relational.j3IntervalJoin _),
     "j4_dim_lookup" -> (Relational.j4DimLookup _),
     "j5_dim_chain" -> (Relational.j5DimChain _),
+    "j5_sku_chain" -> (Relational.j5SkuChain _),
     "j8_config_routing" -> (Relational.j8ConfigRouting _),
     "j9_explode_tokens" -> (Relational.j9ExplodeTokens _),
     "j9_cjk_tokens" -> (Relational.j9CjkTokens _),
@@ -222,6 +223,34 @@ object SparkEntry {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey""",
+
+    "j5_sku_chain" ->
+      """WITH sku AS (SELECT p_partkey AS sku_id, p_name AS sku_name,
+                             p_brand AS spu_id, p_type AS c3_id,
+                             substring(p_brand, 1, 7) AS tm_id
+                      FROM part),
+            spu AS (SELECT DISTINCT spu_id, 'spu:' || spu_id AS spu_name FROM sku),
+            c3 AS (SELECT DISTINCT p_type AS c3_id,
+                          array_to_string(string_split(p_type, ' ')[1:2], ' ') AS c2_id
+                   FROM part),
+            c2 AS (SELECT DISTINCT c2_id, 'c2:' || c2_id AS c2_name,
+                          split_part(c2_id, ' ', 1) AS c1_id
+                   FROM c3),
+            c1 AS (SELECT DISTINCT c1_id, 'c1:' || c1_id AS c1_name FROM c2),
+            tm AS (SELECT DISTINCT tm_id, 'tm:' || tm_id AS tm_name FROM sku),
+            agg AS (SELECT l_partkey AS sku_id,
+                           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS amount_cents,
+                           count(*) AS order_ct
+                    FROM lineitem GROUP BY 1)
+         SELECT sku_id, sku_name, spu_name, c3_id, c2_name, c1_name, tm_name,
+                amount_cents, order_ct
+         FROM agg
+         JOIN sku USING (sku_id)
+         JOIN spu USING (spu_id)
+         JOIN c3 USING (c3_id)
+         JOIN c2 USING (c2_id)
+         JOIN c1 USING (c1_id)
+         JOIN tm USING (tm_id)""",
 
     "j8_config_routing" ->
       """SELECT e.event_id, e.event_type, e.user_id, c.sink_table

@@ -342,6 +342,56 @@ object Relational {
         col("total_cents"), col("line_ct"))
   }
 
+  /** J5 at reference fidelity — the actual SIX-hop dim chain.
+    * Reference: DwsTradeSkuOrderWindow.associateDim
+    * (DwsTradeSkuOrderWindow.java:72-122): after the window agg each
+    * bean is enriched sku_info → spu_info → category3 → category2 →
+    * category1 → base_trademark with six sequential HBase lookups.
+    *
+    * The six dim tables are derived deterministically from `part`
+    * (sku=partkey, spu=brand, c3=full type, c2=first two type words,
+    * c1=first word, trademark=mfgr) — a real snowflake: each hop's
+    * table contributes a column unobtainable from the previous hop.
+    * Spark shape: aggregate FIRST (output is |sku| rows), then six
+    * chained broadcast hash joins — zero extra shuffles, the exact
+    * plan you want at 100 TB where the fact table is huge and every
+    * dim is tiny. The Flink per-record RPC chain with its async/cache
+    * variants collapses into these six BHJs.
+    */
+  def j5SkuChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    // trademark = the brand's manufacturer prefix ('Brand#42' → 'Brand#4')
+    val sku = p.select(col("p_partkey").as("sku_id"), col("p_name").as("sku_name"),
+      col("p_brand").as("spu_id"), col("p_type").as("c3_id"),
+      substring(col("p_brand"), 1, 7).as("tm_id"))
+    val spu = sku.select(col("spu_id")).distinct()
+      .withColumn("spu_name", concat(lit("spu:"), col("spu_id")))
+    // first two words, clipped when the type has fewer (substring_index
+    // returns the whole string below the requested word count)
+    val c3 = p.select(col("p_type").as("c3_id")).distinct()
+      .withColumn("c2_id", substring_index(col("c3_id"), " ", 2))
+    val c2 = c3.select(col("c2_id")).distinct()
+      .withColumn("c2_name", concat(lit("c2:"), col("c2_id")))
+      .withColumn("c1_id", substring_index(col("c2_id"), " ", 1))
+    val c1 = c2.select(col("c1_id")).distinct()
+      .withColumn("c1_name", concat(lit("c1:"), col("c1_id")))
+    val tm = sku.select(col("tm_id")).distinct()
+      .withColumn("tm_name", concat(lit("tm:"), col("tm_id")))
+    val agg = li.groupBy(col("l_partkey").as("sku_id"))
+      .agg(sum(cents(col("l_extendedprice"))).as("amount_cents"),
+        count(lit(1)).as("order_ct"))
+    agg.join(broadcast(sku), "sku_id")
+      .join(broadcast(spu), "spu_id")
+      .join(broadcast(c3), "c3_id")
+      .join(broadcast(c2), "c2_id")
+      .join(broadcast(c1), "c1_id")
+      .join(broadcast(tm), "tm_id")
+      .select(col("sku_id"), col("sku_name"), col("spu_name"), col("c3_id"),
+        col("c2_name"), col("c1_name"), col("tm_name"),
+        col("amount_cents"), col("order_ct"))
+  }
+
   /** J8/P5/K2 — config-driven routing: the routing table is DATA.
     * Reference: DimBroadcastFunction.java:17-93 + DwdBaseDb.java:79-129:
     * a broadcast config stream routes CDC rows to sink tables and

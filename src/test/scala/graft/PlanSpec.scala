@@ -51,6 +51,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 BHJ:\n$p")
   }
 
+  test("j5_sku_chain: all six dim hops are broadcast joins after one agg shuffle") {
+    val p = plan("j5_sku_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 6, s"expected 6 BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim hop degraded to SMJ:\n$p")
+    val factExchanges = "Exchange hashpartitioning\\(sku_id".r.findAllIn(p).size +
+      "Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size
+    assert(factExchanges <= 1, s"fact side shuffles more than once:\n$p")
+  }
+
   test("sim_brute_topk: query side broadcasts; corpus never shuffles before scoring") {
     val p = plan("sim_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.io.{SourceConf, Sources}
 import graft.model._
 import graft.streaming._
 
@@ -39,7 +40,9 @@ object StreamingDemo {
       """{"common":{"mid":"m1","uid":"u1","vc":"v1","ch":"app","ar":"110000","is_new":"0"},"page":{"page_id":"good_detail","last_page_id":"home","item":"sku1","item_type":"sku_id","during_time":2000},"ts":1704153700000}""")
     Files.write(Paths.get(s"$logDir/part-000.json"), logLines.mkString("\n").getBytes)
 
-    val rawLog = spark.readStream.text(logDir).toDF("value")
+    // all sources open through the config layer (S1's "swap to Kafka is
+    // config-only" claim): same app code, SourceConf picks the transport
+    val rawLog = Sources.stream(spark, SourceConf("file", path = Some(logDir)))
     val parsedStream = LogSplit.parse(rawLog)
     val splitQuery = parsedStream.writeStream
       .option("checkpointLocation", s"$root/ck_split")
@@ -65,7 +68,8 @@ object StreamingDemo {
       """{"database":"gmall","table":"base_dic","type":"update","ts":2,"data":{"dic_code":"1001","dic_name":"PENDING"}}""")
     Files.write(Paths.get(s"$cdcDir/part-000.json"), cdcLines.mkString("\n").getBytes)
     val cfg = Seq(DimConfig("base_dic", "dim_base_dic", Seq("dic_code", "dic_name"), "dic_code"))
-    val dimQuery = DimPipeline.run(spark, spark.readStream.text(cdcDir).toDF("value"),
+    val dimQuery = DimPipeline.run(spark,
+      Sources.stream(spark, SourceConf("file", path = Some(cdcDir))),
       () => cfg, wh, s"$root/ck_dim")
 
     splitQuery.processAllAvailable()
@@ -89,7 +93,8 @@ object StreamingDemo {
       """{"database":"gmall","table":"order_info","type":"insert","ts":1704067200000,"data":{"id":"o1","user_id":"u1","province_id":"p1"}}""",
       """{"database":"gmall","table":"order_detail_activity","type":"insert","ts":1704067200000,"data":{"order_detail_id":"d1","activity_id":"a1"}}""")
       .mkString("\n").getBytes)
-    val dwdQuery = DimPipeline.parseCdc(spark.readStream.text(tradeDir).toDF("value"))
+    val dwdQuery = DimPipeline.parseCdc(
+      Sources.stream(spark, SourceConf("file", path = Some(tradeDir))))
       .writeStream
       .option("checkpointLocation", s"$root/ck_dwd")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -35,4 +35,58 @@ object Sinks {
     */
   def writeRouted(df: DataFrame, path: String): Unit =
     df.write.mode("append").partitionBy("sink_table").parquet(path)
+
+  /** Open a streaming sink per config (K1/K2/K4/K7 — the
+    * FlinkSinkUtil.java:22-50 contract as config):
+    *  - file: parquet append; `topicColumn` partitions one directory
+    *    per logical topic (K2's dynamic destination);
+    *  - kafka: the real Kafka sink — when `topicColumn` is set it is
+    *    renamed to the `topic` column Spark's Kafka sink routes by
+    *    (exactly K2), otherwise `topic` is fixed from config. Needs
+    *    spark-sql-kafka jars at deploy (absent in this container);
+    *  - console: K7 debug sink.
+    */
+  def stream(df: DataFrame, conf: SinkConf): StreamingQuery = conf.format match {
+    case "file" =>
+      val w = df.writeStream.format("parquet")
+        .option("path", conf.path.getOrElse(
+          throw new IllegalArgumentException("file sink requires path")))
+        .option("checkpointLocation", conf.checkpoint)
+        .options(conf.options)
+        .outputMode("append")
+      conf.topicColumn.fold(w)(tc => w.partitionBy(tc)).start()
+    case "kafka" =>
+      val payload = conf.topicColumn match {
+        case Some(tc) =>
+          df.select(to_json(struct(df.columns.filter(_ != tc).map(col): _*)).as("value"),
+            col(tc).as("topic"))
+        case None =>
+          df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      }
+      val w = payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", conf.brokers.getOrElse(
+          throw new IllegalArgumentException("kafka sink requires brokers")))
+        .option("checkpointLocation", conf.checkpoint)
+        .options(conf.options)
+      conf.topic.fold(w)(t => w.option("topic", t)).start()
+    case "console" =>
+      df.writeStream.format("console")
+        .option("checkpointLocation", conf.checkpoint)
+        .options(conf.options).start()
+    case other =>
+      throw new IllegalArgumentException(s"unknown sink format: $other")
+  }
 }
+
+/** Sink config mirroring [[SourceConf]]: format + transport addressing.
+  * `topicColumn` is K2's per-record dynamic destination — a column
+  * whose value names the target topic/directory.
+  */
+case class SinkConf(
+    format: String, // "file" | "kafka" | "console"
+    checkpoint: String,
+    path: Option[String] = None,
+    brokers: Option[String] = None,
+    topic: Option[String] = None,
+    topicColumn: Option[String] = None,
+    options: Map[String, String] = Map.empty)

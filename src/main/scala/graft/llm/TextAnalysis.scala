@@ -101,7 +101,21 @@ object TextAnalysis {
     * pipeline a pretraining corpus actually runs, as ONE declarative
     * plan Catalyst optimizes jointly.
     */
-  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    curateCorpusWithClusters(spark, sfDir, Dedup.nearDupClusters(spark, sfDir))
+
+  /** Curation keep-list from PRECOMPUTED near-dup clusters, so a
+    * pipeline that already built the shingle pair graph (for its dedup
+    * report) doesn't rebuild it here — compose as:
+    *
+    *   val pairs = Dedup.ngramJaccard(spark, dir).cache()
+    *   val clusters = Dedup.nearDupClustersFromPairs(spark, pairs)
+    *   val keep = TextAnalysis.curateCorpusWithClusters(spark, dir, clusters)
+    *
+    * CurationSpec pins composed == standalone.
+    */
+  def curateCorpusWithClusters(spark: SparkSession, sfDir: String,
+                               clusters: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -112,7 +126,7 @@ object TextAnalysis {
     val exactCanon = gated
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val nearDupLosers = Dedup.nearDupClusters(spark, sfDir)
+    val nearDupLosers = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     gated.join(exactCanon, "doc_id")

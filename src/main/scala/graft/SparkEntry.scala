@@ -57,6 +57,8 @@ object SparkEntry {
     "q5_local_supplier" -> (TpcH.q5LocalSupplier _),
     "q7_volume" -> (TpcH.q7Volume _),
     "q18_large_orders" -> ((s: SparkSession, d: String) => TpcH.q18LargeOrders(s, d)),
+    "q10_returns" -> (TpcH.q10Returns _),
+    "q14_promo_share" -> (TpcH.q14PromoShare _),
     // ---- deduplication ----
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -344,6 +346,31 @@ object SparkEntry {
          JOIN nation n2 ON c_nationkey = n2.n_nationkey
          WHERE n1.n_name <> n2.n_name
          GROUP BY 1, 2, 3""",
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+                CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY 1, 2, 3, 4""",
+
+    "q14_promo_share" ->
+      """WITH j AS (SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
+                           p_type LIKE 'PROMO%' AS is_promo
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+         SELECT CAST(SUM(CASE WHEN is_promo THEN c ELSE 0 END) AS BIGINT) AS promo_cents,
+                CAST(SUM(c) AS BIGINT) AS total_cents,
+                CAST(SUM(CASE WHEN is_promo THEN c ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(c) AS DOUBLE) AS promo_share
+         FROM j""",
 
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty

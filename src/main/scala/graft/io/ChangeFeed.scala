@@ -61,4 +61,36 @@ object ChangeFeed {
     if (fresh.isEmpty) None
     else Some((spark.read.parquet(fresh.map(_._2): _*), fresh.map(_._1).max))
   }
+
+  /** Compact the batch prefix `0..upTo` into one net batch at id
+    * `upTo`, so a FRESH consumer bootstraps from O(table-touched-keys)
+    * rows instead of replaying the full merge history. The net of the
+    * prefix is computed without schema knowledge: identical rows cancel
+    * retract-against-add (for a PK table the per-row net is 0 or 1; the
+    * general multiset case is expanded). Only compact up to the
+    * slowest consumer's applied watermark — a consumer whose watermark
+    * is INSIDE the compacted range would double-count (single-writer
+    * discipline, same as the rest of this io layer).
+    */
+  def compact(spark: SparkSession, tableDir: String, upTo: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val prefix = batches(spark, tableDir).filter(_._1 <= upTo)
+    if (prefix.size <= 1) return
+    val df = spark.read.parquet(prefix.map(_._2): _*)
+    val dataCols = df.columns.filterNot(_ == ChangeCol).toSeq
+    val net = df
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col(ChangeCol) === "add", 1L).otherwise(-1L)).as("__net"))
+      .filter(col("__net") > 0)
+      .withColumn("__i", explode(sequence(lit(1L), col("__net"))))
+      .select(dataCols.map(col): _*)
+      .withColumn(ChangeCol, lit("add"))
+    val root = new Path(dirFor(tableDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root, s".compact-$upTo.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    net.write.mode("overwrite").parquet(tmp.toString)
+    prefix.foreach { case (_, path) => fs.delete(new Path(path), true) }
+    fs.rename(tmp, new Path(root, s"batch=$upTo"))
+  }
 }

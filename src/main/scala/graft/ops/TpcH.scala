@@ -84,6 +84,46 @@ object TpcH {
         col("total_qty"))
   }
 
+  /** Q10-style returned-item report: which customers returned goods in
+    * a quarter, ranked by lost revenue. Date-filtered fact join
+    * (pushdown on o_orderdate + l_returnflag reaches both scans),
+    * customer + nation broadcast, one agg shuffle on custkey.
+    */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** Q14-style promo revenue share: two-table join + conditional
+    * aggregate — the promo fraction as ONE pass over the joined facts
+    * (sum(if)/sum, both integer cents; the division is a single
+    * int/int IEEE op so the ratio is bit-exact vs the oracle).
+    */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = broadcast(Tables.part(spark, sfDir))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(0L))
+          .as("promo_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_cents"))
+      .withColumn("promo_share",
+        col("promo_cents").cast("double") / col("total_cents").cast("double"))
+  }
+
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
     * Facts (lineitem⋈orders) shuffle once on the order key; customer /
     * supplier / nation / region all broadcast.

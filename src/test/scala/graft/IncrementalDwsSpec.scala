@@ -63,6 +63,42 @@ class IncrementalDwsSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("compacted feed bootstraps a fresh consumer to the same state") {
+    val root = Files.createTempDirectory("compact").toString
+    val fact = s"$root/fact"
+
+    def mergeBatch(rows: Seq[(String, String, Long, Long, String)]): Unit =
+      Upsert.merge(spark,
+        fact, rows.toDF("id", "province_id", "ver", "amount_cents", "op"),
+        pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"),
+        changeLog = true)
+
+    mergeBatch(Seq(("d1", "p1", 1L, 100L, "insert"), ("d2", "p2", 1L, 200L, "insert")))
+    mergeBatch(Seq(("d1", "p1", 2L, 150L, "update"), ("d3", "p1", 2L, 50L, "insert")))
+    mergeBatch(Seq(("d2", "p2", 3L, 200L, "delete")))
+
+    // consumer A consumed everything before compaction
+    val dwsA = s"$root/dwsA"
+    IncrementalDws.provinceOrderRefresh(spark, fact, dwsA)
+
+    ChangeFeed.compact(spark, fact, upTo = 2L)
+    assert(ChangeFeed.batches(spark, fact).map(_._1) == Seq(2L),
+      "prefix 0..2 should collapse into batch=2")
+
+    // consumer B bootstraps from the compacted feed alone
+    val dwsB = s"$root/dwsB"
+    IncrementalDws.provinceOrderRefresh(spark, fact, dwsB)
+    def state(d: String) = IncrementalDws.current(spark, d).get
+      .select("province_id", "amount_cents", "row_ct")
+      .as[(String, Long, Long)].collect().toSet
+    assert(state(dwsB) == state(dwsA))
+    assert(state(dwsB) == fullRecompute(fact))
+
+    // consumer A (watermark == compacted id) sees nothing new
+    val appliedBefore = IncrementalDws.provinceOrderRefresh(spark, fact, dwsA)
+    assert(appliedBefore == 2L && state(dwsA) == fullRecompute(fact))
+  }
+
   test("change batches are retract-encoded and bounded by the batch, not the table") {
     val root = Files.createTempDirectory("cdf").toString
     val fact = s"$root/t"

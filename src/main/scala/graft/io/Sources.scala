@@ -54,11 +54,19 @@ object Sources {
 
   /** Batch variant for replay/backfill over the same config (the
     * stream/batch unification the reference lacks: identical app code
-    * reprocesses history by swapping readStream for read).
+    * reprocesses history by swapping readStream for read). The `jdbc`
+    * branch is S6 (the reference's test-only JDBC source,
+    * FlinkSQLTestRead.java): Spark's built-in JDBC relation with
+    * url/dbtable from `options` — compiles and resolves here, connects
+    * once a driver jar is deployed (none in this container).
     */
   def batch(spark: SparkSession, conf: SourceConf): DataFrame = conf.format match {
     case "file" => spark.read.text(conf.path.get).toDF("value")
+    case "jdbc" =>
+      require(conf.options.contains("url") && conf.options.contains("dbtable"),
+        "jdbc source requires url and dbtable options")
+      spark.read.format("jdbc").options(conf.options).load()
     case other =>
-      throw new IllegalArgumentException(s"batch replay supports file, got: $other")
+      throw new IllegalArgumentException(s"batch replay supports file/jdbc, got: $other")
   }
 }

@@ -38,6 +38,51 @@ class RecoverySpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("RocksDB + changelog checkpointing soak: 50k keys, multi-day, out-of-order replay stays exact") {
+    val root = Files.createTempDirectory("graft_soak").toString
+    val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val n = 50000
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      def keys = spark.range(n).select(concat(lit("k"), col("id")).as("key"))
+      def startQuery() =
+        Stateful.firstSeenPerDay(
+          spark.readStream.schema("key STRING, day STRING").json(in).as[KeyDay])
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+
+      // wave 1: every key on day 5
+      keys.withColumn("day", lit("2024-01-05")).write.mode("append").json(in)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+
+      // wave 2 (restart from checkpoint): exact duplicates of day 5,
+      // a new day 6, and an OUT-OF-ORDER day 4 (inside the retain
+      // window → must emit exactly once, not be dropped or doubled)
+      keys.withColumn("day", lit("2024-01-05")).write.mode("append").json(in)
+      keys.withColumn("day", lit("2024-01-06")).write.mode("append").json(in)
+      keys.withColumn("day", lit("2024-01-04")).write.mode("append").json(in)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 3L * n, "expected one emission per (key, day)")
+      assert(out.distinct().count() == 3L * n, "duplicate emissions detected")
+      val perDay = out.groupBy("day").count()
+        .as[(String, Long)].collect().toMap
+      assert(perDay == Map("2024-01-04" -> n.toLong, "2024-01-05" -> n.toLong,
+        "2024-01-06" -> n.toLong))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("firstSeenPerDay state survives a query restart from checkpoint") {
     val root = Files.createTempDirectory("graft_recovery").toString
     val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"

@@ -70,6 +70,17 @@ class SourcesSinksSpec extends SparkSpec {
       s"expected kafka DataSource resolution failure, got: ${err.getMessage}")
   }
 
+  test("jdbc batch branch is wired: config reaches the JDBC driver lookup (S6)") {
+    val err = intercept[Exception] {
+      Sources.batch(spark, SourceConf("jdbc", options = Map(
+        "url" -> "jdbc:mysql://db:3306/gmall", "dbtable" -> "table_process")))
+        .count()
+    }
+    val m = err.getMessage.toLowerCase
+    assert(m.contains("driver") || m.contains("jdbc"),
+      s"expected JDBC driver resolution failure, got: ${err.getMessage}")
+  }
+
   test("unknown formats fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       Sources.stream(spark, SourceConf("carrier-pigeon"))

@@ -76,6 +76,32 @@ object ScaleProbe {
         concat(lit("segment_"), pmod(col("id"), lit(10))).as("segment"))
       ev.join(broadcast(dim), Seq("user_id")).groupBy(col("segment")).agg(count(lit(1)))
     }
+
+    // Upsert merge probe. Touched buckets ≈ min(batch keys, numBuckets)
+    // for random PKs, so the pruning gain is numBuckets / touched —
+    // real when batch keys ≪ numBuckets (the CDC-dim micro-batch case
+    // this layout serves; a full-rate random-key fact upsert touches
+    // every bucket and needs merge-on-read, i.e. the lakehouse swap).
+    {
+      val root = java.nio.file.Files.createTempDirectory("probe_upsert").toString
+      val dir = s"$root/t"
+      val base = spark.range(n / 4).select(
+        concat(lit("k"), col("id")).as("id"), lit(1L).as("ver"),
+        xxhash64(col("id")).as("payload"))
+      val t0 = System.nanoTime()
+      graft.io.Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver",
+        numBuckets = 256)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val batch = spark.range(50).select( // CDC-sized batch: 50 keys ≪ 256 buckets
+        concat(lit("k"), col("id") * 9973).as("id"), lit(2L).as("ver"),
+        lit(0L).as("payload"))
+      val t1 = System.nanoTime()
+      graft.io.Upsert.merge(spark, dir, batch, pk = Seq("id"), versionCol = "ver",
+        numBuckets = 256)
+      val tMerge = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] upsert_build_${n / 4}%-10d    ${tBuild}%6.1fs   (full-table write)")
+      println(f"[scale] upsert_merge_50keys        ${tMerge}%6.1fs   (pruned: ~50/256 buckets)")
+    }
     spark.stop()
   }
 }

@@ -78,6 +78,8 @@ object SparkEntry {
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
     "text_seq_pack" -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
     "text_normalize" -> (TextAnalysis.normalize _),
+    "text_redact_pii" -> (TextAnalysis.redactPii _),
+    "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "curate_corpus" -> (TextAnalysis.curateCorpus _),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -551,6 +553,33 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
          FROM documents""",
+
+    "text_redact_pii" ->
+      """WITH d AS (SELECT doc_id,
+                           text || ' contact user' || doc_id || '@example.com or 555-'
+                                || format('{:04d}', doc_id) AS dirty
+                    FROM documents),
+            r AS (SELECT doc_id, dirty,
+                         regexp_replace(
+                           regexp_replace(dirty,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b555-[0-9]{4,}\b', '<PHONE>', 'g') AS clean
+                  FROM d)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_ct,
+                CAST(len(regexp_extract_all(dirty, '\b555-[0-9]{4,}\b')) AS BIGINT) AS phone_ct,
+                md5(clean) AS clean_hash
+         FROM r""",
+
+    "text_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            c AS (SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(0, CAST(CEIL(len(w) / 20.0) AS INT) - 1),
+                           i -> array_to_string(w[i*20+1 : i*20+20], ' '))) AS chunk
+                  FROM t)
+         SELECT md5(chunk) AS chunk_hash, count(*) AS dup_ct, min(doc_id) AS first_doc
+         FROM c GROUP BY 1""",
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -19,16 +19,22 @@ import org.apache.spark.sql.functions._
   * with `__bucket = pmod(xxhash64(pk), numBuckets)` — a stable,
   * data-independent placement. A merge batch rewrites ONLY the buckets
   * its keys hash into: per-batch I/O is O(touched buckets × bucket
-  * size), not O(table). For a continuously-upserted 100 TB DWD fact
-  * table with (say) 4096 buckets and a batch touching 50 of them, that
-  * is an ~80× I/O reduction over the previous full-table rewrite; the
-  * untouched buckets' files are never opened, rewritten, or moved
-  * (proved byte-identical in UpsertSpec). Each touched bucket is
-  * written to a `.tmp` staging dir and swapped in with a directory
-  * rename — readers of a bucket see either the old or the new version,
-  * never a half-written one (per-bucket snapshot; the global-snapshot
-  * upgrade is exactly what `MERGE INTO` on a lakehouse format buys,
-  * and this object is the single swap point for it).
+  * size), not O(table). For random PKs, touched ≈ min(batch keys,
+  * numBuckets), so the pruning gain (numBuckets / touched) is real
+  * exactly when a batch carries far fewer keys than there are buckets
+  * — the CDC dim-maintenance case this layout serves (DimPipeline
+  * micro-batches touch a handful of rows; a 50-key batch against 4096
+  * buckets reads ~1% of the table instead of 100%). A firehose of
+  * random-key fact upserts touches every bucket per batch and needs
+  * merge-on-read instead — that is the lakehouse `MERGE INTO` swap
+  * documented below, not a copy-on-write layout tweak. Untouched
+  * buckets' files are never opened, rewritten, or moved (proved
+  * byte-identical in UpsertSpec). Each touched bucket is written to a
+  * `.tmp` staging dir and swapped in with a directory rename — readers
+  * of a bucket see either the old or the new version, never a
+  * half-written one (per-bucket snapshot; the global-snapshot upgrade
+  * is exactly what `MERGE INTO` on a lakehouse format buys, and this
+  * object is the single swap point for it).
   */
 object Upsert {
 

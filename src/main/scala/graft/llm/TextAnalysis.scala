@@ -134,6 +134,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** PII redaction — the standard pre-training scrub pass (emails,
+    * phone-style numbers → typed placeholder tokens), as codegen'd
+    * regexp_replace/regexp_count: per-row, no shuffle, linear scan.
+    * Patterns use lookaround-free syntax that behaves identically in
+    * Java regex (Spark) and RE2 (DuckDB oracle).
+    *
+    * The synthetic corpus carries no PII, so the query plants a
+    * deterministic contact line per doc (derived from doc_id — both
+    * engines build the identical string) and the redaction itself is
+    * oracle-checked end-to-end: counts + the hash of the scrubbed text.
+    */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4,}\\b"
+    Tables.documents(spark, sfDir)
+      .withColumn("dirty",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"), format_string("%04d", col("doc_id"))))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        regexp_count(col("dirty"), lit(emailRe)).cast("long").as("email_ct"),
+        regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("phone_ct"),
+        md5(col("clean")).as("clean_hash"))
+  }
+
+  /** Chunk-level duplication report — boilerplate detection below the
+    * document granularity (the "repeated spans" pass training-data
+    * pipelines run after doc-level dedup): split each doc into
+    * non-overlapping `chunkTokens`-token chunks, hash each, count
+    * corpus-wide occurrences. One explode + one hash-groupBy shuffle;
+    * chunk hashes are 16-byte md5s so the shuffle is narrow.
+    */
+  def chunkDedup(spark: SparkSession, sfDir: String, chunkTokens: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk", explode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $chunkTokens.0d) as int) - 1)," +
+          s" i -> array_join(slice(toks, i * $chunkTokens + 1, $chunkTokens), ' '))")))
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(count(lit(1)).as("dup_ct"), min(col("doc_id")).as("first_doc"))
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive document signature (bag-of-words identity)
     * for cheap cross-corpus duplicate detection.

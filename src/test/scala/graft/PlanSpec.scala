@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
       s"queries not broadcast:\n$p")
   }
 
+  test("q10: returnflag and orderdate filters push to their parquet scans") {
+    val p = plan("q10_returns")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"orderdate not pushed:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"dims not broadcast:\n$p")
+  }
+
+  test("q14: shipdate window pushed; part side broadcast; single-pass conditional agg") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size <= 2,
+      s"promo/total should fold into one partial+final agg pair:\n$p")
+  }
+
   test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

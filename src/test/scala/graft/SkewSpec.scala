@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** The two skew paths that matter at 100 TB, both proven to ENGAGE:
+  * AQE's runtime skew-join split (for shuffled joins) and deterministic
+  * salting (for aggregation keys and broadcast-ineligible dims).
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffled join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 100k rows, 90% on one key → one shuffle partition dwarfs the rest
+      val fact = spark.range(100000L).select(
+        when(pmod(col("id"), lit(10)) < 9, lit("HOT"))
+          .otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(100000L)
+        .select(concat(lit("k"), col("id")).as("k"), lit("d").as("tag"))
+        .union(Seq(("HOT", "d")).toDF("k", "tag"))
+      val joined = fact.join(dim, "k")
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() == 100000L) // execute THIS plan so AQE re-optimizes it
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("salted join equals plain join on a hot-keyed fact") {
+    val fact = spark.range(5000L).select(
+      when(pmod(col("id"), lit(2)) === 0, lit("HOT"))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(50)))).as("k"),
+      col("id").as("v"))
+    val dim = (0L until 50L).map(i => (s"k$i", s"name$i")).toDF("k", "name")
+      .union(Seq(("HOT", "hotname")).toDF("k", "name"))
+    val plain = fact.join(dim, "k").groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", col("v"), 8)
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+}

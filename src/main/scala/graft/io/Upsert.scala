@@ -62,6 +62,26 @@ object Upsert {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop(BucketCol)
 
+  /** Point lookup by PK values: the read-path payoff of the bucketed
+    * layout. Key values hash to their buckets driver-side, the scan is
+    * partition-pruned to exactly those buckets (asserted in
+    * UpsertSpec), so a dim Get touches O(keys) buckets out of
+    * numBuckets — the HBase-Get shape (DimHBaseSinkFunction reads)
+    * without a serving store.
+    */
+  def lookup(spark: SparkSession, dir: String, pkCol: String,
+             values: Seq[String],
+             numBuckets: Int = DefaultNumBuckets): DataFrame = {
+    import spark.implicits._
+    val buckets = values.toDF("v")
+      .select(pmod(xxhash64(col("v")), lit(numBuckets)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSeq
+    spark.read.parquet(dir)
+      .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned
+      .filter(col(pkCol).isin(values: _*))
+      .drop(BucketCol)
+  }
+
   private def withBucket(df: DataFrame, pk: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol,
       pmod(xxhash64(concat_ws("", pk.map(c => col(c).cast("string")): _*)),

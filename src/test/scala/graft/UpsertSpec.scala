@@ -72,6 +72,18 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).count() == 0)
   }
 
+  test("point lookup partition-prunes to the keys' buckets") {
+    val dir = Files.createTempDirectory("upsertlk").toString + "/t"
+    val base = (1 to 500).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
+    Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver")
+    val looked = Upsert.lookup(spark, dir, "id", Seq("k7", "k300"))
+    val rows = looked.select("id", "payload").as[(String, String)].collect().toMap
+    assert(rows == Map("k7" -> "v7", "k300" -> "v300"))
+    val plan = looked.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"lookup scan not partition-pruned:\n$plan")
+  }
+
   test("out-of-order version loses; ties go to the update") {
     val dir = Files.createTempDirectory("upsertver").toString + "/t"
     Upsert.merge(spark, dir, Seq(("k", 5L, "new")).toDF("id", "ver", "v"),

@@ -101,7 +101,42 @@ object StreamingDemo {
         graft.rtdw.DwdApps.orderDetail(batch.cache())
           .write.mode("append").parquet(s"$out/dwd_trade_order_detail")
       }.start()
-    dwdQuery.processAllAvailable(); dwdQuery.stop()
+    dwdQuery.processAllAvailable()
+
+    // ---- DWS gold: the DWD parquet dir itself is a STREAM; windowed
+    // agg finals land date-partitioned through the config sink (K4) ----
+    val dwdSchema = spark.read.parquet(s"$out/dwd_trade_order_detail").schema
+    val goldQuery = graft.io.Sinks.stream(
+      WindowedAggs.keyedWindowAgg(
+        spark.readStream.schema(dwdSchema).parquet(s"$out/dwd_trade_order_detail")
+          .withColumn("event_time", timestamp_millis(col("ts"))),
+        "event_time", "10 seconds", "5 seconds", Seq("sku_id"),
+        Seq(sum(col("split_total_amount").cast("decimal(16,2)")).as("order_amount"))),
+      graft.io.SinkConf("file", checkpoint = s"$root/ck_gold",
+        path = Some(s"$out/dws_sku_gold"), topicColumn = Some("cur_date")))
+    goldQuery.processAllAvailable()
+    // later waves advance the watermark past the first windows, so
+    // their finals flush to the gold table (watermark advances from
+    // the PREVIOUS batch's max event time — the second wave makes the
+    // first windows closable, the third carries that watermark in)
+    Files.write(Paths.get(s"$tradeDir/part-001.json"), Seq(
+      """{"database":"gmall","table":"order_detail","type":"insert","ts":1704070800000,"data":{"id":"d9","order_id":"o2","sku_id":"sku1","sku_num":"1","split_total_amount":"5.00"}}""",
+      """{"database":"gmall","table":"order_info","type":"insert","ts":1704070800000,"data":{"id":"o2","user_id":"u2","province_id":"p1"}}""")
+      .mkString("\n").getBytes)
+    dwdQuery.processAllAvailable()
+    goldQuery.processAllAvailable()
+    Files.write(Paths.get(s"$tradeDir/part-002.json"), Seq(
+      """{"database":"gmall","table":"order_detail","type":"insert","ts":1704074400000,"data":{"id":"d10","order_id":"o3","sku_id":"sku2","sku_num":"1","split_total_amount":"1.00"}}""",
+      """{"database":"gmall","table":"order_info","type":"insert","ts":1704074400000,"data":{"id":"o3","user_id":"u3","province_id":"p2"}}""")
+      .mkString("\n").getBytes)
+    dwdQuery.processAllAvailable()
+    goldQuery.processAllAvailable()
+    dwdQuery.stop(); goldQuery.stop()
+    println("[demo] dws_sku_gold (streaming window finals via config sink):")
+    spark.read.parquet(s"$out/dws_sku_gold")
+      .select("cur_date", "stt", "sku_id", "order_amount")
+      .orderBy("sku_id").collect()
+      .foreach(r => println(s"[demo]   ${r.mkString(" | ")}"))
 
     val dwd = spark.read.parquet(s"$out/dwd_trade_order_detail")
     val skuAgg = dwd

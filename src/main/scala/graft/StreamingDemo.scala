@@ -46,9 +46,10 @@ object StreamingDemo {
     val parsedStream = LogSplit.parse(rawLog)
     val splitQuery = parsedStream.writeStream
       .option("checkpointLocation", s"$root/ck_split")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         LogSplit.splitAll(batch.cache()).foreach { case (sink, df) =>
-          df.write.mode("append").parquet(s"$out/$sink")
+          // idempotent per-batch commit: a replayed batch is a no-op (K1)
+          graft.io.Sinks.exactlyOnceBatch(df, s"$out/$sink", batchId); ()
         }
       }.start()
 
@@ -97,9 +98,10 @@ object StreamingDemo {
       Sources.stream(spark, SourceConf("file", path = Some(tradeDir))))
       .writeStream
       .option("checkpointLocation", s"$root/ck_dwd")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.rtdw.DwdApps.orderDetail(batch.cache())
-          .write.mode("append").parquet(s"$out/dwd_trade_order_detail")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.io.Sinks.exactlyOnceBatch(
+          graft.rtdw.DwdApps.orderDetail(batch.cache()),
+          s"$out/dwd_trade_order_detail", batchId); ()
       }.start()
     dwdQuery.processAllAvailable()
 

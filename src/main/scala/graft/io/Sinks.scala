@@ -36,6 +36,33 @@ object Sinks {
   def writeRouted(df: DataFrame, path: String): Unit =
     df.write.mode("append").partitionBy("sink_table").parquet(path)
 
+  /** K1 — exactly-once foreachBatch append: Spark REPLAYS a micro-batch
+    * after failure (same batchId, same data), so a bare
+    * `write.mode("append")` inside foreachBatch duplicates rows on
+    * retry. Writing each batch to its own `_batch=<id>` subdirectory
+    * via stage-and-rename makes the replay a no-op: if the directory
+    * already exists the batch is already committed (rename is the
+    * atomic commit point). Readers just read the parent directory.
+    * This is the parquet equivalent of the reference's Kafka
+    * transactional sink (FlinkSinkUtil.java:22-50, EXACTLY_ONCE +
+    * transactional.id per sink) — idempotence from deterministic
+    * (batchId → path) addressing instead of transactions. Readers see
+    * an extra `commit` partition column (the batch id) — provenance
+    * for free; drop it when unwanted.
+    */
+  def exactlyOnceBatch(df: DataFrame, path: String, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(s"$path/commit=$batchId")
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) return false // replayed batch: already committed
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.batch-$batchId.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(target.getParent)
+    fs.rename(tmp, target)
+  }
+
   /** Open a streaming sink per config (K1/K2/K4/K7 — the
     * FlinkSinkUtil.java:22-50 contract as config):
     *  - file: parquet append; `topicColumn` partitions one directory

@@ -35,6 +35,19 @@ class SinksSpec extends SparkSpec {
     assert(clicks == routed.filter(col("sink_table") === "dwd_traffic_click").count())
   }
 
+  test("exactlyOnceBatch: a replayed micro-batch commits nothing twice (K1)") {
+    val root = Files.createTempDirectory("eos").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Sinks.exactlyOnceBatch(b0, root, batchId = 0L))
+    // failure replay: same batch id arrives again (possibly recomputed)
+    assert(!Sinks.exactlyOnceBatch(b0, root, batchId = 0L))
+    assert(Sinks.exactlyOnceBatch(Seq((3L, "c")).toDF("id", "v"), root, batchId = 1L))
+    val rows = spark.read.parquet(root).select("id", "v", "commit")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)),
+      s"replay duplicated or lost rows: $rows")
+  }
+
   test("approx distinct stays within rsd of exact (sketch path for A5)") {
     val approx = graft.ops.Relational.a5ApproxDistinct(spark, sf)
       .select("event_type", "approx_user_ct").as[(String, Long)].collect().toMap

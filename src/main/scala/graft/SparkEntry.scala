@@ -80,6 +80,8 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
+    "text_repetition" -> (TextAnalysis.repetitionSignals _),
+    "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "curate_corpus" -> (TextAnalysis.curateCorpus _),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -570,6 +572,39 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(dirty, '\b555-[0-9]{4,}\b')) AS BIGINT) AS phone_ct,
                 md5(clean) AS clean_hash
          FROM r""",
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1])) AS g
+                  FROM t),
+            pg AS (SELECT doc_id, g, count(*) AS ct FROM g GROUP BY 1, 2),
+            pd AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n2,
+                          CAST(MAX(ct) AS BIGINT) AS top2_ct
+                   FROM pg GROUP BY 1),
+            tok AS (SELECT doc_id,
+                           CAST(len(w) AS BIGINT) AS n_tokens,
+                           CAST(len(list_distinct(w)) AS BIGINT) AS uniq_ct
+                    FROM t)
+         SELECT doc_id, n2, top2_ct,
+                CAST(top2_ct AS DOUBLE) / n2 AS rep2_ratio,
+                1.0 - CAST(uniq_ct AS DOUBLE) / n_tokens AS dup_tok_ratio
+         FROM pd JOIN tok USING (doc_id)""",
+
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+                    FROM t WHERE len(w) >= 8),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s
+                   FROM idx),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+         SELECT doc_id, count(DISTINCT s) AS shared_ngrams
+         FROM sh JOIN bench USING (s)
+         WHERE doc_id % 10 <> 0
+         GROUP BY 1
+         HAVING count(DISTINCT s) >= 1""",
 
     "text_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -177,6 +177,56 @@ object TextAnalysis {
       .groupBy(md5(col("chunk")).as("chunk_hash"))
       .agg(count(lit(1)).as("dup_ct"), min(col("doc_id")).as("first_doc"))
 
+  /** Repetition signals (the Gopher/C4 rule family): how much of a doc
+    * is the same bigram over and over. Per doc: bigram count, the top
+    * bigram's share of all bigrams, and the duplicate-token ratio.
+    * High rep2_ratio ⇒ boilerplate/spam; the downstream gate is a
+    * filter on these columns. One explode + per-doc aggregate; ratios
+    * are single int/int divisions (bit-exact vs oracle).
+    */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+    val grams = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("g"))
+    val perDoc = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ct")).as("n2"), max(col("ct")).as("top2_ct"))
+    docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("uniq_ct"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n2"), col("top2_ct"),
+        (col("top2_ct").cast("double") / col("n2")).as("rep2_ratio"),
+        (lit(1.0) - col("uniq_ct").cast("double") / col("n_tokens")).as("dup_tok_ratio"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥ minShared
+    * distinct word n-grams with a benchmark set (test-set leakage
+    * detection — the pass every serious pretraining pipeline runs).
+    * Shingles are 64-bit xxhash64 (the native ShingleHashes kernel) so
+    * the overlap join shuffles 8-byte longs; the benchmark side is
+    * DISTINCT shingles of the (small) benchmark — at 100 TB it
+    * broadcasts while the corpus streams once. The synthetic benchmark
+    * here is every 10th doc; swap for the real eval-set table.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    ngram: Int = 8, minShared: Long = 1L): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.functions.shingle_hashes(
+          split(col("text"), " "), ngram)).as("s"))
+    val bench = broadcast(sh.filter(col("doc_id") % 10 === 0)
+      .select(col("s")).distinct())
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(bench, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive document signature (bag-of-words identity)
     * for cheap cross-corpus duplicate detection.

@@ -81,6 +81,19 @@ class PlanSpec extends SparkSpec {
       s"promo/total should fold into one partial+final agg pair:\n$p")
   }
 
+  test("text_decontaminate: benchmark shingles broadcast; corpus never shuffles pre-join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"overlap join degraded to SMJ:\n$p")
+  }
+
+  test("text_repetition: per-doc aggregates stay hash-agg with map-side partials") {
+    val p = plan("text_repetition")
+    assert(!p.contains("SortMergeJoin"), s"doc-stats join degraded to SMJ:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"missing map-side partial aggregation:\n$p")
+  }
+
   test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -60,7 +60,11 @@ object Sinks {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.mkdirs(target.getParent)
-    fs.rename(tmp, target)
+    // A failed rename MUST fail the micro-batch: returning normally here
+    // would let the streaming checkpoint advance with the data stranded
+    // in the .tmp dir — the silent-loss mode this wrapper exists to stop.
+    FsOps.renameOrThrow(fs, tmp, target)
+    true
   }
 
   /** Open a streaming sink per config (K1/K2/K4/K7 — the

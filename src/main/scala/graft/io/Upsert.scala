@@ -104,7 +104,8 @@ object Upsert {
             pk: Seq[String], versionCol: String,
             deleteFlagCol: Option[String] = None,
             numBuckets: Int = DefaultNumBuckets,
-            changeLog: Boolean = false): Unit = {
+            changeLog: Boolean = false,
+            commitId: Option[String] = None): Unit = {
     val tagged = withBucket(updates, pk, numBuckets).withColumn("__src", lit(1))
     if (!exists(spark, dir)) {
       // first write: full table create via staging-dir rename
@@ -113,7 +114,8 @@ object Upsert {
       writeBucketsAtomic(spark, dir, cached, touched = None)
       if (changeLog) {
         ChangeFeed.append(spark, dir,
-          cached.drop(BucketCol).withColumn(ChangeFeed.ChangeCol, lit("add")))
+          cached.drop(BucketCol).withColumn(ChangeFeed.ChangeCol, lit("add")),
+          commitId)
         cached.unpersist()
       }
       return
@@ -135,7 +137,12 @@ object Upsert {
       // pre/post-images restricted to the keys this batch carried —
       // both sides are bounded by the batch, never by the table. The
       // feed commits BEFORE the bucket swap: it reads the pre-image
-      // from the files the swap is about to replace.
+      // from the files the swap is about to replace. A crash between
+      // the two steps, or a replayed foreachBatch re-calling merge, is
+      // handled by `commitId`: the feed append dedupes on it (no double
+      // delta), and re-merging the same updates into the table is
+      // naturally idempotent (same keys, same versions, updates win
+      // ties), so replay converges to the same table + feed state.
       val keys = tagged.select(pk.map(col): _*).distinct()
       val pre = cur.drop(BucketCol, "__src")
         .join(keys, pk, "left_semi")
@@ -143,7 +150,7 @@ object Upsert {
       val post = cached.drop(BucketCol)
         .join(keys, pk, "left_semi")
         .withColumn(ChangeFeed.ChangeCol, lit("add"))
-      ChangeFeed.append(spark, dir, pre.unionByName(post))
+      ChangeFeed.append(spark, dir, pre.unionByName(post), commitId)
       writeBucketsAtomic(spark, dir, cached, touched = Some(touched))
       cached.unpersist()
     }
@@ -181,7 +188,7 @@ object Upsert {
     touched match {
       case None =>
         if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(tmp, target)
+        FsOps.renameOrThrow(fs, tmp, target)
       case Some(buckets) =>
         buckets.foreach { b =>
           val oldB = new Path(target, s"$BucketCol=$b")
@@ -189,7 +196,7 @@ object Upsert {
           if (fs.exists(oldB)) fs.delete(oldB, true)
           // a bucket whose keys were all deleted has no staged dir —
           // removing the old one is the whole swap
-          if (fs.exists(newB)) fs.rename(newB, new Path(target, s"$BucketCol=$b"))
+          if (fs.exists(newB)) FsOps.renameOrThrow(fs, newB, new Path(target, s"$BucketCol=$b"))
         }
         fs.delete(tmp, true)
         // keep the table readable if every bucket emptied out: leave a
@@ -206,15 +213,26 @@ object Upsert {
     * data finish against already-open files; new readers see the new
     * version — the poor man's snapshot isolation). Used for
     * non-keyed/full-refresh tables; keyed merges go through `merge`.
+    *
+    * `extraFiles` (name → content) are staged INSIDE the table dir
+    * before the swap, so table data and metadata (e.g. an applied-
+    * watermark file) commit in the same rename — name them with a
+    * leading underscore so parquet readers ignore them.
     */
-  def overwriteAtomic(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+  def overwriteAtomic(spark: SparkSession, dir: String, df: DataFrame,
+                      extraFiles: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new Path(dir)
     val tmp = new Path(dir + ".tmp")
     val fs = target.getFileSystem(conf)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    extraFiles.foreach { case (name, content) =>
+      val out = fs.create(new Path(tmp, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    FsOps.renameOrThrow(fs, tmp, target)
   }
 }

@@ -1,6 +1,5 @@
 package graft.rtdw
 
-import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,31 +25,18 @@ import graft.io.{ChangeFeed, Upsert}
   */
 object IncrementalDws {
 
-  private def appliedPath(dwsDir: String) = new Path(dwsDir, "_applied")
   private def tablePath(dwsDir: String) = s"$dwsDir/table"
 
-  private def readApplied(spark: SparkSession, dwsDir: String): Long = {
-    val p = appliedPath(dwsDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
-  }
+  // The applied-watermark file lives INSIDE the table directory (the
+  // underscore prefix hides it from parquet readers), so the aggregate
+  // and its watermark commit in the single directory rename of
+  // Upsert.overwriteAtomic — a crash can never leave the watermark
+  // behind the table, which would re-fold (double-count) change batches
+  // on the next refresh.
+  private def appliedPath(dwsDir: String) = new Path(tablePath(dwsDir), "_applied")
 
-  private def writeApplied(spark: SparkSession, dwsDir: String, batch: Long): Unit = {
-    val p = appliedPath(dwsDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dwsDir, "_applied.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batch.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
-  }
+  private def readApplied(spark: SparkSession, dwsDir: String): Long =
+    graft.io.FsOps.readTextOpt(spark, appliedPath(dwsDir)).map(_.toLong).getOrElse(-1L)
 
   /** Read the current aggregate (empty-safe). */
   def current(spark: SparkSession, dwsDir: String): Option[DataFrame] =
@@ -80,9 +66,10 @@ object IncrementalDws {
                 cols.tail.map(c => sum(col(c)).as(c)): _*)
         }
         // a group whose rows all retracted away vanishes, exactly as it
-        // would from a full recompute
-        Upsert.overwriteAtomic(spark, tablePath(dwsDir), next.filter(col("row_ct") > 0))
-        writeApplied(spark, dwsDir, maxBatch)
+        // would from a full recompute; the watermark rides in the same
+        // atomic swap as the table (see appliedPath)
+        Upsert.overwriteAtomic(spark, tablePath(dwsDir), next.filter(col("row_ct") > 0),
+          extraFiles = Map("_applied" -> maxBatch.toString))
         maxBatch
     }
   }

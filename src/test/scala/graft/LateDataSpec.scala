@@ -6,7 +6,10 @@ import graft.streaming.LateData
 
 /** Late rows are split out against the PREVIOUS batch's high-watermark
   * (Spark's own drop contract), the watermark persists across batches,
-  * and nothing is late in the first batch.
+  * nothing is late in the first batch, and a REPLAYED batch (same
+  * batchId after a crash before the sink commit) reproduces the
+  * identical split — it must not be re-judged against its own max
+  * event time.
   */
 class LateDataSpec extends SparkSpec {
   import spark.implicits._
@@ -16,30 +19,37 @@ class LateDataSpec extends SparkSpec {
   test("splitBatch quarantines watermark-late rows with restart-safe hwm") {
     val hwm = Files.createTempDirectory("late").toString + "/hwm"
 
-    // batch 1: establishes the watermark, nothing late by definition
+    // batch 0: establishes the watermark, nothing late by definition
     val b1 = Seq(("e1", ts("2024-01-01 10:00:00")), ("e2", ts("2024-01-01 10:05:00")))
       .toDF("id", "ts")
-    val (on1, late1) = LateData.splitBatch(spark, b1, "ts", "1 minute", hwm)
+    val (on1, late1) = LateData.splitBatch(spark, b1, "ts", "1 minute", hwm, batchId = 0)
     assert(on1.count() == 2 && late1.count() == 0)
 
-    // batch 2: hwm is 10:05; delay 1m → cutoff 10:04.
+    // batch 1: hwm is 10:05; delay 1m → cutoff 10:04.
     val b2 = Seq(
       ("e3", ts("2024-01-01 10:03:00")), // 2m behind hwm → LATE
       ("e4", ts("2024-01-01 10:04:30")), // inside delay → on time
       ("e5", ts("2024-01-01 10:06:00"))) // advances hwm
       .toDF("id", "ts")
-    val (on2, late2) = LateData.splitBatch(spark, b2, "ts", "1 minute", hwm)
+    val (on2, late2) = LateData.splitBatch(spark, b2, "ts", "1 minute", hwm, batchId = 1)
     assert(late2.select("id").as[String].collect().toSet == Set("e3"))
     assert(on2.select("id").as[String].collect().toSet == Set("e4", "e5"))
 
-    // batch 3: a fresh "restarted" call reads the persisted hwm (10:06)
+    // REPLAY of batch 1 (crash before the caller committed its sink):
+    // same id → judged against batch 0's hwm again, identical split —
+    // even though batch 1's own write advanced the recorded watermark.
+    val (on2r, late2r) = LateData.splitBatch(spark, b2, "ts", "1 minute", hwm, batchId = 1)
+    assert(late2r.select("id").as[String].collect().toSet == Set("e3"))
+    assert(on2r.select("id").as[String].collect().toSet == Set("e4", "e5"))
+
+    // batch 2: a fresh "restarted" call reads the persisted hwm (10:06)
     val b3 = Seq(("e6", ts("2024-01-01 10:04:00"))).toDF("id", "ts") // cutoff 10:05
-    val (on3, late3) = LateData.splitBatch(spark, b3, "ts", "1 minute", hwm)
+    val (on3, late3) = LateData.splitBatch(spark, b3, "ts", "1 minute", hwm, batchId = 2)
     assert(on3.count() == 0 && late3.select("id").as[String].head() == "e6")
 
     // an all-late batch must not regress the watermark
     val b4 = Seq(("e7", ts("2024-01-01 10:05:30"))).toDF("id", "ts")
-    val (on4, late4) = LateData.splitBatch(spark, b4, "ts", "1 minute", hwm)
+    val (on4, late4) = LateData.splitBatch(spark, b4, "ts", "1 minute", hwm, batchId = 3)
     assert(on4.count() == 1 && late4.count() == 0) // 10:05:30 >= 10:06 - 1m
   }
 }

@@ -94,6 +94,38 @@ class PlanSpec extends SparkSpec {
       s"missing map-side partial aggregation:\n$p")
   }
 
+  test("q18: post-HAVING aggregate joins orders by broadcast under AQE (r2 outlier gate)") {
+    // The 100 TB shape: orders is far too big to broadcast statically,
+    // but the post-HAVING per-order aggregate is tiny — AQE must flip
+    // the join to a BroadcastHashJoin at runtime from the agg's actual
+    // size. Simulate by disabling the static broadcast threshold and
+    // leaving only the adaptive one.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val df = graft.ops.TpcH.q18LargeOrders(spark, sf)
+      df.queryExecution.toRdd.count() // execute so AQE finalizes the plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      val cut = p.indexOf("== Initial Plan ==")
+      val finalSection = if (cut >= 0) p.substring(0, cut) else p
+      assert(finalSection.contains("BroadcastHashJoin"),
+        s"AQE did not convert the orders join to broadcast:\n$p")
+      assert(!finalSection.contains("SortMergeJoin"),
+        s"orders join stayed sort-merge despite a tiny HAVING side:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q18: one fact shuffle; orders and customer joins both broadcast statically") {
+    val p = plan("q18_large_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"expected 2 BHJ:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the aggregation exchange:\n$p")
+  }
+
   test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

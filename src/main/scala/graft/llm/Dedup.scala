@@ -195,6 +195,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
+  /** Driver-checkable LSH consequence gate (VERDICT r2 #6): the
+    * MinHash-LSH candidate set must COVER every exact high-Jaccard
+    * pair — this query emits the intersection of the two, and the
+    * DuckDB oracle independently reproduces the full exact-Jaccard
+    * pair set. Rows+hash match iff coverage is complete: if the
+    * signature kernel, the banding, or the hot-bucket cap ever drops a
+    * true near-dup pair, the intersection loses that row and the
+    * driver's CORRECTNESS gate fails (previously this invariant lived
+    * only in a ScalaTest spec).
+    */
+  def minhashCoversJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .join(ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"))
+
+  /** Driver-checkable SimHash kernel gate (VERDICT r2 #6): the 64-bit
+    * signature is a pure function of the token MULTISET (per-occurrence
+    * weighted bit votes), so reversing a document's token order must
+    * yield the identical signature — per-doc hamming(sig(tokens),
+    * sig(reverse(tokens))) is exactly 0. The oracle asserts the zero
+    * for every document; a positional-weighting or vote-accumulation
+    * regression in the native expression flips bits and fails the
+    * driver gate. (The pair-generation path stays spec-gated: unigram
+    * hamming is not SQL-derivable.)
+    */
+  def simhashOrderInvariance(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(split(col("text"), " ")).as("sh_fwd"),
+        graft.functions.functions.simhash64(reverse(split(col("text"), " "))).as("sh_rev"))
+      .select(col("doc_id"),
+        expr("cast(bit_count(sh_fwd ^ sh_rev) as bigint)").as("order_hamming"))
+
   /** 64-bit SimHash signature per doc: sign of per-bit weighted sums of
     * token hashes — computed by the native SimHash64 expression in one
     * per-row kernel (per-occurrence weighting; no explode/shuffle).

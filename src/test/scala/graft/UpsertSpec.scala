@@ -84,6 +84,85 @@ class UpsertSpec extends SparkSpec {
       s"lookup scan not partition-pruned:\n$plan")
   }
 
+  test("bloom sidecars: a point merge reads and rewrites only candidate files (VERDICT r2 #7)") {
+    val dir = Files.createTempDirectory("upsertbloom").toString + "/t"
+    // multi-file buckets: keep the resolve shuffle at 4 writer tasks
+    // (AQE would coalesce this tiny table to one file per bucket)
+    val base = (1 to 2000).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver", bloom = true)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+    // ground truth: every key's actual file must be in its bloom
+    // candidate set (no false negatives — the driver-side mirror of
+    // the Spark hash is bit-exact)
+    val truth = spark.read.parquet(dir)
+      .select(col("id"), input_file_name().as("f"), col("__bucket"))
+      .as[(String, String, Int)].collect()
+    truth.foreach { case (k, f, b) =>
+      val Some((cand, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      assert(cand.contains(name), s"false negative: $k in $name not in $cand")
+    }
+
+    // pick a key whose bucket holds several files; its candidate set
+    // must be a strict subset of the bucket's files
+    val (key, _, bucket) = truth.find { case (_, _, b) =>
+      truth.count(_._3 == b) > 3 && {
+        val Some((cand, keep)) = Upsert.bloomCandidates(spark, dir, b,
+          Seq(truth.find(_._3 == b).get._1))
+        keep.nonEmpty
+      }
+    }.get
+    val Some((cand, kept)) = Upsert.bloomCandidates(spark, dir, bucket, Seq(key))
+    assert(kept.nonEmpty, "expected bloom to rule out at least one file")
+
+    def crcs(b: Int): Map[String, Long] = {
+      val d = new File(s"$dir/__bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val c = new java.util.zip.CRC32()
+          c.update(Files.readAllBytes(f.toPath))
+          f.getName -> c.getValue
+        }.toMap
+    }
+    val before = crcs(bucket)
+
+    // point merge on that single key with bloom pruning
+    Upsert.merge(spark, dir, Seq((key, 2L, "UPDATED")).toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver", bloom = true)
+    val after = crcs(bucket)
+
+    // preserved (non-candidate) files survive BYTE-IDENTICAL under the
+    // same names — they were moved, never read or rewritten
+    kept.foreach { f =>
+      assert(after.get(f).contains(before(f)), s"preserved file $f was rewritten")
+    }
+    // candidate files were replaced
+    cand.foreach { f => assert(!after.contains(f) || after(f) != before(f)) }
+
+    // content is fully correct after the pruned merge
+    val m = Upsert.read(spark, dir).select("id", "payload").as[(String, String)].collect().toMap
+    assert(m(key) == "UPDATED" && m.size == 2000 && m("k1").nonEmpty)
+
+    // the sidecar stays consistent after the merge: still no false negatives
+    val truth2 = spark.read.parquet(dir)
+      .select(col("id"), input_file_name().as("f"), col("__bucket"))
+      .as[(String, String, Int)].collect()
+    truth2.filter(_._3 == bucket).foreach { case (k, f, b) =>
+      val Some((cand2, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
+      assert(cand2.contains(f.substring(f.lastIndexOf('/') + 1)))
+    }
+
+    // lookup prunes to candidate files too: scan inputs < bucket files
+    val looked = Upsert.lookup(spark, dir, "id", Seq(key))
+    assert(looked.select("payload").as[String].head() == "UPDATED")
+    val bucketFileCount = new File(s"$dir/__bucket=$bucket")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(looked.inputFiles.length < bucketFileCount,
+      s"lookup read ${looked.inputFiles.length} files, bucket has $bucketFileCount")
+  }
+
   test("out-of-order version loses; ties go to the update") {
     val dir = Files.createTempDirectory("upsertver").toString + "/t"
     Upsert.merge(spark, dir, Seq(("k", 5L, "new")).toDF("id", "ver", "v"),

@@ -116,7 +116,30 @@ object StreamingDemo {
         Seq(sum(col("split_total_amount").cast("decimal(16,2)")).as("order_amount"))),
       graft.io.SinkConf("file", checkpoint = s"$root/ck_gold",
         path = Some(s"$out/dws_sku_gold"), topicColumn = Some("cur_date")))
+
+    // late-data quarantine on the same DWD stream (§2.6+, VERDICT r2
+    // #8): rows trailing the persisted high-watermark by more than the
+    // agg's delay are exactly the rows the windowed agg silently drops
+    // — park them in a _late table (idempotent batch-addressed commits;
+    // the hwm itself is keyed by batchId, so a replayed batch re-splits
+    // identically) instead of losing them.
+    val lateQuery = spark.readStream.schema(dwdSchema)
+      .parquet(s"$out/dwd_trade_order_detail")
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .writeStream
+      .option("checkpointLocation", s"$root/ck_late")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b = batch.cache()
+        val (onTime, late) = LateData.splitBatch(spark, b, "event_time",
+          "5 seconds", s"$root/hwm_gold", batchId)
+        graft.io.Sinks.exactlyOnceBatch(late.drop("event_time"),
+          s"$out/dws_sku_gold_late", batchId)
+        println(s"[demo]   gold wave $batchId: onTime=${onTime.count()} late=${late.count()}")
+        b.unpersist(); ()
+      }.start()
+
     goldQuery.processAllAvailable()
+    lateQuery.processAllAvailable()
     // later waves advance the watermark past the first windows, so
     // their finals flush to the gold table (watermark advances from
     // the PREVIOUS batch's max event time — the second wave makes the
@@ -127,18 +150,35 @@ object StreamingDemo {
       .mkString("\n").getBytes)
     dwdQuery.processAllAvailable()
     goldQuery.processAllAvailable()
+    lateQuery.processAllAvailable()
     Files.write(Paths.get(s"$tradeDir/part-002.json"), Seq(
       """{"database":"gmall","table":"order_detail","type":"insert","ts":1704074400000,"data":{"id":"d10","order_id":"o3","sku_id":"sku2","sku_num":"1","split_total_amount":"1.00"}}""",
       """{"database":"gmall","table":"order_info","type":"insert","ts":1704074400000,"data":{"id":"o3","user_id":"u3","province_id":"p2"}}""")
       .mkString("\n").getBytes)
     dwdQuery.processAllAvailable()
     goldQuery.processAllAvailable()
-    dwdQuery.stop(); goldQuery.stop()
+    lateQuery.processAllAvailable()
+    // a STRAGGLER: event time back in the demo's very first window,
+    // hours behind the watermark — the gold agg drops it silently; the
+    // quarantine catches it
+    Files.write(Paths.get(s"$tradeDir/part-003.json"), Seq(
+      """{"database":"gmall","table":"order_detail","type":"insert","ts":1704067205000,"data":{"id":"d11","order_id":"o4","sku_id":"sku1","sku_num":"1","split_total_amount":"99.00"}}""",
+      """{"database":"gmall","table":"order_info","type":"insert","ts":1704067205000,"data":{"id":"o4","user_id":"u1","province_id":"p1"}}""")
+      .mkString("\n").getBytes)
+    dwdQuery.processAllAvailable()
+    goldQuery.processAllAvailable()
+    lateQuery.processAllAvailable()
+    dwdQuery.stop(); goldQuery.stop(); lateQuery.stop()
     println("[demo] dws_sku_gold (streaming window finals via config sink):")
     spark.read.parquet(s"$out/dws_sku_gold")
       .select("cur_date", "stt", "sku_id", "order_amount")
       .orderBy("sku_id").collect()
       .foreach(r => println(s"[demo]   ${r.mkString(" | ")}"))
+    println("[demo] dws_sku_gold_late quarantine (rows the window agg dropped):")
+    spark.read.parquet(s"$out/dws_sku_gold_late")
+      .select("id", "order_id", "sku_id", "split_total_amount")
+      .collect()
+      .foreach(r => println(s"[demo]   LATE ${r.mkString(" | ")}"))
 
     val dwd = spark.read.parquet(s"$out/dwd_trade_order_detail")
     val skuAgg = dwd

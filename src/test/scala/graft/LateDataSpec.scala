@@ -11,10 +11,41 @@ import graft.streaming.LateData
   * identical split — it must not be re-judged against its own max
   * event time.
   */
+case class LateEvt(id: String, ts: Timestamp)
+
 class LateDataSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming quarantine: late rows land in the _late table end-to-end (VERDICT r2 #8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("late_stream").toString
+    val lateDir = s"$root/_late"; val hwm = s"$root/hwm"
+    val onTimeCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[LateEvt]
+    val q = ms.toDF().writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b = batch.cache()
+        val (onTime, late) = graft.streaming.LateData.splitBatch(
+          spark, b, "ts", "1 minute", hwm, batchId)
+        graft.io.Sinks.exactlyOnceBatch(late, lateDir, batchId)
+        onTimeCounts += onTime.count()
+        b.unpersist(); ()
+      }.start()
+    try {
+      ms.addData(LateEvt("e1", ts("2024-01-01 10:00:00")), LateEvt("e2", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      ms.addData(
+        LateEvt("e3", ts("2024-01-01 10:02:00")), // 3m behind hwm → quarantined
+        LateEvt("e4", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val lateRows = spark.read.parquet(lateDir).select("id").as[String].collect().toSet
+      assert(lateRows == Set("e3"), s"quarantine holds $lateRows")
+      assert(onTimeCounts.toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
 
   test("splitBatch quarantines watermark-late rows with restart-safe hwm") {
     val hwm = Files.createTempDirectory("late").toString + "/hwm"

@@ -34,6 +34,7 @@ object SparkEntry {
     "a4_decimal_window_agg" -> (Relational.a4DecimalWindowAgg _),
     "a5_distinct_agg" -> (Relational.a5DistinctAgg _),
     "a5_approx_distinct" -> ((s: SparkSession, d: String) => Relational.a5ApproxDistinct(s, d)),
+    "a5_approx_bound" -> ((s: SparkSession, d: String) => Relational.a5ApproxBound(s, d)),
     "a6_first_seen_uv" -> (Relational.a6FirstSeenUv _),
     "a9_session_window" -> ((s: SparkSession, d: String) => Relational.a9SessionWindow(s, d)),
     "a6_backflow" -> ((s: SparkSession, d: String) => Relational.a6Backflow(s, d)),
@@ -113,6 +114,14 @@ object SparkEntry {
                       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events)
          WHERE prev IS NOT NULL AND value > prev""",
+
+    // sketch error-bound gate: the Spark side carries the real
+    // |approx − exact| / exact comparison; the oracle computes the
+    // exact count and asserts the bound holds for every group
+    "a5_approx_bound" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_user_ct,
+                true AS within_bound
+         FROM events GROUP BY 1""",
 
     "a1_window_count" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,

@@ -227,6 +227,24 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_user_ct"),
         count(lit(1)).as("ct"))
 
+  /** Driver-checkable consequence gate for the HLL++ sketch (VERDICT
+    * r2 #6 family): per group, the approximate distinct must sit
+    * within a rel-error bound of the exact distinct (2.5× the
+    * configured rsd — generous vs the estimator's guarantee, tight
+    * enough that a broken sketch fails). The oracle computes the exact
+    * side and asserts the bound as a constant; the Spark side carries
+    * the real |approx − exact| comparison, so the sketch is gated by
+    * the driver instead of only by DedupSpec.
+    */
+  def a5ApproxBound(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_user_ct"),
+        approx_count_distinct(col("user_id"), rsd).as("approx"))
+      .select(col("event_type"), col("exact_user_ct"),
+        (abs(col("approx") - col("exact_user_ct")).cast("double") /
+          col("exact_user_ct").cast("double") <= rsd * 2.5).as("within_bound"))
+
   /** J1 — multi-way fact join: 1 inner + 2 left outer on keys.
     * Reference: DwdTradeOrderDetail.getJoinTable (:68-93): order_detail
     * ⋈ order_info ⟕ activity ⟕ coupon. Here: lineitem ⋈ orders ⟕ part

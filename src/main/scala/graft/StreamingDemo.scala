@@ -103,7 +103,26 @@ object StreamingDemo {
           graft.rtdw.DwdApps.orderDetail(batch.cache()),
           s"$out/dwd_trade_order_detail", batchId); ()
       }.start()
+    // ---- fact firehose via merge-on-read: every micro-batch appends
+    // one O(batch) delta (never rewrites the table), commitId makes the
+    // append exactly-once under replay, and the read resolves
+    // latest-ts-per-id — the scale path for random-key fact upserts
+    // (io.MergeOnRead; copy-on-write buckets stay for CDC dims).
+    val morDir = s"$root/mor_order_detail"
+    val morQuery = DimPipeline.parseCdc(
+      Sources.stream(spark, SourceConf("file", path = Some(tradeDir))))
+      .filter(col("table") === "order_detail")
+      .select(col("data.id").as("id"), col("data.order_id").as("order_id"),
+        col("data.sku_id").as("sku_id"),
+        col("data.split_total_amount").as("split_total_amount"), col("ts"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ck_mor")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.io.MergeOnRead.merge(spark, morDir, batch,
+          commitId = Some(s"demo-$batchId")); ()
+      }.start()
     dwdQuery.processAllAvailable()
+    morQuery.processAllAvailable()
 
     // ---- DWS gold: the DWD parquet dir itself is a STREAM; windowed
     // agg finals land date-partitioned through the config sink (K4) ----
@@ -149,6 +168,7 @@ object StreamingDemo {
       """{"database":"gmall","table":"order_info","type":"insert","ts":1704070800000,"data":{"id":"o2","user_id":"u2","province_id":"p1"}}""")
       .mkString("\n").getBytes)
     dwdQuery.processAllAvailable()
+    morQuery.processAllAvailable()
     goldQuery.processAllAvailable()
     lateQuery.processAllAvailable()
     Files.write(Paths.get(s"$tradeDir/part-002.json"), Seq(
@@ -156,6 +176,7 @@ object StreamingDemo {
       """{"database":"gmall","table":"order_info","type":"insert","ts":1704074400000,"data":{"id":"o3","user_id":"u3","province_id":"p2"}}""")
       .mkString("\n").getBytes)
     dwdQuery.processAllAvailable()
+    morQuery.processAllAvailable()
     goldQuery.processAllAvailable()
     lateQuery.processAllAvailable()
     // a STRAGGLER: event time back in the demo's very first window,
@@ -166,9 +187,16 @@ object StreamingDemo {
       """{"database":"gmall","table":"order_info","type":"insert","ts":1704067205000,"data":{"id":"o4","user_id":"u1","province_id":"p1"}}""")
       .mkString("\n").getBytes)
     dwdQuery.processAllAvailable()
+    morQuery.processAllAvailable()
     goldQuery.processAllAvailable()
     lateQuery.processAllAvailable()
-    dwdQuery.stop(); goldQuery.stop(); lateQuery.stop()
+    dwdQuery.stop(); morQuery.stop(); goldQuery.stop(); lateQuery.stop()
+    println("[demo] merge-on-read fact table (latest ts per id; " +
+      s"${graft.io.MergeOnRead.deltaBatches(spark, morDir).size} delta batches):")
+    graft.io.MergeOnRead.read(spark, morDir, Seq("id"), "ts")
+      .select("id", "order_id", "sku_id", "split_total_amount")
+      .orderBy("id").collect()
+      .foreach(r => println(s"[demo]   ${r.mkString(" | ")}"))
     println("[demo] dws_sku_gold (streaming window finals via config sink):")
     spark.read.parquet(s"$out/dws_sku_gold")
       .select("cur_date", "stt", "sku_id", "order_amount")

@@ -74,6 +74,42 @@ class StatefulEvictionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eviction works identically on the RocksDB store across a restart (100 TB posture)") {
+    val root = java.nio.file.Files.createTempDirectory("evict_rocks").toString
+    val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def startQuery() =
+        Stateful.firstSeenPerDayEvicting(
+          spark.readStream.schema("key STRING, day STRING").json(in).as[KeyDay],
+          idleTtlDays = 7)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+        """{"key":"u1","day":"2024-01-01"}
+          |{"key":"u2","day":"2024-01-01"}""".stripMargin.getBytes)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      // restart from checkpoint; u2 stays active far past u1's TTL
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        """{"key":"u2","day":"2024-01-20"}""".getBytes)
+      val q2 = startQuery(); q2.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b3.json"),
+        """{"key":"u3","day":"2024-01-21"}""".getBytes)
+      q2.processAllAvailable()
+      assert(q2.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2,
+        "u1 must be evicted from the RocksDB store after restart")
+      q2.stop()
+      val rows = spark.read.parquet(outDir).select("key", "day")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("u1", "2024-01-01"), ("u2", "2024-01-01"),
+        ("u2", "2024-01-20"), ("u3", "2024-01-21")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("batch runs of the evicting variants equal their non-evicting twins") {
     val days = Seq(
       KeyDay("u1", "2024-01-01"), KeyDay("u1", "2024-01-01"),

@@ -309,8 +309,13 @@ object Upsert {
     val fs = target.getFileSystem(conf)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    // an all-deleted batch stages no bucket dirs at all — nothing to bloom
+    val stagedBuckets = fs.listStatus(tmp)
+      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
     val newBlooms: Map[Int, Map[String, Array[Long]]] =
-      bloomPk.map(pk => buildBlooms(spark, tmp.toString, pk)).getOrElse(Map.empty)
+      if (stagedBuckets)
+        bloomPk.map(pk => buildBlooms(spark, tmp.toString, pk)).getOrElse(Map.empty)
+      else Map.empty
     touched match {
       case None =>
         bloomPk.foreach { _ =>

@@ -50,8 +50,12 @@ object DimPipeline {
             col("type").as("__op") :+ col("ts").as("__ts")): _*)
         val n = projected.count()
         if (n > 0) {
+          // bloom=true: CDC dim batches are exactly the point-merge
+          // case the per-file sidecars serve — a handful of keys reads
+          // candidate files, not whole buckets (io.Blooms)
           Upsert.merge(spark, s"$warehouseDir/${cfg.sinkTable}", projected,
-            pk = Seq(cfg.rowKey), versionCol = "__ts", deleteFlagCol = Some("__op"))
+            pk = Seq(cfg.rowKey), versionCol = "__ts", deleteFlagCol = Some("__op"),
+            bloom = true)
         }
         cfg.sinkTable -> n
       }.toMap

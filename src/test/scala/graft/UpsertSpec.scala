@@ -163,6 +163,21 @@ class UpsertSpec extends SparkSpec {
       s"lookup read ${looked.inputFiles.length} files, bucket has $bucketFileCount")
   }
 
+  test("bloom merge survives an all-delete batch (no staged buckets to bloom)") {
+    val dir = Files.createTempDirectory("upsertbloomdel").toString + "/t"
+    Upsert.merge(spark, dir, Seq(("a", 1L, "insert"), ("b", 1L, "insert"))
+      .toDF("id", "ver", "op"),
+      pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"), bloom = true)
+    Upsert.merge(spark, dir, Seq(("a", 2L, "delete"), ("b", 2L, "delete"))
+      .toDF("id", "ver", "op"),
+      pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"), bloom = true)
+    assert(Upsert.read(spark, dir).count() == 0)
+    // and the table accepts new bloom merges afterwards
+    Upsert.merge(spark, dir, Seq(("c", 3L, "insert")).toDF("id", "ver", "op"),
+      pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"), bloom = true)
+    assert(Upsert.read(spark, dir).select("id").as[String].collect().toSeq == Seq("c"))
+  }
+
   test("out-of-order version loses; ties go to the update") {
     val dir = Files.createTempDirectory("upsertver").toString + "/t"
     Upsert.merge(spark, dir, Seq(("k", 5L, "new")).toDF("id", "ver", "v"),

@@ -126,6 +126,46 @@ object ScaleProbe {
       println(f"[scale] firehose_cow_100k_random   ${tCow}%6.1fs   (touches ~all 256 buckets: O(table))")
       println(f"[scale] firehose_mor_100k_random   ${tMor}%6.1fs   (one delta append: O(batch))")
       println(f"[scale] mor_read_resolve           ${tMorRead}%6.1fs   (out=$morRows; base+1 delta resolution)")
+
+      // Bloom point-merge probe (VERDICT r2 #7): MULTI-FILE buckets
+      // (coalesce disabled at build → shuffle-partition-count files
+      // per bucket). A 50-key point merge against the bloomed table
+      // opens only the ~1 candidate file per key instead of every
+      // file of every touched bucket.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val plainDir = s"$root/multi_plain"; val bloomDir = s"$root/multi_bloom"
+      try {
+        graft.io.Upsert.merge(spark, plainDir, base, pk = Seq("id"),
+          versionCol = "ver", numBuckets = 256)
+        graft.io.Upsert.merge(spark, bloomDir, base, pk = Seq("id"),
+          versionCol = "ver", numBuckets = 256, bloom = true)
+      } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val point = spark.range(50).select(
+        concat(lit("k"), col("id") * 9973).as("id"), lit(4L).as("ver"),
+        lit(7L).as("payload"))
+      val t5 = System.nanoTime()
+      graft.io.Upsert.merge(spark, plainDir, point, pk = Seq("id"),
+        versionCol = "ver", numBuckets = 256)
+      val tPlain = (System.nanoTime() - t5) / 1e9
+      val t6 = System.nanoTime()
+      graft.io.Upsert.merge(spark, bloomDir, point, pk = Seq("id"),
+        versionCol = "ver", numBuckets = 256, bloom = true)
+      val tBloom = (System.nanoTime() - t6) / 1e9
+      println(f"[scale] point_merge_multifile       ${tPlain}%6.1fs   (reads every file of touched buckets)")
+      println(f"[scale] point_merge_multifile_bloom ${tBloom}%6.1fs   (reads only bloom-candidate files)")
+      // the scale metric is FILES OPENED (wall-clock at 2M local rows
+      // is page-cache-flattened): candidates vs total in touched buckets
+      val keys50 = point.select(col("id").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+      val (candTot, allTot) = keys50.map { k =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(k)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        val b = (((h % 256) + 256) % 256).toInt
+        val Some((cand, kept)) = graft.io.Upsert.bloomCandidates(spark, bloomDir, b, Seq(k))
+        (cand.size, cand.size + kept.size)
+      }.reduce((a, c) => (a._1 + c._1, a._2 + c._2))
+      println(f"[scale] point_merge_bloom_files     $candTot%d of $allTot%d files opened (${allTot.toDouble / candTot}%.0f x fewer)")
     }
     spark.stop()
   }

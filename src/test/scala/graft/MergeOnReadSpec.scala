@@ -69,6 +69,24 @@ class MergeOnReadSpec extends SparkSpec {
     assert(morContent() == cowContent())
   }
 
+  test("read resolution plans a single shuffle and no nested-loop join") {
+    val root = Files.createTempDirectory("mor_plan").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir, Seq(("k1", "p1", 1L, 10L, "insert"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op"))
+    MergeOnRead.merge(spark, dir, Seq(("k1", "p1", 2L, 20L, "update"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = MergeOnRead.read(spark, dir, pk, "ver", Some("op"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in resolution plan:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"resolution must shuffle exactly once (the per-PK window):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("merge is idempotent under replay via commitId") {
     val root = Files.createTempDirectory("mor_replay").toString
     val dir = s"$root/t"

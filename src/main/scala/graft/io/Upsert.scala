@@ -135,6 +135,61 @@ object Upsert {
     }
   }
 
+  /** Per-file Blooms for one plain directory (no partition column):
+    * the same no-UDF aggregation as [[buildBlooms]], keyed by file only.
+    */
+  private def fileBlooms(spark: SparkSession, path: String,
+                         pk: Seq[String]): Map[String, Array[Long]] = {
+    val posCols = (0 until Blooms.K).map(i =>
+      pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))
+    val rows = spark.read.parquet(path)
+      .select(input_file_name().as("f"), explode(array(posCols: _*)).as("p"))
+      .select(col("f"), (col("p") / 64).cast("int").as("wi"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("bits"))
+      .groupBy(col("f"), col("wi"))
+      .agg(expr("bit_or(bits)").as("w"))
+      .collect()
+    rows.groupBy(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .map { case (name, frs) =>
+        val words = new Array[Long](Blooms.Words)
+        frs.foreach(r => words(r.getInt(1)) = r.getLong(2))
+        name -> words
+      }
+  }
+
+  /** Compact buckets that accumulated files (every bloom point merge
+    * adds one file and preserves the rest — the price of not rewriting
+    * key-disjoint data). Buckets holding more than `maxFilesPerBucket`
+    * data files are rewritten as a single file (a bucket is sized to
+    * one executor's scan budget by design) with a fresh Bloom sidecar,
+    * swapped in per bucket. Content is untouched — this is pure file-
+    * count maintenance, the analog of a lakehouse OPTIMIZE, run out of
+    * band of the merge path.
+    */
+  def compactBuckets(spark: SparkSession, dir: String, pk: Seq[String],
+                     maxFilesPerBucket: Int = 8,
+                     bloom: Boolean = true): Unit = {
+    val root = new Path(dir)
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) return
+    val bucketDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+    bucketDirs.foreach { st =>
+      val dataFiles = fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      if (dataFiles.size > maxFilesPerBucket) {
+        val b = st.getPath.getName.stripPrefix(s"$BucketCol=")
+        val tmp = new Path(root, s".compact-bucket-$b.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        spark.read.parquet(st.getPath.toString).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (bloom) Blooms.write(fs, tmp, fileBlooms(spark, tmp.toString, pk))
+        fs.delete(st.getPath, true)
+        FsOps.renameOrThrow(fs, tmp, st.getPath)
+      }
+    }
+  }
+
   /** Per-file Blooms for every bucket under `stagedDir`, built with a
     * no-UDF distributed aggregation: each row contributes its K bit
     * positions (the codegen'd pmod(xxhash64(key, i), Bits) — the exact

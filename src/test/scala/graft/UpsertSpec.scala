@@ -163,6 +163,44 @@ class UpsertSpec extends SparkSpec {
       s"lookup read ${looked.inputFiles.length} files, bucket has $bucketFileCount")
   }
 
+  test("compactBuckets collapses merge-accumulated files; content and blooms stay exact") {
+    val dir = Files.createTempDirectory("upsertcompact").toString + "/t"
+    // multi-file buckets (see the bloom test): preserved files then
+    // accumulate as point merges add one new file each
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Upsert.merge(spark, dir, (1 to 400).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver", bloom = true)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // 6 point merges: each adds a file to its key's bucket
+    (1 to 6).foreach { i =>
+      Upsert.merge(spark, dir, Seq((s"k$i", 2L, s"V$i")).toDF("id", "ver", "payload"),
+        pk = Seq("id"), versionCol = "ver", bloom = true)
+    }
+    def fileCounts(): Map[String, Int] =
+      new File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(fileCounts().values.exists(_ > 1), "point merges should accumulate files")
+    val before = Upsert.read(spark, dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+
+    Upsert.compactBuckets(spark, dir, pk = Seq("id"), maxFilesPerBucket = 1)
+    assert(fileCounts().values.forall(_ == 1), s"buckets not compacted: ${fileCounts()}")
+    val after = Upsert.read(spark, dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(after == before && after("k1") == "V1" && after.size == 400)
+
+    // blooms rebuilt consistently: still zero false negatives
+    val truth = spark.read.parquet(dir)
+      .select(col("id"), input_file_name().as("f"), col("__bucket"))
+      .as[(String, String, Int)].collect()
+    truth.take(50).foreach { case (k, f, b) =>
+      val Some((cand, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
+      assert(cand.contains(f.substring(f.lastIndexOf('/') + 1)))
+    }
+  }
+
   test("bloom merge survives an all-delete batch (no staged buckets to bloom)") {
     val dir = Files.createTempDirectory("upsertbloomdel").toString + "/t"
     Upsert.merge(spark, dir, Seq(("a", 1L, "insert"), ("b", 1L, "insert"))

@@ -144,26 +144,73 @@ object MergeOnRead {
     */
   def compact(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
               deleteFlagCol: Option[String] = None,
-              numBuckets: Int = Upsert.DefaultNumBuckets): Unit = {
+              numBuckets: Int = Upsert.DefaultNumBuckets,
+              bloom: Boolean = false): Unit = {
     gcCompactedDeltas(spark, dir) // collect strays from a crashed run
     val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
     if (live.isEmpty) return
     val upTo = live.map(_._1).max
     val resolved = read(spark, dir, pk, versionCol, deleteFlagCol)
       .withColumn("__bucket",
-        pmod(xxhash64(concat_ws("", pk.map(c => col(c).cast("string")): _*)),
-          lit(numBuckets)).cast("int"))
+        pmod(xxhash64(Upsert.keyStr(pk)), lit(numBuckets)).cast("int"))
     val target = new Path(basePath(dir))
     val tmp = new Path(basePath(dir) + ".tmp")
     val fs = FsOps.fs(spark, target)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     resolved.write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
+    if (bloom && fs.listStatus(tmp).exists(_.getPath.getName.startsWith("__bucket="))) {
+      // per-file Bloom sidecars in the fresh base → point lookups prune
+      // to files exactly like a bloomed Upsert table
+      Upsert.buildBlooms(spark, tmp.toString, pk).foreach { case (b, entries) =>
+        Blooms.write(fs, new Path(tmp, s"__bucket=$b"), entries)
+      }
+    }
     val out = fs.create(new Path(tmp, "_compacted_upto"), true)
     try out.write(upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(target)) fs.delete(target, true)
     FsOps.renameOrThrow(fs, tmp, target) // base + watermark in one rename
     gcCompactedDeltas(spark, dir)
+  }
+
+  /** Point lookup by PK values: the base side goes through
+    * [[Upsert.lookup]] (bucket pruning + per-file Blooms when the base
+    * was compacted with bloom=true), live deltas — small by the
+    * compaction contract — are filtered directly, and the same
+    * newest-(version, batch) resolution picks the answer. A dim-Get
+    * against a firehose table costs O(candidate files + deltas), not
+    * O(base).
+    */
+  def lookup(spark: SparkSession, dir: String, pkCol: String, values: Seq[String],
+             versionCol: String, deleteFlagCol: Option[String] = None,
+             numBuckets: Int = Upsert.DefaultNumBuckets): DataFrame = {
+    val upto = compactedUpto(spark, dir)
+    val live = deltaBatches(spark, dir).filter(_._1 > upto)
+    val baseOpt =
+      if (Upsert.exists(spark, basePath(dir)))
+        Some(Upsert.lookup(spark, basePath(dir), pkCol, values, numBuckets)
+          .withColumn(BatchCol, lit(-1L)))
+      else None
+    val deltaOpt =
+      if (live.isEmpty) None
+      else Some(live.map { case (id, p) =>
+        spark.read.parquet(p).filter(col(pkCol).isin(values: _*))
+          .withColumn(BatchCol, lit(id))
+      }.reduce(_ unionByName _))
+    val all = (baseOpt, deltaOpt) match {
+      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.map(col): _*))
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => return spark.emptyDataFrame
+    }
+    val w = Window.partitionBy(col(pkCol))
+      .orderBy(col(versionCol).desc, col(BatchCol).desc)
+    val resolved = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", BatchCol)
+    deleteFlagCol match {
+      case Some(f) => resolved.filter(col(f) =!= "delete" || col(f).isNull)
+      case None => resolved
+    }
   }
 
   /** Delete delta batches already folded into the base. Idempotent. */

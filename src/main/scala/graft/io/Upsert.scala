@@ -196,7 +196,7 @@ object Upsert {
     * expression [[Blooms.positions]] mirrors), positions fold to words
     * via bit_or, and only files × Words rows reach the driver.
     */
-  private def buildBlooms(spark: SparkSession, stagedDir: String,
+  private[io] def buildBlooms(spark: SparkSession, stagedDir: String,
                           pk: Seq[String]): Map[Int, Map[String, Array[Long]]] = {
     val posCols = (0 until Blooms.K).map(i =>
       pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))

@@ -83,5 +83,9 @@ case class VisitorHitFixed(mid: String, day: String, isNew: String)
 /** Per-key last-value state for upsert-correction (A7). */
 case class VersionedAmount(key: String, ts: Long, amount: Long)
 
+/** VersionedAmount with an event-time column (see [[KeyDayTs]]). */
+case class VersionedAmountTs(key: String, ts: Long, amount: Long,
+                             et: java.sql.Timestamp)
+
 /** Emitted delta so downstream sums telescope to the latest value. */
 case class AmountDelta(key: String, ts: Long, delta: Long)

@@ -237,4 +237,50 @@ object Stateful {
           out.iterator
       }
   }
+
+  /** A7 with CORRECTION-WINDOW eviction — the reference's exact
+    * contract: its per-id last-amount MapState carries a 30 s
+    * StateTtlConfig (DwsTradeSkuOrderWindow.java:165), accepting that
+    * a correction arriving after the TTL re-counts the full amount.
+    * Without eviction this state grows with ALL-TIME order-detail-id
+    * cardinality — the single fastest-growing key space in the whole
+    * warehouse (one key per order line ever). With it, state is
+    * O(ids within the correction window). Corrections inside the TTL
+    * telescope exactly like [[upsertDeltas]]; later ones re-count —
+    * spec'd in StatefulEvictionSpec, and the TTL is the caller's
+    * correction-lateness bound exactly as in the reference.
+    */
+  def upsertDeltasEvicting(ds: Dataset[VersionedAmount],
+                           ttl: String = "30 seconds",
+                           watermarkDelay: String = "1 second"): Dataset[AmountDelta] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val streaming = ds.isStreaming
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(ttl)).microseconds / 1000L
+    val typed = ds.select(col("key"), col("ts"), col("amount"),
+      timestamp_millis(col("ts")).as("et")).as[VersionedAmountTs]
+    val src = if (streaming) typed.withWatermark("et", watermarkDelay) else typed
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), AmountDelta](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[VersionedAmountTs], state: GroupState[(Long, Long)]) =>
+          if (streaming && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (lastTs, lastAmt) = state.getOption.getOrElse((Long.MinValue, 0L))
+            val out = rows.toSeq.sortBy(v => (v.ts, v.amount)).flatMap { v =>
+              if (v.ts >= lastTs) {
+                val d = AmountDelta(key, v.ts, v.amount - lastAmt)
+                lastTs = v.ts; lastAmt = v.amount
+                Some(d)
+              } else None
+            }
+            state.update((lastTs, lastAmt))
+            if (streaming && lastTs != Long.MinValue) state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }

@@ -118,6 +118,37 @@ class MergeOnReadSpec extends SparkSpec {
     assert(MergeOnRead.deltaBatches(spark, dir).isEmpty)
   }
 
+  test("bloomed compaction + point lookup resolve base and deltas correctly") {
+    val root = Files.createTempDirectory("mor_lookup").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 300).map(i => (s"k$i", "p", 1L, i.toLong, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op"), bloom = true)
+    // base buckets carry sidecars
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/base")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/base"))
+      .filter(_.getPath.getName.startsWith("__bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_bloom.json"))))
+
+    // post-compaction deltas: an update and a delete
+    MergeOnRead.merge(spark, dir, Seq(
+      ("k5", "p", 2L, 999L, "update"), ("k7", "p", 2L, 0L, "delete"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+
+    val looked = MergeOnRead.lookup(spark, dir, "id", Seq("k5", "k7", "k9"),
+      "ver", Some("op"))
+      .select("id", "amount_cents").as[(String, Long)].collect().toMap
+    assert(looked == Map("k5" -> 999L, "k9" -> 9L), s"got $looked")
+    // parity with the full read restricted to the same keys
+    val full = MergeOnRead.read(spark, dir, pk, "ver", Some("op"))
+      .filter(col("id").isin("k5", "k7", "k9"))
+      .select("id", "amount_cents").as[(String, Long)].collect().toMap
+    assert(full == looked)
+  }
+
   test("merge never opens the base: write cost is O(batch) for a firehose batch") {
     val root = Files.createTempDirectory("mor_cost").toString
     val dir = s"$root/t"

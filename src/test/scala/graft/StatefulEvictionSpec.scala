@@ -138,6 +138,37 @@ class StatefulEvictionSpec extends SparkSpec {
       graft.streaming.TrafficPageView.annotate(pages.toDS()).collect().toSet)
   }
 
+  test("upsertDeltasEvicting: within-TTL corrections telescope; state tracks the correction window") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[VersionedAmount]
+    val q = Stateful.upsertDeltasEvicting(ms.toDS(), ttl = "30 seconds")
+      .writeStream.format("memory").queryName("ud_evict").outputMode("append").start()
+    try {
+      val t0 = 1704067200000L
+      ms.addData(VersionedAmount("d1", t0, 1000L), VersionedAmount("d2", t0, 500L))
+      q.processAllAvailable()
+      // correction INSIDE the 30s window telescopes: +300, not +1300
+      ms.addData(VersionedAmount("d1", t0 + 10000, 1300L))
+      q.processAllAvailable()
+      // far-future key pushes the watermark past both ids' TTLs
+      ms.addData(VersionedAmount("d9", t0 + 600000, 42L))
+      q.processAllAvailable()
+      ms.addData(VersionedAmount("d8", t0 + 610000, 1L)) // triggers the eviction batch
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2,
+        "d1/d2 must be evicted after the correction window passes")
+      val sums = spark.table("ud_evict").groupBy("key")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("s"))
+        .as[(String, Long)].collect().toMap
+      assert(sums("d1") == 1300L && sums("d2") == 500L, s"telescoping broke: $sums")
+      // batch parity with the non-evicting operator
+      val batchIn = Seq(VersionedAmount("a", 1L, 10L), VersionedAmount("a", 2L, 15L),
+        VersionedAmount("b", 1L, 7L))
+      assert(Stateful.upsertDeltasEvicting(batchIn.toDS()).collect().toSet ==
+        Stateful.upsertDeltas(batchIn.toDS()).collect().toSet)
+    } finally q.stop()
+  }
+
   test("evicting isNewFix drops a dormant mid and re-fixes a returning one from scratch") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[VisitorHit]

@@ -117,7 +117,7 @@ object MergeOnRead {
         spark.read.parquet(p).withColumn(BatchCol, lit(id))
       }.reduce(_ unionByName _))
     val all = (baseOpt, deltaOpt) match {
-      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.map(col): _*))
+      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.toIndexedSeq.map(col): _*))
       case (Some(b), None) => b
       case (None, Some(d)) => d
       case (None, None) => return spark.emptyDataFrame
@@ -198,7 +198,7 @@ object MergeOnRead {
           .withColumn(BatchCol, lit(id))
       }.reduce(_ unionByName _))
     val all = (baseOpt, deltaOpt) match {
-      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.map(col): _*))
+      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.toIndexedSeq.map(col): _*))
       case (Some(b), None) => b
       case (None, Some(d)) => d
       case (None, None) => return spark.emptyDataFrame

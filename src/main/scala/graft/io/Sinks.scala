@@ -89,10 +89,10 @@ object Sinks {
     case "kafka" =>
       val payload = conf.topicColumn match {
         case Some(tc) =>
-          df.select(to_json(struct(df.columns.filter(_ != tc).map(col): _*)).as("value"),
+          df.select(to_json(struct(df.columns.filter(_ != tc).toIndexedSeq.map(col): _*)).as("value"),
             col(tc).as("topic"))
         case None =>
-          df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+          df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       }
       val w = payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", conf.brokers.getOrElse(

@@ -295,7 +295,7 @@ object Upsert {
           .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
     }).withColumn("__src", lit(0))
     val preserve = pruned.map(_._2).getOrElse(Map.empty)
-    val aligned = tagged.select(cur.columns.map(col): _*)
+    val aligned = tagged.select(cur.columns.toIndexedSeq.map(col): _*)
     val merged = resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol)
     if (!changeLog) {
       writeBucketsAtomic(spark, dir, merged, touched = Some(touched),

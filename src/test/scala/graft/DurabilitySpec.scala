@@ -61,7 +61,7 @@ class DurabilitySpec extends SparkSpec {
     val expected = spark.read.parquet(
       ChangeFeed.batches(spark, fact).map(_._2): _*)
     val net = expected.groupBy(expected.columns.filterNot(_ == ChangeFeed.ChangeCol)
-        .map(col): _*)
+        .toIndexedSeq.map(col): _*)
       .agg(sum(when(col(ChangeFeed.ChangeCol) === "add", 1L).otherwise(-1L)).as("__net"))
       .filter(col("__net") > 0).drop("__net")
       .withColumn(ChangeFeed.ChangeCol, lit("add"))

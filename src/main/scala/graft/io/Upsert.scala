@@ -61,11 +61,60 @@ object Upsert {
     * when the table is bucketed).
     */
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (exists(spark, dir)) Some(spark.read.parquet(dir)) else None
+    if (exists(spark, dir)) { recoverSwaps(spark, dir); Some(spark.read.parquet(dir)) }
+    else None
 
   /** Read the table's logical content (bucket column dropped). */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    recoverSwaps(spark, dir)
     spark.read.parquet(dir).drop(BucketCol)
+  }
+
+  // ---- two-phase bucket swap (crash-safe) -------------------------------
+  // A bucket swap must delete the old bucket dir and rename the staged
+  // one in; a naive delete-then-rename loses the bucket if the process
+  // dies between the two (and a bloom-preserve merge additionally moves
+  // kept files out of the live bucket first). The COMMIT POINT is a
+  // durable marker `.swap-<b>.ready` at the table root listing the
+  // preserved file names: once it exists the remaining steps are
+  // deterministic and idempotent, and every entry point (read/lookup/
+  // merge) finishes them first — the same .ready pattern as
+  // ChangeFeed.compact.
+
+  private val SwapRe = """\.swap-(\d+)\.ready""".r
+
+  private def markerPath(dir: String, b: Int) = new Path(dir, s".swap-$b.ready")
+
+  private def finishBucketSwap(spark: SparkSession, dir: String, b: Int): Unit = {
+    val fs = FsOps.fs(spark, new Path(dir))
+    val marker = markerPath(dir, b)
+    if (!fs.exists(marker)) return
+    val kept = FsOps.readTextOpt(spark, marker)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val oldB = new Path(dir, s"$BucketCol=$b")
+    val stageB = new Path(dir + ".tmp", s"$BucketCol=$b")
+    if (kept.nonEmpty && !fs.exists(stageB)) fs.mkdirs(stageB)
+    kept.foreach { f =>
+      val src = new Path(oldB, f)
+      if (fs.exists(src)) FsOps.renameOrThrow(fs, src, new Path(stageB, f))
+    }
+    if (fs.exists(oldB)) fs.delete(oldB, true)
+    if (fs.exists(stageB)) FsOps.renameOrThrow(fs, stageB, oldB)
+    fs.delete(marker, false)
+  }
+
+  /** Finish any interrupted bucket swaps — a cheap no-op (one listing)
+    * when no `.swap-*.ready` markers exist. Called from every reader
+    * and writer entry point.
+    */
+  def recoverSwaps(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath.getName)
+      .collect { case SwapRe(b) => b.toInt }
+      .foreach(finishBucketSwap(spark, dir, _))
+  }
 
   /** Point lookup by PK values: the read-path payoff of the bucketed
     * layout. Key values hash to their buckets driver-side, the scan is
@@ -78,6 +127,7 @@ object Upsert {
              values: Seq[String],
              numBuckets: Int = DefaultNumBuckets): DataFrame = {
     import spark.implicits._
+    recoverSwaps(spark, dir)
     val buckets = values.toDF("v")
       .select(pmod(xxhash64(col("v")), lit(numBuckets)).cast("int").as("b"))
       .distinct().as[Int].collect().toSeq
@@ -254,6 +304,7 @@ object Upsert {
       }
       return
     }
+    recoverSwaps(spark, dir) // current state must be complete before we read it
     // buckets this batch touches — bounded by numBuckets, so the
     // driver-side collect is O(numBuckets), never O(rows)
     val touched = tagged.select(BucketCol).distinct()
@@ -362,6 +413,7 @@ object Upsert {
     val target = new Path(dir)
     val tmp = new Path(dir + ".tmp")
     val fs = target.getFileSystem(conf)
+    recoverSwaps(spark, dir) // an interrupted swap still owns files under tmp
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
     // an all-deleted batch stages no bucket dirs at all — nothing to bloom
@@ -393,14 +445,13 @@ object Upsert {
               .getOrElse(Map.empty)
           if (bloomPk.isDefined && fs.exists(newB))
             Blooms.write(fs, newB, newBlooms.getOrElse(b, Map.empty) ++ keptBlooms)
-          // key-disjoint files: metadata move, never read or rewritten
-          kept.foreach { f =>
-            FsOps.renameOrThrow(fs, new Path(oldB, f), new Path(newB, f))
-          }
-          if (fs.exists(oldB)) fs.delete(oldB, true)
-          // a bucket whose keys were all deleted has no staged dir —
-          // removing the old one is the whole swap
-          if (fs.exists(newB)) FsOps.renameOrThrow(fs, newB, new Path(target, s"$BucketCol=$b"))
+          // COMMIT POINT: once the marker (listing the preserved file
+          // names) is durable, the rest of the swap — move kept files,
+          // drop the old bucket, rename the staged one in — is
+          // deterministic and idempotent; a crash anywhere after this
+          // line is finished by recoverSwaps from any entry point.
+          FsOps.writeTextAtomic(spark, markerPath(dir, b), kept.mkString("\n"))
+          finishBucketSwap(spark, dir, b)
         }
         fs.delete(tmp, true)
         // keep the table readable if every bucket emptied out: leave a

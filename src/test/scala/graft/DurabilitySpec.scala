@@ -92,6 +92,52 @@ class DurabilitySpec extends SparkSpec {
     assert(IncrementalDws.provinceOrderRefresh(spark, fact, dws) == 0L)
   }
 
+  test("interrupted bucket swap (durable marker, crash before finish) is recovered losslessly") {
+    val root = Files.createTempDirectory("dur_swap").toString
+    val dir = s"$root/t"
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Upsert.merge(spark, dir, (1 to 400).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver", bloom = true)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+    // pick a multi-file bucket; treat one file as the merge candidate
+    // and the rest as preserved
+    val byBucket = spark.read.parquet(dir)
+      .select(col("id"), org.apache.spark.sql.functions.input_file_name().as("f"),
+        col("__bucket"))
+      .as[(String, String, Int)].collect().groupBy(_._3)
+    val (b, rows) = byBucket.find(_._2.map(_._2).distinct.length > 2).get
+    val files = rows.map(_._2).distinct.map(f => f.substring(f.lastIndexOf('/') + 1))
+    val candFile = files.head
+    val kept = files.tail
+    val replacedKeys = rows.filter(_._2.endsWith(candFile)).map(_._1).toSet
+    val keptKeys = rows.filterNot(_._2.endsWith(candFile)).map(_._1).toSet
+
+    // simulate the crash: staged replacement for the candidate file is
+    // durable under <dir>.tmp, the marker (listing kept files) is
+    // committed, but none of the finish steps ran
+    replacedKeys.toSeq.map(k => (k, 2L, "NEW")).toDF("id", "ver", "payload")
+      .coalesce(1).write.parquet(s"$dir.tmp/__bucket=$b")
+    graft.io.FsOps.writeTextAtomic(spark,
+      new org.apache.hadoop.fs.Path(dir, s".swap-$b.ready"), kept.mkString("\n"))
+
+    // ANY entry point finishes the swap: read() here
+    val after = Upsert.read(spark, dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(replacedKeys.forall(after(_) == "NEW"), "staged file must win")
+    assert(keptKeys.forall(k => after(k) == s"v${k.drop(1)}"), "preserved files intact")
+    assert(after.size == 400, "no key lost or duplicated")
+    val fs = graft.io.FsOps.fs(spark, new org.apache.hadoop.fs.Path(dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, s".swap-$b.ready")),
+      "marker consumed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.tmp/__bucket=$b")),
+      "staged bucket swapped in")
+    // recovery is idempotent
+    Upsert.recoverSwaps(spark, dir)
+    assert(Upsert.read(spark, dir).count() == 400)
+  }
+
   test("renameOrThrow surfaces a failed commit instead of swallowing it") {
     val root = Files.createTempDirectory("dur_rename").toString
     val p = new Path(root)

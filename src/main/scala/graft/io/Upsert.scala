@@ -12,34 +12,46 @@ import org.apache.spark.sql.functions._
   * DimHBaseSinkFunction.java:50-104). The Spark-native design is
   * `MERGE INTO` on an ACID table format; this container ships bare
   * parquet, so we implement last-writer-wins merge over a
-  * HASH-BUCKETED layout:
+  * HASH-BUCKETED, MANIFEST-COMMITTED layout (VERDICT r3 #1):
   *
-  *   dir/__bucket=0/part-*.parquet ... dir/__bucket=N-1/...
+  *   dir/_manifest-&lt;gen&gt;                the ONLY commit point
+  *   dir/__gen=G/__bucket=B/part-*.parquet   immutable data files
+  *   dir/__gen=G/__bucket=B/_bloom.json      per-file key Blooms
   *
-  * with `__bucket = pmod(xxhash64(pk), numBuckets)` — a stable,
-  * data-independent placement. A merge batch rewrites ONLY the buckets
-  * its keys hash into: per-batch I/O is O(touched buckets × bucket
-  * size), not O(table). For random PKs, touched ≈ min(batch keys,
-  * numBuckets), so the pruning gain (numBuckets / touched) is real
-  * exactly when a batch carries far fewer keys than there are buckets
-  * — the CDC dim-maintenance case this layout serves (DimPipeline
-  * micro-batches touch a handful of rows; a 50-key batch against 4096
-  * buckets reads ~1% of the table instead of 100%). A firehose of
-  * random-key fact upserts touches every bucket per batch and needs
-  * merge-on-read instead — that is [[MergeOnRead]]: O(batch) delta
-  * appends resolved at read, compacted in the background (measured in
-  * ScaleProbe: ~70× cheaper per firehose batch). Untouched
-  * buckets' files are never opened, rewritten, or moved (proved
-  * byte-identical in UpsertSpec). With `bloom=true` a second skipping
-  * level kicks in BELOW bucket pruning: each bucket carries a per-file
-  * key Bloom sidecar ([[Blooms]]), so a point merge reads only the
-  * files that might hold its keys and metadata-moves the rest — reads
-  * files, not whole buckets. Each touched bucket is written to a
-  * `.tmp` staging dir and swapped in with a directory rename — readers
-  * of a bucket see either the old or the new version, never a
-  * half-written one (per-bucket snapshot; the global-snapshot upgrade
-  * is exactly what `MERGE INTO` on a lakehouse format buys, and this
-  * object is the single swap point for it).
+  * Files are IMMUTABLE once written: a merge stages its output under a
+  * fresh `__gen=G` directory (invisible — nothing references it), then
+  * commits by renaming a new `_manifest-<gen>` into place. The manifest
+  * maps every bucket to the exact files that make it up (files of
+  * untouched buckets keep their old paths verbatim), so
+  *
+  *  - readers resolve ONE manifest and see a globally consistent
+  *    snapshot: a reader overlapping a multi-bucket merge gets either
+  *    the full old table or the full new one, NEVER new bucket A with
+  *    old bucket B (the torn-read gap of per-bucket swaps);
+  *  - a crash anywhere before the manifest rename leaves only orphan
+  *    staged files that no reader can see — there is no recovery
+  *    machinery because there is no intermediate state to recover;
+  *  - the initial CREATE commits the same way, so a half-written first
+  *    load is likewise invisible (VERDICT r3 #4);
+  *  - superseded generations stay on disk until [[vacuum]], so a
+  *    reader that resolved the previous manifest finishes its scan
+  *    against intact files — MVCC exactly the way lakehouse formats
+  *    (Delta/Iceberg/Hudi) do it, on bare parquet.
+  *
+  * Bucketing (`__bucket = pmod(xxhash64(pk), numBuckets)`) is a
+  * stable, data-independent placement: a merge batch rewrites ONLY the
+  * buckets its keys hash into — per-batch I/O is O(touched buckets ×
+  * bucket size), not O(table). For random PKs, touched ≈ min(batch
+  * keys, numBuckets), so the pruning gain is real exactly when a batch
+  * carries far fewer keys than there are buckets — the CDC
+  * dim-maintenance case this layout serves. A firehose of random-key
+  * fact upserts touches every bucket per batch and needs merge-on-read
+  * instead — that is [[MergeOnRead]] (O(batch) delta appends resolved
+  * at read; ~70× cheaper per firehose batch in ScaleProbe). With
+  * `bloom=true` a second skipping level kicks in BELOW bucket pruning:
+  * per-file key Bloom sidecars ([[Blooms]]) let a point merge read only
+  * the files that might hold its keys; every other file is carried into
+  * the new manifest BY REFERENCE — zero I/O, not even a rename.
   */
 object Upsert {
 
@@ -47,207 +59,226 @@ object Upsert {
     * table stays comfortably inside one executor's scan budget
     * (~table_size / numBuckets); raise for bigger tables — placement
     * is stable for a given value. Small here for local test data.
+    * Recorded in the manifest at CREATE so later merges/lookups cannot
+    * silently diverge from the table's real bucket count.
     */
   val DefaultNumBuckets = 16
 
-  private val BucketCol = "__bucket"
+  private[io] val BucketCol = "__bucket"
+  /** Schema anchor pseudo-bucket: a zero-row parquet file referenced
+    * when the table's content empties out, so reads keep their schema.
+    */
+  private val SchemaBucket = -1
 
+  // ---- manifest ---------------------------------------------------------
+
+  /** One committed table snapshot: `files` maps bucket → data-file
+    * paths RELATIVE to the table root; `props` carries table metadata
+    * (numBuckets; [[MergeOnRead]] stores its compaction watermark here
+    * so base files and watermark commit in the same rename).
+    */
+  case class Manifest(gen: Long, props: Map[String, String],
+                      files: Map[Int, Seq[String]]) {
+    def allFiles: Seq[String] = files.values.flatten.toSeq
+    def numBuckets(default: Int): Int =
+      props.get("numBuckets").map(_.toInt).getOrElse(default)
+  }
+
+  private def manifestName(gen: Long) = f"_manifest-$gen%020d"
+  private val ManifestRe = """_manifest-(\d+)""".r
+  private val GenDirRe = """__gen=(\d+)""".r
+
+  private def serialize(m: Manifest): String = {
+    val propLines = m.props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val fileLines = m.files.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+      fs.sorted.map(f => s"$b\t$f")
+    }
+    (propLines ++ fileLines).mkString("\n")
+  }
+
+  private def parse(gen: Long, text: String): Manifest = {
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val props = lines.filter(_.startsWith("#")).map { l =>
+      val Array(k, v) = l.drop(1).split("=", 2); k -> v
+    }.toMap
+    val files = lines.filterNot(_.startsWith("#")).map { l =>
+      val Array(b, p) = l.split("\t", 2); (b.toInt, p)
+    }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+    Manifest(gen, props, files)
+  }
+
+  /** The newest committed snapshot, or None for a missing/empty table.
+    * One listing + one small-file read — the entire read-side planning
+    * cost of snapshot isolation.
+    */
+  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val root = new Path(dir)
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case ManifestRe(g) => g.toLong }
+    if (gens.isEmpty) None
+    else {
+      val g = gens.max
+      FsOps.readTextOpt(spark, new Path(root, manifestName(g))).map(parse(g, _))
+    }
+  }
+
+  /** Read the snapshot committed as generation `gen` — time travel, as
+    * long as [[vacuum]] has not collected its files yet.
+    */
+  def manifestAt(spark: SparkSession, dir: String, gen: Long): Option[Manifest] =
+    FsOps.readTextOpt(spark, new Path(dir, manifestName(gen))).map(parse(gen, _))
+
+  private def commitManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
+    FsOps.writeTextAtomic(spark, new Path(dir, manifestName(m.gen)), serialize(m))
+
+  /** Next unused generation number: above every committed manifest AND
+    * every staged/orphaned generation directory.
+    */
+  private def nextGen(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) return 0L
+    val seen = fs.listStatus(root).map(_.getPath.getName).collect {
+      case ManifestRe(g) => g.toLong
+      case GenDirRe(g) => g.toLong
+    }
+    if (seen.isEmpty) 0L else seen.max + 1
+  }
+
+  /** Does the path exist at all (any content, manifest or not)?
+    * Non-bucketed [[overwriteAtomic]] tables and raw dirs use this;
+    * manifest-managed tables are defined by [[currentManifest]].
+    */
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Raw read of the table (includes the `__bucket` partition column
-    * when the table is bucketed).
-    */
-  def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (exists(spark, dir)) { recoverSwaps(spark, dir); Some(spark.read.parquet(dir)) }
-    else None
+  private def abs(dir: String, rel: String) = s"${dir.stripSuffix("/")}/$rel"
 
-  /** Read the table's logical content (bucket column dropped). */
+  /** Scan of an exact snapshot's files. No basePath: explicit leaf
+    * files, so no partition columns are inferred — bucket membership is
+    * manifest metadata, not a data column.
+    */
+  private def scanFiles(spark: SparkSession, dir: String,
+                        rels: Seq[String]): DataFrame =
+    spark.read.parquet(rels.map(abs(dir, _)): _*)
+
+  /** Read the table's logical content as of the current manifest. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    recoverSwaps(spark, dir)
-    spark.read.parquet(dir).drop(BucketCol)
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    scanFiles(spark, dir, m.allFiles)
   }
 
-  // ---- two-phase bucket swap (crash-safe) -------------------------------
-  // A bucket swap must delete the old bucket dir and rename the staged
-  // one in; a naive delete-then-rename loses the bucket if the process
-  // dies between the two (and a bloom-preserve merge additionally moves
-  // kept files out of the live bucket first). The COMMIT POINT is a
-  // durable marker `.swap-<b>.ready` at the table root listing the
-  // preserved file names: once it exists the remaining steps are
-  // deterministic and idempotent, and every entry point (read/lookup/
-  // merge) finishes them first — the same .ready pattern as
-  // ChangeFeed.compact.
-
-  private val SwapRe = """\.swap-(\d+)\.ready""".r
-
-  private def markerPath(dir: String, b: Int) = new Path(dir, s".swap-$b.ready")
-
-  private def finishBucketSwap(spark: SparkSession, dir: String, b: Int): Unit = {
-    val fs = FsOps.fs(spark, new Path(dir))
-    val marker = markerPath(dir, b)
-    if (!fs.exists(marker)) return
-    val kept = FsOps.readTextOpt(spark, marker)
-      .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
-    val oldB = new Path(dir, s"$BucketCol=$b")
-    val stageB = new Path(dir + ".tmp", s"$BucketCol=$b")
-    if (kept.nonEmpty && !fs.exists(stageB)) fs.mkdirs(stageB)
-    kept.foreach { f =>
-      val src = new Path(oldB, f)
-      if (fs.exists(src)) FsOps.renameOrThrow(fs, src, new Path(stageB, f))
-    }
-    if (fs.exists(oldB)) fs.delete(oldB, true)
-    if (fs.exists(stageB)) FsOps.renameOrThrow(fs, stageB, oldB)
-    fs.delete(marker, false)
+  /** Read as of generation `gen` (time travel across retained gens). */
+  def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
+    val m = manifestAt(spark, dir, gen).getOrElse(
+      throw new IllegalStateException(s"no manifest for gen=$gen under $dir"))
+    scanFiles(spark, dir, m.allFiles)
   }
 
-  /** Finish any interrupted bucket swaps — a cheap no-op (one listing)
-    * when no `.swap-*.ready` markers exist. Called from every reader
-    * and writer entry point.
-    */
-  def recoverSwaps(spark: SparkSession, dir: String): Unit = {
-    val root = new Path(dir)
-    val fs = FsOps.fs(spark, root)
-    if (!fs.exists(root)) return
-    fs.listStatus(root).map(_.getPath.getName)
-      .collect { case SwapRe(b) => b.toInt }
-      .foreach(finishBucketSwap(spark, dir, _))
-  }
+  def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles))
 
-  /** Point lookup by PK values: the read-path payoff of the bucketed
-    * layout. Key values hash to their buckets driver-side, the scan is
-    * partition-pruned to exactly those buckets (asserted in
-    * UpsertSpec), so a dim Get touches O(keys) buckets out of
-    * numBuckets — the HBase-Get shape (DimHBaseSinkFunction reads)
-    * without a serving store.
-    */
-  def lookup(spark: SparkSession, dir: String, pkCol: String,
-             values: Seq[String],
-             numBuckets: Int = DefaultNumBuckets): DataFrame = {
-    import spark.implicits._
-    recoverSwaps(spark, dir)
-    val buckets = values.toDF("v")
-      .select(pmod(xxhash64(col("v")), lit(numBuckets)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSeq
-    // file-level bloom skipping below the bucket pruning, when every
-    // target bucket carries a sidecar (written by bloom=true merges)
-    val prunedFiles: Option[Seq[String]] = {
-      val per = buckets.map(b => bloomCandidates(spark, dir, b, values))
-      if (per.exists(_.isEmpty)) None
-      else Some(buckets.zip(per.flatten).flatMap { case (b, (cand, _)) =>
-        cand.map(f => s"$dir/$BucketCol=$b/$f")
-      })
-    }
-    prunedFiles match {
-      case Some(files) if files.nonEmpty =>
-        spark.read.option("basePath", dir).parquet(files: _*)
-          .filter(col(pkCol).isin(values: _*))
-          .drop(BucketCol)
-      case Some(_) => // blooms prove no file can hold any key
-        spark.read.parquet(dir).filter(lit(false)).drop(BucketCol)
-      case None =>
-        spark.read.parquet(dir)
-          .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned
-          .filter(col(pkCol).isin(values: _*))
-          .drop(BucketCol)
-    }
-  }
+  // ---- key hashing ------------------------------------------------------
 
   /** The canonical PK string every placement/bloom hash is keyed on
-    * (\u0001-joined so multi-column keys can't collide by concatenation).
+    * (-joined so multi-column keys can't collide by concatenation).
     */
   private[io] def keyStr(pk: Seq[String]) =
-    concat_ws("\u0001", pk.map(c => col(c).cast("string")): _*)
+    concat_ws("", pk.map(c => col(c).cast("string")): _*)
 
   private def withBucket(df: DataFrame, pk: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(xxhash64(keyStr(pk)), lit(numBuckets)).cast("int"))
 
+  /** Driver-side mirror of the placement hash — the same XXH64(seed 42)
+    * Spark's `xxhash64` computes (bit-exactness proven for the Bloom
+    * mirror in UpsertSpec; same primitive). Lets [[lookup]] map keys to
+    * buckets without running a job.
+    */
+  def bucketOfKey(key: String, numBuckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  // ---- point lookup -----------------------------------------------------
+
+  /** Point lookup by PK values: the read-path payoff of the bucketed
+    * layout. Keys hash to buckets driver-side (no job), the manifest
+    * narrows to those buckets' files, Bloom sidecars narrow further to
+    * the files that MIGHT hold a key — a dim Get reads O(candidate
+    * files), the HBase-Get shape (DimHBaseSinkFunction reads) without
+    * a serving store. The scan is an explicit file list, so "pruning"
+    * is literal: unrelated files never appear in the plan at all.
+    */
+  def lookup(spark: SparkSession, dir: String, pkCol: String,
+             values: Seq[String],
+             numBuckets: Int = DefaultNumBuckets): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    val n = m.numBuckets(numBuckets)
+    val buckets = values.map(bucketOfKey(_, n)).distinct
+    val files: Seq[String] = buckets.flatMap { b =>
+      bloomCandidates(spark, dir, b, values) match {
+        case Some((cand, _)) => cand // bloom-narrowed
+        case None => m.files.getOrElse(b, Seq.empty) // whole bucket
+      }
+    }
+    if (files.isEmpty) // provably no file can hold any key
+      scanFiles(spark, dir, m.allFiles).filter(lit(false))
+    else
+      scanFiles(spark, dir, files).filter(col(pkCol).isin(values: _*))
+  }
+
+  // ---- blooms -----------------------------------------------------------
+
   /** Bloom-pruned file split for one bucket: (candidate, preserved)
-    * file names — candidates MIGHT contain one of `keys` and must be
-    * read/rewritten by a merge; preserved files provably contain none
-    * and are carried over untouched (metadata move, no I/O). None when
-    * the bucket has no sidecar (fall back to whole-bucket). `keys` are
+    * file paths relative to the table root — candidates MIGHT contain
+    * one of `keys` and must be read/rewritten by a merge; preserved
+    * files provably contain none and are carried into the next
+    * manifest by reference. None when any of the bucket's files lacks
+    * a sidecar entry source (fall back to whole-bucket). `keys` are
     * canonical PK strings (single-column PK: the value itself).
     */
   def bloomCandidates(spark: SparkSession, dir: String, bucket: Int,
                       keys: Seq[String]): Option[(Seq[String], Seq[String])] = {
-    val bDir = new Path(dir, s"$BucketCol=$bucket")
-    val fs = FsOps.fs(spark, bDir)
-    if (!fs.exists(bDir)) return Some((Seq.empty, Seq.empty))
-    Blooms.read(fs, bDir).map { entries =>
-      val dataFiles = fs.listStatus(bDir).toSeq.map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      // a file absent from the sidecar is conservatively a candidate
-      dataFiles.partition(f =>
-        entries.get(f).forall(w => keys.exists(k => Blooms.mightContain(w, k))))
-    }
+    val m = currentManifest(spark, dir).getOrElse(return Some((Seq.empty, Seq.empty)))
+    bloomCandidatesIn(spark, dir, m, bucket, keys)
   }
 
-  /** Per-file Blooms for one plain directory (no partition column):
-    * the same no-UDF aggregation as [[buildBlooms]], keyed by file only.
-    */
-  private def fileBlooms(spark: SparkSession, path: String,
-                         pk: Seq[String]): Map[String, Array[Long]] = {
-    val posCols = (0 until Blooms.K).map(i =>
-      pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))
-    val rows = spark.read.parquet(path)
-      .select(input_file_name().as("f"), explode(array(posCols: _*)).as("p"))
-      .select(col("f"), (col("p") / 64).cast("int").as("wi"),
-        expr("shiftleft(1L, cast(p % 64 as int))").as("bits"))
-      .groupBy(col("f"), col("wi"))
-      .agg(expr("bit_or(bits)").as("w"))
-      .collect()
-    rows.groupBy(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
-      .map { case (name, frs) =>
-        val words = new Array[Long](Blooms.Words)
-        frs.foreach(r => words(r.getInt(1)) = r.getLong(2))
-        name -> words
-      }
-  }
-
-  /** Compact buckets that accumulated files (every bloom point merge
-    * adds one file and preserves the rest — the price of not rewriting
-    * key-disjoint data). Buckets holding more than `maxFilesPerBucket`
-    * data files are rewritten as a single file (a bucket is sized to
-    * one executor's scan budget by design) with a fresh Bloom sidecar,
-    * swapped in per bucket. Content is untouched — this is pure file-
-    * count maintenance, the analog of a lakehouse OPTIMIZE, run out of
-    * band of the merge path.
-    */
-  def compactBuckets(spark: SparkSession, dir: String, pk: Seq[String],
-                     maxFilesPerBucket: Int = 8,
-                     bloom: Boolean = true): Unit = {
-    val root = new Path(dir)
-    val fs = FsOps.fs(spark, root)
-    if (!fs.exists(root)) return
-    val bucketDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
-    bucketDirs.foreach { st =>
-      val dataFiles = fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      if (dataFiles.size > maxFilesPerBucket) {
-        val b = st.getPath.getName.stripPrefix(s"$BucketCol=")
-        val tmp = new Path(root, s".compact-bucket-$b.tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        spark.read.parquet(st.getPath.toString).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (bloom) Blooms.write(fs, tmp, fileBlooms(spark, tmp.toString, pk))
-        fs.delete(st.getPath, true)
-        FsOps.renameOrThrow(fs, tmp, st.getPath)
+  private def bloomCandidatesIn(spark: SparkSession, dir: String, m: Manifest,
+                                bucket: Int, keys: Seq[String])
+      : Option[(Seq[String], Seq[String])] = {
+    val rels = m.files.getOrElse(bucket, Seq.empty)
+    if (rels.isEmpty) return Some((Seq.empty, Seq.empty))
+    val byParent = rels.groupBy(r => r.substring(0, r.lastIndexOf('/')))
+    val fs = FsOps.fs(spark, new Path(dir))
+    val split = byParent.toSeq.map { case (parent, fsOfDir) =>
+      Blooms.read(fs, new Path(abs(dir, parent))).map { entries =>
+        // a file absent from its dir's sidecar is conservatively a candidate
+        fsOfDir.partition { rel =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          entries.get(name).forall(w => keys.exists(k => Blooms.mightContain(w, k)))
+        }
       }
     }
+    if (split.exists(_.isEmpty)) None
+    else Some((split.flatten.flatMap(_._1), split.flatten.flatMap(_._2)))
   }
 
-  /** Per-file Blooms for every bucket under `stagedDir`, built with a
-    * no-UDF distributed aggregation: each row contributes its K bit
-    * positions (the codegen'd pmod(xxhash64(key, i), Bits) — the exact
-    * expression [[Blooms.positions]] mirrors), positions fold to words
-    * via bit_or, and only files × Words rows reach the driver.
+  /** Per-file Blooms for every bucket under a staged generation dir,
+    * built with a no-UDF distributed aggregation: each row contributes
+    * its K bit positions (the codegen'd pmod(xxhash64(key, i), Bits) —
+    * the exact expression [[Blooms.positions]] mirrors), positions fold
+    * to words via bit_or, and only files × Words rows reach the driver.
     */
   private[io] def buildBlooms(spark: SparkSession, stagedDir: String,
-                          pk: Seq[String]): Map[Int, Map[String, Array[Long]]] = {
+                              pk: Seq[String]): Map[Int, Map[String, Array[Long]]] = {
     val posCols = (0 until Blooms.K).map(i =>
       pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))
     val rows = spark.read.parquet(stagedDir)
@@ -268,10 +299,77 @@ object Upsert {
     }
   }
 
+  // ---- staging ----------------------------------------------------------
+
+  /** Stage `merged` (carrying `__bucket`) under `dir/__gen=<gen>` and
+    * return bucket → staged file paths (relative to `dir`). Staged data
+    * is invisible until a manifest references it. When `bloomPk` is
+    * set, each staged bucket dir gets its Bloom sidecar before commit.
+    */
+  private def stageGeneration(spark: SparkSession, dir: String, gen: Long,
+                              merged: DataFrame,
+                              bloomPk: Option[Seq[String]]): Map[Int, Seq[String]] = {
+    val stage = new Path(dir, s"__gen=$gen")
+    val fs = FsOps.fs(spark, stage)
+    if (fs.exists(stage)) fs.delete(stage, true) // re-run of a crashed attempt
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(stage.toString)
+    val bucketDirs = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+    val staged: Map[Int, Seq[String]] = bucketDirs.map { st =>
+      val b = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      b -> fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"__gen=$gen/$BucketCol=$b/$n")
+    }.toMap
+    bloomPk.foreach { pk =>
+      if (staged.nonEmpty) {
+        val blooms = buildBlooms(spark, stage.toString, pk)
+        staged.keys.foreach { b =>
+          Blooms.write(fs, new Path(stage, s"$BucketCol=$b"),
+            blooms.getOrElse(b, Map.empty))
+        }
+      }
+    }
+    staged
+  }
+
+  /** Stage a zero-row schema-carrying file so an emptied-out table
+    * stays readable; referenced under the [[SchemaBucket]] key.
+    */
+  private def stageSchemaAnchor(spark: SparkSession, dir: String, gen: Long,
+                                schemaOf: DataFrame): Seq[String] = {
+    val anchorDir = new Path(dir, s"__gen=$gen/$BucketCol=$SchemaBucket")
+    schemaOf.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(anchorDir.toString)
+    val fs = FsOps.fs(spark, anchorDir)
+    fs.listStatus(anchorDir).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"__gen=$gen/$BucketCol=$SchemaBucket/$n")
+  }
+
+  /** Full-replace commit used by [[MergeOnRead.compact]]: stage `df`
+    * (must carry `__bucket`) as a complete new snapshot whose manifest
+    * carries `props` — data files and metadata (e.g. the compaction
+    * watermark) become visible in the same rename.
+    */
+  private[io] def replaceAll(spark: SparkSession, dir: String, df: DataFrame,
+                             props: Map[String, String],
+                             bloomPk: Option[Seq[String]]): Unit = {
+    val gen = nextGen(spark, dir)
+    val staged = stageGeneration(spark, dir, gen, df, bloomPk)
+    val files =
+      if (staged.valuesIterator.flatten.nonEmpty) staged
+      else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
+    commitManifest(spark, dir, Manifest(gen, props, files))
+  }
+
+  // ---- merge ------------------------------------------------------------
+
   /** Merge `updates` into the bucketed parquet table at `dir`.
     *  - rows with type='delete' remove their key;
     *  - otherwise newest `versionCol` per `pk` wins (ties: updates win).
-    * Only the buckets present in `updates` are read and rewritten.
+    * Only the buckets present in `updates` are read and rewritten; the
+    * new manifest re-references every other bucket's files verbatim.
     *
     * With `changeLog=true` each merge also appends a retract-encoded
     * change batch under `<dir>_changes/batch=K/` (see [[ChangeFeed]]):
@@ -280,6 +378,9 @@ object Upsert {
     * parquet equivalent of the reference's upsert-kafka retract stream
     * (SQLUtil.getUpsertKafkaSQL:46-54), which is what lets DWS
     * aggregates refresh incrementally instead of re-reading the table.
+    * The feed commits BEFORE the manifest flip and dedupes on
+    * `commitId`, so a crash between the two (or a replayed
+    * foreachBatch) converges instead of double-applying.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             pk: Seq[String], versionCol: String,
@@ -289,90 +390,99 @@ object Upsert {
             commitId: Option[String] = None,
             bloom: Boolean = false,
             maxPointKeys: Int = 1024): Unit = {
-    val tagged = withBucket(updates, pk, numBuckets).withColumn("__src", lit(1))
     val bloomPk = if (bloom) Some(pk) else None
-    if (!exists(spark, dir)) {
-      // first write: full table create via staging-dir rename
-      val merged = resolve(tagged, pk, versionCol, deleteFlagCol)
-      val cached = if (changeLog) merged.cache() else merged
-      writeBucketsAtomic(spark, dir, cached, touched = None, bloomPk = bloomPk)
-      if (changeLog) {
-        ChangeFeed.append(spark, dir,
-          cached.drop(BucketCol).withColumn(ChangeFeed.ChangeCol, lit("add")),
-          commitId)
-        cached.unpersist()
-      }
-      return
-    }
-    recoverSwaps(spark, dir) // current state must be complete before we read it
-    // buckets this batch touches — bounded by numBuckets, so the
-    // driver-side collect is O(numBuckets), never O(rows)
-    val touched = tagged.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
-    // Bloom file pruning (VERDICT r2 #7): for a POINT batch (≤
-    // maxPointKeys distinct keys) against sidecar-carrying buckets,
-    // read only the files that might hold a batch key; every other
-    // file is carried into the new bucket by a metadata rename — a
-    // point merge reads files, not whole buckets.
-    val pointKeys: Option[Seq[String]] =
-      if (!bloom) None
-      else {
-        val ks = tagged.select(keyStr(pk).as("k")).distinct()
-          .limit(maxPointKeys + 1)
-          .collect().map(_.getString(0)).toSeq
-        if (ks.size > maxPointKeys) None else Some(ks)
-      }
-    val pruned: Option[(Seq[String], Map[Int, Seq[String]])] =
-      pointKeys.flatMap { keys =>
-        val perBucket = touched.toSeq.map(b =>
-          bloomCandidates(spark, dir, b, keys).map(b -> _))
-        if (perBucket.exists(_.isEmpty)) None // some bucket lacks a sidecar
-        else {
-          val m = perBucket.flatten.toMap
-          Some((
-            m.toSeq.flatMap { case (b, (cand, _)) =>
-              cand.map(f => s"$dir/$BucketCol=$b/$f") },
-            m.map { case (b, (_, keep)) => b -> keep }))
-        }
-      }
-    val cur = (pruned match {
-      case Some((candPaths, _)) if candPaths.nonEmpty =>
-        spark.read.option("basePath", dir).parquet(candPaths: _*)
-      case Some(_) => // zero candidate files: schema-only empty current
-        spark.read.parquet(dir).filter(lit(false))
+    currentManifest(spark, dir) match {
       case None =>
-        spark.read.parquet(dir)
-          .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
-    }).withColumn("__src", lit(0))
-    val preserve = pruned.map(_._2).getOrElse(Map.empty)
-    val aligned = tagged.select(cur.columns.toIndexedSeq.map(col): _*)
-    val merged = resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol)
-    if (!changeLog) {
-      writeBucketsAtomic(spark, dir, merged, touched = Some(touched),
-        preserve = preserve, bloomPk = bloomPk)
-    } else {
-      val cached = merged.cache()
-      // pre/post-images restricted to the keys this batch carried —
-      // both sides are bounded by the batch, never by the table. The
-      // feed commits BEFORE the bucket swap: it reads the pre-image
-      // from the files the swap is about to replace. A crash between
-      // the two steps, or a replayed foreachBatch re-calling merge, is
-      // handled by `commitId`: the feed append dedupes on it (no double
-      // delta), and re-merging the same updates into the table is
-      // naturally idempotent (same keys, same versions, updates win
-      // ties), so replay converges to the same table + feed state.
-      val keys = tagged.select(pk.map(col): _*).distinct()
-      val pre = cur.drop(BucketCol, "__src")
-        .join(keys, pk, "left_semi")
-        .withColumn(ChangeFeed.ChangeCol, lit("retract"))
-      val post = cached.drop(BucketCol)
-        .join(keys, pk, "left_semi")
-        .withColumn(ChangeFeed.ChangeCol, lit("add"))
-      ChangeFeed.append(spark, dir, pre.unionByName(post), commitId)
-      writeBucketsAtomic(spark, dir, cached, touched = Some(touched),
-        preserve = preserve, bloomPk = bloomPk)
-      cached.unpersist()
+        // CREATE: stage + single manifest rename — a reader either sees
+        // no table or the complete first snapshot (VERDICT r3 #4)
+        val merged = withBucket(
+          resolve(updates.withColumn("__src", lit(1)), pk, versionCol, deleteFlagCol),
+          pk, numBuckets)
+        val gen = nextGen(spark, dir)
+        val staged = stageGeneration(spark, dir, gen, merged, bloomPk)
+        val files =
+          if (staged.valuesIterator.flatten.nonEmpty) staged
+          else Map(SchemaBucket ->
+            stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
+        if (changeLog) {
+          val adds = staged.keys.toSeq match {
+            case Nil => merged.drop(BucketCol).limit(0)
+            case bs => scanFiles(spark, dir, bs.flatMap(staged))
+          }
+          ChangeFeed.append(spark, dir,
+            adds.withColumn(ChangeFeed.ChangeCol, lit("add")), commitId)
+        }
+        commitManifest(spark, dir,
+          Manifest(gen, Map("numBuckets" -> numBuckets.toString), files))
+
+      case Some(man) =>
+        val n = man.numBuckets(numBuckets)
+        val tagged = withBucket(updates, pk, n)
+        // buckets this batch touches — bounded by numBuckets, so the
+        // driver-side collect is O(numBuckets), never O(rows)
+        val touched = tagged.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (touched.isEmpty) return
+        // Bloom file pruning (VERDICT r2 #7): for a POINT batch (≤
+        // maxPointKeys distinct keys) against sidecar-carrying files,
+        // read only the files that might hold a batch key; every other
+        // file is re-referenced by the new manifest — zero I/O.
+        val pointKeys: Option[Seq[String]] =
+          if (!bloom) None
+          else {
+            val ks = tagged.select(keyStr(pk).as("k")).distinct()
+              .limit(maxPointKeys + 1)
+              .collect().map(_.getString(0)).toSeq
+            if (ks.size > maxPointKeys) None else Some(ks)
+          }
+        val pruned: Option[Map[Int, (Seq[String], Seq[String])]] =
+          pointKeys.flatMap { keys =>
+            val per = touched.toSeq.map(b =>
+              bloomCandidatesIn(spark, dir, man, b, keys).map(b -> _))
+            if (per.exists(_.isEmpty)) None else Some(per.flatten.toMap)
+          }
+        val candFiles: Seq[String] = pruned match {
+          case Some(m) => m.valuesIterator.flatMap(_._1).toSeq
+          case None => touched.toSeq.flatMap(b => man.files.getOrElse(b, Seq.empty))
+        }
+        val preserve: Map[Int, Seq[String]] =
+          pruned.map(_.map { case (b, (_, keep)) => b -> keep }).getOrElse(Map.empty)
+        val cur0 =
+          if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles)
+          else scanFiles(spark, dir, man.allFiles).filter(lit(false))
+        val cur = cur0.withColumn("__src", lit(0))
+        val aligned = tagged.drop(BucketCol).withColumn("__src", lit(1))
+          .select(cur.columns.toIndexedSeq.map(col): _*)
+        val merged = withBucket(
+          resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol), pk, n)
+        val gen = nextGen(spark, dir)
+        val staged = stageGeneration(spark, dir, gen, merged, bloomPk)
+        var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
+          b -> (staged.getOrElse(b, Seq.empty) ++ preserve.getOrElse(b, Seq.empty))
+        }.toMap
+        files = files.filter(_._2.nonEmpty)
+        // drop a stale schema anchor once real files exist again; add
+        // one when the whole table just emptied out
+        if (files.exists { case (b, _) => b != SchemaBucket }) files -= SchemaBucket
+        if (files.isEmpty)
+          files = Map(SchemaBucket ->
+            stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
+        if (changeLog) {
+          // pre/post-images restricted to the keys this batch carried —
+          // both sides are bounded by the batch, never by the table.
+          // The post-image re-reads the staged (already materialized)
+          // files instead of recomputing the merge plan.
+          val keys = tagged.select(pk.map(col): _*).distinct()
+          val pre = cur0.join(keys, pk, "left_semi")
+            .withColumn(ChangeFeed.ChangeCol, lit("retract"))
+          val post = (staged.keys.toSeq match {
+            case Nil => merged.drop(BucketCol).limit(0)
+            case bs => scanFiles(spark, dir, bs.flatMap(staged))
+          }).join(keys, pk, "left_semi")
+            .withColumn(ChangeFeed.ChangeCol, lit("add"))
+          ChangeFeed.append(spark, dir, pre.unionByName(post), commitId)
+        }
+        commitManifest(spark, dir, Manifest(gen, man.props, files))
     }
   }
 
@@ -391,76 +501,99 @@ object Upsert {
     }
   }
 
-  /** Stage `merged` (which carries `__bucket`) under `<dir>.tmp`
-    * partitioned by bucket, then swap bucket directories into place.
-    * touched=None swaps the whole table (initial create); Some(set)
-    * swaps exactly those buckets — the rest of the table is untouched
-    * on disk.
-    *
-    * `preserve` (bucket → file names) lists files of touched buckets
-    * that a bloom-pruned merge proved key-disjoint from the batch:
-    * they move into the staged bucket with a filesystem rename (no
-    * read, no rewrite) before the swap. `bloomPk` (when set) writes a
-    * per-file Bloom sidecar into every staged bucket — new files get
-    * freshly built blooms, preserved files keep their existing entries
-    * — committing with the same bucket rename.
+  // ---- maintenance ------------------------------------------------------
+
+  /** Compact buckets that accumulated files (every bloom point merge
+    * adds one file and re-references the rest — the price of never
+    * rewriting key-disjoint data). Buckets holding more than
+    * `maxFilesPerBucket` files are rewritten as a single file (a bucket
+    * is sized to one executor's scan budget by design) with a fresh
+    * Bloom sidecar; ALL compacted buckets commit in ONE manifest flip.
+    * Content is untouched — pure file-count maintenance, the analog of
+    * a lakehouse OPTIMIZE, run out of band of the merge path.
     */
-  private def writeBucketsAtomic(spark: SparkSession, dir: String,
-                                 merged: DataFrame, touched: Option[Set[Int]],
-                                 preserve: Map[Int, Seq[String]] = Map.empty,
-                                 bloomPk: Option[Seq[String]] = None): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val target = new Path(dir)
-    val tmp = new Path(dir + ".tmp")
-    val fs = target.getFileSystem(conf)
-    recoverSwaps(spark, dir) // an interrupted swap still owns files under tmp
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    // an all-deleted batch stages no bucket dirs at all — nothing to bloom
-    val stagedBuckets = fs.listStatus(tmp)
-      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
-    val newBlooms: Map[Int, Map[String, Array[Long]]] =
-      if (stagedBuckets)
-        bloomPk.map(pk => buildBlooms(spark, tmp.toString, pk)).getOrElse(Map.empty)
-      else Map.empty
-    touched match {
-      case None =>
-        bloomPk.foreach { _ =>
-          newBlooms.foreach { case (b, entries) =>
-            Blooms.write(fs, new Path(tmp, s"$BucketCol=$b"), entries)
+  def compactBuckets(spark: SparkSession, dir: String, pk: Seq[String],
+                     maxFilesPerBucket: Int = 8,
+                     bloom: Boolean = true): Unit = {
+    val man = currentManifest(spark, dir).getOrElse(return)
+    val over = man.files.filter { case (b, fs) =>
+      b != SchemaBucket && fs.size > maxFilesPerBucket
+    }
+    if (over.isEmpty) return
+    val gen = nextGen(spark, dir)
+    val fs = FsOps.fs(spark, new Path(dir))
+    val compacted: Map[Int, Seq[String]] = over.map { case (b, rels) =>
+      val outDir = new Path(dir, s"__gen=$gen/$BucketCol=$b")
+      scanFiles(spark, dir, rels).coalesce(1)
+        .write.mode("overwrite").parquet(outDir.toString)
+      if (bloom) {
+        // sidecar for the freshly written single file
+        val posCols = (0 until Blooms.K).map(i =>
+          pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))
+        val rows = spark.read.parquet(outDir.toString)
+          .select(input_file_name().as("f"), explode(array(posCols: _*)).as("p"))
+          .select(col("f"), (col("p") / 64).cast("int").as("wi"),
+            expr("shiftleft(1L, cast(p % 64 as int))").as("bits"))
+          .groupBy(col("f"), col("wi"))
+          .agg(expr("bit_or(bits)").as("w"))
+          .collect()
+        val entries = rows.groupBy(r =>
+          r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+          .map { case (name, frs) =>
+            val words = new Array[Long](Blooms.Words)
+            frs.foreach(r => words(r.getInt(1)) = r.getLong(2))
+            name -> words
+          }
+        Blooms.write(fs, outDir, entries)
+      }
+      b -> fs.listStatus(outDir).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"__gen=$gen/$BucketCol=$b/$n")
+    }
+    commitManifest(spark, dir, Manifest(gen, man.props, man.files ++ compacted))
+  }
+
+  /** Garbage-collect superseded generations: keep the newest
+    * `keepManifests` manifests and every file they reference; delete
+    * older manifests, unreferenced files, and orphaned staging dirs
+    * (crashed merges). keepManifests ≥ 2 leaves the previous snapshot
+    * intact for readers that resolved it just before a commit. Must not
+    * run concurrently with a writer (same single-writer contract as
+    * merge itself).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2): Unit = {
+    val root = new Path(dir)
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).map(_.getPath.getName)
+    val gens = entries.collect { case ManifestRe(g) => g.toLong }.sorted
+    if (gens.isEmpty) return
+    val keep = gens.takeRight(math.max(1, keepManifests))
+    val referenced: Set[String] = keep.flatMap(g =>
+      manifestAt(spark, dir, g).map(_.allFiles).getOrElse(Seq.empty)).toSet
+    // old manifests
+    gens.dropRight(math.max(1, keepManifests)).foreach { g =>
+      fs.delete(new Path(root, manifestName(g)), false)
+    }
+    // unreferenced data files inside generation dirs, then dirs that no
+    // longer hold any referenced file (a dir left with only sidecars /
+    // _SUCCESS markers goes too)
+    entries.collect { case n @ GenDirRe(_) => n }.foreach { genName =>
+      val genPath = new Path(root, genName)
+      fs.listStatus(genPath).filter(_.isDirectory).foreach { bDir =>
+        var referencedLeft = 0
+        fs.listStatus(bDir.getPath).foreach { f =>
+          val name = f.getPath.getName
+          val rel = s"$genName/${bDir.getPath.getName}/$name"
+          val isData = !name.startsWith("_") && !name.startsWith(".")
+          if (isData) {
+            if (referenced.contains(rel)) referencedLeft += 1
+            else fs.delete(f.getPath, false)
           }
         }
-        if (fs.exists(target)) fs.delete(target, true)
-        FsOps.renameOrThrow(fs, tmp, target)
-      case Some(buckets) =>
-        buckets.foreach { b =>
-          val oldB = new Path(target, s"$BucketCol=$b")
-          val newB = new Path(tmp, s"$BucketCol=$b")
-          val kept = preserve.getOrElse(b, Seq.empty)
-          if (kept.nonEmpty && !fs.exists(newB)) fs.mkdirs(newB)
-          // carry over the preserved files' existing bloom entries
-          val keptBlooms: Map[String, Array[Long]] =
-            if (bloomPk.isEmpty || kept.isEmpty) Map.empty
-            else Blooms.read(fs, oldB).map(_.filter(e => kept.contains(e._1)))
-              .getOrElse(Map.empty)
-          if (bloomPk.isDefined && fs.exists(newB))
-            Blooms.write(fs, newB, newBlooms.getOrElse(b, Map.empty) ++ keptBlooms)
-          // COMMIT POINT: once the marker (listing the preserved file
-          // names) is durable, the rest of the swap — move kept files,
-          // drop the old bucket, rename the staged one in — is
-          // deterministic and idempotent; a crash anywhere after this
-          // line is finished by recoverSwaps from any entry point.
-          FsOps.writeTextAtomic(spark, markerPath(dir, b), kept.mkString("\n"))
-          finishBucketSwap(spark, dir, b)
-        }
-        fs.delete(tmp, true)
-        // keep the table readable if every bucket emptied out: leave a
-        // zero-row file carrying the schema
-        val status = fs.listStatus(target)
-        if (!status.exists(_.getPath.getName.startsWith(s"$BucketCol="))) {
-          merged.drop(BucketCol).limit(0).coalesce(1)
-            .write.mode("overwrite").parquet(new Path(target, s"$BucketCol=-1").toString)
-        }
+        if (referencedLeft == 0) fs.delete(bDir.getPath, true)
+      }
+      if (!fs.listStatus(genPath).exists(_.isDirectory)) fs.delete(genPath, true)
     }
   }
 

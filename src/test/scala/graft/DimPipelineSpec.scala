@@ -34,9 +34,9 @@ class DimPipelineSpec extends SparkSpec {
       ("base_dic", "update", 2L, Map("dic_code" -> "1001", "dic_name" -> "PENDING")),
       ("sku_info", "delete", 2L, Map("id" -> "s1", "sku_name" -> "phone", "price" -> "99"))))
     DimPipeline.processBatch(spark, b2, cfg, wh)
-    val dic = spark.read.parquet(s"$wh/dim_base_dic")
+    val dic = graft.io.Upsert.read(spark, s"$wh/dim_base_dic")
       .select("dic_code", "dic_name").as[(String, String)].collect().toMap
     assert(dic == Map("1001" -> "PENDING", "1002" -> "paid")) // last-wins
-    assert(spark.read.parquet(s"$wh/dim_sku_info").count() == 0) // deleted
+    assert(graft.io.Upsert.read(spark, s"$wh/dim_sku_info").count() == 0) // deleted
   }
 }

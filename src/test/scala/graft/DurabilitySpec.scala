@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.io.{ChangeFeed, FsOps, Upsert}
 import graft.rtdw.IncrementalDws
 
-/** ADVICE r2 durability items: the io layer's commit points must be
-  * idempotent under foreachBatch replay and recoverable after a crash
-  * at any step — no double-applied deltas, no lost change history, no
-  * watermark/table skew.
+/** ADVICE r2 + VERDICT r3 durability items: the io layer's commit
+  * points must be idempotent under foreachBatch replay and recoverable
+  * after a crash at any step — no double-applied deltas, no lost change
+  * history, no watermark/table skew, and (r3 #1/#4) no torn or
+  * half-visible table state: the manifest rename is the ONLY visibility
+  * point, so a crash anywhere before it leaves the previous snapshot
+  * exactly intact, and a reader that resolved the previous manifest
+  * keeps a complete consistent view even while a multi-bucket merge
+  * commits underneath it.
   */
 class DurabilitySpec extends SparkSpec {
   import spark.implicits._
@@ -24,7 +29,7 @@ class DurabilitySpec extends SparkSpec {
 
     mergeOnce("b0", Seq(("d1", "p1", 1L, 100L), ("d2", "p2", 1L, 200L)))
     // replay of the SAME logical batch (crash after feed commit, before
-    // or after the bucket swap — Spark re-invokes foreachBatch)
+    // or after the manifest flip — Spark re-invokes foreachBatch)
     mergeOnce("b0", Seq(("d1", "p1", 1L, 100L), ("d2", "p2", 1L, 200L)))
     assert(ChangeFeed.batches(spark, fact).size == 1,
       "replayed merge must not append a second change batch")
@@ -92,50 +97,94 @@ class DurabilitySpec extends SparkSpec {
     assert(IncrementalDws.provinceOrderRefresh(spark, fact, dws) == 0L)
   }
 
-  test("interrupted bucket swap (durable marker, crash before finish) is recovered losslessly") {
-    val root = Files.createTempDirectory("dur_swap").toString
+  test("a crashed merge (staged generation, no manifest) is invisible; vacuum collects it") {
+    val root = Files.createTempDirectory("dur_stage").toString
     val dir = s"$root/t"
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try Upsert.merge(spark, dir, (1 to 400).map(i => (s"k$i", 1L, s"v$i"))
-      .toDF("id", "ver", "payload"),
-      pk = Seq("id"), versionCol = "ver", bloom = true)
-    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
-
-    // pick a multi-file bucket; treat one file as the merge candidate
-    // and the rest as preserved
-    val byBucket = spark.read.parquet(dir)
-      .select(col("id"), org.apache.spark.sql.functions.input_file_name().as("f"),
-        col("__bucket"))
-      .as[(String, String, Int)].collect().groupBy(_._3)
-    val (b, rows) = byBucket.find(_._2.map(_._2).distinct.length > 2).get
-    val files = rows.map(_._2).distinct.map(f => f.substring(f.lastIndexOf('/') + 1))
-    val candFile = files.head
-    val kept = files.tail
-    val replacedKeys = rows.filter(_._2.endsWith(candFile)).map(_._1).toSet
-    val keptKeys = rows.filterNot(_._2.endsWith(candFile)).map(_._1).toSet
-
-    // simulate the crash: staged replacement for the candidate file is
-    // durable under <dir>.tmp, the marker (listing kept files) is
-    // committed, but none of the finish steps ran
-    replacedKeys.toSeq.map(k => (k, 2L, "NEW")).toDF("id", "ver", "payload")
-      .coalesce(1).write.parquet(s"$dir.tmp/__bucket=$b")
-    graft.io.FsOps.writeTextAtomic(spark,
-      new org.apache.hadoop.fs.Path(dir, s".swap-$b.ready"), kept.mkString("\n"))
-
-    // ANY entry point finishes the swap: read() here
-    val after = Upsert.read(spark, dir).select("id", "payload")
+    Upsert.merge(spark, dir, (1 to 100).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("id", "ver", "payload"), pk = Seq("id"), versionCol = "ver")
+    val before = Upsert.read(spark, dir).select("id", "payload")
       .as[(String, String)].collect().toMap
-    assert(replacedKeys.forall(after(_) == "NEW"), "staged file must win")
-    assert(keptKeys.forall(k => after(k) == s"v${k.drop(1)}"), "preserved files intact")
-    assert(after.size == 400, "no key lost or duplicated")
-    val fs = graft.io.FsOps.fs(spark, new org.apache.hadoop.fs.Path(dir))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, s".swap-$b.ready")),
-      "marker consumed")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.tmp/__bucket=$b")),
-      "staged bucket swapped in")
-    // recovery is idempotent
-    Upsert.recoverSwaps(spark, dir)
+    val genBefore = Upsert.currentManifest(spark, dir).get.gen
+
+    // simulate a merge that staged its output and died before the
+    // manifest rename: data files exist under a NEW generation dir but
+    // nothing references them
+    val fs = FsOps.fs(spark, new Path(dir))
+    (1 to 100).map(i => (s"k$i", 9L, "CRASHED")).toDF("id", "ver", "payload")
+      .withColumn("__bucket", pmod(xxhash64(col("id")), lit(16)).cast("int"))
+      .write.partitionBy("__bucket").parquet(s"$dir/__gen=${genBefore + 1}")
+
+    // readers see the old snapshot, exactly
+    assert(Upsert.currentManifest(spark, dir).get.gen == genBefore)
+    val mid = Upsert.read(spark, dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(mid == before, "uncommitted staged generation must be invisible")
+
+    // the next real merge is unaffected by the orphan (fresh gen number)
+    Upsert.merge(spark, dir, Seq(("k1", 2L, "V1")).toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver")
+    val afterMerge = Upsert.read(spark, dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(afterMerge("k1") == "V1")
+
+    // vacuum GCs the orphaned generation
+    Upsert.vacuum(spark, dir, keepManifests = 1)
+    assert(!fs.exists(new Path(s"$dir/__gen=${genBefore + 1}")),
+      "vacuum must collect the crashed generation")
+    assert(Upsert.read(spark, dir).count() == 100)
+  }
+
+  test("snapshot isolation: a reader resolved pre-merge sees the full old table (VERDICT r3 #1)") {
+    val root = Files.createTempDirectory("dur_snap").toString
+    val dir = s"$root/t"
+    Upsert.merge(spark, dir, (1 to 400).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("id", "ver", "payload"), pk = Seq("id"), versionCol = "ver")
+    val snapGen = Upsert.currentManifest(spark, dir).get.gen
+    val oldContent = Upsert.readAt(spark, dir, snapGen)
+      .select("id", "payload").as[(String, String)].collect().toMap
+
+    // a merge that touches MANY buckets commits underneath the reader
+    Upsert.merge(spark, dir, (1 to 400 by 3).map(i => (s"k$i", 2L, s"V$i"))
+      .toDF("id", "ver", "payload"), pk = Seq("id"), versionCol = "ver")
+
+    // the old snapshot re-resolves to EXACTLY the old content — full
+    // old table, zero mixed buckets — because its files are immutable
+    // and still on disk
+    val oldAgain = Upsert.readAt(spark, dir, snapGen)
+      .select("id", "payload").as[(String, String)].collect().toMap
+    assert(oldAgain == oldContent, "pre-merge snapshot must stay fully consistent")
+    assert(oldAgain.values.forall(_.startsWith("v")), "no new-version row may leak in")
+
+    // the current snapshot is the complete new state
+    val cur = Upsert.read(spark, dir).select("id", "payload")
+      .as[(String, String)].collect().toMap
+    assert((1 to 400 by 3).forall(i => cur(s"k$i") == s"V$i"))
+    assert((2 to 400 by 3).forall(i => cur(s"k$i") == s"v$i"))
+
+    // vacuum(keep=2) preserves the previous snapshot; keep=1 retires it
+    Upsert.vacuum(spark, dir, keepManifests = 2)
+    assert(Upsert.readAt(spark, dir, snapGen).count() == 400)
+    Upsert.vacuum(spark, dir, keepManifests = 1)
+    assert(Upsert.manifestAt(spark, dir, snapGen).isEmpty, "old manifest retired")
     assert(Upsert.read(spark, dir).count() == 400)
+  }
+
+  test("a half-written initial CREATE is invisible until its manifest commits (VERDICT r3 #4)") {
+    val root = Files.createTempDirectory("dur_create").toString
+    val dir = s"$root/t"
+    // simulate the crash: a create staged its files but died before the
+    // manifest rename
+    (1 to 50).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
+      .withColumn("__bucket", pmod(xxhash64(col("id")), lit(16)).cast("int"))
+      .write.partitionBy("__bucket").parquet(s"$dir/__gen=0")
+    assert(Upsert.readIfExists(spark, dir).isEmpty,
+      "a table with no committed manifest does not exist")
+    intercept[IllegalStateException] { Upsert.read(spark, dir) }
+
+    // re-running the create commits a complete table in one rename
+    Upsert.merge(spark, dir, (1 to 50).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("id", "ver", "payload"), pk = Seq("id"), versionCol = "ver")
+    assert(Upsert.read(spark, dir).count() == 50)
   }
 
   test("renameOrThrow surfaces a failed commit instead of swallowing it") {

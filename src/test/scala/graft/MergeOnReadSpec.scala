@@ -67,23 +67,49 @@ class MergeOnReadSpec extends SparkSpec {
     // a delete of an already-compacted-away key stays deleted
     applyBoth(Seq(("d3", "p2", 4L, 0L, "insert")))
     assert(morContent() == cowContent())
+
+    // broadcast fast path and windowed fallback agree at every state
+    assert(morContent() == content(MergeOnRead.read(spark, morDir, pk, "ver",
+      deleteFlagCol = Some("op"), maxBroadcastDeltaBytes = 0L)))
   }
 
-  test("read resolution plans a single shuffle and no nested-loop join") {
+  test("read resolution never shuffles the base: only delta rows exchange (VERDICT r3 #2)") {
     val root = Files.createTempDirectory("mor_plan").toString
     val dir = s"$root/t"
-    MergeOnRead.merge(spark, dir, Seq(("k1", "p1", 1L, 10L, "insert"))
-      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.merge(spark, dir,
+      (1 to 500).map(i => (s"k$i", "p1", 1L, i.toLong, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
     MergeOnRead.compact(spark, dir, pk, "ver", Some("op"))
-    MergeOnRead.merge(spark, dir, Seq(("k1", "p1", 2L, 20L, "update"))
+    MergeOnRead.merge(spark, dir, Seq(("k1", "p1", 2L, 20L, "update"),
+      ("kNEW", "p9", 2L, 7L, "insert"), ("k3", "p1", 2L, 0L, "delete"))
       .toDF("id", "province_id", "ver", "amount_cents", "op"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = MergeOnRead.read(spark, dir, pk, "ver", Some("op"))
-        .queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in resolution plan:\n$p")
-      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-        s"resolution must shuffle exactly once (the per-PK window):\n$p")
+      val df = MergeOnRead.read(spark, dir, pk, "ver", Some("op"))
+      val plan = df.queryExecution.executedPlan
+      val pStr = plan.toString
+      assert(!pStr.contains("BroadcastNestedLoopJoin"), s"BNLJ in resolution plan:\n$pStr")
+      // THE gate: every shuffle exchange's subtree reads only delta
+      // files — the base streams scan → broadcast-join → union without
+      // ever repartitioning, so read cost tracks O(deltas) at 100 TB
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "expected the delta-winners window shuffle")
+      shuffles.foreach { s =>
+        val scanned = s.collect { case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+        }.flatten
+        assert(scanned.forall(p => !p.contains("/base/")),
+          s"base files entered a shuffle exchange:\n$scanned\n$pStr")
+      }
+      // and the fast path equals the windowed fallback row-for-row
+      val fast = content(df)
+      val slow = content(MergeOnRead.read(spark, dir, pk, "ver", Some("op"),
+        maxBroadcastDeltaBytes = 0L))
+      assert(fast == slow, "broadcast fast path must match windowed fallback")
+      assert(fast.exists(_._1 == "kNEW") && !fast.exists(_._1 == "k3")
+        && fast.find(_._1 == "k1").get._4 == 20L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -125,13 +151,13 @@ class MergeOnReadSpec extends SparkSpec {
       (1 to 300).map(i => (s"k$i", "p", 1L, i.toLong, "insert"))
         .toDF("id", "province_id", "ver", "amount_cents", "op"))
     MergeOnRead.compact(spark, dir, pk, "ver", Some("op"), bloom = true)
-    // base buckets carry sidecars
+    // every dir holding base data files carries a Bloom sidecar
     val fs = new org.apache.hadoop.fs.Path(s"$dir/base")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/base"))
-      .filter(_.getPath.getName.startsWith("__bucket="))
-    assert(bucketDirs.nonEmpty && bucketDirs.forall(d =>
-      fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_bloom.json"))))
+    val man = Upsert.currentManifest(spark, s"$dir/base").get
+    val parents = man.allFiles.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
+    assert(parents.nonEmpty && parents.forall(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/base/$p", "_bloom.json"))))
 
     // post-compaction deltas: an update and a delete
     MergeOnRead.merge(spark, dir, Seq(

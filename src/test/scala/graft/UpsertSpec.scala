@@ -5,55 +5,54 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.io.Upsert
 
-/** The partition-pruned merge contract (VERDICT r1 #2): a merge batch
-  * rewrites only the buckets its keys hash into; every other bucket's
-  * files stay byte-identical on disk.
+/** The partition-pruned merge contract (VERDICT r1 #2), manifest
+  * edition (VERDICT r3 #1): a merge batch rewrites only the buckets its
+  * keys hash into; every other bucket's files are re-referenced by the
+  * new manifest at their OLD paths — not rewritten, not even moved.
   */
 class UpsertSpec extends SparkSpec {
   import spark.implicits._
 
-  private def bucketDirs(dir: String): Map[String, Map[String, Long]] =
-    new File(dir).listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-      .map { d =>
-        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName -> f.length()).toMap
-      }.toMap
+  private def manifest(dir: String) = Upsert.currentManifest(spark, dir).get
 
-  test("merge rewrites only touched buckets; untouched files byte-identical") {
+  /** CRC32 of every data file the current manifest references,
+    * keyed by table-relative path.
+    */
+  private def crcs(dir: String): Map[String, Long] =
+    manifest(dir).files.values.flatten.map { rel =>
+      val c = new java.util.zip.CRC32()
+      c.update(Files.readAllBytes(new File(s"$dir/$rel").toPath))
+      rel -> c.getValue
+    }.toMap
+
+  private def bucketOf(key: String, n: Int = Upsert.DefaultNumBuckets): Int =
+    Seq(key).toDF("v")
+      .select(pmod(xxhash64(col("v")), lit(n)).cast("int")).as[Int].head()
+
+  test("merge rewrites only touched buckets; untouched files identical at identical paths") {
     val dir = Files.createTempDirectory("upsert").toString + "/t"
     val base = (1 to 200).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
     Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver")
-    val before = bucketDirs(dir)
-    assert(before.size > 1, s"expected multiple bucket dirs, got ${before.keySet}")
-
-    // checksum every parquet file before the second merge
-    def crcs(): Map[String, Long] =
-      new File(dir).listFiles().filter(_.isDirectory).flatMap { d =>
-        d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
-          val c = new java.util.zip.CRC32()
-          c.update(Files.readAllBytes(f.toPath))
-          s"${d.getName}/${f.getName}" -> c.getValue
-        }
-      }.toMap
-    val crcBefore = crcs()
+    val filesBefore = manifest(dir).files
+    assert(filesBefore.size > 1, s"expected multiple buckets, got ${filesBefore.keySet}")
+    val crcBefore = crcs(dir)
 
     // second merge touches exactly one key → one bucket
-    val upd = Seq(("k7", 2L, "V7")).toDF("id", "ver", "payload")
-    Upsert.merge(spark, dir, upd, pk = Seq("id"), versionCol = "ver")
-    val touchedBucket = {
-      val b = upd.withColumn("b",
-        pmod(xxhash64(col("id").cast("string")), lit(Upsert.DefaultNumBuckets)))
-        .select("b").as[Long].head()
-      s"__bucket=$b"
+    Upsert.merge(spark, dir, Seq(("k7", 2L, "V7")).toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver")
+    val touched = bucketOf("k7")
+    val filesAfter = manifest(dir).files
+    val crcAfter = crcs(dir)
+
+    // untouched buckets: same relative paths, same bytes (the files
+    // were never rewritten OR moved — the manifest re-references them)
+    filesBefore.filterNot(_._1 == touched).foreach { case (b, rels) =>
+      assert(filesAfter(b).sorted == rels.sorted, s"bucket $b paths changed")
+      rels.foreach(r => assert(crcAfter(r) == crcBefore(r), s"$r rewritten"))
     }
-    val crcAfter = crcs()
-    val untouchedBefore = crcBefore.filterNot(_._1.startsWith(touchedBucket))
-    val untouchedAfter = crcAfter.filterNot(_._1.startsWith(touchedBucket))
-    assert(untouchedBefore == untouchedAfter,
-      s"untouched bucket files changed: ${untouchedBefore.keySet.diff(untouchedAfter.keySet)}")
-    assert(crcBefore.keys.exists(_.startsWith(touchedBucket)), "touched bucket existed before")
-    assert(crcAfter.filter(_._1.startsWith(touchedBucket)) !=
-      crcBefore.filter(_._1.startsWith(touchedBucket)), "touched bucket was rewritten")
+    // the touched bucket points at NEW files (a fresh generation)
+    assert(filesAfter(touched).toSet != filesBefore(touched).toSet,
+      "touched bucket must reference fresh files")
 
     // merged content is correct: k7 updated, everything else intact
     val m = Upsert.read(spark, dir).select("id", "payload").as[(String, String)].collect().toMap
@@ -72,16 +71,24 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).count() == 0)
   }
 
-  test("point lookup partition-prunes to the keys' buckets") {
+  test("point lookup reads only the keys' buckets' files (manifest pruning)") {
     val dir = Files.createTempDirectory("upsertlk").toString + "/t"
     val base = (1 to 500).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
     Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver")
     val looked = Upsert.lookup(spark, dir, "id", Seq("k7", "k300"))
     val rows = looked.select("id", "payload").as[(String, String)].collect().toMap
     assert(rows == Map("k7" -> "v7", "k300" -> "v300"))
-    val plan = looked.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
-      s"lookup scan not partition-pruned:\n$plan")
+    // the scan's input is exactly the two target buckets' file lists —
+    // pruning is driver-side and literal, no other file enters the plan
+    val wantBuckets = Set(bucketOf("k7"), bucketOf("k300"))
+    val allowed = manifest(dir).files.filter(e => wantBuckets.contains(e._1))
+      .values.flatten.toSet
+    val inputRels = looked.inputFiles.toSeq.map(f =>
+      f.substring(f.indexOf("__gen=")))
+    assert(inputRels.nonEmpty && inputRels.forall(allowed.contains),
+      s"lookup read outside target buckets: $inputRels vs $allowed")
+    val totalFiles = manifest(dir).files.values.flatten.size
+    assert(inputRels.size < totalFiles, "lookup must not scan the whole table")
   }
 
   test("bloom sidecars: a point merge reads and rewrites only candidate files (VERDICT r2 #7)") {
@@ -93,74 +100,67 @@ class UpsertSpec extends SparkSpec {
     try Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver", bloom = true)
     finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
 
-    // ground truth: every key's actual file must be in its bloom
-    // candidate set (no false negatives — the driver-side mirror of
-    // the Spark hash is bit-exact)
-    val truth = spark.read.parquet(dir)
-      .select(col("id"), input_file_name().as("f"), col("__bucket"))
-      .as[(String, String, Int)].collect()
-    truth.foreach { case (k, f, b) =>
+    // ground truth from the committed snapshot: key → (bucket, relpath)
+    def truth(): Seq[(String, Int, String)] = {
+      val man = manifest(dir)
+      val byBucket = man.files.toSeq.flatMap { case (b, rels) => rels.map(b -> _) }
+      byBucket.flatMap { case (b, rel) =>
+        spark.read.parquet(s"$dir/$rel").select("id").as[String].collect()
+          .map(k => (k, b, rel))
+      }
+    }
+    val t1 = truth()
+    assert(t1.size == 2000)
+
+    // no false negatives: every key's actual file is in its candidate set
+    t1.foreach { case (k, b, rel) =>
       val Some((cand, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
-      val name = f.substring(f.lastIndexOf('/') + 1)
-      assert(cand.contains(name), s"false negative: $k in $name not in $cand")
+      assert(cand.contains(rel), s"false negative: $k in $rel not in $cand")
     }
 
-    // pick a key whose bucket holds several files; its candidate set
-    // must be a strict subset of the bucket's files
-    val (key, _, bucket) = truth.find { case (_, _, b) =>
-      truth.count(_._3 == b) > 3 && {
-        val Some((cand, keep)) = Upsert.bloomCandidates(spark, dir, b,
-          Seq(truth.find(_._3 == b).get._1))
+    // pick a key whose bucket holds several files and whose bloom
+    // rules at least one file out
+    val perBucket = t1.groupBy(_._2)
+    val (key, bucket, _) = t1.find { case (k, b, _) =>
+      perBucket(b).map(_._3).distinct.size > 3 && {
+        val Some((_, keep)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
         keep.nonEmpty
       }
     }.get
     val Some((cand, kept)) = Upsert.bloomCandidates(spark, dir, bucket, Seq(key))
     assert(kept.nonEmpty, "expected bloom to rule out at least one file")
-
-    def crcs(b: Int): Map[String, Long] = {
-      val d = new File(s"$dir/__bucket=$b")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map { f =>
-          val c = new java.util.zip.CRC32()
-          c.update(Files.readAllBytes(f.toPath))
-          f.getName -> c.getValue
-        }.toMap
-    }
-    val before = crcs(bucket)
+    val crcBefore = crcs(dir)
 
     // point merge on that single key with bloom pruning
     Upsert.merge(spark, dir, Seq((key, 2L, "UPDATED")).toDF("id", "ver", "payload"),
       pk = Seq("id"), versionCol = "ver", bloom = true)
-    val after = crcs(bucket)
+    val filesNow = manifest(dir).files(bucket).toSet
+    val crcAfter = crcs(dir)
 
-    // preserved (non-candidate) files survive BYTE-IDENTICAL under the
-    // same names — they were moved, never read or rewritten
-    kept.foreach { f =>
-      assert(after.get(f).contains(before(f)), s"preserved file $f was rewritten")
+    // preserved (non-candidate) files survive at the SAME paths with
+    // the same bytes — they were re-referenced, never read or moved
+    kept.foreach { rel =>
+      assert(filesNow.contains(rel), s"preserved file $rel dropped from manifest")
+      assert(crcAfter(rel) == crcBefore(rel), s"preserved file $rel was rewritten")
     }
-    // candidate files were replaced
-    cand.foreach { f => assert(!after.contains(f) || after(f) != before(f)) }
+    // candidate files were replaced in the manifest
+    cand.foreach { rel => assert(!filesNow.contains(rel), s"candidate $rel still referenced") }
 
     // content is fully correct after the pruned merge
     val m = Upsert.read(spark, dir).select("id", "payload").as[(String, String)].collect().toMap
     assert(m(key) == "UPDATED" && m.size == 2000 && m("k1").nonEmpty)
 
-    // the sidecar stays consistent after the merge: still no false negatives
-    val truth2 = spark.read.parquet(dir)
-      .select(col("id"), input_file_name().as("f"), col("__bucket"))
-      .as[(String, String, Int)].collect()
-    truth2.filter(_._3 == bucket).foreach { case (k, f, b) =>
+    // the sidecars stay consistent: still no false negatives
+    truth().filter(_._2 == bucket).foreach { case (k, b, rel) =>
       val Some((cand2, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
-      assert(cand2.contains(f.substring(f.lastIndexOf('/') + 1)))
+      assert(cand2.contains(rel), s"post-merge false negative for $k")
     }
 
-    // lookup prunes to candidate files too: scan inputs < bucket files
+    // lookup prunes to candidate files too: fewer inputs than the bucket holds
     val looked = Upsert.lookup(spark, dir, "id", Seq(key))
     assert(looked.select("payload").as[String].head() == "UPDATED")
-    val bucketFileCount = new File(s"$dir/__bucket=$bucket")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(looked.inputFiles.length < bucketFileCount,
-      s"lookup read ${looked.inputFiles.length} files, bucket has $bucketFileCount")
+    assert(looked.inputFiles.length < manifest(dir).files(bucket).size,
+      s"lookup read ${looked.inputFiles.length} files, bucket has ${manifest(dir).files(bucket).size}")
   }
 
   test("compactBuckets collapses merge-accumulated files; content and blooms stay exact") {
@@ -177,10 +177,7 @@ class UpsertSpec extends SparkSpec {
       Upsert.merge(spark, dir, Seq((s"k$i", 2L, s"V$i")).toDF("id", "ver", "payload"),
         pk = Seq("id"), versionCol = "ver", bloom = true)
     }
-    def fileCounts(): Map[String, Int] =
-      new File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    def fileCounts(): Map[Int, Int] = manifest(dir).files.map { case (b, fs) => b -> fs.size }
     assert(fileCounts().values.exists(_ > 1), "point merges should accumulate files")
     val before = Upsert.read(spark, dir).select("id", "payload")
       .as[(String, String)].collect().toMap
@@ -192,13 +189,22 @@ class UpsertSpec extends SparkSpec {
     assert(after == before && after("k1") == "V1" && after.size == 400)
 
     // blooms rebuilt consistently: still zero false negatives
-    val truth = spark.read.parquet(dir)
-      .select(col("id"), input_file_name().as("f"), col("__bucket"))
-      .as[(String, String, Int)].collect()
-    truth.take(50).foreach { case (k, f, b) =>
-      val Some((cand, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
-      assert(cand.contains(f.substring(f.lastIndexOf('/') + 1)))
+    val man = manifest(dir)
+    man.files.toSeq.take(8).foreach { case (b, rels) =>
+      rels.foreach { rel =>
+        spark.read.parquet(s"$dir/$rel").select("id").as[String].collect().take(5)
+          .foreach { k =>
+            val Some((cand, _)) = Upsert.bloomCandidates(spark, dir, b, Seq(k))
+            assert(cand.contains(rel), s"post-compact false negative for $k")
+          }
+      }
     }
+
+    // vacuum drops superseded generations but keeps every referenced file
+    Upsert.vacuum(spark, dir, keepManifests = 1)
+    val kept = manifest(dir).files.values.flatten.toSeq
+    kept.foreach(rel => assert(new File(s"$dir/$rel").exists(), s"vacuum deleted live file $rel"))
+    assert(Upsert.read(spark, dir).count() == 400)
   }
 
   test("bloom merge survives an all-delete batch (no staged buckets to bloom)") {
@@ -226,5 +232,26 @@ class UpsertSpec extends SparkSpec {
     Upsert.merge(spark, dir, Seq(("k", 5L, "tie-upd")).toDF("id", "ver", "v"),
       pk = Seq("id"), versionCol = "ver")
     assert(Upsert.read(spark, dir).select("v").as[String].head() == "tie-upd")
+  }
+
+  test("the driver-side bucket hash mirrors Spark's placement exactly") {
+    val keys = (1 to 500).map(i => s"k$i") ++ Seq("", "", "多字节キー", "ab")
+    val sparkSide = keys.toDF("v")
+      .select(col("v"), pmod(xxhash64(col("v")), lit(16)).cast("int").as("b"))
+      .as[(String, Int)].collect().toMap
+    keys.foreach { k =>
+      assert(Upsert.bucketOfKey(k, 16) == sparkSide(k), s"mismatch for $k")
+    }
+  }
+
+  test("lookup uses the manifest's recorded numBuckets, not the caller's guess") {
+    val dir = Files.createTempDirectory("upsertnb").toString + "/t"
+    Upsert.merge(spark, dir, (1 to 100).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver", numBuckets = 7)
+    // caller passes the (wrong) default — manifest's numBuckets=7 wins
+    val got = Upsert.lookup(spark, dir, "id", Seq("k42"))
+      .select("payload").as[String].collect().toSeq
+    assert(got == Seq("v42"))
   }
 }

@@ -40,16 +40,22 @@ object Multimodal {
     * On a real cluster this closure is where the codec call goes
     * (decode → resize → frame-sample), executed per-partition so the
     * library is initialized once per task, not per row. The fake
-    * derives "dimensions" from a stable hash so tests are reproducible.
+    * derives "dimensions" from md5 of the payload (VERDICT r3 #3):
+    * content-determined like a real decode, and md5 is computable by
+    * the DuckDB oracle, so this stub is fully hash-checked instead of
+    * rows-only. First/second 48-bit slices of the digest drive width
+    * and height.
     */
   def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     val withPayload = Tables.documents(spark, sfDir)
       .withColumn("payload", col("text").cast("binary"))
+      .withColumn("h1", conv(substring(md5(col("payload")), 1, 12), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("payload")), 13, 12), 16, 10).cast("long"))
     withPayload.select(
       col("doc_id"),
       // ??? real codec goes here; deterministic fake below:
-      pmod(xxhash64(col("payload")), lit(1920L)).plus(1).as("fake_width"),
-      pmod(xxhash64(col("payload"), lit(1)), lit(1080L)).plus(1).as("fake_height"),
+      pmod(col("h1"), lit(1920L)).plus(1).as("fake_width"),
+      pmod(col("h2"), lit(1080L)).plus(1).as("fake_height"),
       (length(col("payload")) / lit(3)).cast("long").as("fake_n_frames"))
   }
 
@@ -69,12 +75,19 @@ object Multimodal {
     media.mapPartitions { rows =>
       // ??? real codec init goes here (once per task, not per row):
       // val codec = ImageCodec.open(...)
-      val codecSeed = 0x5EED
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      def slice48(d: Array[Byte], off: Int): Long = {
+        var h = 0L; var i = 0
+        while (i < 6) { h = (h << 8) | (d(off + i) & 0xffL); i += 1 }
+        h
+      }
       rows.map { r =>
-        // ??? real decode: codec.decode(r.payload)
-        val h = java.util.Arrays.hashCode(r.payload).toLong ^ codecSeed
+        // ??? real decode: codec.decode(r.payload); the fake mirrors
+        // decodeStub's md5-slice dimensions bit-for-bit (oracle-checked)
+        digest.reset()
+        val d = digest.digest(r.payload)
         MediaFeatures(r.doc_id, r.payload.length.toLong,
-          math.floorMod(h, 1920L) + 1, math.floorMod(h >> 16, 1080L) + 1,
+          slice48(d, 0) % 1920L + 1, slice48(d, 6) % 1080L + 1,
           r.payload.length.toLong / 3)
       }
     }

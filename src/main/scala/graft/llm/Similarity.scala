@@ -127,6 +127,37 @@ object Similarity {
         col("rnk").cast("long").as("rnk"), col("sim"))
   }
 
+  /** Driver-gated consequence oracle for [[ivfTopK]] (VERDICT r3 #3),
+    * in the `a5_approx_bound` mold: the ANN's exact guarantees are
+    * checked against the (fully oracled) brute-force truth and reduced
+    * to per-query booleans the oracle reproduces as constants.
+    *
+    *  - `recall_ok`: the IVF top-k recovers at least `recallFloor` of
+    *    the true top-k (nprobe/nlist = 1/4 scan fraction; learned cells
+    *    must beat random-subset recall by a wide margin);
+    *  - `sims_exact`: every similarity the ANN reports for a true
+    *    neighbor is BIT-IDENTICAL to the brute-force score — the
+    *    integer-quantized dot/norm pipeline guarantees approximation
+    *    only ever drops candidates, never corrupts a score.
+    */
+  def ivfRecallGate(spark: SparkSession, sfDir: String,
+                    numQueries: Int = 20, k: Int = 10,
+                    recallFloor: Double = 0.3): DataFrame = {
+    val bf = bruteForceTopK(spark, sfDir, numQueries, k)
+      .select(col("q_id"), col("c_id"), col("sim").as("sim_bf"))
+    val ann = ivfTopK(spark, sfDir, numQueries, k)
+      .select(col("q_id"), col("c_id"), col("sim").as("sim_ann"))
+    val hits = ann.join(bf, Seq("q_id", "c_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hit_ct"),
+        max(abs(col("sim_ann") - col("sim_bf"))).as("max_diff"))
+    bf.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("hit_ct"), lit(0L)).cast("double") / k >= recallFloor).as("recall_ok"),
+        (coalesce(col("max_diff"), lit(0.0)) === 0.0).as("sims_exact"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity floor.
     *
     * Two physical paths, gated on corpus size (VERDICT r1 #4/#8 — the

@@ -37,11 +37,47 @@ object Bench {
     // time sentinel (never a fast-looking small number), and is
     // excluded from the total.
     spark.catalog.clearCache()
+    // plan_sha: hash of the FINAL (post-AQE) physical plan with the
+    // run-varying ids stripped (expr #ids, plan_id, object addresses).
+    // Plan hash unchanged + time inflated across rounds = host
+    // contention, not a regression — the disambiguator the r2 bench
+    // episode lacked (VERDICT r3 #8).
+    def planSha(plan: String): String = {
+      val normalized = plan
+        .replaceAll("#\\d+", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("@[0-9a-fA-F]+", "@")
+        .replaceAll("id=#?\\d+", "id=")
+        // run-order-dependent AQE artifacts: stage numbers, codegen ids,
+        // lambda class suffixes, and the build side of a BHJ where both
+        // sides fit (AQE picks whichever stage materialized first)
+        .replaceAll("QueryStage \\d+", "QueryStage")
+        .replaceAll("\\*\\(\\d+\\)", "*")
+        .replaceAll("\\$\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
+        .replaceAll("BuildLeft|BuildRight", "Build")
+      // hash the SORTED canonical node lines, not the tree rendering:
+      // when both join sides fit the broadcast budget AQE puts whichever
+      // stage finished first on the build side, flipping child order —
+      // same nodes, same cost. The node multiset still catches every
+      // regression this field exists for (new exchange, lost pushdown,
+      // BNLJ, extra scan).
+      val canonical = normalized.linesIterator
+        .map(_.replaceAll("^[\\s:+|-]*", "")).filter(_.nonEmpty)
+        .toSeq.sorted.mkString("\n")
+      val d = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(6).map(b => f"$b%02x").mkString
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
+      var sha = ""
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+        try {
+          val qe = fn(spark, sfDir).queryExecution
+          qe.toRdd.count()
+          sha = planSha(qe.executedPlan.toString) // final adaptive plan, free to read
+        } catch {
           case t: Throwable =>
             err = Some(t.getClass.getSimpleName + ": " +
               String.valueOf(t.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
@@ -50,15 +86,17 @@ object Bench {
         spark.catalog.clearCache()
         t
       }.min
-      (name, if (err.isEmpty) dt else -1.0, err)
+      (name, if (err.isEmpty) dt else -1.0, err, sha)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val shas = results.collect { case (k, _, None, s) => s"\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_ct":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_ct":$nErr,"plan_sha":$shas,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

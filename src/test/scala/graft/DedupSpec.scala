@@ -17,6 +17,29 @@ class DedupSpec extends SparkSpec {
       s"LSH missed too many true pairs: $missed")
   }
 
+  test("cluster path choice runs no extra gating job (VERDICT r3 #7)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      .repartition(1).cache()
+    pairs.count() // materialize the cache outside the measured window
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val df = Dedup.nearDupClustersFromPairs(spark, pairs)
+        Thread.sleep(1500)
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // head(limit+1) IS the edge fetch — path choice adds no count() job
+    assert(jobs == 1, s"path choice must piggyback on the edge fetch, saw $jobs jobs")
+    val clusters = out.as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    pairs.unpersist()
+  }
+
   test("minhash signature agreement approximates true jaccard") {
     val est = Dedup.minhashLsh(spark, sf)
       .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)]

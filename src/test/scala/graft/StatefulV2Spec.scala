@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.model.{FirstSeen, KeyDay}
 import graft.streaming.StatefulV2
+import graft.model.{VersionedAmount, VisitorHit, VisitorHitFixed}
 
 class StatefulV2Spec extends SparkSpec {
   import spark.implicits._
@@ -29,6 +30,109 @@ class StatefulV2Spec extends SparkSpec {
     assert(out == Set(
       FirstSeen("u1", "2024-01-01"), FirstSeen("u1", "2024-01-02"),
       FirstSeen("u2", "2024-01-03")))
+  }
+
+  test("V2 == V1 on identical batch replays for the whole state family (VERDICT r3 #5)") {
+    coordinatorReady
+    // A6 first-seen
+    val days = Seq(KeyDay("u1", "2024-01-01"), KeyDay("u1", "2024-01-01"),
+      KeyDay("u1", "2024-01-03"), KeyDay("u2", "2024-02-01"), KeyDay("u2", "2024-01-31"))
+    assert(StatefulV2.firstSeenPerDayTtl(days.toDS()).collect().toSet ==
+      graft.streaming.Stateful.firstSeenPerDay(days.toDS()).collect().toSet)
+    // A8 is_new repair: forged flag, legit new, pre-pipeline visitor
+    val hits = Seq(
+      VisitorHit("m1", "2024-01-01", "1"), VisitorHit("m1", "2024-01-02", "1"),
+      VisitorHit("m1", "2024-01-01", "1"), VisitorHit("m2", "2024-01-02", "0"),
+      VisitorHit("m3", "2024-01-05", "0"), VisitorHit("m3", "2024-01-06", "1"))
+    assert(StatefulV2.isNewFixTtl(hits.toDS()).collect().toSet ==
+      graft.streaming.Stateful.isNewFix(hits.toDS()).collect().toSet)
+    // login uu/back-flow: strict-advance guard + gap detection
+    def le(u: String, d: String) =
+      graft.rtdw.LoginEvent(u, d, java.sql.Timestamp.valueOf(s"$d 10:00:00"))
+    val logins = Seq(le("a", "2024-01-01"), le("a", "2024-01-01"), le("a", "2024-01-20"),
+      le("b", "2024-01-02"), le("b", "2024-01-01"))
+    assert(StatefulV2.loginFlagsTtl(logins.toDS()).collect().toSet ==
+      graft.rtdw.DwsApps.loginFlags(logins.toDS()).collect().toSet)
+    // A7 upsert deltas: corrections telescope, stale versions ignored
+    val amts = Seq(VersionedAmount("d1", 1L, 1000L), VersionedAmount("d1", 5L, 1300L),
+      VersionedAmount("d1", 3L, 1100L), VersionedAmount("d2", 2L, 500L))
+    assert(StatefulV2.upsertDeltasTtl(amts.toDS()).collect().toSet ==
+      graft.streaming.Stateful.upsertDeltas(amts.toDS()).collect().toSet)
+  }
+
+  test("V2 state family survives a RocksDB checkpoint restart with V1-identical output") {
+    val root = java.nio.file.Files.createTempDirectory("v2_rocks").toString
+    val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def startQuery() =
+        StatefulV2.isNewFixTtl(
+          spark.readStream.schema("mid STRING, day STRING, isNew STRING")
+            .json(in).as[VisitorHit])
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+        """{"mid":"m1","day":"2024-01-01","isNew":"1"}
+          |{"mid":"m2","day":"2024-01-01","isNew":"0"}""".stripMargin.getBytes)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      // restart from checkpoint: m1's forged "new" flag on a later day
+      // must flip to 0 — provable only if firstDay survived the restart
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        """{"mid":"m1","day":"2024-01-02","isNew":"1"}
+          |{"mid":"m2","day":"2024-01-02","isNew":"0"}""".stripMargin.getBytes)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(outDir).as[VisitorHitFixed].collect().toSet
+      val replayed = Seq(
+        VisitorHit("m1", "2024-01-01", "1"), VisitorHit("m2", "2024-01-01", "0"),
+        VisitorHit("m1", "2024-01-02", "1"), VisitorHit("m2", "2024-01-02", "0"))
+      assert(got == graft.streaming.Stateful.isNewFix(replayed.toDS()).collect().toSet)
+      assert(got.contains(VisitorHitFixed("m1", "2024-01-02", "0")),
+        "forged flag must flip via state restored from the checkpoint")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("declarative TTL: an idle key's value expires from the store and re-counts on return") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[KeyDay]
+      // TimeMode.ProcessingTime keeps micro-batches firing to advance
+      // the TTL clock, so processAllAvailable never drains — poll the
+      // sink with a deadline instead (the cadence a real deployment
+      // runs on anyway).
+      val q = StatefulV2.firstSeenPerDayTtl(ms.toDS(), ttl = java.time.Duration.ofSeconds(2))
+        .writeStream.format("memory").queryName("fsd2_ttl").outputMode("append").start()
+      def rowsNow(): Seq[FirstSeen] = spark.table("fsd2_ttl").as[FirstSeen].collect().toSeq
+      def awaitRows(n: Int, deadlineMs: Long = 60000L): Seq[FirstSeen] = {
+        val t0 = System.currentTimeMillis()
+        var r = rowsNow()
+        while (r.size < n && System.currentTimeMillis() - t0 < deadlineMs) {
+          Thread.sleep(200); r = rowsNow()
+        }
+        r
+      }
+      try {
+        ms.addData(KeyDay("u1", "2024-01-01"))
+        assert(awaitRows(1).size == 1)
+        Thread.sleep(3000) // let u1's value pass its 2 s TTL
+        // u1 returns with the SAME day: with its value expired the dup
+        // suppression restarts, so it re-emits — the reference's own
+        // StateTtlConfig re-count trade, now via declarative TTL
+        ms.addData(KeyDay("u1", "2024-01-01"))
+        val rows = awaitRows(2)
+        assert(rows.count(_ == FirstSeen("u1", "2024-01-01")) == 2,
+          s"expired key must re-count: $rows")
+        // eviction is visible in the store: only the fresh value remains
+        val totalState = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        assert(totalState <= 1, s"expired value must leave the store, saw $totalState rows")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("transformWithState streaming: cross-batch state under RocksDB provider") {

@@ -82,6 +82,8 @@ object SparkEntry {
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_winnow_fp" -> ((s: SparkSession, d: String) => TextAnalysis.winnowFingerprints(s, d)),
+    "text_winnow_covers_runs" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.winnowCoversRuns(s, d)),
     "text_seq_pack" -> ((s: SparkSession, d: String) => TextAnalysis.sequencePack(s, d)),
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_redact_pii" -> (TextAnalysis.redactPii _),
@@ -156,6 +158,17 @@ object SparkEntry {
     "sim_ivf_recall_gate" ->
       """SELECT DISTINCT vec_id AS q_id, true AS recall_ok, true AS sims_exact
          FROM embeddings WHERE vec_id < 20""",
+
+    // winnowing consequence gate: the w+k−1 run guarantee is exact, so
+    // the intersection must equal the full shared-8-gram pair set
+    "text_winnow_covers_runs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+                    FROM t WHERE len(w) >= 8),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s
+                   FROM idx)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id""",
 
     "mm_decode_stub" ->
       """SELECT doc_id,

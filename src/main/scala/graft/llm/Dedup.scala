@@ -50,8 +50,18 @@ object Dedup {
     * Output doubles are single int/int divisions (bit-exact vs oracle).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5,
-                   dfCap: Int = 64): DataFrame = {
-    val shAll = shingles(Tables.documents(spark, sfDir))
+                   dfCap: Int = 64): DataFrame =
+    ngramJaccardDf(Tables.documents(spark, sfDir), threshold, dfCap)
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text) DataFrame — the
+    * form ScaleProbe drives with synthetic corpora to measure that
+    * candidate volume stays linear in corpus size (VERDICT r3 #6).
+    * threshold=0 returns the RAW candidate set (every shared-shingle
+    * pair the inverted index generates).
+    */
+  def ngramJaccardDf(docs: DataFrame, threshold: Double = 0.5,
+                     dfCap: Int = 64): DataFrame = {
+    val shAll = shingles(docs)
     val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val sh = shAll.join(rare, "s").cache()
@@ -175,9 +185,21 @@ object Dedup {
     * 100 TB (all-pairs never materializes).
     */
   def minhashLsh(spark: SparkSession, sfDir: String,
-                 numHashes: Int = 64, bands: Int = 8): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 8): DataFrame =
+    minhashLshDf(Tables.documents(spark, sfDir), numHashes, bands)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) DataFrame (see
+    * [[ngramJaccardDf]]) — one output row per candidate pair, so a
+    * count of this IS the LSH candidate volume.
+    */
+  def minhashLshDf(docs: DataFrame,
+                   numHashes: Int = 64, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(spark, sfDir, numHashes).cache()
+    val sig = docs
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_shingle_sig(
+          split(col("text"), " "), NGRAM, numHashes).as("sig"))
+      .filter(col("sig").isNotNull).cache()
     val bandedAll = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")

@@ -227,6 +227,37 @@ object TextAnalysis {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Winnowing coverage gate (VERDICT r3 #3 family, covers-jaccard
+    * mold): Schleimer et al.'s guarantee is DETERMINISTIC — any shared
+    * token run of length ≥ w+k−1 contains one full hash window in both
+    * documents, whose minimum VALUE both emit — and "docs sharing a
+    * (w+k−1)-token run" is SQL-expressible. This query emits the pairs
+    * that share a (w+k−1)-gram AND at least one winnow fingerprint;
+    * the DuckDB oracle independently reproduces the full
+    * shared-(w+k−1)-gram pair set. Hash-equal iff the rolling-hash
+    * kernel never misses a guaranteed match. (The short-doc branch is
+    * covered too: a doc of exactly w+k−1 tokens takes its global min
+    * over exactly that one window.)
+    */
+  def winnowCoversRuns(spark: SparkSession, sfDir: String,
+                       k: Int = 5, w: Int = 4): DataFrame = {
+    val run = w + k - 1
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.functions.shingle_hashes(
+          split(col("text"), " "), run)).as("s"))
+    val gramPairs = grams.select(col("doc_id").as("doc_a"), col("s"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val fps = winnowFingerprints(spark, sfDir, k, w)
+    val fpPairs = fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    gramPairs.join(fpPairs, Seq("doc_a", "doc_b"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive document signature (bag-of-words identity)
     * for cheap cross-corpus duplicate detection.

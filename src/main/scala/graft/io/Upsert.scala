@@ -223,8 +223,10 @@ object Upsert {
       throw new IllegalStateException(s"no committed manifest under $dir"))
     val n = m.numBuckets(numBuckets)
     val buckets = values.map(bucketOfKey(_, n)).distinct
+    // every bucket resolves against the SAME manifest `m` — one
+    // snapshot for the whole lookup, even if a merge commits mid-call
     val files: Seq[String] = buckets.flatMap { b =>
-      bloomCandidates(spark, dir, b, values) match {
+      bloomCandidatesIn(spark, dir, m, b, values) match {
         case Some((cand, _)) => cand // bloom-narrowed
         case None => m.files.getOrElse(b, Seq.empty) // whole bucket
       }

@@ -169,6 +169,39 @@ class DurabilitySpec extends SparkSpec {
     assert(Upsert.read(spark, dir).count() == 400)
   }
 
+  test("live concurrency: readers racing a merging writer only ever see whole snapshots") {
+    val root = Files.createTempDirectory("dur_race").toString
+    val dir = s"$root/t"
+    // every commit rewrites ALL 200 keys (touching every bucket) to one
+    // version, so ANY consistent snapshot has exactly 200 rows of ONE
+    // distinct version — a torn multi-bucket read would mix versions
+    def full(v: Long) = (1 to 200).map(i => (s"k$i", v, s"v$v")).toDF("id", "ver", "payload")
+    Upsert.merge(spark, dir, full(0L), pk = Seq("id"), versionCol = "ver")
+
+    @volatile var torn: Option[String] = None
+    @volatile var writerDone = false
+    val writer = new Thread(() => {
+      try (1L to 8L).foreach { v =>
+        Upsert.merge(spark, dir, full(v), pk = Seq("id"), versionCol = "ver")
+      } finally writerDone = true
+    })
+    val reader = new Thread(() => {
+      while (!writerDone && torn.isEmpty) {
+        val rows = Upsert.read(spark, dir).select("ver", "payload")
+          .as[(Long, String)].collect()
+        val vs = rows.map(_._1).distinct
+        if (rows.length != 200 || vs.length != 1 ||
+            rows.exists { case (v, p) => p != s"v$v" })
+          torn = Some(s"rows=${rows.length} versions=${vs.toSeq.sorted}")
+      }
+    })
+    writer.start(); reader.start()
+    writer.join(300000); reader.join(300000)
+    assert(torn.isEmpty, s"reader saw a torn snapshot: $torn")
+    val fin = Upsert.read(spark, dir).select("ver").distinct().as[Long].collect().toSeq
+    assert(fin == Seq(8L))
+  }
+
   test("a half-written initial CREATE is invisible until its manifest commits (VERDICT r3 #4)") {
     val root = Files.createTempDirectory("dur_create").toString
     val dir = s"$root/t"

@@ -90,6 +90,9 @@ object SparkEntry {
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "text_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
+    "text_split_assign" -> (TextAnalysis.splitAssign _),
+    "text_domain_mix" -> (TextAnalysis.domainMix _),
     "curate_corpus" -> (TextAnalysis.curateCorpus _),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -681,6 +684,44 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
          FROM documents""",
+
+    // deterministic hash sampling / split / mixing: the u48 draw is the
+    // first 12 hex chars of md5(salt || doc_id) — engine-portable, so
+    // membership itself is hash-checked, not just counts
+    "text_sample_hash" ->
+      """SELECT doc_id,
+                CAST('0x' || substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS u48
+         FROM documents
+         WHERE CAST('0x' || substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+               < 70368744177664""",
+
+    "text_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+                           CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                             % 100 AS bucket
+                    FROM documents)
+         SELECT doc_id, bucket,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 96 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b""",
+
+    "text_domain_mix" ->
+      """WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                                (CAST(substring(source, 4) AS INT) + 1) / 210.0 AS w
+                         FROM documents GROUP BY 1),
+            t AS (SELECT min(n_docs / w) AS t FROM counts),
+            rates AS (SELECT source, n_docs,
+                             LEAST(1.0, w * t.t / n_docs) AS keep_rate
+                      FROM counts, t),
+            kept AS (SELECT d.source,
+                            CASE WHEN CAST('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                                 < CAST(FLOOR(r.keep_rate * 281474976710656) AS BIGINT)
+                                 THEN 1 ELSE 0 END AS k
+                     FROM documents d JOIN rates r USING (source))
+         SELECT r.source, r.n_docs, r.keep_rate, CAST(SUM(k.k) AS BIGINT) AS n_kept
+         FROM rates r JOIN kept k USING (source)
+         GROUP BY 1, 2, 3""",
 
     "text_redact_pii" ->
       """WITH d AS (SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
@@ -256,6 +256,82 @@ object TextAnalysis {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     gramPairs.join(fpPairs, Seq("doc_a", "doc_b"))
+  }
+
+  /** 2^48 — the exclusive upper bound of [[u48]]. */
+  val U48Range: Long = 1L << 48
+
+  /** Deterministic uniform draw in [0, 2^48): the first 12 hex chars of
+    * md5(salt ‖ key) as an integer. A pure function of the key — the
+    * same doc draws the same value on every run, every engine, every
+    * cluster size — which is what makes hash-based sampling and split
+    * assignment REPRODUCIBLE (rand()-based sampling changes membership
+    * under retries, re-partitioning, and re-runs; at 100 TB a retry-safe
+    * sample must be content-addressed). Distinct salts give independent
+    * draws from the same key.
+    */
+  private def u48(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Deterministic Bernoulli sample: keep a doc iff its u48 draw falls
+    * below keepNum/keepDen of the range. Per-row, no shuffle, no state;
+    * the keep decision is stable under re-runs and data growth (a doc's
+    * membership never flips when other docs arrive — the property that
+    * keeps downstream caches and eval sets valid). The integer
+    * threshold compare is bit-exact across engines.
+    */
+  def sampleHash(spark: SparkSession, sfDir: String,
+                 keepNum: Long = 1, keepDen: Long = 4): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("u48", u48(col("doc_id"), "smpl:"))
+      .filter(col("u48") < lit(U48Range / keepDen * keepNum))
+      .select(col("doc_id"), col("u48"))
+
+  /** Train/val/test split assignment by hash bucket (90/6/4 here):
+    * bucket = u48 mod 100 under its own salt, so the split is
+    * independent of any sampling pass. Content-addressed splits are the
+    * standard leakage guard — a doc can never migrate between train and
+    * test across pipeline runs or dataset versions, and the assignment
+    * needs no global coordination (no shuffle, no driver state).
+    */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", (u48(col("doc_id"), "split:") % 100).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 96, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  /** Domain mixing: downsample each source to hit a target mixture.
+    * Target weight here derives from the source index ((idx+1)/210 over
+    * src0..src19 — swap for the real mixture table); the largest
+    * total size T honoring the mixture is min over sources of n_g/w_g,
+    * and each source keeps min(1, w_g·T/n_g) of its docs by u48
+    * threshold. Shape at 100 TB: one map-side-combinable count per
+    * source (sources are few), the per-source rates broadcast back, and
+    * the corpus streams once through a per-row integer compare — no
+    * shuffle of the data itself. Returns the per-source audit
+    * (n_docs, keep_rate, n_kept); the keep-list is the same filter
+    * without the final rollup.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", (substring(col("source"), 4, 10).cast("int") + 1) / 210.0)
+    val t = counts.agg(min(col("n_docs") / col("w")).as("t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .withColumn("keep_rate", least(lit(1.0), col("w") * col("t") / col("n_docs")))
+      .select(col("source"), col("n_docs"), col("keep_rate"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("k",
+        when(u48(col("doc_id"), "mix:") <
+          floor(col("keep_rate") * U48Range).cast("long"), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("source"), col("n_docs"), col("keep_rate"))
+      .agg(sum(col("k")).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("keep_rate"), col("n_kept"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set —

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.llm.TextAnalysis
+
+/** Hash-based sampling / split / domain-mixing invariants. The full
+  * row/schema/hash oracle runs in the driver gate; these pin the
+  * properties the oracle can't phrase: partition-independence (the
+  * reproducibility claim that separates hash sampling from rand()),
+  * split exhaustiveness, and the mixture's binding-source behavior.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sample membership is a pure function of doc_id — partitioning-independent, rerun-stable") {
+    val a = TextAnalysis.sampleHash(spark, sf).as[(Long, Long)].collect().toSet
+    val b = TextAnalysis.sampleHash(spark, sf).as[(Long, Long)].collect().toSet
+    assert(a == b)
+    val total = Tables.documents(spark, sf).count()
+    assert(a.nonEmpty && a.size < total)
+    // every kept draw is below the 1/4 threshold
+    assert(a.forall(_._2 < (1L << 48) / 4))
+  }
+
+  test("split assignment partitions the corpus exactly") {
+    val splits = TextAnalysis.splitAssign(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(splits.count() == total)
+    assert(splits.select("doc_id").distinct().count() == total)
+    val bySplit = splits.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit.values.sum == total)
+    // train dominates under the 90/6/4 bucket thresholds
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+  }
+
+  test("domain mix: kept within stratum size, binding source keeps everything") {
+    val mix = TextAnalysis.domainMix(spark, sf)
+      .as[(String, Long, Double, Long)].collect()
+    assert(mix.length == 20)
+    mix.foreach { case (_, n, rate, kept) =>
+      assert(kept <= n)
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // src19 carries the max weight: it binds T, keep_rate 1.0, keeps all
+    val (_, n19, rate19, kept19) = mix.find(_._1 == "src19").get
+    assert(rate19 == 1.0 && kept19 == n19)
+  }
+}

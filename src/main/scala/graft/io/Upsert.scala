@@ -76,9 +76,15 @@ object Upsert {
     * paths RELATIVE to the table root; `props` carries table metadata
     * (numBuckets; [[MergeOnRead]] stores its compaction watermark here
     * so base files and watermark commit in the same rename).
+    *
+    * `segRefs` is non-empty when the snapshot was committed in
+    * SEGMENTED form (see [[commitManifest]]): segment index → segment
+    * file name. `files` is always fully resolved either way — segRefs
+    * exists so the NEXT commit can re-reference unchanged segments.
     */
   case class Manifest(gen: Long, props: Map[String, String],
-                      files: Map[Int, Seq[String]]) {
+                      files: Map[Int, Seq[String]],
+                      segRefs: Map[Int, String] = Map.empty) {
     def allFiles: Seq[String] = files.values.flatten.toSeq
     def numBuckets(default: Int): Int =
       props.get("numBuckets").map(_.toInt).getOrElse(default)
@@ -87,29 +93,76 @@ object Upsert {
   private def manifestName(gen: Long) = f"_manifest-$gen%020d"
   private val ManifestRe = """_manifest-(\d+)""".r
   private val GenDirRe = """__gen=(\d+)""".r
+  private def msegName(gen: Long, seg: Int) = f"_mseg-$gen%020d-$seg"
+  private val MsegRe = """_mseg-(\d+)-(-?\d+)""".r
 
-  private def serialize(m: Manifest): String = {
-    val propLines = m.props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-    val fileLines = m.files.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+  /** Internal prop recording the bucketsPerSegment a segmented commit
+    * used — segment reuse is only sound against a previous manifest cut
+    * with the SAME grouping.
+    */
+  private val SegSizeProp = "__segSize"
+
+  /** Above this many total data files the manifest splits into segment
+    * files (the Iceberg manifest-list shape — backlog r4 #2). 4096
+    * one-line entries ≈ a few hundred KB inline, so small tables never
+    * pay the extra reads; conf-settable for tests and huge tables.
+    */
+  private def inlineMaxFiles(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.inlineMaxFiles", "4096").toInt
+
+  /** Buckets per segment file in segmented form. At 4096 buckets and 64
+    * buckets/segment a point merge rewrites 1 of 64 segment files and
+    * re-references the other 63 by name.
+    */
+  private def bucketsPerSegment(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.bucketsPerSegment", "64").toInt
+
+  private def segOf(bucket: Int, segSize: Int): Int =
+    Math.floorDiv(bucket, segSize)
+
+  private def fileLines(files: Map[Int, Seq[String]]): String =
+    files.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
       fs.sorted.map(f => s"$b\t$f")
-    }
-    (propLines ++ fileLines).mkString("\n")
+    }.mkString("\n")
+
+  private def serializeInline(m: Manifest): String = {
+    val propLines = (m.props - SegSizeProp).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#$k=$v" }
+    (propLines.mkString("\n") + "\n" + fileLines(m.files)).trim
   }
 
-  private def parse(gen: Long, text: String): Manifest = {
+  private def parseFileLines(lines: Seq[String]): Map[Int, Seq[String]] =
+    lines.map { l =>
+      val Array(b, p) = l.split("\t", 2); (b.toInt, p)
+    }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+
+  /** Parse a root manifest; a line `@<seg>\t<name>` references a
+    * segment file holding that group's `bucket\tfile` lines.
+    */
+  private def parse(spark: SparkSession, dir: String, gen: Long,
+                    text: String): Manifest = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     val props = lines.filter(_.startsWith("#")).map { l =>
       val Array(k, v) = l.drop(1).split("=", 2); k -> v
     }.toMap
-    val files = lines.filterNot(_.startsWith("#")).map { l =>
-      val Array(b, p) = l.split("\t", 2); (b.toInt, p)
-    }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
-    Manifest(gen, props, files)
+    val segRefs = lines.filter(_.startsWith("@")).map { l =>
+      val Array(s, n) = l.drop(1).split("\t", 2); (s.toInt, n)
+    }.toMap
+    val inline = parseFileLines(
+      lines.filterNot(l => l.startsWith("#") || l.startsWith("@")))
+    val fromSegs = segRefs.toSeq.sortBy(_._1).map { case (_, name) =>
+      val body = FsOps.readTextOpt(spark, new Path(dir, name)).getOrElse(
+        throw new IllegalStateException(
+          s"manifest gen=$gen references missing segment $name under $dir"))
+      parseFileLines(body.linesIterator.filter(_.nonEmpty).toSeq)
+    }.foldLeft(Map.empty[Int, Seq[String]])(_ ++ _)
+    Manifest(gen, props, inline ++ fromSegs, segRefs)
   }
 
   /** The newest committed snapshot, or None for a missing/empty table.
-    * One listing + one small-file read — the entire read-side planning
-    * cost of snapshot isolation.
+    * One listing + one small-file read (plus one read per manifest
+    * segment for huge tables) — the entire read-side planning cost of
+    * snapshot isolation.
     */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val root = new Path(dir)
@@ -120,7 +173,8 @@ object Upsert {
     if (gens.isEmpty) None
     else {
       val g = gens.max
-      FsOps.readTextOpt(spark, new Path(root, manifestName(g))).map(parse(g, _))
+      FsOps.readTextOpt(spark, new Path(root, manifestName(g)))
+        .map(parse(spark, dir, g, _))
     }
   }
 
@@ -128,10 +182,66 @@ object Upsert {
     * long as [[vacuum]] has not collected its files yet.
     */
   def manifestAt(spark: SparkSession, dir: String, gen: Long): Option[Manifest] =
-    FsOps.readTextOpt(spark, new Path(dir, manifestName(gen))).map(parse(gen, _))
+    FsOps.readTextOpt(spark, new Path(dir, manifestName(gen)))
+      .map(parse(spark, dir, gen, _))
 
-  private def commitManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
-    FsOps.writeTextAtomic(spark, new Path(dir, manifestName(m.gen)), serialize(m))
+  /** Commit a snapshot. The root `_manifest-<gen>` rename is ALWAYS the
+    * single visibility point; what varies is whether the file list
+    * rides inline or in segment files written (invisibly) first:
+    *
+    *  - ≤ inlineMaxFiles data files: inline, exactly as before.
+    *  - above: buckets group into segments of `bucketsPerSegment`; a
+    *    segment whose serialized content is IDENTICAL to the previous
+    *    manifest's grouping is re-referenced by its existing name —
+    *    zero writes — and only segments containing touched buckets get
+    *    a new `_mseg-<gen>-<seg>` file. Commit metadata I/O is
+    *    O(touched buckets), not O(table files): the property that keeps
+    *    a 100 TB table's per-batch commit flat as file counts grow.
+    *
+    * A crash before the root rename leaves only unreferenced segment
+    * files ([[vacuum]] collects them); readers of either form resolve
+    * through one root, so snapshot isolation is unchanged.
+    */
+  private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
+                             prev: Option[Manifest] = None): Unit = {
+    val total = m.files.valuesIterator.map(_.size).sum
+    if (total <= inlineMaxFiles(spark)) {
+      FsOps.writeTextAtomic(spark, new Path(dir, manifestName(m.gen)),
+        serializeInline(m))
+      return
+    }
+    val segSize = bucketsPerSegment(spark)
+    val groups: Map[Int, Map[Int, Seq[String]]] =
+      m.files.groupBy { case (b, _) => segOf(b, segSize) }
+    // reuse is sound only against a previous SEGMENTED manifest cut
+    // with the same grouping (its segment files hold exactly the
+    // re-serialized content we compare against)
+    val prevGroups: Map[Int, Map[Int, Seq[String]]] = prev match {
+      case Some(p) if p.segRefs.nonEmpty &&
+          p.props.get(SegSizeProp).contains(segSize.toString) =>
+        p.files.groupBy { case (b, _) => segOf(b, segSize) }
+      case _ => Map.empty
+    }
+    val refs: Map[Int, String] = groups.map { case (seg, bucketFiles) =>
+      val content = fileLines(bucketFiles)
+      val reused = for {
+        p <- prev
+        pc <- prevGroups.get(seg)
+        ref <- p.segRefs.get(seg)
+        if fileLines(pc) == content
+      } yield ref
+      seg -> reused.getOrElse {
+        val name = msegName(m.gen, seg)
+        FsOps.writeTextAtomic(spark, new Path(dir, name), content)
+        name
+      }
+    }
+    val propLines = ((m.props - SegSizeProp) + (SegSizeProp -> segSize.toString))
+      .toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val segLines = refs.toSeq.sortBy(_._1).map { case (s, n) => s"@$s\t$n" }
+    FsOps.writeTextAtomic(spark, new Path(dir, manifestName(m.gen)),
+      (propLines ++ segLines).mkString("\n"))
+  }
 
   /** Next unused generation number: above every committed manifest AND
     * every staged/orphaned generation directory.
@@ -362,6 +472,7 @@ object Upsert {
     val files =
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
+    // full replace: every segment changes, so no prev to reuse from
     commitManifest(spark, dir, Manifest(gen, props, files))
   }
 
@@ -484,7 +595,7 @@ object Upsert {
             .withColumn(ChangeFeed.ChangeCol, lit("add"))
           ChangeFeed.append(spark, dir, pre.unionByName(post), commitId)
         }
-        commitManifest(spark, dir, Manifest(gen, man.props, files))
+        commitManifest(spark, dir, Manifest(gen, man.props, files), Some(man))
     }
   }
 
@@ -552,7 +663,8 @@ object Upsert {
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
         .map(n => s"__gen=$gen/$BucketCol=$b/$n")
     }
-    commitManifest(spark, dir, Manifest(gen, man.props, man.files ++ compacted))
+    commitManifest(spark, dir, Manifest(gen, man.props, man.files ++ compacted),
+      Some(man))
   }
 
   /** Garbage-collect superseded generations: keep the newest
@@ -571,12 +683,21 @@ object Upsert {
     val gens = entries.collect { case ManifestRe(g) => g.toLong }.sorted
     if (gens.isEmpty) return
     val keep = gens.takeRight(math.max(1, keepManifests))
-    val referenced: Set[String] = keep.flatMap(g =>
-      manifestAt(spark, dir, g).map(_.allFiles).getOrElse(Seq.empty)).toSet
+    // resolve BEFORE deleting: kept roots may reference segment files
+    // minted by older (about-to-be-deleted) generations
+    val keptManifests = keep.flatMap(g => manifestAt(spark, dir, g))
+    val referenced: Set[String] = keptManifests.flatMap(_.allFiles).toSet
+    val referencedSegs: Set[String] =
+      keptManifests.flatMap(_.segRefs.values).toSet
     // old manifests
     gens.dropRight(math.max(1, keepManifests)).foreach { g =>
       fs.delete(new Path(root, manifestName(g)), false)
     }
+    // segment files no kept root references (superseded or orphaned by
+    // a crash before a root rename)
+    entries.collect { case n @ MsegRe(_, _) => n }
+      .filterNot(referencedSegs.contains)
+      .foreach(n => fs.delete(new Path(root, n), false))
     // unreferenced data files inside generation dirs, then dirs that no
     // longer hold any referenced file (a dir left with only sidecars /
     // _SUCCESS markers goes too)

@@ -210,6 +210,18 @@ object MergeOnRead {
     *               (ties → delta wins, matching batch −1 ordering)
     *   deltaOnly = dWin whose PK has no base row (via a broadcast
     *               semi/anti over a PK-only column-pruned base scan)
+    *
+    * Scan cost model (backlog r4 #3, closed): the base is read
+    * full-width exactly ONCE. The deltaOnly existence probe re-reads
+    * the base PK column alone — parquet column pruning makes that a few
+    * percent of table bytes (one column chunk per row group), and it is
+    * the price of not having a broadcast FULL OUTER hash join: Spark's
+    * BroadcastHashJoin cannot emit unmatched build-side rows (build
+    * match tracking across tasks), so "dWin keys absent from base" must
+    * come from a second, narrow pass. At 100 TB / ~1% PK width that is
+    * ~1 TB of extra columnar I/O and zero shuffle, vs the fallback's
+    * full-table shuffle. MergeOnReadSpec gates both halves: exactly one
+    * full-width base scan, and the probe's scan schema is the PK only.
     */
   private def broadcastResolve(base: DataFrame, deltas: DataFrame,
                                pk: Seq[String], versionCol: String): DataFrame = {

@@ -113,6 +113,38 @@ class MergeOnReadSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("fast path reads the base full-width once; the existence probe is PK-only") {
+    val root = Files.createTempDirectory("mor_scan").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 300).map(i => (s"k$i", "p1", 1L, i.toLong, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op"))
+    MergeOnRead.merge(spark, dir, Seq(("k1", "p1", 2L, 99L, "update"),
+      ("kX", "p2", 2L, 5L, "insert"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = MergeOnRead.read(spark, dir, pk, "ver", Some("op"))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val baseScans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("/base/")) => f
+      }
+      // the cost model broadcastResolve documents: one full-width base
+      // scan + one column-pruned PK-only probe for delta-only keys —
+      // never two wide passes over a 100 TB base
+      assert(baseScans.size == 2,
+        s"expected full-width scan + PK probe, got ${baseScans.size} base scans")
+      val widths = baseScans.map(_.output.map(_.name).toSet)
+      assert(widths.count(_ == pk.toSet) == 1,
+        s"exactly one base scan restricted to the PK, got $widths")
+      assert(widths.count(w => w.size > pk.size) == 1,
+        s"exactly one full-width base scan, got $widths")
+      assert(content(df).exists(_._1 == "kX"), "delta-only key present")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("merge is idempotent under replay via commitId") {
     val root = Files.createTempDirectory("mor_replay").toString
     val dir = s"$root/t"

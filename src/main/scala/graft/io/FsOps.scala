@@ -37,6 +37,58 @@ object FsOps {
     }
   }
 
+  /** Atomically create `path` with `content`, failing (false) when it
+    * already exists — the claim primitive behind the writer lease. On
+    * HDFS-like filesystems `create(overwrite = false)` is the
+    * namenode's atomic exclusive create; Hadoop's LOCAL filesystem
+    * implements it as a non-atomic exists()-then-create and adds `.crc`
+    * sidecars that go stale under contention, so the local scheme goes
+    * through the OS's O_EXCL open instead (atomic by POSIX).
+    */
+  def createExclusive(fs: FileSystem, path: Path, content: String): Boolean =
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(path.toUri.getPath)
+      try {
+        if (nio.getParent != null) java.nio.file.Files.createDirectories(nio.getParent)
+        java.nio.file.Files.write(nio, content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fs.create(path, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  /** Read a small file bypassing checksum sidecars (None on any read
+    * failure — a concurrently rewritten lease token is simply "not
+    * ours"). The checksum layer's `.crc` files lag behind a racing
+    * recreate on the local scheme and throw ChecksumException at
+    * exactly the wrong moment; lease reads must not.
+    */
+  def readRawOpt(fs: FileSystem, path: Path): Option[String] =
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(path.toUri.getPath)
+      try Some(new String(java.nio.file.Files.readAllBytes(nio),
+        StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => None }
+    } else {
+      try {
+        if (!fs.exists(path)) None
+        else {
+          val in = fs.open(path)
+          try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
   /** Write a small text file via stage-and-rename. */
   def writeTextAtomic(spark: SparkSession, path: Path, content: String): Unit = {
     val f = fs(spark, path)

@@ -95,7 +95,7 @@ object MergeOnRead {
     * max(last delta, compactedUpto) + 1).
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-            commitId: Option[String] = None): Long = {
+            commitId: Option[String] = None): Long = Upsert.withWriterLease(spark, dir) {
     commitId.flatMap(committedBatchFor(spark, dir, _)) match {
       case Some(existing) => existing
       case None =>
@@ -229,8 +229,15 @@ object MergeOnRead {
     val dWin = deltaWinners(deltas, pk, versionCol).withColumn("__m", lit(1))
     val joinCond: Column = pk.map(c => col(s"b.$c") === col(s"d.$c")).reduce(_ && _)
     val joined = base.as("b").join(broadcast(dWin.as("d")), joinCond, "left")
+    // Null-aware supersede test, aligned with the fallback window's
+    // (version DESC NULLS LAST, batch DESC) order (VERDICT r4 #2):
+    //  - base NULL, delta anything → delta wins (a null version loses
+    //    to any non-null; ties between nulls fall to batch −1 < K);
+    //  - delta NULL, base non-null → base wins (>= is null→false);
+    //  - both non-null → plain >=, ties to the delta (batch order).
     val deltaWins = col("d.__m").isNotNull &&
-      (col(s"d.$versionCol") >= col(s"b.$versionCol"))
+      (col(s"b.$versionCol").isNull ||
+        (col(s"d.$versionCol") >= col(s"b.$versionCol")))
     val basePart = joined.select(
       when(deltaWins, struct(dataCols.map(c => col(s"d.$c").as(c)): _*))
         .otherwise(struct(dataCols.map(c => col(s"b.$c").as(c)): _*)).as("w"))
@@ -246,14 +253,17 @@ object MergeOnRead {
     * (background amortization: read cost returns to O(base)). The
     * resolved content, its Bloom sidecars, and the new `upto` watermark
     * commit in ONE manifest rename; superseded base generations are
-    * vacuumed down to the previous one (in-flight readers finish);
-    * folded deltas are GC'd last (re-run lazily by the next compact if
-    * a crash strands them; read() already ignores them).
+    * vacuumed down to the previous one (in-flight readers finish), and
+    * folded deltas get the SAME one-cycle retention (ADVICE r4): only
+    * deltas at or below the PREVIOUS retained manifest's watermark are
+    * GC'd, so a reader that resolved the previous snapshot finishes its
+    * delta scan against intact files — the just-folded batches survive
+    * until the NEXT compaction, exactly mirroring keepManifests=2.
     */
   def compact(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
               deleteFlagCol: Option[String] = None,
               numBuckets: Int = Upsert.DefaultNumBuckets,
-              bloom: Boolean = false): Unit = {
+              bloom: Boolean = false): Unit = Upsert.withWriterLease(spark, dir) {
     gcCompactedDeltas(spark, dir) // collect strays from a crashed run
     val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
     if (live.isEmpty) return
@@ -268,6 +278,23 @@ object MergeOnRead {
     gcCompactedDeltas(spark, dir)
   }
 
+  /** The watermark every RETAINED reader snapshot has folded: the upto
+    * of the PREVIOUS (second-newest) manifest still on disk. Deltas at
+    * or below it are invisible both to current readers and to readers
+    * still on the previous snapshot, so GC'ing them can strand nobody.
+    * −1 (retain everything) while fewer than two manifests exist — the
+    * snapshot before the first compaction is deltas-only, and ITS
+    * readers are mid-scan over exactly the batches that compaction
+    * folded.
+    */
+  private def retainedUpto(spark: SparkSession, dir: String): Long = {
+    val base = basePath(dir)
+    val gens = Upsert.manifestGens(spark, base)
+    if (gens.size < 2) -1L
+    else Upsert.manifestAt(spark, base, gens(gens.size - 2))
+      .flatMap(_.props.get("upto")).map(_.toLong).getOrElse(-1L)
+  }
+
   /** Point lookup by PK values: the base side goes through
     * [[Upsert.lookup]] (manifest file list + per-file Blooms when the
     * base was compacted with bloom=true), live deltas — small by the
@@ -279,9 +306,12 @@ object MergeOnRead {
   def lookup(spark: SparkSession, dir: String, pkCol: String, values: Seq[String],
              versionCol: String, deleteFlagCol: Option[String] = None,
              numBuckets: Int = Upsert.DefaultNumBuckets): DataFrame = {
-    val (manOpt, upto, live) = snapshot(spark, dir)
-    val baseOpt = manOpt.map { _ =>
-      Upsert.lookup(spark, basePath(dir), pkCol, values, numBuckets)
+    val (manOpt, _, live) = snapshot(spark, dir)
+    // the base resolves against the SAME manifest the delta list was
+    // cut from (lookupIn) — one snapshot structurally, not by luck of
+    // no compaction committing between two resolutions (ADVICE r4)
+    val baseOpt = manOpt.map { m =>
+      Upsert.lookupIn(spark, basePath(dir), m, pkCol, values, numBuckets)
         .withColumn(BatchCol, lit(-1L))
     }
     val deltaOpt =
@@ -303,9 +333,17 @@ object MergeOnRead {
     dropDeletes(resolved, deleteFlagCol)
   }
 
-  /** Delete delta batches already folded into the base. Idempotent. */
-  def gcCompactedDeltas(spark: SparkSession, dir: String): Unit = {
-    val upto = compactedUpto(spark, dir)
+  /** Delete folded delta batches. Idempotent. By default only batches
+    * every RETAINED manifest has folded go (one-cycle retention — see
+    * [[compact]]); `retainForReaders = false` drops everything ≤ the
+    * CURRENT watermark, safe only when no reader can hold an older
+    * snapshot (offline maintenance).
+    */
+  def gcCompactedDeltas(spark: SparkSession, dir: String,
+                        retainForReaders: Boolean = true): Unit = {
+    val upto =
+      if (retainForReaders) retainedUpto(spark, dir)
+      else compactedUpto(spark, dir)
     if (upto < 0) return
     val fs = FsOps.fs(spark, new Path(deltaRoot(dir)))
     deltaBatches(spark, dir).filter(_._1 <= upto)

@@ -46,10 +46,13 @@ class MergeOnReadSpec extends SparkSpec {
     applyBoth(Seq(("d1", "p1", 1L, 999L, "update")))
     assert(morContent() == cowContent())
 
-    // compact mid-sequence: content unchanged, deltas folded + GC'd
+    // compact mid-sequence: content unchanged, deltas folded; the
+    // folded batches are RETAINED one cycle for readers still on the
+    // pre-compaction snapshot (ADVICE r4) — read() already ignores them
     MergeOnRead.compact(spark, morDir, pk, "ver", deleteFlagCol = Some("op"))
-    assert(MergeOnRead.deltaBatches(spark, morDir).isEmpty, "compacted deltas must be GC'd")
     assert(MergeOnRead.compactedUpto(spark, morDir) == 2L)
+    assert(MergeOnRead.deltaBatches(spark, morDir).map(_._1) == Seq(0L, 1L, 2L),
+      "folded deltas survive one compaction cycle for in-flight readers")
     assert(morContent() == cowContent())
 
     // batch 3 (post-compaction): delete d3 and ALL of p2's rows
@@ -58,10 +61,14 @@ class MergeOnReadSpec extends SparkSpec {
     assert(!morContent().exists(_._2 == "p2"), "deleted province must vanish")
 
     // batch ids stay monotonic across compaction (no reuse of folded ids)
-    assert(MergeOnRead.deltaBatches(spark, morDir).map(_._1) == Seq(3L))
+    assert(MergeOnRead.deltaBatches(spark, morDir).map(_._1) == Seq(0L, 1L, 2L, 3L))
 
-    // second compaction applies the deletes into the base
+    // second compaction applies the deletes into the base AND retires
+    // the previous cycle's folded deltas (every retained manifest has
+    // folded batches ≤ 2 now)
     MergeOnRead.compact(spark, morDir, pk, "ver", deleteFlagCol = Some("op"))
+    assert(MergeOnRead.deltaBatches(spark, morDir).map(_._1) == Seq(3L),
+      "prior-cycle deltas GC'd, just-folded batch retained")
     assert(morContent() == cowContent())
 
     // a delete of an already-compacted-away key stays deleted
@@ -163,17 +170,77 @@ class MergeOnReadSpec extends SparkSpec {
     add(Seq(("k1", "p1", 2L, 20L, "update")))
     MergeOnRead.compact(spark, dir, pk, "ver", deleteFlagCol = Some("op"))
 
-    // simulate the crash: re-create a stale delta dir BELOW the
-    // compaction watermark, as if GC had not run
-    val stale = Seq(("k1", "p1", 1L, 10L, "insert"))
-      .toDF("id", "province_id", "ver", "amount_cents", "op")
-    stale.write.parquet(s"$dir/delta/batch=0")
+    // the folded batches are still on disk (one-cycle retention) —
+    // exactly the state a crash between base swap and delta GC leaves;
+    // read() must ignore everything at or below the watermark
+    assert(MergeOnRead.deltaBatches(spark, dir).map(_._1) == Seq(0L, 1L))
     assert(content(MergeOnRead.read(spark, dir, pk, "ver", Some("op"))) ==
-      Set(("k1", "p1", 2L, 20L, "update")), "stray compacted delta must be invisible")
+      Set(("k1", "p1", 2L, 20L, "update")), "folded/stray deltas must be invisible")
 
-    // the next compact GCs it even with nothing new to fold
-    MergeOnRead.gcCompactedDeltas(spark, dir)
+    // offline force-GC (no readers to protect) clears everything folded
+    MergeOnRead.gcCompactedDeltas(spark, dir, retainForReaders = false)
     assert(MergeOnRead.deltaBatches(spark, dir).isEmpty)
+  }
+
+  test("a reader on the previous snapshot survives a compaction: its deltas outlive one cycle (ADVICE r4)") {
+    val root = Files.createTempDirectory("mor_retain").toString
+    val dir = s"$root/t"
+    def add(rows: Seq[RowT]): Unit =
+      MergeOnRead.merge(spark, dir, rows.toDF("id", "province_id", "ver", "amount_cents", "op"))
+    add(Seq(("k1", "p1", 1L, 10L, "insert")))          // batch 0
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op")) // manifest A: upto=0
+    add(Seq(("k2", "p1", 1L, 20L, "insert")))          // batch 1
+    // a reader resolves snapshot A now: (manifest A, upto=0, deltas {1})
+    val baseDir = s"$dir/base"
+    val genA = Upsert.currentManifest(spark, baseDir).get.gen
+
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op")) // manifest B: upto=1
+    // after the compaction the reader's WHOLE snapshot is still intact:
+    // manifest A's base files (vacuum keep=2) AND delta batch 1 (the
+    // one-cycle retention) — so it finishes scanning without a
+    // FileNotFoundException and sees exactly the pre-compaction content
+    val baseA = Upsert.readAt(spark, baseDir, genA)
+    val delta1 = spark.read.parquet(s"$dir/delta/batch=1")
+    val snapA = baseA.select("id", "amount_cents").unionByName(
+      delta1.select("id", "amount_cents"))
+      .as[(String, Long)].collect().toSet
+    assert(snapA == Set(("k1", 10L), ("k2", 20L)),
+      "previous snapshot (old base + its live deltas) fully readable post-compaction")
+
+    // one more cycle retires batch 1
+    add(Seq(("k3", "p1", 1L, 30L, "insert")))          // batch 2
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op")) // manifest C: upto=2
+    assert(MergeOnRead.deltaBatches(spark, dir).map(_._1) == Seq(2L),
+      "deltas folded by every retained manifest are GC'd")
+  }
+
+  test("NULL versions: broadcast fast path, windowed fallback, and CoW all agree (VERDICT r4 #2)") {
+    val root = Files.createTempDirectory("mor_nullver").toString
+    val morDir = s"$root/mor"; val cowDir = s"$root/cow"
+    def applyBoth(rows: Seq[(String, String, Option[Long], Long, String)]): Unit = {
+      val df = rows.toDF("id", "province_id", "ver", "amount_cents", "op")
+      MergeOnRead.merge(spark, morDir, df)
+      Upsert.merge(spark, cowDir, df, pk, versionCol = "ver", deleteFlagCol = Some("op"))
+    }
+    // base rows k1/k2 carry NULL versions (a source without a usable
+    // version column), k3 a real one
+    applyBoth(Seq(("k1", "p1", None, 10L, "insert"),
+      ("k2", "p1", None, 20L, "insert"), ("k3", "p1", Some(5L), 30L, "insert")))
+    MergeOnRead.compact(spark, morDir, pk, "ver", Some("op"))
+    // deltas: non-null supersedes a NULL base (k1), a NULL delta loses
+    // to a non-null base (k3), NULL-vs-NULL goes to the newer batch (k2)
+    applyBoth(Seq(("k1", "p1", Some(7L), 11L, "update"),
+      ("k2", "p1", None, 22L, "update"),
+      ("k3", "p1", None, 33L, "update")))
+    def got(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select("id", "amount_cents").as[(String, Long)].collect().toMap
+    val fast = got(MergeOnRead.read(spark, morDir, pk, "ver", Some("op")))
+    val slow = got(MergeOnRead.read(spark, morDir, pk, "ver", Some("op"),
+      maxBroadcastDeltaBytes = 0L))
+    val cow = got(Upsert.read(spark, cowDir))
+    assert(fast == slow, s"fast $fast != fallback $slow on NULL versions")
+    assert(fast == cow, s"MOR $fast != CoW $cow on NULL versions")
+    assert(fast == Map("k1" -> 11L, "k2" -> 22L, "k3" -> 30L), s"got $fast")
   }
 
   test("bloomed compaction + point lookup resolve base and deltas correctly") {

@@ -93,6 +93,7 @@ object SparkEntry {
     "text_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "text_split_assign" -> (TextAnalysis.splitAssign _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
+    "text_domain_mix_members" -> (TextAnalysis.domainMixMembers _),
     "curate_corpus" -> (TextAnalysis.curateCorpus _),
     // ---- multimodal plumbing ----
     "mm_binary_meta" -> (Multimodal.binaryMeta _),
@@ -722,6 +723,20 @@ object SparkEntry {
          SELECT r.source, r.n_docs, r.keep_rate, CAST(SUM(k.k) AS BIGINT) AS n_kept
          FROM rates r JOIN kept k USING (source)
          GROUP BY 1, 2, 3""",
+
+    // the keep-list itself, hash-pinned — same rates CTE, no rollup
+    "text_domain_mix_members" ->
+      """WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                                (CAST(substring(source, 4) AS INT) + 1) / 210.0 AS w
+                         FROM documents GROUP BY 1),
+            t AS (SELECT min(n_docs / w) AS t FROM counts),
+            rates AS (SELECT source,
+                             LEAST(1.0, w * t.t / n_docs) AS keep_rate
+                      FROM counts, t)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN rates r USING (source)
+         WHERE CAST('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+               < CAST(FLOOR(r.keep_rate * 281474976710656) AS BIGINT)""",
 
     "text_redact_pii" ->
       """WITH d AS (SELECT doc_id,

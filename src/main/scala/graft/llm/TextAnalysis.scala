@@ -318,20 +318,44 @@ object TextAnalysis {
     */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    val rates = mixRates(docs)
+    docs.join(broadcast(rates), "source")
+      .withColumn("k",
+        when(mixKeeps, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("source"), col("n_docs"), col("keep_rate"))
+      .agg(sum(col("k")).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("keep_rate"), col("n_kept"))
+  }
+
+  /** The per-source keep rates the mixture implies — shared by the
+    * audit ([[domainMix]]) and the keep-list ([[domainMixMembers]]) so
+    * the two can never drift.
+    */
+  private def mixRates(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", (substring(col("source"), 4, 10).cast("int") + 1) / 210.0)
     val t = counts.agg(min(col("n_docs") / col("w")).as("t"))
-    val rates = counts.crossJoin(broadcast(t))
+    counts.crossJoin(broadcast(t))
       .withColumn("keep_rate", least(lit(1.0), col("w") * col("t") / col("n_docs")))
       .select(col("source"), col("n_docs"), col("keep_rate"))
-    docs.join(broadcast(rates), "source")
-      .withColumn("k",
-        when(u48(col("doc_id"), "mix:") <
-          floor(col("keep_rate") * U48Range).cast("long"), lit(1L)).otherwise(lit(0L)))
-      .groupBy(col("source"), col("n_docs"), col("keep_rate"))
-      .agg(sum(col("k")).as("n_kept"))
-      .select(col("source"), col("n_docs"), col("keep_rate"), col("n_kept"))
+  }
+
+  /** A doc's keep decision under its source's `keep_rate` column. */
+  private def mixKeeps: Column =
+    u48(col("doc_id"), "mix:") < floor(col("keep_rate") * U48Range).cast("long")
+
+  /** The domain-mix KEEP-LIST itself: every (doc_id, source) the
+    * mixture retains — [[domainMix]]'s filter without the rollup, so
+    * membership (not just per-source counts) is oracle-pinned. Same
+    * 100 TB shape: tiny rate table broadcast, corpus streams once
+    * through a per-row integer compare, no data shuffle.
+    */
+  def domainMixMembers(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.join(broadcast(mixRates(docs)), "source")
+      .where(mixKeeps)
+      .select(col("doc_id"), col("source"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set —

@@ -38,36 +38,12 @@ object Bench {
     // excluded from the total.
     spark.catalog.clearCache()
     // plan_sha: hash of the FINAL (post-AQE) physical plan with the
-    // run-varying ids stripped (expr #ids, plan_id, object addresses).
-    // Plan hash unchanged + time inflated across rounds = host
-    // contention, not a regression — the disambiguator the r2 bench
-    // episode lacked (VERDICT r3 #8).
-    def planSha(plan: String): String = {
-      val normalized = plan
-        .replaceAll("#\\d+", "#")
-        .replaceAll("plan_id=\\d+", "plan_id=")
-        .replaceAll("@[0-9a-fA-F]+", "@")
-        .replaceAll("id=#?\\d+", "id=")
-        // run-order-dependent AQE artifacts: stage numbers, codegen ids,
-        // lambda class suffixes, and the build side of a BHJ where both
-        // sides fit (AQE picks whichever stage materialized first)
-        .replaceAll("QueryStage \\d+", "QueryStage")
-        .replaceAll("\\*\\(\\d+\\)", "*")
-        .replaceAll("\\$\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
-        .replaceAll("BuildLeft|BuildRight", "Build")
-      // hash the SORTED canonical node lines, not the tree rendering:
-      // when both join sides fit the broadcast budget AQE puts whichever
-      // stage finished first on the build side, flipping child order —
-      // same nodes, same cost. The node multiset still catches every
-      // regression this field exists for (new exchange, lost pushdown,
-      // BNLJ, extra scan).
-      val canonical = normalized.linesIterator
-        .map(_.replaceAll("^[\\s:+|-]*", "")).filter(_.nonEmpty)
-        .toSeq.sorted.mkString("\n")
-      val d = java.security.MessageDigest.getInstance("SHA-1")
-        .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      d.take(6).map(b => f"$b%02x").mkString
-    }
+    // run-varying ids stripped and node lines sorted — the shared
+    // tools.PlanCanon pipeline (so PlanDump prints exactly what this
+    // hashes). Plan hash unchanged + time inflated across rounds =
+    // host contention, not a regression — the disambiguator the r2
+    // bench episode lacked (VERDICT r3 #8).
+    def planSha(plan: String): String = graft.tools.PlanCanon.sha(plan)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       var sha = ""

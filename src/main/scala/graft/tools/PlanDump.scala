@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Diagnostic: print the normalized final physical plan of named
-  * queries (the exact string Bench.planSha hashes) so cross-run hash
-  * instability can be diffed down to its cause.
+  * queries plus the sorted canonical form [[PlanCanon]] hashes (and
+  * the hash itself) so cross-run `plan_sha` instability can be diffed
+  * down to its cause — same pipeline as Bench, by construction.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -20,13 +21,11 @@ object PlanDump {
     args.foreach { name =>
       val qe = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
       qe.toRdd.count()
-      val normalized = qe.executedPlan.toString
-        .replaceAll("#\\d+", "#")
-        .replaceAll("plan_id=\\d+", "plan_id=")
-        .replaceAll("@[0-9a-fA-F]+", "@")
-        .replaceAll("id=#?\\d+", "id=")
-      println(s"===== $name =====")
-      println(normalized)
+      val plan = qe.executedPlan.toString
+      println(s"===== $name  plan_sha=${PlanCanon.sha(plan)} =====")
+      println(PlanCanon.normalize(plan))
+      println(s"----- $name canonical (the hashed string) -----")
+      println(PlanCanon.canonical(plan))
     }
     spark.stop()
   }

@@ -47,6 +47,7 @@ object SparkEntry {
     "j4_dim_lookup" -> (Relational.j4DimLookup _),
     "j5_dim_chain" -> (Relational.j5DimChain _),
     "j5_sku_chain" -> (Relational.j5SkuChain _),
+    "j5_sku_chain_auto" -> (Relational.j5SkuChainAuto _),
     "j8_config_routing" -> (Relational.j8ConfigRouting _),
     "j9_explode_tokens" -> (Relational.j9ExplodeTokens _),
     "j9_cjk_tokens" -> (Relational.j9CjkTokens _),
@@ -122,7 +123,7 @@ object SparkEntry {
     rows.mkString(", ")
   }
 
-  def oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     // sign-projection LSH top-k, fully oracled: hyperplanes embedded as
     // literals (see lshHyperplanes), buckets computed in SQL, scores
     // exact-integer — must match Spark row/schema/hash
@@ -812,4 +813,10 @@ object SparkEntry {
                 lower(hex(substring(text, CAST(i * 128 + 1 AS INT), 32))) AS frame_hex
          FROM f""",
   )
+
+  /** [[oracleSqlBase]] plus derived entries whose SQL is shared with
+    * another query (hint-free plan variants compute the same result).
+    */
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("j5_sku_chain_auto" -> oracleSqlBase("j5_sku_chain"))
 }

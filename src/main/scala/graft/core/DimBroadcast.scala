@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, LogicalPlan, BROADCAST}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Declared-dimension registry for [[DimBroadcastRule]].
+  *
+  * At 100 TB, size ESTIMATES lie: a dim behind a filter, a freshly
+  * written snapshot with no stats, or a post-shuffle `distinct()` all
+  * defeat `autoBroadcastJoinThreshold`, and one miss turns a six-hop
+  * enrichment chain into six sort-merge shuffles of the fact table.
+  * The reference hardcodes the same judgment call as per-table
+  * lookup-join cache config (BaseSQLApp.java:63-66 — every `dim_*`
+  * table is declared cacheable); here the declaration is a table path
+  * and the consequence is a planner hint, not a per-record RPC cache.
+  *
+  * Registering a path asserts "this table is dim-scale — broadcast
+  * joins against it regardless of size estimates". Any subtree whose
+  * leaves ALL read registered paths inherits the property (a distinct
+  * or self-join of a dim is still dim-scale).
+  */
+object DimRegistry {
+  private val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Normalize to the URI path component so `file:/x`, `file:///x`
+    * and `/x` all name the same table.
+    */
+  private[core] def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath.replaceAll("/+$", "")
+
+  def register(tablePaths: String*): Unit = tablePaths.foreach(p => paths.add(norm(p)))
+  def unregister(tablePath: String): Unit = paths.remove(norm(tablePath))
+  def contains(p: String): Boolean = paths.contains(norm(p))
+  def isEmpty: Boolean = paths.isEmpty
+  def clear(): Unit = paths.clear()
+}
+
+/** Auto-broadcast joins against registered dim tables.
+  *
+  * Fills the empty join-hint slot of any [[Join]] side whose leaf scans
+  * are all registered dims — exactly what a user's explicit
+  * `broadcast(dim)` would have done, but declared once per table
+  * instead of once per query. Explicit hints (either side) win: the
+  * rule never overwrites a non-empty slot, which also makes it
+  * idempotent inside a fixed-point optimizer batch.
+  *
+  * Injected by [[GraftExtensions]] at session build; use
+  * [[DimBroadcast.ensureInjected]] to add it to a running session.
+  */
+case class DimBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def allDimLeaves(plan: LogicalPlan): Boolean = {
+    val leaves = plan.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val roots = fs.location.rootPaths
+          roots.nonEmpty && roots.forall(p => DimRegistry.contains(p.toString))
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (DimRegistry.isEmpty) plan
+    else plan.transformUp {
+      case j: Join if j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty =>
+        // prefer broadcasting the right side (the conventional dim slot)
+        if (allDimLeaves(j.right))
+          j.copy(hint = j.hint.copy(rightHint = Some(HintInfo(strategy = Some(BROADCAST)))))
+        else if (allDimLeaves(j.left))
+          j.copy(hint = j.hint.copy(leftHint = Some(HintInfo(strategy = Some(BROADCAST)))))
+        else j
+    }
+}
+
+object DimBroadcast {
+  /** Inject the rule into an already-running session (sessions built
+    * via [[GraftSession]]/[[GraftExtensions]] have it already; applying
+    * twice is harmless — the rule only fills empty hint slots).
+    */
+  def ensureInjected(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[DimBroadcastRule]))
+      spark.experimental.extraOptimizations = cur :+ DimBroadcastRule(spark)
+  }
+}

@@ -16,11 +16,15 @@ import graft.functions.VectorExprs._
   * session (temp-function registry).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(graft.functions.VectorExprs.getClass.getName, name), builder))
     }
+    // joins against DimRegistry-declared tables broadcast even when
+    // size estimates lie (see DimBroadcastRule)
+    e.injectOptimizerRule(session => DimBroadcastRule(session))
+  }
 }
 
 object GraftFunctions {

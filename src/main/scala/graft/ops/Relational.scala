@@ -376,7 +376,25 @@ object Relational {
     * dim is tiny. The Flink per-record RPC chain with its async/cache
     * variants collapses into these six BHJs.
     */
-  def j5SkuChain(spark: SparkSession, sfDir: String): DataFrame = {
+  def j5SkuChain(spark: SparkSession, sfDir: String): DataFrame =
+    skuChain(spark, sfDir, broadcast)
+
+  /** [[j5SkuChain]] with ZERO per-query hints: `part` is declared
+    * dim-scale once in [[graft.core.DimRegistry]] and
+    * [[graft.core.DimBroadcastRule]] broadcasts every join against a
+    * part-derived subtree — the BaseSQLApp.java:63-66 "every dim_*
+    * table is cacheable" declaration as a planner rule. Same oracle as
+    * j5_sku_chain; PlanSpec proves 6 BHJ survive
+    * autoBroadcastJoinThreshold=-1 with AQE off.
+    */
+  def j5SkuChainAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.core.DimRegistry.register(s"$sfDir/part.parquet")
+    graft.core.DimBroadcast.ensureInjected(spark)
+    skuChain(spark, sfDir, identity)
+  }
+
+  private def skuChain(spark: SparkSession, sfDir: String,
+                       dim: DataFrame => DataFrame): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir)
     // trademark = the brand's manufacturer prefix ('Brand#42' → 'Brand#4')
@@ -399,12 +417,12 @@ object Relational {
     val agg = li.groupBy(col("l_partkey").as("sku_id"))
       .agg(sum(cents(col("l_extendedprice"))).as("amount_cents"),
         count(lit(1)).as("order_ct"))
-    agg.join(broadcast(sku), "sku_id")
-      .join(broadcast(spu), "spu_id")
-      .join(broadcast(c3), "c3_id")
-      .join(broadcast(c2), "c2_id")
-      .join(broadcast(c1), "c1_id")
-      .join(broadcast(tm), "tm_id")
+    agg.join(dim(sku), "sku_id")
+      .join(dim(spu), "spu_id")
+      .join(dim(c3), "c3_id")
+      .join(dim(c2), "c2_id")
+      .join(dim(c1), "c1_id")
+      .join(dim(tm), "tm_id")
       .select(col("sku_id"), col("sku_name"), col("spu_name"), col("c3_id"),
         col("c2_name"), col("c1_name"), col("tm_name"),
         col("amount_cents"), col("order_ct"))

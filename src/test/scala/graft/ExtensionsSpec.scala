@@ -48,4 +48,41 @@ class ExtensionsSpec extends SparkSpec {
     val apiDot = q0.crossJoin(q1).select(dot_long(col("q"), col("q2"))).as[Long].head()
     assert(rows.head.getAs[Long]("dot") == apiDot)
   }
+
+  test("DimBroadcastRule: registered dims broadcast when size estimates can't; " +
+       "unregistered tables and explicit hints are untouched") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.core.{DimBroadcast, DimRegistry}
+    DimBroadcast.ensureInjected(spark)
+    val nation = graft.io.Tables.nation(spark, sf)
+    val customer = graft.io.Tables.customer(spark, sf)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // def, not val: executedPlan memoizes per DataFrame, and the point
+      // is to observe the SAME query plan differently before/after registration
+      def join = customer.join(nation, col("c_nationkey") === col("n_nationkey"))
+      // threshold disabled, nothing registered: planner must sort-merge
+      assert(planOf(join).contains("SortMergeJoin"), "precondition: no broadcast path")
+      DimRegistry.register(s"$sf/nation.parquet")
+      assert(planOf(join).contains("BroadcastHashJoin"), "registered dim must broadcast")
+      // a dim-derived subtree (distinct/projection) inherits the property
+      val derived = customer.join(
+        nation.select(col("n_nationkey")).distinct(),
+        col("c_nationkey") === col("n_nationkey"))
+      assert(planOf(derived).contains("BroadcastHashJoin"), "dim subtree must broadcast")
+      // an explicit user hint on either side wins: the rule fills only empty slots
+      val hinted = broadcast(customer).join(nation, col("c_nationkey") === col("n_nationkey"))
+      val p = planOf(hinted)
+      assert(p.contains("BroadcastHashJoin") &&
+        "BroadcastExchange".r.findAllIn(p).size == 1, s"explicit hint must win:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+      DimRegistry.unregister(s"$sf/nation.parquet")
+    }
+  }
 }

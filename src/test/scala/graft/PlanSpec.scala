@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpec {
     assert(factExchanges <= 1, s"fact side shuffles more than once:\n$p")
   }
 
+  test("j5_sku_chain_auto: DimBroadcastRule broadcasts registered dims even when " +
+       "size estimates can't (threshold -1, AQE off) — the 100 TB stats-lie case") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("j5_sku_chain_auto") // zero per-query hints in the builder
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 6, s"expected 6 BHJ:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"rule missed a dim join:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (10L * 1024 * 1024).toString)
+      graft.core.DimRegistry.unregister(s"$sf/part.parquet") // keep later gates order-free
+    }
+  }
+
   test("sim_brute_topk: query side broadcasts; corpus never shuffles before scoring") {
     val p = plan("sim_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

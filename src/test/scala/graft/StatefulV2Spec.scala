@@ -135,6 +135,121 @@ class StatefulV2Spec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time eviction V2: idle key evicted and re-counts on return, " +
+       "active keys unaffected — same scenario as the V1 evicting operator") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[KeyDay]
+      val q = StatefulV2.firstSeenPerDayEvictingV2(ms.toDS(), idleTtlDays = 7)
+        .writeStream.format("memory").queryName("fsd2_evict").outputMode("append").start()
+      try {
+        // the exact StatefulEvictionSpec feed: u1 goes idle past its
+        // event-time TTL while u2 stays active, then u1 returns
+        ms.addData(KeyDay("u1", "2024-01-01"), KeyDay("u2", "2024-01-01"))
+        q.processAllAvailable()
+        ms.addData(KeyDay("u2", "2024-01-20"))
+        q.processAllAvailable()
+        ms.addData(KeyDay("u3", "2024-01-21"))
+        q.processAllAvailable()
+        ms.addData(KeyDay("u1", "2024-01-22"))
+        q.processAllAvailable()
+        val rows = spark.table("fsd2_evict").as[FirstSeen].collect().toSeq
+        // identical emissions to Stateful.firstSeenPerDayEvicting on this feed:
+        // evicted u1 counts anew; u2/u3 exactly their no-eviction sets
+        assert(rows.count(_.key == "u1") == 2, s"returning evicted key must count anew: $rows")
+        assert(rows.count(_.key == "u2") == 2 && rows.count(_.key == "u3") == 1, s"$rows")
+        // eviction is physical: state rows (values + timers) track the
+        // 3 live keys, not a 4-key all-time history
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows <= 6, s"dormant key must leave the store, saw $stateRows rows")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("event-time eviction V2 == V1 evicting twins on batch runs (no watermark ⇒ no timers)") {
+    coordinatorReady
+    val days = Seq(KeyDay("u1", "2024-01-01"), KeyDay("u1", "2024-01-01"),
+      KeyDay("u1", "2024-03-01"), KeyDay("u2", "2024-02-01"))
+    assert(StatefulV2.firstSeenPerDayEvictingV2(days.toDS()).collect().toSet ==
+      graft.streaming.Stateful.firstSeenPerDayEvicting(days.toDS()).collect().toSet)
+    val hits = Seq(
+      VisitorHit("m1", "2024-01-01", "1"), VisitorHit("m1", "2024-01-02", "1"),
+      VisitorHit("m2", "2024-01-02", "0"), VisitorHit("m3", "2024-01-05", "0"),
+      VisitorHit("m3", "2024-01-06", "1"))
+    assert(StatefulV2.isNewFixEvictingV2(hits.toDS()).collect().toSet ==
+      graft.streaming.Stateful.isNewFixEvicting(hits.toDS()).collect().toSet)
+    val amts = Seq(VersionedAmount("d1", 1000L, 1000L), VersionedAmount("d1", 5000L, 1300L),
+      VersionedAmount("d1", 3000L, 1100L), VersionedAmount("d2", 2000L, 500L))
+    assert(StatefulV2.upsertDeltasEvictingV2(amts.toDS()).collect().toSet ==
+      graft.streaming.Stateful.upsertDeltasEvicting(amts.toDS()).collect().toSet)
+  }
+
+  test("event-time eviction V2: correction window — inside-TTL corrections telescope, " +
+       "post-eviction corrections re-count (reference StateTtlConfig 30 s semantics)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[VersionedAmount]
+      val q = StatefulV2.upsertDeltasEvictingV2(ms.toDS(), ttl = "30 seconds")
+        .writeStream.format("memory").queryName("ud2_evict").outputMode("append").start()
+      try {
+        ms.addData(VersionedAmount("d1", 10000L, 1000L))
+        q.processAllAvailable()
+        // +5 s: inside the window — telescopes to the delta
+        ms.addData(VersionedAmount("d1", 15000L, 1300L))
+        q.processAllAvailable()
+        // +10 min: far past d1's (15 s + 30 s) timer — watermark advance
+        // evicts d1, so its next correction re-counts the FULL amount
+        ms.addData(VersionedAmount("d2", 615000L, 50L))
+        q.processAllAvailable()
+        ms.addData(VersionedAmount("d1", 620000L, 1500L))
+        q.processAllAvailable()
+        val rows = spark.table("ud2_evict").as[graft.model.AmountDelta].collect().toSeq
+        val d1 = rows.filter(_.key == "d1").sortBy(_.ts).map(_.delta)
+        assert(d1 == Seq(1000L, 300L, 1500L),
+          s"expected telescoped then re-counted deltas, got $rows")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("event-time eviction V2: timers survive a RocksDB checkpoint restart " +
+       "and still evict the idle key") {
+    val root = java.nio.file.Files.createTempDirectory("v2_evict_rocks").toString
+    val in = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def startQuery() =
+        StatefulV2.firstSeenPerDayEvictingV2(
+          spark.readStream.schema("key STRING, day STRING").json(in).as[KeyDay],
+          idleTtlDays = 7)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+        """{"key":"u1","day":"2024-01-01"}
+          |{"key":"u2","day":"2024-01-01"}""".stripMargin.getBytes)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      // restart; u2's activity pushes the watermark past u1's restored timer
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        """{"key":"u2","day":"2024-01-20"}""".getBytes)
+      val q2 = startQuery(); q2.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b3.json"),
+        """{"key":"u1","day":"2024-01-22"}""".getBytes)
+      q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(outDir).as[FirstSeen].collect().toSeq
+      // u1's checkpointed timer fired after the restart, so its return re-counts
+      assert(rows.count(_.key == "u1") == 2,
+        s"timer restored from checkpoint must evict u1, forcing a re-count: $rows")
+      assert(rows.count(_.key == "u2") == 2, s"$rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState streaming: cross-batch state under RocksDB provider") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{DimPipeline, WindowedAggs}
+
+/** VERDICT r4 #8 — end-to-end exactly-once under restarts.
+  *
+  * The per-component guarantees (batchId-addressed sinks, commitId
+  * MOR merges, file-sink manifest — DurabilitySpec/SinksSpec) are
+  * proven here END TO END: the full CDC → DWD join → {merge-on-read
+  * fact table, windowed gold} pipeline is run twice over identical
+  * waves — once uninterrupted, once with every query killed and
+  * restarted from its checkpoint three times MID-WAVE (stop issued
+  * right after the wave lands, no drain) — and the final state of all
+  * three tables must be identical. Restart batches replay through the
+  * same idempotent commit paths a 100 TB deployment relies on after
+  * executor/driver loss.
+  */
+class StreamingSoakSpec extends SparkSpec {
+
+  private val t0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+
+  /** One wave = one CDC file: an order (detail+info) stamped i hours
+    * after t0 — strictly increasing event time, so nothing is ever
+    * late in either batching and every wave owns its own 10 s window.
+    */
+  private def waveJson(i: Int): String = {
+    val ts = t0 + i * 3600000L
+    Seq(
+      s"""{"database":"gmall","table":"order_detail","type":"insert","ts":$ts,"data":{"id":"d$i","order_id":"o$i","sku_id":"sku${i % 3}","sku_num":"1","split_total_amount":"${i + 1}.00"}}""",
+      s"""{"database":"gmall","table":"order_info","type":"insert","ts":$ts,"data":{"id":"o$i","user_id":"u${i % 2}","province_id":"p${i % 2}"}}""")
+      .mkString("\n")
+  }
+
+  /** Runs the pipeline over waves 0..5 plus a far-future flush wave;
+    * `killAfter` waves trigger a full stop+restart of all three
+    * queries immediately after the wave file lands (mid-wave kill).
+    * Returns (dwd rows, MOR-resolved rows, gold finals) as sets.
+    */
+  private def runPipeline(root: String, killAfter: Set[Int]): (Set[String], Set[String], Set[String]) = {
+    val in = s"$root/topic_trade"; val dwdOut = s"$root/dwd"; val goldOut = s"$root/gold"
+    val morDir = s"$root/mor"
+    Files.createDirectories(Paths.get(in))
+
+    def startDwd(): StreamingQuery =
+      DimPipeline.parseCdc(graft.io.Sources.stream(spark,
+        graft.io.SourceConf("file", path = Some(in))))
+        .writeStream
+        .option("checkpointLocation", s"$root/ck_dwd")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.io.Sinks.exactlyOnceBatch(
+            graft.rtdw.DwdApps.orderDetail(batch.cache()), dwdOut, batchId); ()
+        }.start()
+
+    def startMor(): StreamingQuery =
+      DimPipeline.parseCdc(graft.io.Sources.stream(spark,
+        graft.io.SourceConf("file", path = Some(in))))
+        .filter(col("table") === "order_detail")
+        .select(col("data")("id").as("id"), col("data")("order_id").as("order_id"),
+          col("data")("sku_id").as("sku_id"),
+          col("data")("split_total_amount").as("split_total_amount"), col("ts"))
+        .writeStream
+        .option("checkpointLocation", s"$root/ck_mor")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.io.MergeOnRead.merge(spark, morDir, batch,
+            commitId = Some(s"soak-$batchId")); ()
+        }.start()
+
+    // bootstrap wave 0 through dwd so the gold stream has a schema
+    Files.write(Paths.get(s"$in/wave-0.json"), waveJson(0).getBytes)
+    var dwd = startDwd(); var mor = startMor()
+    dwd.processAllAvailable(); mor.processAllAvailable()
+    val dwdSchema = spark.read.parquet(dwdOut).schema
+
+    def startGold(): StreamingQuery =
+      WindowedAggs.keyedWindowAgg(
+        spark.readStream.schema(dwdSchema).parquet(dwdOut)
+          .withColumn("event_time", timestamp_millis(col("ts"))),
+        "event_time", "10 seconds", "5 seconds", Seq("sku_id"),
+        Seq(sum(col("split_total_amount").cast("decimal(16,2)")).as("order_amount")))
+        .writeStream.format("parquet")
+        .option("path", goldOut)
+        .option("checkpointLocation", s"$root/ck_gold")
+        .outputMode("append").start()
+
+    var gold = startGold(); gold.processAllAvailable()
+
+    (1 to 5).foreach { i =>
+      Files.write(Paths.get(s"$in/wave-$i.json"), waveJson(i).getBytes)
+      if (killAfter(i)) {
+        // mid-wave kill: no drain — whatever batch is in flight dies
+        // and must replay through the idempotent commit paths
+        gold.stop(); mor.stop(); dwd.stop()
+        dwd = startDwd(); mor = startMor(); gold = startGold()
+      }
+      dwd.processAllAvailable(); mor.processAllAvailable(); gold.processAllAvailable()
+    }
+    // flush wave: far-future event time closes every earlier window in
+    // BOTH runs regardless of how batching distributed the watermark
+    Files.write(Paths.get(s"$in/wave-99.json"), waveJson(99).getBytes)
+    dwd.processAllAvailable(); mor.processAllAvailable(); gold.processAllAvailable()
+    gold.stop(); mor.stop(); dwd.stop()
+
+    val dwdRows = spark.read.parquet(dwdOut)
+      .select("id", "order_id", "user_id", "province_id", "ts")
+      .collect().map(_.toString).toSet
+    val morRows = graft.io.MergeOnRead.read(spark, morDir, Seq("id"), "ts")
+      .select("id", "order_id", "sku_id", "split_total_amount")
+      .collect().map(_.toString).toSet
+    val goldRows = spark.read.parquet(goldOut)
+      .select("stt", "sku_id", "order_amount")
+      .collect().map(_.toString).toSet
+    (dwdRows, morRows, goldRows)
+  }
+
+  test("soak: three mid-wave kill/restart cycles end in exactly the " +
+       "uninterrupted run's DWD, fact, and gold tables") {
+    val base = Files.createTempDirectory("soak").toString
+    val (dwdClean, morClean, goldClean) = runPipeline(s"$base/clean", killAfter = Set.empty)
+    val (dwdSoak, morSoak, goldSoak) = runPipeline(s"$base/soak", killAfter = Set(1, 3, 4))
+
+    // sanity: the run actually produced every wave exactly once
+    assert(dwdClean.size == 7, s"expected 7 orders, got ${dwdClean.size}: $dwdClean")
+    assert(morClean.size == 7, s"expected 7 resolved facts: $morClean")
+    assert(goldClean.nonEmpty, "gold windows must have flushed")
+
+    assert(dwdSoak == dwdClean, s"DWD diverged:\n soak=$dwdSoak\n clean=$dwdClean")
+    assert(morSoak == morClean, s"MOR fact table diverged:\n soak=$morSoak\n clean=$morClean")
+    assert(goldSoak == goldClean, s"gold finals diverged:\n soak=$goldSoak\n clean=$goldClean")
+  }
+}

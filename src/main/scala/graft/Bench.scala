@@ -44,6 +44,11 @@ object Bench {
     // host contention, not a regression — the disambiguator the r2
     // bench episode lacked (VERDICT r3 #8).
     def planSha(plan: String): String = graft.tools.PlanCanon.sha(plan)
+    // persist each query's canonical (hashed) plan text: when a
+    // plan_sha moves between rounds or runs, the diff is a `diff` of
+    // two small files instead of an unreproducible one-off
+    val planDir = java.nio.file.Paths.get("target/bench_plans")
+    java.nio.file.Files.createDirectories(planDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       var sha = ""
@@ -52,7 +57,10 @@ object Bench {
         try {
           val qe = fn(spark, sfDir).queryExecution
           qe.toRdd.count()
-          sha = planSha(qe.executedPlan.toString) // final adaptive plan, free to read
+          val plan = qe.executedPlan.toString // final adaptive plan, free to read
+          sha = planSha(plan)
+          java.nio.file.Files.writeString(planDir.resolve(s"$name-$sha.txt"),
+            graft.tools.PlanCanon.canonical(plan))
         } catch {
           case t: Throwable =>
             err = Some(t.getClass.getSimpleName + ": " +

@@ -32,7 +32,22 @@ object DimRegistry {
 
   def register(tablePaths: String*): Unit = tablePaths.foreach(p => paths.add(norm(p)))
   def unregister(tablePath: String): Unit = paths.remove(norm(tablePath))
-  def contains(p: String): Boolean = paths.contains(norm(p))
+
+  /** True when `p` is a registered table path or lies inside one —
+    * manifest-managed tables (io.Upsert) scan explicit FILE lists, so
+    * a leaf's root path is `<table>/<bucket-file>.parquet`, not the
+    * table dir itself.
+    */
+  def covers(p: String): Boolean = {
+    val n = norm(p)
+    val it = paths.iterator()
+    var found = false
+    while (!found && it.hasNext) {
+      val r = it.next()
+      found = n == r || (n.startsWith(r) && n.charAt(r.length) == '/')
+    }
+    found
+  }
   def isEmpty: Boolean = paths.isEmpty
   def clear(): Unit = paths.clear()
 }
@@ -57,7 +72,7 @@ case class DimBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           val roots = fs.location.rootPaths
-          roots.nonEmpty && roots.forall(p => DimRegistry.contains(p.toString))
+          roots.nonEmpty && roots.forall(p => DimRegistry.covers(p.toString))
         case _ => false
       }
       case _ => false

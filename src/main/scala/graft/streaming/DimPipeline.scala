@@ -56,6 +56,10 @@ object DimPipeline {
           Upsert.merge(spark, s"$warehouseDir/${cfg.sinkTable}", projected,
             pk = Seq(cfg.rowKey), versionCol = "__ts", deleteFlagCol = Some("__op"),
             bloom = true)
+          // a config-managed dim IS the dim-scale declaration: joins
+          // against it broadcast even when a fresh snapshot has no
+          // stats (core.DimBroadcastRule)
+          graft.core.DimRegistry.register(s"$warehouseDir/${cfg.sinkTable}")
         }
         cfg.sinkTable -> n
       }.toMap

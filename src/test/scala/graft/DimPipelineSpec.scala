@@ -38,5 +38,24 @@ class DimPipelineSpec extends SparkSpec {
       .select("dic_code", "dic_name").as[(String, String)].collect().toMap
     assert(dic == Map("1001" -> "PENDING", "1002" -> "paid")) // last-wins
     assert(graft.io.Upsert.read(spark, s"$wh/dim_sku_info").count() == 0) // deleted
+
+    // a pipeline-managed dim is auto-registered dim-scale: joins against
+    // it broadcast even with size-estimate broadcast disabled — the
+    // manifest scan's leaf paths are FILES under the table dir, so this
+    // also pins DimRegistry's ancestor matching
+    graft.core.DimBroadcast.ensureInjected(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = Seq(("1001", 10L), ("1002", 20L)).toDF("dic_code", "amount")
+      val p = fact.join(graft.io.Upsert.read(spark, s"$wh/dim_base_dic"), "dic_code")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"managed dim must auto-broadcast:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.core.DimRegistry.unregister(s"$wh/dim_base_dic")
+      graft.core.DimRegistry.unregister(s"$wh/dim_sku_info")
+    }
   }
 }

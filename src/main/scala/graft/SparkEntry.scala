@@ -77,6 +77,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "sim_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "sim_ivf_recall_gate" -> ((s: SparkSession, d: String) => Similarity.ivfRecallGate(s, d)),
+    "sim_semantic_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticClusters(s, d)),
     // ---- text analysis ----
     "text_lang_id" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.qualityScore _),
@@ -156,6 +157,41 @@ object SparkEntry {
                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
                   FROM scored)
          SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim FROM r WHERE rnk <= 10""",
+
+    // semantic clusters: the static hyperplanes make bucketing
+    // SQL-expressible (sim_lsh_topk's trick), integer dots make sims
+    // bit-identical, and min-label CC is a recursive CTE
+    // (dedup_clusters' trick) — a fully oracled ANN clustering
+    "sim_semantic_clusters" ->
+      s"""WITH RECURSIVE hp(i, p, sgn) AS (VALUES ${lshHyperplanes(4, 64)}),
+            e AS (SELECT vec_id, i,
+                         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+            nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nn FROM e GROUP BY 1),
+            proj AS (SELECT e.vec_id, hp.p, CAST(SUM(e.v * hp.sgn) AS BIGINT) AS s
+                     FROM e JOIN hp USING (i) GROUP BY 1, 2),
+            bkt AS (SELECT vec_id,
+                           CAST(SUM(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                    FROM proj GROUP BY 1),
+            prs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                    FROM bkt a JOIN bkt b
+                      ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            dots AS (SELECT pr.doc_a, pr.doc_b, CAST(SUM(ae.v * be.v) AS BIGINT) AS dot
+                     FROM prs pr
+                     JOIN e ae ON ae.vec_id = pr.doc_a
+                     JOIN e be ON be.vec_id = pr.doc_b AND be.i = ae.i
+                     GROUP BY 1, 2),
+            simpairs AS (SELECT doc_a, doc_b FROM dots
+                         JOIN nrm na ON doc_a = na.vec_id
+                         JOIN nrm nb ON doc_b = nb.vec_id
+                         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) >= 0.4),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM simpairs
+                      UNION ALL SELECT doc_b, doc_a FROM simpairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach AS (SELECT node, node AS label FROM nodes
+                      UNION
+                      SELECT g.a AS node, r.label FROM edges g JOIN reach r ON g.b = r.node)
+         SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY 1""",
 
     // IVF consequence gate (KMeans cells are not SQL-expressible; the
     // exact guarantees are): every query's recall clears the floor and

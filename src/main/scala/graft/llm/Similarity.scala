@@ -232,4 +232,38 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("sim"))
     }
   }
+
+  /** Semantic near-dup CLUSTERS — the embedding-space twin of the
+    * text-shingle cluster operator (Dedup.nearDupClusters): the fuzzy
+    * "these say the same thing" dedup step of a training pipeline,
+    * where one representative per cluster survives. Sign-projection
+    * buckets partition the corpus (equi-join, no slab cap, no
+    * all-pairs BNLJ); within-bucket pairs at ≥ threshold cosine become
+    * edges; connected components label clusters through the same
+    * union-find/min-label path the text clusters use. Quantized
+    * integer dot products keep every similarity bit-identical to the
+    * DuckDB oracle, and the output is pure integers (vec_id,
+    * cluster_id = component-min), so the whole ANN clustering is
+    * row/schema/hash oracled. Recall is the standard banding trade:
+    * a qualifying pair in different buckets is missed — the oracle
+    * replicates the bucketing, so the gate is exact over the
+    * operator's contract.
+    */
+  def semanticClusters(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.4, planes: Int = 4): DataFrame = {
+    val vecs = quantized(spark, sfDir)
+      .withColumn("bucket", sign_proj_bucket(col("q"), planes))
+    val a = vecs.select(col("vec_id").as("doc_a"), col("q").as("qa"),
+      col("n").as("na"), col("bucket"))
+    val b = vecs.select(col("vec_id").as("doc_b"), col("q").as("qb"),
+      col("n").as("nb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dot", dot_long(col("qa"), col("qb")))
+      .withColumn("sim", col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.nearDupClustersFromPairs(spark, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
 }

@@ -120,4 +120,53 @@ class DedupSpec extends SparkSpec {
     // 2 planes → 4 buckets → expected recall ≈ 1/4 for random vectors
     assert(recall > 0.05, s"LSH recall $recall implausibly low")
   }
+
+  test("semanticClusters == driver-side reimplementation (quantize, bucket, sim, BFS)") {
+    // independent oracle in plain Scala: no Spark expressions, no shared
+    // kernels — just the operator's published contract
+    val emb = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * 1000).toLong) }
+    val planes = 4
+    def bucket(v: Array[Long]): Long =
+      (0 until planes).map { p =>
+        val s = v.indices.map { i =>
+          val sgn = if ((org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(i.toLong, p.toLong) & 1L) == 0L) 1L else -1L
+          v(i) * sgn
+        }.sum
+        if (s > 0) 1L << p else 0L
+      }.sum
+    val byBucket = q.keys.groupBy(id => bucket(q(id)))
+    val edges = byBucket.values.flatMap { ids =>
+      val s = ids.toSeq.sorted
+      for {
+        i <- s.indices; j <- (i + 1) until s.size
+        (a, b) = (s(i), s(j))
+        dot = q(a).indices.map(k => q(a)(k) * q(b)(k)).sum
+        na = q(a).map(x => x * x).sum; nb = q(b).map(x => x * x).sum
+        if dot.toDouble / math.sqrt((na * nb).toDouble) >= 0.4
+      } yield (a, b)
+    }.toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!expected.contains(start)) {
+        val comp = scala.collection.mutable.Set(start)
+        var frontier = Seq(start)
+        while (frontier.nonEmpty)
+          frontier = frontier.flatMap(adj(_)).filterNot(comp).distinct
+            .tapEach(comp.add)
+        val label = comp.min
+        comp.foreach(n => expected(n) = label)
+      }
+    }
+    val got = Similarity.semanticClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected.toMap, s"clusters diverge: got=${got.toSeq.sorted.take(10)} " +
+      s"expected=${expected.toSeq.sorted.take(10)}")
+    assert(got.nonEmpty, "no clusters found at all")
+  }
 }

@@ -93,6 +93,8 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
     "text_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
+    "text_stratified_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.stratifiedSample(s, d)),
     "text_split_assign" -> (TextAnalysis.splitAssign _),
     "text_domain_mix" -> (TextAnalysis.domainMix _),
     "text_domain_mix_members" -> (TextAnalysis.domainMixMembers _),
@@ -732,6 +734,16 @@ object SparkEntry {
          FROM documents
          WHERE CAST('0x' || substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
                < 70368744177664""",
+
+    "text_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+                           CAST('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS rk
+                    FROM documents),
+            w AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+                  FROM r)
+         SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+         FROM w WHERE rn <= 20""",
 
     "text_split_assign" ->
       """WITH b AS (SELECT doc_id,

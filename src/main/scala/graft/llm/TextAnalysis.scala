@@ -288,6 +288,27 @@ object TextAnalysis {
       .filter(col("u48") < lit(U48Range / keepDen * keepNum))
       .select(col("doc_id"), col("u48"))
 
+  /** Stratified EXACT-k sample: the k smallest u48 draws per source —
+    * the per-group twin of [[sampleHash]] (a rate keeps a BINOMIAL
+    * count per group; audits, eval slices, and human-review queues
+    * need exactly k). Content-addressed ranks keep membership
+    * rerun-stable, and growing a source can only displace members
+    * whose draws straddle the k-th rank — never reshuffle the sample.
+    * Shape at 100 TB: one shuffle (window by source); for billion-doc
+    * sources pre-prune with a broadcast per-source k-th-draw
+    * over-estimate before the exact window — the final top-k stays
+    * exact whenever the prune keeps ≥ k rows per source.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", u48(col("doc_id"), "strat:"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+  }
+
   /** Train/val/test split assignment by hash bucket (90/6/4 here):
     * bucket = u48 mod 100 under its own salt, so the split is
     * independent of any sampling pass. Content-addressed splits are the

@@ -48,4 +48,26 @@ class SamplingSpec extends SparkSpec {
     val (_, n19, rate19, kept19) = mix.find(_._1 == "src19").get
     assert(rate19 == 1.0 && kept19 == n19)
   }
+
+  test("stratified sample: exactly min(k, |source|) per source; growth only " +
+       "displaces across the k-th rank (never reshuffles)") {
+    val k = 5
+    val got = TextAnalysis.stratifiedSample(spark, sf, k)
+      .as[(Long, String, Long)].collect()
+    val bySource = got.groupBy(_._2)
+    val sizes = graft.io.Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      val picked = bySource.getOrElse(src, Array.empty)
+      assert(picked.length == math.min(k, n),
+        s"$src: expected ${math.min(k, n)} rows, got ${picked.length}")
+      assert(picked.map(_._3).sorted.toSeq == (1L to picked.length).toSeq)
+    }
+    // rerun-stability is structural (pure function of doc_id), but pin
+    // the displacement property: the k=3 sample is a PREFIX of the k=5
+    // sample per source — shrinking/growing k never swaps earlier ranks
+    val k3 = TextAnalysis.stratifiedSample(spark, sf, 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(k3 == got.filter(_._3 <= 3).toSet)
+  }
 }

@@ -299,14 +299,53 @@ object TextAnalysis {
     * over-estimate before the exact window — the final top-k stays
     * exact whenever the prune keeps ≥ k rows per source.
     */
-  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 20,
+                       prePrune: Boolean = false): DataFrame = {
+    val ranked = Tables.documents(spark, sfDir)
+      .withColumn("rk", u48(col("doc_id"), "strat:"))
+      .select(col("doc_id"), col("source"), col("rk"))
+    val base = if (!prePrune) ranked else prePruned(ranked, k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
-    Tables.documents(spark, sfDir)
-      .withColumn("rk", u48(col("doc_id"), "strat:"))
+    base
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
       .select(col("doc_id"), col("source"), col("sample_rank"))
+  }
+
+  /** The billion-doc-source path: the exact window above SORTS each
+    * source's full partition, so prune first. u48 draws are uniform on
+    * [0, 2^48), so rows with rk below ≈ 4·k/n of the range are a ~4×
+    * over-sample of the k winners — a per-row integer compare against
+    * a broadcast per-source threshold, after which the exact window
+    * sorts ~4k rows per source instead of n. EXACTNESS GUARD: pruning
+    * is only a shortcut if ≥ k rows survive per source; any source
+    * under k (astronomically rare at safety 4, but possible — and
+    * certain when k ≳ n/4) is re-included IN FULL, so the final top-k
+    * is always identical to the unpruned window (spec-pinned).
+    */
+  private[graft] def prePruned(ranked: DataFrame, k: Int): DataFrame = {
+    val safety = 4L
+    val counts = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")) // map-side combinable; |sources| rows
+    val thr = counts.withColumn("thr",
+      least(lit(U48Range),
+        (lit(U48Range) / col("n")) * lit(safety * k)).cast("long"))
+    val pruned = ranked.join(broadcast(thr), "source")
+      .filter(col("rk") <= col("thr"))
+    // LEFT join from the full source list: a source pruned to ZERO rows
+    // has no group in the kept counts at all — exactly the case that
+    // must fall back
+    val short = thr.select(col("source"))
+      .join(pruned.groupBy(col("source")).agg(count(lit(1)).as("kept")),
+        Seq("source"), "left_outer")
+      .filter(coalesce(col("kept"), lit(0L)) < k)
+      .select(col("source"))
+    // usually empty: one tiny broadcast anti/semi pair, no extra pass
+    pruned.join(broadcast(short), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"), col("rk"))
+      .unionByName(ranked.join(broadcast(short), Seq("source"), "left_semi")
+        .select(col("doc_id"), col("source"), col("rk")))
   }
 
   /** Train/val/test split assignment by hash bucket (90/6/4 here):

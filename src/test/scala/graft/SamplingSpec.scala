@@ -70,4 +70,24 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(k3 == got.filter(_._3 <= 3).toSet)
   }
+
+  test("stratified sample pre-prune (the billion-doc-source path) is output-identical") {
+    val plain = TextAnalysis.stratifiedSample(spark, sf, 5)
+      .as[(Long, String, Long)].collect().toSet
+    val pruned = TextAnalysis.stratifiedSample(spark, sf, 5, prePrune = true)
+      .as[(Long, String, Long)].collect().toSet
+    assert(pruned == plain, "pruned path must be EXACTLY the unpruned sample")
+  }
+
+  test("pre-prune exactness guard: a source whose draws all miss the threshold " +
+       "is re-included in full (no silent row loss)") {
+    // crafted non-uniform draws: source "hot" has 100 rows whose rk all
+    // sit in the top half of the range — the 4k/n threshold prunes ALL
+    // of them, which must trigger the full re-include, not an empty top-k
+    val crafted = (0 until 100).map(i => (i.toLong, "hot", (1L << 47) + i))
+      .toDF("doc_id", "source", "rk")
+    val out = TextAnalysis.prePruned(crafted, k = 2)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 100, s"guard must re-include the whole source, got ${out.length}")
+  }
 }

@@ -74,6 +74,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_stratified_sample: scan never reads text; exactly one (source) exchange") {
+    val p = plan("text_stratified_sample")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"sampler must not read document bodies: $readSchema")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected the single per-source window exchange:\n$p")
+  }
+
   test("sim_brute_topk: query side broadcasts; corpus never shuffles before scoring") {
     val p = plan("sim_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -225,6 +225,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
+  /** Incremental LSH dedup of a NEW batch against an EXISTING
+    * signature index — the corpus-growth path every ingesting pipeline
+    * runs: historical TEXT is never re-read (the expensive
+    * shingle+minhash kernel ran once, at ingest; `indexSigs` is that
+    * persisted (doc_id, sig) table, e.g. an io.Upsert table), and the
+    * history side is pruned by a broadcast semi-join on the new
+    * batch's band buckets BEFORE it shuffles — only history rows that
+    * can collide with something new move. Emits exactly the full-run
+    * (minhashLshDf over old ∪ new) candidates that involve a new doc:
+    * the hot-bucket cap counts every member of a probed bucket (the
+    * semi-join keeps whole buckets), so cap decisions match the full
+    * run on all buckets that matter — spec-pinned equivalence.
+    *
+    * At 100 TB: the banded projection of the index is deterministic
+    * per doc, so it can itself be persisted and maintained
+    * incrementally; this entry point re-derives it from signatures
+    * (an 8-value transform per row, no text work) to keep the index
+    * contract minimal.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, indexSigs: DataFrame,
+                            numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    def band(sigs: DataFrame): DataFrame = sigs
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val newSigs = newDocs
+      .select(col("doc_id"),
+        graft.functions.functions.minhash_shingle_sig(
+          split(col("text"), " "), NGRAM, numHashes).as("sig"))
+      .filter(col("sig").isNotNull).cache()
+    val newBands = band(newSigs).cache()
+    val probe = newBands.select(col("band"), col("band_hash")).distinct()
+    val histBands = band(indexSigs)
+      .join(broadcast(probe), Seq("band", "band_hash"), "left_semi")
+    val combined = newBands.withColumn("is_new", lit(true))
+      .unionByName(histBands.withColumn("is_new", lit(false)))
+    val okBuckets = combined.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bs")).filter(col("bs") <= 256)
+      .select(col("band"), col("band_hash"))
+    val banded = combined.join(okBuckets, Seq("band", "band_hash"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("is_new").as("new_a"),
+      col("band"), col("band_hash"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("is_new").as("new_b"),
+      col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("new_a") || col("new_b")) // old×old pairs were history's problem
+      .select("doc_a", "doc_b").distinct()
+    val allSigs = newSigs.unionByName(indexSigs.select(col("doc_id"), col("sig")))
+    cand
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+          / lit(numHashes))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
   /** Driver-checkable LSH consequence gate (VERDICT r2 #6): the
     * MinHash-LSH candidate set must COVER every exact pair with
     * Jaccard ≥ 0.8 — this query emits the intersection of the two,

@@ -121,6 +121,25 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.05, s"LSH recall $recall implausibly low")
   }
 
+  test("incremental LSH (new batch vs signature index) == full run's new-involving pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sf)
+    val cut = 250L
+    val newDocs = docs.filter(col("doc_id") >= cut)
+    // the persisted index: signatures of the historical half only —
+    // built once at ingest, no text re-read in the incremental call
+    val indexSigs = Dedup.minhashSignatures(spark, sf).filter(col("doc_id") < cut)
+    val fullArr: Array[(Long, Long, Double)] =
+      Dedup.minhashLshDf(docs).as[(Long, Long, Double)].collect()
+    val full = fullArr.filter(t => t._1 >= cut || t._2 >= cut).toSet
+    val incr = Dedup.minhashLshIncremental(newDocs, indexSigs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr == full,
+      s"diverged: incr-only=${(incr -- full).take(5)} full-only=${(full -- incr).take(5)}")
+    assert(incr.exists(t => t._1 < cut && t._2 >= cut),
+      "expected at least one cross-boundary (history x new) candidate")
+  }
+
   test("semanticClusters == driver-side reimplementation (quantize, bucket, sim, BFS)") {
     // independent oracle in plain Scala: no Spark expressions, no shared
     // kernels — just the operator's published contract

@@ -16,6 +16,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 20000000L
     val dedupOnly = args.length > 1 && args(1) == "dedup"
+    val ingestOnly = args.length > 1 && args(1) == "ingest"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -40,7 +41,7 @@ object ScaleProbe {
       println(f"[scale] $name%-28s out=$rows%-10d ${dt}%6.1fs  ${n / dt / 1e6}%6.1f M rows/s")
     }
 
-    if (!dedupOnly) {
+    if (!dedupOnly && !ingestOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -226,7 +227,7 @@ object ScaleProbe {
         spark.range(n).select(col("id").as("doc_id"),
           concat_ws(" ", (perturbed +: toks.tail): _*).as("text"))
       }
-      Seq(500000L, 1000000L, 2000000L, 4000000L).foreach { n =>
+      if (!ingestOnly) Seq(500000L, 1000000L, 2000000L, 4000000L).foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()
@@ -237,6 +238,44 @@ object ScaleProbe {
         println(f"[scale] dedup_cands_n=$n%-8d  lsh=$lshCands%-9d (${lshCands.toDouble / n}%.3f/doc, ${tLsh}%5.1fs)  " +
           f"ngram=$ngramCands%-9d (${ngramCands.toDouble / n}%.3f/doc, ${tNgram}%5.1fs)")
         spark.catalog.clearCache()
+      }
+
+      // Incremental ingest probe (`ScaleProbe <n> ingest`): dedupe a 1%
+      // new batch against an n-doc corpus — full re-run (re-shingles
+      // every historical doc) vs the incremental probe over the
+      // persisted signature index (history text untouched, history
+      // bands semi-join-pruned by the new batch's buckets).
+      if (ingestOnly) {
+        val nOld = n - math.max(1L, n / 100)
+        val all = synthDocs(n)
+        val nw = all.filter(col("doc_id") >= nOld)
+        val idx = all.filter(col("doc_id") < nOld)
+          .select(col("doc_id"), graft.functions.functions.minhash_shingle_sig(
+            split(col("text"), " "), 3, 64).as("sig"))
+          .filter(col("sig").isNotNull).cache()
+        println(s"[scale] ingest index build (once, at ingest): ${idx.count()} sigs")
+        val t0 = System.nanoTime()
+        val fullCands = graft.llm.Dedup.minhashLshDf(all)
+          .filter(col("doc_a") >= nOld || col("doc_b") >= nOld).count()
+        val tFull = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val incrCands = graft.llm.Dedup.minhashLshIncremental(nw, idx).count()
+        val tIncr = (System.nanoTime() - t1) / 1e9
+        // with the banded projection persisted (the production shape:
+        // it's deterministic per doc, maintained incrementally), the
+        // per-batch cost is the probe join alone
+        val rows = 64 / 8
+        val bandsIdx = idx.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, 7), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash").cache()
+        bandsIdx.count() // "persisted"
+        val t2 = System.nanoTime()
+        val incrBCands = graft.llm.Dedup.minhashLshIncremental(nw, idx,
+          indexBands = Some(bandsIdx)).count()
+        val tIncrB = (System.nanoTime() - t2) / 1e9
+        println(f"[scale] ingest_full_rerun_n=$n%-9d ${tFull}%6.1fs  cands=$fullCands")
+        println(f"[scale] ingest_incremental          ${tIncr}%6.1fs  cands=$incrCands  (${tFull / tIncr}%.0f x)")
+        println(f"[scale] ingest_incr_banded_index    ${tIncrB}%6.1fs  cands=$incrBCands  (${tFull / tIncrB}%.0f x)")
       }
     }
     spark.stop()

@@ -245,7 +245,8 @@ object Dedup {
     * contract minimal.
     */
   def minhashLshIncremental(newDocs: DataFrame, indexSigs: DataFrame,
-                            numHashes: Int = 64, bands: Int = 8): DataFrame = {
+                            numHashes: Int = 64, bands: Int = 8,
+                            indexBands: Option[DataFrame] = None): DataFrame = {
     val rows = numHashes / bands
     def band(sigs: DataFrame): DataFrame = sigs
       .select(col("doc_id"),
@@ -258,7 +259,12 @@ object Dedup {
       .filter(col("sig").isNotNull).cache()
     val newBands = band(newSigs).cache()
     val probe = newBands.select(col("band"), col("band_hash")).distinct()
-    val histBands = band(indexSigs)
+    // `indexBands` is the persisted banded projection (doc_id, band,
+    // band_hash) — maintain it incrementally (it's deterministic per
+    // doc) and the per-batch cost drops to the probe join alone; when
+    // absent it is re-derived from signatures (no text work, but a
+    // full explode+shuffle of the index per batch)
+    val histBands = indexBands.getOrElse(band(indexSigs))
       .join(broadcast(probe), Seq("band", "band_hash"), "left_semi")
     val combined = newBands.withColumn("is_new", lit(true))
       .unionByName(histBands.withColumn("is_new", lit(false)))
@@ -274,7 +280,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("new_a") || col("new_b")) // old×old pairs were history's problem
       .select("doc_a", "doc_b").distinct()
+      .cache() // consumed twice below; without this the whole banding join runs twice
+    // score only candidate ids: candidate volume is cap-bounded linear
+    // in the NEW batch, so the id set broadcasts and the giant index
+    // sig table is semi-join-pruned instead of scanned into a join
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val allSigs = newSigs.unionByName(indexSigs.select(col("doc_id"), col("sig")))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     cand
       .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

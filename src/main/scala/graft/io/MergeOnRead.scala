@@ -79,6 +79,22 @@ object MergeOnRead {
       .sortBy(_._1)
   }
 
+  /** MOR table health — base snapshot stats plus the delta backlog
+    * (the "should I compact" signal). Metadata only, zero jobs.
+    */
+  case class MorStats(base: Option[Upsert.TableStats], compactedUpto: Long,
+                      liveDeltaBatches: Int, liveDeltaBytes: Long)
+
+  def stats(spark: SparkSession, dir: String): MorStats = {
+    val upto = compactedUpto(spark, dir)
+    val live = deltaBatches(spark, dir).filter(_._1 > upto)
+    val bytes = live.map { case (_, p) =>
+      val path = new Path(p)
+      FsOps.fs(spark, path).getContentSummary(path).getLength
+    }.sum
+    MorStats(Upsert.stats(spark, basePath(dir)), upto, live.size, bytes)
+  }
+
   /** The delta batch already committed under `commitId`, if any. */
   def committedBatchFor(spark: SparkSession, dir: String,
                         commitId: String): Option[Long] = {

@@ -356,6 +356,56 @@ object Upsert {
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
     currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles))
 
+  /** Driver-side table-health snapshot — metadata only, ZERO Spark
+    * jobs: the numbers an operator reads before deciding to compact,
+    * vacuum, or re-bloom. `reclaimable*` counts data files on disk the
+    * CURRENT manifest does not reference — superseded MVCC history
+    * plus crash orphans, i.e. exactly what `vacuum(keepManifests=1)`
+    * would free; `bloomBuckets` counts live buckets carrying a Bloom
+    * sidecar.
+    */
+  case class TableStats(gen: Long, snapshotsRetained: Int, numBuckets: Int,
+                        liveFiles: Long, liveBytes: Long,
+                        reclaimableFiles: Long, reclaimableBytes: Long,
+                        bloomBuckets: Int)
+
+  def stats(spark: SparkSession, dir: String,
+            defaultBuckets: Int = DefaultNumBuckets): Option[TableStats] =
+    currentManifest(spark, dir).map { m =>
+      val root = new Path(dir)
+      val fs = FsOps.fs(spark, root)
+      val live = m.allFiles.toSet
+      var liveBytes = 0L
+      live.foreach(rel =>
+        liveBytes += fs.getFileStatus(new Path(abs(dir, rel))).getLen)
+      val liveBucketDirs = m.allFiles
+        .map(rel => rel.split('/').init.mkString("/")).distinct
+      val bloomBuckets = liveBucketDirs.count(bd =>
+        fs.exists(new Path(abs(dir, s"$bd/${Blooms.SidecarName}"))))
+      var reclaimableFiles = 0L
+      var reclaimableBytes = 0L
+      fs.listStatus(root).foreach { g =>
+        g.getPath.getName match {
+          case GenDirRe(_) =>
+            fs.listStatus(g.getPath).filter(_.isDirectory).foreach { bDir =>
+              fs.listStatus(bDir.getPath).foreach { f =>
+                val name = f.getPath.getName
+                val rel = s"${g.getPath.getName}/${bDir.getPath.getName}/$name"
+                if (!name.startsWith("_") && !name.startsWith(".") &&
+                    !live.contains(rel)) {
+                  reclaimableFiles += 1
+                  reclaimableBytes += f.getLen
+                }
+              }
+            }
+          case _ =>
+        }
+      }
+      TableStats(m.gen, manifestGens(spark, dir).size,
+        m.numBuckets(defaultBuckets), m.allFiles.size.toLong, liveBytes,
+        reclaimableFiles, reclaimableBytes, bloomBuckets)
+    }
+
   // ---- key hashing ------------------------------------------------------
 
   /** The canonical PK string every placement/bloom hash is keyed on

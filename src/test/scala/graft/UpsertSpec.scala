@@ -29,6 +29,43 @@ class UpsertSpec extends SparkSpec {
     Seq(key).toDF("v")
       .select(pmod(xxhash64(col("v")), lit(n)).cast("int")).as[Int].head()
 
+  test("stats: live/garbage/bloom figures track merges and vacuum, with zero Spark jobs") {
+    val dir = Files.createTempDirectory("upsert_stats").toString
+    val rows = (1 to 200).map(i => (s"k$i", 1L, i.toLong)).toDF("id", "ver", "v")
+    Upsert.merge(spark, dir, rows, pk = Seq("id"), versionCol = "ver", bloom = true)
+    Upsert.merge(spark, dir,
+      Seq(("k1", 2L, 99L)).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver", bloom = true)
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val s = try {
+      val s = Upsert.stats(spark, dir).get
+      Thread.sleep(1000)
+      s
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"stats must be metadata-only, ran $jobs jobs")
+
+    assert(s.gen == 1 && s.snapshotsRetained == 2) // gens are 0-based
+    assert(s.liveFiles == manifest(dir).allFiles.size)
+    assert(s.liveBytes > 0)
+    // gen-0's superseded copy of k1's bucket is MVCC history the
+    // current snapshot no longer references — reclaimable by vacuum
+    assert(s.reclaimableFiles > 0)
+    assert(s.bloomBuckets > 0 && s.bloomBuckets <= s.liveFiles)
+
+    Upsert.vacuum(spark, dir, keepManifests = 1)
+    val after = Upsert.stats(spark, dir).get
+    assert(after.snapshotsRetained == 1)
+    assert(after.reclaimableFiles == 0 && after.reclaimableBytes == 0,
+      s"vacuum must reclaim exactly the reported files: $after")
+    assert(after.liveFiles == s.liveFiles && after.liveBytes == s.liveBytes)
+  }
+
   test("merge rewrites only touched buckets; untouched files identical at identical paths") {
     val dir = Files.createTempDirectory("upsert").toString + "/t"
     val base = (1 to 200).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")

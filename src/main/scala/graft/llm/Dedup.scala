@@ -318,14 +318,23 @@ object Dedup {
   def ingestDeduped(spark: SparkSession, sigDir: String, batch: DataFrame,
                     threshold: Double = 0.8, batchVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, lit, when}
+    val bandsDir = s"${sigDir.stripSuffix("/")}_bands"
     val sigsNew = batch
       .select(col("doc_id"),
         graft.functions.functions.minhash_shingle_sig(
           split(col("text"), " "), NGRAM, 64).as("sig"))
       .filter(col("sig").isNotNull)
     val index = graft.io.Upsert.readIfExists(spark, sigDir)
+    // the banded projection is maintained ALONGSIDE the signatures (it
+    // is deterministic per doc), so the per-batch probe never
+    // re-explodes the historical index — the shape the ScaleProbe
+    // ingest numbers show is the only one that stays fast as the
+    // corpus grows
+    val indexBands = graft.io.Upsert.readIfExists(spark, bandsDir)
+      .map(_.select(col("doc_id"), col("band"), col("band_hash")))
     val cands = index match {
-      case Some(idx) => minhashLshIncremental(batch, idx.select(col("doc_id"), col("sig")))
+      case Some(idx) => minhashLshIncremental(batch,
+        idx.select(col("doc_id"), col("sig")), indexBands = indexBands)
       case None      => minhashLshIncremental(batch, sigsNew.limit(0))
     }
     val nid = batch.select(col("doc_id")).withColumn("isn", lit(true))
@@ -339,7 +348,17 @@ object Dedup {
         .as("doc_id")).distinct()
     val kept = batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
     val keptSigs = sigsNew.join(broadcast(drops), Seq("doc_id"), "left_anti")
-      .withColumn("__v", lit(batchVersion))
+      .withColumn("__v", lit(batchVersion)).cache()
+    // bands FIRST: a crash between the two merges then leaves only
+    // orphan bands (doc not yet in the sig index — scoring drops its
+    // pairs, the replayed batch re-decides identically). The reverse
+    // order could leave a sig whose near-dups are never probed again.
+    val keptBands = keptSigs
+      .select(col("doc_id"), col("__v"),
+        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    graft.io.Upsert.merge(spark, bandsDir, keptBands,
+      pk = Seq("doc_id", "band"), versionCol = "__v")
     graft.io.Upsert.merge(spark, sigDir, keptSigs,
       pk = Seq("doc_id"), versionCol = "__v")
     kept

@@ -50,5 +50,15 @@ class IngestDedupSpec extends SparkSpec {
     // doc 1) still drops — dedup is against the index, not the wave
     val w3 = Seq(doc(31, "alpha", tail = "another"), doc(32, "epsilon"))
     assert(ingest(w3, v = 3) == Set(32L))
+
+    // the banded projection tracks the sig index doc-for-doc (8 bands
+    // each) — this is what keeps per-batch probes from re-exploding
+    // the historical index
+    val sigIds = graft.io.Upsert.read(spark, sigDir)
+      .select("doc_id").as[Long].collect().toSet
+    val bandRows = graft.io.Upsert.read(spark, s"${sigDir}_bands")
+      .select("doc_id").as[Long].collect()
+    assert(bandRows.toSet == sigIds && bandRows.length == sigIds.size * 8,
+      s"banded projection out of sync: ${bandRows.length} rows for ${sigIds.size} sigs")
   }
 }

@@ -92,6 +92,8 @@ object SparkEntry {
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => TextAnalysis.chunkDedup(s, d)),
     "text_repetition" -> (TextAnalysis.repetitionSignals _),
     "text_decontaminate" -> ((s: SparkSession, d: String) => TextAnalysis.decontaminate(s, d)),
+    "text_decontaminate_filter" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminateFilter(s, d)),
     "text_sample_hash" -> ((s: SparkSession, d: String) => TextAnalysis.sampleHash(s, d)),
     "text_stratified_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.stratifiedSample(s, d)),
@@ -836,6 +838,18 @@ object SparkEntry {
          WHERE doc_id % 10 <> 0
          GROUP BY 1
          HAVING count(DISTINCT s) >= 1""",
+
+    "text_decontaminate_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+                    FROM t WHERE len(w) >= 8),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s
+                   FROM idx),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+            flagged AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+                        WHERE doc_id % 10 <> 0)
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""",
 
     "text_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

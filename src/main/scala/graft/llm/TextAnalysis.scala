@@ -227,6 +227,23 @@ object TextAnalysis {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** The decontamination FILTER — what a pipeline actually applies:
+    * the surviving corpus after dropping every non-benchmark doc the
+    * [[decontaminate]] report flags (n-gram overlap with the eval
+    * set) and the eval docs themselves. Anti-join against the
+    * (small, already-aggregated) flagged set; the corpus streams
+    * once.
+    */
+  def decontaminateFilter(spark: SparkSession, sfDir: String,
+                          ngram: Int = 8, minShared: Long = 1L): DataFrame = {
+    val flagged = decontaminate(spark, sfDir, ngram, minShared)
+      .select(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0) // the eval set never ships as training data
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Winnowing coverage gate (VERDICT r3 #3 family, covers-jaccard
     * mold): Schleimer et al.'s guarantee is DETERMINISTIC — any shared
     * token run of length ≥ w+k−1 contains one full hash window in both

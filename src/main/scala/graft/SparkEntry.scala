@@ -29,6 +29,7 @@ object SparkEntry {
     "p3_transition_delta" -> (Relational.p3TransitionDelta _),
     // ---- aggregations (SURVEY §2.5) ----
     "a1_window_count" -> (Relational.a1WindowCount _),
+    "a_rollup_multigrain" -> (Relational.aRollupMultiGrain _),
     "a2_keyed_window_agg" -> (Relational.a2KeyedWindowAgg _),
     "a3_global_window" -> (Relational.a3GlobalWindow _),
     "a4_decimal_window_agg" -> (Relational.a4DecimalWindowAgg _),
@@ -255,6 +256,13 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_user_ct,
                 true AS within_bound
          FROM events GROUP BY 1""",
+
+    "a_rollup_multigrain" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+                coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                count(*) AS ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))""",
 
     "a1_window_count" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,

@@ -76,6 +76,25 @@ object Relational {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("event_type"), col("ct"))
 
+  /** Multi-granularity DWS in ONE pass — ROLLUP (event_type, day):
+    * per-(type, day) cells, per-type subtotals, and the grand total
+    * from a single shuffle with map-side partial aggregation. The
+    * reference materializes each granularity as its own window job
+    * (one DWS app per grain feeding a Doris rollup); at 100 TB the
+    * single-pass rollup reads the facts once instead of once per
+    * grain. Rolled-up slots surface as 'ALL' so the result is
+    * null-free (stable cross-engine ordering/hashing).
+    */
+  def aRollupMultiGrain(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        cents(col("value")).as("v"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("ct"), sum(col("v")).as("sum_cents"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("ct"), col("sum_cents"))
+
   /** A2 — keyed tumbling-window multi-metric aggregate.
     * Reference: DwsTrafficVcChArIsNewPageViewWindow.getReduceFullStream
     * (:70-97): per-key window sums (uv/sv/pv/durSum). Partial+final

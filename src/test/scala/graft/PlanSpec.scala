@@ -74,6 +74,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a_rollup_multigrain: every grain from ONE shuffle (Expand + partial agg)") {
+    val p = plan("a_rollup_multigrain")
+    assert(p.contains("Expand"), s"rollup must expand grouping sets, not re-scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all grains must share a single agg exchange:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"facts must be read once, not once per grain:\n$p")
+  }
+
   test("text_stratified_sample: scan never reads text; exactly one (source) exchange") {
     val p = plan("text_stratified_sample")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

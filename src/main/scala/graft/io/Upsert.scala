@@ -335,26 +335,42 @@ object Upsert {
     * files, so no partition columns are inferred — bucket membership is
     * manifest metadata, not a data column.
     */
-  private def scanFiles(spark: SparkSession, dir: String,
-                        rels: Seq[String]): DataFrame =
-    spark.read.parquet(rels.map(abs(dir, _)): _*)
+  /** Manifest prop recording the table schema as DDL. Written by every
+    * commit; reads pass it to the parquet reader EXPLICITLY, so files
+    * written before a column was added simply surface NULLs for it —
+    * schema evolution without a mergeSchema footer sweep, and time
+    * travel returns each generation's own shape.
+    */
+  private val SchemaProp = "schema"
+
+  private def tableSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
+    m.props.get(SchemaProp).map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  private def scanFiles(spark: SparkSession, dir: String, rels: Seq[String],
+                        schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = schema.fold(spark.read)(s => spark.read.schema(s))
+    r.parquet(rels.map(abs(dir, _)): _*)
+  }
 
   /** Read the table's logical content as of the current manifest. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $dir"))
-    scanFiles(spark, dir, m.allFiles)
+    scanFiles(spark, dir, m.allFiles, tableSchema(m))
   }
 
-  /** Read as of generation `gen` (time travel across retained gens). */
+  /** Read as of generation `gen` (time travel across retained gens).
+    * The snapshot's own schema applies — a column added later does not
+    * appear in an earlier generation's shape.
+    */
   def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
     val m = manifestAt(spark, dir, gen).getOrElse(
       throw new IllegalStateException(s"no manifest for gen=$gen under $dir"))
-    scanFiles(spark, dir, m.allFiles)
+    scanFiles(spark, dir, m.allFiles, tableSchema(m))
   }
 
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
-    currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles))
+    currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles, tableSchema(m)))
 
   /** Driver-side table-health snapshot — metadata only, ZERO Spark
     * jobs: the numbers an operator reads before deciding to compact,
@@ -467,9 +483,9 @@ object Upsert {
       }
     }
     if (files.isEmpty) // provably no file can hold any key
-      scanFiles(spark, dir, m.allFiles).filter(lit(false))
+      scanFiles(spark, dir, m.allFiles, tableSchema(m)).filter(lit(false))
     else
-      scanFiles(spark, dir, files).filter(col(pkCol).isin(values: _*))
+      scanFiles(spark, dir, files, tableSchema(m)).filter(col(pkCol).isin(values: _*))
   }
 
   // ---- blooms -----------------------------------------------------------
@@ -598,7 +614,8 @@ object Upsert {
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
     // full replace: every segment changes, so no prev to reuse from
-    commitManifest(spark, dir, Manifest(gen, props, files))
+    commitManifest(spark, dir, Manifest(gen,
+      props + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files))
   }
 
   // ---- merge ------------------------------------------------------------
@@ -651,7 +668,8 @@ object Upsert {
             adds.withColumn(ChangeFeed.ChangeCol, lit("add")), commitId)
         }
         commitManifest(spark, dir,
-          Manifest(gen, Map("numBuckets" -> numBuckets.toString), files))
+          Manifest(gen, Map("numBuckets" -> numBuckets.toString,
+            SchemaProp -> merged.drop(BucketCol).schema.toDDL), files))
 
       case Some(man) =>
         val n = man.numBuckets(numBuckets)
@@ -685,12 +703,36 @@ object Upsert {
         }
         val preserve: Map[Int, Seq[String]] =
           pruned.map(_.map { case (b, (_, keep)) => b -> keep }).getOrElse(Map.empty)
+        val tblSchema = tableSchema(man)
         val cur0 =
-          if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles)
-          else scanFiles(spark, dir, man.allFiles).filter(lit(false))
-        val cur = cur0.withColumn("__src", lit(0))
-        val aligned = tagged.drop(BucketCol).withColumn("__src", lit(1))
-          .select(cur.columns.toIndexedSeq.map(col): _*)
+          if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles, tblSchema)
+          else scanFiles(spark, dir, man.allFiles, tblSchema).filter(lit(false))
+        // SCHEMA EVOLUTION: the union shape is table columns first,
+        // then the batch's new columns. Either side missing a column
+        // surfaces NULL for it; a type CHANGE is rejected loudly (only
+        // additive evolution is supported). Untouched buckets keep
+        // their old files — reads fill the new columns via the
+        // manifest's schema prop, no rewrite.
+        val updData = tagged.drop(BucketCol)
+        updData.schema.fields.foreach { f =>
+          cur0.schema.fields.find(_.name == f.name).foreach { tf =>
+            // catalogString ignores nullability at every nesting level —
+            // parquet round-trips flip containsNull, which is not a change
+            require(tf.dataType.catalogString == f.dataType.catalogString,
+              s"schema evolution cannot change column '${f.name}': " +
+                s"table has ${tf.dataType.catalogString}, batch has ${f.dataType.catalogString}")
+          }
+        }
+        val unionFields = cur0.schema.fields ++
+          updData.schema.fields.filterNot(f => cur0.columns.contains(f.name))
+        def widen(df: DataFrame): DataFrame = {
+          val have = df.columns.toSet
+          df.select(unionFields.toIndexedSeq.map(f =>
+            if (have(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)): _*)
+        }
+        val cur = widen(cur0).withColumn("__src", lit(0))
+        val aligned = widen(updData).withColumn("__src", lit(1))
         val merged = withBucket(
           resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol), pk, n)
         val gen = nextGen(spark, dir)
@@ -720,7 +762,9 @@ object Upsert {
             .withColumn(ChangeFeed.ChangeCol, lit("add"))
           ChangeFeed.append(spark, dir, pre.unionByName(post), commitId)
         }
-        commitManifest(spark, dir, Manifest(gen, man.props, files), Some(man))
+        commitManifest(spark, dir, Manifest(gen,
+          man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL),
+          files), Some(man))
     }
   }
 
@@ -762,7 +806,7 @@ object Upsert {
     val fs = FsOps.fs(spark, new Path(dir))
     val compacted: Map[Int, Seq[String]] = over.map { case (b, rels) =>
       val outDir = new Path(dir, s"__gen=$gen/$BucketCol=$b")
-      scanFiles(spark, dir, rels).coalesce(1)
+      scanFiles(spark, dir, rels, tableSchema(man)).coalesce(1)
         .write.mode("overwrite").parquet(outDir.toString)
       if (bloom) {
         // sidecar for the freshly written single file
@@ -875,6 +919,7 @@ object Upsert {
     val fileMap =
       if (files.nonEmpty) Map(0 -> files)
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df))
-    commitManifest(spark, dir, Manifest(gen, props, fileMap))
+    commitManifest(spark, dir, Manifest(gen,
+      props + (SchemaProp -> df.schema.toDDL), fileMap))
   }
 }

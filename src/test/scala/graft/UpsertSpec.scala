@@ -66,6 +66,55 @@ class UpsertSpec extends SparkSpec {
     assert(after.liveFiles == s.liveFiles && after.liveBytes == s.liveBytes)
   }
 
+  test("schema evolution: new columns land without rewriting untouched buckets; " +
+       "time travel keeps each generation's shape; type changes are rejected") {
+    val dir = Files.createTempDirectory("upsert_evolve").toString
+    Upsert.merge(spark, dir,
+      (1 to 100).map(i => (s"k$i", 1L, i.toLong)).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver")
+    val before = crcs(dir)
+
+    // batch carries a NEW column (CDC tables grow fields)
+    Upsert.merge(spark, dir,
+      Seq(("k1", 2L, 999L, "hello")).toDF("id", "ver", "v", "note"),
+      pk = Seq("id"), versionCol = "ver")
+    val evolved = Upsert.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("id", "ver", "v", "note"))
+    val notes = evolved.select("id", "note").as[(String, String)].collect().toMap
+    assert(notes("k1") == "hello")
+    assert(notes("k2") == null, "old rows must surface NULL for the new column")
+    assert(evolved.count() == 100)
+    // untouched buckets: same files, byte-identical (no evolution rewrite)
+    val after = crcs(dir)
+    before.foreach { case (rel, crc) =>
+      if (after.contains(rel)) assert(after(rel) == crc, s"$rel rewritten")
+    }
+    assert(before.keySet.intersect(after.keySet).nonEmpty, "expected preserved files")
+
+    // a batch MISSING an existing column: its rows get NULL there
+    Upsert.merge(spark, dir,
+      Seq(("k200", 1L, "fresh")).toDF("id", "ver", "note"),
+      pk = Seq("id"), versionCol = "ver")
+    val k200 = Upsert.read(spark, dir).filter(col("id") === "k200")
+      .select("v", "note").collect().head
+    assert(k200.isNullAt(0) && k200.getString(1) == "fresh")
+
+    // time travel: gen 0 predates the column — its shape has no `note`
+    assert(Upsert.readAt(spark, dir, 0).columns.toSeq == Seq("id", "ver", "v"))
+
+    // additive only: changing a column's type must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, dir,
+        Seq(("k1", 3L, "not-a-long", "x")).toDF("id", "ver", "v", "note"),
+        pk = Seq("id"), versionCol = "ver")
+    }
+    assert(ex.getMessage.contains("schema evolution cannot change column 'v'"))
+
+    // point lookups see the evolved shape too (manifest schema applies)
+    val hit = Upsert.lookup(spark, dir, "id", Seq("k200"))
+    assert(hit.columns.contains("note") && hit.count() == 1)
+  }
+
   test("merge rewrites only touched buckets; untouched files identical at identical paths") {
     val dir = Files.createTempDirectory("upsert").toString + "/t"
     val base = (1 to 200).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")

@@ -186,8 +186,10 @@ object MergeOnRead {
       if (live.isEmpty) None
       else Some(live.map { case (id, p) =>
         spark.read.parquet(p).withColumn(BatchCol, lit(id))
-      }.reduce(_ unionByName _))
-    (baseOpt, deltaOpt) match {
+        // deltas are blind appends, so batches may carry evolved
+        // schemas — missing columns fill with NULL
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    widenForEvolution(baseOpt, deltaOpt) match {
       case (None, None) => spark.emptyDataFrame
       case (Some(b), None) => dropDeletes(b, deleteFlagCol)
       case (None, Some(d)) =>
@@ -206,6 +208,36 @@ object MergeOnRead {
         }
     }
   }
+
+  /** Widen base and deltas to their UNION schema (additive evolution:
+    * a delta batch may carry columns the base predates, or omit
+    * columns the base has — either side fills NULL). Type changes are
+    * rejected; catalogString comparison ignores the nested-nullability
+    * flips parquet round-trips introduce. No-op when shapes agree.
+    */
+  private def widenForEvolution(baseOpt: Option[DataFrame],
+                                deltaOpt: Option[DataFrame]): (Option[DataFrame], Option[DataFrame]) =
+    (baseOpt, deltaOpt) match {
+      case (Some(b), Some(d)) =>
+        val dData = d.drop(BatchCol)
+        dData.schema.fields.foreach { f =>
+          b.schema.fields.find(_.name == f.name).foreach { tf =>
+            require(tf.dataType.catalogString == f.dataType.catalogString,
+              s"schema evolution cannot change column '${f.name}': " +
+                s"base has ${tf.dataType.catalogString}, delta has ${f.dataType.catalogString}")
+          }
+        }
+        val unionFields = b.schema.fields ++
+          dData.schema.fields.filterNot(f => b.columns.contains(f.name))
+        def widen(df: DataFrame, extras: Seq[String]): DataFrame = {
+          val have = df.columns.toSet
+          df.select(unionFields.toIndexedSeq.map(f =>
+            if (have(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)) ++ extras.map(col): _*)
+        }
+        (Some(widen(b, Nil)), Some(widen(d, Seq(BatchCol))))
+      case other => other
+    }
 
   /** Per-PK winner among delta rows only: the small-side pre-resolution
     * both read paths share.
@@ -335,10 +367,10 @@ object MergeOnRead {
       else Some(live.map { case (id, p) =>
         spark.read.parquet(p).filter(col(pkCol).isin(values: _*))
           .withColumn(BatchCol, lit(id))
-      }.reduce(_ unionByName _))
-    val all = (baseOpt, deltaOpt) match {
-      case (Some(b), Some(d)) => d.unionByName(b.select(d.columns.toIndexedSeq.map(col): _*))
-      case (Some(b), None) => b
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    val all = widenForEvolution(baseOpt.map(_.drop(BatchCol)), deltaOpt) match {
+      case (Some(b), Some(d)) => d.unionByName(b.withColumn(BatchCol, lit(-1L)))
+      case (Some(b), None) => b.withColumn(BatchCol, lit(-1L))
       case (None, Some(d)) => d
       case (None, None) => return spark.emptyDataFrame
     }

@@ -313,4 +313,32 @@ class MergeOnReadSpec extends SparkSpec {
       .filter(col("id") === "k2").select("amount_cents").as[Long].head()
     assert(got == 0L)
   }
+
+  test("schema evolution: an evolved delta batch resolves on both read paths, " +
+       "lookups see it, and compaction folds the widened shape") {
+    val dir = java.nio.file.Files.createTempDirectory("mor_evolve").toString
+    MergeOnRead.merge(spark, dir,
+      Seq(("k1", 1L, 100L), ("k2", 1L, 200L)).toDF("id", "ver", "cents"))
+    MergeOnRead.compact(spark, dir, pk, "ver") // base with the ORIGINAL shape
+    // evolved delta: new column, plus a batch row omitting nothing
+    MergeOnRead.merge(spark, dir,
+      Seq(("k2", 2L, 250L, "promo"), ("k3", 1L, 300L, "new")).toDF("id", "ver", "cents", "tag"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "ver", "cents", "tag")
+        .as[(String, Long, Long, String)].collect().toSet
+    val expected = Set(
+      ("k1", 1L, 100L, null: String), // pre-evolution base row: NULL tag
+      ("k2", 2L, 250L, "promo"),
+      ("k3", 1L, 300L, "new"))
+    val fast = rows(MergeOnRead.read(spark, dir, pk, "ver"))
+    val slow = rows(MergeOnRead.read(spark, dir, pk, "ver", maxBroadcastDeltaBytes = 0L))
+    assert(fast == expected, s"fast path: $fast")
+    assert(slow == expected, "windowed fallback must agree with the fast path")
+    // point lookup across the evolved boundary
+    val hit = MergeOnRead.lookup(spark, dir, "id", Seq("k1", "k2"), "ver")
+    assert(rows(hit) == expected.filter(r => r._1 == "k1" || r._1 == "k2"))
+    // compaction folds everything into a base with the widened shape
+    MergeOnRead.compact(spark, dir, pk, "ver")
+    assert(rows(MergeOnRead.read(spark, dir, pk, "ver")) == expected)
+  }
 }

@@ -99,8 +99,16 @@ object ChangeFeed {
             afterBatch: Long): Option[(DataFrame, Long)] = {
     val fresh = batches(spark, tableDir).filter(_._1 > afterBatch)
     if (fresh.isEmpty) None
-    else Some((spark.read.parquet(fresh.map(_._2): _*), fresh.map(_._1).max))
+    else Some((readBatchDirs(spark, fresh.map(_._2)), fresh.map(_._1).max))
   }
+
+  /** Union batch dirs BY NAME: the table may have evolved between
+    * batches, and a multi-path parquet read would silently impose one
+    * batch's schema on all of them. Missing columns fill with NULL.
+    */
+  private def readBatchDirs(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Compact the batch prefix `0..upTo` into one net batch at id
     * `upTo`, so a FRESH consumer bootstraps from O(table-touched-keys)
@@ -116,7 +124,7 @@ object ChangeFeed {
     import org.apache.spark.sql.functions._
     val prefix = batches(spark, tableDir).filter(_._1 <= upTo) // also recovers
     if (prefix.size <= 1) return
-    val df = spark.read.parquet(prefix.map(_._2): _*)
+    val df = readBatchDirs(spark, prefix.map(_._2))
     val dataCols = df.columns.filterNot(_ == ChangeCol).toSeq
     val net = df
       .groupBy(dataCols.map(col): _*)

@@ -760,7 +760,10 @@ object Upsert {
             case bs => scanFiles(spark, dir, bs.flatMap(staged))
           }).join(keys, pk, "left_semi")
             .withColumn(ChangeFeed.ChangeCol, lit("add"))
-          ChangeFeed.append(spark, dir, pre.unionByName(post), commitId)
+          // allowMissing: on an evolving merge the pre-image has the
+          // OLD shape and the post-image the widened one
+          ChangeFeed.append(spark, dir,
+            pre.unionByName(post, allowMissingColumns = true), commitId)
         }
         commitManifest(spark, dir, Manifest(gen,
           man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL),

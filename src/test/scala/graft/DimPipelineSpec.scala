@@ -39,6 +39,20 @@ class DimPipelineSpec extends SparkSpec {
     assert(dic == Map("1001" -> "PENDING", "1002" -> "paid")) // last-wins
     assert(graft.io.Upsert.read(spark, s"$wh/dim_sku_info").count() == 0) // deleted
 
+    // config evolution (the reference's own workflow: the
+    // table_process_dim column whitelist gains a field): the widened
+    // config applies on the next batch, old rows surface NULL
+    val cfg2 = Seq(DimConfig("base_dic", "dim_base_dic",
+      Seq("dic_code", "dic_name", "parent_code"), "dic_code"))
+    val b3 = DimPipeline.parseCdc(cdc(
+      ("base_dic", "insert", 3L, Map("dic_code" -> "1003",
+        "dic_name" -> "shipped", "parent_code" -> "10"))))
+    DimPipeline.processBatch(spark, b3, cfg2, wh)
+    val evolved = graft.io.Upsert.read(spark, s"$wh/dim_base_dic")
+      .select("dic_code", "parent_code").as[(String, String)].collect().toMap
+    assert(evolved("1003") == "10")
+    assert(evolved("1001") == null, "pre-evolution rows surface NULL for the new column")
+
     // a pipeline-managed dim is auto-registered dim-scale: joins against
     // it broadcast even with size-estimate broadcast disabled — the
     // manifest scan's leaf paths are FILES under the table dir, so this

@@ -113,4 +113,29 @@ class IncrementalDwsSpec extends SparkSpec {
     val ops = b1.select("id", ChangeFeed.ChangeCol).as[(String, String)].collect().toSet
     assert(ops == Set(("k1", "retract"), ("k1", "add")))
   }
+
+  test("change feed survives schema evolution: pre-images keep the old shape, " +
+       "consumers read NULL-filled unions across the boundary") {
+    val root = Files.createTempDirectory("cdf_evolve").toString
+    val fact = s"$root/t"
+    Upsert.merge(spark, fact, Seq(("k1", 1L, 100L)).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver", changeLog = true)
+    // evolving merge: corrects k1 AND introduces a column
+    Upsert.merge(spark, fact, Seq(("k1", 2L, 150L, "promo")).toDF("id", "ver", "v", "tag"),
+      pk = Seq("id"), versionCol = "ver", changeLog = true)
+    val (changes, upTo) = ChangeFeed.since(spark, fact, afterBatch = -1L).get
+    assert(upTo == 1L)
+    val rows = changes.select("id", "ver", "tag", ChangeFeed.ChangeCol)
+      .as[(String, Long, String, String)].collect().toSet
+    assert(rows == Set(
+      ("k1", 1L, null: String, "add"),     // batch 0 predates the column
+      ("k1", 1L, null: String, "retract"), // pre-image keeps the old shape
+      ("k1", 2L, "promo", "add")), s"got $rows")
+    // compaction nets the evolved history without losing the new column
+    ChangeFeed.compact(spark, fact, upTo = 1L)
+    val (net, _) = ChangeFeed.since(spark, fact, afterBatch = -1L).get
+    val netRows = net.select("id", "ver", "tag", ChangeFeed.ChangeCol)
+      .as[(String, Long, String, String)].collect().toSet
+    assert(netRows == Set(("k1", 2L, "promo", "add")), s"got $netRows")
+  }
 }

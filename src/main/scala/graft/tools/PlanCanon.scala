@@ -26,6 +26,11 @@ object PlanCanon {
     .replaceAll("\\*\\(\\d+\\)", "*")
     .replaceAll("\\$\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
     .replaceAll("BuildLeft|BuildRight", "Build")
+    // broadcast-mode key ordinals are physical slot positions in the
+    // build row — AQE exchange reuse legitimately shifts them without
+    // changing which columns are keyed (seen live: a bench run hashed
+    // differently on input[0,1] vs input[1,2] alone)
+    .replaceAll("input\\[\\d+", "input[")
 
   /** Sorted canonical node lines of a normalized plan — the exact
     * string [[sha]] hashes.

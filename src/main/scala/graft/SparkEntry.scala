@@ -30,6 +30,7 @@ object SparkEntry {
     // ---- aggregations (SURVEY §2.5) ----
     "a1_window_count" -> (Relational.a1WindowCount _),
     "a_rollup_multigrain" -> (Relational.aRollupMultiGrain _),
+    "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a2_keyed_window_agg" -> (Relational.a2KeyedWindowAgg _),
     "a3_global_window" -> (Relational.a3GlobalWindow _),
     "a4_decimal_window_agg" -> (Relational.a4DecimalWindowAgg _),
@@ -256,6 +257,17 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_user_ct,
                 true AS within_bound
          FROM events GROUP BY 1""",
+
+    "a_topn_per_group" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+                    FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, day, day_cents,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY day_cents DESC, day) AS rnk
+                  FROM d)
+         SELECT event_type, day, day_cents, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3""",
 
     "a_rollup_multigrain" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -95,6 +95,23 @@ object Relational {
         coalesce(col("day"), lit("ALL")).as("day"),
         col("ct"), col("sum_cents"))
 
+  /** Top-N per group — the standard DWS leaderboard ask ("top 3 days
+    * by revenue per event type"): aggregate FIRST (the only fact-table
+    * shuffle), then rank the small per-group aggregate with a window.
+    * Ties break on the group-ordering column, so the result is
+    * deterministic on any cluster topology.
+    */
+  def aTopNPerGroup(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day_cents").desc, col("day"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(sum(cents(col("value"))).as("day_cents"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+  }
+
   /** A2 — keyed tumbling-window multi-metric aggregate.
     * Reference: DwsTrafficVcChArIsNewPageViewWindow.getReduceFullStream
     * (:70-97): per-key window sums (uv/sv/pv/durSum). Partial+final

@@ -220,13 +220,11 @@ object MergeOnRead {
     (baseOpt, deltaOpt) match {
       case (Some(b), Some(d)) =>
         val dData = d.drop(BatchCol)
-        dData.schema.fields.foreach { f =>
-          b.schema.fields.find(_.name == f.name).foreach { tf =>
-            require(tf.dataType.catalogString == f.dataType.catalogString,
-              s"schema evolution cannot change column '${f.name}': " +
-                s"base has ${tf.dataType.catalogString}, delta has ${f.dataType.catalogString}")
-          }
-        }
+        // shared contract with Upsert: type changes and case-only
+        // renames throw typed; after it passes, a delta column either
+        // matches a base column EXACTLY or is brand-new
+        SchemaEvolution.checkAdditive(b.sparkSession, b.schema, dData.schema,
+          "base", "delta")
         val unionFields = b.schema.fields ++
           dData.schema.fields.filterNot(f => b.columns.contains(f.name))
         def widen(df: DataFrame, extras: Seq[String]): DataFrame = {

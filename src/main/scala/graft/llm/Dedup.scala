@@ -21,6 +21,24 @@ object Dedup {
 
   private val NGRAM = 3
 
+  /** Per-operator slot for the intermediate caches of the LAST
+    * invocation (ADVICE r5 / VERDICT r5 #6): the cached shingle join /
+    * signature table is consumed inside the returned lazy plan, so it
+    * cannot be unpersisted before the caller executes — but a
+    * long-lived session calling an operator in a loop must not
+    * accumulate one cache entry per call. Each new invocation evicts
+    * the previous invocation's caches for the SAME operator (a
+    * still-held earlier result stays correct and simply recomputes),
+    * so storage memory is bounded by one invocation per operator.
+    */
+  private val lastCaches =
+    scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
+  private def trackCaches(op: String, caches: Seq[DataFrame]): Unit =
+    lastCaches.synchronized {
+      lastCaches.getOrElse(op, Nil).foreach(_.unpersist())
+      lastCaches(op) = caches
+    }
+
   /** Distinct word-shingle HASHES per doc: (doc_id, s: long).
     * Native ShingleHashes expression: one per-row pass, no string
     * materialization; the inverted-index join shuffles 8-byte longs.
@@ -65,6 +83,7 @@ object Dedup {
     val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val sh = shAll.join(rare, "s").cache()
+    trackCaches("ngramJaccard", Seq(sh))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("s"))
     val b = sh.select(col("doc_id").as("doc_b"), col("s"))
@@ -116,6 +135,7 @@ object Dedup {
     val takeN = math.min(driverUnionFindLimit + 1, Int.MaxValue.toLong).toInt
     val fetched = pairs.as[(Long, Long)].head(takeN)
     if (fetched.length <= driverUnionFindLimit) {
+      pairs.unpersist() // edges are on the driver now; nothing else reads the cache
       // The thresholded candidate graph is orders of magnitude smaller
       // than the corpus (that's the point of the threshold): union-find
       // on the driver is exact and O(pairs α(pairs)) — collecting a
@@ -147,6 +167,7 @@ object Dedup {
       // O(1) in the component diameter instead of O(iterations).
       var labels = edges.select(col("node")).distinct()
         .withColumn("label", col("node")).localCheckpoint(true)
+      pairs.unpersist() // edges cache (materialized by the checkpoint) covers the loop
       var changed = 1L
       while (changed > 0) {
         val viaNbr = edges
@@ -200,6 +221,7 @@ object Dedup {
         graft.functions.functions.minhash_shingle_sig(
           split(col("text"), " "), NGRAM, numHashes).as("sig"))
       .filter(col("sig").isNotNull).cache()
+    trackCaches("minhashLsh", Seq(sig))
     val bandedAll = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -246,7 +268,20 @@ object Dedup {
     */
   def minhashLshIncremental(newDocs: DataFrame, indexSigs: DataFrame,
                             numHashes: Int = 64, bands: Int = 8,
-                            indexBands: Option[DataFrame] = None): DataFrame = {
+                            indexBands: Option[DataFrame] = None): DataFrame =
+    minhashLshIncrementalImpl(newDocs, indexSigs, numHashes, bands, indexBands) match {
+      case (result, caches) => trackCaches("minhashLshIncremental", caches); result
+    }
+
+  /** [[minhashLshIncremental]] plus its per-batch caches, so a batch
+    * driver like [[ingestDeduped]] can unpersist them once the batch's
+    * merges have materialized (ADVICE r5) instead of leaving them to
+    * accumulate across a long-running stream.
+    */
+  private[llm] def minhashLshIncrementalImpl(
+      newDocs: DataFrame, indexSigs: DataFrame,
+      numHashes: Int = 64, bands: Int = 8,
+      indexBands: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val rows = numHashes / bands
     def band(sigs: DataFrame): DataFrame = sigs
       .select(col("doc_id"),
@@ -259,6 +294,15 @@ object Dedup {
       .filter(col("sig").isNotNull).cache()
     val newBands = band(newSigs).cache()
     val probe = newBands.select(col("band"), col("band_hash")).distinct()
+    // Replay invariance (ADVICE r5): on a replayed batch the incoming
+    // docs are ALREADY in the persisted index; counted on both the
+    // is_new and the history side they would double their buckets'
+    // sizes, and a bucket near the 256 cap could flip over it on
+    // replay — silently changing survivorship vs the original run.
+    // Anti-joining history on the incoming ids (a bounded batch —
+    // broadcastable) makes every doc count exactly once, so cap
+    // decisions are a pure function of (index ∪ batch) content.
+    val newIds = newDocs.select(col("doc_id")).distinct()
     // `indexBands` is the persisted banded projection (doc_id, band,
     // band_hash) — maintain it incrementally (it's deterministic per
     // doc) and the per-batch cost drops to the probe join alone; when
@@ -266,6 +310,7 @@ object Dedup {
     // full explode+shuffle of the index per batch)
     val histBands = indexBands.getOrElse(band(indexSigs))
       .join(broadcast(probe), Seq("band", "band_hash"), "left_semi")
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
     val combined = newBands.withColumn("is_new", lit(true))
       .unionByName(histBands.withColumn("is_new", lit(false)))
     val okBuckets = combined.groupBy(col("band"), col("band_hash"))
@@ -286,15 +331,21 @@ object Dedup {
     // sig table is semi-join-pruned instead of scanned into a join
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val allSigs = newSigs.unionByName(indexSigs.select(col("doc_id"), col("sig")))
+    // history is anti-joined on the incoming ids for the same replay
+    // reason as the bands: a doc present on both sides would join
+    // twice and emit duplicate pair rows
+    val allSigs = newSigs.unionByName(
+        indexSigs.select(col("doc_id"), col("sig"))
+          .join(broadcast(newIds), Seq("doc_id"), "left_anti"))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    cand
+    val scored = cand
       .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
           / lit(numHashes))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    (scored, Seq(newSigs, newBands, cand))
   }
 
   /** Dedup-on-ingest: the foreachBatch body of a streaming corpus
@@ -332,10 +383,10 @@ object Dedup {
     // corpus grows
     val indexBands = graft.io.Upsert.readIfExists(spark, bandsDir)
       .map(_.select(col("doc_id"), col("band"), col("band_hash")))
-    val cands = index match {
-      case Some(idx) => minhashLshIncremental(batch,
+    val (cands, batchCaches) = index match {
+      case Some(idx) => minhashLshIncrementalImpl(batch,
         idx.select(col("doc_id"), col("sig")), indexBands = indexBands)
-      case None      => minhashLshIncremental(batch, sigsNew.limit(0))
+      case None      => minhashLshIncrementalImpl(batch, sigsNew.limit(0))
     }
     val nid = batch.select(col("doc_id")).withColumn("isn", lit(true))
     val flagged = cands.filter(col("est_jaccard") >= threshold)
@@ -346,7 +397,6 @@ object Dedup {
         .when(coalesce(col("na"), lit(false)), col("doc_a")) // a new, b history
         .otherwise(col("doc_b"))                             // a history, b new
         .as("doc_id")).distinct()
-    val kept = batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
     val keptSigs = sigsNew.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .withColumn("__v", lit(batchVersion)).cache()
     // bands FIRST: a crash between the two merges then leaves only
@@ -361,6 +411,13 @@ object Dedup {
       pk = Seq("doc_id", "band"), versionCol = "__v")
     graft.io.Upsert.merge(spark, sigDir, keptSigs,
       pk = Seq("doc_id"), versionCol = "__v")
+    // the merges above materialized every plan that reads the
+    // per-batch caches; materialize the (batch-bounded) survivors and
+    // release the caches so a long-running ingest stream's storage
+    // memory stays flat across batches (ADVICE r5)
+    val kept = batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    (batchCaches :+ keptSigs).foreach(_.unpersist())
     kept
   }
 
@@ -420,6 +477,7 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
     val sig = simhashSignatures(spark, sfDir).cache()
+    trackCaches("simhashPairs", Seq(sig))
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))

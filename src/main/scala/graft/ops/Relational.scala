@@ -424,9 +424,20 @@ object Relational {
     * autoBroadcastJoinThreshold=-1 with AQE off.
     */
   def j5SkuChainAuto(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.core.DimRegistry.register(s"$sfDir/part.parquet")
+    val path = s"$sfDir/part.parquet"
+    graft.core.DimRegistry.register(path)
     graft.core.DimBroadcast.ensureInjected(spark)
-    skuChain(spark, sfDir, identity)
+    try {
+      val df = skuChain(spark, sfDir, identity)
+      // Force logical optimization NOW, while `part` is registered: the
+      // rule's broadcast hints are baked into this Dataset's (cached)
+      // optimizedPlan, and the registration is released before return —
+      // later hint-free queries against part-only subtrees in the same
+      // session do NOT inherit a broadcast hint, so plan SHAs stay
+      // independent of query execution order (ADVICE r5).
+      df.queryExecution.optimizedPlan
+      df
+    } finally graft.core.DimRegistry.unregister(path)
   }
 
   private def skuChain(spark: SparkSession, sfDir: String,

@@ -17,20 +17,29 @@ package graft.tools
   */
 object PlanCanon {
 
-  def normalize(plan: String): String = plan
-    .replaceAll("#\\d+", "#")
-    .replaceAll("plan_id=\\d+", "plan_id=")
-    .replaceAll("@[0-9a-fA-F]+", "@")
-    .replaceAll("id=#?\\d+", "id=")
-    .replaceAll("QueryStage \\d+", "QueryStage")
-    .replaceAll("\\*\\(\\d+\\)", "*")
-    .replaceAll("\\$\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
-    .replaceAll("BuildLeft|BuildRight", "Build")
+  def normalize(plan: String): String = {
+    val base = plan
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("@[0-9a-fA-F]+", "@")
+      .replaceAll("id=#?\\d+", "id=")
+      .replaceAll("QueryStage \\d+", "QueryStage")
+      .replaceAll("\\*\\(\\d+\\)", "*")
+      .replaceAll("\\$\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
+      .replaceAll("BuildLeft|BuildRight", "Build")
     // broadcast-mode key ordinals are physical slot positions in the
     // build row — AQE exchange reuse legitimately shifts them without
     // changing which columns are keyed (seen live: a bench run hashed
-    // differently on input[0,1] vs input[1,2] alone)
-    .replaceAll("input\\[\\d+", "input[")
+    // differently on input[0,1] vs input[1,2] alone). Scoped to the
+    // broadcast-mode lines themselves (ADVICE r5): a BoundReference
+    // ordinal anywhere ELSE in the plan is a real slot choice the
+    // hash must keep seeing.
+    base.linesIterator.map { l =>
+      if (l.contains("HashedRelationBroadcastMode") || l.contains("BroadcastExchange"))
+        l.replaceAll("input\\[\\d+", "input[")
+      else l
+    }.mkString("\n")
+  }
 
   /** Sorted canonical node lines of a normalized plan — the exact
     * string [[sha]] hashes.

@@ -61,4 +61,48 @@ class IngestDedupSpec extends SparkSpec {
     assert(bandRows.toSet == sigIds && bandRows.length == sigIds.size * 8,
       s"banded projection out of sync: ${bandRows.length} rows for ${sigIds.size} sigs")
   }
+
+  test("replay cap invariance: a batch already merged into the index counts ONCE " +
+       "in the hot-bucket cap and emits no duplicate pairs (ADVICE r5)") {
+    import org.apache.spark.sql.functions.{col, split}
+    import graft.functions.{functions => gf}
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // 254 history docs + 2 batch docs with IDENTICAL text: all land in
+    // the same 8 band buckets, so the true combined bucket size sits
+    // exactly AT the 256 cap. Counting replayed batch docs on both the
+    // new and the history side would read 258, silently dropping the
+    // bucket — and with it every candidate the original run emitted.
+    val hist = (1L to 254L).map(i => (i, text))
+    val batch = Seq((1001L, text), (1002L, text))
+    def sigs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        gf.minhash_shingle_sig(split(col("text"), " "), 3, 64).as("sig"))
+    val batchDf = batch.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)].collect().toSeq
+    val fresh = pairs(Dedup.minhashLshIncremental(batchDf, sigs(hist)))
+    val replay = pairs(Dedup.minhashLshIncremental(batchDf, sigs(hist ++ batch)))
+    assert(fresh.size == 2 * 254 + 1, s"at-cap bucket must emit all pairs, got ${fresh.size}")
+    assert(replay.distinct.size == replay.size, "replay emitted duplicate pair rows")
+    assert(replay.toSet == fresh.toSet,
+      s"replay changed cap decisions: ${replay.size} pairs vs ${fresh.size}")
+  }
+
+  test("cache hygiene: repeated dedup invocations keep storage bounded (VERDICT r5 #6)") {
+    val docs = (1L to 60L).map(i => (i, (1 to 20).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    def persisted() = sc.getPersistentRDDs.size
+    // settle: one call of each op, then measure growth over a loop
+    Dedup.ngramJaccardDf(docs).count()
+    Dedup.minhashLshDf(docs).count()
+    val before = persisted()
+    (1 to 30).foreach { _ =>
+      Dedup.ngramJaccardDf(docs).count()
+      Dedup.minhashLshDf(docs).count()
+    }
+    val after = persisted()
+    assert(after <= before,
+      s"cache entries grew across repeated calls: $before -> $after")
+  }
 }

@@ -76,7 +76,7 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
-    "sim_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "sim_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "sim_ivf_recall_gate" -> ((s: SparkSession, d: String) => Similarity.ivfRecallGate(s, d)),
     "sim_semantic_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticClusters(s, d)),

@@ -127,6 +127,42 @@ object Similarity {
         col("rnk").cast("long").as("rnk"), col("sim"))
   }
 
+  /** [[ivfTopK]] served from the PERSISTED index (VERDICT r5 #1): the
+    * index over `sfDir`'s embeddings is built at most once (under
+    * `target/ivf_index`, keyed by corpus path + row count + nlist +
+    * format version) and every call after that is PROBE-ONLY — no
+    * KMeans fit, no full-corpus scan, only the nprobe probed cells'
+    * subtables are opened. Results are bit-identical to the
+    * fit-in-query [[ivfTopK]] on the same corpus (IvfIndexSpec pins
+    * the equivalence), so the recall gate's guarantees carry over
+    * unchanged.
+    */
+  def ivfTopKIndexed(spark: SparkSession, sfDir: String,
+                     numQueries: Int = 20, k: Int = 10,
+                     nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val dir = ensureIndexed(spark, sfDir, nlist)
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    IvfIndex.topK(spark, dir, queries, k, nprobe)
+  }
+
+  /** Build-if-absent for the convenience entry points: one manifest
+    * read when the index is current (no Spark job beyond a parquet
+    * metadata count); a rebuild when the corpus snapshot, nlist, or
+    * the index format changed.
+    */
+  private def ensureIndexed(spark: SparkSession, sfDir: String, nlist: Int): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val dir = s"target/ivf_index/${key}_nlist$nlist"
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val cnt = corpus.count() // parquet metadata-only aggregate
+    if (!IvfIndex.isBuilt(spark, dir, nlist, cnt))
+      IvfIndex.build(spark, dir, corpus, nlist)
+    dir
+  }
+
   /** Driver-gated consequence oracle for [[ivfTopK]] (VERDICT r3 #3),
     * in the `a5_approx_bound` mold: the ANN's exact guarantees are
     * checked against the (fully oracled) brute-force truth and reduced
@@ -145,7 +181,10 @@ object Similarity {
                     recallFloor: Double = 0.3): DataFrame = {
     val bf = bruteForceTopK(spark, sfDir, numQueries, k)
       .select(col("q_id"), col("c_id"), col("sim").as("sim_bf"))
-    val ann = ivfTopK(spark, sfDir, numQueries, k)
+    // the gate runs against the PERSISTED index (VERDICT r5 #1) — the
+    // path production queries take; IvfIndexSpec separately pins it
+    // bit-identical to the fit-in-query formulation
+    val ann = ivfTopKIndexed(spark, sfDir, numQueries, k)
       .select(col("q_id"), col("c_id"), col("sim").as("sim_ann"))
     val hits = ann.join(bf, Seq("q_id", "c_id"))
       .groupBy(col("q_id"))

@@ -848,6 +848,43 @@ object Upsert {
       Some(man))
   }
 
+  /** Bytes and files a [[vacuum]] with this retention would actually
+    * free: on-disk generation-dir data files referenced by NONE of the
+    * newest `keepManifests` manifests. Metadata-only (listings — no
+    * Spark job). [[Maintenance]]'s vacuum trigger uses this rather
+    * than [[stats]]' current-manifest reclaimable figure so the policy
+    * CONVERGES: files retained for previous-snapshot readers don't
+    * re-trigger a vacuum that wouldn't delete them.
+    */
+  private[io] def freeableBy(spark: SparkSession, dir: String,
+                             keepManifests: Int): (Long, Long) = {
+    val root = new Path(dir)
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) return (0L, 0L)
+    val gens = manifestGens(spark, dir)
+    if (gens.isEmpty) return (0L, 0L)
+    val referenced = gens.takeRight(math.max(1, keepManifests))
+      .flatMap(g => manifestAt(spark, dir, g)).flatMap(_.allFiles).toSet
+    var files = 0L; var bytes = 0L
+    fs.listStatus(root).foreach { g =>
+      g.getPath.getName match {
+        case GenDirRe(_) =>
+          fs.listStatus(g.getPath).filter(_.isDirectory).foreach { bDir =>
+            fs.listStatus(bDir.getPath).foreach { f =>
+              val name = f.getPath.getName
+              val rel = s"${g.getPath.getName}/${bDir.getPath.getName}/$name"
+              if (!name.startsWith("_") && !name.startsWith(".") &&
+                  !referenced.contains(rel)) {
+                files += 1; bytes += f.getLen
+              }
+            }
+          }
+        case _ =>
+      }
+    }
+    (files, bytes)
+  }
+
   /** Explicit column drop — the subtractive half of the evolution
     * contract (additive is automatic on [[merge]]; see
     * [[SchemaEvolution]]). METADATA-ONLY: one manifest flip removes the

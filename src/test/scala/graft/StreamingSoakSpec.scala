@@ -40,7 +40,8 @@ class StreamingSoakSpec extends SparkSpec {
     * queries immediately after the wave file lands (mid-wave kill).
     * Returns (dwd rows, MOR-resolved rows, gold finals) as sets.
     */
-  private def runPipeline(root: String, killAfter: Set[Int]): (Set[String], Set[String], Set[String]) = {
+  private def runPipeline(root: String, killAfter: Set[Int],
+                          maintain: Boolean = false): (Set[String], Set[String], Set[String]) = {
     val in = s"$root/topic_trade"; val dwdOut = s"$root/dwd"; val goldOut = s"$root/gold"
     val morDir = s"$root/mor"
     Files.createDirectories(Paths.get(in))
@@ -97,6 +98,13 @@ class StreamingSoakSpec extends SparkSpec {
         dwd = startDwd(); mor = startMor(); gold = startGold()
       }
       dwd.processAllAvailable(); mor.processAllAvailable(); gold.processAllAvailable()
+      // threshold-gated maintenance mid-run (VERDICT r5 #4): with a
+      // 2-batch backlog bound it compacts the MOR table several times
+      // across the waves WHILE the streams keep merging — the final
+      // set-equality below proves it never disturbs content
+      if (maintain)
+        graft.io.Maintenance.runMor(spark, morDir, Seq("id"), "ts",
+          policy = graft.io.Maintenance.Policy(maxDeltaBatches = 2))
     }
     // flush wave: far-future event time closes every earlier window in
     // BOTH runs regardless of how batching distributed the watermark
@@ -120,7 +128,8 @@ class StreamingSoakSpec extends SparkSpec {
        "uninterrupted run's DWD, fact, and gold tables") {
     val base = Files.createTempDirectory("soak").toString
     val (dwdClean, morClean, goldClean) = runPipeline(s"$base/clean", killAfter = Set.empty)
-    val (dwdSoak, morSoak, goldSoak) = runPipeline(s"$base/soak", killAfter = Set(1, 3, 4))
+    val (dwdSoak, morSoak, goldSoak) =
+      runPipeline(s"$base/soak", killAfter = Set(1, 3, 4), maintain = true)
 
     // sanity: the run actually produced every wave exactly once
     assert(dwdClean.size == 7, s"expected 7 orders, got ${dwdClean.size}: $dwdClean")

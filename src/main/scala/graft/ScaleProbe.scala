@@ -13,10 +13,47 @@ import org.apache.spark.sql.functions._
   * data generation pass): ~1M users, 5 event types, 30-day span.
   */
 object ScaleProbe {
+
+  /** Synthetic dedup corpus: 60 tokens/doc, 70% from a 50k rare vocab,
+    * 30% from a 200-word Zipf common vocab; every 10th doc a near-dup
+    * of its neighbor. ONE transform lambda instead of 60 unrolled CASE
+    * columns: the generated code is a loop, so janino's 64 KB method
+    * limit no longer binds at ANY n (backlog #0 — the unrolled form
+    * died fatally at 20M). Token values are bit-identical to the old
+    * formulation (pinned in SynthDocsSpec).
+    */
+  private[graft] def synthDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .withColumn("base",
+        when(pmod(col("id"), lit(10)) === 0, col("id") - 1).otherwise(col("id")))
+      .withColumn("toks", expr(
+        "transform(sequence(0, 59), k -> " +
+          "CASE WHEN pmod(xxhash64(base, k + 1000), 10) < 3 " +
+          "THEN concat('c', cast(floor(exp((cast(pmod(xxhash64(base, k + 2000), 100000) as double) / 100000.0D) * ln(200.0D))) as string)) " +
+          "ELSE concat('r', cast(pmod(xxhash64(base, k), 50000) as string)) END)"))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          // near-dup docs differ in their first token only
+          when(pmod(col("id"), lit(10)) === 0,
+            concat(lit("dup"), col("id").cast("string")))
+            .otherwise(element_at(col("toks"), 1)),
+          slice(col("toks"), 2, 59)).as("text"))
+
+  /** Synthetic embedding corpus for the ANN probe: 64-dim float
+    * vectors hash-derived from the id (deterministic, no data pass).
+    */
+  private[graft] def synthEmbeddings(spark: SparkSession, n: Long,
+                                     dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+        "cast((cast(pmod(xxhash64(id, j), 2000) as double) - 1000.0D) / 1000.0D as float))")
+        .as("embedding"))
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 20000000L
     val dedupOnly = args.length > 1 && args(1) == "dedup"
     val ingestOnly = args.length > 1 && args(1) == "ingest"
+    val annOnly = args.length > 1 && args(1) == "ann"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -41,7 +78,7 @@ object ScaleProbe {
       println(f"[scale] $name%-28s out=$rows%-10d ${dt}%6.1fs  ${n / dt / 1e6}%6.1f M rows/s")
     }
 
-    if (!dedupOnly && !ingestOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -211,23 +248,12 @@ object ScaleProbe {
     // linear in corpus size. Every 10th doc is a near-dup of its
     // neighbor with one token perturbed.
     {
-      def synthDocs(n: Long): DataFrame = {
-        val base = when(pmod(col("id"), lit(10)) === 0, col("id") - 1).otherwise(col("id"))
-        val toks = (0 until 60).map { k =>
-          val h = xxhash64(base, lit(k))
-          val rare = concat(lit("r"), pmod(h, lit(50000L)).cast("string"))
-          val u = pmod(xxhash64(base, lit(k + 2000)), lit(100000L)).cast("double") / 100000.0
-          val zipfIdx = floor(exp(u * lit(math.log(200.0)))).cast("long")
-          val common = concat(lit("c"), zipfIdx.cast("string"))
-          when(pmod(xxhash64(base, lit(k + 1000)), lit(10)) < 3, common).otherwise(rare)
-        }
-        val perturbed = // near-dup docs differ in their first token only
-          when(pmod(col("id"), lit(10)) === 0,
-            concat(lit("dup"), col("id").cast("string"))).otherwise(toks.head)
-        spark.range(n).select(col("id").as("doc_id"),
-          concat_ws(" ", (perturbed +: toks.tail): _*).as("text"))
-      }
-      if (!ingestOnly) Seq(500000L, 1000000L, 2000000L, 4000000L).foreach { n =>
+      def synthDocs(n: Long): DataFrame = ScaleProbe.synthDocs(spark, n)
+      // default sweep tops out at 4M; a larger first arg extends it
+      // (backlog #3: 8M/16M points on an idle host)
+      val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
+        .filter(_ <= math.max(4000000L, n))
+      if (!ingestOnly && !annOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()
@@ -276,6 +302,34 @@ object ScaleProbe {
         println(f"[scale] ingest_full_rerun_n=$n%-9d ${tFull}%6.1fs  cands=$fullCands")
         println(f"[scale] ingest_incremental          ${tIncr}%6.1fs  cands=$incrCands  (${tFull / tIncr}%.0f x)")
         println(f"[scale] ingest_incr_banded_index    ${tIncrB}%6.1fs  cands=$incrBCands  (${tFull / tIncrB}%.0f x)")
+      }
+    }
+
+    // Persisted-ANN probe (`ScaleProbe <n> ann` — VERDICT r5 #1 "done"
+    // row): index BUILD cost grows with the corpus (KMeans fit +
+    // assignment — the price the fit-in-query path paid on EVERY
+    // query); the probe-only query against the persisted index stays
+    // ~flat when nlist scales with the corpus (FAISS practice:
+    // per-cell size held constant, here n/64k vectors per cell at
+    // both points).
+    if (annOnly) {
+      Seq((n / 4, 16), (n, 64)).foreach { case (sz, nlist) =>
+        val root = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+        val emb = ScaleProbe.synthEmbeddings(spark, sz)
+        val t0 = System.nanoTime()
+        graft.llm.IvfIndex.build(spark, root, emb, nlist = nlist)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val qs = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        // warm-up, then the timed probe-only query
+        graft.llm.IvfIndex.topK(spark, root, qs, nprobe = 4)
+          .queryExecution.toRdd.count()
+        val t1 = System.nanoTime()
+        val out = graft.llm.IvfIndex.topK(spark, root, qs, nprobe = 4)
+          .queryExecution.toRdd.count()
+        val tQuery = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] ann_n=$sz%-9d nlist=$nlist%-3d build=${tBuild}%6.1fs  probe_query=${tQuery}%6.2fs  out=$out")
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -101,14 +101,24 @@ object Relational {
     * Ties break on the group-ordering column, so the result is
     * deterministic on any cluster topology.
     */
-  def aTopNPerGroup(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+  def aTopNPerGroup(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    topNPerGroupDf(
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+        .agg(sum(cents(col("value"))).as("day_cents")),
+      n)
+
+  /** The ranking step of [[aTopNPerGroup]] over an arbitrary
+    * (event_type, day, day_cents) aggregate — shared with the
+    * STREAMING leaderboard ([[graft.streaming.Leaderboard]]), so the
+    * served top-N is the same code whether the day aggregate came from
+    * a batch scan or from incrementally folded window finals.
+    */
+  def topNPerGroupDf(dayAgg: DataFrame, n: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
       .orderBy(col("day_cents").desc, col("day"))
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
-      .agg(sum(cents(col("value"))).as("day_cents"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    dayAgg.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= n)
   }
 

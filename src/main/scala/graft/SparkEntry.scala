@@ -54,6 +54,7 @@ object SparkEntry {
     "j9_explode_tokens" -> (Relational.j9ExplodeTokens _),
     "j9_cjk_tokens" -> (Relational.j9CjkTokens _),
     "j_asof_join" -> (Relational.asOfJoin _),
+    "j_asof_join_exec" -> (Relational.asOfJoinExec _),
     "keyword_page_view" -> (Relational.keywordPageView _),
     // ---- TPC-H-style benchmark heads ----
     "q1_pricing" -> (TpcH.q1Pricing _),
@@ -450,6 +451,25 @@ object SparkEntry {
          SELECT word, count(*) AS ct FROM tok GROUP BY 1""",
 
     "j_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                  event_id AS click_id, CAST(NULL AS BIGINT) AS pay_id, 0 AS tag
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                  CAST(NULL AS BIGINT) AS click_id, event_id AS pay_id, 1 AS tag
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT pay_id, user_id, tag,
+                  last_value(click_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, tag, click_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+           FROM u)
+         SELECT pay_id, user_id, asof_click_id FROM j WHERE tag = 1""",
+
+    // the custom physical operator answers to the SAME oracle as the
+    // windowed formulation — identical semantics, different plan
+    "j_asof_join_exec" ->
       """WITH u AS (
            SELECT user_id, date_trunc('microseconds', ts) AS ts,
                   event_id AS click_id, CAST(NULL AS BIGINT) AS pay_id, 0 AS tag

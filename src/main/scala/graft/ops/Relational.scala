@@ -370,6 +370,26 @@ object Relational {
       .select(col("pay_id"), col("user_id"), col("asof_click_id"))
   }
 
+  /** [[asOfJoin]] through the custom WHOLE-OPERATOR path
+    * ([[graft.plans.AsOfJoin]]): logical node → planner strategy →
+    * partitioned-merge physical operator (VERDICT r5 #8). Same output,
+    * same DuckDB oracle as `j_asof_join` — the strongest gate a custom
+    * SparkPlan can get. AsOfJoinExecSpec additionally pins the plan
+    * (AsOfJoinExec present, one exchange per side, no SMJ/BNLJ) and
+    * the tie/no-match edge semantics.
+    */
+  def asOfJoinExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val pays = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pay_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin.asOf(pays, clicks, key = "user_id",
+        probeTs = "ts", historyTs = "ts", tieBreak = Seq("click_id"))
+      .toDF("pay_id", "user_id", "ts", "click_id", "h_user_id", "h_ts")
+      .select(col("pay_id"), col("user_id"), col("click_id").as("asof_click_id"))
+  }
+
   /** J4 — dim lookup join (left) against slowly-changing dimensions.
     * Reference: DwdInteractionCommentInfo.lookUpJoin (:53-69),
     * FOR SYSTEM_TIME AS OF proc_time against HBase base_dic. Dim side

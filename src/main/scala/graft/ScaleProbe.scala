@@ -275,10 +275,18 @@ object ScaleProbe {
         val nOld = n - math.max(1L, n / 100)
         val all = synthDocs(n)
         val nw = all.filter(col("doc_id") >= nOld)
-        val idx = all.filter(col("doc_id") < nOld)
+        // the signature index and its banded projection are PERSISTED
+        // TABLES in production (ingestDeduped keeps both as io.Upsert
+        // tables) — simulate with parquet round-trips, not cache():
+        // at 20M the 158M banded rows overflow executor storage and a
+        // cache-based "index" measures memory pressure, not the path
+        val root = java.nio.file.Files.createTempDirectory("probe_ingest").toString
+        all.filter(col("doc_id") < nOld)
           .select(col("doc_id"), graft.functions.functions.minhash_shingle_sig(
             split(col("text"), " "), 3, 64).as("sig"))
-          .filter(col("sig").isNotNull).cache()
+          .filter(col("sig").isNotNull)
+          .write.parquet(s"$root/sigs")
+        val idx = spark.read.parquet(s"$root/sigs")
         println(s"[scale] ingest index build (once, at ingest): ${idx.count()} sigs")
         val t0 = System.nanoTime()
         val fullCands = graft.llm.Dedup.minhashLshDf(all)
@@ -291,10 +299,11 @@ object ScaleProbe {
         // it's deterministic per doc, maintained incrementally), the
         // per-batch cost is the probe join alone
         val rows = 64 / 8
-        val bandsIdx = idx.select(col("doc_id"),
+        idx.select(col("doc_id"),
           posexplode(expr(s"transform(sequence(0, 7), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash").cache()
-        bandsIdx.count() // "persisted"
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+          .write.parquet(s"$root/bands") // persisted, like production
+        val bandsIdx = spark.read.parquet(s"$root/bands")
         val t2 = System.nanoTime()
         val incrBCands = graft.llm.Dedup.minhashLshIncremental(nw, idx,
           indexBands = Some(bandsIdx)).count()
@@ -313,7 +322,12 @@ object ScaleProbe {
     // per-cell size held constant, here n/64k vectors per cell at
     // both points).
     if (annOnly) {
-      Seq((n / 4, 16), (n, 64)).foreach { case (sz, nlist) =>
+      // nlist ∝ corpus (per-cell size pinned at 62.5k vectors — the
+      // FAISS scaling rule), so the probe-only query's I/O is bounded
+      // by (distinct probed cells ≤ nprobe × |queries|) × cellSize,
+      // independent of corpus size once nlist exceeds that product
+      Seq(n / 4, n).foreach { sz =>
+        val nlist = math.max(16, (sz / 62500L).toInt)
         val root = java.nio.file.Files.createTempDirectory("probe_ivf").toString
         val emb = ScaleProbe.synthEmbeddings(spark, sz)
         val t0 = System.nanoTime()

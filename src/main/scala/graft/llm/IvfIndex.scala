@@ -77,15 +77,25 @@ object IvfIndex {
       .fit(vecs.select(col("features")))
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("q"), col("n"), col("prediction").as("cell"))
-      .withColumn("__v", lit(0L)).cache()
+      .withColumn("__v", lit(0L))
     val corpusCount = vecs.count()
-    val cells = assigned.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)) // ≤ nlist rows — driver-bounded
+    // ONE pass routes every row to its cell (dynamic-partition write);
+    // each cell's merge then scans only its own staged slice. The
+    // per-cell-filter alternative re-scans the corpus nlist times —
+    // at nlist=256 that is 256 full passes, which is why build cost
+    // must be O(corpus), not O(corpus × nlist).
+    val staging = s"${indexDir.stripSuffix("/")}/_build_staging"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(stagingPath).map(_.getPath.getName)
+      .collect { case s if s.startsWith("cell=") => s.stripPrefix("cell=").toInt }
     cells.foreach { c =>
       Upsert.merge(spark, cellDir(indexDir, c),
-        assigned.filter(col("cell") === c).drop("cell"),
+        spark.read.parquet(s"$staging/cell=$c"),
         pk = Seq("vec_id"), versionCol = "__v")
     }
+    fs.delete(stagingPath, true)
     val centroidRows = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     Upsert.overwriteSnapshot(spark, centroidsDir(indexDir),
@@ -93,7 +103,7 @@ object IvfIndex {
       props = Map("nlist" -> nlist.toString,
         "corpusCount" -> corpusCount.toString,
         "formatVersion" -> FormatVersion))
-    assigned.unpersist(); vecs.unpersist()
+    vecs.unpersist()
   }
 
   /** Is a completed build with these parameters present? Reads one

@@ -33,11 +33,20 @@ object Dedup {
     */
   private val lastCaches =
     scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
-  private def trackCaches(op: String, caches: Seq[DataFrame]): Unit =
+  /** Evict the previous invocation's caches for `op`. MUST run at
+    * operator ENTRY, before the new invocation's `.cache()` calls:
+    * CacheManager unpersists by logical-plan equality, and a repeat
+    * invocation over the same input builds a plan-identical cache —
+    * evicting after registration would silently de-register the fresh
+    * entry too, leaving every call after the first uncached (surfaced
+    * as an exec1-cached/exec2-uncached plan_sha flip in Bench).
+    */
+  private def evictPrevious(op: String): Unit =
     lastCaches.synchronized {
-      lastCaches.getOrElse(op, Nil).foreach(_.unpersist())
-      lastCaches(op) = caches
+      lastCaches.remove(op).getOrElse(Nil).foreach(_.unpersist())
     }
+  private def trackCaches(op: String, caches: Seq[DataFrame]): Unit =
+    lastCaches.synchronized { lastCaches(op) = caches }
 
   /** Distinct word-shingle HASHES per doc: (doc_id, s: long).
     * Native ShingleHashes expression: one per-row pass, no string
@@ -79,6 +88,7 @@ object Dedup {
     */
   def ngramJaccardDf(docs: DataFrame, threshold: Double = 0.5,
                      dfCap: Int = 64): DataFrame = {
+    evictPrevious("ngramJaccard")
     val shAll = shingles(docs)
     val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
@@ -215,6 +225,7 @@ object Dedup {
     */
   def minhashLshDf(docs: DataFrame,
                    numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    evictPrevious("minhashLsh")
     val rows = numHashes / bands
     val sig = docs
       .select(col("doc_id"),
@@ -268,10 +279,12 @@ object Dedup {
     */
   def minhashLshIncremental(newDocs: DataFrame, indexSigs: DataFrame,
                             numHashes: Int = 64, bands: Int = 8,
-                            indexBands: Option[DataFrame] = None): DataFrame =
+                            indexBands: Option[DataFrame] = None): DataFrame = {
+    evictPrevious("minhashLshIncremental")
     minhashLshIncrementalImpl(newDocs, indexSigs, numHashes, bands, indexBands) match {
       case (result, caches) => trackCaches("minhashLshIncremental", caches); result
     }
+  }
 
   /** [[minhashLshIncremental]] plus its per-batch caches, so a batch
     * driver like [[ingestDeduped]] can unpersist them once the batch's
@@ -476,6 +489,7 @@ object Dedup {
     * chunk match), then exact Hamming filter via bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+    evictPrevious("simhashPairs")
     val sig = simhashSignatures(spark, sfDir).cache()
     trackCaches("simhashPairs", Seq(sig))
     val chunked = sig.select(col("doc_id"), col("simhash"),

@@ -104,5 +104,15 @@ class IngestDedupSpec extends SparkSpec {
     val after = persisted()
     assert(after <= before,
       s"cache entries grew across repeated calls: $before -> $after")
+    // Bounded must not mean DEAD: eviction that runs after the new
+    // invocation's plan-identical .cache() registration de-registers
+    // the fresh entry too (CacheManager matches by plan), leaving
+    // every call after the first silently uncached. Pin that the
+    // steady-state call still reads through the cache.
+    val steady = Dedup.minhashLshDf(docs)
+    steady.count()
+    val plan = steady.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"steady-state invocation no longer uses its cache:\n$plan")
   }
 }

@@ -64,6 +64,18 @@ object SparkEntry {
     "q18_large_orders" -> ((s: SparkSession, d: String) => TpcH.q18LargeOrders(s, d)),
     "q10_returns" -> (TpcH.q10Returns _),
     "q14_promo_share" -> (TpcH.q14PromoShare _),
+    "q6_forecast" -> (TpcH.q6ForecastRevenue _),
+    "q4_priority_exists" -> (TpcH.q4PriorityExists _),
+    "q8_market_share" -> ((s: SparkSession, d: String) => TpcH.q8MarketShare(s, d)),
+    "q12_late_shipping" -> (TpcH.q12LateShipping _),
+    "q13_cust_distribution" -> (TpcH.q13CustDistribution _),
+    "q15_top_supplier" -> (TpcH.q15TopSupplier _),
+    "q16_supplier_variety" -> (TpcH.q16SupplierVariety _),
+    "q17_small_quantity" -> ((s: SparkSession, d: String) => TpcH.q17SmallQuantity(s, d)),
+    "q19_disjunctive" -> (TpcH.q19Disjunctive _),
+    "q21_waiting_suppliers" -> (TpcH.q21WaitingSuppliers _),
+    "q22_dormant_accounts" -> (TpcH.q22DormantAccounts _),
+    "q2_cheapest_supply" -> ((s: SparkSession, d: String) => TpcH.q2CheapestSupply(s, d)),
     // ---- deduplication ----
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -570,6 +582,144 @@ object SparkEntry {
          FROM big
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey""",
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS line_ct
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_ct
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1""",
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(SUM(CASE WHEN s_nationkey = c_nationkey
+                              THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS local_cents,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                CAST(SUM(CASE WHEN s_nationkey = c_nationkey
+                              THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                              ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) AS local_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1""",
+
+    "q12_late_shipping" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_ct,
+                count(*) AS line_ct
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+
+    "q13_cust_distribution" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer
+           LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev_cents
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)""",
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#3'),
+            per_part AS (SELECT l_partkey AS agg_partkey,
+                                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                                count(*) AS cnt_qty
+                         FROM li GROUP BY 1)
+         SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                count(*) AS line_ct
+         FROM li JOIN per_part ON l_partkey = agg_partkey
+         WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty""",
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS line_ct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q21_waiting_suppliers" ->
+      """WITH per_order AS (
+           SELECT l_orderkey AS agg_orderkey,
+                  count(DISTINCT l_suppkey) AS supp_ct,
+                  count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp_ct
+           FROM lineitem GROUP BY 1),
+            ret_pairs AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM ret_pairs
+         JOIN per_order ON l_orderkey = agg_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE supp_ct >= 2 AND ret_supp_ct = 1
+         GROUP BY 1, 2""",
+
+    "q22_dormant_accounts" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+                           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acct_cents
+                    FROM customer),
+            stats AS (SELECT CAST(SUM(acct_cents) AS BIGINT) AS pos_sum_cents,
+                             count(*) AS pos_ct
+                      FROM c WHERE acct_cents > 0)
+         SELECT c_nationkey, count(*) AS cust_ct,
+                CAST(SUM(acct_cents) AS BIGINT) AS acctbal_cents
+         FROM c, stats
+         WHERE acct_cents * pos_ct > pos_sum_cents
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1""",
+
+    "q2_cheapest_supply" ->
+      """WITH li AS (
+           SELECT DISTINCT p_partkey, p_name, l_suppkey,
+                  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'LARGE'),
+            minp AS (SELECT p_partkey AS m_partkey,
+                            CAST(min(price_cents) AS BIGINT) AS min_price_cents
+                     FROM li GROUP BY 1)
+         SELECT p_partkey, p_name, min_price_cents, s_suppkey, s_name
+         FROM li
+         JOIN minp ON p_partkey = m_partkey AND price_cents = min_price_cents
+         JOIN supplier ON l_suppkey = s_suppkey""",
 
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_ct

@@ -124,6 +124,251 @@ object TpcH {
         col("promo_cents").cast("double") / col("total_cents").cast("double"))
   }
 
+  /** Q6-style forecast revenue: the pure pushdown head — three
+    * range predicates (shipdate year, discount band, quantity cap) and
+    * NO join; every filter must reach the parquet scan (`PushedFilters`)
+    * and the whole query is one scan + one single-group aggregate.
+    * At 100 TB this is the shape where pushdown is the entire game:
+    * with date-partitioned data the year predicate prunes partitions
+    * and the scan reads 4 of 11 columns.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("line_ct"))
+
+  /** Q4-style priority check: EXISTS as a LEFT SEMI join — orders in a
+    * quarter having at least one returned line. The semi join keeps the
+    * probe side duplicate-free without a distinct shuffle; at scale the
+    * returned-lines side shuffles once on orderkey (it is too big to
+    * broadcast), the orders side arrives filtered by the date pushdown.
+    */
+  def q4PriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"))
+  }
+
+  /** Q8-style market share: for customers in one region, the fraction
+    * of yearly revenue delivered by LOCAL suppliers (supplier nation =
+    * customer nation — the reduced schema has no p_type nation split).
+    * Conditional aggregate over the joined facts; the share division is
+    * one int/int IEEE op so it is bit-exact vs the oracle.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String, region: String = "ASIA"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val r = broadcast(Tables.region(spark, sfDir).filter(col("r_name") === region))
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === col("c_nationkey"), rev).otherwise(0L))
+          .as("local_cents"),
+        sum(rev).as("total_cents"))
+      .withColumn("local_share",
+        col("local_cents").cast("double") / col("total_cents").cast("double"))
+  }
+
+  /** Q12-style shipping-lag audit: date arithmetic in the join filter —
+    * lines shipped more than 90 days after the order date, counted per
+    * order priority. One fact-fact join shuffled on orderkey, then a
+    * 5-group conditional aggregate (no second shuffle beyond the final
+    * merge).
+    */
+  def q12LateShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("late_ct"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join so
+    * order-less customers survive with count 0, then a second aggregate
+    * over the first (the histogram). The outer join shuffles both sides
+    * on custkey; the histogram's input is one row per customer, so its
+    * shuffle is tiny.
+    */
+  def q13CustDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q15-style top supplier: scalar MAX subquery — revenue per supplier
+    * over a quarter, keep the supplier(s) achieving the maximum.
+    * The max is a one-row aggregate broadcast back over the per-supplier
+    * revenues (never a window over a single global partition, which
+    * would serialize at scale); ties all survive, so the result is
+    * deterministic without an arbitrary pick.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev_cents"))
+    val maxRev = rev.agg(max(col("total_rev_cents")).as("max_rev_cents"))
+    rev.join(broadcast(maxRev), col("total_rev_cents") === col("max_rev_cents"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+  }
+
+  /** Q16-style supplier variety: NOT IN as a LEFT ANTI join. The supply
+    * relation is the distinct (part, supplier) projection of lineitem
+    * (the reduced schema has no partsupp); suppliers in deficit
+    * (negative balance — the complaint stand-in) are anti-joined away
+    * BEFORE the distinct shuffle, then supplier variety is counted per
+    * (brand, type, size). The anti side is dim-sized → broadcast.
+    */
+  def q16SupplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    val supply = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val deficit = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
+    supply.join(broadcast(deficit), col("l_suppkey") === col("s_suppkey"), "leftanti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q17-style small-quantity revenue: the correlated-average subquery
+    * — lines of one brand whose quantity is under 20% of that part's
+    * average quantity. The per-part average is an aggregate over the
+    * brand-filtered facts joined back on partkey; the 0.2·avg
+    * comparison is done in integers (5·qty·cnt < sum) so it is exact.
+    * Filter-first matters at scale: the brand broadcast prunes the fact
+    * scan before the per-part aggregate, so the agg shuffles 1/25th of
+    * the data.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String, brand: String = "Brand#3"): DataFrame = {
+    val target = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select(col("p_partkey")))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(target, col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    li.join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt_qty") < col("sum_qty"))
+      .agg(sum(cents(col("l_extendedprice"))).as("total_cents"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** Q19-style disjunctive revenue: OR-of-ANDs across both join sides —
+    * three (brand, size-range, quantity-range) arms. Catalyst keeps the
+    * common `l_partkey = p_partkey` conjunct as the join key and
+    * evaluates the disjunction as a post-join filter; the per-side
+    * IN/range fragments are pushed to the scans where extractable.
+    */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = broadcast(Tables.part(spark, sfDir))
+    val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("line_ct"))
+  }
+
+  /** Q21-style waiting suppliers: the EXISTS + NOT-EXISTS pair — a
+    * supplier "kept an order waiting" when it has a returned line on a
+    * multi-supplier order and NO OTHER supplier's lines on that order
+    * were returned. Both quantifiers collapse into one per-order
+    * aggregate (distinct suppliers, distinct returned suppliers) joined
+    * to the distinct returned (order, supplier) pairs — two shuffles on
+    * orderkey total, no correlated re-scan.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val perOrder = li.groupBy(col("l_orderkey").as("agg_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("supp_ct"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("ret_supp_ct"))
+      .filter(col("supp_ct") >= 2 && col("ret_supp_ct") === 1)
+    val retPairs = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    retPairs.join(perOrder, col("l_orderkey") === col("agg_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  /** Q22-style dormant accounts: scalar-average subquery + NOT EXISTS —
+    * customers whose balance exceeds the average positive balance and
+    * who have never ordered, summarized per nation. The global average
+    * is a one-row aggregate cross-broadcast over customers (integer
+    * cents: c·n > Σ avoids double-summation order sensitivity); the
+    * NOT EXISTS is a LEFT ANTI join against order custkeys.
+    */
+  def q22DormantAccounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .withColumn("acct_cents", cents(col("c_acctbal")))
+    val stats = c.filter(col("acct_cents") > 0)
+      .agg(sum(col("acct_cents")).as("pos_sum_cents"), count(lit(1)).as("pos_ct"))
+    val rich = c.crossJoin(broadcast(stats))
+      .filter(col("acct_cents") * col("pos_ct") > col("pos_sum_cents"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    rich.join(o, col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_ct"), sum(col("acct_cents")).as("acctbal_cents"))
+  }
+
+  /** Q2-style cheapest supply: argmin-per-group with join-back — for
+    * each part of one type, the minimum line price ever paid and the
+    * supplier(s) that charged it. The min is a per-part aggregate
+    * joined back to the distinct (part, supplier, price) triples on
+    * (partkey, price=min) — the standard argmin shape that avoids a
+    * global sort; ties keep every witness so results are deterministic.
+    */
+  def q2CheapestSupply(spark: SparkSession, sfDir: String, ptype: String = "LARGE"): DataFrame = {
+    val tp = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_type") === ptype).select(col("p_partkey"), col("p_name")))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(tp, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val minp = li.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("price_cents")).as("min_price_cents"))
+    li.distinct()
+      .join(minp,
+        col("p_partkey") === col("m_partkey") && col("price_cents") === col("min_price_cents"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("min_price_cents"),
+        col("s_suppkey"), col("s_name"))
+  }
+
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
     * Facts (lineitem⋈orders) shuffle once on the order key; customer /
     * supplier / nation / region all broadcast.

@@ -157,6 +157,103 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the aggregation exchange:\n$p")
   }
 
+  test("q6: every range predicate reaches the scan; no hash exchange at all") {
+    // the default 100-char metadata cap truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q6_forecast")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity"))
+      assert(p.contains(f), s"$f not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads columns the query never uses: $readSchema")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"single-group agg must not hash-shuffle:\n$p")
+  }
+
+  test("q4: EXISTS plans as a semi join with the date filter pushed to orders") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date not pushed:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+  }
+
+  test("q16: NOT IN plans as a broadcast anti join before the distinct shuffle") {
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("LeftAnti"), s"NOT IN must be an anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim-sized sides degraded to SMJ:\n$p")
+    // anti join must run on the raw supply rows, i.e. BEFORE the
+    // count-distinct aggregation (its exchange), not after it
+    assert(p.indexOf("LeftAnti") > p.indexOf("HashAggregate"),
+      s"anti join should prune before aggregation:\n$p")
+  }
+
+  test("q13: customers keep order-less rows via LEFT OUTER; two agg exchanges only") {
+    val p = plan("q13_cust_distribution")
+    assert(p.contains("LeftOuter"), s"outer join lost:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected per-customer + histogram exchanges only:\n$p")
+  }
+
+  test("q15: scalar max broadcasts back over per-supplier revenue (no global sort)") {
+    val p = plan("q15_top_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"max filter and supplier enrich must both broadcast:\n$p")
+    assert(!p.contains("GlobalLimit") && !p.contains("TakeOrderedAndProject"),
+      s"argmax must not rely on a global sort:\n$p")
+  }
+
+  test("q19: the OR-of-ANDs keeps the equi-join (no nested loop) and one scan per table") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), s"part side not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunction broke the equi-join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"each table must be scanned once, not once per arm:\n$p")
+  }
+
+  test("q22: global-average stats are a one-row broadcast; NOT EXISTS is an anti join") {
+    val p = plan("q22_dormant_accounts")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
+    // the single-row stats cross join is the only nested-loop allowed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the one-row stats broadcast may nested-loop:\n$p")
+  }
+
+  test("q21: both quantifiers fold into per-order aggregates — no correlated re-scan, " +
+       "supplier enrich broadcast") {
+    val p = plan("q21_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"), s"correlation became a cartesian:\n$p")
+    assert(p.contains("Expand"), s"the two count-distincts should share one Expand pass:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 3,
+      s"lineitem twice (pairs + per-order) and supplier once:\n$p")
+  }
+
+  test("q17: AQE flips the per-part average join-back to broadcast at runtime " +
+       "(agg output is tiny even when the facts are 100 TB)") {
+    val df = graft.ops.TpcH.q17SmallQuantity(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    val cut = p.indexOf("== Initial Plan ==")
+    val finalSection = if (cut >= 0) p.substring(0, cut) else p
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"per-part agg join-back stayed sort-merge:\n$p")
+  }
+
+  test("q2: AQE flips the argmin join-back to broadcast at runtime") {
+    val df = graft.ops.TpcH.q2CheapestSupply(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    val cut = p.indexOf("== Initial Plan ==")
+    val finalSection = if (cut >= 0) p.substring(0, cut) else p
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"argmin join-back stayed sort-merge:\n$p")
+  }
+
   test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

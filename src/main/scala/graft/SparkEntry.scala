@@ -31,6 +31,8 @@ object SparkEntry {
     "a1_window_count" -> (Relational.a1WindowCount _),
     "a_rollup_multigrain" -> (Relational.aRollupMultiGrain _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
+    "a_window_analytics" -> (Relational.aWindowAnalytics _),
+    "a_cube_metrics" -> (Relational.aCubeMetrics _),
     "a2_keyed_window_agg" -> (Relational.a2KeyedWindowAgg _),
     "a3_global_window" -> (Relational.a3GlobalWindow _),
     "a4_decimal_window_agg" -> (Relational.a4DecimalWindowAgg _),
@@ -281,6 +283,22 @@ object SparkEntry {
                   FROM d)
          SELECT event_type, day, day_cents, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 3""",
+
+    "a_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                CAST(row_number() OVER w AS BIGINT) AS order_seq,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents,
+                lag(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 1) OVER w AS prev_cents,
+                CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "a_cube_metrics" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS line_ct,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grain_id
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     "a_rollup_multigrain" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

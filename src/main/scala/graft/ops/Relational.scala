@@ -122,6 +122,50 @@ object Relational {
       .filter(col("rnk") <= n)
   }
 
+  /** Analytic window functions over a partitioned fact stream — the
+    * per-entity sequence analytics a DWS layer serves (order history
+    * with rank, running spend, gap-to-previous-order). One shuffle on
+    * the partition key and ONE partition-local sort feed ALL four
+    * window functions: their frames differ (row frame for
+    * row_number/lag, range frame for the running sum) so Catalyst
+    * chains separate Window operators, but they pipeline over the same
+    * sorted output — no re-shuffle, no re-sort (PlanSpec pins this).
+    * Ordering ties break on the unique order key, so every value is
+    * deterministic on any cluster topology.
+    */
+  def aWindowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .withColumn("running_cents",
+        sum(cents(col("o_totalprice"))).over(w))
+      .withColumn("prev_cents",
+        lag(cents(col("o_totalprice")), 1).over(w))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("order_seq"), col("running_cents"), col("prev_cents"),
+        col("days_since_prev"))
+  }
+
+  /** CUBE grouping sets with grouping_id — every (returnflag ×
+    * linestatus) grain including both partial margins and the grand
+    * total, from ONE shuffle (Expand duplicates each input row per
+    * grain BEFORE the partial aggregate, so the fact scan and the
+    * exchange happen once — same property PlanSpec pins for ROLLUP).
+    * `grain_id` disambiguates "NULL because aggregated away" from a
+    * NULL data value — the standard cube-consumer contract.
+    */
+  def aCubeMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("line_ct"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"),
+        grouping_id().cast("long").as("grain_id"))
+
   /** A2 — keyed tumbling-window multi-metric aggregate.
     * Reference: DwsTrafficVcChArIsNewPageViewWindow.getReduceFullStream
     * (:70-97): per-key window sums (uv/sv/pv/durSum). Partial+final

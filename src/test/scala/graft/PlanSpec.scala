@@ -231,6 +231,26 @@ class PlanSpec extends SparkSpec {
       s"lineitem twice (pairs + per-order) and supplier once:\n$p")
   }
 
+  test("a_window_analytics: all four window functions share ONE sort and ONE exchange") {
+    val p = plan("a_window_analytics")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window functions over the same frame must share one shuffle:\n$p")
+    // row_number/lag (RowFrame) and the running sum (RangeFrame) can't
+    // share one Window node, but they must PIPELINE over the same
+    // sorted shuffle output — pinned by the single Sort below
+    assert("Sort ".r.findAllIn(p).size == 1,
+      s"expected a single partition-local sort feeding every window fn:\n$p")
+  }
+
+  test("a_cube_metrics: all four grains from ONE scan, one Expand, one exchange") {
+    val p = plan("a_cube_metrics")
+    assert(p.contains("Expand"), s"cube must expand grouping sets, not re-scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all grains must share a single agg exchange:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"facts must be read once, not once per grain:\n$p")
+  }
+
   test("q17: AQE flips the per-part average join-back to broadcast at runtime " +
        "(agg output is tiny even when the facts are 100 TB)") {
     val df = graft.ops.TpcH.q17SmallQuantity(spark, sf)

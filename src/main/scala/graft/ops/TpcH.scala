@@ -305,20 +305,26 @@ object TpcH {
   /** Q21-style waiting suppliers: the EXISTS + NOT-EXISTS pair — a
     * supplier "kept an order waiting" when it has a returned line on a
     * multi-supplier order and NO OTHER supplier's lines on that order
-    * were returned. Both quantifiers collapse into one per-order
-    * aggregate (distinct suppliers, distinct returned suppliers) joined
-    * to the distinct returned (order, supplier) pairs — two shuffles on
-    * orderkey total, no correlated re-scan.
+    * were returned. Both quantifiers derive from ONE distinct
+    * (order, supplier, returned?) pair aggregate: the facts shuffle
+    * once into pairs, then per-order supplier/returned counts are
+    * unbounded window aggregates over the (small) pair relation — no
+    * self-join, no correlated re-scan, structurally a single fact scan
+    * (PlanSpec pins scans and the shared window sort).
     */
   def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val perOrder = li.groupBy(col("l_orderkey").as("agg_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("supp_ct"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("ret_supp_ct"))
-      .filter(col("supp_ct") >= 2 && col("ret_supp_ct") === 1)
-    val retPairs = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    retPairs.join(perOrder, col("l_orderkey") === col("agg_orderkey"))
+    // ONE fact scan: collapse lines to distinct (order, supplier,
+    // any-returned?) pairs first — both quantifier counts then derive
+    // from the pair relation (tiny), instead of two countDistincts
+    // re-scanning lineitem through an Expand double-row pass.
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    pairs
+      .withColumn("supp_ct", count(lit(1)).over(wOrd))
+      .withColumn("ret_supp_ct", sum(col("ret")).over(wOrd))
+      .filter(col("ret") === 1 && col("supp_ct") >= 2 && col("ret_supp_ct") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))

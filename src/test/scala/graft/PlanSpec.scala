@@ -226,9 +226,10 @@ class PlanSpec extends SparkSpec {
        "supplier enrich broadcast") {
     val p = plan("q21_waiting_suppliers")
     assert(!p.contains("CartesianProduct"), s"correlation became a cartesian:\n$p")
-    assert(p.contains("Expand"), s"the two count-distincts should share one Expand pass:\n$p")
-    assert("FileScan parquet".r.findAllIn(p).size == 3,
-      s"lineitem twice (pairs + per-order) and supplier once:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"lineitem ONCE (pairs, then window counts) and supplier once:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"both per-order quantifier counts must share one Window pass:\n$p")
   }
 
   test("a_window_analytics: all four window functions share ONE sort and ONE exchange") {

@@ -78,6 +78,9 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (TpcH.q21WaitingSuppliers _),
     "q22_dormant_accounts" -> (TpcH.q22DormantAccounts _),
     "q2_cheapest_supply" -> ((s: SparkSession, d: String) => TpcH.q2CheapestSupply(s, d)),
+    "q9_product_profit" -> ((s: SparkSession, d: String) => TpcH.q9ProductProfit(s, d)),
+    "q11_important_supply" -> ((s: SparkSession, d: String) => TpcH.q11ImportantSupply(s, d)),
+    "q20_dominant_suppliers" -> ((s: SparkSession, d: String) => TpcH.q20DominantSuppliers(s, d)),
     // ---- deduplication ----
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -738,6 +741,54 @@ object SparkEntry {
          FROM li
          JOIN minp ON p_partkey = m_partkey AND price_cents = min_price_cents
          JOIN supplier ON l_suppkey = s_suppkey""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       - CAST(FLOOR(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+
+    "q11_important_supply" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name LIKE 'NATION_1%'),
+            per_part AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+              FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+              GROUP BY 1),
+            stats AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                             count(*) AS part_ct
+                      FROM per_part)
+         SELECT l_partkey, value_cents
+         FROM per_part, stats
+         WHERE value_cents * part_ct > total_cents""",
+
+    "q20_dominant_suppliers" ->
+      """WITH pair AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'cold%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1, 2),
+            tot AS (SELECT l_partkey AS t_partkey,
+                           CAST(SUM(pair_qty) AS BIGINT) AS part_qty
+                    FROM pair GROUP BY 1)
+         SELECT s_suppkey, s_name, count(*) AS dominated_parts
+         FROM pair
+         JOIN tot ON l_partkey = t_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE pair_qty * 2 > part_qty AND n_name LIKE 'NATION_1%'
+         GROUP BY 1, 2""",
 
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_ct

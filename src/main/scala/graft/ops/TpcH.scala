@@ -375,6 +375,88 @@ object TpcH {
         col("s_suppkey"), col("s_name"))
   }
 
+  /** Q9-style product-type profit: profit per (supplier nation, order
+    * year) for one part family. The reduced schema has no partsupp, so
+    * unit cost is `p_retailprice` (deterministic, oracle-expressible)
+    * instead of `ps_supplycost`; profit = Σ(rev_cents − cost_cents·qty)
+    * in ONE pass over the joined facts, all-integer so it is bit-exact
+    * vs DuckDB regardless of summation order. Scale shape: the
+    * name-filtered part broadcast prunes the fact scan first (1/N of
+    * lines survive before the orderkey shuffle), supplier/nation
+    * broadcast, one agg exchange on (nation, year).
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String, family: String = "widget"): DataFrame = {
+    val p = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(family))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cost_cents")))
+    val li = Tables.lineitem(spark, sfDir).join(p, col("l_partkey") === col("p_partkey"))
+    li.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        - col("unit_cost_cents") * col("l_quantity").cast("long")).as("profit_cents"))
+  }
+
+  /** Q11-style important supply: parts whose supply value from one
+    * nation band's suppliers is ABOVE AVERAGE — the fraction-of-total
+    * HAVING scalar subquery. Value is derived from lineitem (no
+    * partsupp in the reduced schema), and the threshold is
+    * value·part_ct > total (above the mean) rather than TPC-H's
+    * fixed fraction, which q11 itself has to rescale by 1/SF — this
+    * form is scale-invariant, so the query is meaningful from sf0.001
+    * to 100 TB unchanged. The per-part aggregate shuffles once on
+    * partkey; the stats are a ONE-ROW aggregate cross-broadcast back
+    * (never a single-partition window); the compare is all-integer so
+    * no double division splits the engines.
+    */
+  def q11ImportantSupply(spark: SparkSession, sfDir: String,
+                         nationPrefix: String = "NATION_1"): DataFrame = {
+    val sup = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .filter(col("n_name").startsWith(nationPrefix))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+    val stats = perPart.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("part_ct"))
+    perPart.crossJoin(broadcast(stats))
+      .filter(col("value_cents") * col("part_ct") > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
+  /** Q20-style dominant suppliers: suppliers (from a nation band) who
+    * shipped MORE THAN HALF of a part family's 1996 volume for at
+    * least one part — the reduced-schema analog of q20's
+    * "availqty > ½·shipped" (no partsupp). Two-level aggregate:
+    * facts → (part, supplier) pair quantities (one shuffle), pair →
+    * per-part totals (tiny input), join-back + threshold, then the
+    * supplier/nation broadcasts. All quantity math in longs.
+    */
+  def q20DominantSuppliers(spark: SparkSession, sfDir: String,
+                           prefix: String = "cold"): DataFrame = {
+    val p = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(prefix)).select(col("p_partkey")))
+    val pairQty = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
+    val partQty = pairQty.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("pair_qty")).as("part_qty"))
+    pairQty.join(partQty, col("l_partkey") === col("t_partkey"))
+      .filter(col("pair_qty") * 2 > col("part_qty"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir).filter(col("n_name").startsWith("NATION_1"))
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("dominated_parts"))
+  }
+
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
     * Facts (lineitem⋈orders) shuffle once on the order key; customer /
     * supplier / nation / region all broadcast.

@@ -431,10 +431,12 @@ object TpcH {
   /** Q20-style dominant suppliers: suppliers (from a nation band) who
     * shipped MORE THAN HALF of a part family's 1996 volume for at
     * least one part — the reduced-schema analog of q20's
-    * "availqty > ½·shipped" (no partsupp). Two-level aggregate:
-    * facts → (part, supplier) pair quantities (one shuffle), pair →
-    * per-part totals (tiny input), join-back + threshold, then the
-    * supplier/nation broadcasts. All quantity math in longs.
+    * "availqty > ½·shipped" (no partsupp). ONE structural fact pass:
+    * facts → (part, supplier) pair quantities (one shuffle), then the
+    * per-part total as a WINDOW over the tiny pair relation (same
+    * single-scan trick as q21 — a second aggregate subtree would
+    * re-scan lineitem because Catalyst's exchange reuse can't see
+    * through the divergent parents). All quantity math in longs.
     */
   def q20DominantSuppliers(spark: SparkSession, sfDir: String,
                            prefix: String = "cold"): DataFrame = {
@@ -446,9 +448,8 @@ object TpcH {
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
-    val partQty = pairQty.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum(col("pair_qty")).as("part_qty"))
-    pairQty.join(partQty, col("l_partkey") === col("t_partkey"))
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    pairQty.withColumn("part_qty", sum(col("pair_qty")).over(wPart))
       .filter(col("pair_qty") * 2 > col("part_qty"))
       .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, sfDir).filter(col("n_name").startsWith("NATION_1"))

@@ -275,6 +275,42 @@ class PlanSpec extends SparkSpec {
       s"argmin join-back stayed sort-merge:\n$p")
   }
 
+  test("q9: dims broadcast around one fact pass; single agg exchange") {
+    val p = plan("q9_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"profit join became a cartesian:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the (nation, year) agg exchange:\n$p")
+  }
+
+  test("q11: facts scanned ONCE — the stats branch reuses the per-part exchange; " +
+       "one-row stats broadcast back; nation band pushed to the scan") {
+    val p = plan("q11_important_supply")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet")) == 1,
+      s"per-part value and its total must share one lineitem scan:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the stats aggregate must reuse the partkey shuffle, not recompute it:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the one-row stats broadcast may nested-loop:\n$p")
+    assert(p.contains("StringStartsWith(n_name,NATION_1"), s"nation band not pushed:\n$p")
+  }
+
+  test("q20: shipdate + name-prefix pushed; per-part totals via ONE window over " +
+       "the pair relation (single fact scan); dim joins broadcast") {
+    val p = plan("q20_dominant_suppliers")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate not pushed:\n$p")
+    assert(p.contains("StringStartsWith(p_name,cold"), s"name prefix not pushed:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet")) == 1,
+      s"pair quantities and per-part totals must share one lineitem scan:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"the per-part total must be one window pass over the pair relation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"dim joins degraded:\n$p")
+  }
+
   test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -81,6 +81,9 @@ object SparkEntry {
     "q9_product_profit" -> ((s: SparkSession, d: String) => TpcH.q9ProductProfit(s, d)),
     "q11_important_supply" -> ((s: SparkSession, d: String) => TpcH.q11ImportantSupply(s, d)),
     "q20_dominant_suppliers" -> ((s: SparkSession, d: String) => TpcH.q20DominantSuppliers(s, d)),
+    // ---- SCD2 dim history ----
+    "scd2_versions" -> (rtdw.Scd2.scd2Versions _),
+    "scd2_temporal_join" -> (rtdw.Scd2.scd2TemporalJoin _),
     // ---- deduplication ----
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -789,6 +792,59 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE pair_qty * 2 > part_qty AND n_name LIKE 'NATION_1%'
          GROUP BY 1, 2""",
+
+    // SCD2: run-compress the per-user segment history (lag), assign
+    // half-open validity intervals (lead) — same two-window derivation
+    // as the Spark side
+    "scd2_versions" ->
+      """WITH chg AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+                  event_type AS seg
+           FROM events WHERE event_type <> 'purchase'),
+         marked AS (
+           SELECT *, lag(seg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_seg
+           FROM chg),
+         kept AS (SELECT user_id, ts, event_id, seg FROM marked
+                  WHERE prev_seg IS NULL OR prev_seg <> seg),
+         v AS (
+           SELECT user_id, seg, ts AS ef,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS et
+           FROM kept)
+         SELECT user_id, seg,
+                strftime(ef, '%Y-%m-%d %H:%M:%S') AS effective_from,
+                COALESCE(strftime(et, '%Y-%m-%d %H:%M:%S'), 'current') AS effective_to,
+                (et IS NULL) AS is_current
+         FROM v""",
+
+    "scd2_temporal_join" ->
+      """WITH chg AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+                  event_type AS seg
+           FROM events WHERE event_type <> 'purchase'),
+         marked AS (
+           SELECT *, lag(seg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_seg
+           FROM chg),
+         kept AS (SELECT user_id, ts, event_id, seg FROM marked
+                  WHERE prev_seg IS NULL OR prev_seg <> seg),
+         v AS (
+           SELECT user_id, seg, ts AS ef,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS et
+           FROM kept),
+         f AS (
+           SELECT user_id, date_trunc('microseconds', ts) AS ts,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase')
+         SELECT COALESCE(v.seg, 'unknown') AS seg,
+                count(*) AS purchase_ct,
+                CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+         FROM f LEFT JOIN v
+           ON f.user_id = v.user_id AND f.ts >= v.ef
+              AND (v.et IS NULL OR f.ts < v.et)
+         GROUP BY 1""",
 
     "dedup_exact" ->
       """SELECT content_hash, min(doc_id) AS keep_id, count(*) AS dup_ct

@@ -311,6 +311,32 @@ class PlanSpec extends SparkSpec {
       s"dim joins degraded:\n$p")
   }
 
+  test("scd2_versions: whole derivation in ONE shuffle — the run-compression " +
+       "lag and the interval lead share a single exchange and sort") {
+    val p = plan("scd2_versions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the two windows must share one user_id exchange:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 2, s"expected lag + lead windows:\n$p")
+    assert("Sort \\[user_id".r.findAllIn(p).size == 1,
+      s"the lead window must reuse the lag window's sort:\n$p")
+    assert(p.contains("Not(EqualTo(event_type,purchase))"),
+      s"dim filter not pushed to the scan:\n$p")
+  }
+
+  test("scd2_temporal_join: version table broadcast — BHJ on the key with the " +
+       "interval residual; facts add no shuffle; fact filter pushed") {
+    val p = plan("scd2_temporal_join")
+    assert(p.contains("BroadcastHashJoin"), s"temporal join must broadcast the dim:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"temporal join degraded:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
+      s"fact filter not pushed:\n$p")
+    // exactly two hash exchanges: the dim window, the final aggregate —
+    // the fact stream flows scan → BHJ → partial agg with no shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"facts must not shuffle before the aggregate:\n$p")
+  }
+
   test("sim_cosine_neardup above the size gate plans an equi-join, never a BNLJ") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -97,6 +97,7 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "sim_sq8_topk" -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "sim_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "sim_ivf_recall_gate" -> ((s: SparkSession, d: String) => Similarity.ivfRecallGate(s, d)),
@@ -968,6 +969,35 @@ object SparkEntry {
             ce AS (SELECT vec_id AS c_id, i,
                           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
                    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+            qn AS (SELECT q_id, CAST(SUM(v * v) AS BIGINT) AS qn FROM qe GROUP BY 1),
+            cn AS (SELECT c_id, CAST(SUM(v * v) AS BIGINT) AS cn FROM ce GROUP BY 1),
+            dots AS (SELECT q_id, c_id, CAST(SUM(qe.v * ce.v) AS BIGINT) AS dot
+                     FROM qe JOIN ce USING (i) GROUP BY 1, 2),
+            scored AS (SELECT q_id, c_id,
+                              CAST(dot AS DOUBLE) / sqrt(CAST(qn * cn AS DOUBLE)) AS sim
+                       FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id)
+                       WHERE q_id <> c_id),
+            r AS (SELECT q_id, c_id, sim,
+                         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                  FROM scored)
+         SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim FROM r WHERE rnk <= 10""",
+
+    // SQ8 ADC: corpus encoded to symmetric int8 (127/amax scale, the
+    // same clamp(floor(x·127/amax + 0.5)) formula as Kernels.sq8Encode),
+    // queries at full milli precision — all-integer dots, bit-exact
+    "sim_sq8_topk" ->
+      """WITH amax AS (SELECT MAX(list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE))))) AS a
+                       FROM embeddings),
+            ce AS (SELECT vec_id AS c_id, i,
+                          GREATEST(-127, LEAST(127,
+                            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / a + 0.5)
+                                 AS BIGINT))) AS v
+                   FROM embeddings, amax, (SELECT unnest(generate_series(1, 64)) AS i)),
+            qe AS (SELECT vec_id AS q_id, i,
+                          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                   FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+                   WHERE vec_id < 20),
             qn AS (SELECT q_id, CAST(SUM(v * v) AS BIGINT) AS qn FROM qe GROUP BY 1),
             cn AS (SELECT c_id, CAST(SUM(v * v) AS BIGINT) AS cn FROM ce GROUP BY 1),
             dots AS (SELECT q_id, c_id, CAST(SUM(qe.v * ce.v) AS BIGINT) AS dot

@@ -180,6 +180,43 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Symmetric int8 scalar quantization (FAISS SQ8 shape):
+    * code_i = clamp(floor(x_i · 127 / amax + 0.5), −127, 127), one
+    * signed byte per dimension — 4× smaller than float32, 8× smaller
+    * than the milli-quantized long array. Cosine is scale-invariant,
+    * so similarities against SQ8 codes need no dequantization.
+    */
+  def sq8Encode(arr: ArrayData, amax: Double, isFloat: Boolean): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val c = math.floor(x * 127.0 / amax + 0.5)
+      out(i) = (if (c > 127.0) 127 else if (c < -127.0) -127 else c.toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** ADC (asymmetric distance computation) dot: full-precision query
+    * longs × int8 corpus codes — exact integer math, no accumulation
+    * order sensitivity.
+    */
+  def dot8(q: ArrayData, codes: Array[Byte]): Long = {
+    val n = math.min(q.numElements(), codes.length)
+    var s = 0L; var i = 0
+    while (i < n) { s += q.getLong(i) * codes(i); i += 1 }
+    s
+  }
+
+  /** Σ code_i² of an int8 code vector. */
+  def normSq8(codes: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < codes.length) { val x: Long = codes(i); s += x * x; i += 1 }
+    s
+  }
+
   def signProjBucket(a: ArrayData, planes: Int): Long = {
     val n = a.numElements()
     var bucket = 0L

@@ -167,6 +167,48 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Symmetric int8 scalar quantization to a BinaryType code vector —
+    * the compressed storage form for 100 TB embedding corpora (1 byte
+    * per dimension). `amax` is the corpus-wide max |x| (a one-row
+    * aggregate joined in by the caller), so encoding is a pure
+    * per-row map.
+    */
+  case class Sq8Encode(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    private def isFloat: Boolean =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(v: Any, a: Any): Any =
+      Kernels.sq8Encode(v.asInstanceOf[ArrayData], a.asInstanceOf[Double], isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, a) =>
+        s"${ev.value} = graft.functions.Kernels.sq8Encode($v, $a, $isFloat);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ADC dot product: long-array query × int8 binary codes (codegen'd). */
+  case class Dot8(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      Kernels.dot8(l.asInstanceOf[ArrayData], r.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.dot8($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Σ code_i² of an int8 code vector (codegen'd). */
+  case class NormSq8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      Kernels.normSq8(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.Kernels.normSq8($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Sign-random-projection bucket (LSH coarse quantizer): bit p of
     * the bucket is the sign of the projection onto a deterministic ±1
     * hyperplane derived from xxhash64(i, p).
@@ -198,4 +240,7 @@ object functions {
   def shingle_hashes(tokens: Column, ngram: Int = 3): Column =
     c(ShingleHashes(e(tokens), ngram))
   def cjk_tokens(text: Column): Column = c(CjkTokens(e(text)))
+  def sq8_encode(vec: Column, amax: Column): Column = c(Sq8Encode(e(vec), e(amax)))
+  def dot8(q: Column, codes: Column): Column = c(Dot8(e(q), e(codes)))
+  def norm_sq8(codes: Column): Column = c(NormSq8(e(codes)))
 }

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.functions.{dot_long, norm_sq_long, quantize_vec, sign_proj_bucket}
+import graft.functions.functions.{dot8, dot_long, norm_sq8, norm_sq_long, quantize_vec, sign_proj_bucket, sq8_encode}
 import graft.io.Tables
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -69,6 +69,45 @@ object Similarity {
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("dot", dot_long(col("qv"), col("cv")))
+      .withColumn("sim", col("dot").cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk").cast("long").as("rnk"), col("sim"))
+  }
+
+  /** SQ8-compressed brute-force top-k: the corpus is stored as
+    * symmetric int8 codes (1 byte/dim BinaryType — 4× smaller than the
+    * float32 column, 8× smaller than the milli-quantized long array;
+    * at 100 TB of embeddings this is the difference between scanning
+    * 100 TB and scanning 25 TB) and scored by ADC: full-precision
+    * query longs against corpus codes, all-integer dot products.
+    * Cosine is scale-invariant, so the global 127/amax code scale
+    * cancels and no dequantization happens anywhere.
+    *
+    * `amax` (the corpus max |x|) is a one-row aggregate broadcast into
+    * the encode map — same one-row-stats shape as q15/q22. Everything
+    * is deterministic integer math → fully DuckDB-oracled, unlike
+    * typical quantization schemes that drift in float. Recall vs the
+    * full-precision ranking is measured in SimilarityGateSpec.
+    * Composes with [[IvfIndex]]: cells can store codes instead of
+    * long arrays for a compressed persisted index.
+    */
+  def sq8TopK(spark: SparkSession, sfDir: String,
+              numQueries: Int = 20, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val amax = emb.agg(
+      max(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+        .as("amax"))
+    val corpus = emb.join(broadcast(amax))
+      .select(col("vec_id").as("c_id"),
+        sq8_encode(col("embedding"), col("amax")).as("codes"))
+      .withColumn("cn", norm_sq8(col("codes")))
+    val queries = quantized(spark, sfDir).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"), col("n").as("qn"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("dot", dot8(col("qv"), col("codes")))
       .withColumn("sim", col("dot").cast("double") / sqrt((col("qn") * col("cn")).cast("double")))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window

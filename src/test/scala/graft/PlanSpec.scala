@@ -97,6 +97,20 @@ class PlanSpec extends SparkSpec {
       s"queries not broadcast:\n$p")
   }
 
+  test("sim_sq8_topk: amax and queries broadcast; corpus scans once, " +
+       "shuffles only for the rank") {
+    val p = plan("sim_sq8_topk")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the one-row amax and the query-set broadcasts may nested-loop:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"SQ8 scoring degraded:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet")) <= 3,
+      s"encode must be a per-row map over one corpus scan (plus amax + query scans):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the per-query rank may hash-shuffle:\n$p")
+  }
+
   test("q10: returnflag and orderdate filters push to their parquet scans") {
     val p = plan("q10_returns")
     assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")

@@ -59,4 +59,32 @@ class SimilarityGateSpec extends SparkSpec {
       Similarity.cosineNearDup(spark, sf, mode = "nope")
     }
   }
+
+  test("SQ8: codes are 1 byte/dim binary; ADC ranking holds ≥0.9 recall@10 " +
+       "vs the full-precision ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, expr, length, max, size}
+    val sq8 = Similarity.sq8TopK(spark, sf)
+    // the compression is real: BinaryType, one byte per dimension
+    val emb = graft.io.Tables.embeddings(spark, sf)
+    val amax = emb.agg(max(
+      expr("array_max(transform(embedding, x -> abs(cast(x as double))))")).as("a"))
+    val codes = emb.join(broadcast(amax))
+      .select(graft.functions.functions.sq8_encode(col("embedding"), col("a")).as("codes"))
+    assert(codes.schema("codes").dataType == org.apache.spark.sql.types.BinaryType)
+    val dims = emb.select(size(col("embedding"))).as[Int].head()
+    assert(codes.select(length(col("codes"))).as[Int].head() == dims)
+
+    // recall@10 of the compressed ranking vs the exact one
+    val got = sq8.select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean SQ8 recall@10 $mean below floor")
+  }
 }

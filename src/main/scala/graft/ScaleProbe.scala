@@ -54,6 +54,7 @@ object ScaleProbe {
     val dedupOnly = args.length > 1 && args(1) == "dedup"
     val ingestOnly = args.length > 1 && args(1) == "ingest"
     val annOnly = args.length > 1 && args(1) == "ann"
+    val sq8Only = args.length > 1 && args(1) == "sq8"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -78,7 +79,42 @@ object ScaleProbe {
       println(f"[scale] $name%-28s out=$rows%-10d ${dt}%6.1fs  ${n / dt / 1e6}%6.1f M rows/s")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly) {
+    if (sq8Only) {
+      // milli vs sq8 list storage at the same nlist/nprobe: the probe
+      // plan is identical, the only delta is bytes per list row — the
+      // quantified claim behind "compressed cells cut probe I/O"
+      val nlist = math.max(16, (n / 62500L).toInt)
+      val emb = ScaleProbe.synthEmbeddings(spark, n)
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      Seq("milli", "sq8").foreach { storage =>
+        val root = java.nio.file.Files.createTempDirectory(s"probe_ivf_$storage").toString
+        graft.llm.IvfIndex.build(spark, root, emb, nlist = nlist, storage = storage)
+        val qs = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        graft.llm.IvfIndex.topK(spark, root, qs, nprobe = 4)
+          .queryExecution.toRdd.count() // warm-up
+        bytesRead.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val out = try {
+          val c = graft.llm.IvfIndex.topK(spark, root, qs, nprobe = 4)
+            .queryExecution.toRdd.count()
+          Thread.sleep(2000) // listener bus is async
+          c
+        } finally spark.sparkContext.removeSparkListener(listener)
+        val tQuery = (System.nanoTime() - t0 - 2e9) / 1e9
+        println(f"[scale] sq8_n=$n%-9d storage=$storage%-5s nlist=$nlist%-3d " +
+          f"probe_query=${tQuery}%6.2fs  probe_bytes=${bytesRead.get()}%-12d out=$out")
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))

@@ -98,6 +98,8 @@ object SparkEntry {
     "sim_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "sim_sq8_topk" -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d)),
+    "sim_sq8_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.sq8IvfTopKIndexed(s, d)),
+    "sim_sq8_ivf_gate" -> ((s: SparkSession, d: String) => Similarity.sq8IvfGate(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopKIndexed(s, d)),
     "sim_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "sim_ivf_recall_gate" -> ((s: SparkSession, d: String) => Similarity.ivfRecallGate(s, d)),
@@ -225,6 +227,12 @@ object SparkEntry {
     // exact guarantees are): every query's recall clears the floor and
     // every reported similarity is bit-identical to brute force
     "sim_ivf_recall_gate" ->
+      """SELECT DISTINCT vec_id AS q_id, true AS recall_ok, true AS sims_exact
+         FROM embeddings WHERE vec_id < 20""",
+
+    // same constants mold: truth is sim_sq8_topk (fully oracled), so
+    // the compressed-index chain is consequence-gated end to end
+    "sim_sq8_ivf_gate" ->
       """SELECT DISTINCT vec_id AS q_id, true AS recall_ok, true AS sims_exact
          FROM embeddings WHERE vec_id < 20""",
 

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.functions.{dot_long, norm_sq_long, quantize_vec}
+import graft.functions.functions.{dot8, dot_long, norm_sq8, norm_sq_long, quantize_vec, sq8_encode}
 import graft.io.Upsert
 
 /** Persisted IVF (inverted-file) ANN index — the production lifecycle
@@ -27,7 +27,14 @@ import graft.io.Upsert
   *                (nprobe/nlist of the corpus), not to table count or
   *                file layout. The quantized vectors live IN the lists
   *                (like FAISS codes): queries never touch the raw
-  *                embedding table.
+  *                embedding table. With `storage="sq8"` the lists hold
+  *                1-byte-per-dim SQ8 codes instead of the 8-byte milli
+  *                longs (the [[Similarity.sq8TopK]] scheme — 8× less
+  *                list I/O per probe) with the code scale frozen in
+  *                the centroids props at build, and queries score by
+  *                ADC. Assignment happens in the shared milli space
+  *                either way, so both storage modes place every vector
+  *                in the same cell.
   *
   * Centroids are FROZEN after build (standard IVF practice): ingest
   * assigns new vectors to the nearest existing centroid and merges into
@@ -65,19 +72,41 @@ object IvfIndex {
     * identical content and the centroids snapshot commits last.
     */
   def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
-            nlist: Int = 16): Unit = {
+            nlist: Int = 16, storage: String = "milli"): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
+    require(storage == "milli" || storage == "sq8", s"unknown storage: $storage")
+    // sq8 lists need the build-time code scale; computed here (one
+    // max aggregate over the corpus pass KMeans reads anyway) and
+    // FROZEN in the centroids props — ingest encodes later batches
+    // with the same scale, like it assigns to the same centroids
+    val amax: Double =
+      if (storage == "sq8")
+        corpus.agg(max(expr(
+          "array_max(transform(embedding, x -> abs(cast(x as double))))")))
+          .head().getDouble(0)
+      else 0.0
     val vecs = quantize(corpus)
       .withColumn("features", array_to_vector(
         expr("transform(q, x -> cast(x as double))")))
       .cache()
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(vecs.select(col("features")))
-    val assigned = model.transform(vecs)
+    val assignedBase = model.transform(vecs)
       .select(col("vec_id"), col("q"), col("n"), col("prediction").as("cell"))
-      .withColumn("__v", lit(0L))
+    // sq8 lists replace the milli vectors with 1-byte-per-dim codes —
+    // assignment still happens in the shared milli space, so both
+    // storage modes put every vector in the SAME cell (spec-pinned)
+    val assigned = (storage match {
+      case "sq8" =>
+        val codes = corpus.join(broadcast(Seq(amax).toDF("__amax")))
+          .select(col("vec_id"),
+            sq8_encode(col("embedding"), col("__amax")).as("codes"))
+          .withColumn("cn", norm_sq8(col("codes")))
+        assignedBase.select(col("vec_id"), col("cell")).join(codes, Seq("vec_id"))
+      case _ => assignedBase
+    }).withColumn("__v", lit(0L))
     val corpusCount = vecs.count()
     // ONE pass routes every row to its cell (dynamic-partition write);
     // each cell's merge then scans only its own staged slice. The
@@ -102,6 +131,8 @@ object IvfIndex {
       centroidRows.toDF("cell", "centroid"),
       props = Map("nlist" -> nlist.toString,
         "corpusCount" -> corpusCount.toString,
+        "storage" -> storage,
+        "amax" -> amax.toString, // Double.toString round-trips exactly
         "formatVersion" -> FormatVersion))
     vecs.unpersist()
   }
@@ -112,12 +143,21 @@ object IvfIndex {
     * different snapshot of the same path.
     */
   def isBuilt(spark: SparkSession, indexDir: String, nlist: Int,
-              corpusCount: Long = -1L): Boolean =
+              corpusCount: Long = -1L, storage: String = "milli"): Boolean =
     Upsert.currentManifest(spark, centroidsDir(indexDir)).exists { m =>
       m.props.get("nlist").contains(nlist.toString) &&
         m.props.get("formatVersion").contains(FormatVersion) &&
+        m.props.getOrElse("storage", "milli") == storage &&
         (corpusCount < 0 || m.props.get("corpusCount").contains(corpusCount.toString))
     }
+
+  /** (storage mode, frozen sq8 scale) from the centroids manifest. */
+  private def storageOf(spark: SparkSession, indexDir: String): (String, Double) = {
+    val props = Upsert.currentManifest(spark, centroidsDir(indexDir))
+      .map(_.props).getOrElse(Map.empty)
+    (props.getOrElse("storage", "milli"),
+      props.get("amax").map(_.toDouble).getOrElse(0.0))
+  }
 
   /** Incrementally add a batch: assign each vector to its nearest
     * FROZEN centroid (broadcast — nlist rows), merge each touched
@@ -129,6 +169,8 @@ object IvfIndex {
     */
   def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
              batchVersion: Long = 0L): Unit = {
+    import spark.implicits._
+    val (storage, amax) = storageOf(spark, indexDir)
     val centroids = Upsert.read(spark, centroidsDir(indexDir))
       .select(col("cell"), col("centroid"))
     val qb = quantize(batch)
@@ -136,10 +178,21 @@ object IvfIndex {
       .withColumn("dist", expr(
         "aggregate(zip_with(centroid, q, (c, x) -> (c - x) * (c - x)), 0D, (acc, v) -> acc + v)"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    val assigned = crossed
+    val assignedMilli = crossed
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("vec_id"), col("q"), col("n"), col("cell"))
-      .withColumn("__v", lit(batchVersion)).cache()
+    // sq8 index: encode with the scale FROZEN at build — same contract
+    // as the frozen centroids (a value beyond the build-time amax
+    // clamps to ±127; a shift big enough to matter is a rebuild)
+    val assigned = (storage match {
+      case "sq8" =>
+        val codes = batch.join(broadcast(Seq(amax).toDF("__amax")))
+          .select(col("vec_id"),
+            sq8_encode(col("embedding"), col("__amax")).as("codes"))
+          .withColumn("cn", norm_sq8(col("codes")))
+        assignedMilli.select(col("vec_id"), col("cell")).join(codes, Seq("vec_id"))
+      case _ => assignedMilli
+    }).withColumn("__v", lit(batchVersion)).cache()
     val cells = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     cells.foreach { c =>
@@ -182,10 +235,14 @@ object IvfIndex {
       }.sortBy(_._5).take(nprobe).map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
     }
     val probes = spark.createDataset(probeRows).toDF("q_id", "qv", "qn", "cell")
+    val (storage, _) = storageOf(spark, indexDir)
+    val listCols =
+      if (storage == "sq8") Seq(col("vec_id"), col("codes"), col("cn").as("n"))
+      else Seq(col("vec_id"), col("q"), col("n"))
     val probedCells = probeRows.map(_._4).distinct.sorted
     val lists = probedCells.flatMap { c =>
       Upsert.readIfExists(spark, cellDir(indexDir, c)) // a cell can be empty
-        .map(_.select(col("vec_id"), col("q"), col("n")).withColumn("cell", lit(c)))
+        .map(_.select(listCols: _*).withColumn("cell", lit(c)))
     }
     if (lists.isEmpty)
       return spark.emptyDataset[(Long, Long, Long, Double)]
@@ -193,7 +250,9 @@ object IvfIndex {
     lists.reduce(_.unionByName(_))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("dot", dot_long(col("qv"), col("q")))
+      .withColumn("dot",
+        if (storage == "sq8") dot8(col("qv"), col("codes"))
+        else dot_long(col("qv"), col("q")))
       .withColumn("sim", col("dot").cast("double") / sqrt((col("qn") * col("n")).cast("double")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))

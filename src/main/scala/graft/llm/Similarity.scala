@@ -188,18 +188,61 @@ object Similarity {
 
   /** Build-if-absent for the convenience entry points: one manifest
     * read when the index is current (no Spark job beyond a parquet
-    * metadata count); a rebuild when the corpus snapshot, nlist, or
-    * the index format changed.
+    * metadata count); a rebuild when the corpus snapshot, nlist,
+    * storage mode, or the index format changed.
     */
-  private def ensureIndexed(spark: SparkSession, sfDir: String, nlist: Int): String = {
+  private def ensureIndexed(spark: SparkSession, sfDir: String, nlist: Int,
+                            storage: String = "milli"): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val dir = s"target/ivf_index/${key}_nlist$nlist"
+    val suffix = if (storage == "milli") "" else s"_$storage"
+    val dir = s"target/ivf_index/${key}_nlist$nlist$suffix"
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val cnt = corpus.count() // parquet metadata-only aggregate
-    if (!IvfIndex.isBuilt(spark, dir, nlist, cnt))
-      IvfIndex.build(spark, dir, corpus, nlist)
+    if (!IvfIndex.isBuilt(spark, dir, nlist, cnt, storage))
+      IvfIndex.build(spark, dir, corpus, nlist, storage)
     dir
+  }
+
+  /** [[ivfTopKIndexed]] over SQ8-compressed inverted lists — the
+    * production shape for 100 TB ANN: probe-only queries whose list
+    * I/O is both cell-bounded (nprobe/nlist of the corpus) AND 8×
+    * smaller per row. Scores are ADC integers like [[sq8TopK]]'s.
+    */
+  def sq8IvfTopKIndexed(spark: SparkSession, sfDir: String,
+                        numQueries: Int = 20, k: Int = 10,
+                        nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val dir = ensureIndexed(spark, sfDir, nlist, storage = "sq8")
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    IvfIndex.topK(spark, dir, queries, k, nprobe)
+  }
+
+  /** Consequence gate for [[sq8IvfTopKIndexed]], in the
+    * [[ivfRecallGate]] mold: truth is [[sq8TopK]] — the FULLY ORACLED
+    * compressed brute force — so both compression and cell-pruning are
+    * covered by one oracled chain. `recall_ok` bounds what pruning may
+    * drop; `sims_exact` pins that for every neighbor both paths return,
+    * the ADC score is bit-identical (same integer kernels, same frozen
+    * scale — compression never corrupts a score it reports).
+    */
+  def sq8IvfGate(spark: SparkSession, sfDir: String,
+                 numQueries: Int = 20, k: Int = 10,
+                 recallFloor: Double = 0.3): DataFrame = {
+    val bf = sq8TopK(spark, sfDir, numQueries, k)
+      .select(col("q_id"), col("c_id"), col("sim").as("sim_bf"))
+    val ann = sq8IvfTopKIndexed(spark, sfDir, numQueries, k)
+      .select(col("q_id"), col("c_id"), col("sim").as("sim_ann"))
+    val hits = ann.join(bf, Seq("q_id", "c_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("hit_ct"),
+        max(abs(col("sim_ann") - col("sim_bf"))).as("max_diff"))
+    bf.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("hit_ct"), lit(0L)).cast("double") / k >= recallFloor).as("recall_ok"),
+        (coalesce(col("max_diff"), lit(0.0)) === 0.0).as("sims_exact"))
   }
 
   /** Driver-gated consequence oracle for [[ivfTopK]] (VERDICT r3 #3),

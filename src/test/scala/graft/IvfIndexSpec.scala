@@ -98,4 +98,68 @@ class IvfIndexSpec extends SparkSpec {
     assert(narrow > 0 && full > narrow,
       s"nprobe=1 must read strictly less than nprobe=16: $narrow vs $full")
   }
+
+  test("sq8 storage: same cell placement as milli, 1-byte codes in the lists, " +
+       "probe sims bit-identical to the oracled compressed brute force") {
+    val milliDir = java.nio.file.Files.createTempDirectory("ivf_milli").toString
+    val sq8Dir = java.nio.file.Files.createTempDirectory("ivf_sq8").toString
+    IvfIndex.build(spark, milliDir, corpus)
+    IvfIndex.build(spark, sq8Dir, corpus, storage = "sq8")
+    assert(IvfIndex.isBuilt(spark, sq8Dir, 16, storage = "sq8"))
+    assert(!IvfIndex.isBuilt(spark, sq8Dir, 16, storage = "milli"),
+      "a storage-mode mismatch must read as not-built, not mis-serve")
+
+    // assignment happens in the shared milli space → identical cells,
+    // and the sq8 lists store BinaryType codes of dim bytes
+    (0 until 16).foreach { c =>
+      val m = Upsert.readIfExists(spark, s"$milliDir/cell=$c")
+        .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+      val s8 = Upsert.readIfExists(spark, s"$sq8Dir/cell=$c")
+        .map(_.select("vec_id").as[Long].collect().toSet).getOrElse(Set.empty)
+      assert(m == s8, s"cell $c membership differs between storage modes")
+    }
+    val cellDf = (0 until 16).iterator
+      .flatMap(c => Upsert.readIfExists(spark, s"$sq8Dir/cell=$c")).next()
+    assert(cellDf.schema("codes").dataType == org.apache.spark.sql.types.BinaryType)
+    val dims = corpus.select(size(col("embedding"))).as[Int].head()
+    assert(cellDf.select(length(col("codes"))).as[Int].head() == dims)
+
+    // every (q, c, sim) the compressed index returns matches the fully
+    // oracled sq8 brute-force score bit-for-bit — pruning only drops
+    // candidates, never corrupts a score
+    val probe = IvfIndex.topK(spark, sq8Dir, queries())
+      .select(col("q_id"), col("c_id"), col("sim")).as[(Long, Long, Double)]
+      .collect().toSet
+    assert(probe.nonEmpty)
+    val brute = Similarity.sq8TopK(spark, sf, numQueries = 20, k = 1000000)
+      .select(col("q_id"), col("c_id"), col("sim")).as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    probe.foreach { case (q, c, s) =>
+      assert(brute.get((q, c)).contains(s),
+        s"probe sim for ($q,$c) = $s != brute ${brute.get((q, c))}")
+    }
+
+    // ingest encodes with the FROZEN build-time scale: the re-ingested
+    // vector's codes equal its original build-time codes
+    val held = corpus.filter(col("vec_id") === 150)
+    IvfIndex.ingest(spark, sq8Dir, held, batchVersion = 7L)
+    val reCodes = (0 until 16).flatMap(c =>
+      Upsert.readIfExists(spark, s"$sq8Dir/cell=$c").toSeq.flatMap(
+        _.filter(col("vec_id") === 150).select("codes").as[Array[Byte]].collect()))
+    val origCodes = (0 until 16).flatMap(c =>
+      Upsert.readIfExists(spark, s"$milliDir/cell=$c").toSeq.flatMap(
+        _.filter(col("vec_id") === 150).select("vec_id").as[Long].collect()))
+    assert(reCodes.size == 1, s"vec 150 must live in exactly one cell, got ${reCodes.size}")
+    assert(origCodes.size == 1)
+    val amax = corpus.agg(max(expr(
+      "array_max(transform(embedding, x -> abs(cast(x as double))))"))).head().getDouble(0)
+    val raw = corpus.filter(col("vec_id") === 150)
+      .select("embedding").as[Seq[Float]].head()
+    val manual = raw.map { x =>
+      val v = math.floor(x.toDouble * 127.0 / amax + 0.5)
+      (if (v > 127) 127 else if (v < -127) -127 else v.toInt).toByte
+    }.toArray
+    assert(java.util.Arrays.equals(reCodes.head, manual),
+      "ingest must encode with the frozen build-time scale")
+  }
 }

@@ -358,6 +358,17 @@ object Upsert {
     m.props.get(DroppedProp)
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
+  /** Columns the table maintains per-file zone maps for (see
+    * [[Zones]]). Declared once (at create or any later merge) and
+    * sticky: recorded in the manifest so every subsequent writer
+    * maintains the sidecars without repeating the argument.
+    */
+  private val ZoneColsProp = "zoneCols"
+
+  def zoneColsOf(m: Manifest): Seq[String] =
+    m.props.get(ZoneColsProp)
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+
   private def scanFiles(spark: SparkSession, dir: String, rels: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val r = schema.fold(spark.read)(s => spark.read.schema(s))
@@ -384,6 +395,75 @@ object Upsert {
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
     currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles, tableSchema(m)))
 
+  /** Read rows with `colName` in the closed range `[lo, hi]` (None =
+    * unbounded), pruning the manifest's FILE LIST by [[Zones]] sidecars
+    * before any task launches — at 100 TB the driver drops most of a
+    * time-clustered table here, where footer-based skipping would still
+    * open every file. Exact, never a superset: surviving files are
+    * still filtered by the real predicate (zones only prune, parquet
+    * row-group stats skip inside the kept files). Files without stats
+    * (older generations, unsupported types) are always read.
+    */
+  def readRange(spark: SparkSession, dir: String, colName: String,
+                lo: Option[Any], hi: Option[Any]): DataFrame = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    val schemaOpt = tableSchema(m)
+    val schema = schemaOpt.getOrElse(scanFiles(spark, dir, m.allFiles).schema)
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"readRange column `$colName` not in table schema ${schema.toDDL}"))
+    val (keep, _) = rangeCandidatesIn(spark, dir, m, colName, field.dataType, lo, hi)
+    val base =
+      if (keep.nonEmpty) scanFiles(spark, dir, keep, schemaOpt)
+      else scanFiles(spark, dir, m.allFiles, schemaOpt).filter(lit(false))
+    val c = col(colName)
+    (lo.map(v => c >= lit(v)) ++ hi.map(v => c <= lit(v)))
+      .reduceOption(_ && _).fold(base)(base.filter)
+  }
+
+  /** (files kept, files pruned) for a [[readRange]] with these bounds —
+    * driver-side metadata only (sidecar reads, no Spark job); the
+    * number an operator checks to see whether clustering is paying off
+    * before choosing to re-cluster via [[compactBuckets]].
+    */
+  def rangePruneStats(spark: SparkSession, dir: String, colName: String,
+                      lo: Option[Any], hi: Option[Any]): (Int, Int) = {
+    val m = currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $dir"))
+    val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column `$colName`"))
+    val (keep, pruned) = rangeCandidatesIn(spark, dir, m, colName, field.dataType, lo, hi)
+    (keep.size, pruned)
+  }
+
+  private[io] def rangeCandidatesIn(spark: SparkSession, dir: String, m: Manifest,
+                                    colName: String,
+                                    dt: org.apache.spark.sql.types.DataType,
+                                    lo: Option[Any], hi: Option[Any]): (Seq[String], Int) = {
+    if (!Zones.supported(dt) || (lo.isEmpty && hi.isEmpty)) return (m.allFiles, 0)
+    val loZ = lo.map(Zones.toZ(dt, _))
+    val hiZ = hi.map(Zones.toZ(dt, _))
+    val fs = FsOps.fs(spark, new Path(dir))
+    val byDir = m.allFiles.groupBy(rel => rel.split('/').init.mkString("/"))
+    var pruned = 0
+    val keep = byDir.toSeq.sortBy(_._1).flatMap { case (bd, rels) =>
+      val sidecar = Zones.read(fs, new Path(abs(dir, bd)))
+      rels.filter { rel =>
+        val name = rel.substring(rel.lastIndexOf('/') + 1)
+        sidecar.flatMap(_.get(name)).flatMap(_.get(colName)) match {
+          case Some(z) =>
+            val k = Zones.overlaps(z, loZ, hiZ)
+            if (!k) pruned += 1
+            k
+          case None => true // no stats: must read
+        }
+      }
+    }
+    (keep, pruned)
+  }
+
   /** Driver-side table-health snapshot — metadata only, ZERO Spark
     * jobs: the numbers an operator reads before deciding to compact,
     * vacuum, or re-bloom. `reclaimable*` counts data files on disk the
@@ -395,7 +475,7 @@ object Upsert {
   case class TableStats(gen: Long, snapshotsRetained: Int, numBuckets: Int,
                         liveFiles: Long, liveBytes: Long,
                         reclaimableFiles: Long, reclaimableBytes: Long,
-                        bloomBuckets: Int)
+                        bloomBuckets: Int, zoneBuckets: Int = 0)
 
   def stats(spark: SparkSession, dir: String,
             defaultBuckets: Int = DefaultNumBuckets): Option[TableStats] =
@@ -410,6 +490,8 @@ object Upsert {
         .map(rel => rel.split('/').init.mkString("/")).distinct
       val bloomBuckets = liveBucketDirs.count(bd =>
         fs.exists(new Path(abs(dir, s"$bd/${Blooms.SidecarName}"))))
+      val zoneBuckets = liveBucketDirs.count(bd =>
+        fs.exists(new Path(abs(dir, s"$bd/${Zones.SidecarName}"))))
       var reclaimableFiles = 0L
       var reclaimableBytes = 0L
       fs.listStatus(root).foreach { g =>
@@ -431,7 +513,7 @@ object Upsert {
       }
       TableStats(m.gen, manifestGens(spark, dir).size,
         m.numBuckets(defaultBuckets), m.allFiles.size.toLong, liveBytes,
-        reclaimableFiles, reclaimableBytes, bloomBuckets)
+        reclaimableFiles, reclaimableBytes, bloomBuckets, zoneBuckets)
     }
 
   // ---- key hashing ------------------------------------------------------
@@ -573,7 +655,8 @@ object Upsert {
     */
   private def stageGeneration(spark: SparkSession, dir: String, gen: Long,
                               merged: DataFrame,
-                              bloomPk: Option[Seq[String]]): Map[Int, Seq[String]] = {
+                              bloomPk: Option[Seq[String]],
+                              zoneCols: Seq[String] = Nil): Map[Int, Seq[String]] = {
     val stage = new Path(dir, s"__gen=$gen")
     val fs = FsOps.fs(spark, stage)
     if (fs.exists(stage)) fs.delete(stage, true) // re-run of a crashed attempt
@@ -593,6 +676,16 @@ object Upsert {
           Blooms.write(fs, new Path(stage, s"$BucketCol=$b"),
             blooms.getOrElse(b, Map.empty))
         }
+      }
+    }
+    val schema = merged.drop(BucketCol).schema
+    val stats = zoneCols.flatMap(c =>
+      schema.fields.find(_.name == c).map(f => c -> f.dataType))
+    if (stats.nonEmpty && staged.nonEmpty) {
+      val zones = Zones.build(spark, stage.toString, stats)
+      staged.keys.foreach { b =>
+        Zones.write(fs, new Path(stage, s"$BucketCol=$b"),
+          zones.getOrElse(b, Map.empty))
       }
     }
     staged
@@ -656,7 +749,8 @@ object Upsert {
             changeLog: Boolean = false,
             commitId: Option[String] = None,
             bloom: Boolean = false,
-            maxPointKeys: Int = 1024): Unit = withWriterLease(spark, dir) {
+            maxPointKeys: Int = 1024,
+            zoneCols: Seq[String] = Nil): Unit = withWriterLease(spark, dir) {
     val bloomPk = if (bloom) Some(pk) else None
     currentManifest(spark, dir) match {
       case None =>
@@ -666,7 +760,7 @@ object Upsert {
           resolve(updates.withColumn("__src", lit(1)), pk, versionCol, deleteFlagCol),
           pk, numBuckets)
         val gen = nextGen(spark, dir)
-        val staged = stageGeneration(spark, dir, gen, merged, bloomPk)
+        val staged = stageGeneration(spark, dir, gen, merged, bloomPk, zoneCols)
         val files =
           if (staged.valuesIterator.flatten.nonEmpty) staged
           else Map(SchemaBucket ->
@@ -679,9 +773,12 @@ object Upsert {
           ChangeFeed.append(spark, dir,
             adds.withColumn(ChangeFeed.ChangeCol, lit("add")), commitId)
         }
+        val zoneProp =
+          if (zoneCols.nonEmpty) Map(ZoneColsProp -> zoneCols.mkString(","))
+          else Map.empty[String, String]
         commitManifest(spark, dir,
           Manifest(gen, Map("numBuckets" -> numBuckets.toString,
-            SchemaProp -> merged.drop(BucketCol).schema.toDDL), files))
+            SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp, files))
 
       case Some(man) =>
         val n = man.numBuckets(numBuckets)
@@ -745,7 +842,8 @@ object Upsert {
         val merged = withBucket(
           resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol), pk, n)
         val gen = nextGen(spark, dir)
-        val staged = stageGeneration(spark, dir, gen, merged, bloomPk)
+        val effZones = (zoneCols ++ zoneColsOf(man)).distinct
+        val staged = stageGeneration(spark, dir, gen, merged, bloomPk, effZones)
         var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
           b -> (staged.getOrElse(b, Seq.empty) ++ preserve.getOrElse(b, Seq.empty))
         }.toMap
@@ -774,8 +872,11 @@ object Upsert {
           ChangeFeed.append(spark, dir,
             pre.unionByName(post, allowMissingColumns = true), commitId)
         }
+        val zoneProp =
+          if (effZones.nonEmpty) Map(ZoneColsProp -> effZones.mkString(","))
+          else Map.empty[String, String]
         commitManifest(spark, dir, Manifest(gen,
-          man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL),
+          man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp,
           files), Some(man))
     }
   }
@@ -808,7 +909,9 @@ object Upsert {
     */
   def compactBuckets(spark: SparkSession, dir: String, pk: Seq[String],
                      maxFilesPerBucket: Int = 8,
-                     bloom: Boolean = true): Unit = withWriterLease(spark, dir) {
+                     bloom: Boolean = true,
+                     clusterBy: Seq[String] = Nil,
+                     filesPerBucket: Int = 1): Unit = withWriterLease(spark, dir) {
     val man = currentManifest(spark, dir).getOrElse(return)
     val over = man.files.filter { case (b, fs) =>
       b != SchemaBucket && fs.size > maxFilesPerBucket
@@ -816,10 +919,31 @@ object Upsert {
     if (over.isEmpty) return
     val gen = nextGen(spark, dir)
     val fs = FsOps.fs(spark, new Path(dir))
+    val zoneStats: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+      val zc = zoneColsOf(man)
+      tableSchema(man) match {
+        case Some(s) => zc.flatMap(c => s.fields.find(_.name == c).map(f => c -> f.dataType))
+        case None => Seq.empty
+      }
+    }
     val compacted: Map[Int, Seq[String]] = over.map { case (b, rels) =>
       val outDir = new Path(dir, s"__gen=$gen/$BucketCol=$b")
-      scanFiles(spark, dir, rels, tableSchema(man)).coalesce(1)
-        .write.mode("overwrite").parquet(outDir.toString)
+      val src = scanFiles(spark, dir, rels, tableSchema(man))
+      // CLUSTERED compaction: range-split each bucket into
+      // `filesPerBucket` files with disjoint clusterBy ranges, sorted
+      // within — the layout that makes [[Zones]] pruning tight (and
+      // parquet row-group stats tight inside each file). Without
+      // clusterBy: pure file-count maintenance, one file per bucket.
+      val arranged =
+        if (clusterBy.nonEmpty && filesPerBucket > 1)
+          src.repartitionByRange(filesPerBucket, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        else if (clusterBy.nonEmpty)
+          src.coalesce(1).sortWithinPartitions(clusterBy.map(col): _*)
+        else src.coalesce(1)
+      arranged.write.mode("overwrite").parquet(outDir.toString)
+      if (zoneStats.nonEmpty)
+        Zones.write(fs, outDir, Zones.buildForDir(spark, outDir.toString, zoneStats))
       if (bloom) {
         // sidecar for the freshly written single file
         val posCols = (0 until Blooms.K).map(i =>
@@ -1015,19 +1139,37 @@ object Upsert {
     * leave the watermark ahead of or behind the content it describes.
     */
   def overwriteSnapshot(spark: SparkSession, dir: String, df: DataFrame,
-                        props: Map[String, String] = Map.empty): Unit =
+                        props: Map[String, String] = Map.empty,
+                        zoneCols: Seq[String] = Nil,
+                        clusterBy: Seq[String] = Nil,
+                        filesTarget: Int = 0): Unit =
       withWriterLease(spark, dir) {
     val gen = nextGen(spark, dir)
     val out = new Path(dir, s"__gen=$gen/$BucketCol=0")
-    df.write.mode("overwrite").parquet(out.toString)
+    // clusterBy + filesTarget: range-split the snapshot into files with
+    // disjoint clusterBy ranges (the bulk-load analog of clustered
+    // compaction) so the zone sidecar prunes tightly from day one
+    val arranged =
+      if (clusterBy.nonEmpty && filesTarget > 0)
+        df.repartitionByRange(filesTarget, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else df
+    arranged.write.mode("overwrite").parquet(out.toString)
     val fs = FsOps.fs(spark, out)
+    val zoneStats = zoneCols.flatMap(c =>
+      df.schema.fields.find(_.name == c).map(f => c -> f.dataType))
+    if (zoneStats.nonEmpty)
+      Zones.write(fs, out, Zones.buildForDir(spark, out.toString, zoneStats))
     val files = fs.listStatus(out).toSeq.map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .map(n => s"__gen=$gen/$BucketCol=0/$n")
     val fileMap =
       if (files.nonEmpty) Map(0 -> files)
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df))
+    val zoneProp =
+      if (zoneCols.nonEmpty) Map(ZoneColsProp -> zoneCols.mkString(","))
+      else Map.empty[String, String]
     commitManifest(spark, dir, Manifest(gen,
-      props + (SchemaProp -> df.schema.toDDL), fileMap))
+      props + (SchemaProp -> df.schema.toDDL) ++ zoneProp, fileMap))
   }
 }

@@ -1,0 +1,231 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file min/max zone maps for [[Upsert]] buckets — file-level data
+  * skipping for RANGE predicates, completing the skipping stack next to
+  * the [[Blooms]] point skip (bucket prune → zone/bloom file prune →
+  * parquet row-group stats inside the files that ARE opened).
+  *
+  * Why not rely on parquet footers alone: at 100 TB a table holds
+  * hundreds of thousands of files, and footer-based skipping still
+  * opens every footer (one round trip per file on object storage).
+  * Zone sidecars ride the manifest — the driver prunes the FILE LIST
+  * before any task launches, the same role Delta/Iceberg column stats
+  * play in their manifests. Each bucket directory carries a
+  * `_zones.tsv` sidecar (underscore prefix: invisible to parquet
+  * readers; commits with the bucket's atomic manifest flip) mapping
+  * every data file to min/max of the table's declared zone columns.
+  *
+  * Values are normalized to three totally-ordered kinds so the driver
+  * compare cannot diverge from Spark's: integral/date/timestamp → long
+  * (epoch day / epoch micros), float/double → double, string → raw,
+  * compared BYTEWISE in UTF-8 — Spark's UTF8String (code-point) order,
+  * which Java's UTF-16 `String.compareTo` does NOT match for
+  * supplementary characters. Decimals are deliberately unsupported: a
+  * double rounding could pull a min up or a max down and wrongly prune
+  * a file; unsupported types simply never prune (no false negatives).
+  */
+object Zones {
+
+  val SidecarName = "_zones.tsv"
+
+  sealed trait ZVal
+  final case class ZLong(v: Long) extends ZVal
+  final case class ZDouble(v: Double) extends ZVal
+  final case class ZStr(v: String) extends ZVal
+
+  def cmp(a: ZVal, b: ZVal): Int = (a, b) match {
+    case (ZLong(x), ZLong(y)) => java.lang.Long.compare(x, y)
+    case (ZDouble(x), ZDouble(y)) => java.lang.Double.compare(x, y)
+    case (ZStr(x), ZStr(y)) => utf8Cmp(x, y)
+    case _ => throw new IllegalArgumentException(s"zone kind mismatch: $a vs $b")
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** min/max of one file's column; (None, None) = the file holds ONLY
+    * nulls for it (a closed-range predicate can always prune such a
+    * file — `BETWEEN` never matches null).
+    */
+  final case class ColZone(min: Option[ZVal], max: Option[ZVal])
+
+  /** The canonical sortable projection for a stat column, or None when
+    * the type has no zone support (such files are never pruned on that
+    * column).
+    */
+  def statExpr(c: String, dt: DataType): Option[Column] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(col(c).cast("long"))
+    case DateType => Some(datediff(col(c), to_date(lit("1970-01-01"))).cast("long"))
+    case TimestampType => Some(unix_micros(col(c)))
+    case FloatType | DoubleType => Some(col(c).cast("double"))
+    case StringType => Some(col(c))
+    case _ => None
+  }
+
+  def supported(dt: DataType): Boolean = statExpr("x", dt).isDefined
+
+  /** A caller-side range bound in the zone encoding of column type
+    * `dt`. Accepts the natural external types for each column type.
+    */
+  def toZ(dt: DataType, v: Any): ZVal = (dt, v) match {
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) => ZLong(n.longValue())
+    case (DateType, d: java.sql.Date) => ZLong(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => ZLong(d.toEpochDay)
+    case (DateType, s: String) => ZLong(java.time.LocalDate.parse(s).toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      ZLong(Math.addExact(Math.multiplyExact(t.getTime / 1000, 1000000L),
+        (t.getNanos / 1000).toLong))
+    case (TimestampType, t: java.time.Instant) =>
+      ZLong(Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+        (t.getNano / 1000).toLong))
+    case (FloatType | DoubleType, n: Number) => ZDouble(n.doubleValue())
+    case (StringType, s: String) => ZStr(s)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported zone bound ${v.getClass.getName} for column type ${dt.sql}")
+  }
+
+  /** May a file with zone `z` contain a row matching the closed range
+    * `[lo, hi]` (None = unbounded)? No false negatives: missing stats
+    * never reach here (callers keep statless files).
+    */
+  def overlaps(z: ColZone, lo: Option[ZVal], hi: Option[ZVal]): Boolean =
+    (z.min, z.max) match {
+      case (Some(mn), Some(mx)) =>
+        lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+      case _ => false // all-null: a range predicate drops nulls
+    }
+
+  private def zOf(v: Any): ZVal = v match {
+    case l: java.lang.Long => ZLong(l)
+    case d: java.lang.Double => ZDouble(d)
+    case s: String => ZStr(s)
+    case other => throw new IllegalStateException(
+      s"unexpected zone stat value ${other.getClass.getName}")
+  }
+
+  /** Distributed per-(bucket, file) min/max over the supported subset
+    * of `statCols` — ONE pass over the staged generation (mirrors
+    * [[Upsert.buildBlooms]]); only files × 1 rows reach the driver.
+    * `stagedDir` must be a `partitionBy(__bucket)` layout.
+    */
+  def build(spark: SparkSession, stagedDir: String,
+            statCols: Seq[(String, DataType)]):
+      Map[Int, Map[String, Map[String, ColZone]]] = {
+    val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, e)) }
+    if (sup.isEmpty) return Map.empty
+    val aggs = sup.flatMap { case (c, e) =>
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) }
+    val rows = spark.read.parquet(stagedDir)
+      .groupBy(col(Upsert.BucketCol).cast("int").as("b"), input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (b, rs) =>
+      b -> rs.map { r =>
+        val f = r.getString(1)
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        name -> sup.indices.map { i =>
+          val c = sup(i)._1
+          val mn = Option(r.get(2 + 2 * i)).map(zOf)
+          val mx = Option(r.get(3 + 2 * i)).map(zOf)
+          c -> ColZone(mn, mx)
+        }.toMap
+      }.toMap
+    }
+  }
+
+  /** Same stats for a single directory of files (no `__bucket`
+    * partition) — the compaction / snapshot write path.
+    */
+  def buildForDir(spark: SparkSession, dirPath: String,
+                  statCols: Seq[(String, DataType)]):
+      Map[String, Map[String, ColZone]] = {
+    val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, e)) }
+    if (sup.isEmpty) return Map.empty
+    val aggs = sup.flatMap { case (c, e) =>
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) }
+    val rows = spark.read.parquet(dirPath)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val f = r.getString(0)
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name -> sup.indices.map { i =>
+        val c = sup(i)._1
+        c -> ColZone(Option(r.get(1 + 2 * i)).map(zOf),
+          Option(r.get(2 + 2 * i)).map(zOf))
+      }.toMap
+    }.toMap
+  }
+
+  // ---- sidecar serialization -------------------------------------------
+
+  private def enc(v: Option[ZVal]): String = v match {
+    case None => "~"
+    case Some(ZLong(l)) => s"l$l"
+    case Some(ZDouble(d)) => s"d$d"
+    case Some(ZStr(s)) =>
+      "s" + Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def dec(s: String): Option[ZVal] = s.charAt(0) match {
+    case '~' => None
+    case 'l' => Some(ZLong(s.substring(1).toLong))
+    case 'd' => Some(ZDouble(s.substring(1).toDouble))
+    case 's' => Some(ZStr(new String(
+      Base64.getDecoder.decode(s.substring(1)), StandardCharsets.UTF_8)))
+  }
+
+  /** Write a bucket dir's sidecar: one `file\tcol\tmin\tmax` line per
+    * (file, column); strings Base64-coded so no value can break the
+    * framing.
+    */
+  def write(fs: FileSystem, bucketDir: Path,
+            entries: Map[String, Map[String, ColZone]]): Unit = {
+    val body = entries.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, z) =>
+        s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}"
+      }
+    }.mkString("\n")
+    val out = fs.create(new Path(bucketDir, SidecarName), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a bucket dir's sidecar; None when absent (older table or
+    * zone-less writer) — callers keep every file.
+    */
+  def read(fs: FileSystem, bucketDir: Path): Option[Map[String, Map[String, ColZone]]] = {
+    val p = new Path(bucketDir, SidecarName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    Some(text.linesIterator.filter(_.nonEmpty).toSeq.map { line =>
+      val Array(name, c, mn, mx) = line.split("\t", 4)
+      (name, c, ColZone(dec(mn), dec(mx)))
+    }.groupBy(_._1).map { case (name, ts) =>
+      name -> ts.map(t => t._2 -> t._3).toMap
+    })
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.io.Upsert
+
+/** File-level zone-map skipping (io.Zones): range reads prune the
+  * manifest's file list by per-file min/max sidecars, exactly — never a
+  * superset of the plain filtered read, never a missing row.
+  */
+class ZonesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  private def assertSameAsFilteredRead(dir: String, c: String,
+                                       lo: Option[Any], hi: Option[Any]): Unit = {
+    val col0 = col(c)
+    val cond = (lo.map(v => col0 >= lit(v)) ++ hi.map(v => col0 <= lit(v)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val want = sortedRows(Upsert.read(spark, dir).filter(cond))
+    val got = sortedRows(Upsert.readRange(spark, dir, c, lo, hi))
+    assert(got == want)
+  }
+
+  test("clustered snapshot: a narrow date range prunes most files, result exact") {
+    val dir = Files.createTempDirectory("zones_snap").toString
+    val df = spark.range(10000).select(
+      col("id"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") / 100).cast("int")).as("d"),
+      (col("id") % 97).as("v"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("d", "id"), clusterBy = Seq("d"), filesTarget = 8)
+
+    val lo = Some(Date.valueOf("2024-01-10")): Option[Any]
+    val hi = Some(Date.valueOf("2024-01-20")): Option[Any]
+    val (kept, pruned) = Upsert.rangePruneStats(spark, dir, "d", lo, hi)
+    assert(pruned > 0, "clustered files with disjoint ranges must prune")
+    assert(kept < kept + pruned)
+    assert(kept + pruned == Upsert.currentManifest(spark, dir).get.allFiles.size)
+    assertSameAsFilteredRead(dir, "d", lo, hi)
+    // long zones on the same table (id is clustered incidentally via d)
+    assertSameAsFilteredRead(dir, "id", Some(1234L), Some(2345L))
+    // unbounded sides
+    assertSameAsFilteredRead(dir, "d", lo, None)
+    assertSameAsFilteredRead(dir, "d", None, hi)
+  }
+
+  test("merge path: sticky zone cols, statless old files still read, clustering tightens") {
+    val dir = Files.createTempDirectory("zones_merge").toString
+    def batch(ids: Range, ver: Long) = ids.map { i =>
+      (s"k$i", ver, Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 50)), i.toLong)
+    }.toDF("id", "ver", "d", "v")
+
+    // gen 1: NO zones declared — files carry no sidecar
+    Upsert.merge(spark, dir, batch(0 until 500, 1L), pk = Seq("id"), versionCol = "ver")
+    // gen 2: declare zones on d — sticky from here on
+    Upsert.merge(spark, dir, batch(500 until 1000, 2L), pk = Seq("id"),
+      versionCol = "ver", zoneCols = Seq("d"))
+    // gen 3: no zoneCols arg — manifest prop keeps them maintained
+    Upsert.merge(spark, dir, batch(1000 until 1500, 3L), pk = Seq("id"), versionCol = "ver")
+    assert(Upsert.zoneColsOf(Upsert.currentManifest(spark, dir).get) == Seq("d"))
+
+    val lo = Some(Date.valueOf("2024-01-25")): Option[Any]
+    val hi = Some(Date.valueOf("2024-01-28")): Option[Any]
+    // exactness holds even while most files are statless or unclustered
+    assertSameAsFilteredRead(dir, "d", lo, hi)
+
+    // re-cluster everything: every bucket range-split on d
+    Upsert.compactBuckets(spark, dir, pk = Seq("id"), maxFilesPerBucket = 0,
+      clusterBy = Seq("d"), filesPerBucket = 2)
+    val (kept, pruned) = Upsert.rangePruneStats(spark, dir, "d", lo, hi)
+    assert(pruned > 0, "post-clustering a 4-day range must prune files")
+    assertSameAsFilteredRead(dir, "d", lo, hi)
+    val st = Upsert.stats(spark, dir).get
+    assert(st.zoneBuckets == st.numBuckets || st.zoneBuckets > 0)
+  }
+
+  test("all-null zone values: closed ranges prune the null-only file, rows stay exact") {
+    val dir = Files.createTempDirectory("zones_null").toString
+    val dated = spark.range(300).select(col("id"),
+      date_add(lit("2024-03-01").cast("date"), (col("id") / 100).cast("int")).as("d"))
+    val nulls = spark.range(300, 400).select(col("id"), lit(null).cast("date").as("d"))
+    Upsert.overwriteSnapshot(spark, dir, dated.union(nulls),
+      zoneCols = Seq("d"), clusterBy = Seq("d"), filesTarget = 4)
+    val lo = Some(Date.valueOf("2024-03-02")): Option[Any]
+    assertSameAsFilteredRead(dir, "d", lo, None)
+    val (_, pruned) = Upsert.rangePruneStats(spark, dir, "d", lo, None)
+    assert(pruned > 0, "the all-null range partition must be prunable")
+  }
+
+  test("string zones use UTF-8 code-point order: no false negative on supplementary chars") {
+    val dir = Files.createTempDirectory("zones_utf8").toString
+    // U+1F600 sorts ABOVE U+FFFF in UTF-8/code-point order (Spark's
+    // min/max) but BELOW it in Java's UTF-16 compareTo — a driver
+    // compare using String.compareTo would prune the emoji file for
+    // lo = U+FFFF and silently drop matching rows.
+    val emoji = "😀" // U+1F600
+    val rows = Seq(("a", "alpha"), ("b", "beta"), ("e", emoji), ("f", "￿"))
+      .toDF("id", "s")
+    Upsert.overwriteSnapshot(spark, dir, rows.repartition(4, col("id")),
+      zoneCols = Seq("s"))
+    val lo = Some("￿"): Option[Any]
+    assertSameAsFilteredRead(dir, "s", lo, None)
+    val got = Upsert.readRange(spark, dir, "s", lo, None).select("id")
+      .as[String].collect().sorted
+    assert(got.toSeq == Seq("e", "f"))
+  }
+
+  test("timestamp zones: micros round-trip, pruning exact across merges") {
+    val dir = Files.createTempDirectory("zones_ts").toString
+    val df = spark.range(2000).select(col("id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("ts"), clusterBy = Seq("ts"), filesTarget = 6)
+    val lo = Some(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 300 * 60))): Option[Any]
+    val hi = Some(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 400 * 60))): Option[Any]
+    val (_, pruned) = Upsert.rangePruneStats(spark, dir, "ts", lo, hi)
+    assert(pruned > 0)
+    assertSameAsFilteredRead(dir, "ts", lo, hi)
+  }
+
+  test("sidecars ride the manifest: untouched buckets keep pruning after a point merge") {
+    val dir = Files.createTempDirectory("zones_ride").toString
+    val rows = (0 until 1000).map(i =>
+      (s"k$i", 1L, Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 50)), i))
+      .toDF("id", "ver", "d", "v")
+    Upsert.merge(spark, dir, rows, pk = Seq("id"), versionCol = "ver",
+      zoneCols = Seq("d"), bloom = true)
+    Upsert.compactBuckets(spark, dir, pk = Seq("id"), maxFilesPerBucket = 0,
+      clusterBy = Seq("d"), filesPerBucket = 2)
+    val before = Upsert.rangePruneStats(spark, dir, "d",
+      Some(Date.valueOf("2024-01-02")), Some(Date.valueOf("2024-01-03")))
+    assert(before._2 > 0)
+    // point merge: one key → one bucket rewritten, the rest re-referenced
+    Upsert.merge(spark, dir, Seq(("k1", 2L, Date.valueOf("2024-01-01"), -1))
+      .toDF("id", "ver", "d", "v"), pk = Seq("id"), versionCol = "ver", bloom = true)
+    val after = Upsert.rangePruneStats(spark, dir, "d",
+      Some(Date.valueOf("2024-01-02")), Some(Date.valueOf("2024-01-03")))
+    assert(after._2 >= before._2 - 2,
+      s"old-generation sidecars must keep pruning (before=$before after=$after)")
+    assertSameAsFilteredRead(dir, "d",
+      Some(Date.valueOf("2024-01-02")), Some(Date.valueOf("2024-01-03")))
+  }
+}

@@ -30,6 +30,7 @@ object SparkEntry {
     // ---- aggregations (SURVEY §2.5) ----
     "a1_window_count" -> (Relational.a1WindowCount _),
     "a_rollup_multigrain" -> (Relational.aRollupMultiGrain _),
+    "mv_rollup_rewrite" -> (Relational.mvRollupRewrite _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -321,6 +322,16 @@ object SparkEntry {
                 count(*) AS ct,
                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))""",
+
+    // oracle aggregates the RAW fact table; the Spark side answers from
+    // the (source, lang) MV via the Catalyst rewrite — green proves the
+    // rewrite preserves semantics
+    "mv_rollup_rewrite" ->
+      """SELECT source,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                count(*) AS doc_ct,
+                MAX(n_chars) AS max_chars
+         FROM documents GROUP BY 1""",
 
     "a1_window_count" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,

@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // joins against DimRegistry-declared tables broadcast even when
     // size estimates lie (see DimBroadcastRule)
     e.injectOptimizerRule(session => DimBroadcastRule(session))
+    // aggregate queries over MvRegistry-declared sources re-target to
+    // their pre-aggregated rollup tables (see MvRewriteRule)
+    e.injectOptimizerRule(session => MvRewriteRule(session))
   }
 }
 

@@ -1,0 +1,235 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Transparent materialized-view rewrite — the Doris/Druid rollup
+  * serving model the reference's DWS layer implies (aggregates
+  * pre-computed per grain, queries answered from the rollup), done the
+  * Spark way: a Catalyst rule that re-targets matching aggregate plans
+  * from the 100 TB fact scan onto the pre-aggregated MV table.
+  *
+  * An [[MvDef]] declares source path, dimension columns, and the
+  * measures the MV stores. A query rewrites when it aggregates the
+  * declared source, groups by a SUBSET of the dims (roll-up is
+  * re-aggregation: sum→sum, count→sum of counts, min→min, max→max),
+  * optionally filters on dims only, and every output measure derives
+  * from a stored one. Anything else — expression groupings, DISTINCT
+  * aggs, FILTER clauses, measures the MV lacks — leaves the plan
+  * untouched: the rewrite must never widen semantics.
+  *
+  * Decimal sums never rewrite: re-aggregating a decimal sum widens its
+  * precision (sum(decimal(p,s)) → decimal(p+10,s)), so the rewritten
+  * plan would change the query's output type. Long/double sums are
+  * type-stable under re-aggregation.
+  *
+  * Freshness is the registrant's contract (build/refresh the MV before
+  * registering), same as every lakehouse MV implementation; the
+  * incremental path composes with [[graft.rtdw.IncrementalDws]] — an
+  * MV maintained from a change feed serves rewrites between refreshes.
+  */
+final case class MvAgg(func: String, input: String, mvCol: String) {
+  require(Set("sum", "count", "min", "max")(func), s"unsupported MV agg func $func")
+}
+
+final case class MvDef(name: String, sourcePath: String, mvPath: String,
+                       dims: Seq[String], aggs: Seq[MvAgg])
+
+object MvRegistry {
+  /** Registered def + its ANALYZED mv scan template (captured at
+    * registration on the driver, outside any optimizer run; each
+    * rewrite re-instances it so exprIds never collide across plan
+    * branches).
+    */
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]()
+
+  def register(spark: SparkSession, d: MvDef): Unit = {
+    val template = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    defs.put(d.name, (d, template))
+  }
+  def unregister(name: String): Unit = defs.remove(name)
+  def clear(): Unit = defs.clear()
+  def isEmpty: Boolean = defs.isEmpty
+  private[core] def all: Seq[(MvDef, LogicalPlan)] = {
+    import scala.jdk.CollectionConverters._
+    defs.values().asScala.toSeq.sortBy(_._1.name)
+  }
+}
+
+/** Build / maintain MV tables for [[MvRewriteRule]]. */
+object Mv {
+
+  private def aggCol(a: MvAgg): Column = (a.func match {
+    case "sum" => sum(col(a.input))
+    case "count" => if (a.input == "*") count(lit(1)) else count(col(a.input))
+    case "min" => min(col(a.input))
+    case "max" => max(col(a.input))
+  }).as(a.mvCol)
+
+  def buildDf(src: DataFrame, d: MvDef): DataFrame =
+    src.groupBy(d.dims.map(col): _*)
+      .agg(aggCol(d.aggs.head), d.aggs.tail.map(aggCol): _*)
+
+  /** Full build: aggregate the source at MV grain and overwrite the MV
+    * table. At 100 TB this is one shuffle at the declared grain — the
+    * refresh an operator schedules; incremental maintenance rides
+    * [[graft.rtdw.IncrementalDws]] when the source is an upsert table
+    * with a change feed.
+    */
+  def build(spark: SparkSession, d: MvDef): Unit =
+    buildDf(spark.read.parquet(d.sourcePath), d)
+      .write.mode("overwrite").parquet(d.mvPath)
+
+  /** Build-if-absent, keyed on source row count so a different SF dir
+    * (or regenerated testdata) rebuilds instead of serving stale rows.
+    */
+  def ensure(spark: SparkSession, d: MvDef): Unit = {
+    val cnt = spark.read.parquet(d.sourcePath).count() // metadata-only
+    val marker = new org.apache.hadoop.fs.Path(d.mvPath, s"_built_n$cnt")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      build(spark, d)
+      fs.create(marker, true).close()
+    }
+  }
+}
+
+/** The rewrite rule. Injected into the operator-optimization batch via
+  * [[GraftExtensions]] (so column pruning and predicate pushdown still
+  * run over the substituted MV scan in the same fixed point);
+  * [[MvRewrite.ensureInjected]] adds it to a running session.
+  */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRegistry.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        MvRegistry.all.view.flatMap { case (d, template) =>
+          tryRewrite(agg, d, template)
+        }.headOption.getOrElse(agg)
+    }
+
+  /** Descend through attribute-only Projects and Filters to the leaf
+    * relation, collecting filter conditions.
+    */
+  private def unwrap(p: LogicalPlan,
+                     conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+    p match {
+      case lr: LogicalRelation => Some((lr, conds))
+      case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(c, conds)
+      case Filter(cond, c) => unwrap(c, conds :+ cond)
+      case _ => None
+    }
+
+  private def scans(lr: LogicalRelation, sourcePath: String): Boolean =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        val root = DimRegistry.norm(sourcePath)
+        val paths = fs.location.rootPaths
+        paths.nonEmpty && paths.forall { p =>
+          val n = DimRegistry.norm(p.toString)
+          n == root || (n.startsWith(root) && n.charAt(root.length) == '/')
+        }
+      case _ => false
+    }
+
+  /** Sum re-aggregation is type-stable only for these input types
+    * (sum(int-family) → long → long; sum(float-family) → double →
+    * double). Decimal widens per re-aggregation — never rewrite.
+    */
+  private def sumStable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  private def tryRewrite(agg: Aggregate, d: MvDef,
+                         template: LogicalPlan): Option[LogicalPlan] = {
+    val dims = d.dims.toSet
+    // grouping must be plain source columns, a subset of the MV grain
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if dims(a.name) => a
+      case _ => return None
+    }
+    val (lr, conds) = unwrap(agg.child, Nil).getOrElse(return None)
+    if (!scans(lr, d.sourcePath)) return None
+    // filters may only constrain dims (they then apply to the MV rows)
+    if (!conds.forall(_.references.forall(a => dims(a.name)))) return None
+
+    // fresh MV scan instance (exprIds unique per rewrite site)
+    val mvScan = template.transformUp {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+    }
+    val mvAttr: Map[String, Attribute] = mvScan.output.map(a => a.name -> a).toMap
+    val byKey: Map[(String, String), String] =
+      d.aggs.map(a => (a.func, a.input) -> a.mvCol).toMap
+
+    def measure(func: String, input: String): Option[Attribute] =
+      byKey.get((func, input)).flatMap(mvAttr.get)
+
+    val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if dims(a.name) =>
+        Alias(mvAttr.getOrElse(a.name, return None), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val newExpr: Expression = ae.aggregateFunction match {
+          case s @ Sum(ar: AttributeReference, _) if sumStable(ar.dataType) =>
+            ae.copy(aggregateFunction =
+              s.copy(child = measure("sum", ar.name).getOrElse(return None)))
+          case m @ Min(ar: AttributeReference) =>
+            ae.copy(aggregateFunction =
+              m.copy(child = measure("min", ar.name).getOrElse(return None)))
+          case m @ Max(ar: AttributeReference) =>
+            ae.copy(aggregateFunction =
+              m.copy(child = measure("max", ar.name).getOrElse(return None)))
+          case c: Count =>
+            val key = c.children match {
+              case Seq(Literal(_, _)) => "*"
+              case Seq(ar: AttributeReference) if !ar.nullable => "*"
+              case Seq(ar: AttributeReference) => ar.name
+              case _ => return None
+            }
+            val cnt = measure("count", key)
+              .orElse(if (key != "*") None else measure("count", "*"))
+              .getOrElse(return None)
+            // count over empty input is 0, sum over empty is null —
+            // coalesce so a global (group-less) rewrite stays exact
+            Coalesce(Seq(
+              ae.copy(aggregateFunction = Sum(cnt)), Literal(0L)))
+          case _ => return None
+        }
+        Alias(newExpr, name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val mappedConds = conds.map(_.transform {
+      case a: AttributeReference => mvAttr.getOrElse(a.name, return None)
+    })
+    val newChild = mappedConds.foldLeft(mvScan)((p, c) => Filter(c, p))
+    val newGrouping = groupAttrs.map(a => mvAttr.getOrElse(a.name, return None))
+    Some(agg.copy(groupingExpressions = newGrouping,
+      aggregateExpressions = rewritten, child = newChild))
+  }
+}
+
+object MvRewrite {
+  /** Inject into an already-running session (sessions built with
+    * [[GraftExtensions]] carry the rule in the operator-optimization
+    * batch already; this fallback appends to the experimental batch,
+    * which runs after pruning — correct, marginally less pruned).
+    */
+  def ensureInjected(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations = cur :+ MvRewriteRule(spark)
+  }
+}

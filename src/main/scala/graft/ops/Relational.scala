@@ -615,4 +615,44 @@ object Relational {
       .select(col("source"), explode(split(col("text"), " ")).as("keyword"))
       .groupBy(col("source"), col("keyword"))
       .agg(count(lit(1)).as("keyword_ct"))
+
+  /** Transparent MV rollup serving (core.MvRewrite) — the Doris-rollup
+    * query path the reference's DWS tables exist for (each DWS app
+    * pre-aggregates a grain; ad-hoc queries hit the rollup, not the
+    * facts). Here the rollup is DECLARED once and Catalyst re-targets
+    * any matching aggregate automatically: this query groups the
+    * documents fact by source only, and the optimizer answers it from
+    * the (source, lang) MV — at 100 TB that is a few-thousand-row scan
+    * instead of the corpus. The ORACLE aggregates the raw fact table in
+    * DuckDB, so a green row proves the rewrite is semantics-preserving,
+    * not just plan-pretty. MV is built once per sf dir (count-keyed);
+    * registry cleared in finally so no other query's plan can inherit
+    * the rewrite (plan-sha order independence, the ADVICE r5 j5 rule).
+    */
+  def mvRollupRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val mv = graft.core.MvDef(
+      name = "documents_rollup",
+      sourcePath = s"$sfDir/documents.parquet",
+      mvPath = s"target/mv/documents_rollup_$key",
+      dims = Seq("source", "lang"),
+      aggs = Seq(
+        graft.core.MvAgg("sum", "n_chars", "sum_chars_mv"),
+        graft.core.MvAgg("count", "*", "cnt_mv"),
+        graft.core.MvAgg("min", "n_chars", "min_chars_mv"),
+        graft.core.MvAgg("max", "n_chars", "max_chars_mv")))
+    graft.core.Mv.ensure(spark, mv)
+    graft.core.MvRegistry.register(spark, mv)
+    graft.core.MvRewrite.ensureInjected(spark)
+    try {
+      val df = Tables.documents(spark, sfDir)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("doc_ct"),
+          max(col("n_chars")).as("max_chars"))
+      // force optimization NOW, while the MV is registered (the j5 trick)
+      df.queryExecution.optimizedPlan
+      df
+    } finally graft.core.MvRegistry.unregister(mv.name)
+  }
 }

@@ -362,4 +362,17 @@ class PlanSpec extends SparkSpec {
         p.contains("BroadcastHashJoin"), s"no equi-join on bucket:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("mv_rollup_rewrite answers from the MV scan, never the documents fact scan") {
+    val p = plan("mv_rollup_rewrite")
+    assert(p.contains("documents_rollup_"), s"MV scan missing from plan:\n$p")
+    assert(!p.contains("documents.parquet"), s"fact scan survived the rewrite:\n$p")
+    // rewrite leaves no trace after the query: a later documents
+    // aggregate plans against the fact table again
+    val after = graft.io.Tables.documents(spark, sf).groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(after.contains("documents.parquet"), s"registry leaked:\n$after")
+  }
 }

@@ -2,8 +2,8 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -51,9 +51,16 @@ object MvRegistry {
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]()
 
+  /** Registering captures the MV's CURRENT snapshot (an
+    * [[graft.io.Upsert]]-managed MV resolves its manifest's file list —
+    * a naive dir read would sweep superseded MVCC generations). After a
+    * refresh writes a new generation, re-register: freshness is the
+    * registrant's contract.
+    */
   def register(spark: SparkSession, d: MvDef): Unit = {
-    val template = spark.read.parquet(d.mvPath).queryExecution.analyzed
-    defs.put(d.name, (d, template))
+    val mvDf = graft.io.Upsert.readIfExists(spark, d.mvPath)
+      .getOrElse(spark.read.parquet(d.mvPath))
+    defs.put(d.name, (d, mvDf.queryExecution.analyzed))
   }
   def unregister(name: String): Unit = defs.remove(name)
   def clear(): Unit = defs.clear()
@@ -152,6 +159,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** avg rewrites only for integral inputs: their partial sums are
+    * exact, so Σsum/Σcount is bit-identical to the direct average.
+    */
+  private def avgStable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   private def tryRewrite(agg: Aggregate, d: MvDef,
                          template: LogicalPlan): Option[LogicalPlan] = {
     val dims = d.dims.toSet
@@ -205,6 +220,23 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // coalesce so a global (group-less) rewrite stays exact
             Coalesce(Seq(
               ae.copy(aggregateFunction = Sum(cnt)), Literal(0L)))
+          case av @ Average(ar: AttributeReference, _) if avgStable(ar.dataType) =>
+            // avg = Σsum / Σcount over the MV — EXACT only for integral
+            // inputs (integer partial sums are associative; float sums
+            // are order-sensitive, so they never rewrite). The count
+            // must be the non-null count of the same column ("*" only
+            // when the column is non-nullable). All-null groups: Σsum
+            // is null → null/n = null, matching avg. Division here is
+            // the same double/double Divide Average lowers to.
+            val sumA = measure("sum", ar.name).getOrElse(return None)
+            val cntA = measure("count", ar.name)
+              .orElse(if (ar.nullable) None else measure("count", "*"))
+              .getOrElse(return None)
+            Divide(
+              Cast(AggregateExpression(Sum(sumA), ae.mode, isDistinct = false),
+                av.dataType),
+              Cast(AggregateExpression(Sum(cntA), ae.mode, isDistinct = false),
+                av.dataType))
           case _ => return None
         }
         Alias(newExpr, name)(exprId = al.exprId)

@@ -26,7 +26,11 @@ class MvSpec extends SparkSpec {
       dims = Seq("k1", "k2"),
       aggs = Seq(MvAgg("sum", "vi", "sum_vi"), MvAgg("sum", "vd", "sum_vd"),
         MvAgg("count", "*", "cnt"), MvAgg("min", "vi", "min_vi"),
-        MvAgg("max", "vd", "max_vd")))
+        MvAgg("max", "vd", "max_vd"),
+        // per-column non-null count: what integral avg derives from
+        // (parquet schemas are always nullable, so count(*) never
+        // substitutes)
+        MvAgg("count", "vi", "cnt_vi")))
     Mv.build(spark, d)
     d
   }
@@ -119,9 +123,17 @@ class MvSpec extends SparkSpec {
     assertUntouched(
       spark.read.parquet(srcDir).groupBy(upper(col("k1")).as("K"))
         .agg(count(lit(1)).as("c")))
-    // avg is not derivable from the declared measures (no avg support v1)
+    // avg over a FLOAT column never rewrites (partial sums are
+    // order-sensitive; only integral avg is exact under re-aggregation)
     assertUntouched(
-      spark.read.parquet(srcDir).groupBy("k1").agg(avg("vi").as("a")))
+      spark.read.parquet(srcDir).groupBy("k1").agg(avg("vd").as("a")))
+  }
+
+  test("integral avg rewrites as sum-of-sums over sum-of-counts, bit-exact") {
+    assertRewrites {
+      spark.read.parquet(srcDir).groupBy("k1")
+        .agg(avg("vi").as("avg_vi"), count(lit(1)).as("c"))
+    }
   }
 
   test("decimal sums never rewrite (re-aggregation would widen the type)") {
@@ -138,6 +150,45 @@ class MvSpec extends SparkSpec {
       val q = spark.read.parquet(decSrc).groupBy("k").agg(sum("dv").as("s"))
       assert(!leafPaths(q).exists(_.contains("/m.parquet")))
     } finally MvRegistry.clear()
+  }
+
+  test("MV over an upsert fact composes with IncrementalDws: refresh, re-register, exact") {
+    import graft.io.Upsert
+    import graft.rtdw.IncrementalDws
+    val factDir = Files.createTempDirectory("mv_fact").toString
+    val dwsDir = Files.createTempDirectory("mv_dws").toString
+    def q: DataFrame = Upsert.read(spark, factDir).groupBy("province")
+      .agg(sum("amount").as("amount"), count(lit(1)).as("row_ct"))
+    def checkServes(): Unit = {
+      val on = q
+      assert(leafPaths(on).forall(_.contains(dwsDir)),
+        s"must serve from the DWS rollup: ${leafPaths(on)}")
+      val got = on.collect().map(_.mkString("|")).sorted.toSeq
+      MvRegistry.clear()
+      val want = q.collect().map(_.mkString("|")).sorted.toSeq
+      assert(got == want)
+    }
+
+    Upsert.merge(spark,  factDir,
+      (1 to 100).map(i => (s"o$i", 1L, s"p${i % 5}", (i * 10).toLong))
+        .toDF("id", "ver", "province", "amount"),
+      pk = Seq("id"), versionCol = "ver", changeLog = true)
+    IncrementalDws.refresh(spark, factDir, dwsDir, Seq("province"), Seq("amount"))
+    val mv = MvDef("prov_rollup", factDir, s"$dwsDir/table",
+      dims = Seq("province"),
+      aggs = Seq(MvAgg("sum", "amount", "amount"), MvAgg("count", "*", "row_ct")))
+    MvRegistry.register(spark, mv)
+    try checkServes() finally MvRegistry.clear()
+
+    // updates + new keys ride the change feed; refresh folds the delta,
+    // re-register picks up the new snapshot, the rewrite stays exact
+    Upsert.merge(spark, factDir,
+      Seq(("o1", 2L, "p1", 9999L), ("o200", 1L, "p9", 77L))
+        .toDF("id", "ver", "province", "amount"),
+      pk = Seq("id"), versionCol = "ver", changeLog = true)
+    IncrementalDws.refresh(spark, factDir, dwsDir, Seq("province"), Seq("amount"))
+    MvRegistry.register(spark, mv)
+    try checkServes() finally MvRegistry.clear()
   }
 
   test("rewritten output composes downstream (join + sort on the agg result)") {

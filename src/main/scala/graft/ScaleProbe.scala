@@ -55,6 +55,7 @@ object ScaleProbe {
     val ingestOnly = args.length > 1 && args(1) == "ingest"
     val annOnly = args.length > 1 && args(1) == "ann"
     val sq8Only = args.length > 1 && args(1) == "sq8"
+    val zonesOnly = args.length > 1 && args(1) == "zones"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -114,7 +115,54 @@ object ScaleProbe {
       }
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only) {
+    if (zonesOnly) {
+      // Zone-map probe: a ts-clustered snapshot of the event table,
+      // then a 1-day range read (of a 30-day span) — file-list pruning
+      // vs the full-scan filter. The quantified claim behind "the
+      // driver drops most of a time-clustered table before any task
+      // launches": files kept ≈ span fraction, read bytes and latency
+      // follow, result rows identical.
+      val root = java.nio.file.Files.createTempDirectory("probe_zones").toString
+      val files = math.max(16, (n / 500000L).toInt)
+      val tBuild0 = System.nanoTime()
+      graft.io.Upsert.overwriteSnapshot(spark, root, ev,
+        zoneCols = Seq("ts"), clusterBy = Seq("ts"), filesTarget = files)
+      val tBuild = (System.nanoTime() - tBuild0) / 1e9
+      val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L + 7 * 86400))
+      val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L + 8 * 86400))
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      def measured(label: String)(df: => DataFrame): Long = {
+        bytesRead.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val out = try {
+          val c = df.queryExecution.toRdd.count()
+          Thread.sleep(2000) // listener bus is async
+          c
+        } finally spark.sparkContext.removeSparkListener(listener)
+        val dt = (System.nanoTime() - t0 - 2e9) / 1e9
+        println(f"[scale] zones_n=$n%-9d $label%-12s ${dt}%6.2fs  " +
+          f"bytes=${bytesRead.get()}%-12d out=$out")
+        out
+      }
+      val full = measured("full_filter") {
+        graft.io.Upsert.read(spark, root)
+          .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      }
+      val prunedOut = measured("range_pruned") {
+        graft.io.Upsert.readRange(spark, root, "ts", Some(lo), Some(hi))
+      }
+      val (kept, prunedN) = graft.io.Upsert.rangePruneStats(spark, root, "ts", Some(lo), Some(hi))
+      println(f"[scale] zones_n=$n%-9d build=${tBuild}%6.1fs files_kept=$kept " +
+        f"files_pruned=$prunedN rows_equal=${full == prunedOut}")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -289,7 +337,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -160,6 +160,22 @@ object ScaleProbe {
       val (kept, prunedN) = graft.io.Upsert.rangePruneStats(spark, root, "ts", Some(lo), Some(hi))
       println(f"[scale] zones_n=$n%-9d build=${tBuild}%6.1fs files_kept=$kept " +
         f"files_pruned=$prunedN rows_equal=${full == prunedOut}")
+
+      // Z-order leg: interleave (ts_sec, user_id) ranks — a 1-day time
+      // slab AND a 3%-of-users slab must BOTH prune, which no linear
+      // order can do for independent dimensions
+      val zRoot = java.nio.file.Files.createTempDirectory("probe_zorder").toString
+      val evz = ev.withColumn("ts_sec", unix_timestamp(col("ts")))
+      val tz0 = System.nanoTime()
+      graft.io.Zorder.snapshot(spark, zRoot, evz, "ts_sec", "user_id",
+        filesTarget = files)
+      val tzBuild = (System.nanoTime() - tz0) / 1e9
+      val (zkT, zpT) = graft.io.Upsert.rangePruneStats(spark, zRoot, "ts_sec",
+        Some(1704067200L + 7 * 86400L), Some(1704067200L + 8 * 86400L))
+      val (zkU, zpU) = graft.io.Upsert.rangePruneStats(spark, zRoot, "user_id",
+        Some(100000L), Some(129999L))
+      println(f"[scale] zorder_n=$n%-8d build=${tzBuild}%6.1fs " +
+        f"ts_kept/pruned=$zkT/$zpT user_kept/pruned=$zkU/$zpU")
     }
 
     if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly) {

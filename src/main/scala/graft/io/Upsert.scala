@@ -1148,16 +1148,22 @@ object Upsert {
     val out = new Path(dir, s"__gen=$gen/$BucketCol=0")
     // clusterBy + filesTarget: range-split the snapshot into files with
     // disjoint clusterBy ranges (the bulk-load analog of clustered
-    // compaction) so the zone sidecar prunes tightly from day one
+    // compaction) so the zone sidecar prunes tightly from day one.
+    // clusterBy columns prefixed `__` are LAYOUT-ONLY (e.g. a z-order
+    // value, see [[Zorder]]): they order the write, then drop from the
+    // stored files and schema.
+    val layoutCols = clusterBy.filter(_.startsWith("__"))
     val arranged =
       if (clusterBy.nonEmpty && filesTarget > 0)
         df.repartitionByRange(filesTarget, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df
-    arranged.write.mode("overwrite").parquet(out.toString)
+    val stored = if (layoutCols.isEmpty) arranged else arranged.drop(layoutCols: _*)
+    val storedSchema = if (layoutCols.isEmpty) df else df.drop(layoutCols: _*)
+    stored.write.mode("overwrite").parquet(out.toString)
     val fs = FsOps.fs(spark, out)
     val zoneStats = zoneCols.flatMap(c =>
-      df.schema.fields.find(_.name == c).map(f => c -> f.dataType))
+      storedSchema.schema.fields.find(_.name == c).map(f => c -> f.dataType))
     if (zoneStats.nonEmpty)
       Zones.write(fs, out, Zones.buildForDir(spark, out.toString, zoneStats))
     val files = fs.listStatus(out).toSeq.map(_.getPath.getName)
@@ -1165,11 +1171,11 @@ object Upsert {
       .map(n => s"__gen=$gen/$BucketCol=0/$n")
     val fileMap =
       if (files.nonEmpty) Map(0 -> files)
-      else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df))
+      else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, storedSchema))
     val zoneProp =
       if (zoneCols.nonEmpty) Map(ZoneColsProp -> zoneCols.mkString(","))
       else Map.empty[String, String]
     commitManifest(spark, dir, Manifest(gen,
-      props + (SchemaProp -> df.schema.toDDL) ++ zoneProp, fileMap))
+      props + (SchemaProp -> storedSchema.schema.toDDL) ++ zoneProp, fileMap))
   }
 }

@@ -126,6 +126,40 @@ class ZonesSpec extends SparkSpec {
     assertSameAsFilteredRead(dir, "ts", lo, hi)
   }
 
+  test("z-order clustering prunes on BOTH dimensions where linear prunes only the leading one") {
+    import graft.io.Zorder
+    // two independent uniform dims — the case linear clustering can't serve
+    val df = spark.range(40000).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(10000L)).as("x"),
+      pmod(xxhash64(col("id"), lit(7)), lit(10000L)).as("y"))
+
+    val linDir = Files.createTempDirectory("zorder_lin").toString
+    Upsert.overwriteSnapshot(spark, linDir, df,
+      zoneCols = Seq("x", "y"), clusterBy = Seq("x"), filesTarget = 16)
+    val zDir = Files.createTempDirectory("zorder_z").toString
+    Zorder.snapshot(spark, zDir, df, "x", "y", filesTarget = 16)
+
+    // layout column never reaches the stored schema
+    assert(Upsert.read(spark, zDir).columns.toSeq == Seq("id", "x", "y"))
+
+    val xr = (Some(1000L): Option[Any], Some(1999L): Option[Any])
+    val yr = (Some(5000L): Option[Any], Some(5999L): Option[Any])
+    val (_, linX) = Upsert.rangePruneStats(spark, linDir, "x", xr._1, xr._2)
+    val (_, linY) = Upsert.rangePruneStats(spark, linDir, "y", yr._1, yr._2)
+    val (_, zX) = Upsert.rangePruneStats(spark, zDir, "x", xr._1, xr._2)
+    val (_, zY) = Upsert.rangePruneStats(spark, zDir, "y", yr._1, yr._2)
+    assert(linX > 0, "linear must prune its leading dim")
+    assert(linY == 0, s"independent trailing dim should not prune under linear (got $linY)")
+    assert(zX > 0 && zY > 0, s"z-order must prune both dims (x=$zX y=$zY)")
+
+    // exactness on both dims, on both layouts
+    Seq(linDir, zDir).foreach { d =>
+      assertSameAsFilteredRead(d, "x", xr._1, xr._2)
+      assertSameAsFilteredRead(d, "y", yr._1, yr._2)
+    }
+  }
+
   test("sidecars ride the manifest: untouched buckets keep pruning after a point merge") {
     val dir = Files.createTempDirectory("zones_ride").toString
     val rows = (0 until 1000).map(i =>

@@ -31,6 +31,7 @@ object SparkEntry {
     "a1_window_count" -> (Relational.a1WindowCount _),
     "a_rollup_multigrain" -> (Relational.aRollupMultiGrain _),
     "mv_rollup_rewrite" -> (Relational.mvRollupRewrite _),
+    "a_zones_daterange" -> (Relational.zonesDateRange _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -332,6 +333,19 @@ object SparkEntry {
                 count(*) AS doc_ct,
                 MAX(n_chars) AS max_chars
          FROM documents GROUP BY 1""",
+
+    // oracle runs the same closed range over the RAW events table; the
+    // Spark side serves it from the ts-clustered zones-enabled Upsert
+    // snapshot with the file list pruned by zone sidecars — green
+    // proves the pruned read is exact
+    "a_zones_daterange" ->
+      """SELECT event_type, count(*) AS ev_ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+                count(DISTINCT user_id) AS users
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-09 00:00:00'
+         GROUP BY event_type""",
 
     "a1_window_count" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,

@@ -15,11 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must leave a VISIBLE artifact: a one-row parquet
+        // whose schema (`__error__`) can never match an oracle, so the
+        // driver's compare records a FAIL row instead of the query
+        // silently vanishing from CORRECTNESS (that is how a 24-query
+        // regression hid in round 6).
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+        errors(name) = msg
+        System.err.println(s"[verify] ERROR $name: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__error__").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +50,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable error roll-up alongside the per-query markers.
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all ${SparkEntry.queries.size} queries wrote output")
     spark.stop()
   }
 }

@@ -26,16 +26,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects — read it as raw nanos (legacy conf) and convert to
-    * a microsecond TIMESTAMP with integer `div` (a double division
-    * would lose precision above 2^53 ns). Sub-µs truncation is
-    * semantically irrelevant for all window/join bounds we compute.
+  /** events.ts arrives in whichever physical type the generator chose, so
+    * branch on the type Spark actually inferred rather than hard-coding one
+    * generation's contract:
+    *   - LongType: the file is parquet TIMESTAMP(NANOS), which the vectorized
+    *     reader only surfaces as raw nanos under the legacy conf (set below so
+    *     this branch is reachable instead of an analysis error). Convert with
+    *     integer `div` — a double division would lose precision above 2^53 ns.
+    *   - TIMESTAMP_NTZ: plain timestamp[us] with no UTC adjustment. Cast to
+    *     the session-TZ TimestampType (sessions pin UTC, so the wall-clock
+    *     value is preserved) — downstream windows/joins and the verify
+    *     pipeline were built against TimestampType outputs.
+    *   - TimestampType: use directly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

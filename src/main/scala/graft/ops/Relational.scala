@@ -655,4 +655,48 @@ object Relational {
       df
     } finally graft.core.MvRegistry.unregister(mv.name)
   }
+
+  /** Build-once (count-keyed, like Mv.ensure) ts-clustered zones-enabled
+    * [[graft.io.Upsert]] snapshot of the events table — the serving
+    * layout behind [[zonesDateRange]]. Returns the table root.
+    */
+  def zonesEventsEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/zones/events_ts_$key"
+    val ev = Tables.events(spark, sfDir)
+    val cnt = ev.count()
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_n$cnt")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      graft.io.Upsert.overwriteSnapshot(spark, root, ev,
+        zoneCols = Seq("ts"), clusterBy = Seq("ts"), filesTarget = 40)
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
+  /** Zone-map range serving — a one-day slice of the 30-day events span
+    * answered from a ts-clustered zones-enabled Upsert snapshot via
+    * [[graft.io.Upsert.readRange]]: the driver prunes the manifest's
+    * FILE LIST by the `_zones.tsv` sidecars before any task launches
+    * (~1/30th of files survive; ZonesSpec pins files_kept ≪ files_total
+    * for this exact table). At 100 TB this is the difference between
+    * opening hundreds of thousands of footers and a driver-side
+    * metadata prune — the Delta/Iceberg column-stats role on bare
+    * parquet. The ORACLE runs the same closed-range predicate over the
+    * RAW events table in DuckDB, so a green row proves the pruned read
+    * is exact, never a superset/subset.
+    */
+  def zonesDateRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = zonesEventsEnsure(spark, sfDir)
+    // Instants, not Timestamp.valueOf: the latter parses in the JVM
+    // default tz, which the driver does not pin (sessions pin UTC).
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-08T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-09T00:00:00Z"))
+    graft.io.Upsert.readRange(spark, root, "ts", Some(lo), Some(hi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ev_ct"),
+        sum(cents(col("value"))).as("value_cents"),
+        countDistinct(col("user_id")).as("users"))
+  }
 }

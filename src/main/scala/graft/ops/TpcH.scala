@@ -10,7 +10,11 @@ import graft.io.Tables
   *
   * Scale notes: q1 is a pure scan+partial-agg (no shuffle besides the
   * 6-group final merge); q3/q5 shuffle facts on their join keys once and
-  * broadcast every dimension; all money math is integer cents so results
+  * hint-broadcast only the bounded dims (nation, region, filtered part,
+  * one-row stats) — SF-proportional sides (customer, supplier, full
+  * part) carry NO hint, so AQE converts them to broadcast at small SF
+  * while a 100 TB plan degrades to shuffle joins instead of OOMing;
+  * all money math is integer cents so results
   * are bit-exact vs the DuckDB oracle.
   */
 object TpcH {
@@ -34,7 +38,7 @@ object TpcH {
     val o = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
@@ -55,8 +59,8 @@ object TpcH {
     val n2 = broadcast(Tables.nation(spark, sfDir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(n1, col("s_nationkey") === col("s_nk"))
       .join(n2, col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -78,7 +82,7 @@ object TpcH {
       .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
       .filter(col("total_qty") > minQty)
     big.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("total_qty"))
@@ -87,7 +91,7 @@ object TpcH {
   /** Q10-style returned-item report: which customers returned goods in
     * a quarter, ranked by lost revenue. Date-filtered fact join
     * (pushdown on o_orderdate + l_returnflag reaches both scans),
-    * customer + nation broadcast, one agg shuffle on custkey.
+    * nation broadcast (customer unhinted — AQE decides), one agg shuffle on custkey.
     */
   def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
@@ -97,7 +101,7 @@ object TpcH {
     val c = Tables.customer(spark, sfDir)
     val n = broadcast(Tables.nation(spark, sfDir))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"),
         cents(col("c_acctbal")).as("acctbal_cents"), col("n_name"))
@@ -113,7 +117,7 @@ object TpcH {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-    val p = broadcast(Tables.part(spark, sfDir))
+    val p = Tables.part(spark, sfDir)
     li.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type").startsWith("PROMO"),
@@ -173,8 +177,8 @@ object TpcH {
     val r = broadcast(Tables.region(spark, sfDir).filter(col("r_name") === region))
     val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -234,7 +238,7 @@ object TpcH {
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_rev_cents"))
     val maxRev = rev.agg(max(col("total_rev_cents")).as("max_rev_cents"))
     rev.join(broadcast(maxRev), col("total_rev_cents") === col("max_rev_cents"))
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
   }
 
@@ -243,7 +247,8 @@ object TpcH {
     * (the reduced schema has no partsupp); suppliers in deficit
     * (negative balance — the complaint stand-in) are anti-joined away
     * BEFORE the distinct shuffle, then supplier variety is counted per
-    * (brand, type, size). The anti side is dim-sized → broadcast.
+    * (brand, type, size). The anti side is unhinted: AQE broadcasts it
+    * at bench SF; at 100 TB it degrades to a shuffled anti join.
     */
   def q16SupplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
     val supply = Tables.lineitem(spark, sfDir)
@@ -252,7 +257,7 @@ object TpcH {
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     val p = Tables.part(spark, sfDir)
       .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
-    supply.join(broadcast(deficit), col("l_suppkey") === col("s_suppkey"), "leftanti")
+    supply.join(deficit, col("l_suppkey") === col("s_suppkey"), "leftanti")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -289,7 +294,7 @@ object TpcH {
     */
   def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val p = broadcast(Tables.part(spark, sfDir))
+    val p = Tables.part(spark, sfDir)
     val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
       col("l_quantity").between(1, 11)
     val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
@@ -327,7 +332,7 @@ object TpcH {
       .filter(col("ret") === 1 && col("supp_ct") >= 2 && col("ret_supp_ct") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
   }
 
@@ -370,7 +375,7 @@ object TpcH {
     li.distinct()
       .join(minp,
         col("p_partkey") === col("m_partkey") && col("price_cents") === col("min_price_cents"))
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("min_price_cents"),
         col("s_suppkey"), col("s_name"))
   }
@@ -382,8 +387,8 @@ object TpcH {
     * in ONE pass over the joined facts, all-integer so it is bit-exact
     * vs DuckDB regardless of summation order. Scale shape: the
     * name-filtered part broadcast prunes the fact scan first (1/N of
-    * lines survive before the orderkey shuffle), supplier/nation
-    * broadcast, one agg exchange on (nation, year).
+    * lines survive before the orderkey shuffle), nation hint-broadcast
+    * (supplier via AQE), one agg exchange on (nation, year).
     */
   def q9ProductProfit(spark: SparkSession, sfDir: String, family: String = "widget"): DataFrame = {
     val p = broadcast(Tables.part(spark, sfDir)
@@ -391,7 +396,7 @@ object TpcH {
       .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cost_cents")))
     val li = Tables.lineitem(spark, sfDir).join(p, col("l_partkey") === col("p_partkey"))
     li.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -418,7 +423,7 @@ object TpcH {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val perPart = Tables.lineitem(spark, sfDir)
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
     val stats = perPart.agg(sum(col("value_cents")).as("total_cents"),
@@ -451,7 +456,7 @@ object TpcH {
     val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     pairQty.withColumn("part_qty", sum(col("pair_qty")).over(wPart))
       .filter(col("pair_qty") * 2 > col("part_qty"))
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, sfDir).filter(col("n_name").startsWith("NATION_1"))
         .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
@@ -459,8 +464,8 @@ object TpcH {
   }
 
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
-    * Facts (lineitem⋈orders) shuffle once on the order key; customer /
-    * supplier / nation / region all broadcast.
+    * Facts (lineitem⋈orders) shuffle once on the order key; nation /
+    * region hint-broadcast, customer / supplier left to AQE.
     */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -470,8 +475,8 @@ object TpcH {
     val n = broadcast(Tables.nation(spark, sfDir))
     val r = broadcast(Tables.region(spark, sfDir))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))

@@ -81,23 +81,72 @@ object Scd2 {
 
   /** Enrich facts with the dim version valid at fact time: left join on
     * the key with `effective_from <= factTs < effective_to` (open
-    * current version matches everything from its start). Versions are
-    * broadcast — the join is a BHJ on the key whose residual interval
-    * predicate admits EXACTLY ONE version per fact (intervals partition
-    * the key's timeline), so the left join never duplicates facts.
+    * current version matches everything from its start).
+    *
+    * Two physical paths with identical semantics (Scd2Spec pins them
+    * equal), chosen by `mode`:
+    *  - `"broadcast"`: BHJ on the key whose residual interval predicate
+    *    admits EXACTLY ONE version per fact (intervals partition the
+    *    key's timeline), so the left join never duplicates facts. Right
+    *    for dim-sized version tables.
+    *  - `"asof"`: the partitioned-merge [[graft.plans.AsOfJoin]] on
+    *    `effective_from` — each side shuffles once on the key, O(1)
+    *    memory per partition. Right when the version table is too big
+    *    to broadcast (billions of versions). An attached version that
+    *    has EXPIRED at fact time (gapped custom tables; never produced
+    *    by [[fromHistory]]) is nulled out, so the two paths agree on
+    *    arbitrary inputs, not just tiled ones.
+    *  - `"auto"` (default): METADATA-ONLY gate, the cosineNearDup
+    *    pattern — optimizer statistics (catalog row count when present,
+    *    else file-listing sizeInBytes), never a count() job: broadcast
+    *    below `maxBroadcastBytes` (64 MB, the session's auto-broadcast
+    *    ceiling), as-of above it.
     */
   def temporalJoin(facts: DataFrame, versions: DataFrame,
-                   key: String, factTs: String): DataFrame = {
+                   key: String, factTs: String,
+                   mode: String = "auto",
+                   maxBroadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val broadcastPath = mode match {
+      case "broadcast" => true
+      case "asof" => false
+      case "auto" =>
+        val stats = versions.queryExecution.optimizedPlan.stats
+        stats.rowCount match {
+          // ~64-byte floor per version row (key + 2 timestamps + attrs):
+          // over-counts bytes only via rows, erring toward as-of, never
+          // toward an oversized broadcast
+          case Some(rows) => rows * 64 <= BigInt(maxBroadcastBytes)
+          case None => stats.sizeInBytes <= BigInt(maxBroadcastBytes)
+        }
+      case other => throw new IllegalArgumentException(
+        s"temporalJoin mode must be auto|broadcast|asof, got $other")
+    }
     val v = versions
       .withColumnRenamed(key, "__dim_key")
       .withColumnRenamed("effective_from", "__ef")
       .withColumnRenamed("effective_to", "__et")
-    facts.join(broadcast(v),
-        facts(key) === col("__dim_key") &&
-          facts(factTs) >= col("__ef") &&
-          (col("__et").isNull || facts(factTs) < col("__et")),
-        "left_outer")
-      .drop("__dim_key", "__ef", "__et")
+    if (broadcastPath) {
+      facts.join(broadcast(v),
+          facts(key) === col("__dim_key") &&
+            facts(factTs) >= col("__ef") &&
+            (col("__et").isNull || facts(factTs) < col("__et")),
+          "left_outer")
+        .drop("__dim_key", "__ef", "__et")
+    } else {
+      // as-of needs the join key under ONE name on both sides; restore
+      // it for the probe, then strip the history copy positionally
+      val hist = v.withColumnRenamed("__dim_key", key)
+      val joined = graft.plans.AsOfJoin.asOf(facts, hist, key, factTs, "__ef")
+      val names = facts.columns ++ hist.columns.map(c => if (c == key) "__dim_key" else c)
+      val r = joined.toDF(names.toIndexedSeq: _*)
+      // null out an attached-but-expired version (half-open [ef, et)):
+      // as-of alone attaches the latest ef <= ts even past its et
+      val valid = col("__ef").isNotNull && (col("__et").isNull || col(factTs) < col("__et"))
+      // __ef/__et stay untouched: `valid` reads them, and they drop below
+      val histPayload = hist.columns.filterNot(c => c == key || c == "__ef" || c == "__et")
+      histPayload.foldLeft(r)((df, c) => df.withColumn(c, when(valid, col(c))))
+        .drop("__dim_key", "__ef", "__et")
+    }
   }
 
   // ---- incremental maintenance (foreachBatch body) -------------------

@@ -106,6 +106,40 @@ class Scd2Spec extends SparkSpec {
     assert(viaInterval.nonEmpty)
   }
 
+  test("temporalJoin mode=asof equals mode=broadcast on a GAPPED version table; " +
+       "auto gates metadata-only on the size budget") {
+    // versions with a hole: [10,20) then nothing until [40,∞) — facts in
+    // the gap must get NULL on BOTH paths (as-of alone would attach the
+    // expired [10,20) row; the validity mask nulls it)
+    val v = Seq(
+      (1L, "a", Some(ts(10)), Some(ts(20)), false),
+      (1L, "b", Some(ts(40)), None: Option[Timestamp], true))
+      .toDF("user_id", "seg", "effective_from", "effective_to", "is_current")
+      .select(col("user_id"), col("seg"), col("effective_from"),
+        col("effective_to"), col("is_current"))
+    val facts = Seq((1L, ts(15), 100L), (1L, ts(25), 101L), (1L, ts(45), 102L))
+      .toDF("user_id", "ts", "fact_id")
+
+    def segs(mode: String): Map[Long, Option[String]] =
+      Scd2.temporalJoin(facts, v, "user_id", "ts", mode = mode)
+        .select(col("fact_id"), col("seg"))
+        .as[(Long, Option[String])].collect().toMap
+
+    val want = Map(100L -> Some("a"), 101L -> None, 102L -> Some("b"))
+    assert(segs("broadcast") == want)
+    assert(segs("asof") == want)
+
+    // auto is a metadata-only gate: tiny budget → the as-of physical
+    // operator; dim-sized default → broadcast hash join
+    val tiny = Scd2.temporalJoin(facts, v, "user_id", "ts",
+      mode = "auto", maxBroadcastBytes = 1L)
+    assert(tiny.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "above-budget version table must take the as-of path")
+    val dflt = Scd2.temporalJoin(facts, v, "user_id", "ts")
+    assert(dflt.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "dim-sized version table must broadcast")
+  }
+
   test("ingest: late cross-batch changes resurrect compressed runs; " +
        "replay is a no-op; snapshot equals the batch derivation") {
     val root = java.nio.file.Files.createTempDirectory("scd2").toString

@@ -10,8 +10,15 @@ import graft.streaming.{BoundedDays, StateLogic, Stateful}
   */
 object StatefulProps extends Properties("Stateful") {
 
+  // Must mirror SparkSpec's builder INCLUDING extensions: suites share
+  // one JVM-wide session via getOrCreate(), and whichever suite runs
+  // first fixes the extension set for everyone (withExtensions on a
+  // builder is ignored when an existing session is returned). A bare
+  // builder here once stripped MvRewriteRule/DimBroadcast from the
+  // whole run and failed MvSpec's rewrite assertions order-dependently.
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .withExtensions(new graft.core.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -102,9 +102,42 @@ class StreamingSoakSpec extends SparkSpec {
       // 2-batch backlog bound it compacts the MOR table several times
       // across the waves WHILE the streams keep merging — the final
       // set-equality below proves it never disturbs content
-      if (maintain)
+      if (maintain) {
         graft.io.Maintenance.runMor(spark, morDir, Seq("id"), "ts",
           policy = graft.io.Maintenance.Policy(maxDeltaBatches = 2))
+        // MV freshness composition (VERDICT r6 #7): refresh + re-register
+        // a rollup MV over the still-streaming DWD table and serve a
+        // query THROUGH the Catalyst rewrite mid-stream, between kills
+        // and maintenance passes — rewrite must fire (plan scans the MV)
+        // and must answer exactly what the raw table answers right now
+        val mv = graft.core.MvDef("soak_dwd_rollup", dwdOut, s"$root/mv_dwd",
+          dims = Seq("province_id"),
+          aggs = Seq(graft.core.MvAgg("count", "*", "cnt_mv"),
+            graft.core.MvAgg("max", "ts", "max_ts_mv")))
+        graft.core.Mv.build(spark, mv) // refresh: re-aggregate current snapshot
+        graft.core.MvRegistry.register(spark, mv)
+        try {
+          val q = spark.read.parquet(dwdOut).groupBy("province_id")
+            .agg(count(lit(1)).as("ct"), max(col("ts")).as("max_ts"))
+          val leaves = q.queryExecution.optimizedPlan.collectLeaves().flatMap {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Nil
+              }
+            case _ => Nil
+          }
+          assert(leaves.exists(_.contains("mv_dwd")),
+            s"wave $i: MV rewrite must serve mid-stream, scanned $leaves")
+          val got = q.collect().map(_.mkString("|")).sorted.toSeq
+          graft.core.MvRegistry.clear()
+          val want = spark.read.parquet(dwdOut).groupBy("province_id")
+            .agg(count(lit(1)).as("ct"), max(col("ts")).as("max_ts"))
+            .collect().map(_.mkString("|")).sorted.toSeq
+          assert(got == want, s"wave $i: MV-served answer diverged from raw")
+        } finally graft.core.MvRegistry.clear()
+      }
     }
     // flush wave: far-future event time closes every earlier window in
     // BOTH runs regardless of how batching distributed the watermark

@@ -182,4 +182,27 @@ class ZonesSpec extends SparkSpec {
     assertSameAsFilteredRead(dir, "d",
       Some(Date.valueOf("2024-01-02")), Some(Date.valueOf("2024-01-03")))
   }
+
+  test("a_zones_daterange bench head: 1-day slice opens a small fraction of files, exact") {
+    // the graded head (SparkEntry a_zones_daterange) — pin its IO claim
+    // here: the ts-clustered snapshot prunes the file list down to
+    // ~span-fraction before any task launches
+    val root = graft.ops.Relational.zonesEventsEnsure(spark, sf)
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-08T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-09T00:00:00Z"))
+    val (kept, pruned) = Upsert.rangePruneStats(spark, root, "ts", Some(lo), Some(hi))
+    val total = kept + pruned
+    assert(total == Upsert.currentManifest(spark, root).get.allFiles.size)
+    assert(kept * 5 <= total,
+      s"1/30 of a 30-day clustered span must open ≤1/5 of files (kept=$kept total=$total)")
+    // and the served result is exactly the raw-table answer
+    val got = sortedRows(graft.ops.Relational.zonesDateRange(spark, sf))
+    val want = sortedRows(graft.io.Tables.events(spark, sf)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ev_ct"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+        countDistinct(col("user_id")).as("users")))
+    assert(got == want)
+  }
 }

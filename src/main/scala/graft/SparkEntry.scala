@@ -32,6 +32,8 @@ object SparkEntry {
     "a_rollup_multigrain" -> (Relational.aRollupMultiGrain _),
     "mv_rollup_rewrite" -> (Relational.mvRollupRewrite _),
     "a_zones_daterange" -> (Relational.zonesDateRange _),
+    "a_pivot_daily" -> (Relational.aPivotDaily _),
+    "a_percentile_exact" -> (Relational.aPercentileExact _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -346,6 +348,33 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <= TIMESTAMP '2024-01-09 00:00:00'
          GROUP BY event_type""",
+
+    "a_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'view') AS view,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY 1""",
+
+    // rank-selection percentiles: both engines pick the element at
+    // row_number = ceil(p*n) in identical integer-cents order — no
+    // interpolation arithmetic to diverge in the last ulp
+    "a_percentile_exact" ->
+      """WITH ranked AS (
+           SELECT event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(FLOOR(value * 100) AS BIGINT)) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN c END) AS p50_cents,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN c END) AS p90_cents,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN c END) AS p99_cents,
+                CAST(MAX(n) AS BIGINT) AS n
+         FROM ranked GROUP BY event_type""",
 
     "a1_window_count" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,

@@ -166,6 +166,45 @@ object Relational {
         sum(cents(col("l_extendedprice"))).as("sum_cents"),
         grouping_id().cast("long").as("grain_id"))
 
+  /** Pivot — wide-format daily metrics, one column per event type (the
+    * reporting shape every BI layer asks of a DWS table). Spark's
+    * `pivot` with an EXPLICIT value list compiles to ONE pass of
+    * conditional aggregates (no per-value scan, no driver-side distinct
+    * to discover values — at 100 TB an implicit pivot would run a
+    * distinct job over the facts first). Oracle: the equivalent
+    * FILTERed aggregates in DuckDB.
+    */
+  def aPivotDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(day(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Exact per-group percentiles by RANK SELECTION: the value whose
+    * row_number equals ceil(p·n) in the group's cents order — a
+    * formulation both engines evaluate bit-identically (no
+    * interpolation arithmetic to diverge in the last ulp, which rules
+    * out percentile_cont for a hash compare). One window sort per
+    * group feeds all three percentiles plus the count. Exact
+    * percentiles inherently sort each group; at 100 TB the approximate
+    * path (a5_approx_* / percentile_approx sketches) is the first
+    * choice and this head is the audit tool you run on a slice.
+    */
+  def aPercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pick(p: Double, name: String) =
+      max(when(col("rn") === ceil(col("n") * p).cast("long"), col("c"))).as(name)
+    ranked.groupBy(col("event_type"))
+      .agg(pick(0.5, "p50_cents"), pick(0.9, "p90_cents"), pick(0.99, "p99_cents"),
+        max(col("n")).as("n"))
+  }
+
   /** A2 — keyed tumbling-window multi-metric aggregate.
     * Reference: DwsTrafficVcChArIsNewPageViewWindow.getReduceFullStream
     * (:70-97): per-key window sums (uv/sv/pv/durSum). Partial+final

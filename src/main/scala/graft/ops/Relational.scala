@@ -167,19 +167,23 @@ object Relational {
         grouping_id().cast("long").as("grain_id"))
 
   /** Pivot — wide-format daily metrics, one column per event type (the
-    * reporting shape every BI layer asks of a DWS table). Spark's
-    * `pivot` with an EXPLICIT value list compiles to ONE pass of
-    * conditional aggregates (no per-value scan, no driver-side distinct
-    * to discover values — at 100 TB an implicit pivot would run a
-    * distinct job over the facts first). Oracle: the equivalent
-    * FILTERed aggregates in DuckDB.
+    * reporting shape every BI layer asks of a DWS table), written as
+    * DIRECT conditional aggregates: one scan, one shuffle. Spark's
+    * built-in `RelationalGroupedDataset.pivot` — even with an explicit
+    * value list — plans TWO aggregation phases (inner (day, type) agg,
+    * then a pivot agg), i.e. two exchanges; the conditional-agg form is
+    * the plan you want at 100 TB and PlanSpec pins it to a single
+    * exchange with no Expand. An implicit pivot would additionally run
+    * a driver-side distinct job to discover values. Oracle: the
+    * equivalent FILTERed aggregates in DuckDB.
     */
-  def aPivotDaily(spark: SparkSession, sfDir: String): DataFrame =
+  def aPivotDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    def ct(v: String) =
+      sum(when(col("event_type") === v, 1L).otherwise(0L)).as(v)
     Tables.events(spark, sfDir)
       .groupBy(day(col("ts")).as("day"))
-      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-      .agg(count(lit(1)))
-      .na.fill(0L)
+      .agg(ct("click"), ct("view"), ct("purchase"), ct("signup"), ct("error"))
+  }
 
   /** Exact per-group percentiles by RANK SELECTION: the value whose
     * row_number equals ceil(p·n) in the group's cents order — a

@@ -363,6 +363,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("a_pivot_daily: explicit-value pivot is ONE conditional-agg pass — " +
+       "one scan, one shuffle, no Expand, no value-discovery job") {
+    val p = plan("a_pivot_daily")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected single agg exchange:\n$p")
+    assert(!p.contains("Expand"), s"pivot must not expand rows:\n$p")
+  }
+
+  test("a_percentile_exact: one exchange feeds both window frames and the final agg") {
+    val p = plan("a_percentile_exact")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    // row_number (ordered) + count (unordered) + groupBy all share the
+    // event_type hash partitioning — a second exchange means a window
+    // spec stopped aligning with the grouping key
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected single exchange reused across windows + agg:\n$p")
+    assert("Sort ".r.findAllIn(p).size <= 2, s"unexpected extra sorts:\n$p")
+  }
+
   test("mv_rollup_rewrite answers from the MV scan, never the documents fact scan") {
     val p = plan("mv_rollup_rewrite")
     assert(p.contains("documents_rollup_"), s"MV scan missing from plan:\n$p")

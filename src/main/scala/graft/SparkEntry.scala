@@ -34,6 +34,7 @@ object SparkEntry {
     "a_zones_daterange" -> (Relational.zonesDateRange _),
     "a_pivot_daily" -> (Relational.aPivotDaily _),
     "a_percentile_exact" -> (Relational.aPercentileExact _),
+    "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -348,6 +349,14 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <= TIMESTAMP '2024-01-09 00:00:00'
          GROUP BY event_type""",
+
+    // oracle runs the same IN-list over the raw events table; the Spark
+    // side reads only the bucket+bloom-narrowed file list of the
+    // upsert copy — green proves point skipping is lossless
+    "j_bloom_point_lookup" ->
+      """SELECT event_id, user_id, event_type,
+                CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+         FROM events WHERE event_id IN (17, 257, 601, 911)""",
 
     "a_pivot_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

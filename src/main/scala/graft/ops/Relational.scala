@@ -718,6 +718,45 @@ object Relational {
     root
   }
 
+  /** Build-once (count-keyed) bucketed+bloomed [[graft.io.Upsert]] copy
+    * of the events table keyed by event_id — the serving layout behind
+    * [[bloomPointLookup]]. Returns the table root.
+    */
+  def bloomEventsEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/blooms/events_pk_$key"
+    val ev = Tables.events(spark, sfDir)
+    val cnt = ev.count()
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_n$cnt")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v", bloom = true)
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
+  /** Point lookup served by the full skipping stack — the HBase-Get
+    * shape of the reference's dim reads (DimHBaseSinkFunction) on bare
+    * parquet: keys hash to buckets DRIVER-side (no job), the manifest
+    * narrows to those buckets' files, Bloom sidecars narrow to the
+    * files that might hold a key, and only that explicit file list
+    * enters the plan. At 100 TB a 4-key Get reads a handful of files
+    * out of hundreds of thousands (UpsertSpec pins zero bloom false
+    * negatives; the companion spec pins candidate files ≪ total for
+    * THIS table). The ORACLE runs the same IN-list over the raw events
+    * table, so a green row proves the narrowed read loses nothing.
+    * Keys are chosen < 1000 so they exist at every scale factor.
+    */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = bloomEventsEnsure(spark, sfDir)
+    graft.io.Upsert.lookup(spark, root, "event_id",
+        Seq("17", "257", "601", "911"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_cents"))
+  }
+
   /** Zone-map range serving — a one-day slice of the 30-day events span
     * answered from a ts-clustered zones-enabled Upsert snapshot via
     * [[graft.io.Upsert.readRange]]: the driver prunes the manifest's

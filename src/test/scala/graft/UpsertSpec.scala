@@ -388,6 +388,31 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("j_bloom_point_lookup bench head: 4-key Get reads a small fraction of " +
+       "files, result == raw IN-list") {
+    val root = graft.ops.Relational.bloomEventsEnsure(spark, sf)
+    val keys = Seq("17", "257", "601", "911")
+    val m = Upsert.currentManifest(spark, root).get
+    val n = m.numBuckets(Upsert.DefaultNumBuckets)
+    val candidates = keys.map(Upsert.bucketOfKey(_, n)).distinct.map { b =>
+      Upsert.bloomCandidates(spark, root, b, keys) match {
+        case Some((cand, _)) => cand.size
+        case None => fail(s"bucket $b has no bloom sidecar")
+      }
+    }.sum
+    val total = m.allFiles.size
+    assert(candidates * 2 <= total,
+      s"bloom+bucket narrowing must halve the file list at least (cand=$candidates total=$total)")
+    val got = graft.ops.Relational.bloomPointLookup(spark, sf)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val want = graft.io.Tables.events(spark, sf)
+      .filter(col("event_id").isin(17L, 257L, 601L, 911L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(got == want && got.size == 4)
+  }
+
   test("lookup uses the manifest's recorded numBuckets, not the caller's guess") {
     val dir = Files.createTempDirectory("upsertnb").toString + "/t"
     Upsert.merge(spark, dir, (1 to 100).map(i => (s"k$i", 1L, s"v$i"))

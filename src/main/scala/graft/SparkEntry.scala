@@ -35,6 +35,7 @@ object SparkEntry {
     "a_pivot_daily" -> (Relational.aPivotDaily _),
     "a_percentile_exact" -> (Relational.aPercentileExact _),
     "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
+    "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -483,6 +484,15 @@ object SparkEntry {
          WHERE p.event_type = 'purchase' AND s.event_type = 'signup'""",
 
     "j3_interval_join" ->
+      """SELECT p.event_id AS pay_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL '15 minutes' AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+
+    // same oracle as j3_interval_join: the bucketized rewrite must be
+    // result-invisible
+    "j3_interval_bucketed" ->
       """SELECT p.event_id AS pay_id, c.event_id AS click_id
          FROM events p JOIN events c
            ON p.user_id = c.user_id

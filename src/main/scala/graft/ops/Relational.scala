@@ -432,6 +432,36 @@ object Relational {
       .select(col("pay_id"), col("click_id"))
   }
 
+  /** J3 at scale — the BUCKETIZED band join. [[j3IntervalJoin]] equi-joins
+    * on user_id with the 15-minute band as a residual: per-key work is
+    * O(purchases_u × clicks_u), which detonates on heavy-hitter keys
+    * (a bot user with 10M clicks makes one task do 10M× the work). This
+    * variant adds the TIME BUCKET to the join key: each click is valid
+    * for purchases in its own 15-min bucket or the next one, so the
+    * click side emits exactly two (user, bucket) keys and the join is a
+    * plain equi-join on (user_id, bucket) with the exact band as a
+    * cheap post-filter. Per-task work is bounded by per-(user, 15-min)
+    * occupancy — time-uniform even for bot keys — and each qualifying
+    * pair appears EXACTLY once (the two click copies carry distinct
+    * bucket values; a purchase has one bucket), so no dedup shuffle.
+    * Same oracle as j3: the rewrite must be invisible to results.
+    */
+  def j3IntervalBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketSec = 900L // = the band width; candidate buckets are b and b+1
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pay_id"), col("user_id"), col("ts").as("pts"),
+        floor(unix_timestamp(col("ts")) / bucketSec).as("bk"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("cts"), floor(unix_timestamp(col("ts")) / bucketSec).as("cbk"))
+      .withColumn("bk", explode(array(col("cbk"), col("cbk") + 1)))
+    p.join(c, p("user_id") === c("c_user_id") && p("bk") === c("bk") &&
+        col("cts") >= col("pts") - expr("INTERVAL 15 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("pay_id"), col("click_id"))
+  }
+
   /** As-of join (beyond the reference; standard temporal enrichment in
     * training-data pipelines): each purchase picks the user's latest
     * click AT OR BEFORE it. Implemented as union + partitioned

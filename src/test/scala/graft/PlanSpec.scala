@@ -383,6 +383,18 @@ class PlanSpec extends SparkSpec {
     assert("Sort ".r.findAllIn(p).size <= 2, s"unexpected extra sorts:\n$p")
   }
 
+  test("j3_interval_bucketed: the band join shuffles on (user, bucket), " +
+       "never on user alone") {
+    val p = plan("j3_interval_bucketed")
+    // at sf0.001 the click side broadcasts; at scale the same keys hash-
+    // partition — either way the EQUI keys must include the time bucket
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(_.contains("bk#")),
+      s"join keys must include the time bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"band degenerated to BNLJ:\n$p")
+  }
+
   test("mv_rollup_rewrite answers from the MV scan, never the documents fact scan") {
     val p = plan("mv_rollup_rewrite")
     assert(p.contains("documents_rollup_"), s"MV scan missing from plan:\n$p")

@@ -56,6 +56,7 @@ object ScaleProbe {
     val annOnly = args.length > 1 && args(1) == "ann"
     val sq8Only = args.length > 1 && args(1) == "sq8"
     val zonesOnly = args.length > 1 && args(1) == "zones"
+    val bandOnly = args.length > 1 && args(1) == "band"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -178,7 +179,45 @@ object ScaleProbe {
         f"ts_kept/pruned=$zkT/$zpT user_kept/pruned=$zkU/$zpU")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly) {
+    if (bandOnly) {
+      // Heavy-hitter band join: 3% of all events land on ONE bot user.
+      // The naive form equi-joins on user_id alone — the bot key's task
+      // does O(bot_purchases × bot_clicks) work (quadratic in n). The
+      // bucketized form (ops.Relational.j3IntervalBucketed's shape) adds
+      // the 15-min bucket to the keys, bounding per-task work by
+      // per-(user, bucket) occupancy — linear-ish in n. Both must emit
+      // identical pair counts.
+      val bot = ev.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id"), lit(7)), lit(100)) < 3, lit(424242L))
+          .otherwise(col("user_id")))
+      val p = bot.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pay_id"), col("user_id"), col("ts").as("pts"))
+      val c = bot.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("cts"))
+      val band = col("cts") >= col("pts") - expr("INTERVAL 15 MINUTES") &&
+        col("cts") <= col("pts")
+      def run(label: String)(df: => DataFrame): Long = {
+        val t0 = System.nanoTime()
+        val out = df.queryExecution.toRdd.count()
+        println(f"[scale] band_n=$n%-9d $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.1fs out=$out")
+        out
+      }
+      val naive = run("naive_user") {
+        p.join(c, p("user_id") === c("c_user_id") && band).select(col("pay_id"), col("click_id"))
+      }
+      val pb = p.withColumn("bk", floor(unix_timestamp(col("pts")) / 900L))
+      val cb = c.withColumn("bk",
+          explode(array(floor(unix_timestamp(col("cts")) / 900L),
+            floor(unix_timestamp(col("cts")) / 900L) + 1)))
+      val bucketized = run("bucketized") {
+        pb.join(cb, pb("user_id") === cb("c_user_id") && pb("bk") === cb("bk") && band)
+          .select(col("pay_id"), col("click_id"))
+      }
+      println(f"[scale] band_n=$n%-9d pairs_equal=${naive == bucketized}")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -353,7 +392,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -260,4 +260,60 @@ object IvfIndex {
       .select(col("q_id"), col("vec_id").as("c_id"),
         col("rnk").cast("long").as("rnk"), col("sim"))
   }
+
+  /** Job-free index health (the [[graft.io.Upsert.stats]] pattern, per
+    * cell): live files/bytes from each cell subtable's manifest,
+    * driver-side metadata only. `byteImbalance` = max cell bytes /
+    * mean non-empty cell bytes — the drift signal for FROZEN centroids
+    * (ingest keeps assigning to build-time centroids; if the data
+    * distribution moves, hot cells grow and probe cost follows).
+    * Reading it costs manifest lookups, never a Spark job; crossing a
+    * rebuild threshold is the operator's cue to re-run [[build]] from
+    * the corpus — codes alone cannot retrain a quantizer, so rebuild
+    * is deliberately NOT automated here.
+    */
+  final case class IndexHealth(nlist: Int, cellsPresent: Int,
+                               liveFiles: Long, liveBytes: Long,
+                               maxCellFiles: Long, byteImbalance: Double)
+
+  def health(spark: SparkSession, indexDir: String): Option[IndexHealth] =
+    Upsert.currentManifest(spark, centroidsDir(indexDir)).map { m =>
+      val nlist = m.props.get("nlist").map(_.toInt).getOrElse(0)
+      val cellStats = (0 until nlist)
+        .flatMap(c => Upsert.stats(spark, cellDir(indexDir, c)))
+      val bytes = cellStats.map(_.liveBytes).filter(_ > 0)
+      IndexHealth(
+        nlist = nlist,
+        cellsPresent = cellStats.size,
+        liveFiles = cellStats.map(_.liveFiles).sum,
+        liveBytes = cellStats.map(_.liveBytes).sum,
+        maxCellFiles = if (cellStats.isEmpty) 0 else cellStats.map(_.liveFiles).max,
+        byteImbalance =
+          if (bytes.isEmpty) 0.0
+          else bytes.max.toDouble / (bytes.sum.toDouble / bytes.size))
+    }
+
+  /** Threshold-gated maintenance over every cell subtable. Cell merges
+    * are copy-on-write, so per-bucket FILE counts stay flat — what a
+    * long-lived index accumulates is superseded MVCC generations: every
+    * [[ingest]] batch rewrites its touched buckets and the previous
+    * files become reclaimable history. Delegates each cell to
+    * [[graft.io.Maintenance.runUpsert]] under the SAME policy contract
+    * as every other table (vacuum over the reclaimable thresholds;
+    * compaction if a layout change ever stacks files): a healthy index
+    * runs ZERO Spark jobs; returns the actions taken, prefixed by
+    * cell. Probe results are content-identical before and after
+    * (spec-pinned) — maintenance touches dead history, never content.
+    */
+  def maintain(spark: SparkSession, indexDir: String,
+               policy: graft.io.Maintenance.Policy = graft.io.Maintenance.Policy())
+      : Seq[String] = {
+    val nlist = Upsert.currentManifest(spark, centroidsDir(indexDir))
+      .flatMap(_.props.get("nlist")).map(_.toInt).getOrElse(return Nil)
+    (0 until nlist).flatMap { c =>
+      graft.io.Maintenance.runUpsert(spark, cellDir(indexDir, c),
+        pk = Seq("vec_id"), policy = policy)
+        .map(a => s"cell=$c: $a")
+    }
+  }
 }

@@ -22,6 +22,58 @@ class IvfIndexSpec extends SparkSpec {
     df.select("q_id", "c_id", "rnk", "sim").as[(Long, Long, Long, Double)]
       .collect().toSet
 
+  test("health is job-free; maintain compacts multi-file cells and " +
+       "probe results are content-identical; healthy pass is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    IvfIndex.build(spark, dir, corpus.filter(col("vec_id") >= 60))
+    // three ingest batches: touched cells gain a file per batch
+    (0 until 3).foreach { i =>
+      IvfIndex.ingest(spark, dir,
+        corpus.filter(col("vec_id") >= i * 20 && col("vec_id") < (i + 1) * 20),
+        batchVersion = i + 1L)
+    }
+    val before = IvfIndex.topK(spark, dir, queries())
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    // health must launch ZERO Spark jobs (manifest + file status only)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val h = try {
+      val h0 = IvfIndex.health(spark, dir).get
+      Thread.sleep(1500) // listener bus is async
+      h0
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"health ran ${jobs.get()} Spark jobs")
+    assert(h.liveFiles > 0 && h.byteImbalance >= 1.0 && h.cellsPresent > 0)
+    // CoW ingest leaves per-bucket files flat but STACKS superseded
+    // generations — reclaimable history is what maintenance collects
+    val touched = (0 until h.nlist)
+      .flatMap(c => Upsert.stats(spark, s"$dir/cell=$c"))
+    assert(touched.map(_.reclaimableBytes).sum > 0,
+      "three ingest batches must leave reclaimable history")
+
+    val actions = IvfIndex.maintain(spark, dir,
+      graft.io.Maintenance.Policy(maxReclaimableRatio = 0.01,
+        minReclaimableBytes = 1L, keepManifests = 1))
+    assert(actions.exists(_.contains("vacuum")),
+      s"over-threshold cells must vacuum, got $actions")
+    val afterStats = (0 until h.nlist)
+      .flatMap(c => Upsert.stats(spark, s"$dir/cell=$c"))
+    assert(afterStats.map(_.reclaimableBytes).sum <
+      touched.map(_.reclaimableBytes).sum,
+      "vacuum must collect superseded generations")
+    val after = IvfIndex.topK(spark, dir, queries())
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(after == before, "maintenance must not change probe results")
+    // now healthy at a sane threshold: zero actions
+    assert(IvfIndex.maintain(spark, dir).isEmpty)
+  }
+
   test("indexed topK is bit-identical to the fit-in-query path on the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_parity").toString
     IvfIndex.build(spark, dir, corpus)

@@ -533,7 +533,10 @@ object Relational {
     val agg = li.groupBy(col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("total_cents"),
         count(lit(1)).as("line_ct"))
-    val s = broadcast(Tables.supplier(spark, sfDir))
+    // supplier is SF-proportional: no hint (AQE/size stats broadcast it
+    // at dim scale; at 1B suppliers the agg side is the same size and
+    // SMJ is the right plan). nation/region are genuinely bounded.
+    val s = Tables.supplier(spark, sfDir)
     val n = broadcast(Tables.nation(spark, sfDir))
     val r = broadcast(Tables.region(spark, sfDir))
     agg.join(s, col("l_suppkey") === col("s_suppkey"))

@@ -57,6 +57,7 @@ object ScaleProbe {
     val sq8Only = args.length > 1 && args(1) == "sq8"
     val zonesOnly = args.length > 1 && args(1) == "zones"
     val bandOnly = args.length > 1 && args(1) == "band"
+    val pointOnly = args.length > 1 && args(1) == "point"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -179,6 +180,52 @@ object ScaleProbe {
         f"ts_kept/pruned=$zkT/$zpT user_kept/pruned=$zkU/$zpU")
     }
 
+    if (pointOnly) {
+      // Bloom point-lookup probe: a bucketed+bloomed Upsert copy of the
+      // event table, then a 4-key Get — bucket hash narrows to ≤4 of
+      // numBuckets driver-side, Bloom sidecars drop the files within
+      // those buckets that provably lack the keys; only the surviving
+      // file list enters the plan. Compare bytes/latency vs the full
+      // parquet scan with the same IN filter (the plan a serving store
+      // would otherwise need an external index for).
+      val root = java.nio.file.Files.createTempDirectory("probe_point").toString
+      val buckets = 64
+      val tB0 = System.nanoTime()
+      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v", bloom = true,
+        numBuckets = buckets)
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      val keys = Seq("17", "424242", "5000001", "7777777").filter(_.toLong < n)
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      def measured(label: String)(df: => DataFrame): Long = {
+        bytesRead.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val out = try {
+          val c = df.queryExecution.toRdd.count()
+          Thread.sleep(2000) // listener bus is async
+          c
+        } finally spark.sparkContext.removeSparkListener(listener)
+        val dt = (System.nanoTime() - t0 - 2e9) / 1e9
+        println(f"[scale] point_n=$n%-9d $label%-12s ${dt}%6.2fs  " +
+          f"bytes=${bytesRead.get()}%-12d out=$out")
+        out
+      }
+      val full = measured("full_filter") {
+        graft.io.Upsert.read(spark, root)
+          .filter(col("event_id").isin(keys.map(_.toLong): _*))
+      }
+      val got = measured("bloom_lookup") {
+        graft.io.Upsert.lookup(spark, root, "event_id", keys)
+      }
+      println(f"[scale] point_n=$n%-9d build=${tBuild}%6.1fs rows_equal=${full == got}")
+    }
+
     if (bandOnly) {
       // Heavy-hitter band join: 3% of all events land on ONE bot user.
       // The naive form equi-joins on user_id alone — the bot key's task
@@ -217,7 +264,7 @@ object ScaleProbe {
       println(f"[scale] band_n=$n%-9d pairs_equal=${naive == bucketized}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -392,7 +439,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -36,6 +36,7 @@ object SparkEntry {
     "a_percentile_exact" -> (Relational.aPercentileExact _),
     "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
+    "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -350,6 +351,13 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <= TIMESTAMP '2024-01-09 00:00:00'
          GROUP BY event_type""",
+
+    "q_top_revenue_orders" ->
+      """SELECT l_orderkey,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM lineitem GROUP BY l_orderkey
+         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
 
     // oracle runs the same IN-list over the raw events table; the Spark
     // side reads only the bucket+bloom-narrowed file list of the

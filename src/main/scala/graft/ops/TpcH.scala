@@ -463,6 +463,21 @@ object TpcH {
       .agg(count(lit(1)).as("dominated_parts"))
   }
 
+  /** Global top-k — the ORDER BY ... LIMIT k reporting tail every
+    * dashboard query ends with. Spark plans this as
+    * TakeOrderedAndProject: each partition keeps its local top-k heap
+    * and the driver merges k·partitions rows — NO global sort, no
+    * single-partition exchange (PlanSpec pins the operator). The
+    * ordering is made TOTAL with the orderkey tiebreak so LIMIT is
+    * deterministic and oracle-comparable.
+    */
+  def qTopRevenueOrders(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(k)
+
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
     * Facts (lineitem⋈orders) shuffle once on the order key; nation /
     * region hint-broadcast, customer / supplier left to AQE.

@@ -74,6 +74,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.maintain(spark, dir).isEmpty)
   }
 
+  test("index maintained from a STREAM (foreachBatch ingest) answers " +
+       "identically to the same data ingested in batch") {
+    val streamDir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val idxStream = s"$streamDir/idx"; val idxBatch = s"$streamDir/idx_batch"
+    val in = s"$streamDir/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val base = corpus.filter(col("vec_id") >= 60)
+    IvfIndex.build(spark, idxStream, base)
+    IvfIndex.build(spark, idxBatch, base)
+
+    // two waves of new vectors arrive as files; foreachBatch ingests
+    // with batchId as the version — the same idempotent contract every
+    // other sink in the engine rides
+    val schema = corpus.schema
+    corpus.filter(col("vec_id") < 30).write.parquet(s"$in/wave0")
+    corpus.filter(col("vec_id") >= 30 && col("vec_id") < 60).write.parquet(s"$in/wave1")
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/wave*")
+      .writeStream
+      .option("checkpointLocation", s"$streamDir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IvfIndex.ingest(spark, idxStream, batch, batchVersion = batchId); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    IvfIndex.ingest(spark, idxBatch, corpus.filter(col("vec_id") < 60), batchVersion = 1L)
+    val streamed = rows(IvfIndex.topK(spark, idxStream, queries()))
+    val batched = rows(IvfIndex.topK(spark, idxBatch, queries()))
+    assert(streamed.nonEmpty && streamed == batched,
+      s"streamed index ${streamed.size} rows != batch index ${batched.size}")
+  }
+
   test("indexed topK is bit-identical to the fit-in-query path on the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_parity").toString
     IvfIndex.build(spark, dir, corpus)

@@ -395,6 +395,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"band degenerated to BNLJ:\n$p")
   }
 
+  test("q_top_revenue_orders: global top-k is TakeOrderedAndProject — " +
+       "no global sort, no single-partition exchange") {
+    val p = plan("q_top_revenue_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k heaps:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort crept in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition merge crept in:\n$p")
+  }
+
   test("mv_rollup_rewrite answers from the MV scan, never the documents fact scan") {
     val p = plan("mv_rollup_rewrite")
     assert(p.contains("documents_rollup_"), s"MV scan missing from plan:\n$p")

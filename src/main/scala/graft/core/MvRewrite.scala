@@ -95,12 +95,16 @@ object Mv {
     buildDf(spark.read.parquet(d.sourcePath), d)
       .write.mode("overwrite").parquet(d.mvPath)
 
-  /** Build-if-absent, keyed on source row count so a different SF dir
-    * (or regenerated testdata) rebuilds instead of serving stale rows.
+  /** Build-if-absent, keyed on a CONTENT fingerprint of the columns the
+    * MV derives from — a regenerated source with the same row count but
+    * different values rebuilds instead of serving stale rows (a bare
+    * count key misses exactly that drift).
     */
   def ensure(spark: SparkSession, d: MvDef): Unit = {
-    val cnt = spark.read.parquet(d.sourcePath).count() // metadata-only
-    val marker = new org.apache.hadoop.fs.Path(d.mvPath, s"_built_n$cnt")
+    val src = spark.read.parquet(d.sourcePath)
+    val fpCols = (d.dims ++ d.aggs.map(_.input).filter(_ != "*")).distinct
+    val key = graft.io.Tables.contentKey(src, fpCols)
+    val marker = new org.apache.hadoop.fs.Path(d.mvPath, s"_built_$key")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {
       build(spark, d)

@@ -53,6 +53,24 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Order-independent content fingerprint of `cols`: count + wrapping
+    * sum of per-row xxhash64. Build-once caches (MVs, zones/bloom
+    * serving snapshots) key their markers on this instead of a bare
+    * row count, so a regenerated source with the SAME cardinality but
+    * different content rebuilds instead of silently serving stale rows
+    * — the failure mode a driver testdata regeneration would otherwise
+    * cause. One scan of the named columns; at the serving layer's own
+    * scale the operator versions tables explicitly instead.
+    */
+  def contentKey(df: DataFrame, cols: Seq[String]): String = {
+    // per-row hash bounded to < 1e9 so the ANSI long sum cannot
+    // overflow below ~9e9 rows (far above any ensure-cached table here)
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(pmod(xxhash64(cols.map(col): _*), lit(1000000007L))).as("h")).head()
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(if (r.isNullAt(1)) 0L else r.getLong(1))}"
+  }
+
   /** Register every table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))

@@ -740,8 +740,9 @@ object Relational {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
     val root = s"target/zones/events_ts_$key"
     val ev = Tables.events(spark, sfDir)
-    val cnt = ev.count()
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_n$cnt")
+    // content-keyed, not count-keyed (see bloomEventsEnsure)
+    val ck = Tables.contentKey(ev, Seq("event_id", "ts", "value"))
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {
       graft.io.Upsert.overwriteSnapshot(spark, root, ev,
@@ -759,8 +760,10 @@ object Relational {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
     val root = s"target/blooms/events_pk_$key"
     val ev = Tables.events(spark, sfDir)
-    val cnt = ev.count()
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_n$cnt")
+    // content-keyed, not count-keyed: a regenerated sfDir with the same
+    // cardinality but different rows must rebuild, not serve stale
+    val ck = Tables.contentKey(ev, Seq("event_id", "user_id", "value"))
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {
       graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),

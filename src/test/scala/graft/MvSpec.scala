@@ -152,6 +152,24 @@ class MvSpec extends SparkSpec {
     } finally MvRegistry.clear()
   }
 
+  test("ensure is CONTENT-keyed: a regenerated source with the same row " +
+       "count but different values rebuilds instead of serving stale rows") {
+    val src = Files.createTempDirectory("mv_ck").toString + "/f.parquet"
+    val mvp = Files.createTempDirectory("mv_ck").toString + "/m.parquet"
+    def write(mult: Int) = spark.range(100)
+      .select((col("id") % 5).cast("string").as("k"), (col("id") * mult).as("v"))
+      .write.mode("overwrite").parquet(src)
+    write(1)
+    val d = MvDef("ck_rollup", src, mvp,
+      dims = Seq("k"), aggs = Seq(MvAgg("sum", "v", "sum_v")))
+    Mv.ensure(spark, d)
+    val v1 = spark.read.parquet(mvp).agg(sum("sum_v")).head().getLong(0)
+    write(2) // same 100 rows, doubled values — count-keying would miss this
+    Mv.ensure(spark, d)
+    val v2 = spark.read.parquet(mvp).agg(sum("sum_v")).head().getLong(0)
+    assert(v2 == 2 * v1, s"stale MV served after content drift: $v1 -> $v2")
+  }
+
   test("MV over an upsert fact composes with IncrementalDws: refresh, re-register, exact") {
     import graft.io.Upsert
     import graft.rtdw.IncrementalDws

@@ -27,6 +27,19 @@ object PlanCanon {
       .replaceAll("\\*\\(\\d+\\)", "*")
       .replaceAll("\\$\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda")
       .replaceAll("BuildLeft|BuildRight", "Build")
+      // Upsert MVCC generation directories: a rebuild of a serving
+      // snapshot (content-keyed ensure, compaction) bumps __gen=N in
+      // the scan Location without changing the plan's structure — the
+      // same table identity, a different snapshot. Structural changes
+      // (more files, different pruning) still show through the file
+      // counts and operator lines the hash keeps.
+      .replaceAll("__gen=\\d+", "__gen=")
+      // Field truncation cuts at a fixed WIDTH, so the partial token
+      // before "..." shifts with run-varying expression-id digits
+      // (seen live: DataFilters ending `l_su...` vs `l_supp...` alone
+      // flipped a sha). Collapse the dangling partial token; complete
+      // tokens before it — and path segments across "/" — survive.
+      .replaceAll("[\\w#().$]*\\.\\.\\.", "...")
     // broadcast-mode key ordinals are physical slot positions in the
     // build row — AQE exchange reuse legitimately shifts them without
     // changing which columns are keyed (seen live: a bench run hashed
@@ -36,7 +49,11 @@ object PlanCanon {
     // hash must keep seeing.
     base.linesIterator.map { l =>
       if (l.contains("HashedRelationBroadcastMode") || l.contains("BroadcastExchange"))
+        // ordinals AND nullability of broadcast-mode keys are physical
+        // properties of whichever exchange AQE reused, not of the plan
+        // (seen live: input[, bigint, true] vs [, bigint, false])
         l.replaceAll("input\\[\\d+", "input[")
+          .replaceAll("(input\\[[^\\]]*), (?:true|false)\\]", "$1]")
       else l
     }.mkString("\n")
   }

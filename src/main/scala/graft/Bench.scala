@@ -80,7 +80,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_ct":$nErr,"plan_sha":$shas,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_ct":$nErr,"plan_sha":$shas,"sf":"$sfDir"}"""
+    println(line)
+    // Self-contained artifact (r7 verdict #2): the driver captures only a
+    // tail of stdout, which has twice truncated every per-query time out
+    // of BENCH_rN.json. The same line on disk survives any truncation.
+    // Keys inside each map are already sorted (results is sortBy name).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     spark.stop()
   }
 }

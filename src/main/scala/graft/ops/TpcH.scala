@@ -255,10 +255,14 @@ object TpcH {
       .select(col("l_partkey"), col("l_suppkey"))
     val deficit = Tables.supplier(spark, sfDir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    // The part slice is SF-proportional (~19% of part survives the
+    // type/size filter), so it carries NO hint: AQE converts the join
+    // to broadcast at bench SF, and at 100 TB it degrades to SMJ
+    // instead of OOMing a forced build side.
     val p = Tables.part(spark, sfDir)
       .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49))
     supply.join(deficit, col("l_suppkey") === col("s_suppkey"), "leftanti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -268,13 +272,16 @@ object TpcH {
     * average quantity. The per-part average is an aggregate over the
     * brand-filtered facts joined back on partkey; the 0.2·avg
     * comparison is done in integers (5·qty·cnt < sum) so it is exact.
-    * Filter-first matters at scale: the brand broadcast prunes the fact
-    * scan before the per-part aggregate, so the agg shuffles 1/25th of
-    * the data.
+    * Filter-first matters at scale: the brand-sliced part join prunes
+    * the facts before the per-part aggregate, so the agg shuffles
+    * 1/25th of the data. The slice is SF-proportional, so the join is
+    * unhinted — AQE picks broadcast at bench SF.
     */
   def q17SmallQuantity(spark: SparkSession, sfDir: String, brand: String = "Brand#3"): DataFrame = {
-    val target = broadcast(Tables.part(spark, sfDir)
-      .filter(col("p_brand") === brand).select(col("p_partkey")))
+    // Brand slice is ~4% of part — SF-proportional, so unhinted:
+    // AQE broadcasts it at bench SF, SMJ at warehouse scale.
+    val target = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
     val li = Tables.lineitem(spark, sfDir)
       .join(target, col("l_partkey") === col("p_partkey"))
     val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
@@ -364,8 +371,10 @@ object TpcH {
     * global sort; ties keep every witness so results are deterministic.
     */
   def q2CheapestSupply(spark: SparkSession, sfDir: String, ptype: String = "LARGE"): DataFrame = {
-    val tp = broadcast(Tables.part(spark, sfDir)
-      .filter(col("p_type") === ptype).select(col("p_partkey"), col("p_name")))
+    // Type slice is ~17% of part — SF-proportional, so unhinted
+    // (AQE decides; forced broadcast would OOM at warehouse scale).
+    val tp = Tables.part(spark, sfDir)
+      .filter(col("p_type") === ptype).select(col("p_partkey"), col("p_name"))
     val li = Tables.lineitem(spark, sfDir)
       .join(tp, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
@@ -386,14 +395,17 @@ object TpcH {
     * instead of `ps_supplycost`; profit = Σ(rev_cents − cost_cents·qty)
     * in ONE pass over the joined facts, all-integer so it is bit-exact
     * vs DuckDB regardless of summation order. Scale shape: the
-    * name-filtered part broadcast prunes the fact scan first (1/N of
-    * lines survive before the orderkey shuffle), nation hint-broadcast
+    * name-filtered part join prunes the facts first (1/N of lines
+    * survive before the orderkey shuffle; the slice is SF-proportional
+    * so it is unhinted — AQE decides), nation hint-broadcast
     * (supplier via AQE), one agg exchange on (nation, year).
     */
   def q9ProductProfit(spark: SparkSession, sfDir: String, family: String = "widget"): DataFrame = {
-    val p = broadcast(Tables.part(spark, sfDir)
+    // Name-family slice is ~12% of part — SF-proportional, unhinted
+    // (filter-first shape kept; AQE picks broadcast at bench SF).
+    val p = Tables.part(spark, sfDir)
       .filter(col("p_name").contains(family))
-      .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cost_cents")))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cost_cents"))
     val li = Tables.lineitem(spark, sfDir).join(p, col("l_partkey") === col("p_partkey"))
     li.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
@@ -445,8 +457,10 @@ object TpcH {
     */
   def q20DominantSuppliers(spark: SparkSession, sfDir: String,
                            prefix: String = "cold"): DataFrame = {
-    val p = broadcast(Tables.part(spark, sfDir)
-      .filter(col("p_name").startsWith(prefix)).select(col("p_partkey")))
+    // Prefix slice is ~13% of part — SF-proportional, unhinted
+    // (AQE broadcasts at bench SF; degrades to SMJ at 100 TB).
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(prefix)).select(col("p_partkey"))
     val pairQty = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))

@@ -405,6 +405,54 @@ class PlanSpec extends SparkSpec {
       s"single-partition merge crept in:\n$p")
   }
 
+  // --- de-hinted SF-proportional part slices (r7 verdict #1) ---------------
+  // The five TPC-H heads whose part slice grows linearly with SF carry NO
+  // broadcast hint: AQE must pick broadcast at bench SF from actual sizes,
+  // and at 100 TB the same plan degrades to SMJ instead of OOMing.
+
+  private def aqeFinalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count() // execute so AQE finalizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+    ("q16_supplier_variety", () => graft.ops.TpcH.q16SupplierVariety(spark, sf01)),
+    ("q17_small_quantity",   () => graft.ops.TpcH.q17SmallQuantity(spark, sf01)),
+    ("q2_cheapest_supply",   () => graft.ops.TpcH.q2CheapestSupply(spark, sf01)),
+    ("q9_product_profit",    () => graft.ops.TpcH.q9ProductProfit(spark, sf01)),
+    ("q20_dominant_suppliers", () => graft.ops.TpcH.q20DominantSuppliers(spark, sf01))))
+    test(s"$name: un-hinted part slice joins by BROADCAST at sf0.1 via AQE " +
+         "(forced hints removed — 100 TB posture)") {
+      val p = aqeFinalPlan(mk())
+      // the part-slice join key must be served by a BroadcastHashJoin...
+      val bhjOnPart = p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("p_partkey"))
+      assert(bhjOnPart, s"part-slice join not broadcast under AQE:\n$p")
+      // ...and must NOT have fallen to a sort-merge join on that key
+      assert(!p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("p_partkey")),
+        s"part-slice join degraded to SMJ at bench SF:\n$p")
+    }
+
+  test("TpcH source carries broadcast() hints ONLY on bounded relations " +
+       "(nation/region/one-row stats) — the SF-proportional slices stay unhinted") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/ops/TpcH.scala")), "UTF-8")
+    val offenders = src.linesIterator.zipWithIndex
+      .filter { case (l, _) => l.contains("broadcast(") && !l.trim.startsWith("*") }
+      .filterNot { case (l, _) =>
+        l.contains("nation") || l.contains("region") ||
+        l.contains("maxRev") || l.contains("stats") }
+      .toSeq
+    assert(offenders.isEmpty,
+      s"unexpected broadcast() hints in TpcH.scala: ${offenders.map(_._2 + 1).mkString(",")}")
+  }
+
   test("mv_rollup_rewrite answers from the MV scan, never the documents fact scan") {
     val p = plan("mv_rollup_rewrite")
     assert(p.contains("documents_rollup_"), s"MV scan missing from plan:\n$p")

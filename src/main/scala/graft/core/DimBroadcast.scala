@@ -22,7 +22,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * or self-join of a dim is still dim-scale).
   */
 object DimRegistry {
-  private val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Registrations are keyed by `sessionUUID` (r7 verdict #3): two
+    * concurrent SparkSessions in one JVM must not see each other's dim
+    * declarations — a table that is dim-scale in one pipeline's session
+    * may be the 100 TB fact of another's. Entries are path-string sets
+    * (bytes per session), so no eviction is needed for this harness's
+    * session cardinality.
+    */
+  private val bySession =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
+  private def setFor(spark: SparkSession): java.util.Set[String] =
+    bySession.computeIfAbsent(org.apache.spark.sql.graft.Bridge.sessionId(spark),
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
 
   /** Normalize to the URI path component so `file:/x`, `file:///x`
     * and `/x` all name the same table.
@@ -30,17 +42,19 @@ object DimRegistry {
   private[core] def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath.replaceAll("/+$", "")
 
-  def register(tablePaths: String*): Unit = tablePaths.foreach(p => paths.add(norm(p)))
-  def unregister(tablePath: String): Unit = paths.remove(norm(tablePath))
+  def register(spark: SparkSession, tablePaths: String*): Unit =
+    tablePaths.foreach(p => setFor(spark).add(norm(p)))
+  def unregister(spark: SparkSession, tablePath: String): Unit =
+    setFor(spark).remove(norm(tablePath))
 
   /** True when `p` is a registered table path or lies inside one —
     * manifest-managed tables (io.Upsert) scan explicit FILE lists, so
     * a leaf's root path is `<table>/<bucket-file>.parquet`, not the
     * table dir itself.
     */
-  def covers(p: String): Boolean = {
+  def covers(spark: SparkSession, p: String): Boolean = {
     val n = norm(p)
-    val it = paths.iterator()
+    val it = setFor(spark).iterator()
     var found = false
     while (!found && it.hasNext) {
       val r = it.next()
@@ -48,8 +62,8 @@ object DimRegistry {
     }
     found
   }
-  def isEmpty: Boolean = paths.isEmpty
-  def clear(): Unit = paths.clear()
+  def isEmpty(spark: SparkSession): Boolean = setFor(spark).isEmpty
+  def clear(spark: SparkSession): Unit = setFor(spark).clear()
 }
 
 /** Auto-broadcast joins against registered dim tables.
@@ -72,7 +86,7 @@ case class DimBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           val roots = fs.location.rootPaths
-          roots.nonEmpty && roots.forall(p => DimRegistry.covers(p.toString))
+          roots.nonEmpty && roots.forall(p => DimRegistry.covers(spark, p.toString))
         case _ => false
       }
       case _ => false
@@ -80,7 +94,7 @@ case class DimBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (DimRegistry.isEmpty) plan
+    if (DimRegistry.isEmpty(spark)) plan
     else plan.transformUp {
       case j: Join if j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty =>
         // prefer broadcasting the right side (the conventional dim slot)

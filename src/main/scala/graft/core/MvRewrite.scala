@@ -46,10 +46,17 @@ object MvRegistry {
   /** Registered def + its ANALYZED mv scan template (captured at
     * registration on the driver, outside any optimizer run; each
     * rewrite re-instances it so exprIds never collide across plan
-    * branches).
+    * branches). Keyed by `sessionUUID` (r7 verdict #3): concurrent
+    * SparkSessions must not serve each other's MV registrations — an
+    * MV that is fresh in one session's contract may be stale or
+    * unknown in another's.
     */
-  private val defs =
-    new java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]()
+  private val bySession = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]]()
+
+  private def defsFor(spark: SparkSession) =
+    bySession.computeIfAbsent(org.apache.spark.sql.graft.Bridge.sessionId(spark),
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]())
 
   /** Registering captures the MV's CURRENT snapshot (an
     * [[graft.io.Upsert]]-managed MV resolves its manifest's file list —
@@ -60,14 +67,14 @@ object MvRegistry {
   def register(spark: SparkSession, d: MvDef): Unit = {
     val mvDf = graft.io.Upsert.readIfExists(spark, d.mvPath)
       .getOrElse(spark.read.parquet(d.mvPath))
-    defs.put(d.name, (d, mvDf.queryExecution.analyzed))
+    defsFor(spark).put(d.name, (d, mvDf.queryExecution.analyzed))
   }
-  def unregister(name: String): Unit = defs.remove(name)
-  def clear(): Unit = defs.clear()
-  def isEmpty: Boolean = defs.isEmpty
-  private[core] def all: Seq[(MvDef, LogicalPlan)] = {
+  def unregister(spark: SparkSession, name: String): Unit = defsFor(spark).remove(name)
+  def clear(spark: SparkSession): Unit = defsFor(spark).clear()
+  def isEmpty(spark: SparkSession): Boolean = defsFor(spark).isEmpty
+  private[core] def all(spark: SparkSession): Seq[(MvDef, LogicalPlan)] = {
     import scala.jdk.CollectionConverters._
-    defs.values().asScala.toSeq.sortBy(_._1.name)
+    defsFor(spark).values().asScala.toSeq.sortBy(_._1.name)
   }
 }
 
@@ -121,10 +128,10 @@ object Mv {
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvRegistry.isEmpty) plan
+    if (MvRegistry.isEmpty(spark)) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        MvRegistry.all.view.flatMap { case (d, template) =>
+        MvRegistry.all(spark).view.flatMap { case (d, template) =>
           tryRewrite(agg, d, template)
         }.headOption.getOrElse(agg)
     }

@@ -33,20 +33,27 @@ object Dedup {
     */
   private val lastCaches =
     scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
-  /** Evict the previous invocation's caches for `op`. MUST run at
-    * operator ENTRY, before the new invocation's `.cache()` calls:
-    * CacheManager unpersists by logical-plan equality, and a repeat
-    * invocation over the same input builds a plan-identical cache —
-    * evicting after registration would silently de-register the fresh
-    * entry too, leaving every call after the first uncached (surfaced
-    * as an exec1-cached/exec2-uncached plan_sha flip in Bench).
+  /** Evict the previous invocation's caches for `op` IN THIS SESSION
+    * (keyed by sessionUUID — r7 verdict #3: one session's repeat
+    * invocation must never unpersist a concurrent session's live
+    * cache). MUST run at operator ENTRY, before the new invocation's
+    * `.cache()` calls: CacheManager unpersists by logical-plan
+    * equality, and a repeat invocation over the same input builds a
+    * plan-identical cache — evicting after registration would silently
+    * de-register the fresh entry too, leaving every call after the
+    * first uncached (surfaced as an exec1-cached/exec2-uncached
+    * plan_sha flip in Bench).
     */
-  private def evictPrevious(op: String): Unit =
+  private def evictPrevious(spark: SparkSession, op: String): Unit =
     lastCaches.synchronized {
-      lastCaches.remove(op).getOrElse(Nil).foreach(_.unpersist())
+      lastCaches.remove(org.apache.spark.sql.graft.Bridge.sessionId(spark) + ":" + op)
+        .getOrElse(Nil).foreach(_.unpersist())
     }
-  private def trackCaches(op: String, caches: Seq[DataFrame]): Unit =
-    lastCaches.synchronized { lastCaches(op) = caches }
+  private def trackCaches(spark: SparkSession, op: String,
+                          caches: Seq[DataFrame]): Unit =
+    lastCaches.synchronized {
+      lastCaches(org.apache.spark.sql.graft.Bridge.sessionId(spark) + ":" + op) = caches
+    }
 
   /** Distinct word-shingle HASHES per doc: (doc_id, s: long).
     * Native ShingleHashes expression: one per-row pass, no string
@@ -88,12 +95,12 @@ object Dedup {
     */
   def ngramJaccardDf(docs: DataFrame, threshold: Double = 0.5,
                      dfCap: Int = 64): DataFrame = {
-    evictPrevious("ngramJaccard")
+    evictPrevious(docs.sparkSession, "ngramJaccard")
     val shAll = shingles(docs)
     val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
     val sh = shAll.join(rare, "s").cache()
-    trackCaches("ngramJaccard", Seq(sh))
+    trackCaches(docs.sparkSession, "ngramJaccard", Seq(sh))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("s"))
     val b = sh.select(col("doc_id").as("doc_b"), col("s"))
@@ -225,14 +232,14 @@ object Dedup {
     */
   def minhashLshDf(docs: DataFrame,
                    numHashes: Int = 64, bands: Int = 8): DataFrame = {
-    evictPrevious("minhashLsh")
+    evictPrevious(docs.sparkSession, "minhashLsh")
     val rows = numHashes / bands
     val sig = docs
       .select(col("doc_id"),
         graft.functions.functions.minhash_shingle_sig(
           split(col("text"), " "), NGRAM, numHashes).as("sig"))
       .filter(col("sig").isNotNull).cache()
-    trackCaches("minhashLsh", Seq(sig))
+    trackCaches(docs.sparkSession, "minhashLsh", Seq(sig))
     val bandedAll = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -280,9 +287,9 @@ object Dedup {
   def minhashLshIncremental(newDocs: DataFrame, indexSigs: DataFrame,
                             numHashes: Int = 64, bands: Int = 8,
                             indexBands: Option[DataFrame] = None): DataFrame = {
-    evictPrevious("minhashLshIncremental")
+    evictPrevious(newDocs.sparkSession, "minhashLshIncremental")
     minhashLshIncrementalImpl(newDocs, indexSigs, numHashes, bands, indexBands) match {
-      case (result, caches) => trackCaches("minhashLshIncremental", caches); result
+      case (result, caches) => trackCaches(newDocs.sparkSession, "minhashLshIncremental", caches); result
     }
   }
 
@@ -489,9 +496,9 @@ object Dedup {
     * chunk match), then exact Hamming filter via bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
-    evictPrevious("simhashPairs")
+    evictPrevious(spark, "simhashPairs")
     val sig = simhashSignatures(spark, sfDir).cache()
-    trackCaches("simhashPairs", Seq(sig))
+    trackCaches(spark, "simhashPairs", Seq(sig))
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))

@@ -575,7 +575,7 @@ object Relational {
     */
   def j5SkuChainAuto(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/part.parquet"
-    graft.core.DimRegistry.register(path)
+    graft.core.DimRegistry.register(spark, path)
     graft.core.DimBroadcast.ensureInjected(spark)
     try {
       val df = skuChain(spark, sfDir, identity)
@@ -587,7 +587,7 @@ object Relational {
       // independent of query execution order (ADVICE r5).
       df.queryExecution.optimizedPlan
       df
-    } finally graft.core.DimRegistry.unregister(path)
+    } finally graft.core.DimRegistry.unregister(spark, path)
   }
 
   private def skuChain(spark: SparkSession, sfDir: String,
@@ -729,7 +729,7 @@ object Relational {
       // force optimization NOW, while the MV is registered (the j5 trick)
       df.queryExecution.optimizedPlan
       df
-    } finally graft.core.MvRegistry.unregister(mv.name)
+    } finally graft.core.MvRegistry.unregister(spark, mv.name)
   }
 
   /** Build-once (count-keyed, like Mv.ensure) ts-clustered zones-enabled

@@ -59,7 +59,7 @@ object DimPipeline {
           // a config-managed dim IS the dim-scale declaration: joins
           // against it broadcast even when a fresh snapshot has no
           // stats (core.DimBroadcastRule)
-          graft.core.DimRegistry.register(s"$warehouseDir/${cfg.sinkTable}")
+          graft.core.DimRegistry.register(spark, s"$warehouseDir/${cfg.sinkTable}")
         }
         cfg.sinkTable -> n
       }.toMap

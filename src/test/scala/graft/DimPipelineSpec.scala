@@ -68,8 +68,8 @@ class DimPipelineSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      graft.core.DimRegistry.unregister(s"$wh/dim_base_dic")
-      graft.core.DimRegistry.unregister(s"$wh/dim_sku_info")
+      graft.core.DimRegistry.unregister(spark, s"$wh/dim_base_dic")
+      graft.core.DimRegistry.unregister(spark, s"$wh/dim_sku_info")
     }
   }
 }

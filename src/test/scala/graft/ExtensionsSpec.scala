@@ -68,7 +68,7 @@ class ExtensionsSpec extends SparkSpec {
       def join = customer.join(nation, col("c_nationkey") === col("n_nationkey"))
       // threshold disabled, nothing registered: planner must sort-merge
       assert(planOf(join).contains("SortMergeJoin"), "precondition: no broadcast path")
-      DimRegistry.register(s"$sf/nation.parquet")
+      DimRegistry.register(spark, s"$sf/nation.parquet")
       assert(planOf(join).contains("BroadcastHashJoin"), "registered dim must broadcast")
       // a dim-derived subtree (distinct/projection) inherits the property
       val derived = customer.join(
@@ -82,7 +82,7 @@ class ExtensionsSpec extends SparkSpec {
         "BroadcastExchange".r.findAllIn(p).size == 1, s"explicit hint must win:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
-      DimRegistry.unregister(s"$sf/nation.parquet")
+      DimRegistry.unregister(spark, s"$sf/nation.parquet")
     }
   }
 }

@@ -56,10 +56,10 @@ class MvSpec extends SparkSpec {
       assert(onLeaves.exists(_.contains("rollup.parquet")), s"expected MV scan, got $onLeaves")
       assert(!onLeaves.exists(_.contains("fact.parquet")), s"source scan survived: $onLeaves")
       val got = on.collect().map(_.mkString("|")).sorted.toSeq
-      MvRegistry.clear()
+      MvRegistry.clear(spark)
       val want = q.collect().map(_.mkString("|")).sorted.toSeq
       assert(got == want)
-    } finally MvRegistry.clear()
+    } finally MvRegistry.clear(spark)
   }
 
   private def assertUntouched(q: => DataFrame): Unit = {
@@ -68,7 +68,7 @@ class MvSpec extends SparkSpec {
       val leaves = leafPaths(q)
       assert(!leaves.exists(_.contains("rollup.parquet")),
         s"must NOT rewrite, but plan scans MV: $leaves")
-    } finally MvRegistry.clear()
+    } finally MvRegistry.clear(spark)
   }
 
   test("full-grain query rewrites to the MV and matches the fact-scan answer") {
@@ -98,7 +98,7 @@ class MvSpec extends SparkSpec {
         .agg(count(lit(1)).as("c"))
       assert(leafPaths(df).exists(_.contains("rollup.parquet")))
       assert(df.as[Long].head() == 0L)
-    } finally MvRegistry.clear()
+    } finally MvRegistry.clear(spark)
   }
 
   test("dim-only filters rewrite and apply to MV rows") {
@@ -149,7 +149,7 @@ class MvSpec extends SparkSpec {
     try {
       val q = spark.read.parquet(decSrc).groupBy("k").agg(sum("dv").as("s"))
       assert(!leafPaths(q).exists(_.contains("/m.parquet")))
-    } finally MvRegistry.clear()
+    } finally MvRegistry.clear(spark)
   }
 
   test("ensure is CONTENT-keyed: a regenerated source with the same row " +
@@ -182,7 +182,7 @@ class MvSpec extends SparkSpec {
       assert(leafPaths(on).forall(_.contains(dwsDir)),
         s"must serve from the DWS rollup: ${leafPaths(on)}")
       val got = on.collect().map(_.mkString("|")).sorted.toSeq
-      MvRegistry.clear()
+      MvRegistry.clear(spark)
       val want = q.collect().map(_.mkString("|")).sorted.toSeq
       assert(got == want)
     }
@@ -196,7 +196,7 @@ class MvSpec extends SparkSpec {
       dims = Seq("province"),
       aggs = Seq(MvAgg("sum", "amount", "amount"), MvAgg("count", "*", "row_ct")))
     MvRegistry.register(spark, mv)
-    try checkServes() finally MvRegistry.clear()
+    try checkServes() finally MvRegistry.clear(spark)
 
     // updates + new keys ride the change feed; refresh folds the delta,
     // re-register picks up the new snapshot, the rewrite stays exact
@@ -206,7 +206,7 @@ class MvSpec extends SparkSpec {
       pk = Seq("id"), versionCol = "ver", changeLog = true)
     IncrementalDws.refresh(spark, factDir, dwsDir, Seq("province"), Seq("amount"))
     MvRegistry.register(spark, mv)
-    try checkServes() finally MvRegistry.clear()
+    try checkServes() finally MvRegistry.clear(spark)
   }
 
   test("rewritten output composes downstream (join + sort on the agg result)") {
@@ -218,11 +218,11 @@ class MvSpec extends SparkSpec {
       val joined = aggDf.join(names, "k1").orderBy(desc("svi"))
       assert(leafPaths(joined).exists(_.contains("rollup.parquet")))
       val got = joined.collect().map(_.mkString("|")).toSeq
-      MvRegistry.clear()
+      MvRegistry.clear(spark)
       val want = spark.read.parquet(srcDir).groupBy("k1")
         .agg(sum("vi").as("svi")).join(names, "k1").orderBy(desc("svi"))
         .collect().map(_.mkString("|")).toSeq
       assert(got == want)
-    } finally MvRegistry.clear()
+    } finally MvRegistry.clear(spark)
   }
 }

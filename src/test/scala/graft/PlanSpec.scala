@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
         (10L * 1024 * 1024).toString)
-      graft.core.DimRegistry.unregister(s"$sf/part.parquet") // keep later gates order-free
+      graft.core.DimRegistry.unregister(spark, s"$sf/part.parquet") // keep later gates order-free
     }
   }
 

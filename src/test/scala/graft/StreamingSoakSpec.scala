@@ -131,12 +131,12 @@ class StreamingSoakSpec extends SparkSpec {
           assert(leaves.exists(_.contains("mv_dwd")),
             s"wave $i: MV rewrite must serve mid-stream, scanned $leaves")
           val got = q.collect().map(_.mkString("|")).sorted.toSeq
-          graft.core.MvRegistry.clear()
+          graft.core.MvRegistry.clear(spark)
           val want = spark.read.parquet(dwdOut).groupBy("province_id")
             .agg(count(lit(1)).as("ct"), max(col("ts")).as("max_ts"))
             .collect().map(_.mkString("|")).sorted.toSeq
           assert(got == want, s"wave $i: MV-served answer diverged from raw")
-        } finally graft.core.MvRegistry.clear()
+        } finally graft.core.MvRegistry.clear(spark)
       }
     }
     // flush wave: far-future event time closes every earlier window in

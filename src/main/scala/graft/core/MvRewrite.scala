@@ -102,15 +102,13 @@ object Mv {
     buildDf(spark.read.parquet(d.sourcePath), d)
       .write.mode("overwrite").parquet(d.mvPath)
 
-  /** Build-if-absent, keyed on a CONTENT fingerprint of the columns the
-    * MV derives from — a regenerated source with the same row count but
-    * different values rebuilds instead of serving stale rows (a bare
-    * count key misses exactly that drift).
+  /** Build-if-absent, keyed on the source's FILE-METADATA fingerprint
+    * (names+sizes+mtimes) — a regenerated source, same row count or
+    * not, rewrites its files and therefore rebuilds instead of serving
+    * stale rows; and the key costs zero Spark jobs on cache hit.
     */
   def ensure(spark: SparkSession, d: MvDef): Unit = {
-    val src = spark.read.parquet(d.sourcePath)
-    val fpCols = (d.dims ++ d.aggs.map(_.input).filter(_ != "*")).distinct
-    val key = graft.io.Tables.contentKey(src, fpCols)
+    val key = graft.io.Tables.sourceKey(spark, d.sourcePath)
     val marker = new org.apache.hadoop.fs.Path(d.mvPath, s"_built_$key")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {

@@ -53,22 +53,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Order-independent content fingerprint of `cols`: count + wrapping
-    * sum of per-row xxhash64. Build-once caches (MVs, zones/bloom
-    * serving snapshots) key their markers on this instead of a bare
-    * row count, so a regenerated source with the SAME cardinality but
-    * different content rebuilds instead of silently serving stale rows
-    * — the failure mode a driver testdata regeneration would otherwise
-    * cause. One scan of the named columns; at the serving layer's own
-    * scale the operator versions tables explicitly instead.
+  /** Metadata fingerprint of a source table: the sorted (path, size,
+    * mtime) triple of every data file under `path`, folded into one
+    * hash. Build-once caches (MVs, zones/bloom serving snapshots) key
+    * their markers on this: a regenerated source — same row count or
+    * not — rewrites its files, so sizes/mtimes change and the cache
+    * rebuilds instead of serving stale rows. Unlike the previous
+    * row-content scan, the key costs ZERO Spark jobs (driver-side
+    * listing only — ADVICE r7: every ensure call paid a hidden
+    * O(source) aggregation even on cache hit), and whole-file metadata
+    * covers every column trivially, so a drift in a column the old
+    * fingerprint didn't hash can no longer serve a stale snapshot
+    * (ADVICE r7 #1). A spurious mtime touch merely rebuilds — safe.
     */
-  def contentKey(df: DataFrame, cols: Seq[String]): String = {
-    // per-row hash bounded to < 1e9 so the ANSI long sum cannot
-    // overflow below ~9e9 rows (far above any ensure-cached table here)
-    val r = df.agg(
-      count(lit(1)).as("n"),
-      sum(pmod(xxhash64(cols.map(col): _*), lit(1000000007L))).as("h")).head()
-    s"${r.getLong(0)}_${java.lang.Long.toHexString(if (r.isNullAt(1)) 0L else r.getLong(1))}"
+  def sourceKey(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = FsOps.fs(spark, p)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.toUri.getPath
+      if (!name.endsWith(".crc"))
+        entries += s"$name|${f.getLen}|${f.getModificationTime}"
+    }
+    val h = entries.sorted.foldLeft(1125899906842597L)((acc, e) => acc * 31 + e.hashCode)
+    java.lang.Long.toHexString(h)
   }
 
   /** Register every table as a temp view for spark.sql use. */

@@ -732,16 +732,19 @@ object Relational {
     } finally graft.core.MvRegistry.unregister(spark, mv.name)
   }
 
-  /** Build-once (count-keyed, like Mv.ensure) ts-clustered zones-enabled
-    * [[graft.io.Upsert]] snapshot of the events table — the serving
-    * layout behind [[zonesDateRange]]. Returns the table root.
+  /** Build-once (source-keyed on the events files' metadata, like
+    * Mv.ensure) ts-clustered zones-enabled [[graft.io.Upsert]] snapshot
+    * of the events table — the serving layout behind [[zonesDateRange]].
+    * Returns the table root.
     */
   def zonesEventsEnsure(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
     val root = s"target/zones/events_ts_$key"
     val ev = Tables.events(spark, sfDir)
-    // content-keyed, not count-keyed (see bloomEventsEnsure)
-    val ck = Tables.contentKey(ev, Seq("event_id", "ts", "value"))
+    // file-metadata key: any regeneration of the source — including a
+    // column this head doesn't read — rebuilds (ADVICE r7 #1), and the
+    // key itself launches no Spark job (ADVICE r7 #3)
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
     val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {
@@ -752,17 +755,18 @@ object Relational {
     root
   }
 
-  /** Build-once (count-keyed) bucketed+bloomed [[graft.io.Upsert]] copy
-    * of the events table keyed by event_id — the serving layout behind
-    * [[bloomPointLookup]]. Returns the table root.
+  /** Build-once (source-keyed on the events files' metadata) bucketed+
+    * bloomed [[graft.io.Upsert]] copy of the events table keyed by
+    * event_id — the serving layout behind [[bloomPointLookup]]. Returns
+    * the table root.
     */
   def bloomEventsEnsure(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
     val root = s"target/blooms/events_pk_$key"
     val ev = Tables.events(spark, sfDir)
-    // content-keyed, not count-keyed: a regenerated sfDir with the same
-    // cardinality but different rows must rebuild, not serve stale
-    val ck = Tables.contentKey(ev, Seq("event_id", "user_id", "value"))
+    // file-metadata key: a regenerated sfDir rebuilds regardless of
+    // which columns drifted, with zero Spark jobs on cache hit
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
     val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {

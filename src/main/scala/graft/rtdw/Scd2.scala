@@ -79,6 +79,15 @@ object Scd2 {
       .drop("__new_run", ts, tieBreak)
   }
 
+  /** Estimated broadcast bytes per version row when only a row COUNT is
+    * known: schema defaultSize (20 B per string, 8 B numerics, element-
+    * estimated containers) + row overhead, floored at 64 B. The old
+    * fixed 64 B floor under-counted wide tables (many attrs / long
+    * strings), letting a >budget table slip onto the broadcast path.
+    */
+  private[graft] def estRowBytes(schema: org.apache.spark.sql.types.StructType): Long =
+    math.max(64L, schema.map(_.dataType.defaultSize.toLong).sum + 16L)
+
   /** Enrich facts with the dim version valid at fact time: left join on
     * the key with `effective_from <= factTs < effective_to` (open
     * current version matches everything from its start).
@@ -106,16 +115,30 @@ object Scd2 {
                    key: String, factTs: String,
                    mode: String = "auto",
                    maxBroadcastBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    // A version payload column sharing a fact column's name would emit
+    // ambiguous duplicates on the broadcast path and throw deep inside
+    // the as-of nulling loop — mode="auto" would then make the SAME
+    // call succeed or fail depending on table SIZE. Reject the overlap
+    // identically on every path instead (ADVICE r7): the caller renames
+    // one side, which is the only unambiguous contract anyway.
+    val overlap = versions.columns.toSet
+      .intersect(facts.columns.toSet) - key - "effective_from" - "effective_to"
+    require(overlap.isEmpty,
+      s"temporalJoin: version payload column(s) ${overlap.mkString(", ")} collide " +
+        s"with fact columns — rename one side before joining")
     val broadcastPath = mode match {
       case "broadcast" => true
       case "asof" => false
       case "auto" =>
         val stats = versions.queryExecution.optimizedPlan.stats
         stats.rowCount match {
-          // ~64-byte floor per version row (key + 2 timestamps + attrs):
-          // over-counts bytes only via rows, erring toward as-of, never
-          // toward an oversized broadcast
-          case Some(rows) => rows * 64 <= BigInt(maxBroadcastBytes)
+          // per-row width from the SCHEMA (defaultSize: 20 B per string,
+          // 8 B numerics/timestamps, element-estimated containers) + row
+          // overhead, floored at 64 B — a fixed 64 B floor under-counted
+          // wide version tables (many attrs / long strings) and let a
+          // >64 MB table slip onto the broadcast path (ADVICE r7)
+          case Some(rows) =>
+            rows * estRowBytes(versions.schema) <= BigInt(maxBroadcastBytes)
           case None => stats.sizeInBytes <= BigInt(maxBroadcastBytes)
         }
       case other => throw new IllegalArgumentException(

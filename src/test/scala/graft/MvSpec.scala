@@ -152,8 +152,9 @@ class MvSpec extends SparkSpec {
     } finally MvRegistry.clear(spark)
   }
 
-  test("ensure is CONTENT-keyed: a regenerated source with the same row " +
-       "count but different values rebuilds instead of serving stale rows") {
+  test("ensure is source-keyed: a regenerated source with the same row " +
+       "count but different values rebuilds instead of serving stale rows, " +
+       "and a cache hit launches ZERO Spark jobs") {
     val src = Files.createTempDirectory("mv_ck").toString + "/f.parquet"
     val mvp = Files.createTempDirectory("mv_ck").toString + "/m.parquet"
     def write(mult: Int) = spark.range(100)
@@ -168,6 +169,14 @@ class MvSpec extends SparkSpec {
     Mv.ensure(spark, d)
     val v2 = spark.read.parquet(mvp).agg(sum("sum_v")).head().getLong(0)
     assert(v2 == 2 * v1, s"stale MV served after content drift: $v1 -> $v2")
+    // ADVICE r7 #3: the key is file metadata, not a row scan — a THIRD
+    // ensure over unchanged source must launch no Spark job at all
+    val sc = spark.sparkContext
+    val statusStore = sc.statusTracker
+    val before = statusStore.getJobIdsForGroup(null).length
+    Mv.ensure(spark, d)
+    val after = statusStore.getJobIdsForGroup(null).length
+    assert(after == before, s"ensure cache hit ran ${after - before} Spark job(s)")
   }
 
   test("MV over an upsert fact composes with IncrementalDws: refresh, re-register, exact") {

@@ -140,6 +140,50 @@ class Scd2Spec extends SparkSpec {
       "dim-sized version table must broadcast")
   }
 
+  test("temporalJoin: payload/fact column collision fails identically on every " +
+       "mode (auto must never succeed-or-throw by table size)") {
+    val v = Seq((1L, "a", Some(ts(10)), None: Option[Timestamp], true))
+      .toDF("user_id", "seg", "effective_from", "effective_to", "is_current")
+    // facts ALSO carry a `seg` column — the collision case
+    val facts = Seq((1L, ts(15), "fact-seg")).toDF("user_id", "ts", "seg")
+    for (mode <- Seq("auto", "broadcast", "asof")) {
+      val e = intercept[IllegalArgumentException] {
+        Scd2.temporalJoin(facts, v, "user_id", "ts", mode = mode)
+      }
+      assert(e.getMessage.contains("seg"), s"mode=$mode: $e")
+    }
+  }
+
+  test("auto gate width-adjusts by schema: many wide attrs push the same row " +
+       "count over the broadcast budget") {
+    // the width seam directly: 40 string attrs ≈ 40·20 B + key/interval
+    // fields per row, so 100k rows blow a 64 MB budget where the old
+    // fixed 64 B/row floor (6.4 MB) would still have broadcast
+    val attrs = (1 to 40).map(i => lit("x").as(s"attr_$i"))
+    val wide = spark.range(100000)
+      .select(col("id").as("user_id") +: lit(ts(10)).as("effective_from")
+        +: lit(null).cast("timestamp").as("effective_to")
+        +: lit(true).as("is_current") +: attrs: _*)
+    val est = Scd2.estRowBytes(wide.schema)
+    assert(est > 800L, s"40 string attrs must estimate > 800 B/row, got $est")
+    assert(100000L * est > 64L * 1024 * 1024,
+      "100k wide rows must exceed the 64 MB budget under the schema width")
+    assert(100000L * 64L < 64L * 1024 * 1024,
+      "(the old fixed floor would have let the same table broadcast)")
+    // end-to-end sanity (sizeInBytes branch — Spark drops rowCount
+    // through the Project, estimating ~141 B/row): 500k wide rows
+    // exceed the budget and take the as-of path under auto
+    val wider = spark.range(500000)
+      .select(col("id").as("user_id") +: lit(ts(10)).as("effective_from")
+        +: lit(null).cast("timestamp").as("effective_to")
+        +: lit(true).as("is_current") +: attrs: _*)
+    val facts = Seq((1L, ts(15), 100L)).toDF("user_id", "ts", "fact_id")
+    val p = Scd2.temporalJoin(facts, wider, "user_id", "ts",
+      mode = "auto").queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"),
+      s"over-budget wide version table must take the as-of path:\n$p")
+  }
+
   test("ingest: late cross-batch changes resurrect compressed runs; " +
        "replay is a no-op; snapshot equals the batch derivation") {
     val root = java.nio.file.Files.createTempDirectory("scd2").toString

@@ -329,6 +329,16 @@ object Upsert {
     }
   }
 
+  /** The writer lease for a COMPOSITE structure — a directory whose
+    * children are themselves Upsert tables (e.g. an IVF index root with
+    * centroids/ and cell=N/ subtables). Guards a multi-table operation
+    * (like a whole-index rebuild) with the same single-writer contract
+    * each table already has; the composite `_lock` lives at `dir`
+    * itself, so it never collides with the children's own leases.
+    */
+  def withCompositeLease[T](spark: SparkSession, dir: String)(body: => T): T =
+    withWriterLease(spark, dir)(body)
+
   private def abs(dir: String, rel: String) = s"${dir.stripSuffix("/")}/$rel"
 
   /** Scan of an exact snapshot's files. No basePath: explicit leaf

@@ -72,7 +72,17 @@ object IvfIndex {
     * identical content and the centroids snapshot commits last.
     */
   def build(spark: SparkSession, indexDir: String, corpus: DataFrame,
-            nlist: Int = 16, storage: String = "milli"): Unit = {
+            nlist: Int = 16, storage: String = "milli"): Unit =
+    buildImpl(spark, indexDir, corpus, nlist, storage, replace = false)
+
+  /** `replace = true` is the REBUILD path: every new cell is written as
+    * a fresh snapshot generation and cells absent from the new
+    * assignment are overwritten EMPTY — a vector whose cell changed
+    * under the retrained quantizer can never be served from both its
+    * old and new cell (the merge path would leave the old copy live).
+    */
+  private def buildImpl(spark: SparkSession, indexDir: String, corpus: DataFrame,
+                        nlist: Int, storage: String, replace: Boolean): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -119,7 +129,23 @@ object IvfIndex {
     val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cells = fs.listStatus(stagingPath).map(_.getPath.getName)
       .collect { case s if s.startsWith("cell=") => s.stripPrefix("cell=").toInt }
-    cells.foreach { c =>
+    if (replace) {
+      // numBuckets=1 pins later ingest merges to the same single bucket
+      // the snapshot wrote, so LWW resolution still sees every old row
+      val oldNlist = Upsert.currentManifest(spark, centroidsDir(indexDir))
+        .flatMap(_.props.get("nlist")).map(_.toInt).getOrElse(0)
+      cells.foreach { c =>
+        Upsert.overwriteSnapshot(spark, cellDir(indexDir, c),
+          spark.read.parquet(s"$staging/cell=$c"),
+          props = Map("numBuckets" -> "1"))
+      }
+      val newCells = cells.toSet
+      (0 until math.max(oldNlist, nlist)).filterNot(newCells).foreach { c =>
+        if (Upsert.currentManifest(spark, cellDir(indexDir, c)).isDefined)
+          Upsert.overwriteSnapshot(spark, cellDir(indexDir, c),
+            assigned.drop("cell").limit(0), props = Map("numBuckets" -> "1"))
+      }
+    } else cells.foreach { c =>
       Upsert.merge(spark, cellDir(indexDir, c),
         spark.read.parquet(s"$staging/cell=$c"),
         pk = Seq("vec_id"), versionCol = "__v")
@@ -268,9 +294,9 @@ object IvfIndex {
     * (ingest keeps assigning to build-time centroids; if the data
     * distribution moves, hot cells grow and probe cost follows).
     * Reading it costs manifest lookups, never a Spark job; crossing a
-    * rebuild threshold is the operator's cue to re-run [[build]] from
-    * the corpus — codes alone cannot retrain a quantizer, so rebuild
-    * is deliberately NOT automated here.
+    * rebuild threshold retrains the quantizer from the corpus — codes
+    * alone cannot retrain one, so the automated form
+    * ([[rebuildIfImbalanced]]) takes the CURRENT corpus as input.
     */
   final case class IndexHealth(nlist: Int, cellsPresent: Int,
                                liveFiles: Long, liveBytes: Long,
@@ -291,6 +317,41 @@ object IvfIndex {
         byteImbalance =
           if (bytes.isEmpty) 0.0
           else bytes.max.toDouble / (bytes.sum.toDouble / bytes.size))
+    }
+
+  /** Rebuild-on-drift thresholds. An index is HEALTHY (no-op, zero
+    * Spark jobs — health reads manifests only) while `byteImbalance`
+    * stays at or below the limit; a rebuild fires only strictly above.
+    */
+  final case class RebuildPolicy(maxByteImbalance: Double = 3.0)
+
+  /** Imbalance-gated quantizer rebuild (r7 verdict #4): the automated
+    * form of the "frozen centroids drift → hot cells grow → rebuild"
+    * judgment [[health]]'s scaladoc leaves to the operator. Reading
+    * health costs manifest lookups only, so the HEALTHY path runs zero
+    * Spark jobs; above threshold the coarse quantizer retrains from
+    * `corpus` (the CURRENT corpus — codes alone cannot retrain) under
+    * the index-level composite writer lease, and every cell is
+    * REPLACED, not merged (see [[buildImpl]]'s replace contract), so
+    * vectors that changed cells are served exactly once. Readers keep
+    * snapshot isolation per subtable; quiesce ingest for the rebuild
+    * window (the composite lease makes a concurrent REBUILD fail
+    * loudly; per-cell ingest merges are not blocked by design — they
+    * hold cell leases, not the composite one).
+    */
+  def rebuildIfImbalanced(spark: SparkSession, indexDir: String,
+                          corpus: DataFrame, nlist: Int = 16,
+                          storage: String = "milli",
+                          policy: RebuildPolicy = RebuildPolicy()): Seq[String] =
+    health(spark, indexDir) match {
+      case None => Nil // no index yet — building it is an explicit operator action
+      case Some(h) if h.byteImbalance <= policy.maxByteImbalance => Nil
+      case Some(h) =>
+        Upsert.withCompositeLease(spark, indexDir) {
+          buildImpl(spark, indexDir, corpus, nlist, storage, replace = true)
+        }
+        Seq(f"rebuild: byteImbalance ${h.byteImbalance}%.2f > " +
+          f"${policy.maxByteImbalance}%.2f (nlist=$nlist, storage=$storage)")
     }
 
   /** Threshold-gated maintenance over every cell subtable. Cell merges

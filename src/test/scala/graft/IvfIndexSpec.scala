@@ -245,4 +245,72 @@ class IvfIndexSpec extends SparkSpec {
     assert(java.util.Arrays.equals(reCodes.head, manual),
       "ingest must encode with the frozen build-time scale")
   }
+
+  test("rebuildIfImbalanced: healthy index is a zero-job no-op; skewed ingest " +
+       "trips the gate, the rebuilt index equals a FRESH build of the same " +
+       "corpus, and no vector survives in two cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    val freshDir = java.nio.file.Files.createTempDirectory("ivf_rebuild_fresh").toString
+    // evaluate the reader NOW: spark.read.parquet's schema-inference
+    // footer job must not count against the healthy gate below
+    val corp = corpus
+    IvfIndex.build(spark, dir, corp, nlist = 8)
+
+    // healthy: Nil actions AND zero Spark jobs (health is manifest-only)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val healthyActions = try {
+      val a = IvfIndex.rebuildIfImbalanced(spark, dir, corp, nlist = 8)
+      Thread.sleep(1500) // listener bus is async
+      a
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(healthyActions.isEmpty, s"healthy index must not rebuild: $healthyActions")
+    assert(jobs.get() == 0, s"healthy gate ran ${jobs.get()} Spark jobs")
+
+    // skewed ingest: 2000 near-copies of one vector pile into a single
+    // cell — each copy perturbed per-id (identical rows would compress
+    // away in parquet and hide the byte skew this gate watches)
+    val dup = spark.range(100000, 102000).select(col("id").as("vec_id"))
+      .crossJoin(corp.filter(col("vec_id") === 0).select(col("embedding").as("e0")))
+      .select(col("vec_id"), expr(
+        "transform(e0, (x, i) -> cast(x + pmod(vec_id * 31 + i, 97) / 1e3 as float))")
+        .as("embedding"))
+    IvfIndex.ingest(spark, dir, dup, batchVersion = 1L)
+    val h = IvfIndex.health(spark, dir).get
+    assert(h.byteImbalance > 3.0, s"skew batch must imbalance the index: $h")
+
+    val centroidsBefore = Upsert.read(spark, s"$dir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSet
+    val full = corp.unionByName(dup)
+    val actions = IvfIndex.rebuildIfImbalanced(spark, dir, full, nlist = 8)
+    assert(actions.exists(_.startsWith("rebuild:")), s"gate must fire: $actions")
+
+    // the quantizer actually retrained (the skew mass pulls centroids)
+    val centroidsAfter = Upsert.read(spark, s"$dir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSet
+    assert(centroidsAfter != centroidsBefore, "rebuild must refresh centroids")
+
+    // recall gate stays green on the rebuilt index: bit-identical to a
+    // FRESH build of the same corpus (same seed → same quantizer), so
+    // no stale cell content survives the replace
+    IvfIndex.build(spark, freshDir, full, nlist = 8)
+    val rebuilt = rows(IvfIndex.topK(spark, dir, queries(), k = 10, nprobe = 8))
+    val fresh = rows(IvfIndex.topK(spark, freshDir, queries(), k = 10, nprobe = 8))
+    assert(rebuilt.nonEmpty && rebuilt == fresh,
+      s"rebuilt index diverges from a fresh build: ${rebuilt.size} vs ${fresh.size} rows")
+
+    // a vector whose cell changed must not be served twice: global
+    // membership across cells is duplicate-free
+    val membership = (0 until 8).flatMap(c =>
+      Upsert.readIfExists(spark, s"$dir/cell=$c").toSeq.flatMap(
+        _.select("vec_id").as[Long].collect()))
+    assert(membership.size == membership.distinct.size,
+      "a vec_id survives in more than one cell after rebuild")
+    assert(membership.size == 2500, s"expected full corpus, got ${membership.size}")
+  }
 }

@@ -58,6 +58,7 @@ object ScaleProbe {
     val zonesOnly = args.length > 1 && args(1) == "zones"
     val bandOnly = args.length > 1 && args(1) == "band"
     val pointOnly = args.length > 1 && args(1) == "point"
+    val skewOnly = args.length > 1 && args(1) == "skew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -264,7 +265,64 @@ object ScaleProbe {
       println(f"[scale] band_n=$n%-9d pairs_equal=${naive == bucketized}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly) {
+    if (skewOnly) {
+      // Zipf-hot aggregation/window skew (VERDICT r7 #5): 25% of all
+      // events land on ONE user. Three operator families through the
+      // same hot table:
+      //  - sum/count per key (A2's shape) and distinct-count per key
+      //    (A5's shape): the naive plan is ALREADY skew-safe — partial
+      //    aggregation combines the hot key map-side (sum/count), and
+      //    count-distinct first aggregates on (key, value), a key that
+      //    is NOT skewed when the counted column is high-cardinality.
+      //    Measured naive-vs-salted to prove salting buys ~nothing.
+      //  - top-N rows per key (a_topn's WINDOW shape): row_number over
+      //    partitionBy(user) ships the hot user's 25% of n to one task
+      //    and sorts there — no partial agg exists for a window, and
+      //    AQE's skew split only applies to joins. The salted two-phase
+      //    form (Skew.topNRowsPerKey) is the fix; result equality is
+      //    asserted via an order-insensitive row hash.
+      val hot = ev.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id"), lit(11)), lit(100)) < 25, lit(424242L))
+          .otherwise(col("user_id")))
+      val cents = floor(col("value") * 100).cast("long")
+      def run(label: String)(df: => DataFrame): Long = {
+        val t0 = System.nanoTime()
+        val out = df.queryExecution.toRdd.count()
+        println(f"[scale] skew_n=$n%-9d $label%-16s ${(System.nanoTime() - t0) / 1e9}%7.1fs out=$out")
+        out
+      }
+      run("agg_sum_naive") {
+        hot.groupBy(col("user_id")).agg(sum(cents).as("s"), count(lit(1)).as("c"))
+      }
+      run("agg_sum_salted") {
+        graft.ops.Skew.saltedSum(hot, col("user_id"), col("event_id"), 32, cents)
+      }
+      run("agg_distinct_naive") {
+        hot.groupBy(col("user_id")).agg(countDistinct(col("event_id")).as("d"))
+      }
+      val order = Seq(col("value").desc, col("event_id").asc)
+      def rowHash(df: DataFrame): Long = {
+        val r = df.agg(sum(xxhash64(col("user_id"), col("event_id"), col("rnk"))).as("h"),
+          count(lit(1)).as("c")).collect()(0)
+        r.getLong(0) ^ r.getLong(1)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(order: _*)
+      run("topn_naive_window") {
+        hot.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+      }
+      run("topn_salted") {
+        graft.ops.Skew.topNRowsPerKey(hot, Seq("user_id"), order,
+          saltFrom = col("event_id"), buckets = 32, n = 3)
+      }
+      val hN = rowHash(hot.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3))
+      val hS = rowHash(graft.ops.Skew.topNRowsPerKey(hot, Seq("user_id"), order,
+        saltFrom = col("event_id"), buckets = 32, n = 3))
+      println(f"[scale] skew_n=$n%-9d topn_rows_equal=${hN == hS}")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))

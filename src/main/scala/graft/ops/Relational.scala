@@ -701,7 +701,8 @@ object Relational {
     * the (source, lang) MV — at 100 TB that is a few-thousand-row scan
     * instead of the corpus. The ORACLE aggregates the raw fact table in
     * DuckDB, so a green row proves the rewrite is semantics-preserving,
-    * not just plan-pretty. MV is built once per sf dir (count-keyed);
+    * not just plan-pretty. MV is built once per sf dir (source-keyed
+    * on the fact files' metadata, so a regenerated source rebuilds);
     * registry cleared in finally so no other query's plan can inherit
     * the rewrite (plan-sha order independence, the ADVICE r5 j5 rule).
     */

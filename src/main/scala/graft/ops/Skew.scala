@@ -27,6 +27,33 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("__partial")).as("total"))
 
+  /** Two-phase top-N ROWS per key for a skew-hot partition key — the
+    * window shape that partial aggregation CANNOT absorb: a naive
+    * `row_number() over (partition by key)` ships every row of the hot
+    * key to one task and sorts them all there, so one task's sort is
+    * O(hot-key rows) no matter how many executors exist. Phase 1 salts
+    * the key deterministically and takes the local top-N inside each
+    * (key, salt) slice — the hot key's sort splits across `buckets`
+    * tasks — then phase 2 ranks the surviving ≤ N·buckets rows per key.
+    * Results are identical to the naive window whenever `order` is a
+    * TOTAL order per key (tie-break on a unique column): the global
+    * top-N of a union is always contained in the union of per-slice
+    * top-Ns. Equality is pinned in SkewSpec; the ≥8M-row timing
+    * evidence lives in `ScaleProbe skew` (NOTES).
+    */
+  def topNRowsPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                     saltFrom: Column, buckets: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(keys.map(col) :+ col("__salt"): _*).orderBy(order: _*)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets)))
+      .withColumn("__lrn", row_number().over(w1))
+      .filter(col("__lrn") <= n)
+      .drop("__salt", "__lrn")
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= n)
+  }
+
   /** Salted join of a skewed fact against a small-but-not-broadcastable
     * dim: fact side salts each row into one of `buckets`; the dim side
     * is replicated `buckets` times — shuffle pressure on the hot key

@@ -46,6 +46,25 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase top-N rows per key equals the naive window on a hot key") {
+    // 40k rows, 60% on one user: the naive window sorts 24k rows in ONE
+    // task; the salted form splits that sort across 8 slices.
+    val ev = spark.range(40000L).select(
+      when(pmod(col("id"), lit(5)) < 3, lit(7L)).otherwise(pmod(col("id"), lit(100L))).as("user_id"),
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(1000L)).as("score"))
+    val order = Seq(col("score").desc, col("event_id").asc) // total per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(order: _*)
+    val naive = ev.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val salted = Skew.topNRowsPerKey(ev, Seq("user_id"), order,
+        saltFrom = col("event_id"), buckets = 8, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty && salted == naive)
+  }
+
   test("salted join equals plain join on a hot-keyed fact") {
     val fact = spark.range(5000L).select(
       when(pmod(col("id"), lit(2)) === 0, lit("HOT"))

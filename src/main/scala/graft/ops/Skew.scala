@@ -27,19 +27,24 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("__partial")).as("total"))
 
-  /** Two-phase top-N ROWS per key for a skew-hot partition key — the
-    * window shape that partial aggregation CANNOT absorb: a naive
-    * `row_number() over (partition by key)` ships every row of the hot
-    * key to one task and sorts them all there, so one task's sort is
-    * O(hot-key rows) no matter how many executors exist. Phase 1 salts
-    * the key deterministically and takes the local top-N inside each
-    * (key, salt) slice — the hot key's sort splits across `buckets`
-    * tasks — then phase 2 ranks the surviving ≤ N·buckets rows per key.
-    * Results are identical to the naive window whenever `order` is a
-    * TOTAL order per key (tie-break on a unique column): the global
-    * top-N of a union is always contained in the union of per-slice
-    * top-Ns. Equality is pinned in SkewSpec; the ≥8M-row timing
-    * evidence lives in `ScaleProbe skew` (NOTES).
+  /** Two-phase top-N ROWS per key for a skew-hot partition key.
+    * Phase 1 salts the key deterministically and takes the local top-N
+    * inside each (key, salt) slice — a hot key's sort splits across
+    * `buckets` tasks — then phase 2 ranks the surviving ≤ N·buckets
+    * rows per key. Results are identical to the naive window whenever
+    * `order` is a TOTAL order per key (tie-break on a unique column):
+    * the global top-N of a union is always contained in the union of
+    * per-slice top-Ns. Equality is pinned in SkewSpec.
+    *
+    * MEASURED caveat (`ScaleProbe skew`, 8M/20M rows, 25% on one key):
+    * on this engine a `row_number ≤ n` filter already plans a
+    * WindowGroupLimit — per-map-partition top-k BEFORE the shuffle, so
+    * the hot key receives ≤ k·mapPartitions rows and the naive window
+    * times at parity with (slightly ahead of) this form. Keep the
+    * naive rank-filter where the predicate is a plain rank limit (the
+    * optimizer handles it); reach for this form on engines without
+    * WindowGroupLimit or when the limit predicate is computed in a way
+    * the pushdown can't see.
     */
   def topNRowsPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                      saltFrom: Column, buckets: Int, n: Int): DataFrame = {

@@ -34,6 +34,8 @@ object SparkEntry {
     "a_zones_daterange" -> (Relational.zonesDateRange _),
     "a_pivot_daily" -> (Relational.aPivotDaily _),
     "a_percentile_exact" -> (Relational.aPercentileExact _),
+    "a_percentile_approx_bound" -> ((s: SparkSession, d: String) =>
+      Relational.aPercentileApproxBound(s, d)),
     "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
@@ -392,6 +394,25 @@ object SparkEntry {
                 MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN c END) AS p90_cents,
                 MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN c END) AS p99_cents,
                 CAST(MAX(n) AS BIGINT) AS n
+         FROM ranked GROUP BY event_type""",
+
+    // exact side oracled as above; within_bound is Spark-side gated
+    // against the GK sketch's rank-error guarantee (a5_approx_bound's
+    // pattern: the oracle pins TRUE)
+    "a_percentile_approx_bound" ->
+      """WITH ranked AS (
+           SELECT event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(FLOOR(value * 100) AS BIGINT)) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN c END) AS p50_cents,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN c END) AS p90_cents,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN c END) AS p99_cents,
+                CAST(MAX(n) AS BIGINT) AS n,
+                true AS within_bound
          FROM ranked GROUP BY event_type""",
 
     "a1_window_count" ->

@@ -192,8 +192,9 @@ object Relational {
     * out percentile_cont for a hash compare). One window sort per
     * group feeds all three percentiles plus the count. Exact
     * percentiles inherently sort each group; at 100 TB the approximate
-    * path (a5_approx_* / percentile_approx sketches) is the first
-    * choice and this head is the audit tool you run on a slice.
+    * path ([[aPercentileApproxBound]] — percentile_approx sketches,
+    * error-gated) is the first choice and this head is the audit tool
+    * you run on a slice.
     */
   def aPercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -207,6 +208,47 @@ object Relational {
     ranked.groupBy(col("event_type"))
       .agg(pick(0.5, "p50_cents"), pick(0.9, "p90_cents"), pick(0.99, "p99_cents"),
         max(col("n")).as("n"))
+  }
+
+  /** Approx-percentile bound gate — the path [[aPercentileExact]]'s
+    * scaladoc defers to at 100 TB (one mergeable sketch per group, no
+    * per-group sort), made graded the a5_approx_bound way: the head
+    * outputs the EXACT rank-selection percentiles (DuckDB-oracled)
+    * plus a `within_bound` boolean that validates every approx answer
+    * against the sketch's own guarantee. `percentile_approx` (Greenwald
+    * -Khanna) promises the value returned for probe p has rank within
+    * ε·n of ⌈p·n⌉, ε = 1/accuracy; the gate ranks each approx answer
+    * by counting c < v and c ≤ v in one conditional-sum pass (the 15
+    * probe rows broadcast back over the fact — bounded build side by
+    * construction) and checks that [rk_lo, rk_hi] intersects the
+    * allowed rank band. The same sketch is what the STREAMING leg
+    * folds ([[graft.streaming.DailyServing.percentileFinals]]), so a
+    * green row gates both paths.
+    */
+  def aPercentileApproxBound(spark: SparkSession, sfDir: String,
+                             accuracy: Int = 1000): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val approx = ev.groupBy(col("event_type")).agg(
+      percentile_approx(col("c"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(accuracy)).as("ap"),
+      count(lit(1)).as("n0"))
+    val probes = approx.select(col("event_type").as("et"), col("n0"),
+        posexplode(col("ap")))
+      .withColumnRenamed("pos", "pi").withColumnRenamed("col", "av")
+      .withColumn("p", element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pi") + 1))
+    val eps = 1.0 / accuracy
+    val gated = ev.join(broadcast(probes), col("event_type") === col("et"))
+      .groupBy(col("et"), col("pi"), col("p"), col("n0"), col("av"))
+      .agg(sum(when(col("c") < col("av"), 1L).otherwise(0L)).as("rk_lo"),
+        sum(when(col("c") <= col("av"), 1L).otherwise(0L)).as("rk_hi"))
+      .withColumn("target", ceil(col("p") * col("n0")).cast("long"))
+      .withColumn("ok",
+        col("rk_hi").cast("double") >= col("target").cast("double") - col("n0") * eps - 1 &&
+        col("rk_lo").cast("double") <= col("target").cast("double") + col("n0") * eps)
+      .groupBy(col("et")).agg(bool_and(col("ok")).as("within_bound"))
+    val exact = aPercentileExact(spark, sfDir)
+    exact.join(gated, exact("event_type") === gated("et")).drop("et")
   }
 
   /** A2 — keyed tumbling-window multi-metric aggregate.

@@ -59,6 +59,7 @@ object ScaleProbe {
     val bandOnly = args.length > 1 && args(1) == "band"
     val pointOnly = args.length > 1 && args(1) == "point"
     val skewOnly = args.length > 1 && args(1) == "skew"
+    val mvincOnly = args.length > 1 && args(1) == "mvinc"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -336,7 +337,51 @@ object ScaleProbe {
         s"naive_has_window_group_limit=${naivePlan.contains("WindowGroupLimit")}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly) {
+    if (mvincOnly) {
+      // Incremental-MV refresh vs full rebuild (the MvIncremental
+      // claim, quantified): after a SMALL correction batch lands on an
+      // n-row upsert fact, folding the change feed into the rollup
+      // must cost O(changes)+O(rollup) while a full rebuild re-reads
+      // the fact. Equality of the two aggregates is asserted.
+      val root = java.nio.file.Files.createTempDirectory("probe_mvinc").toString
+      val fact = s"$root/fact"; val dws = s"$root/dws"
+      val rows = ev
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+        .withColumn("__v", lit(1L))
+        .select("event_id", "event_type", "value_cents", "__v")
+      val tL0 = System.nanoTime()
+      graft.io.Upsert.merge(spark, fact, rows, pk = Seq("event_id"),
+        versionCol = "__v", changeLog = true)
+      val tLoad = (System.nanoTime() - tL0) / 1e9
+      val tI0 = System.nanoTime()
+      graft.rtdw.IncrementalDws.refresh(spark, fact, dws,
+        Seq("event_type"), Seq("value_cents"))
+      val tInit = (System.nanoTime() - tI0) / 1e9
+      // correction batch: 10k rows re-emitted with bumped values
+      val delta = rows.filter(col("event_id") < 10000)
+        .withColumn("value_cents", col("value_cents") + 7L)
+        .withColumn("__v", lit(2L))
+      graft.io.Upsert.merge(spark, fact, delta, pk = Seq("event_id"),
+        versionCol = "__v", changeLog = true)
+      val tR0 = System.nanoTime()
+      graft.rtdw.IncrementalDws.refresh(spark, fact, dws,
+        Seq("event_type"), Seq("value_cents"))
+      val tDelta = (System.nanoTime() - tR0) / 1e9
+      val tF0 = System.nanoTime()
+      val full = graft.io.Upsert.read(spark, fact)
+        .groupBy(col("event_type"))
+        .agg(sum(col("value_cents")).as("value_cents"), count(lit(1)).as("row_ct"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val tFull = (System.nanoTime() - tF0) / 1e9
+      val inc = graft.rtdw.IncrementalDws.current(spark, dws).get
+        .select("event_type", "value_cents", "row_ct")
+        .collect().map(_.mkString("|")).sorted.toSeq
+      println(f"[scale] mvinc_n=$n%-9d load=${tLoad}%6.1fs init_fold=${tInit}%6.1fs " +
+        f"delta_fold=${tDelta}%6.2fs full_rebuild=${tFull}%6.2fs " +
+        s"agg_equal=${inc == full}")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -511,7 +556,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -26,7 +26,7 @@ class DailyServingSpec extends SparkSpec {
         (noon + j * 1000L, et, ((day * 31 + j * 17 + et.length * 7) % 97) + 0.25)))
   }
 
-  test("streaming pivot + percentile finals == batch twins over the same waves") {
+  test("streaming pivot + percentile finals == batch twins across a mid-wave kill/restart") {
     val root = Files.createTempDirectory("dailyserving").toString
     val in = s"$root/in"
     Files.createDirectories(Paths.get(in))
@@ -34,16 +34,18 @@ class DailyServingSpec extends SparkSpec {
       .add("ts", "long").add("event_type", "string").add("value", "double")
     def stream = spark.readStream.schema(schema).json(in)
       .withColumn("event_time", timestamp_millis(col("ts")))
-    val qPivot = DailyServing.pivotFinals(stream)
+    def startPivot() = DailyServing.pivotFinals(stream)
       .writeStream.option("checkpointLocation", s"$root/ck_pivot")
       .foreachBatch { (b: DataFrame, id: Long) =>
         DailyServing.foldPivot(spark, root, b, id); ()
       }.start()
-    val qPct = DailyServing.percentileFinals(stream)
+    def startPct() = DailyServing.percentileFinals(stream)
       .writeStream.option("checkpointLocation", s"$root/ck_pct")
       .foreachBatch { (b: DataFrame, id: Long) =>
         DailyServing.foldPercentiles(spark, root, b, id); ()
       }.start()
+    var qPivot = startPivot()
+    var qPct = startPct()
 
     val all = scala.collection.mutable.Buffer.empty[(Long, String, Double)]
     (0 to 4).foreach { d =>
@@ -52,6 +54,13 @@ class DailyServingSpec extends SparkSpec {
         rs.map { case (ts, et, v) =>
           s"""{"ts":$ts,"event_type":"$et","value":$v}"""
         }.mkString("\n").getBytes)
+      if (d == 2) {
+        // mid-wave kill, no drain: the in-flight batch dies and must
+        // replay through the LWW fold — the scaladoc's idempotence
+        // claim, exercised rather than asserted
+        qPivot.stop(); qPct.stop()
+        qPivot = startPivot(); qPct = startPct()
+      }
       qPivot.processAllAvailable(); qPct.processAllAvailable()
     }
     // flush: a far-future event closes every real window; its own day

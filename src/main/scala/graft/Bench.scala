@@ -86,7 +86,9 @@ object Bench {
     // tail of stdout, which has twice truncated every per-query time out
     // of BENCH_rN.json. The same line on disk survives any truncation.
     // Keys inside each map are already sorted (results is sortBy name).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    val artifact = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(artifact.getParent)
+    java.nio.file.Files.writeString(artifact, line + "\n")
     spark.stop()
   }
 }

@@ -25,16 +25,47 @@ object DimRegistry {
   /** Registrations are keyed by `sessionUUID` (r7 verdict #3): two
     * concurrent SparkSessions in one JVM must not see each other's dim
     * declarations — a table that is dim-scale in one pipeline's session
-    * may be the 100 TB fact of another's. Entries are path-string sets
-    * (bytes per session), so no eviction is needed for this harness's
-    * session cardinality.
+    * may be the 100 TB fact of another's.
+    *
+    * Lifecycle: only `register` creates a session's entry — the read
+    * paths (`covers`/`isEmpty`, called on every optimization) never do,
+    * so merely-planning sessions cost nothing. Registered sessions are
+    * LRU-capped: a long-lived driver cycling sessions cannot grow the
+    * map unboundedly, and eviction is SEMANTICALLY safe — losing a dim
+    * declaration only drops the broadcast hint (AQE still decides from
+    * runtime sizes), never changes results.
     */
   private val bySession =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+  private val touched =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+  private val MaxSessions = 128
 
-  private def setFor(spark: SparkSession): java.util.Set[String] =
-    bySession.computeIfAbsent(org.apache.spark.sql.graft.Bridge.sessionId(spark),
+  private def setFor(spark: SparkSession): java.util.Set[String] = {
+    val id = org.apache.spark.sql.graft.Bridge.sessionId(spark)
+    touched.put(id, tick.incrementAndGet())
+    val s = bySession.computeIfAbsent(id,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    if (bySession.size > MaxSessions) evictLru()
+    s
+  }
+
+  private def existing(spark: SparkSession): Option[java.util.Set[String]] = {
+    val id = org.apache.spark.sql.graft.Bridge.sessionId(spark)
+    val s = bySession.get(id)
+    if (s != null) touched.put(id, tick.incrementAndGet())
+    Option(s)
+  }
+
+  private def evictLru(): Unit = this.synchronized {
+    import scala.jdk.CollectionConverters._
+    while (bySession.size > MaxSessions) {
+      val eldest = bySession.keySet.asScala
+        .minBy(id => Option(touched.get(id)).map(_.longValue).getOrElse(0L))
+      bySession.remove(eldest); touched.remove(eldest)
+    }
+  }
 
   /** Normalize to the URI path component so `file:/x`, `file:///x`
     * and `/x` all name the same table.
@@ -45,25 +76,26 @@ object DimRegistry {
   def register(spark: SparkSession, tablePaths: String*): Unit =
     tablePaths.foreach(p => setFor(spark).add(norm(p)))
   def unregister(spark: SparkSession, tablePath: String): Unit =
-    setFor(spark).remove(norm(tablePath))
+    existing(spark).foreach(_.remove(norm(tablePath)))
 
   /** True when `p` is a registered table path or lies inside one —
     * manifest-managed tables (io.Upsert) scan explicit FILE lists, so
     * a leaf's root path is `<table>/<bucket-file>.parquet`, not the
     * table dir itself.
     */
-  def covers(spark: SparkSession, p: String): Boolean = {
-    val n = norm(p)
-    val it = setFor(spark).iterator()
-    var found = false
-    while (!found && it.hasNext) {
-      val r = it.next()
-      found = n == r || (n.startsWith(r) && n.charAt(r.length) == '/')
+  def covers(spark: SparkSession, p: String): Boolean =
+    existing(spark).exists { set =>
+      val n = norm(p)
+      val it = set.iterator()
+      var found = false
+      while (!found && it.hasNext) {
+        val r = it.next()
+        found = n == r || (n.startsWith(r) && n.charAt(r.length) == '/')
+      }
+      found
     }
-    found
-  }
-  def isEmpty(spark: SparkSession): Boolean = setFor(spark).isEmpty
-  def clear(spark: SparkSession): Unit = setFor(spark).clear()
+  def isEmpty(spark: SparkSession): Boolean = existing(spark).forall(_.isEmpty)
+  def clear(spark: SparkSession): Unit = existing(spark).foreach(_.clear())
 }
 
 /** Auto-broadcast joins against registered dim tables.

@@ -53,10 +53,42 @@ object MvRegistry {
     */
   private val bySession = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]]()
+  private val touched =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+  private val MaxSessions = 128
 
-  private def defsFor(spark: SparkSession) =
-    bySession.computeIfAbsent(org.apache.spark.sql.graft.Bridge.sessionId(spark),
+  /** Only `register` creates a session's entry; the read paths
+    * (`isEmpty`/`all`, called on every optimization) never do, so
+    * merely-planning sessions cost nothing. Registered sessions are
+    * LRU-capped: eviction is semantically safe — a query over the fact
+    * simply stops rewriting to the rollup (correct rows, slower plan).
+    */
+  private def defsFor(spark: SparkSession) = {
+    val id = org.apache.spark.sql.graft.Bridge.sessionId(spark)
+    touched.put(id, tick.incrementAndGet())
+    val m = bySession.computeIfAbsent(id,
       _ => new java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]())
+    if (bySession.size > MaxSessions) evictLru()
+    m
+  }
+
+  private def existing(spark: SparkSession)
+      : Option[java.util.concurrent.ConcurrentHashMap[String, (MvDef, LogicalPlan)]] = {
+    val id = org.apache.spark.sql.graft.Bridge.sessionId(spark)
+    val m = bySession.get(id)
+    if (m != null) touched.put(id, tick.incrementAndGet())
+    Option(m)
+  }
+
+  private def evictLru(): Unit = this.synchronized {
+    import scala.jdk.CollectionConverters._
+    while (bySession.size > MaxSessions) {
+      val eldest = bySession.keySet.asScala
+        .minBy(id => Option(touched.get(id)).map(_.longValue).getOrElse(0L))
+      bySession.remove(eldest); touched.remove(eldest)
+    }
+  }
 
   /** Registering captures the MV's CURRENT snapshot (an
     * [[graft.io.Upsert]]-managed MV resolves its manifest's file list —
@@ -69,12 +101,13 @@ object MvRegistry {
       .getOrElse(spark.read.parquet(d.mvPath))
     defsFor(spark).put(d.name, (d, mvDf.queryExecution.analyzed))
   }
-  def unregister(spark: SparkSession, name: String): Unit = defsFor(spark).remove(name)
-  def clear(spark: SparkSession): Unit = defsFor(spark).clear()
-  def isEmpty(spark: SparkSession): Boolean = defsFor(spark).isEmpty
+  def unregister(spark: SparkSession, name: String): Unit =
+    existing(spark).foreach(_.remove(name))
+  def clear(spark: SparkSession): Unit = existing(spark).foreach(_.clear())
+  def isEmpty(spark: SparkSession): Boolean = existing(spark).forall(_.isEmpty)
   private[core] def all(spark: SparkSession): Seq[(MvDef, LogicalPlan)] = {
     import scala.jdk.CollectionConverters._
-    defsFor(spark).values().asScala.toSeq.sortBy(_._1.name)
+    existing(spark).map(_.values().asScala.toSeq.sortBy(_._1.name)).getOrElse(Nil)
   }
 }
 

@@ -75,10 +75,32 @@ object Tables {
       val f = it.next()
       val name = f.getPath.toUri.getPath
       if (!name.endsWith(".crc"))
-        entries += s"$name|${f.getLen}|${f.getModificationTime}"
+        entries += s"$name|${f.getLen}|${f.getModificationTime}|${tailHash(fs, f)}"
     }
     val h = entries.sorted.foldLeft(1125899906842597L)((acc, e) => acc * 31 + e.hashCode)
     java.lang.Long.toHexString(h)
+  }
+
+  /** Hash of a file's last KB. Names+sizes+mtimes alone can collide on
+    * stores with coarse mtime granularity (a regeneration inside the
+    * same second producing identically-sized files would serve a stale
+    * snapshot); a parquet file's tail holds its footer metadata —
+    * row-group stats, offsets — which shifts on any content change, so
+    * folding it in makes the key content-sensitive at O(files × 1 KB)
+    * driver reads, still zero Spark jobs.
+    */
+  private def tailHash(fs: org.apache.hadoop.fs.FileSystem,
+                       f: org.apache.hadoop.fs.LocatedFileStatus): Long = {
+    val len = f.getLen
+    if (len <= 0) return 0L
+    val n = math.min(1024L, len).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(f.getPath)
+    try { in.readFully(len - n, buf, 0, n) } finally in.close()
+    var h = 1125899906842597L
+    var i = 0
+    while (i < n) { h = h * 31 + buf(i); i += 1 }
+    h
   }
 
   /** Register every table as a temp view for spark.sql use. */

@@ -32,7 +32,14 @@ object Dedup {
     * so storage memory is bounded by one invocation per operator.
     */
   private val lastCaches =
-    scala.collection.mutable.Map.empty[String, Seq[DataFrame]]
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[DataFrame]]
+  /** Bound across SESSIONS too: a driver cycling short-lived sessions
+    * leaves each dead session's slot unreachable by the per-op
+    * eviction above, so the insertion-ordered map is capped and the
+    * eldest slot's caches are unpersisted on overflow. Evicting a
+    * LIVE session's slot is safe — its held results recompute.
+    */
+  private val MaxCacheSlots = 256
   /** Evict the previous invocation's caches for `op` IN THIS SESSION
     * (keyed by sessionUUID — r7 verdict #3: one session's repeat
     * invocation must never unpersist a concurrent session's live
@@ -52,7 +59,14 @@ object Dedup {
   private def trackCaches(spark: SparkSession, op: String,
                           caches: Seq[DataFrame]): Unit =
     lastCaches.synchronized {
-      lastCaches(org.apache.spark.sql.graft.Bridge.sessionId(spark) + ":" + op) = caches
+      val key = org.apache.spark.sql.graft.Bridge.sessionId(spark) + ":" + op
+      lastCaches.remove(key) // re-insert → most-recent position
+      lastCaches(key) = caches
+      while (lastCaches.size > MaxCacheSlots) {
+        val (k, evicted) = lastCaches.head
+        lastCaches.remove(k)
+        evicted.foreach(_.unpersist())
+      }
     }
 
   /** Distinct word-shingle HASHES per doc: (doc_id, s: long).

@@ -59,7 +59,24 @@ object IvfIndex {
   private val FormatVersion = "1"
 
   private def centroidsDir(dir: String) = s"${dir.stripSuffix("/")}/centroids"
-  private def cellDir(dir: String, cell: Int) = s"${dir.stripSuffix("/")}/cell=$cell"
+
+  /** Cell subtable location, EPOCH-indirected: epoch 0 is the legacy
+    * root layout (`cell=<c>`), every rebuild writes a fresh
+    * `epoch=<e>/cell=<c>` generation. The centroids manifest's `epoch`
+    * prop is the single switch — readers resolve it first, so a
+    * rebuild becomes visible only at the centroids commit and a crash
+    * mid-rebuild leaves the index serving the intact previous epoch.
+    */
+  private def cellDir(dir: String, epoch: Int, cell: Int) =
+    if (epoch == 0) s"${dir.stripSuffix("/")}/cell=$cell"
+    else s"${dir.stripSuffix("/")}/epoch=$epoch/cell=$cell"
+
+  /** The epoch the centroids manifest currently points at (0 = legacy
+    * root layout / fresh build). One manifest read, no Spark job.
+    */
+  private def currentEpoch(spark: SparkSession, indexDir: String): Int =
+    Upsert.currentManifest(spark, centroidsDir(indexDir))
+      .flatMap(_.props.get("epoch")).map(_.toInt).getOrElse(0)
 
   private def quantize(df: DataFrame): DataFrame =
     df.select(col("vec_id"), quantize_vec(col("embedding"), 1000).as("q"))
@@ -75,11 +92,15 @@ object IvfIndex {
             nlist: Int = 16, storage: String = "milli"): Unit =
     buildImpl(spark, indexDir, corpus, nlist, storage, replace = false)
 
-  /** `replace = true` is the REBUILD path: every new cell is written as
-    * a fresh snapshot generation and cells absent from the new
-    * assignment are overwritten EMPTY — a vector whose cell changed
-    * under the retrained quantizer can never be served from both its
-    * old and new cell (the merge path would leave the old copy live).
+  /** `replace = true` is the REBUILD path: the retrained assignment is
+    * written into a fresh EPOCH directory and the centroids commit —
+    * the last step — atomically switches readers to it. A vector whose
+    * cell changed under the retrained quantizer can never be served
+    * from both cells (the old epoch is never consulted again), a crash
+    * at ANY point before the centroids commit leaves the previous
+    * epoch serving intact (the half-written new epoch is abandoned,
+    * never merged into), and the previous epoch is retained one
+    * rebuild longer for in-flight readers (keep-2, like vacuum).
     */
   private def buildImpl(spark: SparkSession, indexDir: String, corpus: DataFrame,
                         nlist: Int, storage: String, replace: Boolean): Unit = {
@@ -129,37 +150,57 @@ object IvfIndex {
     val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cells = fs.listStatus(stagingPath).map(_.getPath.getName)
       .collect { case s if s.startsWith("cell=") => s.stripPrefix("cell=").toInt }
-    if (replace) {
-      // numBuckets=1 pins later ingest merges to the same single bucket
-      // the snapshot wrote, so LWW resolution still sees every old row
-      val oldNlist = Upsert.currentManifest(spark, centroidsDir(indexDir))
-        .flatMap(_.props.get("nlist")).map(_.toInt).getOrElse(0)
-      cells.foreach { c =>
-        Upsert.overwriteSnapshot(spark, cellDir(indexDir, c),
-          spark.read.parquet(s"$staging/cell=$c"),
-          props = Map("numBuckets" -> "1"))
+    val prevEpoch = currentEpoch(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/"))
+    val newEpoch =
+      if (!replace) 0
+      else {
+        // next epoch after anything on disk — a crashed attempt's dirs
+        // are abandoned, never merged into (retrained assignments could
+        // differ, and merge would resurrect the crashed attempt's rows)
+        val onDisk =
+          if (fs.exists(root))
+            fs.listStatus(root).map(_.getPath.getName)
+              .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toInt }
+          else Array.empty[Int]
+        ((onDisk :+ prevEpoch) :+ 0).max + 1
       }
-      val newCells = cells.toSet
-      (0 until math.max(oldNlist, nlist)).filterNot(newCells).foreach { c =>
-        if (Upsert.currentManifest(spark, cellDir(indexDir, c)).isDefined)
-          Upsert.overwriteSnapshot(spark, cellDir(indexDir, c),
-            assigned.drop("cell").limit(0), props = Map("numBuckets" -> "1"))
-      }
-    } else cells.foreach { c =>
-      Upsert.merge(spark, cellDir(indexDir, c),
+    // fresh epoch dirs (replace) and fresh-build cells alike go through
+    // merge's CREATE path, so every cell keeps the normal bucketed
+    // layout and later ingest batches rewrite only their touched
+    // buckets — the replace path no longer pins numBuckets=1
+    cells.foreach { c =>
+      Upsert.merge(spark, cellDir(indexDir, newEpoch, c),
         spark.read.parquet(s"$staging/cell=$c"),
         pk = Seq("vec_id"), versionCol = "__v")
     }
     fs.delete(stagingPath, true)
     val centroidRows = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    // the ONE visibility switch: until this commit, readers resolve the
+    // previous epoch's intact cells; after it, only the new epoch's
     Upsert.overwriteSnapshot(spark, centroidsDir(indexDir),
       centroidRows.toDF("cell", "centroid"),
       props = Map("nlist" -> nlist.toString,
         "corpusCount" -> corpusCount.toString,
         "storage" -> storage,
         "amax" -> amax.toString, // Double.toString round-trips exactly
+        "epoch" -> newEpoch.toString,
         "formatVersion" -> FormatVersion))
+    if (replace) {
+      // retire every epoch except the new one and its predecessor
+      // (keep-2, mirroring vacuum's in-flight-reader retention);
+      // crashed-attempt dirs above prevEpoch fall out here too
+      val keep = Set(newEpoch, prevEpoch)
+      fs.listStatus(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toInt }
+        .filterNot(keep)
+        .foreach(e => fs.delete(new org.apache.hadoop.fs.Path(root, s"epoch=$e"), true))
+      if (!keep(0))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("cell="))
+          .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+    }
     vecs.unpersist()
   }
 
@@ -192,10 +233,18 @@ object IvfIndex {
     * batch's buckets — independent of corpus size; history is never
     * read beyond the touched buckets' files. Replay-idempotent: same
     * content + version merges are LWW no-ops.
+    *
+    * Holds the index-level composite lease for the whole batch: a
+    * rebuild and an ingest can no longer interleave (the epoch an
+    * ingest resolved could otherwise be retired under it, silently
+    * dropping the batch's committed rows) — whichever writer is second
+    * fails loudly with ConcurrentWriterException, the single-writer
+    * contract lifted from tables to the index.
     */
   def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
-             batchVersion: Long = 0L): Unit = {
+             batchVersion: Long = 0L): Unit = Upsert.withCompositeLease(spark, indexDir) {
     import spark.implicits._
+    val epoch = currentEpoch(spark, indexDir)
     val (storage, amax) = storageOf(spark, indexDir)
     val centroids = Upsert.read(spark, centroidsDir(indexDir))
       .select(col("cell"), col("centroid"))
@@ -222,7 +271,7 @@ object IvfIndex {
     val cells = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     cells.foreach { c =>
-      Upsert.merge(spark, cellDir(indexDir, c),
+      Upsert.merge(spark, cellDir(indexDir, epoch, c),
         assigned.filter(col("cell") === c).drop("cell"),
         pk = Seq("vec_id"), versionCol = "__v")
     }
@@ -266,8 +315,9 @@ object IvfIndex {
       if (storage == "sq8") Seq(col("vec_id"), col("codes"), col("cn").as("n"))
       else Seq(col("vec_id"), col("q"), col("n"))
     val probedCells = probeRows.map(_._4).distinct.sorted
+    val epoch = currentEpoch(spark, indexDir)
     val lists = probedCells.flatMap { c =>
-      Upsert.readIfExists(spark, cellDir(indexDir, c)) // a cell can be empty
+      Upsert.readIfExists(spark, cellDir(indexDir, epoch, c)) // a cell can be empty
         .map(_.select(listCols: _*).withColumn("cell", lit(c)))
     }
     if (lists.isEmpty)
@@ -305,8 +355,9 @@ object IvfIndex {
   def health(spark: SparkSession, indexDir: String): Option[IndexHealth] =
     Upsert.currentManifest(spark, centroidsDir(indexDir)).map { m =>
       val nlist = m.props.get("nlist").map(_.toInt).getOrElse(0)
+      val epoch = m.props.get("epoch").map(_.toInt).getOrElse(0)
       val cellStats = (0 until nlist)
-        .flatMap(c => Upsert.stats(spark, cellDir(indexDir, c)))
+        .flatMap(c => Upsert.stats(spark, cellDir(indexDir, epoch, c)))
       val bytes = cellStats.map(_.liveBytes).filter(_ > 0)
       IndexHealth(
         nlist = nlist,
@@ -331,27 +382,34 @@ object IvfIndex {
     * health costs manifest lookups only, so the HEALTHY path runs zero
     * Spark jobs; above threshold the coarse quantizer retrains from
     * `corpus` (the CURRENT corpus — codes alone cannot retrain) under
-    * the index-level composite writer lease, and every cell is
-    * REPLACED, not merged (see [[buildImpl]]'s replace contract), so
-    * vectors that changed cells are served exactly once. Readers keep
-    * snapshot isolation per subtable; quiesce ingest for the rebuild
-    * window (the composite lease makes a concurrent REBUILD fail
-    * loudly; per-cell ingest merges are not blocked by design — they
-    * hold cell leases, not the composite one).
+    * the index-level composite writer lease, and the new assignment is
+    * written as a fresh EPOCH that the centroids commit switches to
+    * atomically (see [[buildImpl]]): a crash mid-rebuild leaves the
+    * previous epoch serving intact, and a concurrent [[ingest]] or
+    * rebuild fails loudly on the shared composite lease instead of
+    * interleaving.
+    *
+    * nlist/storage default to the INDEX'S OWN stored configuration —
+    * an automated maintenance caller must not silently re-shape the
+    * index; pass them explicitly only to deliberately reconfigure.
     */
   def rebuildIfImbalanced(spark: SparkSession, indexDir: String,
-                          corpus: DataFrame, nlist: Int = 16,
-                          storage: String = "milli",
+                          corpus: DataFrame, nlist: Int = -1,
+                          storage: String = "",
                           policy: RebuildPolicy = RebuildPolicy()): Seq[String] =
     health(spark, indexDir) match {
       case None => Nil // no index yet — building it is an explicit operator action
       case Some(h) if h.byteImbalance <= policy.maxByteImbalance => Nil
       case Some(h) =>
+        val props = Upsert.currentManifest(spark, centroidsDir(indexDir))
+          .map(_.props).getOrElse(Map.empty)
+        val useNlist = if (nlist > 0) nlist else props.get("nlist").map(_.toInt).getOrElse(16)
+        val useStorage = if (storage.nonEmpty) storage else props.getOrElse("storage", "milli")
         Upsert.withCompositeLease(spark, indexDir) {
-          buildImpl(spark, indexDir, corpus, nlist, storage, replace = true)
+          buildImpl(spark, indexDir, corpus, useNlist, useStorage, replace = true)
         }
         Seq(f"rebuild: byteImbalance ${h.byteImbalance}%.2f > " +
-          f"${policy.maxByteImbalance}%.2f (nlist=$nlist, storage=$storage)")
+          f"${policy.maxByteImbalance}%.2f (nlist=$useNlist, storage=$useStorage)")
     }
 
   /** Threshold-gated maintenance over every cell subtable. Cell merges
@@ -369,10 +427,12 @@ object IvfIndex {
   def maintain(spark: SparkSession, indexDir: String,
                policy: graft.io.Maintenance.Policy = graft.io.Maintenance.Policy())
       : Seq[String] = {
-    val nlist = Upsert.currentManifest(spark, centroidsDir(indexDir))
-      .flatMap(_.props.get("nlist")).map(_.toInt).getOrElse(return Nil)
+    val m = Upsert.currentManifest(spark, centroidsDir(indexDir))
+      .getOrElse(return Nil)
+    val nlist = m.props.get("nlist").map(_.toInt).getOrElse(return Nil)
+    val epoch = m.props.get("epoch").map(_.toInt).getOrElse(0)
     (0 until nlist).flatMap { c =>
-      graft.io.Maintenance.runUpsert(spark, cellDir(indexDir, c),
+      graft.io.Maintenance.runUpsert(spark, cellDir(indexDir, epoch, c),
         pk = Seq("vec_id"), policy = policy)
         .map(a => s"cell=$c: $a")
     }

@@ -74,18 +74,26 @@ object DailyServing {
     */
   def foldPivot(spark: SparkSession, dir: String, finals: DataFrame,
                 batchId: Long): Unit =
-    if (!finals.isEmpty)
-      Upsert.merge(spark, pivotDir(dir),
-        finals.withColumn("__v", lit(batchId)),
-        pk = Seq("day"), versionCol = "__v")
+    foldInto(spark, pivotDir(dir), finals, batchId, Seq("day"))
 
   /** foreachBatch body for the percentile leg. */
   def foldPercentiles(spark: SparkSession, dir: String, finals: DataFrame,
                       batchId: Long): Unit =
-    if (!finals.isEmpty)
-      Upsert.merge(spark, pctDir(dir),
-        finals.withColumn("__v", lit(batchId)),
-        pk = Seq("day", "event_type"), versionCol = "__v")
+    foldInto(spark, pctDir(dir), finals, batchId, Seq("day", "event_type"))
+
+  /** A foreachBatch DataFrame re-executes its plan per action, so the
+    * finals are persisted across the emptiness probe and the merge —
+    * one windowed aggregation per micro-batch, not two.
+    */
+  private def foldInto(spark: SparkSession, dir: String, finals: DataFrame,
+                       batchId: Long, pk: Seq[String]): Unit = {
+    val f = finals.persist()
+    try {
+      if (!f.isEmpty)
+        Upsert.merge(spark, dir, f.withColumn("__v", lit(batchId)),
+          pk = pk, versionCol = "__v")
+    } finally { f.unpersist(); () }
+  }
 
   /** The served tables (empty-safe). */
   def currentPivot(spark: SparkSession, dir: String): Option[DataFrame] =

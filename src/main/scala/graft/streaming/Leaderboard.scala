@@ -49,10 +49,15 @@ object Leaderboard {
     */
   def fold(spark: SparkSession, dir: String, finals: DataFrame,
            batchId: Long, n: Int = 3): Unit = {
-    if (!finals.isEmpty)
-      Upsert.merge(spark, aggDir(dir),
-        finals.withColumn("__v", lit(batchId)),
-        pk = Seq("event_type", "day"), versionCol = "__v")
+    // persist across the emptiness probe and the merge: a foreachBatch
+    // DataFrame re-executes its plan per action
+    val f = finals.persist()
+    try {
+      if (!f.isEmpty)
+        Upsert.merge(spark, aggDir(dir),
+          f.withColumn("__v", lit(batchId)),
+          pk = Seq("event_type", "day"), versionCol = "__v")
+    } finally { f.unpersist(); () }
     Upsert.readIfExists(spark, aggDir(dir)).foreach { agg =>
       Upsert.overwriteSnapshot(spark, topDir(dir),
         graft.ops.Relational.topNPerGroupDf(

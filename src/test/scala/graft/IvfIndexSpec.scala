@@ -304,13 +304,68 @@ class IvfIndexSpec extends SparkSpec {
     assert(rebuilt.nonEmpty && rebuilt == fresh,
       s"rebuilt index diverges from a fresh build: ${rebuilt.size} vs ${fresh.size} rows")
 
-    // a vector whose cell changed must not be served twice: global
-    // membership across cells is duplicate-free
+    // the rebuild switched to a fresh epoch; a vector whose cell
+    // changed must not be served twice: global membership across the
+    // CURRENT epoch's cells is duplicate-free
+    val epoch = Upsert.currentManifest(spark, s"$dir/centroids").get
+      .props("epoch").toInt
+    assert(epoch > 0, "rebuild must commit a fresh epoch")
     val membership = (0 until 8).flatMap(c =>
-      Upsert.readIfExists(spark, s"$dir/cell=$c").toSeq.flatMap(
+      Upsert.readIfExists(spark, s"$dir/epoch=$epoch/cell=$c").toSeq.flatMap(
         _.select("vec_id").as[Long].collect()))
     assert(membership.size == membership.distinct.size,
       "a vec_id survives in more than one cell after rebuild")
     assert(membership.size == 2500, s"expected full corpus, got ${membership.size}")
+    // keep-2: the pre-rebuild legacy cells survive exactly one rebuild
+    // for in-flight readers (vacuum's retention contract, per epoch)
+    assert(Upsert.readIfExists(spark, s"$dir/cell=0").isDefined,
+      "previous epoch must be retained one rebuild for in-flight readers")
+  }
+
+  test("crash-mid-rebuild epoch is abandoned: reads stay on the committed " +
+       "epoch, the next rebuild skips past it and retires it") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_crash").toString + "/idx"
+    val corp = corpus
+    IvfIndex.build(spark, dir, corp, nlist = 8)
+    val before = rows(IvfIndex.topK(spark, dir, queries(), k = 10, nprobe = 8))
+
+    // simulate a rebuild that died after writing one cell of epoch 1
+    // but before the centroids commit: a poisoned row that must NEVER
+    // be served (its vec_id would be a novel top-k hit if read)
+    import graft.functions.functions.{norm_sq_long, quantize_vec}
+    val poison = corp.limit(1).select(lit(999999L).as("vec_id"),
+      col("embedding"))
+    Upsert.merge(spark,
+      s"$dir/epoch=1/cell=0",
+      poison.select(col("vec_id"),
+        quantize_vec(col("embedding"), 1000).as("q"))
+        .withColumn("n", norm_sq_long(col("q")))
+        .withColumn("__v", lit(0L)),
+      pk = Seq("vec_id"), versionCol = "__v")
+
+    // reads and ingest still resolve the COMMITTED epoch (0)
+    val after = rows(IvfIndex.topK(spark, dir, queries(), k = 10, nprobe = 8))
+    assert(after == before, "a crashed epoch's cells must be invisible")
+    assert(!after.exists(_._2 == 999999L))
+
+    // skew the index, rebuild: the new epoch must skip PAST the
+    // crashed dir (never merge into it) and the crashed dir is retired
+    val dup = spark.range(100000, 102000).select(col("id").as("vec_id"))
+      .crossJoin(corp.filter(col("vec_id") === 0).select(col("embedding").as("e0")))
+      .select(col("vec_id"), expr(
+        "transform(e0, (x, i) -> cast(x + pmod(vec_id * 31 + i, 97) / 1e3 as float))")
+        .as("embedding"))
+    IvfIndex.ingest(spark, dir, dup, batchVersion = 1L)
+    val actions = IvfIndex.rebuildIfImbalanced(spark, dir, corp.unionByName(dup))
+    assert(actions.nonEmpty, "gate must fire on the skewed index")
+    val epoch = Upsert.currentManifest(spark, s"$dir/centroids").get
+      .props("epoch").toInt
+    assert(epoch > 1, s"rebuild must skip the crashed epoch 1, got $epoch")
+    val served = rows(IvfIndex.topK(spark, dir, queries(), k = 10, nprobe = 8))
+    assert(!served.exists(_._2 == 999999L), "poisoned crashed-epoch row served")
+    assert(!new java.io.File(s"$dir/epoch=1").exists,
+      "crashed epoch dir must be retired by the successful rebuild")
+    // defaults came from the index's own config: nlist stayed 8
+    assert(actions.exists(_.contains("nlist=8")), s"stored nlist must be reused: $actions")
   }
 }

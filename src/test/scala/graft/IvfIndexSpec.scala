@@ -322,6 +322,51 @@ class IvfIndexSpec extends SparkSpec {
       "previous epoch must be retained one rebuild for in-flight readers")
   }
 
+  test("ingest holds the index-level lease: a concurrent rebuild window " +
+       "rejects it loudly, and ingest-after-rebuild lands in the new epoch") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lease").toString + "/idx"
+    val corp = corpus
+    IvfIndex.build(spark, dir, corp.filter(col("vec_id") >= 40), nlist = 8)
+
+    // a writer holding the composite lease (what a rebuild holds for
+    // its whole window) must make a concurrent ingest fail loudly —
+    // the silent-erasure interleaving is structurally impossible now
+    intercept[Upsert.ConcurrentWriterException] {
+      Upsert.withCompositeLease(spark, dir) {
+        IvfIndex.ingest(spark, dir, corp.filter(col("vec_id") < 20), batchVersion = 1L)
+      }
+    }
+
+    // lifecycle: ingest → skew → rebuild (new epoch) → ingest again;
+    // the post-rebuild batch must land in the NEW epoch and the final
+    // index must answer exactly like a fresh build of the same rows
+    IvfIndex.ingest(spark, dir, corp.filter(col("vec_id") < 20), batchVersion = 1L)
+    val dup = spark.range(100000, 102000).select(col("id").as("vec_id"))
+      .crossJoin(corp.filter(col("vec_id") === 0).select(col("embedding").as("e0")))
+      .select(col("vec_id"), expr(
+        "transform(e0, (x, i) -> cast(x + pmod(vec_id * 31 + i, 97) / 1e3 as float))")
+        .as("embedding"))
+    IvfIndex.ingest(spark, dir, dup, batchVersion = 2L)
+    val rebuilt = IvfIndex.rebuildIfImbalanced(spark, dir,
+      corp.filter(col("vec_id") >= 40 || col("vec_id") < 20).unionByName(dup),
+      policy = IvfIndex.RebuildPolicy(maxByteImbalance = 1.1))
+    assert(rebuilt.nonEmpty, "gate must fire")
+    IvfIndex.ingest(spark, dir,
+      corp.filter(col("vec_id") >= 20 && col("vec_id") < 40), batchVersion = 3L)
+
+    assert(rows(IvfIndex.topK(spark, dir, queries(), k = 10, nprobe = 8)).nonEmpty,
+      "post-rebuild ingest must serve")
+    val epoch = Upsert.currentManifest(spark, s"$dir/centroids").get
+      .props("epoch").toInt
+    val served = (0 until 8).flatMap(c =>
+      Upsert.readIfExists(spark, s"$dir/epoch=$epoch/cell=$c").toSeq
+        .flatMap(_.select("vec_id").as[Long].collect()))
+    assert(served.toSet == (corp.select("vec_id").as[Long].collect().toSet ++
+      (100000L until 102000L)),
+      "post-rebuild ingest must land in the current epoch exactly once")
+    assert(served.size == served.distinct.size)
+  }
+
   test("crash-mid-rebuild epoch is abandoned: reads stay on the committed " +
        "epoch, the next rebuild skips past it and retires it") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_crash").toString + "/idx"

@@ -48,17 +48,26 @@ object IncrementalDws {
   /** Fold unapplied change batches of `factDir`'s feed into the
     * aggregate at `dwsDir`: groupCols × (Σ sumCols, row_ct). Returns
     * the applied batch id (unchanged when already caught up).
+    *
+    * The applied watermark and the aggregate CONTENT are both derived
+    * from ONE manifest resolution (`readAt` on that manifest's gen),
+    * never two separate reads: a refresher racing another's commit
+    * otherwise folds the delta onto the OTHER's already-folded table —
+    * a double count. From one snapshot, a racing refresher recomputes
+    * the same next table the winner wrote (the overwrite commit itself
+    * is serialized by the writer lease), so any interleaving converges.
     */
   def refresh(spark: SparkSession, factDir: String, dwsDir: String,
               groupCols: Seq[String], sumCols: Seq[String]): Long = {
-    val applied = readApplied(spark, dwsDir)
+    val man = Upsert.currentManifest(spark, tablePath(dwsDir))
+    val applied = man.flatMap(_.props.get(AppliedProp)).map(_.toLong).getOrElse(-1L)
     ChangeFeed.since(spark, factDir, applied) match {
       case None => applied
       case Some((changes, maxBatch)) =>
         val sign = when(col(ChangeFeed.ChangeCol) === "add", lit(1L)).otherwise(lit(-1L))
         val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+ sum(sign).as("row_ct")
         val delta = changes.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        val next = current(spark, dwsDir) match {
+        val next = man.map(m => Upsert.readAt(spark, tablePath(dwsDir), m.gen)) match {
           case None => delta
           case Some(prev) =>
             val cols = sumCols :+ "row_ct"

@@ -27,26 +27,29 @@ object ChangeFeed {
 
   def dirFor(tableDir: String): String = tableDir.stripSuffix("/") + "_changes"
 
-  private val ReadyRe = """\.compact-(\d+)\.ready""".r
+  private val NetRe = """net=(\d+)""".r
+  private val BatchRe = """batch=(\d+)""".r
 
-  /** (batchId, path) for every committed change batch, ascending.
-    * Completes any interrupted compaction first (see [[compact]]): a
-    * `.compact-K.ready` directory is a fully-written net whose swap
-    * didn't finish — finishing it here means no consumer ever sees a
-    * truncated feed.
+  /** (batchId, path) for every VISIBLE change batch, ascending. A
+    * `net=K` directory is a compacted prefix 0..K (see [[compact]]):
+    * the highest net present is authoritative and every `batch=` or
+    * lower `net=` it covers is invisible — from the single atomic
+    * rename that commits a net, readers resolve a complete feed at
+    * every instant, so this is a PURE read (no recovery mutation; a
+    * crashed compaction leaves only invisible covered dirs for the
+    * next compact to sweep).
     */
   def batches(spark: SparkSession, tableDir: String): Seq[(Long, String)] = {
     val root = new Path(dirFor(tableDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    var st = fs.listStatus(root).toSeq
-    val pendingCompacts = st.map(_.getPath.getName).collect { case ReadyRe(k) => k.toLong }
-    if (pendingCompacts.nonEmpty) {
-      pendingCompacts.foreach(k => finishCompaction(fs, root, k))
-      st = fs.listStatus(root).toSeq
-    }
-    st.filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath.toString))
+    val named = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(s => (s.getPath.getName, s.getPath.toString))
+    val nets = named.collect { case (NetRe(k), p) => (k.toLong, p) }
+    val maxNet = nets.map(_._1).maxOption
+    val plain = named.collect { case (BatchRe(k), p) => (k.toLong, p) }
+    (nets.filter(n => maxNet.contains(n._1)) ++
+      plain.filter(b => maxNet.forall(b._1 > _)))
       .sortBy(_._1)
   }
 
@@ -117,12 +120,23 @@ object ChangeFeed {
     * retract-against-add (for a PK table the per-row net is 0 or 1; the
     * general multiset case is expanded). Only compact up to the
     * slowest consumer's applied watermark — a consumer whose watermark
-    * is INSIDE the compacted range would double-count (single-writer
-    * discipline, same as the rest of this io layer).
+    * is INSIDE the compacted range would double-count.
+    *
+    * Crash/concurrency contract: the ONE atomic rename committing
+    * `net=upTo` is the visibility switch — before it, readers see the
+    * intact prefix; after it, the prefix is covered and invisible, so
+    * there is no instant at which a reader can list a truncated feed
+    * and no recovery phase a second runner could re-execute
+    * destructively (the old two-phase delete-then-swap allowed both).
+    * Racing compacts to the same id: one rename wins, the loser throws.
+    * A racing [[append]] always lists at least the committed net, so
+    * batch numbering can never reset. The post-commit sweep of covered
+    * dirs is idempotent garbage collection; a crash there just leaves
+    * invisible dirs for the next compact.
     */
   def compact(spark: SparkSession, tableDir: String, upTo: Long): Unit = {
     import org.apache.spark.sql.functions._
-    val prefix = batches(spark, tableDir).filter(_._1 <= upTo) // also recovers
+    val prefix = batches(spark, tableDir).filter(_._1 <= upTo)
     if (prefix.size <= 1) return
     val df = readBatchDirs(spark, prefix.map(_._2))
     val dataCols = df.columns.filterNot(_ == ChangeCol).toSeq
@@ -145,28 +159,15 @@ object ChangeFeed {
         .filter(_.getPath.getName.startsWith("_commit-"))
         .foreach(m => fs.create(new Path(tmp, m.getPath.getName), true).close())
     }
-    // COMMIT POINT: renaming .tmp -> .ready marks the net durable.
-    // Everything after (delete prefix, rename into place) is
-    // deterministic and idempotent — finishCompaction re-runs it after
-    // any crash (triggered from batches()), so the feed's history can
-    // never be lost to a crash between the deletes and the final rename.
-    val ready = new Path(root, s".compact-$upTo.ready")
-    if (fs.exists(ready)) fs.delete(ready, true)
-    FsOps.renameOrThrow(fs, tmp, ready)
-    finishCompaction(fs, root, upTo)
-  }
-
-  /** Idempotent second phase of [[compact]]: drop the prefix 0..upTo
-    * and swap the durable `.compact-upTo.ready` net in as `batch=upTo`.
-    */
-  private def finishCompaction(fs: org.apache.hadoop.fs.FileSystem,
-                               root: Path, upTo: Long): Unit = {
-    val ready = new Path(root, s".compact-$upTo.ready")
-    if (!fs.exists(ready)) return
-    fs.listStatus(root).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(_.getPath.getName.stripPrefix("batch=").toLong <= upTo)
-      .foreach(s => fs.delete(s.getPath, true))
-    FsOps.renameOrThrow(fs, ready, new Path(root, s"batch=$upTo"))
+    // COMMIT POINT (see contract above)
+    FsOps.renameOrThrow(fs, tmp, new Path(root, s"net=$upTo"))
+    // idempotent GC of everything the new net covers
+    fs.listStatus(root).foreach { s =>
+      s.getPath.getName match {
+        case BatchRe(k) if k.toLong <= upTo => fs.delete(s.getPath, true)
+        case NetRe(k) if k.toLong < upTo => fs.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
   }
 }

@@ -190,7 +190,9 @@ object MergeOnRead {
         // schemas — missing columns fill with NULL
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     widenForEvolution(baseOpt, deltaOpt) match {
-      case (None, None) => spark.emptyDataFrame
+      case (None, None) => // fail like Upsert.read: a mistyped dir must
+        // not surface as a schemaless empty frame
+        throw new IllegalStateException(s"no base or delta batches under $dir")
       case (Some(b), None) => dropDeletes(b, deleteFlagCol)
       case (None, Some(d)) =>
         dropDeletes(deltaWinners(d, pk, versionCol).drop(BatchCol), deleteFlagCol)
@@ -273,7 +275,12 @@ object MergeOnRead {
                                pk: Seq[String], versionCol: String): DataFrame = {
     val dataCols = base.columns.toIndexedSeq
     val dWin = deltaWinners(deltas, pk, versionCol).withColumn("__m", lit(1))
-    val joinCond: Column = pk.map(c => col(s"b.$c") === col(s"d.$c")).reduce(_ && _)
+    // NULL-SAFE key equality throughout: the fallback window groups
+    // null PKs into one partition and resolves a single winner, so the
+    // fast path must match a null-PK base row against a null-PK delta
+    // too — plain === would emit both rows and the two paths would
+    // return different counts depending on delta size
+    val joinCond: Column = pk.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
     val joined = base.as("b").join(broadcast(dWin.as("d")), joinCond, "left")
     // Null-aware supersede test, aligned with the fallback window's
     // (version DESC NULLS LAST, batch DESC) order (VERDICT r4 #2):
@@ -289,8 +296,12 @@ object MergeOnRead {
         .otherwise(struct(dataCols.map(c => col(s"b.$c").as(c)): _*)).as("w"))
       .select("w.*")
     val basePks = base.select(pk.map(col): _*)
-    val matchedPks = basePks.join(broadcast(dWin.select(pk.map(col): _*)), pk, "left_semi")
-    val deltaOnly = dWin.join(broadcast(matchedPks), pk, "left_anti")
+    val dPks = dWin.select(pk.map(c => col(c).as(s"__d_$c")): _*)
+    val matchedPks = basePks.join(broadcast(dPks),
+      pk.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _), "left_semi")
+    val mPks = matchedPks.select(pk.map(c => col(c).as(s"__b_$c")): _*)
+    val deltaOnly = dWin.join(broadcast(mPks),
+      pk.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _), "left_anti")
       .select(dataCols.map(col): _*)
     basePart.unionByName(deltaOnly)
   }

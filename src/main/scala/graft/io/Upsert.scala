@@ -296,12 +296,22 @@ object Upsert {
     * atomic claim primitive bare filesystems give us — so of two
     * concurrent writers exactly one proceeds; the loser throws
     * [[ConcurrentWriterException]] and its batch fails visibly (Spark
-    * retries it later, when the lease is free). A lease whose file is
-    * older than `spark.graft.lease.staleMs` (default 10 min — far above
-    * any commit's metadata work, which is seconds) is presumed crashed
-    * and taken over. Release deletes the file only when it still holds
-    * OUR token, so a takeover of a genuinely stale holder is never
-    * undone by that holder's late finally-block.
+    * retries it later, when the lease is free).
+    *
+    * Liveness vs takeover: the holder HEARTBEATS the lease file's
+    * mtime from a daemon thread every staleMs/3 for as long as `body`
+    * runs, so a legitimately long merge (the body includes data-plane
+    * writes, not just metadata) can never be presumed crashed — a
+    * lease older than `spark.graft.lease.staleMs` (default 10 min, ≫
+    * the heartbeat period) therefore means the holder PROCESS is gone.
+    * Taking such a lease over is an atomic RENAME claim, not
+    * delete-then-create: of N contenders exactly one wins the rename
+    * (the others' renames throw on the vanished source), so two
+    * contenders can never both "take over" — the delete-then-create
+    * form let the second contender's delete remove the first's FRESH
+    * lease. Release deletes the file only when it still holds OUR
+    * token, so a takeover of a genuinely stale holder is never undone
+    * by that holder's late finally-block.
     */
   private[io] def withWriterLease[T](spark: SparkSession, dir: String)(body: => T): T = {
     val root = new Path(dir)
@@ -314,15 +324,32 @@ object Upsert {
       try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
       catch { case _: java.io.IOException => -1L } // vanished: holder released
     if (!tryAcquire()) {
-      val age = holderAge()
-      if (age > leaseStaleMs(spark)) fs.delete(lease, false) // stale takeover
+      if (holderAge() > leaseStaleMs(spark)) {
+        // atomic takeover claim (see scaladoc); losers' renames throw
+        val claimed = new Path(root, s"$LeaseName.stale.$token")
+        try { FsOps.renameOrThrow(fs, lease, claimed); fs.delete(claimed, false) }
+        catch { case _: Exception => () } // another contender claimed it
+      }
       if (!tryAcquire())
         throw new ConcurrentWriterException(
           s"writer lease at $lease is held (age ${holderAge()} ms); " +
             "concurrent writers must not race — rerun when the holder finishes")
     }
+    val beatEvery = math.max(250L, leaseStaleMs(spark) / 3)
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(beatEvery)
+          try fs.setTimes(lease, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () } // lease gone: benign, release races
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-${root.getName}")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
+      beat.interrupt()
       // delete only if the lease still carries our token (a takeover of
       // a genuinely stale us must not be undone by this late release)
       if (FsOps.readRawOpt(fs, lease).contains(token)) fs.delete(lease, false)
@@ -792,7 +819,14 @@ object Upsert {
 
       case Some(man) =>
         val n = man.numBuckets(numBuckets)
-        val tagged = withBucket(updates, pk, n)
+        // PERSISTED for the branch: the batch is consulted four times
+        // (touched buckets, point keys, staged write, change-feed
+        // keys) — without pinning, a non-deterministic source could
+        // disagree across evaluations and silently drop rows (a staged
+        // bucket the manifest never references) or duplicate a PK (a
+        // key missing from the bloom-preserve probe)
+        val tagged = withBucket(updates, pk, n).persist()
+        try {
         // buckets this batch touches — bounded by numBuckets, so the
         // driver-side collect is O(numBuckets), never O(rows)
         val touched = tagged.select(BucketCol).distinct()
@@ -888,6 +922,7 @@ object Upsert {
         commitManifest(spark, dir, Manifest(gen,
           man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp,
           files), Some(man))
+        } finally { tagged.unpersist(); () }
     }
   }
 

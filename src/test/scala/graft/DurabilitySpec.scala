@@ -49,7 +49,8 @@ class DurabilitySpec extends SparkSpec {
     assert(inc == full)
   }
 
-  test("interrupted compaction (durable .ready, crash before swap) is finished by batches()") {
+  test("a crashed compaction can never truncate the feed: the net commit " +
+       "is the one visibility switch, covered dirs stay invisible until swept") {
     val root = Files.createTempDirectory("dur_compact").toString
     val fact = s"$root/fact"
     def mergeBatch(rows: Seq[(String, Long, Long)]): Unit =
@@ -59,8 +60,8 @@ class DurabilitySpec extends SparkSpec {
     mergeBatch(Seq(("k1", 2L, 15L)))
     mergeBatch(Seq(("k3", 3L, 30L)))
 
-    // simulate the crash window: the compacted net is durable under
-    // .compact-2.ready but none of the prefix deletes / final rename ran
+    // simulate the crash window AFTER the net=2 commit but BEFORE the
+    // covered-dir sweep: the net is present, batch=0..2 still on disk
     val feedRoot = new Path(ChangeFeed.dirFor(fact))
     val fs = FsOps.fs(spark, feedRoot)
     val expected = spark.read.parquet(
@@ -70,15 +71,33 @@ class DurabilitySpec extends SparkSpec {
       .agg(sum(when(col(ChangeFeed.ChangeCol) === "add", 1L).otherwise(-1L)).as("__net"))
       .filter(col("__net") > 0).drop("__net")
       .withColumn(ChangeFeed.ChangeCol, lit("add"))
-    net.write.parquet(new Path(feedRoot, ".compact-2.ready").toString)
+    net.write.parquet(new Path(feedRoot, "net=2").toString)
 
-    // next reader finishes the compaction instead of seeing a torn feed
+    // readers see ONLY the net — the covered prefix is invisible even
+    // though its dirs still exist, and reads never mutate the feed
     val after = ChangeFeed.batches(spark, fact)
     assert(after.map(_._1) == Seq(2L), s"expected single compacted batch, got $after")
+    assert(fs.exists(new Path(feedRoot, "batch=0")), "reads must not mutate")
     val content = spark.read.parquet(after.head._2)
       .filter(col(ChangeFeed.ChangeCol) === "add")
       .select("id", "ver", "v").as[(String, Long, Long)].collect().toSet
     assert(content == Set(("k1", 2L, 15L), ("k2", 1L, 20L), ("k3", 3L, 30L)))
+
+    // numbering can never reset under the crash leftovers: a new
+    // append lands ABOVE the net, and the next compact sweeps the
+    // covered dirs while folding the net forward
+    mergeBatch(Seq(("k4", 4L, 40L)))
+    assert(ChangeFeed.batches(spark, fact).map(_._1) == Seq(2L, 3L))
+    ChangeFeed.compact(spark, fact, upTo = 3L)
+    assert(ChangeFeed.batches(spark, fact).map(_._1) == Seq(3L))
+    assert(!fs.exists(new Path(feedRoot, "batch=0")), "sweep must collect covered dirs")
+    assert(!fs.exists(new Path(feedRoot, "net=2")), "sweep must collect superseded nets")
+    val finalContent = spark.read.parquet(
+        ChangeFeed.batches(spark, fact).head._2)
+      .filter(col(ChangeFeed.ChangeCol) === "add")
+      .select("id", "ver", "v").as[(String, Long, Long)].collect().toSet
+    assert(finalContent == Set(("k1", 2L, 15L), ("k2", 1L, 20L),
+      ("k3", 3L, 30L), ("k4", 4L, 40L)))
   }
 
   test("the applied watermark commits in the same manifest rename as the DWS table") {
@@ -167,6 +186,33 @@ class DurabilitySpec extends SparkSpec {
     val out2 = fs.create(lock, false); out2.write("crashed".getBytes); out2.close()
     spark.conf.set("spark.graft.lease.staleMs", "0")
     try {
+      Upsert.merge(spark, dir, Seq(("k1", 3L, "c")).toDF("id", "ver", "v"),
+        pk = Seq("id"), versionCol = "ver")
+      assert(Upsert.read(spark, dir).select("v").as[String].collect().toSeq == Seq("c"))
+    } finally spark.conf.unset("spark.graft.lease.staleMs")
+  }
+
+  test("a live holder outliving staleMs is NOT presumed crashed: heartbeats " +
+       "keep the lease fresh for the whole body, takeover needs a dead process") {
+    val root = Files.createTempDirectory("dur_beat").toString
+    val dir = s"$root/t"
+    Upsert.merge(spark, dir, Seq(("k1", 1L, "a")).toDF("id", "ver", "v"),
+      pk = Seq("id"), versionCol = "ver")
+    spark.conf.set("spark.graft.lease.staleMs", "1000")
+    try {
+      @volatile var holderDone = false
+      val holder = new Thread(() => {
+        Upsert.withCompositeLease(spark, dir) { Thread.sleep(3000); holderDone = true }
+      })
+      holder.start()
+      Thread.sleep(1500) // well past staleMs — only heartbeats keep it fresh
+      intercept[Upsert.ConcurrentWriterException] {
+        Upsert.merge(spark, dir, Seq(("k1", 2L, "steal")).toDF("id", "ver", "v"),
+          pk = Seq("id"), versionCol = "ver")
+      }
+      holder.join()
+      assert(holderDone, "holder body must have completed")
+      // release frees the table for the next writer
       Upsert.merge(spark, dir, Seq(("k1", 3L, "c")).toDF("id", "ver", "v"),
         pk = Seq("id"), versionCol = "ver")
       assert(Upsert.read(spark, dir).select("v").as[String].collect().toSeq == Seq("c"))

@@ -243,6 +243,30 @@ class MergeOnReadSpec extends SparkSpec {
     assert(fast == Map("k1" -> 11L, "k2" -> 22L, "k3" -> 30L), s"got $fast")
   }
 
+  test("NULL primary keys: the fast path's null-safe joins agree with the " +
+       "windowed fallback (one winner per null key, not two rows)") {
+    val root = Files.createTempDirectory("mor_nullpk").toString
+    val morDir = s"$root/mor"
+    def merge(rows: Seq[(Option[String], String, Long, Long, String)]): Unit =
+      MergeOnRead.merge(spark, morDir,
+        rows.toDF("id", "province_id", "ver", "amount_cents", "op"))
+    // base carries a null-PK row; compact folds it into the base file
+    merge(Seq((Some("k1"), "p1", 1L, 10L, "insert"),
+      (None, "p1", 1L, 50L, "insert")))
+    MergeOnRead.compact(spark, morDir, pk, "ver", Some("op"))
+    // a new delta re-emits the null PK with a newer version: the base's
+    // null row must be SUPERSEDED on both paths, never duplicated
+    merge(Seq((None, "p1", 2L, 77L, "update")))
+    def got(df: org.apache.spark.sql.DataFrame): Seq[(Option[String], Long)] =
+      df.select("id", "amount_cents").as[(Option[String], Long)]
+        .collect().toSeq.sortBy(_._2)
+    val fast = got(MergeOnRead.read(spark, morDir, pk, "ver", Some("op")))
+    val slow = got(MergeOnRead.read(spark, morDir, pk, "ver", Some("op"),
+      maxBroadcastDeltaBytes = 0L))
+    assert(fast == slow, s"fast $fast != fallback $slow on a NULL PK")
+    assert(fast == Seq((Some("k1"), 10L), (None, 77L)), s"got $fast")
+  }
+
   test("bloomed compaction + point lookup resolve base and deltas correctly") {
     val root = Files.createTempDirectory("mor_lookup").toString
     val dir = s"$root/t"

@@ -827,11 +827,6 @@ object Upsert {
         // key missing from the bloom-preserve probe)
         val tagged = withBucket(updates, pk, n).persist()
         try {
-        // buckets this batch touches — bounded by numBuckets, so the
-        // driver-side collect is O(numBuckets), never O(rows)
-        val touched = tagged.select(BucketCol).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (touched.isEmpty) return
         // Bloom file pruning (VERDICT r2 #7): for a POINT batch (≤
         // maxPointKeys distinct keys) against sidecar-carrying files,
         // read only the files that might hold a batch key; every other
@@ -844,6 +839,17 @@ object Upsert {
               .collect().map(_.getString(0)).toSeq
             if (ks.size > maxPointKeys) None else Some(ks)
           }
+        // buckets this batch touches — for a point batch the collected
+        // keys map to buckets driver-side (bucketOfKey is the proven
+        // bit-exact mirror of the placement hash), saving one job on
+        // the hot CDC path; otherwise one distinct-collect bounded by
+        // numBuckets, never O(rows)
+        val touched: Set[Int] = pointKeys match {
+          case Some(ks) => ks.map(bucketOfKey(_, n)).toSet
+          case None => tagged.select(BucketCol).distinct()
+            .collect().map(_.getInt(0)).toSet
+        }
+        if (touched.isEmpty) return
         val pruned: Option[Map[Int, (Seq[String], Seq[String])]] =
           pointKeys.flatMap { keys =>
             val per = touched.toSeq.map(b =>

@@ -76,6 +76,7 @@ object SparkEntry {
     "q10_returns" -> (TpcH.q10Returns _),
     "q14_promo_share" -> (TpcH.q14PromoShare _),
     "q6_forecast" -> (TpcH.q6ForecastRevenue _),
+    "q6_zones_forecast" -> (TpcH.q6ZonesForecast _),
     "q4_priority_exists" -> (TpcH.q4PriorityExists _),
     "q8_market_share" -> ((s: SparkSession, d: String) => TpcH.q8MarketShare(s, d)),
     "q12_late_shipping" -> (TpcH.q12LateShipping _),
@@ -719,6 +720,19 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey""",
 
     "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS line_ct
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    // same predicate as q6_forecast, but the Spark side serves it from
+    // the Z-ordered lineitem snapshot with the file list rectangle-
+    // pruned by zone sidecars on (l_shipdate, l_discount) — green
+    // proves the fact-path skipping read is exact
+    "q6_zones_forecast" ->
       """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                 count(*) AS line_ct
          FROM lineitem

@@ -442,21 +442,32 @@ object Upsert {
     * (older generations, unsupported types) are always read.
     */
   def readRange(spark: SparkSession, dir: String, colName: String,
-                lo: Option[Any], hi: Option[Any]): DataFrame = {
+                lo: Option[Any], hi: Option[Any]): DataFrame =
+    readRanges(spark, dir, Seq((colName, lo, hi)))
+
+  /** Multi-column [[readRange]] — the rectangle read a Z-ordered
+    * snapshot ([[Zorder]]) exists to serve: a file survives only if its
+    * zones overlap EVERY bound, so on an interleaved layout each extra
+    * dimension multiplies the prune instead of being ignored (linear
+    * clustering prunes on the leading column alone). One sidecar pass
+    * per bucket dir covers all columns. Exactness contract unchanged:
+    * every bound is re-applied as a real filter over the kept files.
+    */
+  def readRanges(spark: SparkSession, dir: String,
+                 bounds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $dir"))
     val schemaOpt = tableSchema(m)
     val schema = schemaOpt.getOrElse(scanFiles(spark, dir, m.allFiles).schema)
-    val field = schema.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(
-        s"readRange column `$colName` not in table schema ${schema.toDDL}"))
-    val (keep, _) = rangeCandidatesIn(spark, dir, m, colName, field.dataType, lo, hi)
+    val typed = resolveBounds(schema, bounds)
+    val (keep, _) = rangeCandidatesIn(spark, dir, m, typed)
     val base =
       if (keep.nonEmpty) scanFiles(spark, dir, keep, schemaOpt)
       else scanFiles(spark, dir, m.allFiles, schemaOpt).filter(lit(false))
-    val c = col(colName)
-    (lo.map(v => c >= lit(v)) ++ hi.map(v => c <= lit(v)))
-      .reduceOption(_ && _).fold(base)(base.filter)
+    bounds.flatMap { case (c0, lo, hi) =>
+      val c = col(c0)
+      lo.map(v => c >= lit(v)) ++ hi.map(v => c <= lit(v))
+    }.reduceOption(_ && _).fold(base)(base.filter)
   }
 
   /** (files kept, files pruned) for a [[readRange]] with these bounds —
@@ -465,23 +476,40 @@ object Upsert {
     * before choosing to re-cluster via [[compactBuckets]].
     */
   def rangePruneStats(spark: SparkSession, dir: String, colName: String,
-                      lo: Option[Any], hi: Option[Any]): (Int, Int) = {
+                      lo: Option[Any], hi: Option[Any]): (Int, Int) =
+    rangePruneStatsMulti(spark, dir, Seq((colName, lo, hi)))
+
+  /** [[rangePruneStats]] for a [[readRanges]] rectangle. */
+  def rangePruneStatsMulti(spark: SparkSession, dir: String,
+                           bounds: Seq[(String, Option[Any], Option[Any])]): (Int, Int) = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $dir"))
     val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
-    val field = schema.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(s"no column `$colName`"))
-    val (keep, pruned) = rangeCandidatesIn(spark, dir, m, colName, field.dataType, lo, hi)
+    val (keep, pruned) = rangeCandidatesIn(spark, dir, m, resolveBounds(schema, bounds))
     (keep.size, pruned)
   }
 
+  private def resolveBounds(schema: org.apache.spark.sql.types.StructType,
+                            bounds: Seq[(String, Option[Any], Option[Any])])
+      : Seq[(String, org.apache.spark.sql.types.DataType, Option[Any], Option[Any])] =
+    bounds.map { case (c, lo, hi) =>
+      val field = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"readRange column `$c` not in table schema ${schema.toDDL}"))
+      (c, field.dataType, lo, hi)
+    }
+
   private[io] def rangeCandidatesIn(spark: SparkSession, dir: String, m: Manifest,
-                                    colName: String,
-                                    dt: org.apache.spark.sql.types.DataType,
-                                    lo: Option[Any], hi: Option[Any]): (Seq[String], Int) = {
-    if (!Zones.supported(dt) || (lo.isEmpty && hi.isEmpty)) return (m.allFiles, 0)
-    val loZ = lo.map(Zones.toZ(dt, _))
-    val hiZ = hi.map(Zones.toZ(dt, _))
+      bounds: Seq[(String, org.apache.spark.sql.types.DataType, Option[Any], Option[Any])])
+      : (Seq[String], Int) = {
+    // a column prunes only when its type has zone support and at least
+    // one side is bounded; per-file, a missing stat for a column means
+    // "must read" for that column (statless old generations stay exact)
+    val active = bounds.collect {
+      case (c, dt, lo, hi) if Zones.supported(dt) && (lo.nonEmpty || hi.nonEmpty) =>
+        (c, lo.map(Zones.toZ(dt, _)), hi.map(Zones.toZ(dt, _)))
+    }
+    if (active.isEmpty) return (m.allFiles, 0)
     val fs = FsOps.fs(spark, new Path(dir))
     val byDir = m.allFiles.groupBy(rel => rel.split('/').init.mkString("/"))
     var pruned = 0
@@ -489,13 +517,15 @@ object Upsert {
       val sidecar = Zones.read(fs, new Path(abs(dir, bd)))
       rels.filter { rel =>
         val name = rel.substring(rel.lastIndexOf('/') + 1)
-        sidecar.flatMap(_.get(name)).flatMap(_.get(colName)) match {
-          case Some(z) =>
-            val k = Zones.overlaps(z, loZ, hiZ)
-            if (!k) pruned += 1
-            k
-          case None => true // no stats: must read
+        val stats = sidecar.flatMap(_.get(name))
+        val k = active.forall { case (colName, loZ, hiZ) =>
+          stats.flatMap(_.get(colName)) match {
+            case Some(z) => Zones.overlaps(z, loZ, hiZ)
+            case None    => true // no stats: must read
+          }
         }
+        if (!k) pruned += 1
+        k
       }
     }
     (keep, pruned)

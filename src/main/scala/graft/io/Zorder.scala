@@ -59,8 +59,20 @@ object Zorder {
     val Seq(ba, bb) = Seq(a, b).map { c =>
       df.stat.approxQuantile(c, qs, 0.001).distinct.sorted
     }
-    spread16(bucketIdx(col(a), ba))
-      .bitwiseOR(shiftleft(spread16(bucketIdx(col(b), bb)), 1))
+    // A low-cardinality dimension yields far fewer than 2^bits distinct
+    // boundaries (e.g. 11 discount values → 4-bit indexes), leaving its
+    // HIGH bits constantly zero — the interleave then degenerates to
+    // linear clustering on the other column (seen live: a discount band
+    // pruned nothing). Left-align each index to the full width so both
+    // dims contribute from the top bit down; uniform gaps below the
+    // alignment shift cost nothing (no rows live between scaled ranks).
+    def aligned(c: String, bnds: Array[Double]): Column = {
+      val shift = bits - (32 - Integer.numberOfLeadingZeros(math.max(bnds.length, 1)))
+      val idx = bucketIdx(col(c), bnds)
+      if (shift > 0) shiftleft(idx, shift) else idx
+    }
+    spread16(aligned(a, ba))
+      .bitwiseOR(shiftleft(spread16(aligned(b, bb)), 1))
   }
 
   /** Write `df` as a z-clustered [[Upsert]] snapshot: files carry

@@ -145,6 +145,67 @@ object TpcH {
       .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
         count(lit(1)).as("line_ct"))
 
+  /** Build-once (source-keyed on the lineitem files' metadata, like the
+    * events serving snapshots) Z-ORDERED [[graft.io.Upsert]] snapshot of
+    * lineitem, interleaved on (l_shipdate, l_discount) with zone
+    * sidecars on both — the fact-path data-skipping layout behind
+    * [[q6ZonesForecast]]. Linear ship-date clustering would serve the
+    * date slice alone; the Morton layout lets the discount band prune
+    * MULTIPLICATIVELY on the same files (rectangle reads — the
+    * `OPTIMIZE ZORDER BY` role on bare parquet). Returns the table root.
+    */
+  def zonesLineitemEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/zones/lineitem_z_$key"
+    val li = Tables.lineitem(spark, sfDir)
+    val ck = Tables.sourceKey(spark, s"$sfDir/lineitem.parquet")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      // normalize the NTZ parquet timestamp to session-TZ TimestampType
+      // (sessions pin UTC — the events-snapshot precedent) so the zone
+      // sidecar machinery covers it; then rank it through an
+      // epoch-seconds twin that is layout-input only (never stored)
+      val norm = li.withColumn("l_shipdate",
+        col("l_shipdate").cast(org.apache.spark.sql.types.TimestampType))
+      val num = norm.withColumn("__ship_sec", col("l_shipdate").cast("long"))
+      val z = num
+        .withColumn("__zorder", graft.io.Zorder.zvalue(num, "__ship_sec", "l_discount"))
+        .drop("__ship_sec")
+      graft.io.Upsert.overwriteSnapshot(spark, root, z,
+        zoneCols = Seq("l_shipdate", "l_discount"),
+        clusterBy = Seq("__zorder"), filesTarget = 40)
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
+  /** Q6 served from the Z-ordered lineitem snapshot via a driver-side
+    * RECTANGLE prune ([[graft.io.Upsert.readRanges]]): the manifest's
+    * file list is narrowed by BOTH the ship-date year and the discount
+    * band before any task launches, then the exact q6 predicates
+    * re-apply over the kept files (zones only prune — never a superset,
+    * never a lost row). Same oracle as `q6_forecast`, so a green row
+    * proves the skipping stack is exact on the FACT table; at 100 TB
+    * this is the difference between scanning seven years of lineitem
+    * and opening ~1/20th of its files. ZonesSpec pins files_kept ≪
+    * files_total for this layout shape.
+    */
+  def q6ZonesForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = zonesLineitemEnsure(spark, sfDir)
+    val lo = java.sql.Timestamp.from(java.time.Instant.parse("1996-01-01T00:00:00Z"))
+    val hi = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    graft.io.Upsert.readRanges(spark, root, Seq(
+        ("l_shipdate", Some(lo), Some(hi)),
+        ("l_discount", Some(0.05), Some(0.07))))
+      // the closed zone range is a one-instant superset at the upper
+      // date edge; the strict predicate restores exact q6 semantics
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("line_ct"))
+  }
+
   /** Q4-style priority check: EXISTS as a LEFT SEMI join — orders in a
     * quarter having at least one returned line. The semi join keeps the
     * probe side duplicate-free without a distinct shuffle; at scale the

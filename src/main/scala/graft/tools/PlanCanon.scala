@@ -47,7 +47,20 @@ object PlanCanon {
     // broadcast-mode lines themselves (ADVICE r5): a BoundReference
     // ordinal anywhere ELSE in the plan is a real slot choice the
     // hash must keep seeing.
-    base.linesIterator.map { l =>
+    base.linesIterator.map { l0 =>
+      // file COUNTS of scans over target/-rooted SERVING tables (Upsert
+      // snapshots, bloom-pruned lookups, IVF cells) vary with the
+      // table's build/compaction history in this container, not with
+      // the plan (seen live: j_bloom_point_lookup hashed differently on
+      // InMemoryFileIndex(9 paths) vs (11 paths) alone — both healthy
+      // bloom prunes). Source-table scans under the sf dirs KEEP their
+      // counts: a lost prune there is a regression the hash must see;
+      // serving-read narrowing is pinned by UpsertSpec/ZonesSpec file
+      // assertions instead.
+      val l =
+        if (l0.contains("InMemoryFileIndex(") && l0.contains("target/"))
+          l0.replaceAll("InMemoryFileIndex\\(\\d+ paths\\)", "InMemoryFileIndex( paths)")
+        else l0
       if (l.contains("HashedRelationBroadcastMode") || l.contains("BroadcastExchange"))
         // ordinals AND nullability of broadcast-mode keys are physical
         // properties of whichever exchange AQE reused, not of the plan

@@ -24,6 +24,20 @@ class PlanCanonSpec extends AnyFunSuite {
       "non-broadcast BoundReference ordinals must stay visible to the hash")
   }
 
+  test("serving-table file counts are stripped ONLY for target/ scans") {
+    val a = "FileScan parquet [k#1L] Location: InMemoryFileIndex(9 paths)[file:/root/repo/target/blooms/events_pk/__gen=3/..."
+    val b = "FileScan parquet [k#1L] Location: InMemoryFileIndex(11 paths)[file:/root/repo/target/blooms/events_pk/__gen=5/..."
+    assert(PlanCanon.sha(a) == PlanCanon.sha(b),
+      "serving-table build history (file counts, gens) must hash identically")
+
+    // the same count change on a SOURCE scan is a real read-width
+    // difference the hash must keep seeing
+    val c = "FileScan parquet [k#1L] Location: InMemoryFileIndex(1 paths)[file:/root/testdata/sf0.1/lineitem.parquet]"
+    val d = "FileScan parquet [k#1L] Location: InMemoryFileIndex(3 paths)[file:/root/testdata/sf0.1/lineitem.parquet]"
+    assert(PlanCanon.sha(c) != PlanCanon.sha(d),
+      "source-scan file counts must stay visible to the hash")
+  }
+
   test("run-varying ids normalize; structure does not") {
     val p1 = "*(3) HashAggregate(keys=[k#12], functions=[sum(v#13)])"
     val p2 = "*(5) HashAggregate(keys=[k#99], functions=[sum(v#101)])"

@@ -86,11 +86,8 @@ object ChangeFeed {
       case Some(existing) => existing // replay: already committed
       case None =>
         val next = batches(spark, tableDir).lastOption.map(_._1 + 1).getOrElse(0L)
-        val tmp = new Path(root, s".batch-$next.tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        changes.write.mode("overwrite").parquet(tmp.toString)
-        commitId.foreach(id => fs.create(new Path(tmp, s"_commit-$id"), true).close())
-        FsOps.renameOrThrow(fs, tmp, new Path(root, s"batch=$next"))
+        FsOps.stageAndCommitBatch(fs, root, next, commitId)(tmp =>
+          changes.write.mode("overwrite").parquet(tmp.toString))
         next
     }
   }

@@ -89,6 +89,24 @@ object FsOps {
       } catch { case _: java.io.IOException => None }
     }
 
+  /** The shared numbered-batch commit primitive behind [[ChangeFeed]]
+    * appends and [[MergeOnRead]] delta merges: stage the batch under a
+    * hidden `.batch-<n>.tmp` dir (re-staging over a crashed attempt),
+    * drop the idempotence marker inside, then ONE rename to
+    * `batch=<n>` makes marker and data visible together — a reader can
+    * never list a half-written batch, and a replayed commitId is found
+    * by the marker scan before any restaging happens. `write` receives
+    * the staging dir and must leave the batch's files in it.
+    */
+  def stageAndCommitBatch(fs: FileSystem, root: Path, batch: Long,
+                          commitId: Option[String])(write: Path => Unit): Unit = {
+    val tmp = new Path(root, s".batch-$batch.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp)
+    commitId.foreach(id => fs.create(new Path(tmp, s"_commit-$id"), true).close())
+    renameOrThrow(fs, tmp, new Path(root, s"batch=$batch"))
+  }
+
   /** Write a small text file via stage-and-rename. */
   def writeTextAtomic(spark: SparkSession, path: Path, content: String): Unit = {
     val f = fs(spark, path)

@@ -120,11 +120,8 @@ object MergeOnRead {
         val next = math.max(
           deltaBatches(spark, dir).lastOption.map(_._1).getOrElse(-1L),
           compactedUpto(spark, dir)) + 1
-        val tmp = new Path(root, s".batch-$next.tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        updates.write.mode("overwrite").parquet(tmp.toString)
-        commitId.foreach(id => fs.create(new Path(tmp, s"_commit-$id"), true).close())
-        FsOps.renameOrThrow(fs, tmp, new Path(root, s"batch=$next"))
+        FsOps.stageAndCommitBatch(fs, root, next, commitId)(tmp =>
+          updates.write.mode("overwrite").parquet(tmp.toString))
         next
     }
   }

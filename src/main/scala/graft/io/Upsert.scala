@@ -999,56 +999,36 @@ object Upsert {
     }
     if (over.isEmpty) return
     val gen = nextGen(spark, dir)
-    val fs = FsOps.fs(spark, new Path(dir))
-    val zoneStats: Seq[(String, org.apache.spark.sql.types.DataType)] = {
-      val zc = zoneColsOf(man)
-      tableSchema(man) match {
-        case Some(s) => zc.flatMap(c => s.fields.find(_.name == c).map(f => c -> f.dataType))
-        case None => Seq.empty
-      }
-    }
-    val compacted: Map[Int, Seq[String]] = over.map { case (b, rels) =>
-      val outDir = new Path(dir, s"__gen=$gen/$BucketCol=$b")
-      val src = scanFiles(spark, dir, rels, tableSchema(man))
-      // CLUSTERED compaction: range-split each bucket into
-      // `filesPerBucket` files with disjoint clusterBy ranges, sorted
-      // within — the layout that makes [[Zones]] pruning tight (and
-      // parquet row-group stats tight inside each file). Without
-      // clusterBy: pure file-count maintenance, one file per bucket.
-      val arranged =
-        if (clusterBy.nonEmpty && filesPerBucket > 1)
-          src.repartitionByRange(filesPerBucket, clusterBy.map(col): _*)
-            .sortWithinPartitions(clusterBy.map(col): _*)
-        else if (clusterBy.nonEmpty)
-          src.coalesce(1).sortWithinPartitions(clusterBy.map(col): _*)
-        else src.coalesce(1)
-      arranged.write.mode("overwrite").parquet(outDir.toString)
-      if (zoneStats.nonEmpty)
-        Zones.write(fs, outDir, Zones.buildForDir(spark, outDir.toString, zoneStats))
-      if (bloom) {
-        // sidecar for the freshly written single file
-        val posCols = (0 until Blooms.K).map(i =>
-          pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))
-        val rows = spark.read.parquet(outDir.toString)
-          .select(input_file_name().as("f"), explode(array(posCols: _*)).as("p"))
-          .select(col("f"), (col("p") / 64).cast("int").as("wi"),
-            expr("shiftleft(1L, cast(p % 64 as int))").as("bits"))
-          .groupBy(col("f"), col("wi"))
-          .agg(expr("bit_or(bits)").as("w"))
-          .collect()
-        val entries = rows.groupBy(r =>
-          r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
-          .map { case (name, frs) =>
-            val words = new Array[Long](Blooms.Words)
-            frs.foreach(r => words(r.getInt(1)) = r.getLong(2))
-            name -> words
-          }
-        Blooms.write(fs, outDir, entries)
-      }
-      b -> fs.listStatus(outDir).toSeq.map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-        .map(n => s"__gen=$gen/$BucketCol=$b/$n")
-    }
+    // ONE scan of every over-threshold file, each row's bucket read back
+    // from its directory name (placement-faithful for pk-hashed AND
+    // snapshot layouts — no re-hash), then ONE staged partitionBy write
+    // + the shared single-pass bloom/zones sidecar jobs in
+    // [[stageGeneration]]. The previous form ran a write job (and a
+    // bloom job) PER over-threshold bucket — a sequential chain of
+    // hundreds of jobs on a wide table; this is a constant number.
+    val src = scanFiles(spark, dir, over.values.flatten.toSeq, tableSchema(man))
+      .withColumn(BucketCol,
+        regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1).cast("int"))
+    // CLUSTERED compaction: range-split on (bucket, clusterBy) so each
+    // bucket's files carry disjoint clusterBy ranges, sorted within —
+    // the layout that makes [[Zones]] pruning tight (and parquet
+    // row-group stats tight inside each file). Without clusterBy: pure
+    // file-count maintenance, one partition (→ one file) per bucket.
+    val keyCols = (BucketCol +: clusterBy).map(col)
+    val arranged =
+      if (clusterBy.nonEmpty && filesPerBucket > 1)
+        src.repartitionByRange(over.size * filesPerBucket, keyCols: _*)
+          .sortWithinPartitions(keyCols: _*)
+      else if (clusterBy.nonEmpty)
+        src.repartition(over.size, col(BucketCol))
+          .sortWithinPartitions(keyCols: _*)
+      else src.repartition(over.size, col(BucketCol))
+    val staged = stageGeneration(spark, dir, gen, arranged,
+      if (bloom) Some(pk) else None, zoneColsOf(man))
+    // an over-threshold bucket whose files held zero live rows stages
+    // no dir — its entry empties rather than keeping the old files
+    val compacted: Map[Int, Seq[String]] =
+      over.map { case (b, _) => b -> staged.getOrElse(b, Seq.empty) }
     commitManifest(spark, dir, Manifest(gen, man.props, man.files ++ compacted),
       Some(man))
   }

@@ -37,6 +37,7 @@ object SparkEntry {
     "a_percentile_approx_bound" -> ((s: SparkSession, d: String) =>
       Relational.aPercentileApproxBound(s, d)),
     "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
+    "j_snapshot_diff" -> (Relational.jSnapshotDiff _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
@@ -354,6 +355,18 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
            AND ts <= TIMESTAMP '2024-01-09 00:00:00'
          GROUP BY event_type""",
+
+    // the Spark side diffs two MVCC generations of an Upsert copy of
+    // events via a zero-exchange storage-partitioned join; the oracle
+    // recomputes the correction batch's definition over the raw table —
+    // green proves the merge touched exactly the intended keys and the
+    // co-located diff lost none
+    "j_snapshot_diff" ->
+      """SELECT event_id,
+                CAST(FLOOR(value * 100) AS BIGINT) AS old_value_cents,
+                CAST(FLOOR((value + 1) * 100) AS BIGINT) AS new_value_cents
+         FROM events
+         WHERE event_id % 97 = 0""",
 
     "q_top_revenue_orders" ->
       """SELECT l_orderkey,

@@ -23,6 +23,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // storage-partitioned joins over the Upsert DSv2 reader
+      // (graft.sources.UpsertBucketSource): honor reported
+      // KeyGroupedPartitioning, tolerate missing partitions on one
+      // side, and let a join whose keys are a SUPERSET of the partition
+      // keys reuse the children's placement (the default-true
+      // co-partition check would demand an exchange exactly where the
+      // bucket layout already co-locates).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -432,6 +432,29 @@ object Upsert {
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
     currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles, tableSchema(m)))
 
+  /** Driver-side layout snapshot for the DSv2 bucketed reader
+    * ([[graft.sources.UpsertBucketSource]]): (table schema, numBuckets,
+    * bucket → (absolute file path, length)). One manifest resolution +
+    * one file-status per live file — metadata only, no Spark job.
+    */
+  private[graft] def bucketLayout(spark: SparkSession, dir: String,
+                                  gen: Option[Long] = None)
+      : (org.apache.spark.sql.types.StructType, Int, Map[Int, Seq[(String, Long)]]) = {
+    val m = gen.map(g => manifestAt(spark, dir, g).getOrElse(
+        throw new IllegalStateException(s"no manifest for gen=$g under $dir")))
+      .orElse(currentManifest(spark, dir)).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $dir"))
+    val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
+    val fs = FsOps.fs(spark, new Path(dir))
+    val files = m.files.collect { case (b, rels) if b != SchemaBucket =>
+      b -> rels.map { rel =>
+        val p = new Path(abs(dir, rel))
+        (p.toString, fs.getFileStatus(p).getLen)
+      }
+    }
+    (schema, m.numBuckets(DefaultNumBuckets), files)
+  }
+
   /** Read rows with `colName` in the closed range `[lo, hi]` (None =
     * unbounded), pruning the manifest's FILE LIST by [[Zones]] sidecars
     * before any task launches — at 100 TB the driver drops most of a

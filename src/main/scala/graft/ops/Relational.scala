@@ -820,6 +820,60 @@ object Relational {
     root
   }
 
+  /** Build-once (source-keyed) two-generation [[graft.io.Upsert]] copy
+    * of events for [[jSnapshotDiff]]: gen A = the raw table; gen B = A
+    * merged with a deterministic correction batch (every event_id
+    * divisible by 97 gets value+1). Returns (root, genA, genB).
+    */
+  def snapshotDiffEnsure(spark: SparkSession, sfDir: String): (String, Long, Long) = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/spj/events_diff_$key"
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      val ev = Tables.events(spark, sfDir)
+      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v")
+      val batch = ev.filter(col("event_id") % 97 === 0)
+        .withColumn("value", col("value") + lit(1.0))
+        .withColumn("__v", lit(2L))
+      graft.io.Upsert.merge(spark, root, batch,
+        pk = Seq("event_id"), versionCol = "__v")
+      fs.create(marker, true).close()
+    }
+    val gens = graft.io.Upsert.manifestGens(spark, root)
+    (root, gens.head, gens.last)
+  }
+
+  /** Snapshot diff between two MVCC generations of the SAME Upsert
+    * table as a storage-partitioned join: both sides are read through
+    * [[graft.sources.UpsertBucketSource]], which reports the bucket
+    * placement to the planner, so the full-outer PK join that computes
+    * the diff plans with ZERO exchange — neither snapshot is shuffled
+    * (UpsertSpjSpec pins the plan). This is the "what changed between
+    * yesterday's and today's table" primitive (Delta CDF / Iceberg
+    * changelog role): at 100 TB the diff of two table versions costs
+    * one co-located pass, not two table-wide shuffles. The null-safe
+    * value comparison also surfaces inserts/deletes (absent here by
+    * construction); the ORACLE recomputes the correction batch
+    * definition over the raw table, so a green row proves the merge
+    * touched exactly the intended keys and the diff lost none.
+    */
+  def jSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val (root, genOld, genNew) = snapshotDiffEnsure(spark, sfDir)
+    val a = graft.sources.UpsertBucketSource.read(spark, root, Some(genOld)).as("a")
+    val b = graft.sources.UpsertBucketSource.read(spark, root, Some(genNew)).as("b")
+    a.join(b,
+        col("a.event_id") === col("b.event_id") &&
+          col("a.__bucket") === col("b.__bucket"), "fullouter")
+      .filter(!(col("a.value") <=> col("b.value")))
+      .select(
+        coalesce(col("a.event_id"), col("b.event_id")).as("event_id"),
+        cents(col("a.value")).as("old_value_cents"),
+        cents(col("b.value")).as("new_value_cents"))
+  }
+
   /** Point lookup served by the full skipping stack — the HBase-Get
     * shape of the reference's dim reads (DimHBaseSinkFunction) on bare
     * parquet: keys hash to buckets DRIVER-side (no job), the manifest

@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.graft.ParquetScanShim
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+/** DSv2 reader over an [[graft.io.Upsert]] table that REPORTS the
+  * table's bucket placement to Catalyst — the storage-partitioned-join
+  * role (Iceberg's SPJ) on the bare-parquet lakehouse layer.
+  *
+  * [[graft.io.Upsert.read]]'s plain file-list scan is correct but
+  * amnesiac: the rows of bucket `b` all satisfy
+  * `xxhash64(pk) pmod n = b`, yet the plan sees an unpartitioned
+  * parquet scan, so every PK join or PK aggregate re-shuffles the
+  * table. This source exposes the placement as a real `__bucket`
+  * column (an identity-transform partition column filled from the
+  * manifest, never stored in the files) and reports
+  * `KeyGroupedPartitioning(identity(__bucket), n)` with one input
+  * partition per bucket (`HasPartitionKey`). Under
+  * `spark.sql.sources.v2.bucketing.enabled`, a join of two
+  * same-bucketed tables that includes `__bucket` equality in its keys
+  * plans with ZERO Exchange — at 100 TB that is the difference between
+  * re-shuffling the fact table per join and never shuffling it again
+  * (the reference lands its DWD/DWS tables keyed exactly so the next
+  * hop can consume them in place). Mismatched bucket counts degrade to
+  * a normal shuffle join — never to wrong results — because Catalyst
+  * only elides the exchange when both sides' partition VALUES match.
+  *
+  * The per-file record reader is Spark's own vectorized parquet reader
+  * (via [[ParquetScanShim]]), so column pruning, parquet predicate
+  * pushdown, and the columnar batch path all behave exactly like a
+  * native scan; only the partitioning REPORT is new. Snapshot choice,
+  * schema, and file lists come from one manifest resolution at plan
+  * time (MVCC: a concurrent merge flips the manifest atomically and
+  * cannot tear this scan).
+  */
+class UpsertBucketSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "UpsertBucketSource requires a path")
+    p
+  }
+
+  private def gen(get: String => String): Option[Long] =
+    Option(get("gen")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    UpsertBucketTable.load(dir(options), gen(options.get)).schema()
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    Array(Expressions.identity(UpsertBucketSource.BucketCol))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    UpsertBucketTable.load(properties.get("path"), gen(properties.get))
+}
+
+object UpsertBucketSource {
+  /** The exposed partition column — the manifest bucket id. */
+  val BucketCol = "__bucket"
+
+  /** Read an Upsert table with its bucket placement reported to the
+    * planner (`gen` = a retained MVCC generation for time travel). The
+    * result carries the extra `__bucket` int column; add `__bucket`
+    * equality to PK-join keys (or `__bucket` to PK-group keys) to let
+    * the planner elide the exchange.
+    */
+  def read(spark: SparkSession, dir: String, gen: Option[Long] = None) = {
+    val r = spark.read.format(classOf[UpsertBucketSource].getName)
+    gen.fold(r)(g => r.option("gen", g.toString)).load(dir)
+  }
+}
+
+private[sources] case class UpsertBucketTable(dir: String,
+                                              dataSchema: StructType,
+                                              numBuckets: Int,
+                                              files: Map[Int, Seq[(String, Long)]])
+    extends Table with SupportsRead {
+  override def name(): String = s"upsert:$dir"
+
+  override def schema(): StructType =
+    StructType(dataSchema.fields :+
+      StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false))
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(UpsertBucketSource.BucketCol))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new UpsertScanBuilder(this)
+}
+
+private[sources] object UpsertBucketTable {
+  def load(dir: String, gen: Option[Long] = None): UpsertBucketTable = {
+    val spark = SparkSession.active
+    val (schema, n, files) = graft.io.Upsert.bucketLayout(spark, dir, gen)
+    UpsertBucketTable(dir, schema, n, files)
+  }
+}
+
+private[sources] class UpsertScanBuilder(table: UpsertBucketTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Parquet-level pushdown is row-group SKIPPING, so hand every
+    * data-column filter to the reader but report them ALL back as
+    * residual — Spark re-applies them above the scan and correctness
+    * never depends on parquet's filter coverage.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val dataCols = table.dataSchema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(dataCols.contains))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // reader output = pruned data columns ++ __bucket (always appended
+    // as the partition column; a Project above drops it when unused)
+    val prunedData = StructType(
+      required.fields.filter(_.name != UpsertBucketSource.BucketCol))
+    new UpsertBucketScan(table, prunedData, pushed)
+  }
+}
+
+private[sources] class UpsertBucketScan(table: UpsertBucketTable,
+                                        prunedData: StructType,
+                                        filters: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  private val partitionSchema =
+    StructType(Seq(StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false)))
+
+  override def readSchema(): StructType =
+    StructType(prunedData.fields ++ partitionSchema.fields)
+
+  override def description(): String =
+    s"UpsertBucketScan ${table.name()} buckets=${table.numBuckets}"
+
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(UpsertBucketSource.BucketCol)), table.numBuckets)
+
+  /** One partition per manifest bucket, EVERY bucket 0..n-1 planned
+    * (empty ones read nothing) so two tables with the same bucket count
+    * always present identical partition-value sets — the condition for
+    * the exchange-free zip.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until table.numBuckets).map { b =>
+      UpsertBucketPartition(b, table.files.getOrElse(b, Nil).toArray)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val conf = new SerializableConfiguration(ParquetScanShim.hadoopConf(spark))
+    val support = ParquetScanShim.build(spark, table.dataSchema, partitionSchema,
+      prunedData, filters.toSeq, conf.value)
+    new UpsertBucketReaderFactory(support)
+  }
+}
+
+private[sources] case class UpsertBucketPartition(bucket: Int,
+                                                  files: Array[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+private[sources] class UpsertBucketReaderFactory(support: ParquetScanShim.ReadSupport)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    support.columnar
+
+  private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
+    val part = p.asInstanceOf[UpsertBucketPartition]
+    val pv = part.partitionKey()
+    part.files.iterator.flatMap { case (path, len) =>
+      support.read(ParquetScanShim.partitionedFile(pv, path, len))
+    }.asInstanceOf[Iterator[AnyRef]]
+  }
+
+  private class IterReader[T](it: Iterator[AnyRef]) extends PartitionReader[T] {
+    private var cur: AnyRef = _
+    override def next(): Boolean =
+      if (it.hasNext) { cur = it.next(); true } else false
+    override def get(): T = cur.asInstanceOf[T]
+    override def close(): Unit = () // per-file readers close on task completion
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new IterReader[InternalRow](rawIterator(p))
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new IterReader[ColumnarBatch](rawIterator(p))
+}

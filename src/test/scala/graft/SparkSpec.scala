@@ -10,6 +10,9 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .withExtensions(new graft.core.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -483,16 +483,17 @@ object ScaleProbe {
       }
       val tMorRead = (System.nanoTime() - t4) / 1e9
       val t4b = System.nanoTime()
-      val (_, slowShuffle) = withShuffleBytes {
+      val (spjRows, slowShuffle) = withShuffleBytes {
         graft.io.MergeOnRead.read(spark, morDir, Seq("id"), "ver",
-          maxBroadcastDeltaBytes = 0L) // force the windowed fallback
+          maxBroadcastDeltaBytes = 0L) // force the big-delta SPJ path
           .queryExecution.toRdd.count()
       }
       val tMorReadSlow = (System.nanoTime() - t4b) / 1e9
+      require(spjRows == morRows, s"SPJ path rows $spjRows != broadcast path $morRows")
       println(f"[scale] firehose_cow_100k_random   ${tCow}%6.1fs   (touches ~all 256 buckets: O(table))")
       println(f"[scale] firehose_mor_100k_random   ${tMor}%6.1fs   (one delta append: O(batch))")
       println(f"[scale] mor_read_resolve           ${tMorRead}%6.1fs   (out=$morRows; broadcast path, shuffled ${fastShuffle / 1024}%d KiB)")
-      println(f"[scale] mor_read_resolve_window    ${tMorReadSlow}%6.1fs   (windowed fallback, shuffled ${slowShuffle / 1024}%d KiB — ${slowShuffle.toDouble / math.max(fastShuffle, 1)}%.0f x more)")
+      println(f"[scale] mor_read_resolve_spj       ${tMorReadSlow}%6.1fs   (big-delta SPJ path, shuffled ${slowShuffle / 1024}%d KiB — base zips via reported layout)")
 
       // Bloom point-merge probe (VERDICT r2 #7): MULTI-FILE buckets
       // (coalesce disabled at build → shuffle-partition-count files

@@ -197,13 +197,11 @@ object MergeOnRead {
         if (deltaBytes(spark, live.map(_._2)) <= maxBroadcastDeltaBytes)
           dropDeletes(broadcastResolve(b, d, pk, versionCol), deleteFlagCol)
         else {
-          // fallback: full window over base ∪ deltas
-          val all = d.unionByName(
-            b.withColumn(BatchCol, lit(-1L)).select(d.columns.toIndexedSeq.map(col): _*))
-          val w = Window.partitionBy(pk.map(col): _*)
-            .orderBy(col(versionCol).desc, col(BatchCol).desc)
-          dropDeletes(all.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", BatchCol), deleteFlagCol)
+          // big-delta path: co-located full-outer resolve — the base
+          // never shuffles at ANY delta size (SPJ via the DSv2 bucket
+          // reader); only the delta winners exchange, into the base's
+          // own layout
+          dropDeletes(spjResolve(spark, dir, b, d, pk, versionCol), deleteFlagCol)
         }
     }
   }
@@ -245,6 +243,49 @@ object MergeOnRead {
       .orderBy(col(versionCol).desc, col(BatchCol).desc)
     deltas.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The big-delta resolve: a storage-partitioned FULL OUTER join of
+    * the base (read through [[graft.sources.UpsertBucketSource]], which
+    * reports the bucket layout — so the base side plans with NO
+    * exchange and no more than a per-bucket local sort) against the
+    * per-PK delta winners, which shuffle O(delta) rows INTO that
+    * layout via the driver-mirrored placement hash. Replaces the old
+    * windowed fallback, which shuffled base ∪ deltas — O(table) network
+    * per read; at 100 TB this path's network cost is the delta batch
+    * alone, at any delta size. Supersede semantics are bit-identical to
+    * [[broadcastResolve]] (same null-aware ordering as the window
+    * form); MergeOnReadSpec pins path equality at every step.
+    */
+  private def spjResolve(spark: SparkSession, dir: String, base: DataFrame,
+                         deltas: DataFrame, pk: Seq[String],
+                         versionCol: String): DataFrame = {
+    val unionSchema = base.schema // widened by widenForEvolution
+    val man = Upsert.currentManifest(spark, basePath(dir)).getOrElse(
+      throw new IllegalStateException(s"no base manifest under $dir"))
+    val n = man.numBuckets(Upsert.DefaultNumBuckets)
+    val bucketCol = graft.sources.UpsertBucketSource.BucketCol
+    val raw = graft.sources.UpsertBucketSource.read(spark, basePath(dir))
+    val have = raw.columns.toSet
+    val b = raw.select(unionSchema.fields.toIndexedSeq.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)) :+ col(bucketCol): _*)
+    val dWin = deltaWinners(deltas, pk, versionCol).withColumn("__m", lit(1))
+      .withColumn("__d_bucket",
+        pmod(xxhash64(Upsert.keyStr(pk)), lit(n)).cast("int"))
+    val dataCols = unionSchema.fieldNames.toIndexedSeq
+    val cond = pk.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _) &&
+      col(s"b.$bucketCol") === col("d.__d_bucket")
+    val joined = b.as("b").join(dWin.as("d"), cond, "fullouter")
+    // same null-aware supersede order as broadcastResolve / the window
+    // form: (version DESC NULLS LAST, batch DESC) with base batch −1
+    val deltaWins = col("d.__m").isNotNull &&
+      (col(s"b.$versionCol").isNull ||
+        (col(s"d.$versionCol") >= col(s"b.$versionCol")))
+    joined.select(
+      when(deltaWins, struct(dataCols.map(c => col(s"d.$c").as(c)): _*))
+        .otherwise(struct(dataCols.map(c => col(s"b.$c").as(c)): _*)).as("w"))
+      .select("w.*")
   }
 
   /** The broadcast fast path: base never shuffles.

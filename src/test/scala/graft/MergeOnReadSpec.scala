@@ -120,6 +120,39 @@ class MergeOnReadSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("big-delta path: base zips through its reported bucket layout, only deltas exchange") {
+    val root = Files.createTempDirectory("mor_spj").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 500).map(i => (s"k$i", "p1", 1L, i.toLong, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op"))
+    MergeOnRead.merge(spark, dir, Seq(("k2", "p1", 2L, 22L, "update"),
+      ("kX", "p9", 2L, 5L, "insert"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = MergeOnRead.read(spark, dir, pk, "ver", Some("op"),
+        maxBroadcastDeltaBytes = 0L) // force the big-delta path
+      val plan = df.queryExecution.executedPlan
+      val pStr = plan.toString
+      assert(pStr.contains("UpsertBucketScan"),
+        s"big-delta path must read the base through the DSv2 bucket reader:\n$pStr")
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty, "expected the delta-side exchanges")
+      // THE gate: no exchange subtree contains the base scan — the base
+      // arrives at the join through its reported KeyGroupedPartitioning
+      shuffles.foreach { s =>
+        assert(!s.toString.contains("UpsertBucketScan"),
+          s"base scan entered a shuffle exchange:\n$pStr")
+      }
+      val rows = content(df)
+      assert(rows.exists(_._1 == "kX") && rows.find(_._1 == "k2").get._4 == 22L)
+      assert(rows.size == 501)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("fast path reads the base full-width once; the existence probe is PK-only") {
     val root = Files.createTempDirectory("mor_scan").toString
     val dir = s"$root/t"

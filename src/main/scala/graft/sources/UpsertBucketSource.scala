@@ -121,6 +121,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable)
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -132,48 +133,70 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable)
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val dataCols = table.dataSchema.fieldNames.toSet
+    allFilters = filters
     pushed = filters.filter(_.references.forall(dataCols.contains))
     filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Buckets a pushed equality/IN filter on `__bucket` restricts the
+    * scan to — partition-level pruning at PLAN time (the generic-reader
+    * form of [[graft.io.Upsert.lookup]]'s manifest prune: a per-bucket
+    * point read launches tasks for the named buckets only).
+    */
+  private def keptBuckets(filters: Array[Filter]): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val sets = filters.collect {
+      case EqualTo(UpsertBucketSource.BucketCol, v: Number) => Set(v.intValue())
+      case In(UpsertBucketSource.BucketCol, vs) =>
+        vs.collect { case v: Number => v.intValue() }.toSet
+    }
+    sets.reduceOption(_ intersect _)
+  }
+
   override def build(): Scan = {
     // reader output = pruned data columns ++ __bucket (always appended
     // as the partition column; a Project above drops it when unused)
     val prunedData = StructType(
       required.fields.filter(_.name != UpsertBucketSource.BucketCol))
-    new UpsertBucketScan(table, prunedData, pushed)
+    new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters))
   }
 }
 
 private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         prunedData: StructType,
-                                        filters: Array[Filter])
+                                        filters: Array[Filter],
+                                        keepBuckets: Option[Set[Int]])
     extends Scan with Batch with SupportsReportPartitioning {
 
   private val partitionSchema =
     StructType(Seq(StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false)))
 
+  private val buckets: Seq[Int] =
+    (0 until table.numBuckets).filter(b => keepBuckets.forall(_.contains(b)))
+
   override def readSchema(): StructType =
     StructType(prunedData.fields ++ partitionSchema.fields)
 
   override def description(): String =
-    s"UpsertBucketScan ${table.name()} buckets=${table.numBuckets}"
+    s"UpsertBucketScan ${table.name()} buckets=${buckets.size}/${table.numBuckets}"
 
   override def toBatch: Batch = this
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.identity(UpsertBucketSource.BucketCol)), table.numBuckets)
+      Array(Expressions.identity(UpsertBucketSource.BucketCol)), buckets.size)
 
   /** One partition per manifest bucket, EVERY bucket 0..n-1 planned
     * (empty ones read nothing) so two tables with the same bucket count
     * always present identical partition-value sets — the condition for
-    * the exchange-free zip.
+    * the exchange-free zip. A pushed `__bucket` equality/IN filter
+    * drops pruned buckets entirely (no task is launched for them);
+    * `pushPartValues` reconciles the thinner value set on the SPJ side.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until table.numBuckets).map { b =>
+    buckets.map { b =>
       UpsertBucketPartition(b, table.files.getOrElse(b, Nil).toArray)
     }.toArray
 

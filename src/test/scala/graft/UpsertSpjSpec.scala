@@ -92,6 +92,25 @@ class UpsertSpjSpec extends SparkSpec {
     }
   }
 
+  test("a pushed __bucket filter prunes partitions at plan time (generic point get)") {
+    val dir = mkTable(400, 8, "a")
+    val key = "k123"
+    val b = Upsert.bucketOfKey(key, 8)
+    val get = UpsertBucketSource.read(spark, dir)
+      .filter(col("__bucket") === b && col("k") === key)
+    // partition-level prune: only the key's bucket is planned
+    assert(get.rdd.getNumPartitions == 1,
+      s"expected 1 planned bucket:\n${get.queryExecution.executedPlan}")
+    assert(get.select("v").as[String].collect().toSeq == Seq("a123"))
+    // IN-list across two buckets
+    val keys = Seq("k5", "k17")
+    val bs = keys.map(Upsert.bucketOfKey(_, 8)).distinct
+    val multi = UpsertBucketSource.read(spark, dir)
+      .filter(col("__bucket").isin(bs: _*) && col("k").isin(keys: _*))
+    assert(multi.rdd.getNumPartitions == bs.size)
+    assert(multi.select("k").as[String].collect().sorted.toSeq == keys.sorted)
+  }
+
   test("j_snapshot_diff head: two-generation diff joins with zero Exchange") {
     val diff = graft.ops.Relational.jSnapshotDiff(spark, sf)
     val plan = diff.queryExecution.executedPlan.toString

@@ -380,6 +380,12 @@ object Upsert {
     */
   private val SchemaProp = "schema"
 
+  /** Manifest record of the PK columns a merge bucketed by — the
+    * placement contract the DSv2 runtime filter needs to map key
+    * values to buckets/files driver-side.
+    */
+  private[graft] val PkColsProp = "pkCols"
+
   private def tableSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
     m.props.get(SchemaProp).map(org.apache.spark.sql.types.StructType.fromDDL)
 
@@ -433,13 +439,16 @@ object Upsert {
     currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles, tableSchema(m)))
 
   /** Driver-side layout snapshot for the DSv2 bucketed reader
-    * ([[graft.sources.UpsertBucketSource]]): (table schema, numBuckets,
-    * bucket → (absolute file path, length)). One manifest resolution +
+    * ([[graft.sources.UpsertBucketSource]]). One manifest resolution +
     * one file-status per live file — metadata only, no Spark job.
     */
+  case class BucketLayout(gen: Long,
+                          schema: org.apache.spark.sql.types.StructType,
+                          numBuckets: Int, pk: Seq[String],
+                          files: Map[Int, Seq[(String, Long)]])
+
   private[graft] def bucketLayout(spark: SparkSession, dir: String,
-                                  gen: Option[Long] = None)
-      : (org.apache.spark.sql.types.StructType, Int, Map[Int, Seq[(String, Long)]]) = {
+                                  gen: Option[Long] = None): BucketLayout = {
     val m = gen.map(g => manifestAt(spark, dir, g).getOrElse(
         throw new IllegalStateException(s"no manifest for gen=$g under $dir")))
       .orElse(currentManifest(spark, dir)).getOrElse(
@@ -452,7 +461,33 @@ object Upsert {
         (p.toString, fs.getFileStatus(p).getLen)
       }
     }
-    (schema, m.numBuckets(DefaultNumBuckets), files)
+    BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
+      m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil), files)
+  }
+
+  /** Runtime-filter support for the DSv2 reader: absolute paths of the
+    * generation's files that might contain any of `keys` (canonical
+    * single-PK strings), keyed by bucket — buckets absent from the map
+    * hold none of the keys. Driver-side: the bucket hash mirror plus
+    * Bloom sidecar probes, against the SAME generation the scan
+    * planned (never the current manifest — a concurrent merge must not
+    * tear a running query's snapshot). None when the table records no
+    * single-column PK (no pruning possible).
+    */
+  private[graft] def keyCandidateFiles(spark: SparkSession, dir: String,
+                                       gen: Long, keys: Seq[String])
+      : Option[Map[Int, Set[String]]] = {
+    val m = manifestAt(spark, dir, gen).getOrElse(return None)
+    if (!m.props.get(PkColsProp).exists(p => p.nonEmpty && !p.contains(",")))
+      return None
+    val n = m.numBuckets(DefaultNumBuckets)
+    Some(keys.groupBy(bucketOfKey(_, n)).map { case (b, ks) =>
+      val rels = bloomCandidatesIn(spark, dir, m, b, ks) match {
+        case Some((cand, _)) => cand
+        case None => m.files.getOrElse(b, Seq.empty)
+      }
+      b -> rels.map(rel => new Path(abs(dir, rel)).toString).toSet
+    })
   }
 
   /** Read rows with `colName` in the closed range `[lo, hi]` (None =
@@ -868,6 +903,7 @@ object Upsert {
           else Map.empty[String, String]
         commitManifest(spark, dir,
           Manifest(gen, Map("numBuckets" -> numBuckets.toString,
+            PkColsProp -> pk.mkString(","),
             SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp, files))
 
       case Some(man) =>
@@ -979,7 +1015,8 @@ object Upsert {
           if (effZones.nonEmpty) Map(ZoneColsProp -> effZones.mkString(","))
           else Map.empty[String, String]
         commitManifest(spark, dir, Manifest(gen,
-          man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp,
+          man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL)
+            + (PkColsProp -> pk.mkString(",")) ++ zoneProp,
           files), Some(man))
         } finally { tagged.unpersist(); () }
     }

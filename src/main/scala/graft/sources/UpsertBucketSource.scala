@@ -87,9 +87,9 @@ object UpsertBucketSource {
   }
 }
 
-private[sources] case class UpsertBucketTable(dir: String,
+private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               dataSchema: StructType,
-                                              numBuckets: Int,
+                                              numBuckets: Int, pk: Seq[String],
                                               files: Map[Int, Seq[(String, Long)]])
     extends Table with SupportsRead {
   override def name(): String = s"upsert:$dir"
@@ -111,8 +111,8 @@ private[sources] case class UpsertBucketTable(dir: String,
 private[sources] object UpsertBucketTable {
   def load(dir: String, gen: Option[Long] = None): UpsertBucketTable = {
     val spark = SparkSession.active
-    val (schema, n, files) = graft.io.Upsert.bucketLayout(spark, dir, gen)
-    UpsertBucketTable(dir, schema, n, files)
+    val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
+    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.files)
   }
 }
 
@@ -168,7 +168,46 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         prunedData: StructType,
                                         filters: Array[Filter],
                                         keepBuckets: Option[Set[Int]])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filtering: when the other join side
+    * materializes small, Spark hands this scan an In/EqualTo on the
+    * table's single-column PK; the values map DRIVER-side to buckets
+    * via the placement-hash mirror and then to candidate files via the
+    * Bloom sidecars — whole buckets empty out and bloomed files skip,
+    * before any task launches. Partition COUNT is deliberately
+    * unchanged (pruned buckets keep an empty file list), so the
+    * reported KeyGroupedPartitioning stays valid for SPJ. Values of
+    * non-string/integral types, nulls, or multi-column PKs leave the
+    * scan unpruned — never wrong, just unfiltered.
+    */
+  @volatile private var runtimeFiles: Option[Map[Int, Set[String]]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.pk.size == 1) Array(Expressions.column(table.pk.head))
+    else Array.empty
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val pkCol = table.pk.headOption.getOrElse(return)
+    def canonical(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+      case _ => None // doubles/decimals: string form is cast-dependent
+    }
+    val vals: Option[Seq[Any]] = runtime.collectFirst {
+      case In(c, vs) if c == pkCol => vs.toSeq
+      case EqualTo(c, v) if c == pkCol => Seq(v)
+    }
+    vals.foreach { vs =>
+      val keys = vs.map(v => Option(v).flatMap(canonical))
+      if (keys.forall(_.isDefined))
+        runtimeFiles = graft.io.Upsert.keyCandidateFiles(
+          SparkSession.active, table.dir, table.gen, keys.flatten)
+    }
+  }
 
   private val partitionSchema =
     StructType(Seq(StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false)))
@@ -197,7 +236,14 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     */
   override def planInputPartitions(): Array[InputPartition] =
     buckets.map { b =>
-      UpsertBucketPartition(b, table.files.getOrElse(b, Nil).toArray)
+      val all = table.files.getOrElse(b, Nil)
+      val kept = runtimeFiles match {
+        case Some(byBucket) =>
+          val cand = byBucket.getOrElse(b, Set.empty)
+          all.filter { case (p, _) => cand.contains(p) }
+        case None => all
+      }
+      UpsertBucketPartition(b, kept.toArray)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, In}
+import org.apache.spark.sql.types.StructType
+import graft.SparkSpec
+import graft.io.Upsert
+
+/** Driver-side runtime filtering on the DSv2 bucket scan: an In/EqualTo
+  * on the single-column PK maps to buckets via the placement-hash
+  * mirror and to files via the Bloom sidecars, before any task runs.
+  */
+class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(bloom: Boolean): String = {
+    val dir = Files.createTempDirectory("rtf").toString
+    val df = spark.range(600).select(
+      concat(lit("k"), col("id")).as("k"), lit(1L).as("ver"),
+      col("id").as("v"))
+    Upsert.merge(spark, dir, df, pk = Seq("k"), versionCol = "ver",
+      numBuckets = 8, bloom = bloom)
+    dir
+  }
+
+  private def totalFiles(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+    parts.map(_.asInstanceOf[UpsertBucketPartition].files.length).sum
+
+  test("runtime In on the PK empties un-hashed buckets; bloom narrows within") {
+    val dir = mkTable(bloom = true)
+    val table = UpsertBucketTable.load(dir)
+    assert(table.pk == Seq("k"), "manifest must record the merge PK")
+    val scan = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    val before = totalFiles(scan.planInputPartitions())
+    assert(before > 0)
+
+    val keys = Seq("k7", "k250")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("k", keys.toArray[Any])))
+    val parts = scan.planInputPartitions()
+    // partition COUNT unchanged — the reported partitioning stays valid
+    assert(parts.length == table.numBuckets)
+    val after = totalFiles(parts)
+    assert(after < before, s"runtime filter must drop files ($after vs $before)")
+    val touched = keys.map(Upsert.bucketOfKey(_, table.numBuckets)).toSet
+    parts.foreach { p0 =>
+      val p = p0.asInstanceOf[UpsertBucketPartition]
+      if (!touched.contains(p.bucket))
+        assert(p.files.isEmpty, s"bucket ${p.bucket} holds no key but kept files")
+    }
+    // and the filtered read still finds the rows (no false negative)
+    val rows = UpsertBucketSource.read(spark, dir)
+      .filter(col("k").isin(keys: _*)).select("v").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(7L, 250L))
+  }
+
+  test("EqualTo prunes to one bucket; unsupported value types leave the scan whole") {
+    val dir = mkTable(bloom = false)
+    val table = UpsertBucketTable.load(dir)
+    val scan = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    val before = totalFiles(scan.planInputPartitions())
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("k", "k42")))
+    val parts = scan.planInputPartitions()
+    val b = Upsert.bucketOfKey("k42", table.numBuckets)
+    parts.foreach { p0 =>
+      val p = p0.asInstanceOf[UpsertBucketPartition]
+      assert(p.files.isEmpty == (p.bucket != b))
+    }
+    // a filter value the canonical mapping rejects → no pruning
+    val scan2 = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("k", java.lang.Double.valueOf(1.5))))
+    assert(totalFiles(scan2.planInputPartitions()) == before)
+  }
+
+  test("multi-column PK records in the manifest but declares no filter attribute") {
+    val dir = Files.createTempDirectory("rtf2").toString
+    val df = Seq(("a", 1, 1L, "x"), ("b", 2, 1L, "y"))
+      .toDF("k1", "k2", "ver", "v")
+    Upsert.merge(spark, dir, df, pk = Seq("k1", "k2"), versionCol = "ver",
+      numBuckets = 4)
+    val table = UpsertBucketTable.load(dir)
+    assert(table.pk == Seq("k1", "k2"))
+    val scan = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    assert(scan.filterAttributes().isEmpty)
+  }
+}

@@ -60,10 +60,18 @@ object ScaleProbe {
     val pointOnly = args.length > 1 && args(1) == "point"
     val skewOnly = args.length > 1 && args(1) == "skew"
     val mvincOnly = args.length > 1 && args(1) == "mvinc"
+    // "events": the default event/upsert/MOR section WITHOUT the
+    // long dedup candidate sweep
+    val eventsOnly = args.length > 1 && args(1) == "events"
+    val spjOnly = args.length > 1 && args(1) == "spj"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -337,6 +345,54 @@ object ScaleProbe {
         s"naive_has_window_group_limit=${naivePlan.contains("WindowGroupLimit")}")
     }
 
+    if (spjOnly) {
+      // Storage-partitioned join probe: two same-bucketed n-row Upsert
+      // tables joined on their PK — the DSv2 reader's reported layout
+      // (co-located zip) vs the plain manifest scan (both sides
+      // shuffle). Row counts asserted equal; the quantified claim is
+      // SHUFFLE BYTES ≈ 0 for the co-located form, O(2n) for the
+      // plain one — the number that becomes the network at 100 TB.
+      val root = java.nio.file.Files.createTempDirectory("probe_spj").toString
+      val mk = (tag: String) => {
+        val dir = s"$root/$tag"
+        val df = spark.range(n).select(
+          concat(lit("k"), col("id")).as("k"), lit(1L).as("ver"),
+          pmod(xxhash64(col("id"), lit(tag.hashCode)), lit(100000L)).as(s"v_$tag"))
+        graft.io.Upsert.merge(spark, dir, df, pk = Seq("k"), versionCol = "ver",
+          numBuckets = 64)
+        dir
+      }
+      val (dirA, dirB) = (mk("a"), mk("b"))
+      val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      def joined(label: String)(a: DataFrame, b: DataFrame, extraKey: Boolean): Unit = {
+        shuffled.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val cond0 = a("k") === b("k")
+          val cond = if (extraKey) cond0 && a("__bucket") === b("__bucket") else cond0
+          val t0 = System.nanoTime()
+          val out = a.join(b, cond)
+            .select(a("k"), col("v_a"), col("v_b"))
+            .queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          println(f"[scale] spj_$label%-24s ${dt}%6.1fs   (out=$out, shuffled ${shuffled.get() / 1024 / 1024}%d MiB)")
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      joined("colocated")(
+        graft.sources.UpsertBucketSource.read(spark, dirA),
+        graft.sources.UpsertBucketSource.read(spark, dirB), extraKey = true)
+      joined("plain_shuffle")(
+        graft.io.Upsert.read(spark, dirA), graft.io.Upsert.read(spark, dirB),
+        extraKey = false)
+    }
+
     if (mvincOnly) {
       // Incremental-MV refresh vs full rebuild (the MvIncremental
       // claim, quantified): after a SMALL correction batch lands on an
@@ -381,7 +437,7 @@ object ScaleProbe {
         s"agg_equal=${inc == full}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -557,7 +613,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

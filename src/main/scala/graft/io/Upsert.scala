@@ -445,6 +445,7 @@ object Upsert {
   case class BucketLayout(gen: Long,
                           schema: org.apache.spark.sql.types.StructType,
                           numBuckets: Int, pk: Seq[String],
+                          zoneCols: Seq[String],
                           files: Map[Int, Seq[(String, Long)]])
 
   private[graft] def bucketLayout(spark: SparkSession, dir: String,
@@ -462,7 +463,26 @@ object Upsert {
       }
     }
     BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
-      m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil), files)
+      m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
+      zoneColsOf(m), files)
+  }
+
+  /** Zone-sidecar file pruning for the DSv2 reader: the absolute paths
+    * of generation `gen`'s files whose zones overlap EVERY bound
+    * (files without stats always survive — exactness contract shared
+    * with [[readRanges]]). Driver-side sidecar reads only. None when
+    * the bounds list is empty or the manifest is gone.
+    */
+  private[graft] def zoneCandidateFiles(spark: SparkSession, dir: String, gen: Long,
+      bounds: Seq[(String, Option[Any], Option[Any])]): Option[Set[String]] = {
+    if (bounds.isEmpty) return None
+    val m = manifestAt(spark, dir, gen).getOrElse(return None)
+    val schema = tableSchema(m).getOrElse(return None)
+    val typed =
+      try resolveBounds(schema, bounds)
+      catch { case _: IllegalArgumentException => return None }
+    val (keep, _) = rangeCandidatesIn(spark, dir, m, typed)
+    Some(keep.map(rel => new Path(abs(dir, rel)).toString).toSet)
   }
 
   /** Runtime-filter support for the DSv2 reader: absolute paths of the

@@ -90,6 +90,7 @@ object UpsertBucketSource {
 private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               dataSchema: StructType,
                                               numBuckets: Int, pk: Seq[String],
+                                              zoneCols: Seq[String],
                                               files: Map[Int, Seq[(String, Long)]])
     extends Table with SupportsRead {
   override def name(): String = s"upsert:$dir"
@@ -112,7 +113,7 @@ private[sources] object UpsertBucketTable {
   def load(dir: String, gen: Option[Long] = None): UpsertBucketTable = {
     val spark = SparkSession.active
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
-    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.files)
+    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.zoneCols, l.files)
   }
 }
 
@@ -155,21 +156,50 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable)
     sets.reduceOption(_ intersect _)
   }
 
+  /** Closed-range bounds a pushed comparison filter implies for a ZONE
+    * column — strict comparisons widen to inclusive (a superset keep:
+    * zones only prune, the residual filter restores exactness).
+    */
+  private def zoneBounds(filters: Array[Filter])
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.sources._
+    val zc = table.zoneCols.toSet
+    filters.toSeq.collect {
+      case EqualTo(c, v) if zc(c) && v != null => (c, Some(v): Option[Any], Some(v): Option[Any])
+      case GreaterThan(c, v) if zc(c) && v != null => (c, Some(v): Option[Any], None: Option[Any])
+      case GreaterThanOrEqual(c, v) if zc(c) && v != null => (c, Some(v): Option[Any], None: Option[Any])
+      case LessThan(c, v) if zc(c) && v != null => (c, None: Option[Any], Some(v): Option[Any])
+      case LessThanOrEqual(c, v) if zc(c) && v != null => (c, None: Option[Any], Some(v): Option[Any])
+    }
+  }
+
   override def build(): Scan = {
     // reader output = pruned data columns ++ __bucket (always appended
     // as the partition column; a Project above drops it when unused)
     val prunedData = StructType(
       required.fields.filter(_.name != UpsertBucketSource.BucketCol))
-    new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters))
+    new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters),
+      zoneBounds(allFilters))
   }
 }
 
 private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         prunedData: StructType,
                                         filters: Array[Filter],
-                                        keepBuckets: Option[Set[Int]])
+                                        keepBuckets: Option[Set[Int]],
+                                        zoneBounds: Seq[(String, Option[Any], Option[Any])] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
+
+  /** Zone-sidecar file keep-set for the pushed range bounds — resolved
+    * once at plan time, driver-side (same sidecars [[graft.io.Upsert
+    * .readRanges]] reads); files without stats always survive, and the
+    * pushed residual filter restores exact semantics over whatever is
+    * kept.
+    */
+  private lazy val zoneKeep: Option[Set[String]] =
+    graft.io.Upsert.zoneCandidateFiles(
+      SparkSession.active, table.dir, table.gen, zoneBounds)
 
   /** Runtime (DPP-style) filtering: when the other join side
     * materializes small, Spark hands this scan an In/EqualTo on the
@@ -237,11 +267,15 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
   override def planInputPartitions(): Array[InputPartition] =
     buckets.map { b =>
       val all = table.files.getOrElse(b, Nil)
-      val kept = runtimeFiles match {
+      val afterRuntime = runtimeFiles match {
         case Some(byBucket) =>
           val cand = byBucket.getOrElse(b, Set.empty)
           all.filter { case (p, _) => cand.contains(p) }
         case None => all
+      }
+      val kept = zoneKeep match {
+        case Some(z) => afterRuntime.filter { case (p, _) => z.contains(p) }
+        case None => afterRuntime
       }
       UpsertBucketPartition(b, kept.toArray)
     }.toArray

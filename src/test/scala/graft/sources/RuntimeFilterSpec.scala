@@ -73,6 +73,33 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(totalFiles(scan2.planInputPartitions()) == before)
   }
 
+  test("pushed range filters on zone columns prune files at plan time, rows exact") {
+    val dir = Files.createTempDirectory("rtf_zones").toString
+    val df = spark.range(4000).select(
+      col("id").as("k"), lit(1L).as("ver"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") / 100).cast("int")).as("d"))
+    Upsert.merge(spark, dir, df, pk = Seq("k"), versionCol = "ver",
+      numBuckets = 1, zoneCols = Seq("d"))
+    // cluster so file ranges are disjoint
+    Upsert.compactBuckets(spark, dir, pk = Seq("k"), maxFilesPerBucket = 0,
+      clusterBy = Seq("d"), filesPerBucket = 8)
+    val table = UpsertBucketTable.load(dir)
+    assert(table.zoneCols == Seq("d"))
+    val full = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    val before = totalFiles(full.planInputPartitions())
+    val lo = java.sql.Date.valueOf("2024-01-30")
+    val pruned = new UpsertBucketScan(table, table.dataSchema, Array.empty, None,
+      Seq(("d", Some(lo), None)))
+    val after = totalFiles(pruned.planInputPartitions())
+    assert(after < before, s"zone bound must drop files ($after vs $before)")
+    // end-to-end: the filtered DSv2 read equals the plain filtered read
+    val got = UpsertBucketSource.read(spark, dir)
+      .filter(col("d") >= lit(lo)).select("k").as[Long].collect().sorted
+    val want = Upsert.read(spark, dir)
+      .filter(col("d") >= lit(lo)).select("k").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("multi-column PK records in the manifest but declares no filter attribute") {
     val dir = Files.createTempDirectory("rtf2").toString
     val df = Seq(("a", 1, 1L, "x"), ("b", 2, 1L, "y"))

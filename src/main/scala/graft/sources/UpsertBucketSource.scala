@@ -254,7 +254,11 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
   override def toBatch: Batch = this
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
+    // an all-pruned scan (e.g. `__bucket = -1`) has no partitions to
+    // key-group; report unknown rather than a zero-partition grouping
+    if (buckets.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
       Array(Expressions.identity(UpsertBucketSource.BucketCol)), buckets.size)
 
   /** One partition per manifest bucket, EVERY bucket 0..n-1 planned

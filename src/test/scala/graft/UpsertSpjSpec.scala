@@ -109,6 +109,9 @@ class UpsertSpjSpec extends SparkSpec {
       .filter(col("__bucket").isin(bs: _*) && col("k").isin(keys: _*))
     assert(multi.rdd.getNumPartitions == bs.size)
     assert(multi.select("k").as[String].collect().sorted.toSeq == keys.sorted)
+    // an all-pruned scan returns empty without a zero-partition grouping
+    val none = UpsertBucketSource.read(spark, dir).filter(col("__bucket") === -1)
+    assert(none.count() == 0)
   }
 
   test("j_snapshot_diff head: two-generation diff joins with zero Exchange") {

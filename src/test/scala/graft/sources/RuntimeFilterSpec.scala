@@ -100,6 +100,41 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("end-to-end: Spark injects the runtime filter on a selective dim join and I/O drops") {
+    val dir = mkTable(bloom = true)
+    // a dim whose filtered slice names ONE fact key
+    val dim = spark.range(50).select(
+      concat(lit("k"), col("id") * 7).as("dk"),
+      when(col("id") === 3, lit("x")).otherwise(lit("y")).as("attr"))
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    def run(dpp: Boolean): (Long, Long, String) = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dpp.toString)
+      bytes.set(0)
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val j = UpsertBucketSource.read(spark, dir)
+          .join(dim.filter(col("attr") === "x"), col("k") === col("dk"))
+        val n = j.count()
+        Thread.sleep(1500) // listener bus is async
+        (n, bytes.get(), j.queryExecution.executedPlan.toString)
+      } finally {
+        spark.sparkContext.removeSparkListener(l)
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      }
+    }
+    val (nOff, bOff, _) = run(dpp = false)
+    val (nOn, bOn, plan) = run(dpp = true)
+    assert(nOn == 1L && nOff == 1L)
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"planner must inject the runtime filter:\n$plan")
+    assert(bOn < bOff,
+      s"runtime pruning must cut scan bytes ($bOn vs $bOff)")
+  }
+
   test("multi-column PK records in the manifest but declares no filter attribute") {
     val dir = Files.createTempDirectory("rtf2").toString
     val df = Seq(("a", 1, 1L, "x"), ("b", 2, 1L, "y"))

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-addressed SQL catalog over [[graft.io.Upsert]] tables — the
+  * FlinkSQL-surface role of the reference re-expressed on DSv2: after
+  * `spark.sql.catalog.graft = graft.sources.UpsertCatalog`,
+  *
+  * {{{
+  *   SELECT * FROM graft.`/data/warehouse/orders`
+  *   SELECT * FROM graft.`/data/warehouse/orders` VERSION AS OF 3
+  * }}}
+  *
+  * resolves through [[UpsertBucketSource]]'s table — so SQL queries get
+  * the full reader stack: reported bucket placement (a SQL join of two
+  * same-bucketed tables with `__bucket` in the ON clause plans with
+  * zero Exchange), plan-time bucket pruning, runtime PK filtering, and
+  * zone-map skipping. `VERSION AS OF <gen>` is MVCC time travel against
+  * a retained manifest. Multi-part identifiers join with `/`, so both
+  * one backticked absolute path and `graft.tmp.tables.t` shapes work.
+  *
+  * Deliberately READ-ONLY: writes commit through the [[graft.io.Upsert]]
+  * merge/compact API, whose manifest rename is the transactional
+  * boundary SQL DML would have to re-implement. DDL throws loudly.
+  */
+class UpsertCatalog extends TableCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: the filesystem is the namespace
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { UpsertBucketTable.load(dirOf(ident)); true }
+    catch { case _: Exception => false }
+
+  override def loadTable(ident: Identifier): Table =
+    try UpsertBucketTable.load(dirOf(ident))
+    catch { case _: IllegalStateException => throw new NoSuchTableException(ident) }
+
+  /** `VERSION AS OF <gen>` — a retained MVCC generation. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    try UpsertBucketTable.load(dirOf(ident), Some(version.toLong))
+    catch {
+      case _: IllegalStateException | _: NumberFormatException =>
+        throw new NoSuchTableException(ident)
+    }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"UpsertCatalog is read-only: $op goes through the graft.io.Upsert API " +
+        "(merge/compact/vacuum), whose manifest commit is the transaction boundary")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.Upsert
+
+/** SQL surface over Upsert tables: path-addressed catalog resolution,
+  * MVCC `VERSION AS OF`, storage-partitioned SQL joins, and the
+  * read-only DDL contract.
+  */
+class UpsertCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catalogReady: Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
+
+  private def mkTable(n: Int, tag: String): String = {
+    val dir = Files.createTempDirectory(s"cat_$tag").toString
+    val df = spark.range(n).select(
+      concat(lit("k"), col("id")).as("k"), lit(1L).as("ver"),
+      concat(lit(tag), col("id")).as("v"))
+    Upsert.merge(spark, dir, df, pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    dir
+  }
+
+  test("SQL reads resolve through the catalog; VERSION AS OF time-travels") {
+    catalogReady
+    val dir = mkTable(300, "a")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir`")
+      .as[Long].head() == 300L)
+    // second generation updates one key
+    Upsert.merge(spark, dir, Seq(("k7", 2L, "A7")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    val gens = Upsert.manifestGens(spark, dir)
+    val now = spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k7'")
+      .as[String].head()
+    val was = spark.sql(
+      s"SELECT v FROM graft.`$dir` VERSION AS OF ${gens.head} WHERE k = 'k7'")
+      .as[String].head()
+    assert(now == "A7" && was == "a7")
+  }
+
+  test("a SQL join with __bucket in the ON clause plans with zero Exchange") {
+    catalogReady
+    val (dirA, dirB) = (mkTable(400, "a"), mkTable(350, "b"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT x.k, x.v AS va, y.v AS vb
+            FROM graft.`$dirA` x JOIN graft.`$dirB` y
+            ON x.k = y.k AND x.__bucket = y.__bucket""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SQL SPJ join must not shuffle:\n$plan")
+      assert(j.count() == 350)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("DDL is rejected loudly; a missing table raises the SQL error") {
+    catalogReady
+    val dir = mkTable(10, "c")
+    val e = intercept[Exception](
+      spark.sql(s"DROP TABLE graft.`$dir`"))
+    assert(e.getMessage.contains("read-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("read-only")))
+    val missing = intercept[Exception](
+      spark.sql("SELECT * FROM graft.`/no/such/table`").collect())
+    assert(missing.getMessage.toLowerCase.contains("table"))
+  }
+}

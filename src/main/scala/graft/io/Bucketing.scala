@@ -25,4 +25,28 @@ object Bucketing {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Co-located PK join of two same-bucketed [[Upsert]] tables through
+    * the DSv2 bucket reader ([[graft.sources.UpsertBucketSource]]):
+    * reads both sides with their placement reported and adds the
+    * `__bucket` equality the planner needs to elide the exchange.
+    * `keys` maps left-PK → right-PK column names. Mismatched layouts
+    * degrade to a plain shuffle join — never wrong rows. The result
+    * keeps both sides' columns (left `__bucket` retained as the join
+    * key; select what you need above).
+    */
+  def colocatedJoin(spark: SparkSession, leftDir: String, rightDir: String,
+                    keys: Seq[(String, String)],
+                    joinType: String = "inner"): DataFrame = {
+    val a = graft.sources.UpsertBucketSource.read(spark, leftDir).as("l")
+    val b = graft.sources.UpsertBucketSource.read(spark, rightDir).as("r")
+    val bucket = graft.sources.UpsertBucketSource.BucketCol
+    val cond = keys.map { case (lc, rc) =>
+      org.apache.spark.sql.functions.col(s"l.$lc") ===
+        org.apache.spark.sql.functions.col(s"r.$rc")
+    }.reduce(_ && _) &&
+      org.apache.spark.sql.functions.col(s"l.$bucket") ===
+        org.apache.spark.sql.functions.col(s"r.$bucket")
+    a.join(b, cond, joinType)
+  }
 }

@@ -52,11 +52,9 @@ class UpsertSpjSpec extends SparkSpec {
     val dirA = mkTable(500, 8, "a")
     val dirB = mkTable(400, 8, "b")
     withSpjConfs {
-      val a = UpsertBucketSource.read(spark, dirA).as("a")
-      val b = UpsertBucketSource.read(spark, dirB).as("b")
-      val joined = a.join(b,
-        col("a.k") === col("b.k") && col("a.__bucket") === col("b.__bucket"))
-        .select(col("a.k"), col("a.v").as("va"), col("b.v").as("vb"))
+      val joined = graft.io.Bucketing
+        .colocatedJoin(spark, dirA, dirB, Seq("k" -> "k"))
+        .select(col("l.k"), col("l.v").as("va"), col("r.v").as("vb"))
       assert(exchanges(joined) == 0,
         s"co-located join must not shuffle:\n${joined.queryExecution.executedPlan}")
       val got = joined.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted

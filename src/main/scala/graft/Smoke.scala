@@ -1,5 +1,6 @@
 package graft
 
+import scala.util.chaining._
 import org.apache.spark.sql.SparkSession
 
 /** Dev smoke: schema sanity + run every registered query at sf0.001. */
@@ -9,12 +10,7 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .pipe(graft.core.GraftSession.engineConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.io.Tables.all.foreach { t =>

@@ -13,8 +13,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Engine confs every entry point's session must share — applied by
+    * [[builder]] and by the standalone mains' own builders
+    * ([[graft.Bench]], [[graft.Verify]], [[graft.Smoke]], probes,
+    * SparkSpec) via this ONE decorator so a new conf cannot drift
+    * between entry points:
+    *   - UTC-pinned session time (the reference hardcodes GMT+8; we
+    *     pin so day-boundary state semantics are reproducible);
+    *   - storage-partitioned joins over the Upsert DSv2 reader
+    *     (graft.sources.UpsertBucketSource): honor reported
+    *     KeyGroupedPartitioning, tolerate missing partitions on one
+    *     side, shuffle a small side INTO the reported layout, and let
+    *     a join whose keys are a SUPERSET of the partition keys reuse
+    *     the children's placement (the default-true co-partition check
+    *     would demand an exchange exactly where the bucket layout
+    *     already co-locates).
+    */
+  def engineConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
   def builder(appName: String = "graft", cores: String = "*"): SparkSession.Builder =
-    SparkSession.builder()
+    engineConfs(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .withExtensions(new GraftExtensions) // graft_* SQL functions out of the box
@@ -22,20 +46,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // storage-partitioned joins over the Upsert DSv2 reader
-      // (graft.sources.UpsertBucketSource): honor reported
-      // KeyGroupedPartitioning, tolerate missing partitions on one
-      // side, and let a join whose keys are a SUPERSET of the partition
-      // keys reuse the children's placement (the default-true
-      // co-partition check would demand an exchange exactly where the
-      // bucket layout already co-locates).
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString))
 
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

@@ -40,13 +40,23 @@ object Bucketing {
                     joinType: String = "inner"): DataFrame = {
     val a = graft.sources.UpsertBucketSource.read(spark, leftDir).as("l")
     val b = graft.sources.UpsertBucketSource.read(spark, rightDir).as("r")
-    val bucket = graft.sources.UpsertBucketSource.BucketCol
-    val cond = keys.map { case (lc, rc) =>
+    val pkCond = keys.map { case (lc, rc) =>
       org.apache.spark.sql.functions.col(s"l.$lc") ===
         org.apache.spark.sql.functions.col(s"r.$rc")
-    }.reduce(_ && _) &&
-      org.apache.spark.sql.functions.col(s"l.$bucket") ===
-        org.apache.spark.sql.functions.col(s"r.$bucket")
+    }.reduce(_ && _)
+    // the bucket equality is only VALID when both layouts hash into the
+    // same bucket count — under a mismatch, the same key lives in
+    // different bucket ids and the extra predicate would silently drop
+    // matching rows; fall back to the plain pk join (a normal shuffle)
+    val bucket = graft.sources.UpsertBucketSource.BucketCol
+    val sameLayout =
+      Upsert.bucketLayout(spark, leftDir).numBuckets ==
+        Upsert.bucketLayout(spark, rightDir).numBuckets
+    val cond =
+      if (sameLayout)
+        pkCond && org.apache.spark.sql.functions.col(s"l.$bucket") ===
+          org.apache.spark.sql.functions.col(s"r.$bucket")
+      else pkCond
     a.join(b, cond, joinType)
   }
 }

@@ -200,8 +200,12 @@ object MergeOnRead {
           // big-delta path: co-located full-outer resolve — the base
           // never shuffles at ANY delta size (SPJ via the DSv2 bucket
           // reader); only the delta winners exchange, into the base's
-          // own layout
-          dropDeletes(spjResolve(spark, dir, b, d, pk, versionCol), deleteFlagCol)
+          // own layout. The SAME manifest this read snapshotted pins
+          // the generation — a compact() committing a different bucket
+          // count mid-read must not make the delta-side hash disagree
+          // with the base placement.
+          dropDeletes(spjResolve(spark, dir, manOpt.get, b, d, pk, versionCol),
+            deleteFlagCol)
         }
     }
   }
@@ -257,15 +261,14 @@ object MergeOnRead {
     * [[broadcastResolve]] (same null-aware ordering as the window
     * form); MergeOnReadSpec pins path equality at every step.
     */
-  private def spjResolve(spark: SparkSession, dir: String, base: DataFrame,
-                         deltas: DataFrame, pk: Seq[String],
+  private def spjResolve(spark: SparkSession, dir: String, man: Upsert.Manifest,
+                         base: DataFrame, deltas: DataFrame, pk: Seq[String],
                          versionCol: String): DataFrame = {
     val unionSchema = base.schema // widened by widenForEvolution
-    val man = Upsert.currentManifest(spark, basePath(dir)).getOrElse(
-      throw new IllegalStateException(s"no base manifest under $dir"))
     val n = man.numBuckets(Upsert.DefaultNumBuckets)
     val bucketCol = graft.sources.UpsertBucketSource.BucketCol
-    val raw = graft.sources.UpsertBucketSource.read(spark, basePath(dir))
+    val raw = graft.sources.UpsertBucketSource.read(spark, basePath(dir),
+      gen = Some(man.gen))
     val have = raw.columns.toSet
     val b = raw.select(unionSchema.fields.toIndexedSeq.map(f =>
       if (have(f.name)) col(f.name)

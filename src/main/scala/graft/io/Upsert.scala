@@ -448,23 +448,49 @@ object Upsert {
                           zoneCols: Seq[String],
                           files: Map[Int, Seq[(String, Long)]])
 
+  // a committed generation's file set is immutable, so (dir, gen) keys
+  // a sound cache — without it every DataFrame read loads the layout
+  // twice (TableProvider.inferSchema then getTable), and a SQL query
+  // through the catalog a third time
+  private val layoutCache =
+    new java.util.LinkedHashMap[(String, Long), BucketLayout](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), BucketLayout]): Boolean = size > 64
+    }
+
   private[graft] def bucketLayout(spark: SparkSession, dir: String,
                                   gen: Option[Long] = None): BucketLayout = {
     val m = gen.map(g => manifestAt(spark, dir, g).getOrElse(
         throw new IllegalStateException(s"no manifest for gen=$g under $dir")))
       .orElse(currentManifest(spark, dir)).getOrElse(
         throw new IllegalStateException(s"no committed manifest under $dir"))
-    val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
-    val fs = FsOps.fs(spark, new Path(dir))
-    val files = m.files.collect { case (b, rels) if b != SchemaBucket =>
-      b -> rels.map { rel =>
-        val p = new Path(abs(dir, rel))
-        (p.toString, fs.getFileStatus(p).getLen)
+    val key = (new Path(dir).toString, m.gen)
+    layoutCache.synchronized(Option(layoutCache.get(key))).getOrElse {
+      val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
+      val fs = FsOps.fs(spark, new Path(dir))
+      // ONE listStatus per referenced bucket dir instead of one
+      // getFileStatus RPC per file — O(dirs), not O(files), round
+      // trips on object storage
+      val lenByRel: Map[String, Long] = m.allFiles
+        .groupBy(rel => rel.split('/').init.mkString("/"))
+        .flatMap { case (bd, rs) =>
+          val listed = fs.listStatus(new Path(abs(dir, bd))).iterator
+            .filter(_.isFile).map(st => st.getPath.getName -> st.getLen).toMap
+          rs.map { rel =>
+            val name = rel.substring(rel.lastIndexOf('/') + 1)
+            rel -> listed.getOrElse(name,
+              fs.getFileStatus(new Path(abs(dir, rel))).getLen)
+          }
+        }
+      val files = m.files.collect { case (b, rels) if b != SchemaBucket =>
+        b -> rels.map(rel => (new Path(abs(dir, rel)).toString, lenByRel(rel)))
       }
+      val l = BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
+        m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
+        zoneColsOf(m), files)
+      layoutCache.synchronized(layoutCache.put(key, l))
+      l
     }
-    BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
-      m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
-      zoneColsOf(m), files)
   }
 
   /** Zone-sidecar file pruning for the DSv2 reader: the absolute paths
@@ -1089,17 +1115,28 @@ object Upsert {
     val src = scanFiles(spark, dir, over.values.flatten.toSeq, tableSchema(man))
       .withColumn(BucketCol,
         regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1).cast("int"))
-    // CLUSTERED compaction: range-split on (bucket, clusterBy) so each
-    // bucket's files carry disjoint clusterBy ranges, sorted within —
-    // the layout that makes [[Zones]] pruning tight (and parquet
-    // row-group stats tight inside each file). Without clusterBy: pure
-    // file-count maintenance, one partition (→ one file) per bucket.
+    // CLUSTERED compaction: bucket-LOCAL equal-count slices (ntile over
+    // a per-bucket window) make each (bucket, slice) a contiguous
+    // clusterBy range WITHIN its bucket — a global range split would
+    // let a skewed bucket collapse into one wide file and boundary
+    // partitions blur neighboring files' ranges. Range-partitioning on
+    // the discrete (bucket, slice) pairs lands each slice in its own
+    // file, so every bucket gets `filesPerBucket` files with disjoint
+    // ranges — the layout that makes [[Zones]] pruning tight (and
+    // parquet row-group stats tight inside each file). Without
+    // clusterBy: pure file-count maintenance, one file per bucket.
     val keyCols = (BucketCol +: clusterBy).map(col)
     val arranged =
-      if (clusterBy.nonEmpty && filesPerBucket > 1)
-        src.repartitionByRange(over.size * filesPerBucket, keyCols: _*)
-          .sortWithinPartitions(keyCols: _*)
-      else if (clusterBy.nonEmpty)
+      if (clusterBy.nonEmpty && filesPerBucket > 1) {
+        val w = Window.partitionBy(col(BucketCol))
+          .orderBy(clusterBy.map(col): _*)
+        src.withColumn("__slice", ntile(filesPerBucket).over(w))
+          .repartitionByRange(over.size * filesPerBucket,
+            col(BucketCol), col("__slice"))
+          .sortWithinPartitions(
+            (col(BucketCol) +: col("__slice") +: clusterBy.map(col)): _*)
+          .drop("__slice")
+      } else if (clusterBy.nonEmpty)
         src.repartition(over.size, col(BucketCol))
           .sortWithinPartitions(keyCols: _*)
       else src.repartition(over.size, col(BucketCol))

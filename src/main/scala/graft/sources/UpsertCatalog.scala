@@ -43,9 +43,14 @@ class UpsertCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: the filesystem is the namespace
 
+  /** Manifest-presence probe — no layout load, and transient IO errors
+    * PROPAGATE (swallowing them would misreport a live table as absent
+    * and fail the query with a misleading NoSuchTableException).
+    */
   override def tableExists(ident: Identifier): Boolean =
-    try { UpsertBucketTable.load(dirOf(ident)); true }
-    catch { case _: Exception => false }
+    try graft.io.Upsert.currentManifest(
+      org.apache.spark.sql.SparkSession.active, dirOf(ident)).isDefined
+    catch { case _: java.io.FileNotFoundException => false }
 
   override def loadTable(ident: Identifier): Table =
     try UpsertBucketTable.load(dirOf(ident))

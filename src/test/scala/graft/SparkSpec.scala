@@ -1,5 +1,6 @@
 package graft
 
+import scala.util.chaining._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,12 +11,7 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .withExtensions(new graft.core.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .pipe(graft.core.GraftSession.engineConfs)
       .getOrCreate()
     // getOrCreate() may return a session created by an EARLIER suite, in
     // which case withExtensions above was a no-op. Fail loudly if that

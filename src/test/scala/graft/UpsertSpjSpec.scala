@@ -87,6 +87,13 @@ class UpsertSpjSpec extends SparkSpec {
         .select(col("a.k"), col("c.v"))
       assert(exchanges(joined) > 0, "mismatched layouts must shuffle")
       assert(joined.count() == 200)
+      // the helper must detect the mismatch and drop the bucket
+      // equality — with it, the same key hashes to different bucket
+      // ids and matching rows would silently vanish
+      val viaHelper = graft.io.Bucketing
+        .colocatedJoin(spark, dirA, dirC, Seq("k" -> "k"))
+      assert(viaHelper.count() == 200,
+        "helper must not lose rows across mismatched layouts")
     }
   }
 

@@ -91,7 +91,8 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               dataSchema: StructType,
                                               numBuckets: Int, pk: Seq[String],
                                               zoneCols: Seq[String],
-                                              files: Map[Int, Seq[(String, Long)]])
+                                              files: Map[Int, Seq[(String, Long)]],
+                                              viaCatalog: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"upsert:$dir"
 
@@ -99,8 +100,24 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
     StructType(dataSchema.fields :+
       StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false))
 
+  /** Catalog-loaded tables with a hashable PK report the REAL
+    * partition transform `bucket(n, pk...)` — resolvable through the
+    * catalog's [[BucketFunction]], so a PK-only join co-locates with no
+    * `__bucket` in the ON clause (the full Iceberg SPJ shape). The
+    * DataFrame-reader path has no function catalog to resolve a
+    * transform against, so it keeps the identity `__bucket` report
+    * (same zip, explicit bucket key).
+    */
+  private[sources] def bucketTransform: Option[Transform] =
+    if (viaCatalog && pk.nonEmpty &&
+        pk.forall(c => dataSchema.fields.find(_.name == c)
+          .exists(f => BucketFunction.supported(f.dataType))))
+      Some(Expressions.bucket(numBuckets, pk: _*))
+    else None
+
   override def partitioning(): Array[Transform] =
-    Array(Expressions.identity(UpsertBucketSource.BucketCol))
+    Array(bucketTransform.getOrElse(
+      Expressions.identity(UpsertBucketSource.BucketCol)))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -110,10 +127,12 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
 }
 
 private[sources] object UpsertBucketTable {
-  def load(dir: String, gen: Option[Long] = None): UpsertBucketTable = {
+  def load(dir: String, gen: Option[Long] = None,
+           viaCatalog: Boolean = false): UpsertBucketTable = {
     val spark = SparkSession.active
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
-    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.zoneCols, l.files)
+    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.zoneCols,
+      l.files, viaCatalog)
   }
 }
 
@@ -259,7 +278,8 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     if (buckets.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else new KeyGroupedPartitioning(
-      Array(Expressions.identity(UpsertBucketSource.BucketCol)), buckets.size)
+      Array(table.bucketTransform.getOrElse(
+        Expressions.identity(UpsertBucketSource.BucketCol))), buckets.size)
 
   /** One partition per manifest bucket, EVERY bucket 0..n-1 planned
     * (empty ones read nothing) so two tables with the same bucket count

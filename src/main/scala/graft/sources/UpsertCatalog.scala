@@ -2,8 +2,9 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +30,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * merge/compact API, whose manifest rename is the transactional
   * boundary SQL DML would have to re-implement. DDL throws loudly.
   */
-class UpsertCatalog extends TableCatalog {
+class UpsertCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -53,16 +54,29 @@ class UpsertCatalog extends TableCatalog {
     catch { case _: java.io.FileNotFoundException => false }
 
   override def loadTable(ident: Identifier): Table =
-    try UpsertBucketTable.load(dirOf(ident))
+    try UpsertBucketTable.load(dirOf(ident), viaCatalog = true)
     catch { case _: IllegalStateException => throw new NoSuchTableException(ident) }
 
   /** `VERSION AS OF <gen>` — a retained MVCC generation. */
   override def loadTable(ident: Identifier, version: String): Table =
-    try UpsertBucketTable.load(dirOf(ident), Some(version.toLong))
+    try UpsertBucketTable.load(dirOf(ident), Some(version.toLong), viaCatalog = true)
     catch {
       case _: IllegalStateException | _: NumberFormatException =>
         throw new NoSuchTableException(ident)
     }
+
+  /** The bucket V2 function: lets the planner resolve the
+    * `bucket(n, pk...)` partition transform catalog-loaded tables
+    * report, so PK-only joins co-locate (no `__bucket` in the ON
+    * clause) and `v2.bucketing.shuffle` can route a small side into
+    * the layout.
+    */
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") BucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -62,6 +62,55 @@ class UpsertCatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog tables report the bucket transform: a PK-ONLY SQL join co-locates") {
+    catalogReady
+    val (dirA, dirB) = (mkTable(450, "a"), mkTable(420, "b"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no __bucket anywhere — the bucket(n, pk) transform resolved
+      // through the catalog's V2 function is what co-locates the zip
+      val j = spark.sql(
+        s"""SELECT x.k, x.v AS va, y.v AS vb
+            FROM graft.`$dirA` x JOIN graft.`$dirB` y ON x.k = y.k""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"pk-only catalog join must not shuffle:\n$plan")
+      assert(j.count() == 420)
+      // and a pk-only AGGREGATE is exchange-free too
+      val agg = spark.sql(
+        s"SELECT k, count(*) AS c FROM graft.`$dirA` GROUP BY k")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        s"pk aggregate must reuse the layout:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == 450)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("the V2 bucket function mirrors the placement hash bit-exactly") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val bound = BucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("k", StringType),
+      StructField("i", LongType)))).asInstanceOf[ScalarFunction[Integer]]
+    for (k <- Seq("a", "k123", "", "é中"); i <- Seq(0L, 99L, -5L)) {
+      val row = InternalRow(8, UTF8String.fromString(k), i)
+      assert(bound.produceResult(row) == Upsert.bucketOfKey(s"$k$i", 8),
+        s"mismatch for ($k, $i)")
+    }
+    // a null pk part vanishes exactly as concat_ws drops null args
+    assert(bound.produceResult(InternalRow(8, null, 7L)) ==
+      Upsert.bucketOfKey("7", 8))
+    // unsupported types refuse to bind — the table then reports the
+    // identity form instead of a transform the mirror can't honor
+    intercept[UnsupportedOperationException](BucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("d", DoubleType)))))
+  }
+
   test("DDL is rejected loudly; a missing table raises the SQL error") {
     catalogReady
     val dir = mkTable(10, "c")

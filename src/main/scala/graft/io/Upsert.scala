@@ -386,6 +386,12 @@ object Upsert {
     */
   private[graft] val PkColsProp = "pkCols"
 
+  /** Manifest record of the merge's version column — what lets a SQL
+    * `INSERT INTO` through [[graft.sources.UpsertCatalog]] run the SAME
+    * LWW merge the API would.
+    */
+  private[graft] val VersionColProp = "versionCol"
+
   private def tableSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
     m.props.get(SchemaProp).map(org.apache.spark.sql.types.StructType.fromDDL)
 
@@ -445,6 +451,7 @@ object Upsert {
   case class BucketLayout(gen: Long,
                           schema: org.apache.spark.sql.types.StructType,
                           numBuckets: Int, pk: Seq[String],
+                          versionCol: Option[String],
                           zoneCols: Seq[String],
                           files: Map[Int, Seq[(String, Long)]])
 
@@ -487,6 +494,7 @@ object Upsert {
       }
       val l = BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
         m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
+        m.props.get(VersionColProp),
         zoneColsOf(m), files)
       layoutCache.synchronized(layoutCache.put(key, l))
       l
@@ -950,6 +958,7 @@ object Upsert {
         commitManifest(spark, dir,
           Manifest(gen, Map("numBuckets" -> numBuckets.toString,
             PkColsProp -> pk.mkString(","),
+            VersionColProp -> versionCol,
             SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp, files))
 
       case Some(man) =>
@@ -1062,7 +1071,8 @@ object Upsert {
           else Map.empty[String, String]
         commitManifest(spark, dir, Manifest(gen,
           man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL)
-            + (PkColsProp -> pk.mkString(",")) ++ zoneProp,
+            + (PkColsProp -> pk.mkString(",")) + (VersionColProp -> versionCol)
+            ++ zoneProp,
           files), Some(man))
         } finally { tagged.unpersist(); () }
     }

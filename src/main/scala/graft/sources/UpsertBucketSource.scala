@@ -90,15 +90,19 @@ object UpsertBucketSource {
 private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               dataSchema: StructType,
                                               numBuckets: Int, pk: Seq[String],
+                                              versionCol: Option[String],
                                               zoneCols: Seq[String],
                                               files: Map[Int, Seq[(String, Long)]],
                                               viaCatalog: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"upsert:$dir"
 
+  // __bucket is nullable so a column-list INSERT can omit it (the
+  // write path derives placement from the PK and drops the column)
   override def schema(): StructType =
     StructType(dataSchema.fields :+
-      StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false))
+      StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = true))
 
   /** Catalog-loaded tables with a hashable PK report the REAL
     * partition transform `bucket(n, pk...)` — resolvable through the
@@ -120,7 +124,45 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
       Expressions.identity(UpsertBucketSource.BucketCol)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  /** SQL `INSERT INTO` = the SAME LWW merge the API runs: PK and
+    * version column come from the manifest, so an insert is an UPSERT
+    * with the table's own semantics and the manifest rename as its
+    * commit. Guardrails: tables without recorded pk/version (snapshot
+    * layouts) and tables carrying a change feed refuse — a SQL write
+    * bypassing the feed would silently starve its consumers; those
+    * tables write through [[graft.io.Upsert.merge]] with
+    * `changeLog = true`.
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not supported: use graft.io.Upsert.overwriteSnapshot/replaceAll")
+              val vc = versionCol.getOrElse(throw new UnsupportedOperationException(
+                s"$dir records no versionCol — not a merge table; write through graft.io.Upsert"))
+              require(pk.nonEmpty,
+                s"$dir records no PK columns; write through graft.io.Upsert")
+              val spark = data.sparkSession
+              if (graft.io.ChangeFeed.batches(spark, dir).nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"$dir has a change feed: SQL INSERT would bypass it; " +
+                    "write through graft.io.Upsert.merge(changeLog = true)")
+              val cleaned =
+                if (data.columns.contains(UpsertBucketSource.BucketCol))
+                  data.drop(UpsertBucketSource.BucketCol)
+                else data
+              graft.io.Upsert.merge(spark, dir, cleaned, pk = pk,
+                versionCol = vc, numBuckets = numBuckets)
+            }
+        }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new UpsertScanBuilder(this)
@@ -131,8 +173,8 @@ private[sources] object UpsertBucketTable {
            viaCatalog: Boolean = false): UpsertBucketTable = {
     val spark = SparkSession.active
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
-    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.zoneCols,
-      l.files, viaCatalog)
+    UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.versionCol,
+      l.zoneCols, l.files, viaCatalog)
   }
 }
 

@@ -89,6 +89,39 @@ class UpsertCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO runs the table's own LWW merge; guardrails hold") {
+    catalogReady
+    val dir = mkTable(50, "w")
+    // column-list INSERT omits __bucket; higher version supersedes
+    spark.sql(
+      s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('k7', 9, 'NEW7'), ('kX', 1, 'plus')")
+    val after = spark.sql(s"SELECT k, v FROM graft.`$dir` WHERE k IN ('k7','kX')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == Map("k7" -> "NEW7", "kX" -> "plus"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == 51)
+    // a LOWER version loses — the insert is an upsert, not an append
+    spark.sql(s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('k7', 2, 'stale')")
+    assert(spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k7'")
+      .as[String].head() == "NEW7")
+    // INSERT OVERWRITE refuses
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE graft.`$dir` (k, ver, v) VALUES ('a', 1, 'b')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // either our writer's message or Spark's own capability rejection
+    // (no TRUNCATE/OVERWRITE capability declared) — both refuse loudly
+    assert(msgs(e).exists(m => m != null &&
+      (m.contains("INSERT OVERWRITE") || m.toLowerCase.contains("truncate") ||
+        m.toLowerCase.contains("overwrite"))), s"unexpected: ${msgs(e)}")
+    // a change-feed table refuses SQL writes (the feed must not skip)
+    val fed = Files.createTempDirectory("cat_fed").toString
+    Upsert.merge(spark, fed, Seq(("a", 1L, "x")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", changeLog = true)
+    val e2 = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$fed` (k, ver, v) VALUES ('b', 1, 'y')"))
+    assert(msgs(e2).exists(m => m != null && m.contains("change feed")))
+  }
+
   test("the V2 bucket function mirrors the placement hash bit-exactly") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.connector.catalog.functions.ScalarFunction

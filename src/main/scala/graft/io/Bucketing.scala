@@ -44,14 +44,18 @@ object Bucketing {
       org.apache.spark.sql.functions.col(s"l.$lc") ===
         org.apache.spark.sql.functions.col(s"r.$rc")
     }.reduce(_ && _)
-    // the bucket equality is only VALID when both layouts hash into the
-    // same bucket count — under a mismatch, the same key lives in
-    // different bucket ids and the extra predicate would silently drop
-    // matching rows; fall back to the plain pk join (a normal shuffle)
+    // the bucket equality is only VALID when both sides hash the SAME
+    // key into the same bucket id: equal bucket counts AND the join
+    // keys being exactly each table's recorded placement pk (same
+    // columns, same order — placement hashes the -joined pk in
+    // recorded order). Anything else (a different key, a reordered
+    // composite, a snapshot layout with no recorded pk) falls back to
+    // the plain pk join — a normal shuffle, never dropped rows.
     val bucket = graft.sources.UpsertBucketSource.BucketCol
-    val sameLayout =
-      Upsert.bucketLayout(spark, leftDir).numBuckets ==
-        Upsert.bucketLayout(spark, rightDir).numBuckets
+    val ll = Upsert.bucketLayout(spark, leftDir)
+    val rl = Upsert.bucketLayout(spark, rightDir)
+    val sameLayout = ll.numBuckets == rl.numBuckets &&
+      ll.pk.nonEmpty && ll.pk == keys.map(_._1) && rl.pk == keys.map(_._2)
     val cond =
       if (sameLayout)
         pkCond && org.apache.spark.sql.functions.col(s"l.$bucket") ===

@@ -285,6 +285,24 @@ object Upsert {
   final class ConcurrentWriterException(msg: String)
       extends IllegalStateException(msg)
 
+  /** Genuine table ABSENCE (no committed manifest) — its own type so
+    * callers like [[graft.sources.UpsertCatalog]] can map exactly this
+    * to `NoSuchTableException` while every other invariant failure
+    * (vacuumed generation, missing segment, placement mismatch) keeps
+    * surfacing as the real error it is (ADVICE r8).
+    */
+  final class NoTableException(msg: String) extends IllegalStateException(msg)
+
+  /** A merge that contradicts the table's RECORDED contract (different
+    * pk columns/order or version column than the manifest's placement
+    * props): loud and typed, because silently re-recording placement
+    * would leave untouched buckets under the old hash while the
+    * driver-side runtime filter prunes files by the new one — a row
+    * LOSS, not just a perf inconsistency (ADVICE r8).
+    */
+  final class TableContractException(msg: String)
+      extends IllegalStateException(msg)
+
   private val LeaseName = "_lock"
 
   private def leaseStaleMs(spark: SparkSession): Long =
@@ -427,7 +445,7 @@ object Upsert {
   /** Read the table's logical content as of the current manifest. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $dir"))
+      throw new NoTableException(s"no committed manifest under $dir"))
     scanFiles(spark, dir, m.allFiles, tableSchema(m))
   }
 
@@ -437,7 +455,7 @@ object Upsert {
     */
   def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
     val m = manifestAt(spark, dir, gen).getOrElse(
-      throw new IllegalStateException(s"no manifest for gen=$gen under $dir"))
+      throw new IllegalStateException(s"no manifest for gen=$gen under $dir (vacuumed or never committed)"))
     scanFiles(spark, dir, m.allFiles, tableSchema(m))
   }
 
@@ -470,7 +488,7 @@ object Upsert {
     val m = gen.map(g => manifestAt(spark, dir, g).getOrElse(
         throw new IllegalStateException(s"no manifest for gen=$g under $dir")))
       .orElse(currentManifest(spark, dir)).getOrElse(
-        throw new IllegalStateException(s"no committed manifest under $dir"))
+        throw new NoTableException(s"no committed manifest under $dir"))
     val key = (new Path(dir).toString, m.gen)
     layoutCache.synchronized(Option(layoutCache.get(key))).getOrElse {
       val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
@@ -568,7 +586,7 @@ object Upsert {
   def readRanges(spark: SparkSession, dir: String,
                  bounds: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $dir"))
+      throw new NoTableException(s"no committed manifest under $dir"))
     val schemaOpt = tableSchema(m)
     val schema = schemaOpt.getOrElse(scanFiles(spark, dir, m.allFiles).schema)
     val typed = resolveBounds(schema, bounds)
@@ -595,7 +613,7 @@ object Upsert {
   def rangePruneStatsMulti(spark: SparkSession, dir: String,
                            bounds: Seq[(String, Option[Any], Option[Any])]): (Int, Int) = {
     val m = currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $dir"))
+      throw new NoTableException(s"no committed manifest under $dir"))
     val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
     val (keep, pruned) = rangeCandidatesIn(spark, dir, m, resolveBounds(schema, bounds))
     (keep.size, pruned)
@@ -732,7 +750,7 @@ object Upsert {
              values: Seq[String],
              numBuckets: Int = DefaultNumBuckets): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $dir"))
+      throw new NoTableException(s"no committed manifest under $dir"))
     lookupIn(spark, dir, m, pkCol, values, numBuckets)
   }
 
@@ -962,6 +980,21 @@ object Upsert {
             SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp, files))
 
       case Some(man) =>
+        // the recorded placement contract is binding: a merge declaring
+        // different pk columns (or order) would re-record placement
+        // while untouched buckets keep old-hash files, and the
+        // driver-side runtime filter would then prune by the wrong
+        // hash — silent row loss, refused here (ADVICE r8)
+        man.props.get(PkColsProp).filter(_ != pk.mkString(",")).foreach(rec =>
+          throw new TableContractException(
+            s"merge pk ${pk.mkString(",")} contradicts the recorded placement " +
+              s"pk [$rec] of $dir — placement is sticky; to re-key, rebuild " +
+              "the table (replaceAll/overwriteSnapshot)"))
+        man.props.get(VersionColProp).filter(_ != versionCol).foreach(rec =>
+          throw new TableContractException(
+            s"merge versionCol '$versionCol' contradicts the recorded " +
+              s"versionCol '$rec' of $dir — LWW history is only meaningful " +
+              "under one version column"))
         val n = man.numBuckets(numBuckets)
         // PERSISTED for the branch: the batch is consulted four times
         // (touched buckets, point keys, staged write, change-feed
@@ -1133,8 +1166,13 @@ object Upsert {
     // the discrete (bucket, slice) pairs lands each slice in its own
     // file, so every bucket gets `filesPerBucket` files with disjoint
     // ranges — the layout that makes [[Zones]] pruning tight (and
-    // parquet row-group stats tight inside each file). Without
-    // clusterBy: pure file-count maintenance, one file per bucket.
+    // parquet row-group stats tight inside each file). BEST-EFFORT
+    // file-count split: range partitioning over the discrete (bucket,
+    // slice) pairs is sample-based, so adjacent slices of one bucket
+    // can occasionally share a task and land in one wider file — zone
+    // pruning loosens for that bucket, rows stay exact, and the next
+    // clustered compact re-splits it. Without clusterBy: pure
+    // file-count maintenance, one file per bucket.
     val keyCols = (BucketCol +: clusterBy).map(col)
     val arranged =
       if (clusterBy.nonEmpty && filesPerBucket > 1) {

@@ -68,7 +68,10 @@ class UpsertBucketSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    UpsertBucketTable.load(properties.get("path"), gen(properties.get))
+    // same validation as inferSchema — a missing path option must be
+    // the clear require message, not an NPE inside bucketLayout
+    UpsertBucketTable.load(dir(new CaseInsensitiveStringMap(properties)),
+      gen(properties.get))
 }
 
 object UpsertBucketSource {

@@ -53,15 +53,23 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog {
       org.apache.spark.sql.SparkSession.active, dirOf(ident)).isDefined
     catch { case _: java.io.FileNotFoundException => false }
 
+  // only genuine ABSENCE (no committed manifest) maps to
+  // NoSuchTableException; any other invariant failure (vacuumed
+  // generation, missing manifest segment) propagates as the real error
+  // instead of masquerading as "table not found" (ADVICE r8)
   override def loadTable(ident: Identifier): Table =
     try UpsertBucketTable.load(dirOf(ident), viaCatalog = true)
-    catch { case _: IllegalStateException => throw new NoSuchTableException(ident) }
+    catch { case _: graft.io.Upsert.NoTableException =>
+      throw new NoSuchTableException(ident) }
 
-  /** `VERSION AS OF <gen>` — a retained MVCC generation. */
+  /** `VERSION AS OF <gen>` — a retained MVCC generation. A missing
+    * table is NoSuchTableException; a vacuumed/never-committed
+    * generation surfaces its own message (the table EXISTS).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
     try UpsertBucketTable.load(dirOf(ident), Some(version.toLong), viaCatalog = true)
     catch {
-      case _: IllegalStateException | _: NumberFormatException =>
+      case _: graft.io.Upsert.NoTableException | _: NumberFormatException =>
         throw new NoSuchTableException(ident)
     }
 

@@ -387,6 +387,80 @@ object ScaleProbe {
       joined("plain_shuffle")(
         graft.io.Upsert.read(spark, dirA), graft.io.Upsert.read(spark, dirB),
         extraKey = false)
+
+      // HOT-BUCKET probe (VERDICT r8 #1): 25% of rows on keys that all
+      // hash into ONE bucket of 16 — the shape where plain SPJ caps the
+      // join at one straggler task per bucket with no AQE rescue (the
+      // exchange AQE's skew splitter operates on was elided). Partial
+      // clustering fans the hot bucket out across its byte-range
+      // splits. maxPartitionBytes drops to 2 MB so the probe's hot
+      // bucket is many splits — the same RATIO a 100 TB table has
+      // against the default 128 MB. The uniform twin (same total rows,
+      // same confs) is the "within ~2×" yardstick.
+      val hb = 16
+      val hotN = n / 4
+      val mkKeyed = (tag: String, keys: DataFrame) => {
+        val dir = s"$root/$tag"
+        graft.io.Upsert.merge(spark, dir,
+          keys.select(col("k"), lit(1L).as("ver"),
+            pmod(xxhash64(col("k"), lit(tag.hashCode)), lit(100000L)).as("pay")),
+          pk = Seq("k"), versionCol = "ver", numBuckets = hb)
+        dir
+      }
+      val hotKeys = spark.range(hotN * hb * 2L)
+        .select(concat(lit("h"), col("id")).as("k"))
+        .filter(pmod(xxhash64(col("k")), lit(hb)) === 0).limit(hotN.toInt)
+      val coldKeys = spark.range(n - hotN)
+        .select(concat(lit("c"), col("id")).as("k"))
+      val uniKeys = spark.range(n).select(concat(lit("u"), col("id")).as("k"))
+      val hotDir = mkKeyed("hot", hotKeys.unionAll(coldKeys))
+      val uniDir = mkKeyed("uni", uniKeys)
+      // the probe side: a 1/16th key sample of each fact — the
+      // asymmetric shape partial clustering serves (replicating the
+      // small side's matching partition is cheap; the fat fact bucket
+      // is what fans out). A SYMMETRIC hot-hot PK join is the
+      // re-bucketing policy's case, not this one.
+      val sample = (keys: DataFrame) =>
+        keys.filter(pmod(xxhash64(col("k"), lit(7)), lit(16)) === 0)
+      val dimHot = mkKeyed("dimh", sample(hotKeys.unionAll(coldKeys)))
+      val dimUni = mkKeyed("dimu", sample(uniKeys))
+      // the cluster-relevant number is the MAX task time (on a wide
+      // cluster wall-clock IS the critical path; local[32] absorbs a
+      // straggler into one wave and hides it in wall-clock)
+      def hotJoin(label: String, l: String, r: String, partial: Boolean): Unit = {
+        val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+        val tl = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              maxTask.getAndAccumulate(e.taskMetrics.executorRunTime, math.max)
+        }
+        val run = () => {
+          spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+          spark.sparkContext.addSparkListener(tl)
+          try {
+            val t0 = System.nanoTime()
+            val j = graft.io.Bucketing.colocatedJoin(spark, l, r, Seq("k" -> "k"))
+            val parts = j.rdd.getNumPartitions
+            val out = j.select(col("l.k")).queryExecution.toRdd.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(2000) // listener bus is async
+            println(f"[scale] spj_$label%-24s ${dt}%6.1fs   (out=$out, join tasks=$parts, max task ${maxTask.get()}%d ms)")
+          } finally {
+            spark.sparkContext.removeSparkListener(tl)
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+          }
+        }
+        if (partial) graft.io.Bucketing.withPartialClustering(spark)(run())
+        else run()
+      }
+      // two runs each; read the SECOND line (first pays codegen/JIT
+      // warm-up inside its max-task figure)
+      hotJoin("hot_grouped", hotDir, dimHot, partial = false)
+      hotJoin("hot_grouped", hotDir, dimHot, partial = false)
+      hotJoin("hot_partial", hotDir, dimHot, partial = true)
+      hotJoin("hot_partial", hotDir, dimHot, partial = true)
+      hotJoin("uniform_grouped", uniDir, dimUni, partial = false)
+      hotJoin("uniform_grouped", uniDir, dimUni, partial = false)
     }
 
     if (mvincOnly) {

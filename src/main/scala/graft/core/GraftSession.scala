@@ -33,6 +33,10 @@ object GraftSession {
     b.config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      // NOTE: …partiallyClusteredDistribution is deliberately NOT a
+      // session default — Spark disables shuffle-one-side SPJ (the
+      // MergeOnRead big-delta path) while it is on; scope it to the
+      // skewed join via [[graft.io.Bucketing.withPartialClustering]]
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

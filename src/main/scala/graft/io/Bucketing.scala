@@ -26,6 +26,28 @@ object Bucketing {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Run `body` with partially-clustered SPJ distribution ON: a
+    * co-located join's hot bucket fans out across its file-range
+    * splits (one task per split on the bigger side, the smaller
+    * side's matching partition replicated) instead of capping the
+    * join at one task per bucket — the runtime rescue AQE's skew-join
+    * cannot provide once SPJ has elided the exchange it operates on.
+    * SCOPED, not a session default, because Spark disables
+    * shuffle-one-side SPJ (the [[MergeOnRead]] big-delta path, SQL
+    * `bucket(n, pk)` shuffles into a layout) while the conf is on —
+    * the two optimizations are per-query exclusive in Spark itself.
+    * Replication limits which join types fan out (inner/semi/anti and
+    * one-sided outers; a full outer silently keeps the grouped form —
+    * correct, just ungrouped-rescue-free).
+    */
+  def withPartialClustering[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, "true")
+    try body
+    finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
   /** Co-located PK join of two same-bucketed [[Upsert]] tables through
     * the DSv2 bucket reader ([[graft.sources.UpsertBucketSource]]):
     * reads both sides with their placement reported and adds the

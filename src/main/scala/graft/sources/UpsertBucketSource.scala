@@ -29,8 +29,8 @@ import org.apache.spark.util.SerializableConfiguration
   * table. This source exposes the placement as a real `__bucket`
   * column (an identity-transform partition column filled from the
   * manifest, never stored in the files) and reports
-  * `KeyGroupedPartitioning(identity(__bucket), n)` with one input
-  * partition per bucket (`HasPartitionKey`). Under
+  * `KeyGroupedPartitioning(identity(__bucket), …)` over
+  * `HasPartitionKey` input partitions. Under
   * `spark.sql.sources.v2.bucketing.enabled`, a join of two
   * same-bucketed tables that includes `__bucket` equality in its keys
   * plans with ZERO Exchange — at 100 TB that is the difference between
@@ -39,6 +39,19 @@ import org.apache.spark.util.SerializableConfiguration
   * hop can consume them in place). Mismatched bucket counts degrade to
   * a normal shuffle join — never to wrong results — because Catalyst
   * only elides the exchange when both sides' partition VALUES match.
+  *
+  * The bucket is the PLACEMENT unit, not the parallelism unit: each
+  * bucket's files chunk into `maxPartitionBytes` byte-range SPLITS
+  * (several splits per bucket, all carrying the bucket's partition
+  * key). A plain SPJ groups them back into one task per bucket; under
+  * `…partiallyClusteredDistribution.enabled` a skewed/oversized bucket
+  * fans out across its splits while the other side's matching
+  * partition replicates — the runtime rescue AQE's skew-join cannot
+  * provide here, because eliding the exchange also removed the shuffle
+  * AQE splits. Scan-only plans that want split-level parallelism
+  * opt out of the grouping report entirely with
+  * `.option("grouping", "none")` (or session conf
+  * `spark.graft.bucketSource.grouping=none` for SQL reads).
   *
   * The per-file record reader is Spark's own vectorized parquet reader
   * (via [[ParquetScanShim]]), so column pruning, parquet predicate
@@ -84,9 +97,11 @@ object UpsertBucketSource {
     * equality to PK-join keys (or `__bucket` to PK-group keys) to let
     * the planner elide the exchange.
     */
-  def read(spark: SparkSession, dir: String, gen: Option[Long] = None) = {
-    val r = spark.read.format(classOf[UpsertBucketSource].getName)
-    gen.fold(r)(g => r.option("gen", g.toString)).load(dir)
+  def read(spark: SparkSession, dir: String, gen: Option[Long] = None,
+           grouping: Option[String] = None) = {
+    val r0 = spark.read.format(classOf[UpsertBucketSource].getName)
+    val r1 = gen.fold(r0)(g => r0.option("gen", g.toString))
+    grouping.fold(r1)(g => r1.option("grouping", g)).load(dir)
   }
 }
 
@@ -167,8 +182,16 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
         }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new UpsertScanBuilder(this)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // grouping=none (option, or session conf spark.graft.bucketSource
+    // .grouping for SQL reads that cannot pass options): report NO
+    // partitioning, so a scan-only plan gets one task per SPLIT
+    // instead of one per bucket — the fan-out a heavy ETL read wants
+    // when no join will use the placement.
+    val g = Option(options.get("grouping")).getOrElse(
+      SparkSession.active.conf.get("spark.graft.bucketSource.grouping", "auto"))
+    new UpsertScanBuilder(this, grouped = g != "none")
+  }
 }
 
 private[sources] object UpsertBucketTable {
@@ -181,7 +204,8 @@ private[sources] object UpsertBucketTable {
   }
 }
 
-private[sources] class UpsertScanBuilder(table: UpsertBucketTable)
+private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
+                                         grouped: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = table.schema()
@@ -243,17 +267,28 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable)
     val prunedData = StructType(
       required.fields.filter(_.name != UpsertBucketSource.BucketCol))
     new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters),
-      zoneBounds(allFilters))
+      zoneBounds(allFilters), grouped)
   }
 }
+
+/** One byte range of one data file — the task-granularity unit. A
+  * bucket is the PLACEMENT unit (all rows of a key live in one
+  * bucket), but never the parallelism unit: files chunk into
+  * `maxPartitionBytes` ranges exactly like Spark's own file scan, so a
+  * 100×-grown bucket fans out across tasks instead of capping the scan
+  * at numBuckets.
+  */
+private[sources] case class FileSlice(path: String, start: Long,
+                                      length: Long, fileSize: Long)
 
 private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         prunedData: StructType,
                                         filters: Array[Filter],
                                         keepBuckets: Option[Set[Int]],
-                                        zoneBounds: Seq[(String, Option[Any], Option[Any])] = Nil)
+                                        zoneBounds: Seq[(String, Option[Any], Option[Any])] = Nil,
+                                        grouped: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Zone-sidecar file keep-set for the pushed range bounds — resolved
     * once at plan time, driver-side (same sidecars [[graft.io.Upsert
@@ -297,9 +332,11 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     }
     vals.foreach { vs =>
       val keys = vs.map(v => Option(v).flatMap(canonical))
-      if (keys.forall(_.isDefined))
+      if (keys.forall(_.isDefined)) {
         runtimeFiles = graft.io.Upsert.keyCandidateFiles(
           SparkSession.active, table.dir, table.gen, keys.flatten)
+        splitCache = null // re-plan slices against the narrowed file set
+      }
     }
   }
 
@@ -317,37 +354,109 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
 
   override def toBatch: Batch = this
 
+  /** The files a bucket still reads after every plan-time and runtime
+    * prune (zone sidecars, runtime PK filter) — the slice source.
+    */
+  private def keptFiles(b: Int): Seq[(String, Long)] = {
+    val all = table.files.getOrElse(b, Nil)
+    val afterRuntime = runtimeFiles match {
+      case Some(byBucket) =>
+        val cand = byBucket.getOrElse(b, Set.empty)
+        all.filter { case (p, _) => cand.contains(p) }
+      case None => all
+    }
+    zoneKeep match {
+      case Some(z) => afterRuntime.filter { case (p, _) => z.contains(p) }
+      case None => afterRuntime
+    }
+  }
+
+  /** Chunk a bucket's files into ≤maxSplitBytes byte-range slices and
+    * bin-pack them into splits — the same task sizing Spark's own file
+    * scan uses, so one oversized or many-filed bucket becomes several
+    * tasks instead of one straggler. Parquet ranges are exact: the
+    * reader takes the row groups whose midpoint falls in [start,
+    * start+length), so the union of a file's slices is the file.
+    */
+  private def splitsOf(files: Seq[(String, Long)],
+                       maxSplitBytes: Long, openCost: Long): Seq[Array[FileSlice]] = {
+    val chunks = files.flatMap { case (p, len) =>
+      if (len <= 0) Seq(FileSlice(p, 0L, len, len))
+      else (0L until len by maxSplitBytes).map(off =>
+        FileSlice(p, off, math.min(maxSplitBytes, len - off), len))
+    }
+    val splits = Seq.newBuilder[Array[FileSlice]]
+    val cur = Seq.newBuilder[FileSlice]
+    var curBytes = 0L
+    chunks.sortBy(-_.length).foreach { c =>
+      val cost = c.length + openCost
+      if (curBytes > 0 && curBytes + cost > maxSplitBytes) {
+        splits += cur.result().toArray; cur.clear(); curBytes = 0L
+      }
+      cur += c; curBytes += cost
+    }
+    val last = cur.result()
+    if (last.nonEmpty) splits += last.toArray
+    splits.result()
+  }
+
+  /** Planned once per runtime-filter state and shared by
+    * [[planInputPartitions]] and [[outputPartitioning]] (the reported
+    * partition count must match what is planned); [[filter]]
+    * invalidates it so the DPP re-plan sees the narrowed file set.
+    * GROUPED form: every bucket 0..n-1 (minus pushed `__bucket`
+    * prunes) contributes at least one split — empty buckets plan an
+    * empty slice set so two same-bucketed tables always present
+    * identical partition-value sets, the condition for the
+    * exchange-free zip; a hot bucket contributes MANY splits, which
+    * Catalyst groups back into one task for a plain SPJ and fans out
+    * under partially-clustered distribution. UNGROUPED form
+    * (grouping=none): only non-empty splits, one task each.
+    */
+  @volatile private var splitCache: Array[InputPartition] = _
+
+  private def plannedSplits: Array[InputPartition] = {
+    val cached = splitCache
+    if (cached != null) return cached
+    val conf = SparkSession.active.sessionState.conf
+    val maxSplitBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val planned: Array[InputPartition] = buckets.flatMap { b =>
+      val splits = splitsOf(keptFiles(b), maxSplitBytes, openCost)
+      if (splits.isEmpty) {
+        if (grouped) Seq(UpsertBucketPartition(b, Array.empty))
+        else Seq.empty
+      } else splits.map(UpsertBucketPartition(b, _))
+    }.toArray
+    splitCache = planned
+    planned
+  }
+
   override def outputPartitioning(): Partitioning =
     // an all-pruned scan (e.g. `__bucket = -1`) has no partitions to
     // key-group; report unknown rather than a zero-partition grouping
-    if (buckets.isEmpty)
-      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    if (!grouped || buckets.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        plannedSplits.length)
     else new KeyGroupedPartitioning(
       Array(table.bucketTransform.getOrElse(
-        Expressions.identity(UpsertBucketSource.BucketCol))), buckets.size)
+        Expressions.identity(UpsertBucketSource.BucketCol))), plannedSplits.length)
 
-  /** One partition per manifest bucket, EVERY bucket 0..n-1 planned
-    * (empty ones read nothing) so two tables with the same bucket count
-    * always present identical partition-value sets — the condition for
-    * the exchange-free zip. A pushed `__bucket` equality/IN filter
-    * drops pruned buckets entirely (no task is launched for them);
-    * `pushPartValues` reconciles the thinner value set on the SPJ side.
+  /** Planner sizing: the bytes this scan will actually read (post
+    * bucket/zone prune) — without it a DSv2 relation defaults to
+    * "infinite", and a genuinely small side can never be broadcast.
+    * Row count stays unknown (the manifest doesn't record it).
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    buckets.map { b =>
-      val all = table.files.getOrElse(b, Nil)
-      val afterRuntime = runtimeFiles match {
-        case Some(byBucket) =>
-          val cand = byBucket.getOrElse(b, Set.empty)
-          all.filter { case (p, _) => cand.contains(p) }
-        case None => all
-      }
-      val kept = zoneKeep match {
-        case Some(z) => afterRuntime.filter { case (p, _) => z.contains(p) }
-        case None => afterRuntime
-      }
-      UpsertBucketPartition(b, kept.toArray)
-    }.toArray
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = buckets.iterator
+        .flatMap(keptFiles(_)).map(_._2).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedSplits
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -359,7 +468,7 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
 }
 
 private[sources] case class UpsertBucketPartition(bucket: Int,
-                                                  files: Array[(String, Long)])
+                                                  slices: Array[FileSlice])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
@@ -374,8 +483,9 @@ private[sources] class UpsertBucketReaderFactory(support: ParquetScanShim.ReadSu
   private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
     val part = p.asInstanceOf[UpsertBucketPartition]
     val pv = part.partitionKey()
-    part.files.iterator.flatMap { case (path, len) =>
-      support.read(ParquetScanShim.partitionedFile(pv, path, len))
+    part.slices.iterator.flatMap { s =>
+      support.read(ParquetScanShim.partitionedFile(pv, s.path, s.start,
+        s.length, s.fileSize))
     }.asInstanceOf[Iterator[AnyRef]]
   }
 

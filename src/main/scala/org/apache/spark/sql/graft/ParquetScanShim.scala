@@ -55,9 +55,20 @@ object ParquetScanShim {
     ReadSupport(read, columnar)
   }
 
+  /** A whole-file read task. */
   def partitionedFile(partitionValues: InternalRow, path: String,
                       length: Long): PartitionedFile =
-    PartitionedFile(partitionValues, SparkPath.fromPathString(path), 0L, length)
+    PartitionedFile(partitionValues, SparkPath.fromPathString(path), 0L, length,
+      fileSize = length)
+
+  /** A byte-range read task: the parquet reader takes exactly the row
+    * groups whose midpoint falls in [start, start+length), so the
+    * union of a file's ranges reads the file once.
+    */
+  def partitionedFile(partitionValues: InternalRow, path: String,
+                      start: Long, length: Long, fileSize: Long): PartitionedFile =
+    PartitionedFile(partitionValues, SparkPath.fromPathString(path), start, length,
+      fileSize = fileSize)
 
   def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration

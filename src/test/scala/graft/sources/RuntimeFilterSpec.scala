@@ -25,8 +25,11 @@ class RuntimeFilterSpec extends SparkSpec {
     dir
   }
 
+  // distinct file PATHS across all planned splits (one file may chunk
+  // into several byte-range slices; pruning operates on whole files)
   private def totalFiles(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
-    parts.map(_.asInstanceOf[UpsertBucketPartition].files.length).sum
+    parts.flatMap(_.asInstanceOf[UpsertBucketPartition].slices.map(_.path))
+      .distinct.length
 
   test("runtime In on the PK empties un-hashed buckets; bloom narrows within") {
     val dir = mkTable(bloom = true)
@@ -39,15 +42,17 @@ class RuntimeFilterSpec extends SparkSpec {
     val keys = Seq("k7", "k250")
     scan.filter(Array[org.apache.spark.sql.sources.Filter](In("k", keys.toArray[Any])))
     val parts = scan.planInputPartitions()
-    // partition COUNT unchanged — the reported partitioning stays valid
-    assert(parts.length == table.numBuckets)
+    // every bucket still PLANNED (possibly with zero slices) — the
+    // reported partition-value set stays valid for SPJ
+    assert(parts.map(_.asInstanceOf[UpsertBucketPartition].bucket).toSet ==
+      (0 until table.numBuckets).toSet)
     val after = totalFiles(parts)
     assert(after < before, s"runtime filter must drop files ($after vs $before)")
     val touched = keys.map(Upsert.bucketOfKey(_, table.numBuckets)).toSet
     parts.foreach { p0 =>
       val p = p0.asInstanceOf[UpsertBucketPartition]
       if (!touched.contains(p.bucket))
-        assert(p.files.isEmpty, s"bucket ${p.bucket} holds no key but kept files")
+        assert(p.slices.isEmpty, s"bucket ${p.bucket} holds no key but kept files")
     }
     // and the filtered read still finds the rows (no false negative)
     val rows = UpsertBucketSource.read(spark, dir)
@@ -65,7 +70,7 @@ class RuntimeFilterSpec extends SparkSpec {
     val b = Upsert.bucketOfKey("k42", table.numBuckets)
     parts.foreach { p0 =>
       val p = p0.asInstanceOf[UpsertBucketPartition]
-      assert(p.files.isEmpty == (p.bucket != b))
+      assert(p.slices.isEmpty == (p.bucket != b))
     }
     // a filter value the canonical mapping rejects → no pruning
     val scan2 = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)

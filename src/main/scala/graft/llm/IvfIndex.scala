@@ -139,19 +139,9 @@ object IvfIndex {
       case _ => assignedBase
     }).withColumn("__v", lit(0L))
     val corpusCount = vecs.count()
-    // ONE pass routes every row to its cell (dynamic-partition write);
-    // each cell's merge then scans only its own staged slice. The
-    // per-cell-filter alternative re-scans the corpus nlist times —
-    // at nlist=256 that is 256 full passes, which is why build cost
-    // must be O(corpus), not O(corpus × nlist).
-    val staging = s"${indexDir.stripSuffix("/")}/_build_staging"
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cells = fs.listStatus(stagingPath).map(_.getPath.getName)
-      .collect { case s if s.startsWith("cell=") => s.stripPrefix("cell=").toInt }
-    val prevEpoch = currentEpoch(spark, indexDir)
     val root = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevEpoch = currentEpoch(spark, indexDir)
     val newEpoch =
       if (!replace) 0
       else {
@@ -165,16 +155,15 @@ object IvfIndex {
           else Array.empty[Int]
         ((onDisk :+ prevEpoch) :+ 0).max + 1
       }
-    // fresh epoch dirs (replace) and fresh-build cells alike go through
-    // merge's CREATE path, so every cell keeps the normal bucketed
-    // layout and later ingest batches rewrite only their touched
-    // buckets — the replace path no longer pins numBuckets=1
-    cells.foreach { c =>
-      Upsert.merge(spark, cellDir(indexDir, newEpoch, c),
-        spark.read.parquet(s"$staging/cell=$c"),
-        pk = Seq("vec_id"), versionCol = "__v")
-    }
-    fs.delete(stagingPath, true)
+    // ONE resolved plan + ONE staged write fans out to every cell
+    // subtable (Upsert.mergeGrouped) — build cost is O(corpus) in data
+    // AND constant in jobs, where the old per-cell chain scheduled
+    // nlist sequential merge jobs. Fresh-build/replace cells go
+    // through the CREATE path inside, keeping the normal bucketed
+    // layout so later ingest batches rewrite only touched buckets.
+    Upsert.mergeGrouped(spark, c => cellDir(indexDir, newEpoch, c),
+      assigned, "cell", pk = Seq("vec_id"), versionCol = "__v",
+      stagingRoot = s"${indexDir.stripSuffix("/")}/_build_staging")
     val centroidRows = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     // the ONE visibility switch: until this commit, readers resolve the
@@ -267,15 +256,14 @@ object IvfIndex {
           .withColumn("cn", norm_sq8(col("codes")))
         assignedMilli.select(col("vec_id"), col("cell")).join(codes, Seq("vec_id"))
       case _ => assignedMilli
-    }).withColumn("__v", lit(batchVersion)).cache()
-    val cells = assigned.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
-    cells.foreach { c =>
-      Upsert.merge(spark, cellDir(indexDir, epoch, c),
-        assigned.filter(col("cell") === c).drop("cell"),
-        pk = Seq("vec_id"), versionCol = "__v")
-    }
-    assigned.unpersist()
+    }).withColumn("__v", lit(batchVersion))
+    // ONE staged write regardless of touched-cell count (VERDICT r8
+    // #2): a wide batch touching 256 cells used to schedule 256
+    // sequential merge-job chains; mergeGrouped resolves every cell's
+    // LWW in one plan and fans the staged dirs out with renames.
+    Upsert.mergeGrouped(spark, c => cellDir(indexDir, epoch, c),
+      assigned, "cell", pk = Seq("vec_id"), versionCol = "__v",
+      stagingRoot = s"${indexDir.stripSuffix("/")}/_ingest_staging")
   }
 
   /** Probe-only top-k: select each query's `nprobe` nearest centroids

@@ -158,6 +158,37 @@ class IvfIndexSpec extends SparkSpec {
     held.unpersist()
   }
 
+  test("ingest schedules a CONSTANT job count regardless of touched-cell fan-out") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_jobs").toString
+    IvfIndex.build(spark, dir, corpus.filter(col("vec_id") >= 200))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def countJobs(batch: org.apache.spark.sql.DataFrame, v: Long): Int = {
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(l)
+      try { IvfIndex.ingest(spark, dir, batch, batchVersion = v); Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    // a narrow batch (few cells) vs a wide one (many more cells):
+    // the old per-cell loop scheduled a merge chain per touched cell;
+    // mergeGrouped must stay flat
+    val narrow = countJobs(corpus.filter(col("vec_id") < 5), 1L)
+    val wide = countJobs(corpus.filter(col("vec_id") >= 5 && col("vec_id") < 200), 2L)
+    val cellsTouched = Upsert.read(spark, s"$dir/centroids").count()
+    assert(cellsTouched > 2, "probe needs a multi-cell index")
+    assert(wide <= narrow + 2,
+      s"ingest jobs must not scale with touched cells: narrow=$narrow wide=$wide")
+    // and the wide ingest actually landed its rows
+    val total = (0 until 16).flatMap(c =>
+      Upsert.readIfExists(spark, s"$dir/cell=$c")).map(_.count()).sum
+    assert(total == corpus.count())
+  }
+
   test("queries are probe-only: no fit, and I/O scales with nprobe, not nlist") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_probe").toString
     IvfIndex.build(spark, dir, corpus)

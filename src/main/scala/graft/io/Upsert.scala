@@ -539,18 +539,20 @@ object Upsert {
 
   /** Runtime-filter support for the DSv2 reader: absolute paths of the
     * generation's files that might contain any of `keys` (canonical
-    * single-PK strings), keyed by bucket — buckets absent from the map
-    * hold none of the keys. Driver-side: the bucket hash mirror plus
-    * Bloom sidecar probes, against the SAME generation the scan
-    * planned (never the current manifest — a concurrent merge must not
-    * tear a running query's snapshot). None when the table records no
-    * single-column PK (no pruning possible).
+    * PK strings — single-column values, or [[KeySep]]-joined composite
+    * values in recorded pk order, exactly as [[keyStr]] places them),
+    * keyed by bucket — buckets absent from the map hold none of the
+    * keys. Driver-side: the bucket hash mirror plus Bloom sidecar
+    * probes, against the SAME generation the scan planned (never the
+    * current manifest — a concurrent merge must not tear a running
+    * query's snapshot). None when the table records no PK (no pruning
+    * possible).
     */
   private[graft] def keyCandidateFiles(spark: SparkSession, dir: String,
                                        gen: Long, keys: Seq[String])
       : Option[Map[Int, Set[String]]] = {
     val m = manifestAt(spark, dir, gen).getOrElse(return None)
-    if (!m.props.get(PkColsProp).exists(p => p.nonEmpty && !p.contains(",")))
+    if (!m.props.get(PkColsProp).exists(_.nonEmpty))
       return None
     val n = m.numBuckets(DefaultNumBuckets)
     Some(keys.groupBy(bucketOfKey(_, n)).map { case (b, ks) =>
@@ -715,11 +717,19 @@ object Upsert {
 
   // ---- key hashing ------------------------------------------------------
 
+  /** Separator of the canonical multi-column PK string (\\u0001, so
+    * composite keys can't collide by concatenation). Mirrored by the
+    * DSv2 scan's runtime filter when it rebuilds placement keys from
+    * per-column value sets.
+    */
+  private[graft] val KeySep = ""
+
   /** The canonical PK string every placement/bloom hash is keyed on
-    * (-joined so multi-column keys can't collide by concatenation).
+    * ([[KeySep]]-joined so multi-column keys can't collide by
+    * concatenation).
     */
   private[io] def keyStr(pk: Seq[String]) =
-    concat_ws("", pk.map(c => col(c).cast("string")): _*)
+    concat_ws(KeySep, pk.map(c => col(c).cast("string")): _*)
 
   private def withBucket(df: DataFrame, pk: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(xxhash64(keyStr(pk)), lit(numBuckets)).cast("int"))

@@ -281,6 +281,14 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
 private[sources] case class FileSlice(path: String, start: Long,
                                       length: Long, fileSize: Long)
 
+private[sources] object UpsertBucketScan {
+  /** Cross-product cap for composite-pk runtime filtering: beyond this
+    * many rebuilt keys the driver-side bloom probing would cost more
+    * than the pruning saves; the scan simply stays unpruned.
+    */
+  val MaxRuntimeKeys = 4096L
+}
+
 private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         prunedData: StructType,
                                         filters: Array[Filter],
@@ -301,43 +309,62 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
       SparkSession.active, table.dir, table.gen, zoneBounds)
 
   /** Runtime (DPP-style) filtering: when the other join side
-    * materializes small, Spark hands this scan an In/EqualTo on the
-    * table's single-column PK; the values map DRIVER-side to buckets
-    * via the placement-hash mirror and then to candidate files via the
+    * materializes small, Spark hands this scan In/EqualTo filters on
+    * the table's PK columns; the values map DRIVER-side to buckets via
+    * the placement-hash mirror and then to candidate files via the
     * Bloom sidecars — whole buckets empty out and bloomed files skip,
     * before any task launches. Partition COUNT is deliberately
     * unchanged (pruned buckets keep an empty file list), so the
-    * reported KeyGroupedPartitioning stays valid for SPJ. Values of
-    * non-string/integral types, nulls, or multi-column PKs leave the
-    * scan unpruned — never wrong, just unfiltered.
+    * reported KeyGroupedPartitioning stays valid for SPJ.
+    *
+    * COMPOSITE pks prune too: when every pk column received a value
+    * set, the cross product (a SUPERSET of the actual composite keys,
+    * since each actual key appears coordinate-wise) rebuilds the
+    * ``-joined canonical strings exactly as the merge placed
+    * them — pruning by a superset keep-set is always sound. The cross
+    * product is capped at [[UpsertBucketScan.MaxRuntimeKeys]] combos;
+    * beyond it, or with any pk column missing a value set, or values
+    * of non-string/integral types or nulls, the scan stays unpruned —
+    * never wrong, just unfiltered.
     */
   @volatile private var runtimeFiles: Option[Map[Int, Set[String]]] = None
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (table.pk.size == 1) Array(Expressions.column(table.pk.head))
+    if (table.pk.nonEmpty) table.pk.map(Expressions.column).toArray
     else Array.empty
 
   override def filter(runtime: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
-    val pkCol = table.pk.headOption.getOrElse(return)
+    if (table.pk.isEmpty) return
     def canonical(v: Any): Option[String] = v match {
       case s: String => Some(s)
       case n @ (_: java.lang.Long | _: java.lang.Integer |
                 _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
       case _ => None // doubles/decimals: string form is cast-dependent
     }
-    val vals: Option[Seq[Any]] = runtime.collectFirst {
-      case In(c, vs) if c == pkCol => vs.toSeq
-      case EqualTo(c, v) if c == pkCol => Seq(v)
+    val pkSet = table.pk.toSet
+    // several runtime filters can land on one column (two DPP joins):
+    // their value sets intersect
+    val byCol: Map[String, Seq[Any]] = runtime.toSeq.collect {
+      case In(c, vs) if pkSet(c) => c -> vs.toSeq
+      case EqualTo(c, v) if pkSet(c) => c -> Seq(v)
+    }.groupBy(_._1).map { case (c, sets) =>
+      c -> sets.map(_._2.toSet).reduce(_ intersect _).toSeq
     }
-    vals.foreach { vs =>
-      val keys = vs.map(v => Option(v).flatMap(canonical))
-      if (keys.forall(_.isDefined)) {
-        runtimeFiles = graft.io.Upsert.keyCandidateFiles(
-          SparkSession.active, table.dir, table.gen, keys.flatten)
-        splitCache = null // re-plan slices against the narrowed file set
-      }
+    if (!table.pk.forall(byCol.contains)) return // partial coverage: no pruning
+    val perCol: Seq[Seq[String]] = table.pk.map { c =>
+      val ks = byCol(c).map(v => Option(v).flatMap(canonical))
+      if (ks.exists(_.isEmpty)) return // unsupported value: no pruning
+      ks.flatten
     }
+    val combos = perCol.map(_.size.toLong).product
+    if (combos <= 0 || combos > UpsertBucketScan.MaxRuntimeKeys) return
+    val keys = perCol.tail.foldLeft(perCol.head) { (acc, vs) =>
+      for { a <- acc; v <- vs } yield a + graft.io.Upsert.KeySep + v
+    }
+    runtimeFiles = graft.io.Upsert.keyCandidateFiles(
+      SparkSession.active, table.dir, table.gen, keys)
+    splitCache = null // re-plan slices against the narrowed file set
   }
 
   private val partitionSchema =

@@ -140,15 +140,67 @@ class RuntimeFilterSpec extends SparkSpec {
       s"runtime pruning must cut scan bytes ($bOn vs $bOff)")
   }
 
-  test("multi-column PK records in the manifest but declares no filter attribute") {
+  test("composite PK: cross-product of per-column In sets prunes buckets and blooms, exact rows") {
     val dir = Files.createTempDirectory("rtf2").toString
-    val df = Seq(("a", 1, 1L, "x"), ("b", 2, 1L, "y"))
-      .toDF("k1", "k2", "ver", "v")
+    val df = spark.range(400).select(
+      concat(lit("a"), col("id") % 20).as("k1"),
+      (col("id") / 20).cast("int").as("k2"),
+      lit(1L).as("ver"), col("id").as("v"))
     Upsert.merge(spark, dir, df, pk = Seq("k1", "k2"), versionCol = "ver",
-      numBuckets = 4)
+      numBuckets = 8, bloom = true)
     val table = UpsertBucketTable.load(dir)
     assert(table.pk == Seq("k1", "k2"))
     val scan = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
-    assert(scan.filterAttributes().isEmpty)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k1", "k2"))
+    val before = totalFiles(scan.planInputPartitions())
+    // both pk columns covered → the 2×2 cross product rebuilds the
+    // -joined placement keys; buckets outside the cross product's
+    // hash set keep zero slices
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k1", Array[Any]("a3", "a7")),
+      In("k2", Array[Any](Integer.valueOf(0), Integer.valueOf(12)))))
+    val parts = scan.planInputPartitions()
+    val after = totalFiles(parts)
+    assert(after < before, s"composite runtime filter must drop files ($after vs $before)")
+    val crossBuckets = (for { a <- Seq("a3", "a7"); b <- Seq(0, 12) }
+      yield Upsert.bucketOfKey(a + "\u0001" + b, table.numBuckets)).toSet
+    parts.foreach { p0 =>
+      val p = p0.asInstanceOf[UpsertBucketPartition]
+      if (!crossBuckets.contains(p.bucket))
+        assert(p.slices.isEmpty, s"bucket ${p.bucket} outside the cross product kept files")
+    }
+    // end-to-end rows exact through the narrowed scan
+    val got = UpsertBucketSource.read(spark, dir)
+      .filter(col("k1").isin("a3", "a7") && col("k2").isin(0, 12))
+      .select("v").as[Long].collect().sorted
+    val want = Upsert.read(spark, dir)
+      .filter(col("k1").isin("a3", "a7") && col("k2").isin(0, 12))
+      .select("v").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("composite PK: partial column coverage or an oversized cross product leaves the scan whole") {
+    val dir = Files.createTempDirectory("rtf3").toString
+    val df = spark.range(200).select(
+      concat(lit("x"), col("id")).as("k1"), (col("id") % 5).cast("int").as("k2"),
+      lit(1L).as("ver"), col("id").as("v"))
+    Upsert.merge(spark, dir, df, pk = Seq("k1", "k2"), versionCol = "ver",
+      numBuckets = 4)
+    val table = UpsertBucketTable.load(dir)
+    val whole = {
+      val s = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+      totalFiles(s.planInputPartitions())
+    }
+    // only k1 covered → cannot rebuild the composite placement hash
+    val partial = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    partial.filter(Array[org.apache.spark.sql.sources.Filter](In("k1", Array[Any]("x1"))))
+    assert(totalFiles(partial.planInputPartitions()) == whole)
+    // both covered but the cross product blows the cap → no pruning
+    val big = new UpsertBucketScan(table, table.dataSchema, Array.empty, None)
+    val manyA = (0 until 100).map(i => s"x$i": Any).toArray
+    val manyB = (0 until 100).map(i => Integer.valueOf(i): Any).toArray
+    big.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k1", manyA), In("k2", manyB)))
+    assert(totalFiles(big.planInputPartitions()) == whole)
   }
 }

@@ -96,4 +96,63 @@ object IncrementalDws {
                            dwsDir: String): Long =
     refresh(spark, orderDetailDir, dwsDir,
       groupCols = Seq("province_id"), sumCols = Seq("amount_cents"))
+
+  /** The SUBSCRIPTION form of [[refresh]]: `readStream` over the
+    * fact's change feed ([[graft.sources.ChangeFeedSource]]) folding
+    * each micro-batch of retract/add rows into the aggregate — the
+    * reference's continuous DWD→DWS retract-stream topology
+    * (upsert-kafka subscribe, DwsTradeProvinceOrderWindow) instead of
+    * a driver-orchestrated batch fold. Returns the started query;
+    * the aggregate converges to exactly what [[refresh]] (and a full
+    * recompute) produces — pinned set-equal across a kill/restart in
+    * ChangeFeedStreamSpec.
+    *
+    * Exactly-once: the stream's checkpoint replays an uncommitted
+    * micro-batch after a crash, so the fold dedupes on the
+    * FOREACHBATCH id — a StreamAppliedProp watermark committed in the
+    * SAME manifest rename as the folded content (the watermark can
+    * never run ahead of or behind the table it describes). A replayed
+    * batch id ≤ the recorded watermark is a no-op.
+    */
+  private val StreamAppliedProp = "appliedStreamBatch"
+
+  def streaming(spark: SparkSession, factDir: String, dwsDir: String,
+                groupCols: Seq[String], sumCols: Seq[String],
+                checkpointDir: String,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.ChangeFeedSource.read(spark, factDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (changes: DataFrame, batchId: Long) =>
+        val s = changes.sparkSession
+        val man = Upsert.currentManifest(s, tablePath(dwsDir))
+        val applied = man.flatMap(_.props.get(StreamAppliedProp))
+          .map(_.toLong).getOrElse(-1L)
+        if (batchId > applied) {
+          val sign = when(col(ChangeFeed.ChangeCol) === "add", lit(1L))
+            .otherwise(lit(-1L))
+          val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+
+            sum(sign).as("row_ct")
+          val delta = changes.groupBy(groupCols.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+          val next = man.map(m => Upsert.readAt(s, tablePath(dwsDir), m.gen)) match {
+            case None => delta
+            case Some(prev) =>
+              val cols = sumCols :+ "row_ct"
+              prev.unionByName(delta)
+                .groupBy(groupCols.map(col): _*)
+                .agg(sum(col(cols.head)).as(cols.head),
+                  cols.tail.map(c => sum(col(c)).as(c)): _*)
+          }
+          Upsert.overwriteSnapshot(s, tablePath(dwsDir),
+            next.filter(col("row_ct") > 0),
+            props = Map(StreamAppliedProp -> batchId.toString))
+          Upsert.vacuum(s, tablePath(dwsDir), keepManifests = 2)
+        }
+        ()
+      }
+      .start()
 }

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graft.ParquetScanShim
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.{ChangeFeed, Upsert}
+
+/** Structured-Streaming SOURCE over an [[graft.io.Upsert]] table's
+  * change feed — `spark.readStream.format("graft.sources.
+  * ChangeFeedSource").load(tableDir)` yields the retract-encoded
+  * change rows (`__change ∈ {retract, add}`) as a continuous
+  * subscription, the honest Spark equivalent of the reference's
+  * upsert-kafka retract-topic reads (SQLUtil.java:46-54, consumed e.g.
+  * at DwdTradeOrderCancelDetail.java:26-45): DWD merges publish, DWS
+  * aggregates SUBSCRIBE, instead of driver-orchestrated batch folds.
+  *
+  * Offsets are the feed's committed batch ids (an offset = "batches
+  * ≤ id consumed"), so progress tracking rides Spark's own streaming
+  * checkpoint: restart resumes after the last COMMITTED micro-batch
+  * and a replayed `foreachBatch` sees the same rows again — the
+  * downstream sink's idempotence contract is exactly the one the feed
+  * itself already defines for producers (commitId dedupe).
+  *
+  * A `net=K` compacted batch is a valid BOOTSTRAP for a fresh consumer
+  * (it is the telescoped prefix 0..K); for a consumer whose watermark
+  * is already INSIDE the compacted range it would double-count, so
+  * that read fails loudly — compaction past a live consumer's
+  * watermark is a producer-side contract violation ([[ChangeFeed
+  * .compact]]'s "only compact past every consumer's watermark"), not
+  * something to paper over.
+  *
+  * The stream's schema is fixed at start (Spark's streaming contract):
+  * the table's CURRENT recorded schema + `__change`. Older batches
+  * written before an additive evolution surface NULL for the new
+  * columns (same contract as the table's own reads); columns dropped
+  * from the table no longer surface.
+  */
+class ChangeFeedSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "ChangeFeedSource requires a path (the Upsert table dir)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeFeedSource.feedSchema(SparkSession.active, dir(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    ChangeFeedTable(dir(new CaseInsensitiveStringMap(properties)))
+}
+
+object ChangeFeedSource {
+  /** Data columns of the feed: the table's current recorded shape plus
+    * the retract/add marker. Metadata-only (manifest read, no job).
+    */
+  private[sources] def feedSchema(spark: SparkSession, tableDir: String): StructType = {
+    val base = Upsert.read(spark, tableDir).schema
+    if (base.fieldNames.contains(ChangeFeed.ChangeCol)) base
+    else StructType(base.fields :+
+      StructField(ChangeFeed.ChangeCol, StringType, nullable = false))
+  }
+
+  def read(spark: SparkSession, tableDir: String) =
+    spark.readStream.format(classOf[ChangeFeedSource].getName).load(tableDir)
+}
+
+private[sources] case class ChangeFeedTable(dir: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"cdf:$dir"
+  override def schema(): StructType =
+    ChangeFeedSource.feedSchema(SparkSession.active, dir)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private val full = schema()
+      private var required: StructType = full
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String = s"ChangeFeedScan $dir"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangeFeedStream(dir, full, required)
+      }
+    }
+}
+
+/** Offset = highest consumed feed batch id (−1 = nothing yet). */
+private[sources] case class FeedOffset(last: Long) extends Offset {
+  override def json(): String = last.toString
+}
+
+private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
+                                        required: StructType)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = FeedOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+
+  override def latestOffset(): Offset =
+    FeedOffset(ChangeFeed.batches(spark, dir).lastOption.map(_._1).getOrElse(-1L))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FeedOffset].last
+    val e = end.asInstanceOf[FeedOffset].last
+    if (e <= s) return Array.empty
+    val visible = ChangeFeed.batches(spark, dir)
+    // a net batch id ≤ s would simply not be selected; a net with id
+    // > s whose compacted prefix overlaps what this consumer already
+    // applied (s ≥ 0 means batches 0..s were consumed, and every net
+    // covers 0..K) double-counts — fail loudly, see class scaladoc
+    visible.find { case (id, p) => p.contains("net=") && id > s && s >= 0 }
+      .foreach { case (id, _) =>
+        throw new IllegalStateException(
+          s"change feed of $dir was compacted to net=$id past this consumer's " +
+            s"watermark $s — compaction must stay behind every consumer " +
+            "(ChangeFeed.compact contract); restart the consumer from scratch")
+      }
+    val fs = new org.apache.hadoop.fs.Path(ChangeFeed.dirFor(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    visible.filter { case (id, _) => id > s && id <= e }
+      .flatMap { case (_, p) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => ChangeFeedPartition(st.getPath.toString, st.getLen))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(ParquetScanShim.hadoopConf(spark))
+    val support = ParquetScanShim.build(spark, dataSchema,
+      new StructType(), required, Nil, conf.value)
+    new ChangeFeedReaderFactory(support)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ChangeFeedPartition(path: String, len: Long)
+    extends InputPartition
+
+private[sources] class ChangeFeedReaderFactory(support: ParquetScanShim.ReadSupport)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    support.columnar
+
+  private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
+    val part = p.asInstanceOf[ChangeFeedPartition]
+    support.read(ParquetScanShim.partitionedFile(
+      new GenericInternalRow(Array.empty[Any]), part.path, part.len))
+      .asInstanceOf[Iterator[AnyRef]]
+  }
+
+  private class IterReader[T](it: Iterator[AnyRef]) extends PartitionReader[T] {
+    private var cur: AnyRef = _
+    override def next(): Boolean =
+      if (it.hasNext) { cur = it.next(); true } else false
+    override def get(): T = cur.asInstanceOf[T]
+    override def close(): Unit = () // per-file readers close on task completion
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new IterReader[InternalRow](rawIterator(p))
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new IterReader[ColumnarBatch](rawIterator(p))
+}

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.io.{ChangeFeed, Upsert}
+import graft.rtdw.IncrementalDws
+
+/** The change feed as a Structured-Streaming SOURCE (VERDICT r8 #2):
+  * `readStream.format(graft.sources.ChangeFeedSource)` subscribes to an
+  * Upsert table's retract stream, and [[IncrementalDws.streaming]]
+  * folds it into the DWS aggregate — pinned set-equal to the batch
+  * fold and to a full recompute, across a kill/restart with replay.
+  */
+class ChangeFeedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mergeBatch(fact: String,
+                         rows: Seq[(String, String, Long, Long, String)]): Unit =
+    Upsert.merge(spark,
+      fact, rows.toDF("id", "province_id", "ver", "amount_cents", "op"),
+      pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"),
+      changeLog = true)
+
+  private def fullRecompute(factDir: String) =
+    Upsert.read(spark, factDir)
+      .groupBy("province_id")
+      .agg(sum(col("amount_cents")).as("amount_cents"), count(lit(1)).as("row_ct"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private def served(dwsDir: String) =
+    IncrementalDws.current(spark, dwsDir).get
+      .select("province_id", "amount_cents", "row_ct")
+      .as[(String, Long, Long)].collect().toSet
+
+  private def drain(fact: String, dws: String, ckpt: String): Unit = {
+    val q = IncrementalDws.streaming(spark, fact, dws,
+      groupCols = Seq("province_id"), sumCols = Seq("amount_cents"),
+      checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000); ()
+  }
+
+  test("streamed retract rows carry the batch's pre/post images in offset order") {
+    val root = Files.createTempDirectory("cdfsrc").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("a", "p1", 1L, 100L, "insert"), ("b", "p2", 1L, 50L, "insert")))
+    mergeBatch(fact, Seq(("a", "p1", 2L, 140L, "update")))
+    val out = s"$root/out"
+    val q = ChangeFeedSource.read(spark, fact)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .select("id", "amount_cents", ChangeFeed.ChangeCol)
+      .as[(String, Long, String)].collect().toSet
+    // batch 0: two adds; batch 1: retract of a@100 + add of a@140
+    assert(rows == Set(("a", 100L, "add"), ("b", 50L, "add"),
+      ("a", 100L, "retract"), ("a", 140L, "add")))
+  }
+
+  test("streaming DWS fold equals batch fold and full recompute; restart replays as no-op") {
+    val root = Files.createTempDirectory("cdfdws").toString
+    val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"
+    val dwsBatch = s"$root/dws_batch"
+
+    mergeBatch(fact, Seq(("d1", "p1", 1L, 1000L, "insert"),
+      ("d2", "p1", 1L, 550L, "insert"), ("d3", "p2", 1L, 725L, "insert")))
+    drain(fact, dws, ckpt)
+    IncrementalDws.refresh(spark, fact, dwsBatch,
+      Seq("province_id"), Seq("amount_cents"))
+    assert(served(dws) == fullRecompute(fact))
+    assert(served(dws) == served(dwsBatch))
+
+    // KILL (the AvailableNow query already terminated), publish more —
+    // a correction, a stale replay, a full-group delete — RESTART from
+    // the same checkpoint: only the unconsumed batches fold
+    mergeBatch(fact, Seq(("d1", "p1", 2L, 1200L, "update"),
+      ("d4", "p2", 2L, 300L, "insert")))
+    mergeBatch(fact, Seq(("d1", "p1", 1L, 999L, "update"))) // stale: no-op batch
+    mergeBatch(fact, Seq(("d3", "p2", 3L, 725L, "delete"),
+      ("d4", "p2", 3L, 300L, "delete")))
+    drain(fact, dws, ckpt)
+    IncrementalDws.refresh(spark, fact, dwsBatch,
+      Seq("province_id"), Seq("amount_cents"))
+    val s = served(dws)
+    assert(s == fullRecompute(fact))
+    assert(s == served(dwsBatch))
+    assert(!s.exists(_._1 == "p2"), "fully-deleted province must vanish")
+
+    // drain again with nothing new: content byte-stable
+    drain(fact, dws, ckpt)
+    assert(served(dws) == s)
+  }
+
+  test("a net batch bootstraps a FRESH consumer; a consumer inside the compacted range fails loudly") {
+    val root = Files.createTempDirectory("cdfnet").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("x1", "p1", 1L, 10L, "insert")))
+    mergeBatch(fact, Seq(("x2", "p1", 1L, 20L, "insert")))
+
+    // consumer A drains batches 0..1, then the producer compacts 0..1
+    val dwsA = s"$root/dwsA"; val ckptA = s"$root/ckptA"
+    drain(fact, dwsA, ckptA)
+    ChangeFeed.compact(spark, fact, upTo = 1L)
+    mergeBatch(fact, Seq(("x3", "p2", 1L, 30L, "insert")))
+
+    // fresh consumer B bootstraps from net=1 + batch 2 → full state
+    val dwsB = s"$root/dwsB"; val ckptB = s"$root/ckptB"
+    drain(fact, dwsB, ckptB)
+    assert(served(dwsB) == fullRecompute(fact))
+
+    // consumer A (watermark 1 — AT the net) continues past it cleanly
+    drain(fact, dwsA, ckptA)
+    assert(served(dwsA) == fullRecompute(fact))
+
+    // a consumer whose watermark is INSIDE a compacted range fails:
+    // simulate with a direct planInputPartitions call (watermark 0,
+    // net=1 visible)
+    val stream = new ChangeFeedStream(fact,
+      ChangeFeedSource.feedSchema(spark, fact),
+      ChangeFeedSource.feedSchema(spark, fact))
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(FeedOffset(0L), FeedOffset(2L))
+    }
+    assert(err.getMessage.contains("compacted"))
+  }
+}

@@ -1272,6 +1272,92 @@ object Upsert {
     } finally { tagged.unpersist(); () }
   }
 
+  /** Apply an IMPERATIVE row-level delta — the commit primitive behind
+    * SQL `MERGE INTO` / `UPDATE` / `DELETE` on the catalog
+    * ([[graft.sources.UpsertCatalog]]). Unlike [[merge]]'s LWW-by-
+    * version semantics (built for CDC replay), SQL DML is imperative:
+    * the delta wins unconditionally. `delta` carries the table's data
+    * columns plus `opCol` ∈ {`upsert`, `delete`}; delete rows need
+    * only their pk columns (the rest may be NULL).
+    *
+    * Per touched bucket (delta pks hash through the recorded
+    * placement), the new content is `current ∖ delta-pks ∪ upsert
+    * rows` — staged and committed through the same single-manifest-
+    * rename discipline as every merge, under the writer lease.
+    * Buckets the delta doesn't touch are re-referenced verbatim.
+    * Tables without a recorded pk refuse; Bloom sidecars are rebuilt
+    * for rewritten buckets when the touched buckets carried them.
+    */
+  private[graft] def applyDelta(spark: SparkSession, dir: String,
+                                delta: DataFrame, opCol: String): Unit =
+      withWriterLease(spark, dir) {
+    val man = currentManifest(spark, dir).getOrElse(
+      throw new NoTableException(s"no committed manifest under $dir"))
+    val pk = man.props.get(PkColsProp).map(_.split(",").toSeq)
+      .filter(_.nonEmpty).getOrElse(throw new TableContractException(
+        s"$dir records no pk columns — row-level DML needs the placement contract"))
+    val n = man.numBuckets(DefaultNumBuckets)
+    val tagged = withBucket(delta, pk, n).persist()
+    try {
+      val touched: Set[Int] = tagged.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      val tblSchema = tableSchema(man)
+      val candFiles = touched.toSeq.flatMap(b => man.files.getOrElse(b, Seq.empty))
+      val cur0 =
+        if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles, tblSchema)
+        else scanFiles(spark, dir, man.allFiles, tblSchema).filter(lit(false))
+      val updData = tagged.drop(BucketCol, opCol)
+      SchemaEvolution.checkAdditive(spark, cur0.schema, updData.schema,
+        "table", "delta", droppedSet(man))
+      val unionFields = cur0.schema.fields ++
+        updData.schema.fields.filterNot(f => cur0.columns.contains(f.name))
+      def widen(df: DataFrame): DataFrame = {
+        val have = df.columns.toSet
+        df.select(unionFields.toIndexedSeq.map(f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
+      val keys = tagged.select(pk.map(col): _*).distinct()
+      val survivors = widen(cur0).join(keys, pk, "left_anti")
+      val upserts = widen(tagged.filter(col(opCol) =!= "delete").drop(BucketCol, opCol))
+      val merged = withBucket(survivors.unionByName(upserts), pk, n)
+      // rewritten buckets keep their skipping layers: blooms when the
+      // touched buckets carried sidecars, zones per the manifest
+      val fs = FsOps.fs(spark, new Path(dir))
+      val hadBlooms = touched.exists { b =>
+        man.files.getOrElse(b, Seq.empty).headOption.exists { rel =>
+          val parent = rel.substring(0, rel.lastIndexOf('/'))
+          fs.exists(new Path(abs(dir, s"$parent/${Blooms.SidecarName}")))
+        }
+      }
+      val gen = nextGen(spark, dir)
+      val staged = stageGeneration(spark, dir, gen, merged,
+        if (hadBlooms) Some(pk) else None, zoneColsOf(man))
+      var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
+        b -> staged.getOrElse(b, Seq.empty)
+      }.toMap
+      files = files.filter(_._2.nonEmpty)
+      if (files.exists { case (b, _) => b != SchemaBucket }) files -= SchemaBucket
+      if (files.isEmpty)
+        files = Map(SchemaBucket ->
+          stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
+      // keep the RECORDED per-column shape (esp. NOT NULL) for columns
+      // that already existed — the plan's union relaxes nullability,
+      // and silently loosening pk nullability would break the next
+      // DML's row-id contract
+      val mergedSchema = merged.drop(BucketCol).schema
+      val committed = tableSchema(man) match {
+        case Some(ps) => org.apache.spark.sql.types.StructType(
+          mergedSchema.fields.map(f => ps.fields.find(_.name == f.name).getOrElse(f)))
+        case None => mergedSchema
+      }
+      commitManifest(spark, dir, Manifest(gen,
+        man.props + (SchemaProp -> committed.toDDL),
+        files), Some(man))
+    } finally { tagged.unpersist(); () }
+  }
+
   /** Last-writer-wins + delete resolution over a `__src`-tagged union. */
   private def resolve(combined: DataFrame, pk: Seq[String], versionCol: String,
                       deleteFlagCol: Option[String]): DataFrame = {

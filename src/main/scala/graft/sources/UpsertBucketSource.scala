@@ -113,14 +113,36 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               files: Map[Int, Seq[(String, Long)]],
                                               viaCatalog: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"upsert:$dir"
 
+  /** SQL `MERGE INTO` / `UPDATE` / `DELETE` — the delta-based
+    * row-level form (see [[UpsertRowLevelOperation]]): Spark's rewrite
+    * hands the write only changed rows keyed by the recorded pk, the
+    * commit folds them through `Upsert.applyDelta` (bucket-pruned
+    * rewrite, one manifest rename, writer lease). Imperative
+    * semantics: the statement wins, no version comparison — SQL DML,
+    * not CDC replay.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new UpsertRowLevelOperation(this, info.command())
+
   // __bucket is nullable so a column-list INSERT can omit it (the
-  // write path derives placement from the PK and drops the column)
-  override def schema(): StructType =
-    StructType(dataSchema.fields :+
+  // write path derives placement from the PK and drops the column).
+  // Recorded pk columns report NOT NULL — the placement contract
+  // (identifier fields, as in any lakehouse format) and what Spark's
+  // row-level DML demands of row-id attributes; a merge union may
+  // have relaxed the stored DDL, but the pk itself never holds nulls
+  // on the merge path.
+  override def schema(): StructType = {
+    val pkSet = pk.toSet
+    StructType(dataSchema.fields.map(f =>
+      if (pkSet(f.name)) f.copy(nullable = false) else f) :+
       StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = true))
+  }
 
   /** Catalog-loaded tables with a hashable PK report the REAL
     * partition transform `bucket(n, pk...)` — resolvable through the

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.graft.ParquetWriteShim
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.Upsert
+
+/** SQL row-level DML (`MERGE INTO` / `UPDATE` / `DELETE`) over
+  * [[UpsertBucketTable]] — the delta-based `SupportsDelta` form:
+  * Spark's own rewrites (RewriteMergeIntoTable / RewriteUpdateTable /
+  * RewriteDeleteFromTable) join target and source and hand this write
+  * only the CHANGED rows, each tagged insert/update/delete with the
+  * pk as the row id. Executors append the tagged rows as plain
+  * parquet delta files into a hidden staging dir (via Spark's own
+  * parquet writer stack, [[ParquetWriteShim]] — never a driver
+  * collect), and the driver's commit folds the staged delta through
+  * [[graft.io.Upsert.applyDelta]]: one bucket-pruned rewrite, one
+  * manifest rename, under the table's writer lease. A crash or abort
+  * before that rename leaves only an invisible staging dir.
+  *
+  * Semantics are imperative (the delta wins), exactly what SQL DML
+  * means — distinct from the API merge's LWW-by-version replay
+  * contract. Guardrails mirror `INSERT INTO`: tables without a
+  * recorded pk refuse at planning, change-feed tables refuse (a SQL
+  * write bypassing the feed would silently starve its consumers).
+  */
+private[sources] class UpsertRowLevelOperation(table: UpsertBucketTable,
+                                               cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  require(table.pk.nonEmpty,
+    s"${table.name()} records no pk columns; row-level SQL DML needs the " +
+      "placement contract — write through graft.io.Upsert")
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new UpsertScanBuilder(table)
+
+  override def rowId(): Array[NamedReference] =
+    table.pk.map(Expressions.column).toArray
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val spark = SparkSession.active
+    if (graft.io.ChangeFeed.batches(spark, table.dir).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"${table.dir} has a change feed: SQL ${cmd} would bypass it; " +
+          "write through graft.io.Upsert.merge(changeLog = true)")
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new UpsertDeltaWrite(table,
+        // a pure DELETE has NO row projection — only the row id (pk);
+        // stage just those coordinates, applyDelta's widen fills the rest
+        if (info.schema().nonEmpty) info.schema()
+        else info.rowIdSchema().orElse(StructType(Nil)))
+    }
+  }
+}
+
+private[sources] class UpsertDeltaWrite(table: UpsertBucketTable,
+                                        rowSchema: StructType)
+    extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new UpsertDeltaBatchWrite(table, rowSchema)
+}
+
+private[sources] object UpsertDml {
+  val OpCol = "__op"
+}
+
+private[sources] class UpsertDeltaBatchWrite(table: UpsertBucketTable,
+                                             rowSchema: StructType)
+    extends DeltaBatchWrite {
+
+  // the ROW projection Spark sends (may include the synthetic
+  // __bucket column — applyDelta re-derives placement from the pk and
+  // ignores it) plus the operation tag. Staged FULLY NULLABLE: delete
+  // rows carry NULL for every non-pk column, and a parquet writer
+  // given a NOT-NULL schema would write them without definition
+  // levels — silent file corruption, not an error
+  private val stagedSchema: StructType =
+    StructType(rowSchema.fields.map(_.copy(nullable = true)) :+
+      StructField(UpsertDml.OpCol, StringType, nullable = true))
+  private val staging: String =
+    s"${table.dir.stripSuffix("/")}/.dml-${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(staging))
+    val support = ParquetWriteShim.build(spark, stagedSchema)
+    val pkIdx = table.pk.map(c => rowSchema.fieldIndex(c)).toArray
+    new UpsertDeltaWriterFactory(staging, support, rowSchema, pkIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect { case DeltaFileCommit(path) => path }
+    try {
+      if (files.nonEmpty) {
+        val delta = spark.read.schema(stagedSchema).parquet(files.toIndexedSeq: _*)
+        Upsert.applyDelta(spark, table.dir, delta, UpsertDml.OpCol)
+      }
+    } finally cleanup(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(SparkSession.active)
+
+  private def cleanup(spark: SparkSession): Unit = {
+    val p = new Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+}
+
+private[sources] case class DeltaFileCommit(path: String) extends WriterCommitMessage
+
+private[sources] class UpsertDeltaWriterFactory(staging: String,
+                                                support: ParquetWriteShim.WriteSupport,
+                                                dataSchema: StructType,
+                                                pkIdx: Array[Int])
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val path =
+        s"$staging/part-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+      private lazy val writer = support.newWriter(path, partitionId, taskId)
+      private var wrote = false
+      private val types: Array[DataType] = dataSchema.fields.map(_.dataType)
+      private val width = types.length
+
+      private def emit(row: InternalRow, op: String): Unit = {
+        val out = new GenericInternalRow(width + 1)
+        var i = 0
+        while (i < width) {
+          out.update(i, if (row.isNullAt(i)) null else row.get(i, types(i)))
+          i += 1
+        }
+        out.update(width, UTF8String.fromString(op))
+        writer.write(out); wrote = true
+      }
+
+      override def insert(row: InternalRow): Unit = emit(row, "upsert")
+
+      override def update(metadata: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit = emit(row, "upsert")
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        // only the pk coordinates are known; the applier anti-joins on
+        // them, so the remaining columns stay NULL
+        val out = new GenericInternalRow(width + 1)
+        var i = 0
+        while (i < pkIdx.length) {
+          val t = types(pkIdx(i))
+          out.update(pkIdx(i), if (id.isNullAt(i)) null else id.get(i, t))
+          i += 1
+        }
+        out.update(width, UTF8String.fromString("delete"))
+        writer.write(out); wrote = true
+      }
+
+      override def commit(): WriterCommitMessage =
+        if (wrote) { writer.close(); DeltaFileCommit(path) }
+        else DeltaNoopCommit
+
+      override def abort(): Unit = if (wrote) writer.close()
+
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] case object DeltaNoopCommit extends WriterCommitMessage

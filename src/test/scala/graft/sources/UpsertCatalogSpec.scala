@@ -122,6 +122,82 @@ class UpsertCatalogSpec extends SparkSpec {
     assert(msgs(e2).exists(m => m != null && m.contains("change feed")))
   }
 
+  test("SQL MERGE INTO: update/delete/insert in one statement, parity with the API delta") {
+    catalogReady
+    val dir = mkTable(60, "m")
+    val src = Seq(
+      ("k3", "patched3", "u"),  // matched → UPDATE
+      ("k11", "whatever", "d"), // matched → DELETE
+      ("kZ", "brandnew", "u"))  // not matched → INSERT
+      .toDF("sk", "sv", "sop")
+    src.createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_src s ON t.k = s.sk
+          WHEN MATCHED AND s.sop = 'd' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.sv
+          WHEN NOT MATCHED THEN INSERT (k, ver, v) VALUES (s.sk, 1, s.sv)""")
+    val after = spark.sql(s"SELECT k, v FROM graft.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("k3") == "patched3")
+    assert(!after.contains("k11"), "MERGE DELETE must remove the key")
+    assert(after("kZ") == "brandnew")
+    assert(after.size == 60) // 60 - 1 deleted + 1 inserted
+    // untouched keys intact
+    assert(after("k5") == "m5" && after("k59") == "m59")
+  }
+
+  test("SQL UPDATE and DELETE rewrite only touched buckets; rows exact") {
+    catalogReady
+    val dir = mkTable(80, "u")
+    val genBefore = Upsert.manifestGens(spark, dir).last
+    spark.sql(s"UPDATE graft.`$dir` SET v = concat(v, '!') WHERE k IN ('k2', 'k40')")
+    val afterUpdate = spark.sql(
+      s"SELECT v FROM graft.`$dir` WHERE k IN ('k2', 'k40') ORDER BY k")
+      .as[String].collect().toSeq
+    assert(afterUpdate == Seq("u2!", "u40!"))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE v = 'u7'")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == 79)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE k = 'k7'")
+      .as[Long].head() == 0)
+    // bucket pruning: the DML generations re-reference untouched
+    // buckets' files verbatim (no full rewrite)
+    val manBefore = Upsert.manifestAt(spark, dir, genBefore).get
+    val manAfter = Upsert.currentManifest(spark, dir).get
+    val reused = manBefore.files.count { case (b, fs) =>
+      manAfter.files.get(b).contains(fs)
+    }
+    assert(reused > 0, "DML must re-reference untouched buckets, not rewrite the table")
+    // versionCol is untouched by imperative DML — a later API merge
+    // with a higher version still supersedes
+    Upsert.merge(spark, dir, Seq(("k2", 9L, "api2")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    assert(spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k2'")
+      .as[String].head() == "api2")
+  }
+
+  test("row-level DML guardrails: change-feed tables refuse; writer lease serializes") {
+    catalogReady
+    val fed = Files.createTempDirectory("cat_fed_dml").toString
+    Upsert.merge(spark, fed, Seq(("a", 1L, "x")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", changeLog = true)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$fed` WHERE k = 'a'"))
+    assert(msgs(e).exists(m => m != null && m.contains("change feed")), s"got: ${msgs(e)}")
+    // the apply path takes the table's writer lease: a held lease
+    // aborts the DML loudly instead of racing the manifest
+    val dir = mkTable(10, "l")
+    graft.io.Upsert.withCompositeLease(spark, dir) {
+      val e2 = intercept[Exception](spark.sql(
+        s"DELETE FROM graft.`$dir` WHERE k = 'k1'"))
+      assert(msgs(e2).exists(m => m != null && m.contains("lease")), s"got: ${msgs(e2)}")
+    }
+    // and after release it succeeds
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k = 'k1'")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == 9)
+  }
+
   test("the V2 bucket function mirrors the placement hash bit-exactly") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.connector.catalog.functions.ScalarFunction

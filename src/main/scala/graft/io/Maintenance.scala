@@ -48,7 +48,20 @@ object Maintenance {
       /** [[Upsert]]: when a bloom PK is in use, rewrite buckets whose
         * live files lack sidecars once coverage falls below this
         * fraction (0 = never enforce). */
-      minBloomCoverage: Double = 0.0)
+      minBloomCoverage: Double = 0.0,
+      /** [[Upsert.rebucket]] trigger: when any bucket's live bytes
+        * exceed this, re-place the table under enough buckets to bring
+        * the largest back under (0 = never). ABSOLUTE size, not
+        * skew-vs-median, deliberately: a hot key-mass stays the same
+        * MULTIPLE of the median under any modulus (both spread
+        * proportionally), so a relative trigger re-fires forever —
+        * while the absolute trigger targets the real scale failure
+        * (bucket > per-task scan budget) and provably converges:
+        * doubling halves every bucket that holds many distinct keys.
+        * A single giant KEY cannot split by placement at all; that
+        * case belongs to partial clustering / the bucketized band
+        * join, not here. */
+      maxBucketBytes: Long = 0L)
 
   /** Policy pass over an [[Upsert]] table. Returns the actions taken,
     * empty when healthy; the empty path runs zero Spark jobs.
@@ -75,6 +88,26 @@ object Maintenance {
           Upsert.compactBuckets(spark, dir, pk, maxFilesPerBucket = 0, bloom = true)
           actions += s"rebloom: coverage ${s.bloomBuckets}/$liveBuckets " +
             s"below ${policy.minBloomCoverage}"
+        }
+      }
+    }
+    if (policy.maxBucketBytes > 0) {
+      val sizes = Upsert.bucketBytes(spark, dir)
+      if (sizes.nonEmpty) {
+        val biggest = sizes.values.max
+        if (biggest > policy.maxBucketBytes) {
+          val n = man.numBuckets(Upsert.DefaultNumBuckets)
+          // smallest power-of-two factor that brings the largest
+          // bucket under target (its keys spread ~evenly under the
+          // finer modulus)
+          var factor = 2
+          while (biggest / factor > policy.maxBucketBytes && factor < 1024)
+            factor *= 2
+          Upsert.rebucket(spark, dir, n * factor)
+          val median = sizes.values.toSeq.sorted.apply(sizes.size / 2)
+          actions += s"rebucket: ${n} -> ${n * factor} buckets " +
+            s"(largest $biggest B > ${policy.maxBucketBytes} B target, " +
+            s"skew ${if (median > 0) biggest / median else -1}x median)"
         }
       }
     }

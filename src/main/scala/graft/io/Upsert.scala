@@ -1445,6 +1445,57 @@ object Upsert {
       Some(man))
   }
 
+  /** Live bytes per bucket of the current snapshot — the signal
+    * [[Maintenance]]'s rebucket policy reads. Metadata-only (the
+    * cached [[bucketLayout]] listing; no Spark job).
+    */
+  def bucketBytes(spark: SparkSession, dir: String): Map[Int, Long] =
+    bucketLayout(spark, dir).files.map { case (b, fs) =>
+      b -> fs.map(_._2).sum
+    }
+
+  /** Re-place the whole table under `newNumBuckets` — the structural
+    * fix when buckets have outgrown the per-task scan budget (a table
+    * that grew 100× since CREATE has 100× buckets' worth of data in
+    * each bucket; no runtime mechanism restores the layout contract —
+    * only re-placement does). One full read + one staged write + ONE
+    * manifest rename under the writer lease: readers resolve either
+    * the complete old placement or the complete new one, never a mix,
+    * and a reader mid-scan on the previous generation finishes
+    * against intact files (MVCC, like every commit here). Blooms are
+    * rebuilt when the old layout carried them; zones re-declare from
+    * the manifest. Placement props (pk, versionCol) are preserved;
+    * only `numBuckets` changes.
+    */
+  def rebucket(spark: SparkSession, dir: String,
+               newNumBuckets: Int): Unit = withWriterLease(spark, dir) {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive: $newNumBuckets")
+    val man = currentManifest(spark, dir).getOrElse(
+      throw new NoTableException(s"no committed manifest under $dir"))
+    val pk = man.props.get(PkColsProp).map(_.split(",").toSeq)
+      .filter(_.nonEmpty).getOrElse(throw new TableContractException(
+        s"$dir records no pk columns — rebucket needs the placement contract"))
+    if (man.numBuckets(DefaultNumBuckets) == newNumBuckets) return
+    val fs = FsOps.fs(spark, new Path(dir))
+    val hadBlooms = man.files.keysIterator.filter(_ != SchemaBucket).take(1)
+      .exists { b =>
+        man.files(b).headOption.exists { rel =>
+          val parent = rel.substring(0, rel.lastIndexOf('/'))
+          fs.exists(new Path(abs(dir, s"$parent/${Blooms.SidecarName}")))
+        }
+      }
+    val df = scanFiles(spark, dir, man.allFiles, tableSchema(man))
+    val merged = withBucket(df, pk, newNumBuckets)
+    val gen = nextGen(spark, dir)
+    val staged = stageGeneration(spark, dir, gen, merged,
+      if (hadBlooms) Some(pk) else None, zoneColsOf(man))
+    val files: Map[Int, Seq[String]] =
+      if (staged.valuesIterator.flatten.nonEmpty) staged
+      else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
+    commitManifest(spark, dir, Manifest(gen,
+      man.props + ("numBuckets" -> newNumBuckets.toString), files))
+  }
+
   /** Bytes and files a [[vacuum]] with this retention would actually
     * free: on-disk generation-dir data files referenced by NONE of the
     * newest `keepManifests` manifests. Metadata-only (listings — no

@@ -65,10 +65,20 @@ object ScaleProbe {
     // long dedup candidate sweep
     val eventsOnly = args.length > 1 && args(1) == "events"
     val spjOnly = args.length > 1 && args(1) == "spj"
+    // "spill": the memory-pressure probe — a deliberately starved
+    // execution-memory pool (fraction 0.12 of the heap instead of 0.6)
+    // and few, fat shuffle partitions, so the window/distinct/dedup
+    // sorts and aggregations MUST spill. The graded claim is graceful
+    // degradation: every probe completes (no OOM), spill bytes are
+    // reported, and throughput degrades by a bounded factor vs the
+    // unconstrained figures in NOTES — the behavior a 100 TB shuffle
+    // partition that misjudged its memory budget needs.
+    val spillOnly = args.length > 1 && args(1) == "spill"
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", if (spillOnly) "8" else "64")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.memory.fraction", if (spillOnly) "0.12" else "0.6")
       .pipe(graft.core.GraftSession.engineConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -463,6 +473,61 @@ object ScaleProbe {
       hotJoin("uniform_grouped", uniDir, dimUni, partial = false)
     }
 
+    if (spillOnly) {
+      // AQE's coalescer would undo the deliberately-fat partitions
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+      val diskSpill = new java.util.concurrent.atomic.AtomicLong(0)
+      val peak = new java.util.concurrent.atomic.AtomicLong(0)
+      val sl = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            memSpill.addAndGet(e.taskMetrics.memoryBytesSpilled)
+            diskSpill.addAndGet(e.taskMetrics.diskBytesSpilled)
+            peak.getAndAccumulate(e.taskMetrics.peakExecutionMemory, math.max)
+          }
+      }
+      def probe(name: String)(df: => DataFrame): Unit = {
+        memSpill.set(0); diskSpill.set(0); peak.set(0)
+        spark.sparkContext.addSparkListener(sl)
+        try {
+          val t0 = System.nanoTime()
+          val rows = df.queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          println(f"[scale] spill_$name%-22s out=$rows%-9d ${dt}%6.1fs  " +
+            f"${n / dt / 1e6}%5.1f M rows/s  spilled mem=${memSpill.get() >> 20}%d MiB " +
+            f"disk=${diskSpill.get() >> 20}%d MiB  peak-task=${peak.get() >> 20}%d MiB")
+        } finally spark.sparkContext.removeSparkListener(sl)
+      }
+      import org.apache.spark.sql.expressions.Window
+      probe("latest_per_user") {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+        ev.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      }
+      probe("keyed_window_agg") {
+        ev.groupBy(col("user_id"), window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("ct"), sum(col("value")).as("sv"),
+            min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      }
+      probe("distinct_per_day") {
+        ev.groupBy(to_date(col("ts")).as("d"))
+          .agg(countDistinct(col("user_id")).as("uv"))
+      }
+      probe("global_sort") {
+        ev.orderBy(col("value"), col("user_id"), col("event_id"))
+      }
+      probe("dedup_exact_wide") {
+        // exact dedup on a fat synthetic text column — the content
+        // hash shuffle with rows ~50× wider than the events rows
+        val docs = ev.select(col("event_id").as("doc_id"),
+          concat_ws(" ", (0 until 8).map(i =>
+            sha2(concat(col("event_id").cast("string"), lit(i)), 256)): _*).as("text"))
+        docs.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("dups"))
+      }
+    }
+
     if (mvincOnly) {
       // Incremental-MV refresh vs full rebuild (the MvIncremental
       // claim, quantified): after a SMALL correction batch lands on an
@@ -507,7 +572,7 @@ object ScaleProbe {
         s"agg_equal=${inc == full}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -683,7 +748,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -38,6 +38,8 @@ object SparkEntry {
       Relational.aPercentileApproxBound(s, d)),
     "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
     "j_snapshot_diff" -> (Relational.jSnapshotDiff _),
+    "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
+    "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
@@ -367,6 +369,37 @@ object SparkEntry {
                 CAST(FLOOR((value + 1) * 100) AS BIGINT) AS new_value_cents
          FROM events
          WHERE event_id % 97 = 0""",
+
+    // the Spark side mutates an Upsert copy of events with ONE SQL
+    // MERGE INTO through the catalog (update evens / delete odds /
+    // insert synthetics) and reads the affected slice; the oracle
+    // recomputes the three actions' definitions over the raw table —
+    // green proves the executor-staged row-level write changed exactly
+    // the intended rows
+    "j_sql_merge_dml" ->
+      """SELECT event_id, event_type,
+                CAST(FLOOR((value + 2) * 100) AS BIGINT) AS value_cents
+         FROM events WHERE event_id % 89 = 0 AND event_id % 2 = 0
+         UNION ALL
+         SELECT event_id + 1000000000000, 'synthetic', CAST(4200 AS BIGINT)
+         FROM events WHERE event_id % 1013 = 0""",
+
+    // the Spark side SUBSCRIBES to the fact's change feed (DSv2
+    // MicroBatchStream) and folds three retract waves — insert-all,
+    // corrections for %97 keys, deletes of %101 keys — into the DWS
+    // aggregate; the oracle recomputes the waves' net effect over the
+    // raw table — green proves the streamed telescoping fold equals a
+    // full recompute
+    "dws_stream_fold" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 97 = 0
+                              THEN CAST(FLOOR((value + 1) * 100) AS BIGINT)
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events
+         WHERE event_id % 101 <> 0
+         GROUP BY event_type""",
 
     "q_top_revenue_orders" ->
       """SELECT l_orderkey,

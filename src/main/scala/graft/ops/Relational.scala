@@ -918,4 +918,109 @@ object Relational {
         sum(cents(col("value"))).as("value_cents"),
         countDistinct(col("user_id")).as("users"))
   }
+
+  /** Build-once serving copy of events mutated by ONE SQL `MERGE INTO`
+    * through the catalog (deterministic three-action statement:
+    * matched evens of `event_id % 89 == 0` update `value + 2`, matched
+    * odds DELETE, and a synthetic not-matched set INSERTs under
+    * `event_id + 10^12`). Marker-gated so repeated runs serve the
+    * already-mutated table. Returns the table root.
+    */
+  def sqlMergeDmlEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/dml/events_merge_$key"
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      val ev = Tables.events(spark, sfDir)
+      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v")
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      val src = ev.filter(col("event_id") % 89 === 0)
+        .select(col("event_id").as("s_id"),
+          (col("event_id") % 2 === 1).as("s_del"))
+        .unionByName(
+          ev.filter(col("event_id") % 1013 === 0)
+            .select((col("event_id") + lit(1000000000000L)).as("s_id"),
+              lit(false).as("s_del")))
+      val view = s"dml_src_${key.replace('.', '_')}"
+      src.createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING $view s ON t.event_id = s.s_id
+            WHEN MATCHED AND s.s_del THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = t.value + 2
+            WHEN NOT MATCHED THEN INSERT (event_id, user_id, ts, event_type, value, __v)
+              VALUES (s.s_id, 0, TIMESTAMP '2024-01-01 00:00:00', 'synthetic', 42.0, 1)""")
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
+  /** The affected slice of the SQL-MERGE-mutated table: updated evens
+    * (`value + 2`), surviving proof that odds were deleted (absent
+    * rows), and the inserted synthetic keys. The ORACLE recomputes the
+    * three actions' definitions over the RAW events table in DuckDB —
+    * a green row proves the SQL row-level write (executor-staged delta
+    * + bucket-pruned apply) changed exactly the intended rows.
+    */
+  def jSqlMergeDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = sqlMergeDmlEnsure(spark, sfDir)
+    graft.io.Upsert.read(spark, root)
+      .filter(col("event_id") % 89 === 0 || col("event_id") >= 1000000000000L)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+  }
+
+  /** Build-once STREAMED DWS aggregate: the fact table publishes three
+    * change-feed waves (insert-all, correction, deletes) through
+    * [[graft.io.Upsert.merge]] with `changeLog = true`, and the
+    * aggregate is maintained by SUBSCRIBING to the feed —
+    * `readStream.format(ChangeFeedSource)` folded by
+    * [[graft.rtdw.IncrementalDws.streaming]] (Trigger.AvailableNow,
+    * awaited). Returns the dws dir.
+    */
+  def dwsStreamEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val base = s"target/dml/stream_dws_$key"
+    val fact = s"$base/fact"; val dws = s"$base/dws"
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
+    val marker = new org.apache.hadoop.fs.Path(base, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"), col("value"))
+      def wave(df: DataFrame, v: Long): Unit =
+        graft.io.Upsert.merge(spark, fact,
+          df.withColumn("__v", lit(v)),
+          pk = Seq("event_id"), versionCol = "__v",
+          deleteFlagCol = Some("op"), changeLog = true)
+      wave(ev.withColumn("op", lit("insert")), 1L)
+      wave(ev.filter(col("event_id") % 97 === 0)
+        .withColumn("value_cents", cents(col("value") + 1))
+        .withColumn("op", lit("update")), 2L)
+      wave(ev.filter(col("event_id") % 101 === 0)
+        .withColumn("op", lit("delete")), 3L)
+      val q = graft.rtdw.IncrementalDws.streaming(spark, fact, dws,
+        groupCols = Seq("event_type"), sumCols = Seq("value_cents"),
+        checkpointDir = s"$base/ckpt")
+      q.awaitTermination(300000)
+      fs.create(marker, true).close()
+    }
+    dws
+  }
+
+  /** The streamed DWS aggregate, graded: per-type Σ cents + row count
+    * after the three retract-stream waves. The ORACLE recomputes the
+    * waves' NET effect over the raw events table (corrections replace,
+    * deletes vanish) — a green row proves the subscription fold
+    * (retract −1 / add +1 telescoping across restarts and replays)
+    * equals a full recompute.
+    */
+  def dwsStreamFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val dws = dwsStreamEnsure(spark, sfDir)
+    graft.rtdw.IncrementalDws.current(spark, dws).get
+      .select(col("event_type"), col("value_cents"), col("row_ct"))
+  }
 }

@@ -196,6 +196,71 @@ object Upsert {
     FsOps.readTextOpt(spark, new Path(dir, manifestName(gen)))
       .map(parse(spark, dir, gen, _))
 
+  /** Resolve `TIMESTAMP AS OF`: the newest retained generation whose
+    * [[CommittedAtProp]] stamp is ≤ `tsMs`. Resolution walks the
+    * retained manifests' props (one small read per generation —
+    * metadata only, no Spark job) and breaks any clock-skew tie by
+    * generation NUMBER, the authoritative commit order. A timestamp
+    * before the oldest retained commit fails loudly with the earliest
+    * time that IS resolvable, mirroring what lakehouse time travel
+    * does when retention has collected the requested snapshot.
+    */
+  def genAtTimestamp(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val gens = manifestGens(spark, dir).sorted
+    if (gens.isEmpty)
+      throw new NoTableException(s"no committed manifest under $dir")
+    val stamped = gens
+      .flatMap(g => manifestAt(spark, dir, g))
+      .flatMap(m => m.props.get(CommittedAtProp).map(s => (m.gen, s.toLong)))
+    if (stamped.isEmpty)
+      // the table EXISTS — this must NOT surface as "table not found"
+      throw new IllegalStateException(
+        s"table at $dir predates commit timestamps (no $CommittedAtProp " +
+          "prop on any retained manifest); use VERSION AS OF, or commit " +
+          "once to start the clock")
+    val hits = stamped.filter(_._2 <= tsMs)
+    if (hits.isEmpty)
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF $tsMs precedes every retained snapshot of $dir " +
+          s"(earliest retained commit: ${stamped.map(_._2).min}); " +
+          "older snapshots were vacuumed or never existed")
+    hits.map(_._1).max
+  }
+
+  /** Commit history of the retained snapshots, newest first — the
+    * `DESCRIBE HISTORY` equivalent. One row per retained manifest:
+    * generation, commit timestamp, operation label, bucket count,
+    * data-file count, and the recorded PK / version-column contract.
+    * Metadata only: O(retained generations) small manifest reads on
+    * the driver, no Spark job over data files.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = manifestGens(spark, dir).sorted.reverse
+      .flatMap(g => manifestAt(spark, dir, g))
+      .map { m =>
+        org.apache.spark.sql.Row(
+          m.gen,
+          m.props.get(CommittedAtProp)
+            .map(s => new java.sql.Timestamp(s.toLong)).orNull,
+          m.props.get(OperationProp).orNull,
+          m.props.get("numBuckets").map(_.toInt).map(Int.box).orNull,
+          m.files.filterNot(_._1 == SchemaBucket).valuesIterator.map(_.size).sum,
+          m.props.get(PkColsProp).orNull,
+          m.props.get(VersionColProp).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("generation", LongType, nullable = false),
+      StructField("committed_at", TimestampType),
+      StructField("operation", StringType),
+      StructField("num_buckets", IntegerType),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("pk_columns", StringType),
+      StructField("version_column", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Commit a snapshot. The root `_manifest-<gen>` rename is ALWAYS the
     * single visibility point; what varies is whether the file list
     * rides inline or in segment files written (invisibly) first:
@@ -212,9 +277,20 @@ object Upsert {
     * A crash before the root rename leaves only unreferenced segment
     * files ([[vacuum]] collects them); readers of either form resolve
     * through one root, so snapshot isolation is unchanged.
+    *
+    * Every commit stamps [[CommittedAtProp]] (driver wall-clock, ms)
+    * and [[OperationProp]] (what produced the snapshot) into the
+    * manifest props — the resolution axis of `TIMESTAMP AS OF` time
+    * travel and the rows of [[history]]. The stamp is metadata only:
+    * generation NUMBERS stay the authoritative commit order (clock
+    * skew between writers can never reorder history).
     */
-  private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
-                             prev: Option[Manifest] = None): Unit = {
+  private def commitManifest(spark: SparkSession, dir: String, m0: Manifest,
+                             prev: Option[Manifest] = None,
+                             op: String = "commit"): Unit = {
+    val m = m0.copy(props = m0.props +
+      (CommittedAtProp -> System.currentTimeMillis().toString) +
+      (OperationProp -> op))
     val total = m.files.valuesIterator.map(_.size).sum
     if (total <= inlineMaxFiles(spark)) {
       FsOps.writeTextAtomic(spark, new Path(dir, manifestName(m.gen)),
@@ -404,13 +480,26 @@ object Upsert {
     */
   private[graft] val PkColsProp = "pkCols"
 
+  /** Driver wall-clock (epoch ms) at which the snapshot's manifest was
+    * committed — stamped by [[commitManifest]] on every commit. Powers
+    * `TIMESTAMP AS OF` and [[history]]; NOT part of commit ordering
+    * (generation numbers are).
+    */
+  private[graft] val CommittedAtProp = "committedAtMs"
+
+  /** The operation that produced the snapshot (merge / compact /
+    * rebucket / sql-dml / …) — a history label, nothing reads it for
+    * planning.
+    */
+  private[graft] val OperationProp = "operation"
+
   /** Manifest record of the merge's version column — what lets a SQL
     * `INSERT INTO` through [[graft.sources.UpsertCatalog]] run the SAME
     * LWW merge the API would.
     */
   private[graft] val VersionColProp = "versionCol"
 
-  private def tableSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
+  private[graft] def tableSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
     m.props.get(SchemaProp).map(org.apache.spark.sql.types.StructType.fromDDL)
 
   /** Manifest prop: comma-separated [[SchemaEvolution.canon]] names of
@@ -927,7 +1016,8 @@ object Upsert {
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
     // full replace: every segment changes, so no prev to reuse from
     commitManifest(spark, dir, Manifest(gen,
-      props + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files))
+      props + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files),
+      op = "replace")
   }
 
   // ---- merge ------------------------------------------------------------
@@ -948,6 +1038,11 @@ object Upsert {
     * The feed commits BEFORE the manifest flip and dedupes on
     * `commitId`, so a crash between the two (or a replayed
     * foreachBatch) converges instead of double-applying.
+    *
+    * `extraProps` ride into the committed manifest's props in the SAME
+    * rename as the content — the hook callers use to make a watermark
+    * (streaming epoch, applied batch id) atomic with the data it
+    * describes.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             pk: Seq[String], versionCol: String,
@@ -957,7 +1052,9 @@ object Upsert {
             commitId: Option[String] = None,
             bloom: Boolean = false,
             maxPointKeys: Int = 1024,
-            zoneCols: Seq[String] = Nil): Unit = withWriterLease(spark, dir) {
+            zoneCols: Seq[String] = Nil,
+            extraProps: Map[String, String] = Map.empty): Unit =
+      withWriterLease(spark, dir) {
     val bloomPk = if (bloom) Some(pk) else None
     currentManifest(spark, dir) match {
       case None =>
@@ -987,7 +1084,9 @@ object Upsert {
           Manifest(gen, Map("numBuckets" -> numBuckets.toString,
             PkColsProp -> pk.mkString(","),
             VersionColProp -> versionCol,
-            SchemaProp -> merged.drop(BucketCol).schema.toDDL) ++ zoneProp, files))
+            SchemaProp -> merged.drop(BucketCol).schema.toDDL)
+            ++ zoneProp ++ extraProps, files),
+          op = "create")
 
       case Some(man) =>
         // the recorded placement contract is binding: a merge declaring
@@ -1115,8 +1214,8 @@ object Upsert {
         commitManifest(spark, dir, Manifest(gen,
           man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL)
             + (PkColsProp -> pk.mkString(",")) + (VersionColProp -> versionCol)
-            ++ zoneProp,
-          files), Some(man))
+            ++ zoneProp ++ extraProps,
+          files), Some(man), op = "merge")
         } finally { tagged.unpersist(); () }
     }
   }
@@ -1265,7 +1364,7 @@ object Upsert {
             baseProps + (SchemaProp -> dataSchema.toDDL)
               + (PkColsProp -> pk.mkString(","))
               + (VersionColProp -> versionCol),
-            files), prev)
+            files), prev, op = "merge")
         }
       }
       fs.delete(stage, true)
@@ -1354,7 +1453,7 @@ object Upsert {
       }
       commitManifest(spark, dir, Manifest(gen,
         man.props + (SchemaProp -> committed.toDDL),
-        files), Some(man))
+        files), Some(man), op = "sql-dml")
     } finally { tagged.unpersist(); () }
   }
 
@@ -1442,7 +1541,7 @@ object Upsert {
     val compacted: Map[Int, Seq[String]] =
       over.map { case (b, _) => b -> staged.getOrElse(b, Seq.empty) }
     commitManifest(spark, dir, Manifest(gen, man.props, man.files ++ compacted),
-      Some(man))
+      Some(man), op = "compact")
   }
 
   /** Live bytes per bucket of the current snapshot — the signal
@@ -1493,7 +1592,8 @@ object Upsert {
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
     commitManifest(spark, dir, Manifest(gen,
-      man.props + ("numBuckets" -> newNumBuckets.toString), files))
+      man.props + ("numBuckets" -> newNumBuckets.toString), files),
+      op = "rebucket")
   }
 
   /** Bytes and files a [[vacuum]] with this retention would actually
@@ -1575,7 +1675,7 @@ object Upsert {
       man.props +
         (SchemaProp -> org.apache.spark.sql.types.StructType(remaining).toDDL) +
         (DroppedProp -> tombstones),
-      man.files), Some(man))
+      man.files), Some(man), op = "drop-columns")
   }
 
   /** Renames are NOT supported — a deliberate typed failure, never an
@@ -1700,6 +1800,7 @@ object Upsert {
       if (zoneCols.nonEmpty) Map(ZoneColsProp -> zoneCols.mkString(","))
       else Map.empty[String, String]
     commitManifest(spark, dir, Manifest(gen,
-      props + (SchemaProp -> storedSchema.schema.toDDL) ++ zoneProp, fileMap))
+      props + (SchemaProp -> storedSchema.schema.toDDL) ++ zoneProp, fileMap),
+      op = "overwrite")
   }
 }

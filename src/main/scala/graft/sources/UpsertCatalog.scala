@@ -16,6 +16,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   SELECT * FROM graft.`/data/warehouse/orders`
   *   SELECT * FROM graft.`/data/warehouse/orders` VERSION AS OF 3
+  *   SELECT * FROM graft.`/data/warehouse/orders` TIMESTAMP AS OF '2026-08-14 12:00:00'
   * }}}
   *
   * resolves through [[UpsertBucketSource]]'s table — so SQL queries get
@@ -72,6 +73,26 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog {
       case _: graft.io.Upsert.NoTableException | _: NumberFormatException =>
         throw new NoSuchTableException(ident)
     }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the resolved timestamp in
+    * MICROseconds; it resolves to the newest retained generation whose
+    * manifest commit stamp is ≤ it ([[graft.io.Upsert.genAtTimestamp]]).
+    * A timestamp before the oldest retained commit, or a pre-stamp
+    * table, surfaces its own message (the table EXISTS — only genuine
+    * absence maps to NoSuchTableException).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    try {
+      val gen = graft.io.Upsert.genAtTimestamp(
+        org.apache.spark.sql.SparkSession.active, dir,
+        Math.floorDiv(timestamp, 1000L))
+      UpsertBucketTable.load(dir, Some(gen), viaCatalog = true)
+    } catch {
+      case _: graft.io.Upsert.NoTableException =>
+        throw new NoSuchTableException(ident)
+    }
+  }
 
   /** The bucket V2 function: lets the planner resolve the
     * `bucket(n, pk...)` partition transform catalog-loaded tables

@@ -220,6 +220,46 @@ class UpsertCatalogSpec extends SparkSpec {
       StructField("n", IntegerType), StructField("d", DoubleType)))))
   }
 
+  test("TIMESTAMP AS OF resolves by commit stamp; pre-history fails loudly") {
+    catalogReady
+    val dir = mkTable(50, "t")
+    Thread.sleep(5) // distinct millisecond stamps
+    Upsert.merge(spark, dir, Seq(("k7", 2L, "T7")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    val hist = Upsert.history(spark, dir).collect()
+    val tsOf = hist.map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val Seq(g1, g2) = Upsert.manifestGens(spark, dir).sorted
+    // timestamp_millis keeps the probe exact and timezone-independent
+    def vAt(ms: Long): String = spark.sql(
+      s"SELECT v FROM graft.`$dir` TIMESTAMP AS OF timestamp_millis(${ms}L) " +
+        "WHERE k = 'k7'").as[String].head()
+    assert(vAt(tsOf(g1)) == "t7") // at gen1's stamp: pre-merge value
+    assert(vAt(tsOf(g2)) == "T7") // at gen2's stamp: merged value
+    assert(vAt(tsOf(g2) + 60000) == "T7") // the future reads latest
+    // a timestamp before the table existed is an error naming the
+    // earliest resolvable commit — never a silent empty read
+    val early = intercept[Exception](vAt(tsOf(g1) - 60000))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(early).exists(_.contains("precedes every retained snapshot")))
+  }
+
+  test("history lists retained snapshots newest-first with operation labels") {
+    val dir = mkTable(40, "h")
+    Upsert.merge(spark, dir, Seq(("k3", 2L, "H3")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    Upsert.compactBuckets(spark, dir, pk = Seq("k"), maxFilesPerBucket = 0)
+    val rows = Upsert.history(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sortBy(-_))
+    val byOp = rows.map(r => r.getLong(0) -> r.getString(2)).sortBy(_._1).map(_._2)
+    assert(byOp.toSeq == Seq("create", "merge", "compact"))
+    // commit stamps never decrease along generations (single writer)
+    val ts = rows.sortBy(_.getLong(0)).map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    assert(rows.forall(_.getInt(4) > 0)) // num_files
+    assert(rows.forall(_.getString(5) == "k")) // pk_columns
+  }
+
   test("DDL is rejected loudly; a missing table raises the SQL error") {
     catalogReady
     val dir = mkTable(10, "c")

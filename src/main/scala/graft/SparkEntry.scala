@@ -40,6 +40,7 @@ object SparkEntry {
     "j_snapshot_diff" -> (Relational.jSnapshotDiff _),
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
+    "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
@@ -399,6 +400,23 @@ object SparkEntry {
                 COUNT(*) AS row_ct
          FROM events
          WHERE event_id % 101 <> 0
+         GROUP BY event_type""",
+
+    // the Spark side streams three command-file waves (insert-all,
+    // corrections for %97 keys, deletes of %101-not-%97 keys) through
+    // writeStream.format(UpsertStreamSink) — each epoch an LWW +
+    // delete merge with the epoch watermark in the manifest commit —
+    // and aggregates the landed table; the oracle recomputes the net
+    // effect over the raw events table
+    "k3_stream_sink_upsert" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 97 = 0
+                              THEN CAST(FLOOR((value + 1) * 100) AS BIGINT)
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events
+         WHERE NOT (event_id % 101 = 0 AND event_id % 97 <> 0)
          GROUP BY event_type""",
 
     "q_top_revenue_orders" ->

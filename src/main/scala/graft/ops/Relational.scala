@@ -1023,4 +1023,66 @@ object Relational {
     graft.rtdw.IncrementalDws.current(spark, dws).get
       .select(col("event_type"), col("value_cents"), col("row_ct"))
   }
+
+  /** Build-once STREAMED-SINK table: three waves of command files
+    * (insert-all ver 1, corrections for %97 keys ver 2, deletes of
+    * %101-but-not-%97 keys ver 3) land in a staging dir, and a
+    * `readStream.parquet` over it writes through
+    * [[graft.sources.UpsertStreamSink]] — every micro-batch an LWW
+    * merge with retract-capable `deleteFlagCol`, the epoch watermark
+    * riding each manifest commit. The correction and delete key sets
+    * are DISJOINT so convergence never depends on which epoch a file
+    * lands in. Returns the sink table dir.
+    */
+  def streamSinkEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val base = s"target/dml/stream_sink_$key"
+    val src = s"$base/src"; val tbl = s"$base/t"
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
+    val marker = new org.apache.hadoop.fs.Path(base, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"), col("value"))
+      def wave(df: DataFrame, v: Long, op: String): Unit = {
+        df.withColumn("__v", lit(v)).withColumn("op", lit(op))
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(50) // distinct file mod-times: waves stream in order
+      }
+      wave(ev, 1L, "upsert")
+      wave(ev.filter(col("event_id") % 97 === 0)
+        .withColumn("value_cents", cents(col("value") + 1)), 2L, "upsert")
+      wave(ev.filter(col("event_id") % 101 === 0 && col("event_id") % 97 =!= 0),
+        3L, "delete")
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // one epoch per wave file
+        .parquet(src)
+      val q = graft.sources.UpsertStreamSink.writer(stream.drop("value"), tbl,
+        pk = Seq("event_id"), versionCol = "__v",
+        deleteFlagCol = Some("op"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      fs.create(marker, true).close()
+    }
+    tbl
+  }
+
+  /** The streamed-SINK table, graded: per-type Σ cents + row count
+    * after the three command waves landed through
+    * `writeStream.format(UpsertStreamSink)`. The ORACLE recomputes the
+    * waves' net effect over the raw events table — green proves the
+    * sink's epoch-merge machinery (executor-staged parquet, LWW +
+    * delete resolution, epoch watermark in the manifest) equals a
+    * batch recompute.
+    */
+  def streamSinkUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val tbl = streamSinkEnsure(spark, sfDir)
+    graft.io.Upsert.read(spark, tbl)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value_cents")).as("value_cents"),
+        count(lit(1)).as("row_ct"))
+  }
 }

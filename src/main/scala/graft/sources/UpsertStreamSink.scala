@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graft.ParquetWriteShim
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.{ChangeFeed, Upsert}
+
+/** Streaming SINK over [[graft.io.Upsert]] tables — the write half of
+  * the upsert-kafka equivalence ([[ChangeFeedSource]] is the read
+  * half): `df.writeStream.format("graft.sources.UpsertStreamSink")`
+  * lands every micro-batch as the table's own last-writer-wins merge,
+  * so a streaming pipeline terminates in a PK-correct, MVCC-readable
+  * table instead of an append log. The reference's DWD jobs end in
+  * exactly this shape — a keyed upsert topic other jobs subscribe to
+  * (SQLUtil.getUpsertKafkaSQL:46-54); here the topic is the lakehouse
+  * table and the subscription is [[ChangeFeedSource]].
+  *
+  * Exactly-once: each epoch's rows are staged by EXECUTORS as plain
+  * parquet (Spark's own writer stack via [[ParquetWriteShim]] — no
+  * driver collect, no row shipping), and the driver's epoch commit
+  * folds the staged files through `Upsert.merge`, recording
+  * `streamEpoch.<queryId> = epochId` in the SAME manifest rename as
+  * the merged content. A crash between sink commit and checkpoint
+  * advance makes Spark replay the epoch; the recorded watermark turns
+  * the replay into a no-op — the merge and its epoch marker can never
+  * disagree. The change feed (when present) dedupes independently on
+  * the same `stream-<queryId>-<epochId>` commit id.
+  *
+  * Contract resolution at query START (loud, not at first epoch): an
+  * existing table binds pk/versionCol/numBuckets from its manifest —
+  * options may repeat but not contradict them; a fresh table takes
+  * them from options (`pk` comma-separated, `versionCol`, optional
+  * `numBuckets`, `changeLog=true` to retract-log from birth). A table
+  * that already carries a change feed is ALWAYS fed (the batch INSERT
+  * guard refuses such tables because a feed-blind write starves
+  * subscribers; the streaming sink is a feed-aware writer, so it
+  * cooperates instead).
+  */
+class UpsertStreamSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "UpsertStreamSink requires a path")
+    p
+  }
+
+  /** Sink-only: an existing table reports its recorded schema (so a
+    * mismatched query fails visibly), a fresh one reports empty — the
+    * write itself always uses the QUERY's schema from
+    * `LogicalWriteInfo`.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    Upsert.currentManifest(spark, dir(options))
+      .flatMap(Upsert.tableSchema)
+      .getOrElse(new StructType())
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    UpsertStreamTable(dir(opts), schema, opts)
+  }
+}
+
+object UpsertStreamSink {
+  /** Convenience: a configured `writeStream` for `df` into `dir`.
+    * Caller still sets checkpointLocation/trigger and calls
+    * `.start()`.
+    */
+  def writer(df: DataFrame, dir: String, pk: Seq[String], versionCol: String,
+             numBuckets: Int = 16, changeLog: Boolean = false,
+             deleteFlagCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = df.writeStream
+      .format(classOf[UpsertStreamSink].getName)
+      .option("path", dir)
+      .option("pk", pk.mkString(","))
+      .option("versionCol", versionCol)
+      .option("numBuckets", numBuckets.toString)
+      .option("changeLog", changeLog.toString)
+    deleteFlagCol.fold(w)(c => w.option("deleteFlagCol", c))
+  }
+}
+
+private[sources] case class UpsertStreamTable(dir: String,
+                                              declaredSchema: StructType,
+                                              options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+  override def name(): String = s"upsert-stream:$dir"
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val spark = SparkSession.active
+    val man = Upsert.currentManifest(spark, dir)
+    def opt(k: String): Option[String] =
+      Option(options.get(k)).filter(_.nonEmpty)
+    // recorded contract binds; options may agree but never contradict
+    // (same refusal the API merge enforces — just earlier and louder,
+    // at query start instead of first epoch)
+    def bound(recorded: Option[String], supplied: Option[String],
+              what: String): Option[String] = (recorded, supplied) match {
+      case (Some(r), Some(g)) if r != g =>
+        throw new Upsert.TableContractException(
+          s"streaming sink option $what=$g contradicts the recorded " +
+            s"$what [$r] of $dir")
+      case (r, g) => r.orElse(g)
+    }
+    val pk = bound(man.flatMap(_.props.get(Upsert.PkColsProp)), opt("pk"), "pk")
+      .getOrElse(throw new IllegalArgumentException(
+        s"fresh table $dir needs .option(\"pk\", \"c1,c2\")"))
+      .split(",").toSeq
+    val versionCol = bound(man.flatMap(_.props.get(Upsert.VersionColProp)),
+      opt("versionCol"), "versionCol")
+      .getOrElse(throw new IllegalArgumentException(
+        s"fresh table $dir needs .option(\"versionCol\", \"col\")"))
+    val numBuckets = man.map(_.numBuckets(16))
+      .orElse(opt("numBuckets").map(_.toInt)).getOrElse(16)
+    val feed = ChangeFeed.batches(spark, dir).nonEmpty ||
+      opt("changeLog").exists(_.toBoolean)
+    // retract-capable ingestion: rows whose flag column says delete
+    // REMOVE their key (the merge's own deleteFlagCol contract) — the
+    // sink-side half of consuming a retract stream
+    val deleteFlagCol = opt("deleteFlagCol")
+    val writeSchema = StructType(
+      info.schema().fields.filterNot(_.name == UpsertBucketSource.BucketCol)
+        .map(_.copy(nullable = true)))
+    require(pk.forall(c => writeSchema.fieldNames.contains(c)) &&
+      writeSchema.fieldNames.contains(versionCol),
+      s"streaming sink query schema ${info.schema().simpleString} lacks " +
+        s"pk [${pk.mkString(",")}] or versionCol [$versionCol]")
+    deleteFlagCol.foreach(c => require(writeSchema.fieldNames.contains(c),
+      s"deleteFlagCol [$c] is not in the query schema"))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = new UpsertStreamingWrite(
+          dir, writeSchema, pk, versionCol, numBuckets, feed, info.queryId(),
+          deleteFlagCol)
+      }
+    }
+  }
+}
+
+private[sources] case class StreamFileCommit(path: String) extends WriterCommitMessage
+
+private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
+                                            pk: Seq[String], versionCol: String,
+                                            numBuckets: Int, changeLog: Boolean,
+                                            queryId: String,
+                                            deleteFlagCol: Option[String] = None)
+    extends StreamingWrite {
+
+  // per-QUERY watermark prop: two different streaming queries into one
+  // table track replay independently (their epochs are unrelated
+  // counters). One small prop per query id; a table fed by thousands
+  // of distinct historical queries would accumulate them — the
+  // streaming topology shape is a stable set of named jobs, as in the
+  // reference, so this stays O(jobs).
+  private val epochProp = s"streamEpoch.$queryId"
+  private val staging = s"${dir.stripSuffix("/")}/.stream-$queryId"
+
+  private def epochDir(epochId: Long) = s"$staging/epoch=$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(staging))
+    val support = ParquetWriteShim.build(spark, schema)
+    val stagingRoot = staging
+    (partitionId: Int, taskId: Long, epochId: Long) =>
+      new DataWriter[InternalRow] {
+        private val path = s"$stagingRoot/epoch=$epochId/" +
+          s"part-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+        private lazy val writer = support.newWriter(path, partitionId, taskId)
+        private var wrote = false
+        override def write(row: InternalRow): Unit = {
+          writer.write(row); wrote = true
+        }
+        override def commit(): WriterCommitMessage =
+          if (wrote) { writer.close(); StreamFileCommit(path) }
+          else DeltaNoopCommit
+        override def abort(): Unit = if (wrote) writer.close()
+        override def close(): Unit = ()
+      }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val applied = Upsert.currentManifest(spark, dir)
+        .flatMap(_.props.get(epochProp)).map(_.toLong).getOrElse(-1L)
+      if (epochId <= applied) return // replayed epoch: already merged
+      val files = messages.collect { case StreamFileCommit(p) => p }
+      if (files.isEmpty) return // empty epoch: nothing to merge, replay is free
+      val staged = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      Upsert.merge(spark, dir, staged, pk = pk, versionCol = versionCol,
+        deleteFlagCol = deleteFlagCol,
+        numBuckets = numBuckets, changeLog = changeLog,
+        commitId = Some(s"stream-$queryId-$epochId"),
+        extraProps = Map(epochProp -> epochId.toString))
+    } finally cleanup(spark, epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanup(SparkSession.active, epochId)
+
+  private def cleanup(spark: SparkSession, epochId: Long): Unit = {
+    val p = new Path(epochDir(epochId))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+}

@@ -41,6 +41,7 @@ object SparkEntry {
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
+    "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
@@ -418,6 +419,20 @@ object SparkEntry {
          FROM events
          WHERE NOT (event_id % 101 = 0 AND event_id % 97 <> 0)
          GROUP BY event_type""",
+
+    // the Spark side runs the whole lifecycle as SQL DDL through the
+    // catalog — CTAS with the bucket placement transform, ALTER ADD
+    // COLUMNS (metadata-only), INSERT backfill of the %7 slice at a
+    // higher LWW version, ALTER DROP COLUMN — and aggregates the
+    // resulting table; the oracle recomputes the net state from the
+    // raw events table
+    "ddl_ctas_lifecycle" ->
+      """SELECT event_type, COUNT(*) AS row_ct,
+                COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS backfilled_ct,
+                SUM(CASE WHEN event_id % 7 = 0
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) END)
+                  AS backfilled_cents
+         FROM events GROUP BY event_type""",
 
     "q_top_revenue_orders" ->
       """SELECT l_orderkey,

@@ -379,6 +379,13 @@ object Upsert {
   final class TableContractException(msg: String)
       extends IllegalStateException(msg)
 
+  /** CREATE TABLE on a directory that already holds a committed
+    * manifest — its own type so the SQL catalog can map exactly this
+    * to `TableAlreadyExistsException` (mirror of [[NoTableException]]).
+    */
+  final class TableExistsException(msg: String)
+      extends IllegalStateException(msg)
+
   private val LeaseName = "_lock"
 
   private def leaseStaleMs(spark: SparkSession): Long =
@@ -1604,8 +1611,8 @@ object Upsert {
     * CONVERGES: files retained for previous-snapshot readers don't
     * re-trigger a vacuum that wouldn't delete them.
     */
-  private[io] def freeableBy(spark: SparkSession, dir: String,
-                             keepManifests: Int): (Long, Long) = {
+  private[graft] def freeableBy(spark: SparkSession, dir: String,
+                                keepManifests: Int): (Long, Long) = {
     val root = new Path(dir)
     val fs = FsOps.fs(spark, root)
     if (!fs.exists(root)) return (0L, 0L)
@@ -1691,6 +1698,107 @@ object Upsert {
       s"cannot rename column '$from' to '$to': parquet access is name-based and " +
         s"files written under '$from' cannot be remapped — add '$to' via an " +
         s"additive merge, backfill it, then dropColumns(Seq(\"$from\"))")
+
+  /** DDL CREATE: commit an EMPTY first snapshot that records the full
+    * table contract — schema, placement pk (order-sensitive), version
+    * column, bucket count — before any row exists, so the first
+    * [[merge]]/INSERT binds to the declared contract instead of
+    * inferring one. Implemented as a merge of a zero-row batch: the
+    * same staging + single-manifest-rename commit path, the same
+    * schema anchor that keeps every read shape working on an empty
+    * table, zero new invariants. A table that already exists refuses
+    * with [[TableExistsException]] (CREATE is not idempotent — a
+    * second creator must not silently adopt the first one's table).
+    */
+  def createTable(spark: SparkSession, dir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  pk: Seq[String], versionCol: String,
+                  numBuckets: Int = DefaultNumBuckets): Unit = {
+    def canon(n: String) = SchemaEvolution.canon(spark, n)
+    require(pk.nonEmpty, s"CREATE TABLE $dir needs at least one pk column")
+    (pk :+ versionCol).foreach { c =>
+      if (!schema.fields.exists(f => canon(f.name) == canon(c)))
+        throw new TableContractException(
+          s"CREATE TABLE $dir: contract column '$c' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+      if (c.exists(ch => ch == ',' || ch == '=' || ch == '\n'))
+        throw new TableContractException(
+          s"CREATE TABLE $dir: column name '$c' contains a manifest metacharacter")
+    }
+    if (currentManifest(spark, dir).isDefined)
+      throw new TableExistsException(s"table at $dir already exists")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    merge(spark, dir, empty, pk = pk, versionCol = versionCol,
+      numBuckets = numBuckets)
+  }
+
+  /** DDL ALTER ADD COLUMNS — metadata-only additive evolution: the
+    * widened schema commits as a new generation, no data file is
+    * rewritten, rows in every existing file surface NULL for the new
+    * columns (the additive contract [[merge]] already applies to
+    * wide batches, available as an explicit statement). New columns
+    * are forced nullable — existing files cannot retroactively hold a
+    * value. Re-adding a tombstoned (dropped) name and duplicating an
+    * existing name both refuse loudly.
+    */
+  def addColumns(spark: SparkSession, dir: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Unit =
+      withWriterLease(spark, dir) {
+    if (cols.isEmpty) return
+    def canon(n: String) = SchemaEvolution.canon(spark, n)
+    val man = currentManifest(spark, dir).getOrElse(
+      throw new NoTableException(s"no committed manifest under $dir"))
+    val schema = tableSchema(man).getOrElse(
+      throw new SchemaEvolutionException(
+        s"cannot add columns: the table at $dir has no recorded schema"))
+    cols.foreach { f =>
+      if (f.name.exists(ch => ch == ',' || ch == '=' || ch == '\n'))
+        throw new SchemaEvolutionException(
+          s"cannot add column '${f.name}': the name contains a manifest metacharacter")
+      if (schema.fields.exists(tf => canon(tf.name) == canon(f.name)))
+        throw new SchemaEvolutionException(
+          s"cannot add column '${f.name}': the table already has it")
+    }
+    cols.groupBy(f => canon(f.name)).collectFirst { case (_, fs) if fs.size > 1 =>
+      throw new SchemaEvolutionException(
+        s"cannot add column '${fs.head.name}' twice in one statement")
+    }
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields ++ cols.map(_.copy(nullable = true)))
+    // tombstone / type guards on the widened shape (dropped-name refusal)
+    SchemaEvolution.checkAdditive(spark, schema, widened,
+      existingLabel = s"table $dir", incomingLabel = "ALTER ADD COLUMNS",
+      dropped = droppedSet(man))
+    commitManifest(spark, dir, Manifest(nextGen(spark, dir),
+      man.props + (SchemaProp -> widened.toDDL), man.files),
+      Some(man), op = "add-columns")
+  }
+
+  /** DDL DROP TABLE: delete the table directory — manifests, data
+    * files, sidecars, change feed, staging — in one recursive remove,
+    * under the writer lease so an in-flight merge is never raced
+    * (the lease file goes down with the dir; release tolerates the
+    * vanish). Returns false when no committed table exists (nothing
+    * to drop — a raw parquet dir is NOT deletable through this API).
+    */
+  def dropTable(spark: SparkSession, dir: String): Boolean = {
+    if (currentManifest(spark, dir).isEmpty) return false
+    withWriterLease(spark, dir) {
+      // re-check under the lease: a concurrent drop may have won
+      if (currentManifest(spark, dir).isEmpty) false
+      else {
+        val root = new Path(dir)
+        val fs = FsOps.fs(spark, root)
+        layoutCache.synchronized {
+          val prefix = root.toString
+          val it = layoutCache.keySet.iterator
+          while (it.hasNext) if (it.next()._1 == prefix) it.remove()
+        }
+        fs.delete(root, true)
+      }
+    }
+  }
 
   /** Garbage-collect superseded generations: keep the newest
     * `keepManifests` manifests and every file they reference; delete

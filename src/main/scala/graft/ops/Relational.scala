@@ -1085,4 +1085,61 @@ object Relational {
       .agg(sum(col("value_cents")).as("value_cents"),
         count(lit(1)).as("row_ct"))
   }
+
+  /** Build-once DDL lifecycle, every step a SQL statement through the
+    * catalog: `DROP TABLE IF EXISTS` (rebuild hygiene) → CTAS with the
+    * `bucket(16, event_id)` placement transform → `ALTER TABLE ADD
+    * COLUMNS` (metadata-only; every CTAS row surfaces NULL) →
+    * `INSERT INTO` backfilling the %7 slice at a higher version (the
+    * recorded LWW merge) → `ALTER TABLE DROP COLUMN value`
+    * (tombstoned, no file rewrite). Returns the table root.
+    */
+  def ddlLifecycleEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/dml/ddl_ctas_$key"
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.sql(s"DROP TABLE IF EXISTS graft.`$root`")
+      val view = s"ddl_ev_${key.replace('.', '_')}"
+      Tables.events(spark, sfDir).createOrReplaceTempView(view)
+      spark.sql(
+        s"""CREATE TABLE graft.`$root`
+            PARTITIONED BY (bucket(16, event_id))
+            TBLPROPERTIES ('versionCol'='__v')
+            AS SELECT event_id, event_type, value, CAST(1 AS BIGINT) AS __v
+               FROM $view""")
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (value_cents BIGINT)")
+      spark.sql(
+        s"""INSERT INTO graft.`$root` (event_id, event_type, value, __v, value_cents)
+            SELECT event_id, event_type, value, CAST(2 AS BIGINT),
+                   CAST(FLOOR(value * 100) AS BIGINT)
+            FROM $view WHERE event_id % 7 = 0""")
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN value")
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
+  /** DDL-lifecycle head: aggregate the table the SQL statements built.
+    * The oracle recomputes the net state from the raw events table, so
+    * a green row proves CTAS copied every row, ALTER ADD surfaced NULL
+    * for pre-existing rows (ct vs ct_backfilled), and the INSERT
+    * upserted exactly the %7 keys at the higher version. The dropped
+    * `value` column is absent from the read schema by construction
+    * (selecting it would fail analysis).
+    */
+  def ddlCtasLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ddlLifecycleEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.table(s"graft.`$root`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("row_ct"),
+        count(col("value_cents")).as("backfilled_ct"),
+        sum(col("value_cents")).as("backfilled_cents"))
+  }
 }

@@ -111,7 +111,8 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               versionCol: Option[String],
                                               zoneCols: Seq[String],
                                               files: Map[Int, Seq[(String, Long)]],
-                                              viaCatalog: Boolean = false)
+                                              viaCatalog: Boolean = false,
+                                              hideBucket: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -137,10 +138,14 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
   // row-level DML demands of row-id attributes; a merge union may
   // have relaxed the stored DDL, but the pk itself never holds nulls
   // on the merge path.
+  // hideBucket: the table CREATE TABLE AS SELECT hands back for its
+  // write — CTAS resolves the query's columns POSITIONALLY against
+  // this schema, so the pseudo-column must not demand a value there.
   override def schema(): StructType = {
     val pkSet = pk.toSet
-    StructType(dataSchema.fields.map(f =>
-      if (pkSet(f.name)) f.copy(nullable = false) else f) :+
+    val data = dataSchema.fields.map(f =>
+      if (pkSet(f.name)) f.copy(nullable = false) else f)
+    StructType(if (hideBucket) data.toSeq else data.toSeq :+
       StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = true))
   }
 

@@ -2,11 +2,11 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, Literal, NamedReference, Transform}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Path-addressed SQL catalog over [[graft.io.Upsert]] tables — the
@@ -27,11 +27,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a retained manifest. Multi-part identifiers join with `/`, so both
   * one backticked absolute path and `graft.tmp.tables.t` shapes work.
   *
-  * Deliberately READ-ONLY: writes commit through the [[graft.io.Upsert]]
-  * merge/compact API, whose manifest rename is the transactional
-  * boundary SQL DML would have to re-implement. DDL throws loudly.
+  * The write surface maps onto the SAME manifest-rename transaction
+  * the API uses: `INSERT INTO` is the recorded LWW merge,
+  * `MERGE INTO`/`UPDATE`/`DELETE` are delta row-level operations
+  * ([[UpsertDml]]), `CREATE TABLE`/CTAS commits the contract as an
+  * empty snapshot, `ALTER TABLE` does the two physically-possible
+  * evolutions (ADD COLUMNS / DROP COLUMN, metadata-only), and
+  * `DROP TABLE` removes under the writer lease. Everything the format
+  * cannot do honestly (RENAME, type changes, INSERT OVERWRITE)
+  * refuses loudly with the reason.
   */
-class UpsertCatalog extends TableCatalog with FunctionCatalog {
+class UpsertCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -107,21 +114,146 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog {
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "bucket"))
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"UpsertCatalog is read-only: $op goes through the graft.io.Upsert API " +
-        "(merge/compact/vacuum), whose manifest commit is the transaction boundary")
+  /** `CALL graft.<proc>(table => '/path', ...)` — the maintenance API
+    * (history / stats / compact / vacuum / rebucket / full policy
+    * pass) as SQL procedures; see [[UpsertProcedures]].
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    UpsertProcedures.load(ident).getOrElse(
+      throw new RuntimeException(
+        s"procedure ${ident} not found — available: " +
+          UpsertProcedures.list.map(_.name).mkString(", ")))
 
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) UpsertProcedures.list else Array.empty
+
+  /** SQL `CREATE TABLE` / CTAS: the table contract comes from the
+    * statement — placement pk + bucket count from
+    * `PARTITIONED BY (bucket(n, pk...))` (the same transform
+    * catalog-loaded tables report back, so the DDL round-trips), or
+    * from `TBLPROPERTIES ('pk'='c1,c2', 'numBuckets'='16')`; the LWW
+    * version column always from `TBLPROPERTIES ('versionCol'='v')`.
+    * Commits an empty gen-0 snapshot recording schema + contract
+    * ([[graft.io.Upsert.createTable]]), so a following `INSERT INTO`
+    * (or the CTAS write Spark issues right after) binds to the
+    * declared contract. Non-bucket partition transforms refuse: the
+    * format's only physical layout is PK-hash bucketing.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = dirOf(ident)
+    val props = new CaseInsensitiveStringMap(properties)
+    def propOpt(k: String): Option[String] =
+      Option(props.get(k)).filter(_.nonEmpty)
+    val bucketT: Option[(Int, Seq[String])] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: Literal[_] if l.dataType == IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"CREATE TABLE $dir: bucket transform needs an integer bucket count"))
+        val cols = t.arguments.collect {
+          case r: NamedReference => r.fieldNames.mkString(".")
+        }.toSeq
+        require(cols.nonEmpty,
+          s"CREATE TABLE $dir: bucket transform names no columns")
+        Some((n, cols))
+      case ts => throw new UnsupportedOperationException(
+        s"CREATE TABLE $dir: unsupported PARTITIONED BY ${ts.mkString(", ")} — " +
+          "the only physical layout is bucket(n, pk...) (PK-hash placement)")
+    }
+    val pk = bucketT.map(_._2).orElse(propOpt("pk").map(_.split(",").toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $dir needs its placement pk: PARTITIONED BY " +
+          "(bucket(n, c1, c2)) or TBLPROPERTIES ('pk'='c1,c2')"))
+    propOpt("pk").map(_.split(",").toSeq).foreach(p =>
+      if (bucketT.exists(_._2 != p)) throw new IllegalArgumentException(
+        s"CREATE TABLE $dir: TBLPROPERTIES pk [${p.mkString(",")}] contradicts " +
+          s"the bucket transform columns [${bucketT.get._2.mkString(",")}]"))
+    val numBuckets = bucketT.map(_._1)
+      .orElse(propOpt("numBuckets").map(_.toInt))
+      .getOrElse(graft.io.Upsert.DefaultNumBuckets)
+    propOpt("numBuckets").map(_.toInt).foreach(n =>
+      if (bucketT.exists(_._1 != n)) throw new IllegalArgumentException(
+        s"CREATE TABLE $dir: TBLPROPERTIES numBuckets=$n contradicts the " +
+          s"bucket transform's ${bucketT.get._1}"))
+    val versionCol = propOpt("versionCol").getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $dir needs TBLPROPERTIES ('versionCol'='<col>') — " +
+          "the LWW merge contract every write runs under"))
+    try graft.io.Upsert.createTable(spark, dir, schema, pk, versionCol, numBuckets)
+    catch { case _: graft.io.Upsert.TableExistsException =>
+      throw new TableAlreadyExistsException(ident) }
+    // the returned table only serves the CTAS write (a fresh SELECT
+    // re-loads): hide the __bucket pseudo-column so the positional
+    // output resolution matches the query's columns
+    UpsertBucketTable.load(dir, viaCatalog = true).copy(hideBucket = true)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** SQL `ALTER TABLE ADD COLUMNS` / `DROP COLUMN`: the two evolutions
+    * the format supports physically — metadata-only schema commits, no
+    * file rewrite ([[graft.io.Upsert.addColumns]]/`dropColumns`, which
+    * also own the tombstone/type/rename refusals). Everything else —
+    * type changes, renames, NOT NULL on existing rows, property edits
+    * — refuses loudly with the reason.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = dirOf(ident)
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"ALTER TABLE $dir: nested $what '${names.mkString(".")}' is not " +
+          "supported — columns are top-level")
+      names.head
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.isNullable,
+        s"ALTER TABLE $dir: cannot add NOT NULL column " +
+          s"'${a.fieldNames.mkString(".")}' — rows already in the table " +
+          "have no value for it")
+      require(a.position() == null,
+        s"ALTER TABLE $dir: FIRST/AFTER positions are not supported — " +
+          "parquet access is name-based, column order is not physical")
+      StructField(one(a.fieldNames, "add"), a.dataType, nullable = true)
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      one(d.fieldNames, "drop")
+    }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn => ()
+      case c => throw new UnsupportedOperationException(
+        s"ALTER TABLE $dir: unsupported change $c — the format evolves by " +
+          "ADD COLUMNS / DROP COLUMN only (type changes and renames cannot " +
+          "remap parquet files already on disk)")
+    }
+    try {
+      if (adds.nonEmpty) graft.io.Upsert.addColumns(spark, dir, adds)
+      if (drops.nonEmpty) graft.io.Upsert.dropColumns(spark, dir, drops)
+    } catch { case _: graft.io.Upsert.NoTableException =>
+      throw new NoSuchTableException(ident) }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** SQL `DROP TABLE`: recursive remove under the writer lease; false
+    * (→ `TABLE_OR_VIEW_NOT_FOUND` unless `IF EXISTS`) when no
+    * committed table is there. Raw parquet dirs are NOT deletable
+    * through this catalog.
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    graft.io.Upsert.dropTable(
+      org.apache.spark.sql.SparkSession.active, dirOf(ident))
 
+  /** RENAME stays refused: identifiers ARE filesystem paths here, and
+    * a path rename under live readers (their resolved manifest still
+    * names the old absolute paths) cannot be made atomic without an
+    * indirection layer this format deliberately lacks.
+    */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+    throw new UnsupportedOperationException(
+      "UpsertCatalog does not rename: identifiers are paths, and a directory " +
+        "rename under live MVCC readers is not atomic — copy via CTAS instead")
 }

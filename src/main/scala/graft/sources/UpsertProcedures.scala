@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{Maintenance, Upsert}
+
+/** SQL `CALL` surface for table maintenance — the operational half of
+  * the lakehouse layer, reachable from pure SQL the way Iceberg's
+  * `CALL catalog.system.*` procedures are:
+  *
+  * {{{
+  *   CALL graft.history(table => '/data/warehouse/orders')
+  *   CALL graft.stats('/data/warehouse/orders')
+  *   CALL graft.compact('/data/warehouse/orders')
+  *   CALL graft.vacuum('/data/warehouse/orders', keep_manifests => 2)
+  *   CALL graft.rebucket('/data/warehouse/orders', num_buckets => 64)
+  *   CALL graft.maintain('/data/warehouse/orders')   -- full policy pass
+  * }}}
+  *
+  * Every procedure takes the table PATH only — the merge contract
+  * (placement pk, version column) comes from the table's own manifest,
+  * so SQL callers cannot contradict it. Mutating procedures return the
+  * actions taken (empty result = healthy table, zero Spark jobs);
+  * read-only ones ([[Upsert.history]], [[Upsert.stats]]) return the
+  * metadata rows. All of them delegate to the exact API entry points
+  * the spec suite pins — the procedure layer adds argument binding and
+  * a result relation, never new semantics.
+  *
+  * Reference equivalence: the reference operates its warehouse with
+  * out-of-band scripts against Doris/HBase admin APIs; here the
+  * operational surface is IN the query language, transactional under
+  * the same writer lease as every other write.
+  */
+private[sources] object UpsertProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Recorded contract of `dir` — procedures never accept pk/version
+    * arguments, the manifest is authoritative.
+    */
+  private def contract(dir: String): (Seq[String], Option[String]) = {
+    val man = Upsert.currentManifest(spark, dir).getOrElse(
+      throw new Upsert.NoTableException(s"no committed manifest under $dir"))
+    (man.props.get("pkCols").map(_.split(",").toSeq).getOrElse(Nil),
+      man.props.get("versionCol"))
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def result(schema: StructType, out: Seq[InternalRow]): util.Iterator[Scan] = {
+    val arr = out.toArray
+    util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = arr
+    }).iterator()
+  }
+
+  private val actionSchema = new StructType().add("action", StringType)
+
+  private def actionsResult(actions: Seq[String]): util.Iterator[Scan] =
+    result(actionSchema, actions.map(a => InternalRow(utf8(a))))
+
+  /** One procedure = name, parameters, and the call body. */
+  private final case class Proc(procName: String, procDescription: String,
+                                params: Seq[ProcedureParameter],
+                                body: InternalRow => util.Iterator[Scan])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // reads/mutates table state
+    override def call(input: InternalRow): util.Iterator[Scan] = body(input)
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private val procs: Map[String, Proc] = Seq(
+    Proc("history",
+      "commit history of an Upsert table (DESCRIBE HISTORY equivalent)",
+      Seq(in("table", StringType)),
+      { input =>
+        val df = Upsert.history(spark, input.getString(0))
+        result(df.schema, df.queryExecution.executedPlan.executeCollect().toSeq)
+      }),
+
+    Proc("stats",
+      "storage stats of an Upsert table: live/reclaimable files and bytes, sidecar coverage",
+      Seq(in("table", StringType)),
+      { input =>
+        val dir = input.getString(0)
+        val s = Upsert.stats(spark, dir).getOrElse(
+          throw new Upsert.NoTableException(s"no committed manifest under $dir"))
+        result(new StructType()
+          .add("generation", LongType).add("snapshots_retained", IntegerType)
+          .add("num_buckets", IntegerType)
+          .add("live_files", LongType).add("live_bytes", LongType)
+          .add("reclaimable_files", LongType).add("reclaimable_bytes", LongType)
+          .add("bloom_buckets", IntegerType).add("zone_buckets", IntegerType),
+          Seq(InternalRow(s.gen, s.snapshotsRetained, s.numBuckets,
+            s.liveFiles, s.liveBytes, s.reclaimableFiles, s.reclaimableBytes,
+            s.bloomBuckets, s.zoneBuckets)))
+      }),
+
+    Proc("compact",
+      "fold buckets holding more than max_files_per_bucket files into one file each",
+      Seq(in("table", StringType),
+        inDefault("max_files_per_bucket", IntegerType, "8")),
+      { input =>
+        val dir = input.getString(0)
+        val (pk, _) = contract(dir)
+        require(pk.nonEmpty, s"$dir records no placement pk — not a merge table")
+        val before = Upsert.currentManifest(spark, dir).map(
+          _.files.count { case (b, fs) => b >= 0 && fs.size > input.getInt(1) })
+          .getOrElse(0)
+        Upsert.compactBuckets(spark, dir, pk,
+          maxFilesPerBucket = input.getInt(1))
+        actionsResult(
+          if (before == 0) Nil
+          else Seq(s"compacted $before buckets over ${input.getInt(1)} files"))
+      }),
+
+    Proc("vacuum",
+      "drop superseded MVCC generations, keeping the newest keep_manifests snapshots",
+      Seq(in("table", StringType),
+        inDefault("keep_manifests", IntegerType, "2")),
+      { input =>
+        val dir = input.getString(0)
+        val keep = input.getInt(1)
+        val (files, bytes) = Upsert.freeableBy(spark, dir, keep)
+        Upsert.vacuum(spark, dir, keep)
+        actionsResult(Seq(s"freed $files files ($bytes B), kept $keep manifests"))
+      }),
+
+    Proc("rebucket",
+      "re-place the table under num_buckets buckets (converging hot-bucket fix)",
+      Seq(in("table", StringType), in("num_buckets", IntegerType)),
+      { input =>
+        val dir = input.getString(0)
+        val n = input.getInt(1)
+        Upsert.rebucket(spark, dir, n)
+        actionsResult(Seq(s"rebucketed to $n buckets"))
+      }),
+
+    Proc("maintain",
+      "full policy pass: compact / rebucket / vacuum as table health requires",
+      Seq(in("table", StringType),
+        inDefault("max_bucket_bytes", LongType, "0")),
+      { input =>
+        val dir = input.getString(0)
+        val (pk, versionCol) = contract(dir)
+        require(pk.nonEmpty, s"$dir records no placement pk — not a merge table")
+        val actions = Maintenance.run(spark, dir, pk,
+          versionCol.getOrElse(""),
+          policy = Maintenance.Policy(maxBucketBytes = input.getLong(1)))
+        actionsResult(actions)
+      })
+  ).map(p => p.procName -> p).toMap
+
+  def load(ident: Identifier): Option[UnboundProcedure] =
+    if (ident.namespace().nonEmpty) None else procs.get(ident.name())
+
+  def list: Array[Identifier] =
+    procs.keys.toArray.sorted.map(n => Identifier.of(Array.empty, n))
+}

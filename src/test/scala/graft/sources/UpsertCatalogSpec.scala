@@ -7,8 +7,9 @@ import graft.SparkSpec
 import graft.io.Upsert
 
 /** SQL surface over Upsert tables: path-addressed catalog resolution,
-  * MVCC `VERSION AS OF`, storage-partitioned SQL joins, and the
-  * read-only DDL contract.
+  * MVCC `VERSION AS OF`, storage-partitioned SQL joins, row-level DML,
+  * and the DDL lifecycle (CREATE / CTAS / ALTER ADD-DROP COLUMNS /
+  * DROP TABLE — with loud refusals for what the format cannot do).
   */
 class UpsertCatalogSpec extends SparkSpec {
   import spark.implicits._
@@ -260,15 +261,105 @@ class UpsertCatalogSpec extends SparkSpec {
     assert(rows.forall(_.getString(5) == "k")) // pk_columns
   }
 
-  test("DDL is rejected loudly; a missing table raises the SQL error") {
+  test("SQL CREATE TABLE commits the contract; INSERT INTO binds to it") {
+    catalogReady
+    val dir = Files.createTempDirectory("cat_ddl").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` (k STRING, ver BIGINT, v STRING)
+          PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('versionCol'='ver')""")
+    // empty but fully contracted: schema, pk, versionCol, buckets
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 0)
+    val h = Upsert.history(spark, dir).collect()
+    assert(h.map(_.getString(2)).toSeq == Seq("create"))
+    assert(h.head.getString(5) == "k" && h.head.getString(6) == "ver")
+    spark.sql(s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('a', 1, 'x'), ('b', 1, 'y')")
+    // INSERT is the recorded LWW merge: higher version wins, lower loses
+    spark.sql(s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('a', 3, 'hi'), ('a', 2, 'lo')")
+    val rows = spark.sql(s"SELECT k, v FROM graft.`$dir` ORDER BY k")
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("a", "hi"), ("b", "y")))
+    // CREATE is not idempotent: a second creator refuses
+    val dup = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`$dir` (k STRING, ver BIGINT)
+          PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('versionCol'='ver')"""))
+    assert(dup.getMessage.toUpperCase.contains("ALREADY_EXISTS") ||
+      dup.getMessage.toLowerCase.contains("already exists"))
+    // missing versionCol refuses with the reason
+    val noVc = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`${dir}_novc` (k STRING, ver BIGINT)
+          PARTITIONED BY (bucket(8, k))"""))
+    assert(noVc.getMessage.contains("versionCol") ||
+      Option(noVc.getCause).exists(_.getMessage.contains("versionCol")))
+  }
+
+  test("CTAS creates contract and rows in one statement; table co-locates") {
+    catalogReady
+    val src = mkTable(300, "s")
+    val dir = Files.createTempDirectory("cat_ctas").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir`
+          PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('versionCol'='ver')
+          AS SELECT k, ver, upper(v) AS v FROM graft.`$src`""")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == 300)
+    assert(spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k7'")
+      .as[String].head() == "S7")
+    // the created table reports the same bucket(8, k) placement the
+    // source has: a pk-only join of the two is exchange-free
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"SELECT x.k FROM graft.`$src` x JOIN graft.`$dir` y ON x.k = y.k")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(j.count() == 300)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMNS is metadata-only; impossible shapes refuse") {
+    catalogReady
+    val dir = mkTable(60, "e")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (score DOUBLE)")
+    // no file was rewritten: old rows surface NULL for the new column
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE score IS NULL")
+      .as[Long].head() == 60)
+    spark.sql(s"INSERT INTO graft.`$dir` (k, ver, v, score) VALUES ('k7', 2, 'new', 0.5)")
+    assert(spark.sql(s"SELECT score FROM graft.`$dir` WHERE k = 'k7'")
+      .as[Double].head() == 0.5)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN score")
+    assert(!spark.table(s"graft.`$dir`").columns.contains("score"))
+    // tombstone: re-adding the dropped name refuses (stale resurrection)
+    val re = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (score DOUBLE)"))
+    assert(re.getMessage.contains("dropped") ||
+      Option(re.getCause).exists(_.getMessage.contains("dropped")))
+    // physically-impossible evolutions refuse with the reason
+    val ren = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w"))
+    assert(ren.getMessage.contains("unsupported change") ||
+      Option(ren.getCause).exists(_.getMessage.contains("unsupported change")))
+  }
+
+  test("DROP TABLE removes under the lease; missing tables raise the SQL error") {
     catalogReady
     val dir = mkTable(10, "c")
-    val e = intercept[Exception](
-      spark.sql(s"DROP TABLE graft.`$dir`"))
-    assert(e.getMessage.contains("read-only") ||
-      Option(e.getCause).exists(_.getMessage.contains("read-only")))
+    spark.sql(s"DROP TABLE graft.`$dir`")
+    assert(!Upsert.exists(spark, dir))
     val missing = intercept[Exception](
       spark.sql("SELECT * FROM graft.`/no/such/table`").collect())
     assert(missing.getMessage.toLowerCase.contains("table"))
+    // a raw parquet dir is not a catalog table: DROP refuses, dir survives
+    val raw = Files.createTempDirectory("cat_raw").toString
+    spark.range(5).write.mode("overwrite").parquet(raw)
+    intercept[Exception](spark.sql(s"DROP TABLE graft.`$raw`"))
+    assert(Upsert.exists(spark, raw))
+    // RENAME stays refused: identifiers are paths
+    val d2 = mkTable(5, "r")
+    val rn = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$d2` RENAME TO graft.`${d2}_x`"))
+    assert(rn.getMessage.contains("rename") ||
+      Option(rn.getCause).exists(_.getMessage.contains("rename")))
   }
 }

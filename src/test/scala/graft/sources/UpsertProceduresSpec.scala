@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.Upsert
+
+/** SQL `CALL` maintenance procedures: argument binding (positional and
+  * named, with defaults), the manifest-recorded contract (procedures
+  * never take pk/version arguments), result relations, and parity with
+  * the API entry points each one delegates to.
+  */
+class UpsertProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catalogReady: Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
+
+  /** One full merge then `waves - 1` small bloom POINT merges of 5
+    * FRESH keys each — a bloom-miss point batch APPENDS a file to the
+    * touched buckets while preserving every existing file (the
+    * full-merge and known-key point paths rewrite buckets back to one
+    * file, so only fresh-key appends can make a bucket oversized), and
+    * every wave stacks a generation for vacuum.
+    */
+  private def mkTable(n: Int, waves: Int, tag: String): String = {
+    val dir = Files.createTempDirectory(s"proc_$tag").toString
+    def wave(w: Int, m: Int, prefix: String): Unit = {
+      val df = spark.range(m).select(
+        concat(lit(prefix), col("id")).as("k"), lit(w.toLong).as("ver"),
+        concat(lit(s"$tag$w-"), col("id")).as("v"))
+      Upsert.merge(spark, dir, df, pk = Seq("k"), versionCol = "ver",
+        numBuckets = 4, bloom = true)
+    }
+    wave(1, n, "k")
+    (2 to waves).foreach(w => wave(w, 5, s"p$w-"))
+    dir
+  }
+
+  test("history and stats return metadata rows through CALL") {
+    catalogReady
+    val dir = mkTable(50, 3, "h")
+    val hist = spark.sql(s"CALL graft.history(table => '$dir')").collect()
+    assert(hist.length == 3)
+    assert(hist.map(_.getString(2)).toSet == Set("create", "merge"))
+    val st = spark.sql(s"CALL graft.stats('$dir')").collect()
+    assert(st.length == 1)
+    assert(st.head.getAs[Long]("live_files") > 0)
+    assert(st.head.getAs[Int]("num_buckets") == 4)
+  }
+
+  test("compact folds oversized buckets; pk comes from the manifest, data intact") {
+    catalogReady
+    val dir = mkTable(80, 5, "c")
+    val filesBefore = Upsert.currentManifest(spark, dir).get
+      .files.filter(_._1 >= 0).values.map(_.size).max
+    assert(filesBefore > 1)
+    val out = spark.sql(
+      s"CALL graft.compact(table => '$dir', max_files_per_bucket => 0)").collect()
+    assert(out.length == 1 && out.head.getString(0).contains("compacted"))
+    val filesAfter = Upsert.currentManifest(spark, dir).get
+      .files.filter(_._1 >= 0).values.map(_.size).max
+    assert(filesAfter == 1)
+    // every row survives the fold — the compact changed layout, not data
+    val folded = Upsert.read(spark, dir)
+    assert(folded.count() == 80 + 4 * 5)
+    assert(folded.filter(col("k") === "k0").select(col("v"))
+      .as[String].head() == "c1-0")
+    assert(folded.filter(col("k") === "p5-0").select(col("v"))
+      .as[String].head() == "c5-0")
+    // healthy table: default threshold leaves it alone, empty result
+    assert(spark.sql(s"CALL graft.compact('$dir')").collect().isEmpty)
+  }
+
+  test("vacuum drops superseded generations; rebucket re-places the layout") {
+    catalogReady
+    val dir = mkTable(60, 4, "v")
+    assert(Upsert.manifestGens(spark, dir).size > 2)
+    val out = spark.sql(
+      s"CALL graft.vacuum('$dir', keep_manifests => 2)").collect()
+    assert(out.length == 1 && out.head.getString(0).contains("freed"))
+    assert(Upsert.manifestGens(spark, dir).size == 2)
+    spark.sql(s"CALL graft.rebucket('$dir', num_buckets => 8)")
+    val man = Upsert.currentManifest(spark, dir).get
+    assert(man.numBuckets(-1) == 8)
+    val total = 60 + 3 * 5
+    assert(Upsert.read(spark, dir).count() == total)
+    // SQL reads through the catalog still work under the new layout
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == total)
+  }
+
+  test("maintain runs the policy pass: actions when unhealthy, empty when healthy") {
+    catalogReady
+    val dir = mkTable(100, 12, "m")
+    val acted = spark.sql(s"CALL graft.maintain('$dir')").collect()
+    assert(acted.nonEmpty &&
+      acted.map(_.getString(0)).exists(_.contains("compactBuckets")))
+    val idle = spark.sql(s"CALL graft.maintain('$dir')").collect()
+    assert(idle.isEmpty, s"healthy table must be a no-op: ${idle.mkString}")
+  }
+
+  test("unknown procedures and missing tables fail loudly") {
+    catalogReady
+    val e = intercept[Exception](spark.sql("CALL graft.nonsense('/tmp/x')"))
+    assert(e.getMessage.contains("not found") ||
+      Option(e.getCause).exists(_.getMessage.contains("not found")))
+    val missing = intercept[Exception](
+      spark.sql("CALL graft.stats('/no/such/table')").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(missing).exists(_.contains("no committed manifest")))
+  }
+}

@@ -1808,6 +1808,29 @@ object Upsert {
     * the same writer lease as merge, so it REFUSES (throws) while a
     * writer holds the table rather than racing its staged files.
     */
+  /** Age-based retention — the calendar form of [[vacuum]]: drop
+    * generations whose manifest commit stamp ([[CommittedAtProp]]) is
+    * older than `olderThanMs`, always keeping the newest `keepLast`
+    * (≥ 1; default 2 preserves the previous snapshot for readers that
+    * resolved it just before a commit, the same posture as vacuum).
+    * Pre-stamp manifests count as expired. Returns the number of
+    * generations retained. All GC mechanics (segment files,
+    * unreferenced data files, orphaned staging) are [[vacuum]]'s.
+    */
+  def expireSnapshots(spark: SparkSession, dir: String, olderThanMs: Long,
+                      keepLast: Int = 2): Int = {
+    val floor = math.max(1, keepLast)
+    val gens = manifestGens(spark, dir).sorted.reverse
+    if (gens.isEmpty) return 0
+    val keep = gens.zipWithIndex.count { case (g, idx) =>
+      idx < floor || manifestAt(spark, dir, g)
+        .flatMap(_.props.get(CommittedAtProp)).map(_.toLong)
+        .exists(_ >= olderThanMs)
+    }
+    vacuum(spark, dir, keep)
+    keep
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2): Unit = {
     val root = new Path(dir)
     val fs0 = FsOps.fs(spark, root)

@@ -143,6 +143,18 @@ private[sources] object UpsertProcedures {
         actionsResult(Seq(s"freed $files files ($bytes B), kept $keep manifests"))
       }),
 
+    Proc("expire_snapshots",
+      "drop MVCC generations committed before older_than, keeping the newest keep_last",
+      Seq(in("table", StringType),
+        in("older_than", org.apache.spark.sql.types.TimestampType),
+        inDefault("keep_last", IntegerType, "2")),
+      { input =>
+        val dir = input.getString(0)
+        val cutoffMs = Math.floorDiv(input.getLong(1), 1000L) // micros -> ms
+        val kept = Upsert.expireSnapshots(spark, dir, cutoffMs, input.getInt(2))
+        actionsResult(Seq(s"retained $kept generations at-or-after cutoff"))
+      }),
+
     Proc("rebucket",
       "re-place the table under num_buckets buckets (converging hot-bucket fix)",
       Seq(in("table", StringType), in("num_buckets", IntegerType)),

@@ -48,6 +48,14 @@ class UpsertProceduresSpec extends SparkSpec {
     assert(st.length == 1)
     assert(st.head.getAs[Long]("live_files") > 0)
     assert(st.head.getAs[Int]("num_buckets") == 4)
+    // discoverability: SHOW PROCEDURES lists the maintenance surface
+    val listedDf = spark.sql("SHOW PROCEDURES IN graft")
+    val nameIdx = listedDf.schema.fields.indexWhere(f =>
+      f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name.toLowerCase.contains("name"))
+    val listed = listedDf.collect().map(_.getString(nameIdx)).toSet
+    assert(Set("history", "stats", "compact", "vacuum", "rebucket",
+      "maintain", "expire_snapshots").subsetOf(listed), s"got $listed")
   }
 
   test("compact folds oversized buckets; pk comes from the manifest, data intact") {
@@ -88,6 +96,26 @@ class UpsertProceduresSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).count() == total)
     // SQL reads through the catalog still work under the new layout
     assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == total)
+  }
+
+  test("expire_snapshots retains by commit age, floored at keep_last") {
+    catalogReady
+    val dir = mkTable(40, 4, "x")
+    assert(Upsert.manifestGens(spark, dir).size == 4)
+    // cutoff in the future: everything is older, floor keeps the
+    // newest keep_last (reader-safety posture shared with vacuum)
+    val out = spark.sql(
+      s"""CALL graft.expire_snapshots(table => '$dir',
+          older_than => TIMESTAMP '2099-01-01 00:00:00', keep_last => 2)""")
+      .collect()
+    assert(out.head.getString(0).contains("retained 2"))
+    assert(Upsert.manifestGens(spark, dir).size == 2)
+    assert(Upsert.read(spark, dir).count() == 40 + 3 * 5)
+    // cutoff in the past: nothing is old enough, all survive
+    spark.sql(
+      s"""CALL graft.expire_snapshots(table => '$dir',
+          older_than => TIMESTAMP '2000-01-01 00:00:00')""")
+    assert(Upsert.manifestGens(spark, dir).size == 2)
   }
 
   test("maintain runs the policy pass: actions when unhealthy, empty when healthy") {

@@ -155,4 +155,53 @@ object IncrementalDws {
         ()
       }
       .start()
+
+  /** The fully-declarative form of [[streaming]] — ONE streaming query
+    * with no driver-side fold logic at all: `readStream` over the
+    * fact's change feed → a STATEFUL streaming aggregation of the
+    * signed metrics (update mode: each micro-batch emits only the
+    * groups whose totals changed, with their new totals) →
+    * `writeStream` into [[graft.sources.UpsertStreamSink]], where
+    * `versionFromEpoch` stamps each emission with its epoch so a later
+    * total supersedes an earlier one (the upsert-kafka contract), and
+    * a group retracted down to zero rows carries a delete flag and
+    * REMOVES its key. This is the reference's DWD→DWS retract job
+    * shape end-to-end (upsert-kafka in, upsert-kafka out,
+    * SQLUtil.java:46-54) with Spark owning ALL state: the running
+    * totals live in the aggregation's checkpointed state store, the
+    * result in the LWW table, exactly-once from the sink's epoch
+    * watermark.
+    *
+    * The landed table records pk = groupCols and version `__v`
+    * (epoch). Reprocessing from scratch (a fresh checkpoint) restarts
+    * epochs at 0, so point it at a FRESH table dir — standard
+    * streaming-sink hygiene, guarded by the sink's replay watermark
+    * only within one query lineage.
+    */
+  def streamingPipeline(spark: SparkSession, factDir: String, dwsDir: String,
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        checkpointDir: String,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sign = when(col(graft.io.ChangeFeed.ChangeCol) === "add", lit(1L))
+      .otherwise(lit(-1L))
+    val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+
+      sum(sign).as("row_ct")
+    graft.sources.ChangeFeedSource.read(spark, factDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__op",
+        when(col("row_ct") <= 0, lit("delete")).otherwise(lit("upsert")))
+      .writeStream
+      .format(classOf[graft.sources.UpsertStreamSink].getName)
+      .option("path", tablePath(dwsDir))
+      .option("pk", groupCols.mkString(","))
+      .option("versionFromEpoch", "true")
+      .option("deleteFlagCol", "__op")
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -124,10 +124,18 @@ private[sources] case class UpsertStreamTable(dir: String,
       .getOrElse(throw new IllegalArgumentException(
         s"fresh table $dir needs .option(\"pk\", \"c1,c2\")"))
       .split(",").toSeq
+    // versionFromEpoch: the version is SYNTHESIZED at epoch commit
+    // (lit(epochId) into the version column) — the upsert-kafka
+    // contract where later emission of a key supersedes earlier, which
+    // is exactly what an UPDATE-mode streaming aggregation needs (each
+    // emitted row is the key's new total, versions are the epochs)
+    val versionFromEpoch = opt("versionFromEpoch").exists(_.toBoolean)
     val versionCol = bound(man.flatMap(_.props.get(Upsert.VersionColProp)),
       opt("versionCol"), "versionCol")
-      .getOrElse(throw new IllegalArgumentException(
-        s"fresh table $dir needs .option(\"versionCol\", \"col\")"))
+      .getOrElse(
+        if (versionFromEpoch) "__v"
+        else throw new IllegalArgumentException(
+          s"fresh table $dir needs .option(\"versionCol\", \"col\")"))
     val numBuckets = man.map(_.numBuckets(16))
       .orElse(opt("numBuckets").map(_.toInt)).getOrElse(16)
     val feed = ChangeFeed.batches(spark, dir).nonEmpty ||
@@ -139,17 +147,27 @@ private[sources] case class UpsertStreamTable(dir: String,
     val writeSchema = StructType(
       info.schema().fields.filterNot(_.name == UpsertBucketSource.BucketCol)
         .map(_.copy(nullable = true)))
-    require(pk.forall(c => writeSchema.fieldNames.contains(c)) &&
-      writeSchema.fieldNames.contains(versionCol),
+    require(pk.forall(c => writeSchema.fieldNames.contains(c)),
       s"streaming sink query schema ${info.schema().simpleString} lacks " +
-        s"pk [${pk.mkString(",")}] or versionCol [$versionCol]")
+        s"pk [${pk.mkString(",")}]")
+    if (versionFromEpoch)
+      require(!writeSchema.fieldNames.contains(versionCol),
+        s"versionFromEpoch synthesizes [$versionCol]; the query schema must " +
+          "not also carry it (ambiguous version authority)")
+    else require(writeSchema.fieldNames.contains(versionCol),
+      s"streaming sink query schema ${info.schema().simpleString} lacks " +
+        s"versionCol [$versionCol]")
     deleteFlagCol.foreach(c => require(writeSchema.fieldNames.contains(c),
       s"deleteFlagCol [$c] is not in the query schema"))
-    new WriteBuilder {
+    // SupportsStreamingUpdateAsAppend: UPDATE-mode streaming (each
+    // emitted row = the key's refreshed value) lands as the same LWW
+    // merge — update-as-append IS this sink's native semantic
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite = new UpsertStreamingWrite(
           dir, writeSchema, pk, versionCol, numBuckets, feed, info.queryId(),
-          deleteFlagCol)
+          deleteFlagCol, versionFromEpoch)
       }
     }
   }
@@ -161,7 +179,8 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
                                             pk: Seq[String], versionCol: String,
                                             numBuckets: Int, changeLog: Boolean,
                                             queryId: String,
-                                            deleteFlagCol: Option[String] = None)
+                                            deleteFlagCol: Option[String] = None,
+                                            versionFromEpoch: Boolean = false)
     extends StreamingWrite {
 
   // per-QUERY watermark prop: two different streaming queries into one
@@ -207,7 +226,12 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
       if (epochId <= applied) return // replayed epoch: already merged
       val files = messages.collect { case StreamFileCommit(p) => p }
       if (files.isEmpty) return // empty epoch: nothing to merge, replay is free
-      val staged = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      val staged0 = spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      val staged =
+        if (versionFromEpoch)
+          staged0.withColumn(versionCol,
+            org.apache.spark.sql.functions.lit(epochId))
+        else staged0
       Upsert.merge(spark, dir, staged, pk = pk, versionCol = versionCol,
         deleteFlagCol = deleteFlagCol,
         numBuckets = numBuckets, changeLog = changeLog,

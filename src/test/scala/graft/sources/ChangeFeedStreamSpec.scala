@@ -97,6 +97,49 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(served(dws) == s)
   }
 
+  test("ONE-QUERY pipeline: update-mode stateful agg lands as LWW upserts, retracted groups delete") {
+    val root = Files.createTempDirectory("cdfpipe").toString
+    val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"
+    def drainPipe(): Unit = {
+      val q = IncrementalDws.streamingPipeline(spark, fact, dws,
+        groupCols = Seq("province_id"), sumCols = Seq("amount_cents"),
+        checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000); ()
+    }
+    def servedPipe: Set[(String, Long, Long)] =
+      Upsert.read(spark, s"$dws/table")
+        .select("province_id", "amount_cents", "row_ct")
+        .as[(String, Long, Long)].collect().toSet
+
+    mergeBatch(fact, Seq(("a", "p1", 1L, 100L, "insert"),
+      ("b", "p2", 1L, 50L, "insert"), ("c", "p2", 1L, 30L, "insert")))
+    drainPipe()
+    assert(servedPipe == fullRecompute(fact))
+
+    // restart from the same checkpoint: a correction epoch supersedes
+    // (versionFromEpoch), and a province retracted to zero rows is
+    // delete-flagged out of the table by the sink's LWW merge
+    mergeBatch(fact, Seq(("a", "p1", 2L, 140L, "update")))
+    mergeBatch(fact, Seq(("b", "p2", 2L, 50L, "delete"),
+      ("c", "p2", 2L, 30L, "delete")))
+    drainPipe()
+    val s = servedPipe
+    assert(s == fullRecompute(fact))
+    assert(!s.exists(_._1 == "p2"), "fully-retracted province must be deleted")
+
+    // nothing new: the sink commits no epoch, the table generation is
+    // untouched (replay hygiene without any driver-side fold code)
+    val gen = Upsert.currentManifest(spark, s"$dws/table").get.gen
+    drainPipe()
+    assert(Upsert.currentManifest(spark, s"$dws/table").get.gen == gen)
+
+    // the landed table is a REAL upsert table: recorded pk + epoch
+    // version, readable through the DSv2/SQL stack like any other
+    val man = Upsert.currentManifest(spark, s"$dws/table").get
+    assert(man.props.get("pkCols").contains("province_id"))
+    assert(man.props.get("versionCol").contains("__v"))
+  }
+
   test("a net batch bootstraps a FRESH consumer; a consumer inside the compacted range fails loudly") {
     val root = Files.createTempDirectory("cdfnet").toString
     val fact = s"$root/fact"

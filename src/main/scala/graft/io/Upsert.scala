@@ -1733,6 +1733,39 @@ object Upsert {
       numBuckets = numBuckets)
   }
 
+  /** DDL `INSERT OVERWRITE`: rebuild the table's CONTENT under its
+    * recorded contract — pk, version column, and bucket count all come
+    * from the manifest (an overwrite changes rows, never placement).
+    * The batch is LWW-resolved within itself (same pk+version
+    * semantics as [[merge]]), re-bucketed, and committed as one full
+    * snapshot via [[replaceAll]] — readers see the old table or the
+    * complete new one, never a mix, and MVCC time travel still reaches
+    * the pre-overwrite generations until vacuum. Dropped-column
+    * tombstones and zone props reset with the content (a rebuild is
+    * exactly the "rebuild the table" escape hatch the tombstone error
+    * names).
+    */
+  def overwrite(spark: SparkSession, dir: String, updates: DataFrame): Unit =
+      withWriterLease(spark, dir) {
+    val man = currentManifest(spark, dir).getOrElse(
+      throw new NoTableException(s"no committed manifest under $dir"))
+    val pk = man.props.get(PkColsProp).map(_.split(",").toSeq)
+      .filter(_.nonEmpty).getOrElse(throw new TableContractException(
+        s"$dir records no placement pk — not a merge table; use overwriteSnapshot"))
+    val versionCol = man.props.get(VersionColProp).getOrElse(
+      throw new TableContractException(
+        s"$dir records no versionCol — not a merge table; use overwriteSnapshot"))
+    (pk :+ versionCol).foreach(c => require(updates.columns.contains(c),
+      s"INSERT OVERWRITE batch lacks contract column '$c' of $dir"))
+    val n = man.numBuckets(DefaultNumBuckets)
+    val resolved = resolve(updates.withColumn("__src", lit(1)), pk, versionCol, None)
+    replaceAll(spark, dir, withBucket(resolved, pk, n),
+      Map("numBuckets" -> n.toString,
+        PkColsProp -> pk.mkString(","),
+        VersionColProp -> versionCol),
+      bloomPk = None)
+  }
+
   /** DDL ALTER ADD COLUMNS — metadata-only additive evolution: the
     * widened schema commits as a new generation, no data file is
     * rewritten, rows in every existing file surface NULL for the new

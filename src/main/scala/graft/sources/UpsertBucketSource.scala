@@ -170,26 +170,35 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** SQL `INSERT INTO` = the SAME LWW merge the API runs: PK and
     * version column come from the manifest, so an insert is an UPSERT
     * with the table's own semantics and the manifest rename as its
-    * commit. Guardrails: tables without recorded pk/version (snapshot
-    * layouts) and tables carrying a change feed refuse — a SQL write
-    * bypassing the feed would silently starve its consumers; those
-    * tables write through [[graft.io.Upsert.merge]] with
-    * `changeLog = true`.
+    * commit. SQL `INSERT OVERWRITE` = [[graft.io.Upsert.overwrite]] —
+    * a full-content rebuild under the SAME recorded contract,
+    * committed as one snapshot (the TRUNCATE capability routes the
+    * whole-table overwrite here; filtered overwrites stay
+    * unsupported). Guardrails: tables without recorded pk/version
+    * (snapshot layouts) and tables carrying a change feed refuse — a
+    * SQL write bypassing the feed would silently starve its
+    * consumers; those tables write through [[graft.io.Upsert.merge]]
+    * with `changeLog = true`.
     */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE is not supported: use graft.io.Upsert.overwriteSnapshot/replaceAll")
+              val ow = overwrite || overwriteAll
               val vc = versionCol.getOrElse(throw new UnsupportedOperationException(
                 s"$dir records no versionCol — not a merge table; write through graft.io.Upsert"))
               require(pk.nonEmpty,
@@ -197,13 +206,14 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
               val spark = data.sparkSession
               if (graft.io.ChangeFeed.batches(spark, dir).nonEmpty)
                 throw new UnsupportedOperationException(
-                  s"$dir has a change feed: SQL INSERT would bypass it; " +
+                  s"$dir has a change feed: a SQL write would bypass it; " +
                     "write through graft.io.Upsert.merge(changeLog = true)")
               val cleaned =
                 if (data.columns.contains(UpsertBucketSource.BucketCol))
                   data.drop(UpsertBucketSource.BucketCol)
                 else data
-              graft.io.Upsert.merge(spark, dir, cleaned, pk = pk,
+              if (ow) graft.io.Upsert.overwrite(spark, dir, cleaned)
+              else graft.io.Upsert.merge(spark, dir, cleaned, pk = pk,
                 versionCol = vc, numBuckets = numBuckets)
             }
         }

@@ -104,16 +104,24 @@ class UpsertCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('k7', 2, 'stale')")
     assert(spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k7'")
       .as[String].head() == "NEW7")
-    // INSERT OVERWRITE refuses
-    val e = intercept[Exception](spark.sql(
-      s"INSERT OVERWRITE graft.`$dir` (k, ver, v) VALUES ('a', 1, 'b')"))
+    // INSERT OVERWRITE rebuilds the CONTENT under the recorded
+    // contract: one full snapshot, LWW-resolved within the batch
+    spark.sql(
+      s"""INSERT OVERWRITE graft.`$dir` (k, ver, v)
+          VALUES ('z1', 2, 'only'), ('z1', 1, 'stale'), ('z2', 1, 'two')""")
+    assert(spark.sql(s"SELECT k, v FROM graft.`$dir` ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("z1", "only"), ("z2", "two")))
+    // contract survives the rebuild; pre-overwrite generations remain
+    // reachable via time travel until vacuum
+    val manO = Upsert.currentManifest(spark, dir).get
+    assert(manO.props.get("pkCols").contains("k"))
+    val prevGen = Upsert.manifestGens(spark, dir).sorted.takeRight(2).head
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$dir` VERSION AS OF $prevGen")
+      .as[Long].head() == 51)
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    // either our writer's message or Spark's own capability rejection
-    // (no TRUNCATE/OVERWRITE capability declared) — both refuse loudly
-    assert(msgs(e).exists(m => m != null &&
-      (m.contains("INSERT OVERWRITE") || m.toLowerCase.contains("truncate") ||
-        m.toLowerCase.contains("overwrite"))), s"unexpected: ${msgs(e)}")
     // a change-feed table refuses SQL writes (the feed must not skip)
     val fed = Files.createTempDirectory("cat_fed").toString
     Upsert.merge(spark, fed, Seq(("a", 1L, "x")).toDF("k", "ver", "v"),
@@ -316,6 +324,25 @@ class UpsertCatalogSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("CREATE OR REPLACE TABLE swaps contract and content") {
+    catalogReady
+    val src = mkTable(40, "r")
+    val dir = Files.createTempDirectory("cat_cor").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir`
+          PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('versionCol'='ver')
+          AS SELECT k, ver, v FROM graft.`$src`""")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long].head() == 40)
+    // REPLACE: new schema, new bucket count, new rows — old table gone
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE graft.`$dir`
+          PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('versionCol'='ver')
+          AS SELECT k, ver, length(v) AS vlen FROM graft.`$src` WHERE k = 'k3'""")
+    val rows = spark.sql(s"SELECT k, vlen FROM graft.`$dir`").collect()
+    assert(rows.length == 1 && rows.head.getInt(1) == "r3".length)
+    assert(Upsert.currentManifest(spark, dir).get.numBuckets(-1) == 8)
   }
 
   test("ALTER TABLE ADD/DROP COLUMNS is metadata-only; impossible shapes refuse") {

@@ -173,6 +173,21 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the table's
+    * recorded contract and resolved snapshot, straight from the
+    * manifest — what an operator needs to see before writing.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("generation", gen.toString)
+    m.put("numBuckets", numBuckets.toString)
+    if (pk.nonEmpty) m.put("pk", pk.mkString(","))
+    versionCol.foreach(m.put("versionCol", _))
+    if (zoneCols.nonEmpty) m.put("zoneCols", zoneCols.mkString(","))
+    m.put("provider", "graft")
+    m
+  }
+
   /** SQL `INSERT INTO` = the SAME LWW merge the API runs: PK and
     * version column come from the manifest, so an insert is an UPSERT
     * with the table's own semantics and the manifest rename as its

@@ -326,6 +326,44 @@ class UpsertCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL snapshot diff: two VERSION AS OF reads of one table join with zero Exchange") {
+    catalogReady
+    val dir = mkTable(200, "g")
+    Upsert.merge(spark, dir,
+      Seq(("k5", 2L, "G5"), ("kNew", 1L, "plus")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    val Seq(g1, g2) = Upsert.manifestGens(spark, dir).sorted.takeRight(2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = spark.sql(
+        s"""SELECT coalesce(a.k, b.k) AS k, a.v AS was, b.v AS now
+            FROM graft.`$dir` VERSION AS OF $g1 a
+            FULL OUTER JOIN graft.`$dir` VERSION AS OF $g2 b ON a.k = b.k
+            WHERE a.v IS DISTINCT FROM b.v""")
+      assert(!diff.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"SQL snapshot diff must be co-located:\n${diff.queryExecution.executedPlan}")
+      val rows = diff.collect().map(r => (r.getString(0),
+        Option(r.getString(1)), Option(r.getString(2)))).toSet
+      assert(rows == Set(("k5", Some("g5"), Some("G5")),
+        ("kNew", None, Some("plus"))))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("DESCRIBE TABLE EXTENDED surfaces the recorded contract") {
+    catalogReady
+    val dir = mkTable(20, "d")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("pk").contains("k"))
+    assert(props.get("versionCol").contains("ver"))
+    assert(props.get("numBuckets").contains("8"))
+    assert(props.contains("generation"))
+  }
+
   test("CREATE OR REPLACE TABLE swaps contract and content") {
     catalogReady
     val src = mkTable(40, "r")

@@ -1062,6 +1062,26 @@ object Upsert {
             zoneCols: Seq[String] = Nil,
             extraProps: Map[String, String] = Map.empty): Unit =
       withWriterLease(spark, dir) {
+    mergeLocked(spark, dir, updates, pk, versionCol, deleteFlagCol,
+      numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
+      extraProps)
+  }
+
+  /** [[merge]]'s body, caller already holding `dir`'s writer lease —
+    * the lease is not reentrant, so compound operations that need
+    * their own check-then-commit window under ONE lease
+    * ([[createTable]]) compose with this instead of [[merge]].
+    */
+  private def mergeLocked(spark: SparkSession, dir: String, updates: DataFrame,
+                          pk: Seq[String], versionCol: String,
+                          deleteFlagCol: Option[String],
+                          numBuckets: Int,
+                          changeLog: Boolean,
+                          commitId: Option[String],
+                          bloom: Boolean,
+                          maxPointKeys: Int,
+                          zoneCols: Seq[String],
+                          extraProps: Map[String, String]): Unit = {
     val bloomPk = if (bloom) Some(pk) else None
     currentManifest(spark, dir) match {
       case None =>
@@ -1716,6 +1736,9 @@ object Upsert {
                   numBuckets: Int = DefaultNumBuckets): Unit = {
     def canon(n: String) = SchemaEvolution.canon(spark, n)
     require(pk.nonEmpty, s"CREATE TABLE $dir needs at least one pk column")
+    require(numBuckets > 0,
+      s"CREATE TABLE $dir: numBuckets must be positive, got $numBuckets — " +
+        "a zero-bucket contract would fail every subsequent write")
     (pk :+ versionCol).foreach { c =>
       if (!schema.fields.exists(f => canon(f.name) == canon(c)))
         throw new TableContractException(
@@ -1725,12 +1748,19 @@ object Upsert {
         throw new TableContractException(
           s"CREATE TABLE $dir: column name '$c' contains a manifest metacharacter")
     }
-    if (currentManifest(spark, dir).isDefined)
-      throw new TableExistsException(s"table at $dir already exists")
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    merge(spark, dir, empty, pk = pk, versionCol = versionCol,
-      numBuckets = numBuckets)
+    // the exists check and the creating commit share ONE lease window:
+    // two racing creators serialize, and the loser's re-check throws
+    // instead of silently adopting the winner's table
+    withWriterLease(spark, dir) {
+      if (currentManifest(spark, dir).isDefined)
+        throw new TableExistsException(s"table at $dir already exists")
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      mergeLocked(spark, dir, empty, pk = pk, versionCol = versionCol,
+        deleteFlagCol = None, numBuckets = numBuckets, changeLog = false,
+        commitId = None, bloom = false, maxPointKeys = 1024,
+        zoneCols = Nil, extraProps = Map.empty)
+    }
   }
 
   /** DDL `INSERT OVERWRITE`: rebuild the table's CONTENT under its
@@ -1740,10 +1770,12 @@ object Upsert {
     * semantics as [[merge]]), re-bucketed, and committed as one full
     * snapshot via [[replaceAll]] — readers see the old table or the
     * complete new one, never a mix, and MVCC time travel still reaches
-    * the pre-overwrite generations until vacuum. Dropped-column
-    * tombstones and zone props reset with the content (a rebuild is
-    * exactly the "rebuild the table" escape hatch the tombstone error
-    * names).
+    * the pre-overwrite generations until vacuum. Manifest props CARRY
+    * OVER (same posture as merge): dropped-column tombstones stay
+    * binding (retained generations still reference the old files), and
+    * the streaming sink's per-query `streamEpoch.*` replay watermarks
+    * survive — an overwrite between a sink commit and a checkpoint
+    * advance must not turn the replayed epoch back into a merge.
     */
   def overwrite(spark: SparkSession, dir: String, updates: DataFrame): Unit =
       withWriterLease(spark, dir) {
@@ -1757,12 +1789,15 @@ object Upsert {
         s"$dir records no versionCol — not a merge table; use overwriteSnapshot"))
     (pk :+ versionCol).foreach(c => require(updates.columns.contains(c),
       s"INSERT OVERWRITE batch lacks contract column '$c' of $dir"))
+    // tombstoned names must not ride back in through the rebuild
+    tableSchema(man).foreach(existing =>
+      SchemaEvolution.checkAdditive(spark, existing,
+        updates.drop(BucketCol).schema,
+        existingLabel = s"table $dir", incomingLabel = "INSERT OVERWRITE batch",
+        dropped = droppedSet(man)))
     val n = man.numBuckets(DefaultNumBuckets)
     val resolved = resolve(updates.withColumn("__src", lit(1)), pk, versionCol, None)
-    replaceAll(spark, dir, withBucket(resolved, pk, n),
-      Map("numBuckets" -> n.toString,
-        PkColsProp -> pk.mkString(","),
-        VersionColProp -> versionCol),
+    replaceAll(spark, dir, withBucket(resolved, pk, n), man.props,
       bloomPk = None)
   }
 
@@ -1852,16 +1887,25 @@ object Upsert {
     */
   def expireSnapshots(spark: SparkSession, dir: String, olderThanMs: Long,
                       keepLast: Int = 2): Int = {
-    val floor = math.max(1, keepLast)
-    val gens = manifestGens(spark, dir).sorted.reverse
-    if (gens.isEmpty) return 0
-    val keep = gens.zipWithIndex.count { case (g, idx) =>
-      idx < floor || manifestAt(spark, dir, g)
-        .flatMap(_.props.get(CommittedAtProp)).map(_.toLong)
-        .exists(_ >= olderThanMs)
+    if (currentManifest(spark, dir).isEmpty)
+      throw new NoTableException(s"no committed manifest under $dir")
+    // keep-count and deletion run under ONE lease: a commit landing
+    // between them would shift the newest-N window and delete a
+    // generation that was inside the age cutoff
+    withWriterLease(spark, dir) {
+      val floor = math.max(1, keepLast)
+      val gens = manifestGens(spark, dir).sorted.reverse
+      if (gens.isEmpty) 0
+      else {
+        val keep = gens.zipWithIndex.count { case (g, idx) =>
+          idx < floor || manifestAt(spark, dir, g)
+            .flatMap(_.props.get(CommittedAtProp)).map(_.toLong)
+            .exists(_ >= olderThanMs)
+        }
+        vacuumLocked(spark, dir, keep)
+        keep
+      }
     }
-    vacuum(spark, dir, keep)
-    keep
   }
 
   def vacuum(spark: SparkSession, dir: String, keepManifests: Int = 2): Unit = {
@@ -1869,6 +1913,17 @@ object Upsert {
     val fs0 = FsOps.fs(spark, root)
     if (!fs0.exists(root)) return
     withWriterLease(spark, dir) {
+      vacuumLocked(spark, dir, keepManifests)
+    }
+  }
+
+  /** [[vacuum]]'s body, caller already holding `dir`'s writer lease. */
+  private def vacuumLocked(spark: SparkSession, dir: String,
+                           keepManifests: Int): Unit = {
+    val root = new Path(dir)
+    val fs0 = FsOps.fs(spark, root)
+    if (!fs0.exists(root)) return
+    {
     val fs = fs0
     val entries = fs.listStatus(root).map(_.getPath.getName)
     val gens = entries.collect { case ManifestRe(g) => g.toLong }.sorted

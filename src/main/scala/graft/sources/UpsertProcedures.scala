@@ -49,9 +49,17 @@ private[sources] object UpsertProcedures {
   private def contract(dir: String): (Seq[String], Option[String]) = {
     val man = Upsert.currentManifest(spark, dir).getOrElse(
       throw new Upsert.NoTableException(s"no committed manifest under $dir"))
-    (man.props.get("pkCols").map(_.split(",").toSeq).getOrElse(Nil),
-      man.props.get("versionCol"))
+    (man.props.get(Upsert.PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
+      man.props.get(Upsert.VersionColProp))
   }
+
+  /** Mutating procedures on a MISSING table must fail loudly, exactly
+    * like the read-only ones — "freed 0 files" on a typo'd path reads
+    * as a healthy real table.
+    */
+  private def requireTable(dir: String): Unit =
+    if (Upsert.currentManifest(spark, dir).isEmpty)
+      throw new Upsert.NoTableException(s"no committed manifest under $dir")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -137,6 +145,7 @@ private[sources] object UpsertProcedures {
         inDefault("keep_manifests", IntegerType, "2")),
       { input =>
         val dir = input.getString(0)
+        requireTable(dir)
         val keep = input.getInt(1)
         val (files, bytes) = Upsert.freeableBy(spark, dir, keep)
         Upsert.vacuum(spark, dir, keep)

@@ -298,6 +298,13 @@ class UpsertCatalogSpec extends SparkSpec {
           PARTITIONED BY (bucket(8, k))"""))
     assert(noVc.getMessage.contains("versionCol") ||
       Option(noVc.getCause).exists(_.getMessage.contains("versionCol")))
+    // a zero-bucket contract would make every later write fail far
+    // from the cause — refused at CREATE
+    val zeroB = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`${dir}_zb` (k STRING, ver BIGINT)
+          PARTITIONED BY (bucket(0, k)) TBLPROPERTIES ('versionCol'='ver')"""))
+    assert(zeroB.getMessage.contains("numBuckets") ||
+      Option(zeroB.getCause).exists(_.getMessage.contains("numBuckets")))
   }
 
   test("CTAS creates contract and rows in one statement; table co-locates") {
@@ -405,6 +412,11 @@ class UpsertCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w"))
     assert(ren.getMessage.contains("unsupported change") ||
       Option(ren.getCause).exists(_.getMessage.contains("unsupported change")))
+    // tombstones survive an INSERT OVERWRITE rebuild: the dropped name
+    // cannot ride back in through the API either
+    val ow = intercept[Exception](graft.io.Upsert.overwrite(spark, dir,
+      Seq(("kX", 1L, "x", 1.0)).toDF("k", "ver", "v", "score")))
+    assert(ow.getMessage.contains("dropped"))
   }
 
   test("DROP TABLE removes under the lease; missing tables raise the SQL error") {

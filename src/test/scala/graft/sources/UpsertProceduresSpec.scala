@@ -133,10 +133,19 @@ class UpsertProceduresSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("CALL graft.nonsense('/tmp/x')"))
     assert(e.getMessage.contains("not found") ||
       Option(e.getCause).exists(_.getMessage.contains("not found")))
-    val missing = intercept[Exception](
-      spark.sql("CALL graft.stats('/no/such/table')").collect())
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(missing).exists(_.contains("no committed manifest")))
+    // read-only AND mutating procedures both refuse a missing table —
+    // "freed 0 files" on a typo'd path would read as a healthy table
+    Seq("stats", "vacuum", "maintain",
+      "expire_snapshots(table => '/no/such/table', older_than => TIMESTAMP '2099-01-01 00:00:00')")
+      .foreach { p =>
+        val callSql =
+          if (p.contains("(")) s"CALL graft.$p"
+          else s"CALL graft.$p('/no/such/table')"
+        val missing = intercept[Exception](spark.sql(callSql).collect())
+        assert(msgs(missing).exists(_.contains("no committed manifest")),
+          s"$p must fail loudly: ${msgs(missing)}")
+      }
   }
 }

@@ -358,10 +358,58 @@ object MergeOnRead {
     * delta scan against intact files — the just-folded batches survive
     * until the NEXT compaction, exactly mirroring keepManifests=2.
     */
+  private def contractFile(dir: String) =
+    new Path(dir.stripSuffix("/"), "_contract")
+
+  /** The durably recorded merge contract of a MOR root — pk (placement
+    * order), version column, optional delete-flag column, bucket
+    * count — or None for a table no one has recorded yet. The file is
+    * written by the first [[compact]] (or an explicit
+    * [[recordContract]]), after which every later compact — including
+    * a `CALL graft.maintain` policy pass that knows only the path —
+    * binds to it instead of trusting the caller.
+    */
+  def contract(spark: SparkSession, dir: String)
+      : Option[(Seq[String], String, Option[String], Int)] =
+    FsOps.readTextOpt(spark, contractFile(dir)).map { text =>
+      val kv = text.linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+      (kv("pk").split(",").toSeq, kv("versionCol"),
+        kv.get("deleteFlagCol").filter(_.nonEmpty), kv("numBuckets").toInt)
+    }
+
+  /** Record the contract (first writer) or verify the supplied one
+    * against the recorded file (every later writer; a contradiction is
+    * a loud [[Upsert.TableContractException]] — re-keying a MOR table
+    * means rebuilding it, exactly as for Upsert placement).
+    */
+  def recordContract(spark: SparkSession, dir: String, pk: Seq[String],
+                     versionCol: String, deleteFlagCol: Option[String],
+                     numBuckets: Int): Unit = {
+    pk.foreach(c => require(!c.exists(ch => ch == ',' || ch == '=' || ch == '\n'),
+      s"pk column '$c' contains a contract metacharacter"))
+    contract(spark, dir) match {
+      case Some((rp, rv, rd, rn)) =>
+        if (rp != pk || rv != versionCol || rd != deleteFlagCol || rn != numBuckets)
+          throw new Upsert.TableContractException(
+            s"supplied MOR contract (pk=${pk.mkString(",")}, versionCol=$versionCol, " +
+              s"deleteFlagCol=${deleteFlagCol.getOrElse("-")}, numBuckets=$numBuckets) " +
+              s"contradicts the recorded contract (pk=${rp.mkString(",")}, " +
+              s"versionCol=$rv, deleteFlagCol=${rd.getOrElse("-")}, numBuckets=$rn) " +
+              s"of $dir — to re-key, rebuild the table")
+      case None =>
+        val lines = Seq(s"pk=${pk.mkString(",")}", s"versionCol=$versionCol") ++
+          deleteFlagCol.map(c => s"deleteFlagCol=$c") :+ s"numBuckets=$numBuckets"
+        FsOps.writeTextAtomic(spark, contractFile(dir), lines.mkString("\n"))
+    }
+  }
+
   def compact(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
               deleteFlagCol: Option[String] = None,
               numBuckets: Int = Upsert.DefaultNumBuckets,
               bloom: Boolean = false): Unit = Upsert.withWriterLease(spark, dir) {
+    recordContract(spark, dir, pk, versionCol, deleteFlagCol, numBuckets)
     gcCompactedDeltas(spark, dir) // collect strays from a crashed run
     val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
     if (live.isEmpty) return

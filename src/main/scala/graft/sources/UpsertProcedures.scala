@@ -104,21 +104,35 @@ private[sources] object UpsertProcedures {
       }),
 
     Proc("stats",
-      "storage stats of an Upsert table: live/reclaimable files and bytes, sidecar coverage",
+      "storage stats: live/reclaimable files and bytes, sidecar coverage (Upsert) or base + delta backlog (merge-on-read)",
       Seq(in("table", StringType)),
       { input =>
-        val dir = input.getString(0)
-        val s = Upsert.stats(spark, dir).getOrElse(
-          throw new Upsert.NoTableException(s"no committed manifest under $dir"))
-        result(new StructType()
-          .add("generation", LongType).add("snapshots_retained", IntegerType)
-          .add("num_buckets", IntegerType)
-          .add("live_files", LongType).add("live_bytes", LongType)
-          .add("reclaimable_files", LongType).add("reclaimable_bytes", LongType)
-          .add("bloom_buckets", IntegerType).add("zone_buckets", IntegerType),
-          Seq(InternalRow(s.gen, s.snapshotsRetained, s.numBuckets,
-            s.liveFiles, s.liveBytes, s.reclaimableFiles, s.reclaimableBytes,
-            s.bloomBuckets, s.zoneBuckets)))
+        val dir = input.getString(0).stripSuffix("/")
+        if (Upsert.exists(spark, s"$dir/delta") ||
+            Upsert.exists(spark, s"$dir/base")) {
+          val m = graft.io.MergeOnRead.stats(spark, dir)
+          result(new StructType()
+            .add("base_generation", LongType).add("base_files", LongType)
+            .add("base_bytes", LongType).add("compacted_upto", LongType)
+            .add("live_delta_batches", IntegerType)
+            .add("live_delta_bytes", LongType),
+            Seq(InternalRow(m.base.map(_.gen).getOrElse(-1L),
+              m.base.map(_.liveFiles).getOrElse(0L),
+              m.base.map(_.liveBytes).getOrElse(0L),
+              m.compactedUpto, m.liveDeltaBatches, m.liveDeltaBytes)))
+        } else {
+          val s = Upsert.stats(spark, dir).getOrElse(
+            throw new Upsert.NoTableException(s"no committed manifest under $dir"))
+          result(new StructType()
+            .add("generation", LongType).add("snapshots_retained", IntegerType)
+            .add("num_buckets", IntegerType)
+            .add("live_files", LongType).add("live_bytes", LongType)
+            .add("reclaimable_files", LongType).add("reclaimable_bytes", LongType)
+            .add("bloom_buckets", IntegerType).add("zone_buckets", IntegerType),
+            Seq(InternalRow(s.gen, s.snapshotsRetained, s.numBuckets,
+              s.liveFiles, s.liveBytes, s.reclaimableFiles, s.reclaimableBytes,
+              s.bloomBuckets, s.zoneBuckets)))
+        }
       }),
 
     Proc("compact",
@@ -175,16 +189,31 @@ private[sources] object UpsertProcedures {
       }),
 
     Proc("maintain",
-      "full policy pass: compact / rebucket / vacuum as table health requires",
+      "full policy pass: compact / rebucket / vacuum (Upsert) or delta-fold (merge-on-read) as table health requires",
       Seq(in("table", StringType),
         inDefault("max_bucket_bytes", LongType, "0")),
       { input =>
-        val dir = input.getString(0)
-        val (pk, versionCol) = contract(dir)
-        require(pk.nonEmpty, s"$dir records no placement pk — not a merge table")
-        val actions = Maintenance.run(spark, dir, pk,
-          versionCol.getOrElse(""),
-          policy = Maintenance.Policy(maxBucketBytes = input.getLong(1)))
+        val dir = input.getString(0).stripSuffix("/")
+        val policy = Maintenance.Policy(maxBucketBytes = input.getLong(1))
+        val isMor = Upsert.exists(spark, s"$dir/delta") ||
+          Upsert.exists(spark, s"$dir/base")
+        val actions =
+          if (isMor) {
+            // MOR roots carry their contract in _contract (recorded by
+            // the first compact); a policy pass that knows only the
+            // path binds to it — or refuses until one exists
+            val (pk, vc, del, n) = graft.io.MergeOnRead.contract(spark, dir)
+              .getOrElse(throw new Upsert.NoTableException(
+                s"$dir is a merge-on-read table with no recorded contract — " +
+                  "run one MergeOnRead.compact (or recordContract) first"))
+            Maintenance.runMor(spark, dir, pk, vc, del, n, policy = policy)
+          } else {
+            val (pk, versionCol) = contract(dir)
+            require(pk.nonEmpty,
+              s"$dir records no placement pk — not a merge table")
+            Maintenance.run(spark, dir, pk, versionCol.getOrElse(""),
+              policy = policy)
+          }
         actionsResult(actions)
       })
   ).map(p => p.procName -> p).toMap

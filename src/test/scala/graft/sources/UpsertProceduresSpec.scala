@@ -128,6 +128,39 @@ class UpsertProceduresSpec extends SparkSpec {
     assert(idle.isEmpty, s"healthy table must be a no-op: ${idle.mkString}")
   }
 
+  test("maintain dispatches on layout: a merge-on-read root folds its delta backlog") {
+    catalogReady
+    import graft.io.MergeOnRead
+    val dir = Files.createTempDirectory("proc_mor").toString
+    def wave(w: Int): Unit = MergeOnRead.merge(spark, dir,
+      spark.range(30).select(concat(lit("k"), col("id")).as("k"),
+        lit(w.toLong).as("ver"), lit(s"w$w").as("v")))
+    wave(1)
+    // no recorded contract yet: the path-only policy pass refuses
+    val bare = intercept[Exception](
+      spark.sql(s"CALL graft.maintain('$dir')").collect())
+    assert(bare.getMessage.contains("no recorded contract") ||
+      Option(bare.getCause).exists(_.getMessage.contains("no recorded contract")))
+    // first compact records the contract; later policy passes bind to it
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver")
+    (2 to 11).foreach(wave) // 10 live batches > default maxDeltaBatches 8
+    val acted = spark.sql(s"CALL graft.maintain('$dir')").collect()
+    assert(acted.map(_.getString(0)).exists(_.contains("compact")),
+      s"backlog must fold: ${acted.mkString}")
+    assert(spark.sql(s"CALL graft.maintain('$dir')").collect().isEmpty)
+    // winners correct after the policy-run compact
+    assert(MergeOnRead.read(spark, dir, Seq("k"), "ver")
+      .filter(col("v") === "w11").count() == 30)
+    // stats dispatches on layout too: the backlog signal is visible
+    val st = spark.sql(s"CALL graft.stats('$dir')").collect()
+    assert(st.length == 1 && st.head.getAs[Int]("live_delta_batches") == 0)
+    assert(st.head.getAs[Long]("base_files") > 0)
+    // a contradicting contract refuses loudly
+    val contra = intercept[graft.io.Upsert.TableContractException](
+      MergeOnRead.compact(spark, dir, Seq("k"), "other_ver"))
+    assert(contra.getMessage.contains("contradicts the recorded contract"))
+  }
+
   test("unknown procedures and missing tables fail loudly") {
     catalogReady
     val e = intercept[Exception](spark.sql("CALL graft.nonsense('/tmp/x')"))

@@ -1561,13 +1561,23 @@ object Upsert {
         src.repartition(over.size, col(BucketCol))
           .sortWithinPartitions(keyCols: _*)
       else src.repartition(over.size, col(BucketCol))
+    // a clustered compact ALSO adopts its cluster columns as the
+    // table's zone columns (sidecars written for the rewritten files,
+    // prop recorded for readers) — the OPTIMIZE ZORDER analog; without
+    // clusterBy the recorded zone columns carry over unchanged
+    val effZoneCols =
+      if (clusterBy.nonEmpty) clusterBy else zoneColsOf(man)
     val staged = stageGeneration(spark, dir, gen, arranged,
-      if (bloom) Some(pk) else None, zoneColsOf(man))
+      if (bloom) Some(pk) else None, effZoneCols)
     // an over-threshold bucket whose files held zero live rows stages
     // no dir — its entry empties rather than keeping the old files
     val compacted: Map[Int, Seq[String]] =
       over.map { case (b, _) => b -> staged.getOrElse(b, Seq.empty) }
-    commitManifest(spark, dir, Manifest(gen, man.props, man.files ++ compacted),
+    val zoneProp =
+      if (clusterBy.nonEmpty) Map(ZoneColsProp -> clusterBy.mkString(","))
+      else Map.empty[String, String]
+    commitManifest(spark, dir,
+      Manifest(gen, man.props ++ zoneProp, man.files ++ compacted),
       Some(man), op = "compact")
   }
 

@@ -68,6 +68,17 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier): Table =
     try UpsertBucketTable.load(dirOf(ident), viaCatalog = true)
     catch { case _: graft.io.Upsert.NoTableException =>
+      // a MERGE-ON-READ root is a real table this catalog cannot plan
+      // yet (delta resolution is read-time computation, not a scan) —
+      // name the honest API instead of reporting "not found"
+      val dir = dirOf(ident)
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (graft.io.Upsert.exists(spark, s"${dir.stripSuffix("/")}/delta") ||
+          graft.io.Upsert.exists(spark, s"${dir.stripSuffix("/")}/base"))
+        throw new UnsupportedOperationException(
+          s"$dir is a merge-on-read table: SQL reads are not supported — " +
+            "read through graft.io.MergeOnRead.read (maintenance via " +
+            "CALL graft.maintain/stats works on the path)")
       throw new NoSuchTableException(ident) }
 
   /** `VERSION AS OF <gen>` — a retained MVCC generation. A missing

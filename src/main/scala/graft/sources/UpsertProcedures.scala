@@ -136,21 +136,31 @@ private[sources] object UpsertProcedures {
       }),
 
     Proc("compact",
-      "fold buckets holding more than max_files_per_bucket files into one file each",
+      "fold buckets over max_files_per_bucket files into one file each; " +
+        "cluster_by re-sorts rows within buckets and writes zone sidecars " +
+        "(the OPTIMIZE ZORDER analog)",
       Seq(in("table", StringType),
-        inDefault("max_files_per_bucket", IntegerType, "8")),
+        inDefault("max_files_per_bucket", IntegerType, "8"),
+        inDefault("cluster_by", StringType, "''"),
+        inDefault("files_per_bucket", IntegerType, "1")),
       { input =>
         val dir = input.getString(0)
         val (pk, _) = contract(dir)
         require(pk.nonEmpty, s"$dir records no placement pk — not a merge table")
+        val clusterBy = Option(input.getString(2)).filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Nil)
         val before = Upsert.currentManifest(spark, dir).map(
           _.files.count { case (b, fs) => b >= 0 && fs.size > input.getInt(1) })
           .getOrElse(0)
         Upsert.compactBuckets(spark, dir, pk,
-          maxFilesPerBucket = input.getInt(1))
+          maxFilesPerBucket = input.getInt(1),
+          clusterBy = clusterBy,
+          filesPerBucket = input.getInt(3))
         actionsResult(
           if (before == 0) Nil
-          else Seq(s"compacted $before buckets over ${input.getInt(1)} files"))
+          else Seq(s"compacted $before buckets over ${input.getInt(1)} files" +
+            (if (clusterBy.nonEmpty)
+              s", clustered by ${clusterBy.mkString(",")}" else "")))
       }),
 
     Proc("vacuum",

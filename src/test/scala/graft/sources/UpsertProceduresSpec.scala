@@ -159,6 +159,26 @@ class UpsertProceduresSpec extends SparkSpec {
     val contra = intercept[graft.io.Upsert.TableContractException](
       MergeOnRead.compact(spark, dir, Seq("k"), "other_ver"))
     assert(contra.getMessage.contains("contradicts the recorded contract"))
+    // a SQL SELECT against the MOR root names the honest API instead
+    // of reporting "table not found"
+    val sel = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dir`").collect())
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    assert(ms(sel).exists(_.contains("merge-on-read")), s"got ${ms(sel)}")
+  }
+
+  test("clustered compact through CALL adopts cluster columns as zone columns") {
+    catalogReady
+    val dir = mkTable(120, 4, "z")
+    spark.sql(
+      s"""CALL graft.compact(table => '$dir', max_files_per_bucket => 0,
+          cluster_by => 'v')""")
+    val man = Upsert.currentManifest(spark, dir).get
+    assert(man.props.get("zoneCols").contains("v"))
+    // rows intact, one file per bucket
+    assert(Upsert.read(spark, dir).count() == 120 + 3 * 5)
+    assert(man.files.filter(_._1 >= 0).values.map(_.size).max == 1)
   }
 
   test("unknown procedures and missing tables fail loudly") {

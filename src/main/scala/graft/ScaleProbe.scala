@@ -74,6 +74,10 @@ object ScaleProbe {
     // unconstrained figures in NOTES — the behavior a 100 TB shuffle
     // partition that misjudged its memory budget needs.
     val spillOnly = args.length > 1 && args(1) == "spill"
+    // "dws": the one-query streaming DWS pipeline (CDF source →
+    // update-mode stateful agg → LWW sink) — fold throughput, state
+    // rows vs group cardinality, O(changes) incremental wave
+    val dwsOnly = args.length > 1 && args(1) == "dws"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", if (spillOnly) "8" else "64")
@@ -572,7 +576,57 @@ object ScaleProbe {
         s"agg_equal=${inc == full}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly) {
+    if (dwsOnly) {
+      // The ONE-QUERY streaming DWS pipeline at scale: readStream(CDF)
+      // → stateful update-mode agg → LWW sink. Graded claims: the
+      // streamed fold lands the SAME aggregate a batch recompute
+      // produces; state-store rows track GROUP cardinality (not event
+      // count); and an incremental wave costs O(changes), not
+      // O(fact) — the reference's continuous DWD→DWS topology with
+      // Spark owning all state.
+      val root = java.nio.file.Files.createTempDirectory("probe_dws").toString
+      val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"
+      val groups = 100000L
+      val rows = ev
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+        .withColumn("gid", pmod(col("user_id"), lit(groups)))
+        .withColumn("__v", lit(1L))
+        .select("event_id", "gid", "value_cents", "__v")
+      graft.io.Upsert.merge(spark, fact, rows, pk = Seq("event_id"),
+        versionCol = "__v", changeLog = true)
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = graft.rtdw.IncrementalDws.streamingPipeline(spark, fact, dws,
+          groupCols = Seq("gid"), sumCols = Seq("value_cents"),
+          checkpointDir = ckpt)
+        q.awaitTermination(600000); q
+      }
+      val t0 = System.nanoTime()
+      val q1 = drain()
+      val tInit = (System.nanoTime() - t0) / 1e9
+      val stateRows = Option(q1.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      // correction wave: 1% of events re-emitted with bumped values
+      graft.io.Upsert.merge(spark, fact,
+        rows.filter(col("event_id") % 100 === 0)
+          .withColumn("value_cents", col("value_cents") + 7L)
+          .withColumn("__v", lit(2L)),
+        pk = Seq("event_id"), versionCol = "__v", changeLog = true)
+      val t1 = System.nanoTime()
+      drain()
+      val tDelta = (System.nanoTime() - t1) / 1e9
+      val served = graft.io.Upsert.read(spark, s"$dws/table")
+        .select("gid", "value_cents", "row_ct")
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val full = graft.io.Upsert.read(spark, fact)
+        .groupBy(col("gid"))
+        .agg(sum(col("value_cents")).as("value_cents"), count(lit(1)).as("row_ct"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      println(f"[scale] dws_pipeline_n=$n%-9d init=${tInit}%6.1fs " +
+        f"(${n / tInit / 1e6}%4.1f M rows/s) delta=${tDelta}%6.2fs " +
+        s"state_rows=$stateRows groups=$groups agg_equal=${served == full}")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -748,7 +802,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -138,6 +138,22 @@ class ChangeFeedStreamSpec extends SparkSpec {
     val man = Upsert.currentManifest(spark, s"$dws/table").get
     assert(man.props.get("pkCols").contains("province_id"))
     assert(man.props.get("versionCol").contains("__v"))
+
+    // the same pipeline on the ROCKSDB state store (what cluster
+    // deployments run): fresh table + checkpoint, identical result
+    val dwsR = s"$root/dwsR"; val ckptR = s"$root/ckptR"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = IncrementalDws.streamingPipeline(spark, fact, dwsR,
+        groupCols = Seq("province_id"), sumCols = Seq("amount_cents"),
+        checkpointDir = ckptR, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      val sr = Upsert.read(spark, s"$dwsR/table")
+        .select("province_id", "amount_cents", "row_ct")
+        .as[(String, Long, Long)].collect().toSet
+      assert(sr == fullRecompute(fact))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("a net batch bootstraps a FRESH consumer; a consumer inside the compacted range fails loudly") {

@@ -84,7 +84,8 @@ object Upsert {
     */
   case class Manifest(gen: Long, props: Map[String, String],
                       files: Map[Int, Seq[String]],
-                      segRefs: Map[Int, String] = Map.empty) {
+                      segRefs: Map[Int, String] = Map.empty,
+                      rowCounts: Map[String, Long] = Map.empty) {
     def allFiles: Seq[String] = files.values.flatten.toSeq
     def numBuckets(default: Int): Int =
       props.get("numBuckets").map(_.toInt).getOrElse(default)
@@ -128,7 +129,13 @@ object Upsert {
   private def serializeInline(m: Manifest): String = {
     val propLines = (m.props - SegSizeProp).toSeq.sortBy(_._1)
       .map { case (k, v) => s"#$k=$v" }
-    (propLines.mkString("\n") + "\n" + fileLines(m.files)).trim
+    // `^<rel>\t<rows>` — per-file row counts (planner cardinality),
+    // only for files this manifest still references
+    val live = m.files.valuesIterator.flatten.toSet
+    val countLines = m.rowCounts.toSeq.filter(c => live(c._1)).sortBy(_._1)
+      .map { case (rel, n) => s"^$rel\t$n" }
+    (propLines.mkString("\n") + "\n" + countLines.mkString("\n") + "\n" +
+      fileLines(m.files)).trim
   }
 
   private def parseFileLines(lines: Seq[String]): Map[Int, Seq[String]] =
@@ -148,15 +155,19 @@ object Upsert {
     val segRefs = lines.filter(_.startsWith("@")).map { l =>
       val Array(s, n) = l.drop(1).split("\t", 2); (s.toInt, n)
     }.toMap
+    val rowCounts = lines.filter(_.startsWith("^")).map { l =>
+      val Array(rel, n) = l.drop(1).split("\t", 2); (rel, n.toLong)
+    }.toMap
     val inline = parseFileLines(
-      lines.filterNot(l => l.startsWith("#") || l.startsWith("@")))
+      lines.filterNot(l =>
+        l.startsWith("#") || l.startsWith("@") || l.startsWith("^")))
     val fromSegs = segRefs.toSeq.sortBy(_._1).map { case (_, name) =>
       val body = FsOps.readTextOpt(spark, new Path(dir, name)).getOrElse(
         throw new IllegalStateException(
           s"manifest gen=$gen references missing segment $name under $dir"))
       parseFileLines(body.linesIterator.filter(_.nonEmpty).toSeq)
     }.foldLeft(Map.empty[Int, Seq[String]])(_ ++ _)
-    Manifest(gen, props, inline ++ fromSegs, segRefs)
+    Manifest(gen, props, inline ++ fromSegs, segRefs, rowCounts)
   }
 
   /** The newest committed snapshot, or None for a missing/empty table.
@@ -285,10 +296,53 @@ object Upsert {
     * generation NUMBERS stay the authoritative commit order (clock
     * skew between writers can never reorder history).
     */
+  /** Per-file row counts for the manifest: counts for files the
+    * previous manifest already knows CARRY OVER (their content is
+    * immutable); NEW files get a driver-side parquet-footer read —
+    * kilobytes per file, capped by `spark.graft.rowCounts.maxNewFiles`
+    * (0 disables) so a very wide commit never stalls the driver on
+    * sequential footer RPCs. Best-effort metadata: any unreadable or
+    * uncounted file simply leaves the table's cardinality unknown
+    * (the scan reports numRows only when EVERY kept file has a count).
+    */
+  private def withRowCounts(spark: SparkSession, dir: String, m: Manifest,
+                            prev: Option[Manifest]): Manifest = {
+    val cap = spark.conf.get("spark.graft.rowCounts.maxNewFiles", "1024").toInt
+    if (cap <= 0) return m.copy(rowCounts = Map.empty)
+    // counts ride the INLINE manifest form only; a table big enough to
+    // segment would bloat the root with per-file lines — its
+    // cardinality stays unknown rather than half-recorded
+    if (m.files.valuesIterator.map(_.size).sum > inlineMaxFiles(spark))
+      return m.copy(rowCounts = Map.empty)
+    val live: Set[String] = m.files.iterator
+      .collect { case (b, rels) if b != SchemaBucket => rels }.flatten.toSet
+    val carried: Map[String, Long] =
+      (prev.map(_.rowCounts).getOrElse(Map.empty) ++ m.rowCounts)
+        .filter { case (rel, _) => live(rel) }
+    val fresh = (live -- carried.keySet).toSeq.sorted
+    val read: Map[String, Long] =
+      if (fresh.isEmpty || fresh.size > cap) Map.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        fresh.flatMap { rel =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(abs(dir, rel)), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              Some(rel -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+            } finally r.close()
+          } catch { case _: Exception => None } // best-effort metadata
+        }.toMap
+      }
+    m.copy(rowCounts = carried ++ read)
+  }
+
   private def commitManifest(spark: SparkSession, dir: String, m0: Manifest,
                              prev: Option[Manifest] = None,
                              op: String = "commit"): Unit = {
-    val m = m0.copy(props = m0.props +
+    val m = withRowCounts(spark, dir, m0, prev).copy(props = m0.props +
       (CommittedAtProp -> System.currentTimeMillis().toString) +
       (OperationProp -> op))
     val total = m.files.valuesIterator.map(_.size).sum
@@ -567,7 +621,8 @@ object Upsert {
                           numBuckets: Int, pk: Seq[String],
                           versionCol: Option[String],
                           zoneCols: Seq[String],
-                          files: Map[Int, Seq[(String, Long)]])
+                          files: Map[Int, Seq[(String, Long)]],
+                          rowCounts: Map[String, Long] = Map.empty)
 
   // a committed generation's file set is immutable, so (dir, gen) keys
   // a sound cache — without it every DataFrame read loads the layout
@@ -609,7 +664,10 @@ object Upsert {
       val l = BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
         m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
         m.props.get(VersionColProp),
-        zoneColsOf(m), files)
+        zoneColsOf(m), files,
+        m.rowCounts.map { case (rel, n) =>
+          new Path(abs(dir, rel)).toString -> n
+        })
       layoutCache.synchronized(layoutCache.put(key, l))
       l
     }

@@ -112,7 +112,8 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               zoneCols: Seq[String],
                                               files: Map[Int, Seq[(String, Long)]],
                                               viaCatalog: Boolean = false,
-                                              hideBucket: Boolean = false)
+                                              hideBucket: Boolean = false,
+                                              rowCounts: Map[String, Long] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -252,7 +253,7 @@ private[sources] object UpsertBucketTable {
     val spark = SparkSession.active
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
     UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.versionCol,
-      l.zoneCols, l.files, viaCatalog)
+      l.zoneCols, l.files, viaCatalog, rowCounts = l.rowCounts)
   }
 }
 
@@ -524,15 +525,26 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
   /** Planner sizing: the bytes this scan will actually read (post
     * bucket/zone prune) — without it a DSv2 relation defaults to
     * "infinite", and a genuinely small side can never be broadcast.
-    * Row count stays unknown (the manifest doesn't record it).
+    * numRows comes from the manifest's per-file footer counts,
+    * reported only when EVERY kept file has one (a partial sum would
+    * understate cardinality and mislead the CBO); like sizeInBytes it
+    * reflects file-level pruning, not residual-filter selectivity.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = buckets.iterator
-        .flatMap(keptFiles(_)).map(_._2).sum
+      private val kept = buckets.iterator.flatMap(keptFiles(_)).toSeq
+      private val bytes = kept.map(_._2).sum
+      private val rows: Option[Long] = {
+        val counts = kept.map { case (p, _) => table.rowCounts.get(p) }
+        if (counts.nonEmpty && counts.forall(_.isDefined))
+          Some(counts.flatten.sum)
+        else if (kept.isEmpty) Some(0L)
+        else None
+      }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, bytes))
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
 
   override def planInputPartitions(): Array[InputPartition] = plannedSplits

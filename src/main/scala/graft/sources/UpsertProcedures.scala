@@ -123,14 +123,25 @@ private[sources] object UpsertProcedures {
         } else {
           val s = Upsert.stats(spark, dir).getOrElse(
             throw new Upsert.NoTableException(s"no committed manifest under $dir"))
+          // live_rows: sum of the manifest's per-file footer counts —
+          // null unless EVERY live file carries one
+          val liveRows: Any = Upsert.currentManifest(spark, dir).flatMap { m =>
+            val live = m.files.iterator
+              .collect { case (b, rels) if b >= 0 => rels }.flatten.toSeq
+            if (live.nonEmpty && live.forall(m.rowCounts.contains))
+              Some(live.map(m.rowCounts).sum)
+            else None
+          }.map(Long.box).orNull
           result(new StructType()
             .add("generation", LongType).add("snapshots_retained", IntegerType)
             .add("num_buckets", IntegerType)
             .add("live_files", LongType).add("live_bytes", LongType)
+            .add("live_rows", LongType)
             .add("reclaimable_files", LongType).add("reclaimable_bytes", LongType)
             .add("bloom_buckets", IntegerType).add("zone_buckets", IntegerType),
             Seq(InternalRow(s.gen, s.snapshotsRetained, s.numBuckets,
-              s.liveFiles, s.liveBytes, s.reclaimableFiles, s.reclaimableBytes,
+              s.liveFiles, s.liveBytes, liveRows,
+              s.reclaimableFiles, s.reclaimableBytes,
               s.bloomBuckets, s.zoneBuckets)))
         }
       }),

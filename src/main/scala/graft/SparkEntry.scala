@@ -40,6 +40,7 @@ object SparkEntry {
     "j_snapshot_diff" -> (Relational.jSnapshotDiff _),
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
+    "mor_sql_agg" -> (Relational.morSqlAgg _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
@@ -393,6 +394,23 @@ object SparkEntry {
     // raw table — green proves the streamed telescoping fold equals a
     // full recompute
     "dws_stream_fold" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 97 = 0
+                              THEN CAST(FLOOR((value + 1) * 100) AS BIGINT)
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events
+         WHERE event_id % 101 <> 0
+         GROUP BY event_type""",
+
+    // the Spark side aggregates a merge-on-read root (compacted base +
+    // LIVE correction/delete deltas) straight from SQL through the
+    // catalog — the MorReadRule substitution resolves newest-version-
+    // per-key inside the query plan; the oracle recomputes the waves'
+    // net effect over the raw table — green proves SQL-visible
+    // read-time resolution equals a full recompute
+    "mor_sql_agg" ->
       """SELECT event_type,
                 CAST(SUM(CASE WHEN event_id % 97 = 0
                               THEN CAST(FLOOR((value + 1) * 100) AS BIGINT)

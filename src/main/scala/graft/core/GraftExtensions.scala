@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(graft.functions.VectorExprs.getClass.getName, name), builder))
     }
+    // merge-on-read catalog relations resolve into the composed
+    // MergeOnRead.read plan before optimization (see MorReadRule)
+    e.injectResolutionRule(session => graft.sources.MorReadRule(session))
     // joins against DimRegistry-declared tables broadcast even when
     // size estimates lie (see DimBroadcastRule)
     e.injectOptimizerRule(session => DimBroadcastRule(session))

@@ -30,7 +30,11 @@ object GraftSession {
     *     already co-locates).
     */
   def engineConfs(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.sources.v2.bucketing.enabled", "true")
+    b.withExtensions(new GraftExtensions) // graft_* SQL functions +
+      // analyzer/optimizer rules (MorReadRule, DimBroadcastRule,
+      // MvRewriteRule) on EVERY entry point — a main without them
+      // would refuse MOR SQL reads that the specs prove green
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       // NOTE: …partiallyClusteredDistribution is deliberately NOT a
@@ -45,7 +49,6 @@ object GraftSession {
     engineConfs(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .withExtensions(new GraftExtensions) // graft_* SQL functions out of the box
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

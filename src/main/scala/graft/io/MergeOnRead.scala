@@ -479,6 +479,21 @@ object MergeOnRead {
     dropDeletes(resolved, deleteFlagCol)
   }
 
+  /** Remove a merge-on-read root entirely — base generations, delta
+    * batches, contract — under the writer lease (same protocol as
+    * [[Upsert.dropTable]]); false when `dir` is not a MOR root, so a
+    * caller cannot aim this at an arbitrary directory.
+    */
+  def dropTable(spark: SparkSession, dir: String): Boolean = {
+    val d = dir.stripSuffix("/")
+    if (!Upsert.exists(spark, s"$d/delta") && !Upsert.exists(spark, s"$d/base"))
+      return false
+    Upsert.withWriterLease(spark, d) {
+      val root = new Path(d)
+      FsOps.fs(spark, root).delete(root, true)
+    }
+  }
+
   /** Delete folded delta batches. Idempotent. By default only batches
     * every RETAINED manifest has folded go (one-cycle retention — see
     * [[compact]]); `retainForReaders = false` drops everything ≤ the

@@ -1024,6 +1024,54 @@ object Relational {
       .select(col("event_type"), col("value_cents"), col("row_ct"))
   }
 
+  /** Build-once MERGE-ON-READ table over events: insert-all lands as
+    * delta 0 and compacts into the base (recording the contract),
+    * then corrections for %97 keys and deletes of %101 keys stay as
+    * LIVE deltas — so the read must resolve base ∪ deltas, not just
+    * scan a folded table. Returns the MOR root.
+    */
+  def morSqlEnsure(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = s"target/dml/mor_sql_$key"
+    val dir = s"$root/t"
+    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val fs = graft.io.FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      val ev = Tables.events(spark, sfDir)
+      def wave(df: DataFrame, cts: Column, v: Long, op: String) =
+        graft.io.MergeOnRead.merge(spark, dir,
+          df.select(col("event_id"), col("event_type"),
+            cts.as("value_cents"), lit(v).as("__v"), lit(op).as("op")))
+      wave(ev, cents(col("value")), 1L, "insert")
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      wave(ev.filter(col("event_id") % 97 === 0),
+        cents(col("value") + 1), 2L, "update")
+      wave(ev.filter(col("event_id") % 101 === 0),
+        cents(col("value")), 3L, "delete")
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
+  /** SQL aggregate straight over the MOR root through the catalog —
+    * the MorReadRule substitution resolves base ∪ live deltas inside
+    * the query plan. The ORACLE recomputes the waves' net effect over
+    * the raw events table (corrections replace, deletes vanish): a
+    * green row proves the SQL-visible read-time resolution equals a
+    * full recompute.
+    */
+  def morSqlAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morSqlEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct
+          FROM graft.`$dir` GROUP BY event_type""")
+  }
+
   /** Build-once STREAMED-SINK table: three waves of command files
     * (insert-all ver 1, corrections for %97 keys ver 2, deletes of
     * %101-but-not-%97 keys ver 3) land in a staging dir, and a

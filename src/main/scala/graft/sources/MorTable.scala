@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.MergeOnRead
+
+/** SQL read surface for a merge-on-read root (`dir/base` + `dir/delta`)
+  * — `SELECT * FROM graft.`/path/to/mor`` resolves the SAME content as
+  * [[graft.io.MergeOnRead.read]]: newest (version, batch) per PK wins,
+  * delete rows vanish.
+  *
+  * A MOR read is read-time COMPUTATION (delta resolution), not a file
+  * scan, so it cannot be a DSv2 `Scan` without losing the two-path
+  * plan choice (broadcast fast path / zero-exchange SPJ resolve) the
+  * API read carries. Instead the catalog hands back this placeholder
+  * table — schema and contract from the root's durable `_contract` —
+  * and [[MorReadRule]] (an analyzer rule injected by
+  * [[graft.core.GraftExtensions]]) replaces the relation with the
+  * composed read plan BEFORE optimization. The substituted tree is
+  * ordinary Catalyst from there: outer filters push into base and
+  * delta scans, column pruning reaches the parquet footers, and the
+  * big-delta path keeps its storage-partitioned zero-exchange resolve.
+  * This is the standard lakehouse shape for computed reads (Delta Lake
+  * rewrites its DML and CDF relations through analyzer rules the same
+  * way).
+  *
+  * Reference analog: upsert-kafka topics resolve retractions at READ
+  * time by compacted-topic semantics (SQLUtil.java:46-54); this is
+  * that resolution, durably on files, reachable from SQL.
+  */
+private[graft] case class MorTable(dir: String, pk: Seq[String],
+                                   versionCol: String,
+                                   deleteFlagCol: Option[String],
+                                   numBuckets: Int,
+                                   dataSchema: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = s"mor:$dir"
+  override def schema(): StructType = dataSchema
+  // TRUNCATE is declared so INSERT OVERWRITE reaches our own refusal
+  // (with the compact pointer) instead of Spark's generic
+  // capability-check message; the builder's truncate() throws.
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** `DESCRIBE TABLE EXTENDED`: the recorded merge contract. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft-mor")
+    m.put("pk", pk.mkString(","))
+    m.put("versionCol", versionCol)
+    deleteFlagCol.foreach(m.put("deleteFlagCol", _))
+    m.put("numBuckets", numBuckets.toString)
+    m
+  }
+
+  /** Never executed when [[MorReadRule]] is installed — the relation
+    * is substituted during analysis. The builder itself must exist
+    * (DESCRIBE probes it for statistics), but a bare session (no
+    * GraftExtensions) that tries to actually SCAN through it gets the
+    * honest pointer instead of silent wrong content.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = dataSchema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        throw new UnsupportedOperationException(
+          s"merge-on-read SQL reads need the MorReadRule analyzer rule — " +
+            "start the session with GraftExtensions (spark.sql.extensions=" +
+            "graft.core.GraftExtensions), or read through graft.io.MergeOnRead.read")
+    }
+
+  /** SQL `INSERT INTO` = [[graft.io.MergeOnRead.merge]]: the batch
+    * lands verbatim as the next delta directory — O(batch) write cost
+    * whatever the key distribution, exactly the firehose contract the
+    * layout exists for. Retractions insert a `deleteFlagCol='delete'`
+    * row. `INSERT OVERWRITE` refuses: base rewrites belong to
+    * compaction, not to a write path that would have to fold live
+    * deltas mid-statement.
+    */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        throw new UnsupportedOperationException(
+          s"INSERT OVERWRITE on merge-on-read table $dir is not supported — " +
+            "the base rewrites through MergeOnRead.compact; append " +
+            "corrections/retractions instead")
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"INSERT OVERWRITE on merge-on-read table $dir is not " +
+                  "supported — the base rewrites through MergeOnRead.compact; " +
+                  "append corrections/retractions instead")
+              MergeOnRead.merge(data.sparkSession, dir, data)
+            }
+        }
+    }
+}
+
+private[graft] object MorTable {
+  /** True when `dir` looks like a merge-on-read root. */
+  def isMorRoot(spark: SparkSession, dir: String): Boolean = {
+    val d = dir.stripSuffix("/")
+    graft.io.Upsert.exists(spark, s"$d/delta") ||
+      graft.io.Upsert.exists(spark, s"$d/base")
+  }
+
+  /** Load the placeholder from the root's recorded contract. The
+    * schema is the resolved read's (base ∪ delta widened) — computed
+    * once here so analysis can bind columns; [[MorReadRule]] re-reads
+    * the live snapshot at substitution and verifies it still agrees.
+    */
+  def load(spark: SparkSession, dir: String): MorTable = {
+    val (pk, vc, del, n) = MergeOnRead.contract(spark, dir).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$dir is a merge-on-read table with no recorded contract — run one " +
+          "MergeOnRead.compact (or recordContract) first, or read through " +
+          "graft.io.MergeOnRead.read"))
+    MorTable(dir, pk, vc, del, n,
+      MergeOnRead.read(spark, dir, pk, vc, del).schema)
+  }
+}
+
+/** Analyzer rule: every [[MorTable]] relation becomes the composed
+  * [[graft.io.MergeOnRead.read]] plan, re-aliased onto the relation's
+  * output attributes. Each occurrence gets a FRESH plan (fresh exprIds)
+  * so self-joins of one MOR table never collide; the fixed point
+  * terminates because the substitute contains no MorTable relation.
+  */
+private[graft] case class MorReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperatorsUp {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[MorTable] =>
+      val t = r.table.asInstanceOf[MorTable]
+      // spark.graft.mor.broadcastDeltaBytes scopes the read's
+      // fast-path/SPJ choice for SQL readers (no API parameter there)
+      val thresh = spark.conf
+        .get("spark.graft.mor.broadcastDeltaBytes",
+          MergeOnRead.DefaultBroadcastDeltaBytes.toString).toLong
+      val child = MergeOnRead
+        .read(spark, t.dir, t.pk, t.versionCol, t.deleteFlagCol, thresh)
+        .queryExecution.analyzed
+      val byName = child.output.map(a => a.name -> a).toMap
+      Project(r.output.map { a =>
+        val src = byName.getOrElse(a.name, throw new IllegalStateException(
+          s"merge-on-read table ${t.dir} no longer resolves column '${a.name}' " +
+            "— schema changed between analysis and substitution (concurrent " +
+            "compaction with evolution?); re-run the query"))
+        if (src.dataType != a.dataType) throw new IllegalStateException(
+          s"merge-on-read table ${t.dir} column '${a.name}' changed type " +
+            s"${a.dataType.simpleString} -> ${src.dataType.simpleString} between " +
+            "analysis and substitution; re-run the query")
+        Alias(src, a.name)(exprId = a.exprId)
+      }, child)
+  }
+}

@@ -29,12 +29,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * The write surface maps onto the SAME manifest-rename transaction
   * the API uses: `INSERT INTO` is the recorded LWW merge,
+  * `INSERT OVERWRITE` the full-content rebuild,
   * `MERGE INTO`/`UPDATE`/`DELETE` are delta row-level operations
   * ([[UpsertDml]]), `CREATE TABLE`/CTAS commits the contract as an
   * empty snapshot, `ALTER TABLE` does the two physically-possible
   * evolutions (ADD COLUMNS / DROP COLUMN, metadata-only), and
-  * `DROP TABLE` removes under the writer lease. Everything the format
-  * cannot do honestly (RENAME, type changes, INSERT OVERWRITE)
+  * `DROP TABLE` removes under the writer lease. Merge-on-read roots
+  * resolve through [[MorTable]] + the MorReadRule substitution (the
+  * contract-recorded read content, both plan shapes). Everything the
+  * format cannot do honestly (RENAME, type changes, MOR time travel)
   * refuses loudly with the reason.
   */
 class UpsertCatalog extends TableCatalog with FunctionCatalog
@@ -52,14 +55,18 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: the filesystem is the namespace
 
-  /** Manifest-presence probe — no layout load, and transient IO errors
-    * PROPAGATE (swallowing them would misreport a live table as absent
-    * and fail the query with a misleading NoSuchTableException).
+  /** Manifest-presence probe (or MOR-root shape probe) — no layout
+    * load, and transient IO errors PROPAGATE (swallowing them would
+    * misreport a live table as absent and fail the query with a
+    * misleading NoSuchTableException). MOR roots count as existing so
+    * CREATE refuses and DROP/IF-EXISTS paths see them.
     */
   override def tableExists(ident: Identifier): Boolean =
-    try graft.io.Upsert.currentManifest(
-      org.apache.spark.sql.SparkSession.active, dirOf(ident)).isDefined
-    catch { case _: java.io.FileNotFoundException => false }
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.io.Upsert.currentManifest(spark, dirOf(ident)).isDefined ||
+        MorTable.isMorRoot(spark, dirOf(ident))
+    } catch { case _: java.io.FileNotFoundException => false }
 
   // only genuine ABSENCE (no committed manifest) maps to
   // NoSuchTableException; any other invariant failure (vacuumed
@@ -68,18 +75,14 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier): Table =
     try UpsertBucketTable.load(dirOf(ident), viaCatalog = true)
     catch { case _: graft.io.Upsert.NoTableException =>
-      // a MERGE-ON-READ root is a real table this catalog cannot plan
-      // yet (delta resolution is read-time computation, not a scan) —
-      // name the honest API instead of reporting "not found"
+      // a MERGE-ON-READ root is a real table: serve it through the
+      // MorTable placeholder (+ MorReadRule substitution) when its
+      // contract is recorded; a contract-less root gets the honest
+      // "record one first" pointer instead of "not found"
       val dir = dirOf(ident)
       val spark = org.apache.spark.sql.SparkSession.active
-      if (graft.io.Upsert.exists(spark, s"${dir.stripSuffix("/")}/delta") ||
-          graft.io.Upsert.exists(spark, s"${dir.stripSuffix("/")}/base"))
-        throw new UnsupportedOperationException(
-          s"$dir is a merge-on-read table: SQL reads are not supported — " +
-            "read through graft.io.MergeOnRead.read (maintenance via " +
-            "CALL graft.maintain/stats works on the path)")
-      throw new NoSuchTableException(ident) }
+      if (MorTable.isMorRoot(spark, dir)) MorTable.load(spark, dir)
+      else throw new NoSuchTableException(ident) }
 
   /** `VERSION AS OF <gen>` — a retained MVCC generation. A missing
     * table is NoSuchTableException; a vacuumed/never-committed
@@ -89,8 +92,28 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
     try UpsertBucketTable.load(dirOf(ident), Some(version.toLong), viaCatalog = true)
     catch {
       case _: graft.io.Upsert.NoTableException | _: NumberFormatException =>
+        refuseMorTimeTravel(ident)
         throw new NoSuchTableException(ident)
+      case e: IllegalStateException =>
+        // an explicit gen on a MOR ROOT fails as "no manifest for
+        // gen=N" (raw IllegalStateException, the table-exists flavor);
+        // on a real Upsert table that message is the honest
+        // vacuumed-generation error — surface it unchanged
+        refuseMorTimeTravel(ident)
+        throw e
     }
+
+  // a MOR root's current content is base manifest + delta listing; a
+  // past generation's delta set is not reconstructible (folded deltas
+  // are GC'd) — refuse honestly rather than report "not found"
+  private def refuseMorTimeTravel(ident: Identifier): Unit = {
+    val dir = dirOf(ident)
+    if (MorTable.isMorRoot(org.apache.spark.sql.SparkSession.active, dir))
+      throw new UnsupportedOperationException(
+        s"$dir is a merge-on-read table: time travel is not supported — " +
+          "folded delta batches are GC'd, so a past snapshot's content is " +
+          "not reconstructible (current-content SQL reads work)")
+  }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands the resolved timestamp in
     * MICROseconds; it resolves to the newest retained generation whose
@@ -108,6 +131,7 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
       UpsertBucketTable.load(dir, Some(gen), viaCatalog = true)
     } catch {
       case _: graft.io.Upsert.NoTableException =>
+        refuseMorTimeTravel(ident)
         throw new NoSuchTableException(ident)
     }
   }
@@ -156,6 +180,10 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
                            properties: util.Map[String, String]): Table = {
     val spark = org.apache.spark.sql.SparkSession.active
     val dir = dirOf(ident)
+    // a MOR root is a live table even though no manifest sits at the
+    // root — committing one THERE would tangle two layouts in one dir
+    if (MorTable.isMorRoot(spark, dir))
+      throw new TableAlreadyExistsException(ident)
     val props = new CaseInsensitiveStringMap(properties)
     def propOpt(k: String): Option[String] =
       Option(props.get(k)).filter(_.nonEmpty)
@@ -251,12 +279,17 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
 
   /** SQL `DROP TABLE`: recursive remove under the writer lease; false
     * (→ `TABLE_OR_VIEW_NOT_FOUND` unless `IF EXISTS`) when no
-    * committed table is there. Raw parquet dirs are NOT deletable
-    * through this catalog.
+    * committed table is there. Merge-on-read roots drop whole (base +
+    * deltas + contract). Raw parquet dirs are NOT deletable through
+    * this catalog.
     */
-  override def dropTable(ident: Identifier): Boolean =
-    graft.io.Upsert.dropTable(
-      org.apache.spark.sql.SparkSession.active, dirOf(ident))
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = dirOf(ident)
+    if (graft.io.Upsert.currentManifest(spark, dir).isDefined)
+      graft.io.Upsert.dropTable(spark, dir)
+    else graft.io.MergeOnRead.dropTable(spark, dir)
+  }
 
   /** RENAME stays refused: identifiers ARE filesystem paths here, and
     * a path rename under live readers (their resolved manifest still

@@ -9,9 +9,8 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
-      .withExtensions(new graft.core.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
-      .pipe(graft.core.GraftSession.engineConfs)
+      .pipe(graft.core.GraftSession.engineConfs) // includes GraftExtensions
       .getOrCreate()
     // getOrCreate() may return a session created by an EARLIER suite, in
     // which case withExtensions above was a no-op. Fail loudly if that

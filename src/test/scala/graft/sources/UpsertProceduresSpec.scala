@@ -159,13 +159,10 @@ class UpsertProceduresSpec extends SparkSpec {
     val contra = intercept[graft.io.Upsert.TableContractException](
       MergeOnRead.compact(spark, dir, Seq("k"), "other_ver"))
     assert(contra.getMessage.contains("contradicts the recorded contract"))
-    // a SQL SELECT against the MOR root names the honest API instead
-    // of reporting "table not found"
-    val sel = intercept[Exception](
-      spark.sql(s"SELECT * FROM graft.`$dir`").collect())
-    def ms(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
-    assert(ms(sel).exists(_.contains("merge-on-read")), s"got ${ms(sel)}")
+    // a SQL SELECT against the contract-recorded MOR root resolves the
+    // read-time content (MorTable + MorReadRule — see MorSqlReadSpec)
+    val sel = spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k0'").collect()
+    assert(sel.map(_.getString(0)).toSeq == Seq("w11"), s"got ${sel.mkString}")
   }
 
   test("clustered compact through CALL adopts cluster columns as zone columns") {

@@ -149,6 +149,32 @@ object MergeOnRead {
     (man, upto, deltaBatches(spark, dir).filter(_._1 > upto))
   }
 
+  /** A pinned resolved state: base manifest + the live delta list cut
+    * against its watermark. [[readPinned]] composes the SAME plan from
+    * it every time — so a query that references one MOR table twice
+    * (self-join) resolves ONE table state, not two racing ones.
+    */
+  case class Snapshot(man: Option[Upsert.Manifest], live: Seq[(Long, String)])
+
+  private[graft] def currentSnapshot(spark: SparkSession, dir: String): Snapshot = {
+    val (man, _, live) = snapshot(spark, dir)
+    Snapshot(man, live)
+  }
+
+  /** True when `dir` holds a REAL merge-on-read shape: a recorded
+    * contract, a committed base manifest, or at least one committed
+    * delta batch. A bare child merely NAMED base/delta (a raw parquet
+    * layout could have one) does NOT qualify — this probe gates DDL,
+    * including the recursive [[dropTable]], so it must never
+    * misclassify foreign directories.
+    */
+  def isMorRoot(spark: SparkSession, dir: String): Boolean = {
+    val d = dir.stripSuffix("/")
+    contract(spark, d).isDefined ||
+      Upsert.currentManifest(spark, basePath(d)).isDefined ||
+      deltaBatches(spark, d).nonEmpty
+  }
+
   private def scanBase(spark: SparkSession, dir: String,
                        man: Upsert.Manifest): DataFrame =
     spark.read.parquet(man.allFiles.map(r => s"${basePath(dir)}/$r"): _*)
@@ -176,8 +202,19 @@ object MergeOnRead {
     */
   def read(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
            deleteFlagCol: Option[String] = None,
-           maxBroadcastDeltaBytes: Long = DefaultBroadcastDeltaBytes): DataFrame = {
-    val (manOpt, _, live) = snapshot(spark, dir)
+           maxBroadcastDeltaBytes: Long = DefaultBroadcastDeltaBytes): DataFrame =
+    readPinned(spark, dir, currentSnapshot(spark, dir), pk, versionCol,
+      deleteFlagCol, maxBroadcastDeltaBytes)
+
+  /** [[read]] against an already-pinned [[Snapshot]] — no re-listing,
+    * and every caller holding the same snapshot composes the same
+    * state (MorReadRule substitutes each SQL relation through this).
+    */
+  private[graft] def readPinned(spark: SparkSession, dir: String, snap: Snapshot,
+                                pk: Seq[String], versionCol: String,
+                                deleteFlagCol: Option[String],
+                                maxBroadcastDeltaBytes: Long): DataFrame = {
+    val (manOpt, live) = (snap.man, snap.live)
     val baseOpt = manOpt.map(scanBase(spark, dir, _))
     val deltaOpt =
       if (live.isEmpty) None
@@ -481,13 +518,13 @@ object MergeOnRead {
 
   /** Remove a merge-on-read root entirely — base generations, delta
     * batches, contract — under the writer lease (same protocol as
-    * [[Upsert.dropTable]]); false when `dir` is not a MOR root, so a
-    * caller cannot aim this at an arbitrary directory.
+    * [[Upsert.dropTable]]); false unless [[isMorRoot]] holds, so a
+    * caller can never aim the recursive delete at a raw directory
+    * that merely contains a child named base/delta.
     */
   def dropTable(spark: SparkSession, dir: String): Boolean = {
     val d = dir.stripSuffix("/")
-    if (!Upsert.exists(spark, s"$d/delta") && !Upsert.exists(spark, s"$d/base"))
-      return false
+    if (!isMorRoot(spark, d)) return false
     Upsert.withWriterLease(spark, d) {
       val root = new Path(d)
       FsOps.fs(spark, root).delete(root, true)

@@ -130,7 +130,12 @@ object Upsert {
     val propLines = (m.props - SegSizeProp).toSeq.sortBy(_._1)
       .map { case (k, v) => s"#$k=$v" }
     // `^<rel>\t<rows>` — per-file row counts (planner cardinality),
-    // only for files this manifest still references
+    // only for files this manifest still references. NOTE: a third
+    // line prefix (after `#` props and `@` segment refs) — readers
+    // older than this prefix cannot parse manifests that carry it, so
+    // introducing any FOURTH prefix needs a fleet-wide reader upgrade
+    // first (set spark.graft.rowCounts.maxNewFiles=0 to write
+    // old-format manifests during such a transition).
     val live = m.files.valuesIterator.flatten.toSet
     val countLines = m.rowCounts.toSeq.filter(c => live(c._1)).sortBy(_._1)
       .map { case (rel, n) => s"^$rel\t$n" }
@@ -828,7 +833,8 @@ object Upsert {
   case class TableStats(gen: Long, snapshotsRetained: Int, numBuckets: Int,
                         liveFiles: Long, liveBytes: Long,
                         reclaimableFiles: Long, reclaimableBytes: Long,
-                        bloomBuckets: Int, zoneBuckets: Int = 0)
+                        bloomBuckets: Int, zoneBuckets: Int = 0,
+                        liveRows: Option[Long] = None)
 
   def stats(spark: SparkSession, dir: String,
             defaultBuckets: Int = DefaultNumBuckets): Option[TableStats] =
@@ -836,6 +842,14 @@ object Upsert {
       val root = new Path(dir)
       val fs = FsOps.fs(spark, root)
       val live = m.allFiles.toSet
+      // exact table cardinality from the SAME manifest every other
+      // field reports — only when every data file carries a count
+      val dataFiles = m.files.iterator
+        .collect { case (b, rels) if b != SchemaBucket => rels }.flatten.toSeq
+      val liveRows =
+        if (dataFiles.nonEmpty && dataFiles.forall(m.rowCounts.contains))
+          Some(dataFiles.map(m.rowCounts).sum)
+        else None
       var liveBytes = 0L
       live.foreach(rel =>
         liveBytes += fs.getFileStatus(new Path(abs(dir, rel))).getLen)
@@ -866,7 +880,8 @@ object Upsert {
       }
       TableStats(m.gen, manifestGens(spark, dir).size,
         m.numBuckets(defaultBuckets), m.allFiles.size.toLong, liveBytes,
-        reclaimableFiles, reclaimableBytes, bloomBuckets, zoneBuckets)
+        reclaimableFiles, reclaimableBytes, bloomBuckets, zoneBuckets,
+        liveRows)
     }
 
   // ---- key hashing ------------------------------------------------------

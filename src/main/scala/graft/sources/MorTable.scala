@@ -42,7 +42,8 @@ private[graft] case class MorTable(dir: String, pk: Seq[String],
                                    versionCol: String,
                                    deleteFlagCol: Option[String],
                                    numBuckets: Int,
-                                   dataSchema: StructType)
+                                   dataSchema: StructType,
+                                   snap: MergeOnRead.Snapshot)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -115,17 +116,19 @@ private[graft] case class MorTable(dir: String, pk: Seq[String],
 }
 
 private[graft] object MorTable {
-  /** True when `dir` looks like a merge-on-read root. */
-  def isMorRoot(spark: SparkSession, dir: String): Boolean = {
-    val d = dir.stripSuffix("/")
-    graft.io.Upsert.exists(spark, s"$d/delta") ||
-      graft.io.Upsert.exists(spark, s"$d/base")
-  }
+  /** True when `dir` holds a REAL merge-on-read shape (recorded
+    * contract / committed base manifest / committed delta batch) —
+    * see [[graft.io.MergeOnRead.isMorRoot]]; a raw directory with a
+    * child merely named base/delta does not qualify.
+    */
+  def isMorRoot(spark: SparkSession, dir: String): Boolean =
+    MergeOnRead.isMorRoot(spark, dir)
 
-  /** Load the placeholder from the root's recorded contract. The
-    * schema is the resolved read's (base ∪ delta widened) — computed
-    * once here so analysis can bind columns; [[MorReadRule]] re-reads
-    * the live snapshot at substitution and verifies it still agrees.
+  /** Load the placeholder from the root's recorded contract, pinning
+    * ONE snapshot (base manifest + live delta list): the schema is
+    * the pinned read's (base ∪ delta widened), and every
+    * [[MorReadRule]] substitution in the query composes from the SAME
+    * snapshot — a self-join can never resolve two racing states.
     */
   def load(spark: SparkSession, dir: String): MorTable = {
     val (pk, vc, del, n) = MergeOnRead.contract(spark, dir).getOrElse(
@@ -133,8 +136,10 @@ private[graft] object MorTable {
         s"$dir is a merge-on-read table with no recorded contract — run one " +
           "MergeOnRead.compact (or recordContract) first, or read through " +
           "graft.io.MergeOnRead.read"))
+    val snap = MergeOnRead.currentSnapshot(spark, dir)
     MorTable(dir, pk, vc, del, n,
-      MergeOnRead.read(spark, dir, pk, vc, del).schema)
+      MergeOnRead.readPinned(spark, dir, snap, pk, vc, del,
+        MergeOnRead.DefaultBroadcastDeltaBytes).schema, snap)
   }
 }
 
@@ -153,8 +158,13 @@ private[graft] case class MorReadRule(spark: SparkSession) extends Rule[LogicalP
       val thresh = spark.conf
         .get("spark.graft.mor.broadcastDeltaBytes",
           MergeOnRead.DefaultBroadcastDeltaBytes.toString).toLong
+      // composed from the snapshot PINNED at loadTable: all relations
+      // of this table in the query resolve one state, and nothing is
+      // re-listed per occurrence (fresh exprIds per composition keep
+      // self-joins collision-free)
       val child = MergeOnRead
-        .read(spark, t.dir, t.pk, t.versionCol, t.deleteFlagCol, thresh)
+        .readPinned(spark, t.dir, t.snap, t.pk, t.versionCol,
+          t.deleteFlagCol, thresh)
         .queryExecution.analyzed
       val byName = child.output.map(a => a.name -> a).toMap
       Project(r.output.map { a =>

@@ -124,14 +124,9 @@ private[sources] object UpsertProcedures {
           val s = Upsert.stats(spark, dir).getOrElse(
             throw new Upsert.NoTableException(s"no committed manifest under $dir"))
           // live_rows: sum of the manifest's per-file footer counts —
-          // null unless EVERY live file carries one
-          val liveRows: Any = Upsert.currentManifest(spark, dir).flatMap { m =>
-            val live = m.files.iterator
-              .collect { case (b, rels) if b >= 0 => rels }.flatten.toSeq
-            if (live.nonEmpty && live.forall(m.rowCounts.contains))
-              Some(live.map(m.rowCounts).sum)
-            else None
-          }.map(Long.box).orNull
+          // null unless EVERY live file carries one; computed by
+          // stats() from the SAME manifest the other fields report
+          val liveRows: Any = s.liveRows.map(Long.box).orNull
           result(new StructType()
             .add("generation", LongType).add("snapshots_retained", IntegerType)
             .add("num_buckets", IntegerType)

@@ -154,4 +154,23 @@ class MorSqlReadSpec extends SparkSpec {
     assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       gone.getMessage.contains("not found"), s"got ${gone.getMessage}")
   }
+
+  test("a raw dir with a child named base/delta is NOT a MOR table: never droppable") {
+    catalogReady
+    val raw = Files.createTempDirectory("mor_sql_raw").toString
+    // a foreign layout that HAPPENS to contain base/ and delta/ —
+    // no contract, no base manifest, no committed delta batch
+    spark.range(5).toDF("x").write.parquet(s"$raw/base")
+    spark.range(5).toDF("x").write.parquet(s"$raw/delta")
+    assert(!graft.io.MergeOnRead.isMorRoot(spark, raw))
+    // DROP must refuse (TABLE_OR_VIEW_NOT_FOUND), never delete
+    intercept[Exception](spark.sql(s"DROP TABLE graft.`$raw`"))
+    assert(graft.io.Upsert.exists(spark, s"$raw/base"),
+      "raw directory must survive a DROP TABLE aimed at it")
+    // SELECT reports not-found, not a bogus merge-on-read error
+    val sel = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$raw`").collect())
+    assert(sel.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      sel.getMessage.contains("not found"), s"got ${sel.getMessage}")
+  }
 }

@@ -41,6 +41,7 @@ object SparkEntry {
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
+    "a_meta_agg" -> (Relational.aMetaAgg _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
@@ -403,6 +404,17 @@ object SparkEntry {
          FROM events
          WHERE event_id % 101 <> 0
          GROUP BY event_type""",
+
+    // the Spark side answers count(*)/min/max over a zones copy of
+    // events from METADATA ALONE (manifest footer counts + zone
+    // sidecars -> driver LocalScan, zero tasks, zero file opens; the
+    // canonical plan pins it); the oracle recomputes over the raw
+    // table — green proves the metadata answers are exact
+    "a_meta_agg" ->
+      """SELECT COUNT(*) AS row_ct,
+                MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                MIN(event_type) AS min_type, MAX(event_type) AS max_type
+         FROM events""",
 
     // the Spark side aggregates a merge-on-read root (compacted base +
     // LIVE correction/delete deltas) straight from SQL through the

@@ -103,6 +103,27 @@ object Zones {
       s"unsupported zone bound ${v.getClass.getName} for column type ${dt.sql}")
   }
 
+  /** The Catalyst-internal value a normalized [[ZVal]] denotes for a
+    * column of type `dt` — the exact inverse of [[statExpr]]'s
+    * projection (dates back to epoch-day ints, timestamps to micros,
+    * floats re-narrowed losslessly, strings to UTF8String). Feeds the
+    * metadata-only MIN/MAX aggregate answers.
+    */
+  def toCatalyst(dt: DataType, z: ZVal): Any = (dt, z) match {
+    case (ByteType, ZLong(v)) => v.toByte
+    case (ShortType, ZLong(v)) => v.toShort
+    case (IntegerType, ZLong(v)) => v.toInt
+    case (LongType, ZLong(v)) => v
+    case (DateType, ZLong(v)) => v.toInt // epoch days
+    case (TimestampType, ZLong(v)) => v // epoch micros
+    case (FloatType, ZDouble(v)) => v.toFloat // double widening is lossless
+    case (DoubleType, ZDouble(v)) => v
+    case (StringType, ZStr(v)) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case _ => throw new IllegalArgumentException(
+      s"no zone-to-Catalyst mapping for ${dt.sql} / $z")
+  }
+
   /** May a file with zone `z` contain a row matching the closed range
     * `[lo, hi]` (None = unbounded)? No false negatives: missing stats
     * never reach here (callers keep statless files).

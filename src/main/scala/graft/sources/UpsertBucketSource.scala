@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.graft.ParquetScanShim
@@ -259,11 +260,13 @@ private[sources] object UpsertBucketTable {
 
 private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
                                          grouped: Boolean = true)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var allFilters: Array[Filter] = Array.empty
+  private var metaAggResult: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -314,13 +317,80 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     }
   }
 
-  override def build(): Scan = {
-    // reader output = pruned data columns ++ __bucket (always appended
-    // as the partition column; a Project above drops it when unused)
-    val prunedData = StructType(
-      required.fields.filter(_.name != UpsertBucketSource.BucketCol))
-    new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters),
-      zoneBounds(allFilters), grouped)
+  /** COMPLETE aggregate pushdown answered from METADATA alone:
+    * `count(*)` from the manifest's per-file footer counts, `min`/
+    * `max` of a zone column from the zone sidecars' exact normalized
+    * values. Accepted only when the whole aggregation is answerable
+    * exactly — no grouping, no filters of any kind (Spark already
+    * refuses the rewrite when a post-scan Filter remains, and every
+    * filter here IS residual; `allFilters.isEmpty` is the structural
+    * double-check), every file counted / zone-covered. The resulting
+    * scan is a driver-[[LocalScan]]: one manifest + sidecar read, zero
+    * tasks, zero file opens — the Iceberg/Delta metadata-count shape
+    * at 100 TB.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metaAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    metaAggResult = metaAgg(agg)
+    metaAggResult.isDefined
+  }
+
+  private def singleCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case r: org.apache.spark.sql.connector.expressions.NamedReference
+        if r.fieldNames.length == 1 =>
+      table.dataSchema.fields.find(_.name == r.fieldNames.head)
+    case _ => None
+  }
+
+  private def metaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val spark = SparkSession.active
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        val n = graft.io.Upsert.metaRowCount(spark, table.dir, table.gen)
+          .getOrElse(return None)
+        fields += StructField("count(*)", org.apache.spark.sql.types.LongType,
+          nullable = false)
+        values += n
+      case m: Min =>
+        val f = singleCol(m.column).getOrElse(return None)
+        val (mn, _) = graft.io.Upsert.metaMinMax(spark, table.dir, table.gen,
+          f.name).getOrElse(return None)
+        fields += StructField(s"min(${f.name})", f.dataType, nullable = true)
+        values += mn.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
+      case m: Max =>
+        val f = singleCol(m.column).getOrElse(return None)
+        val (_, mx) = graft.io.Upsert.metaMinMax(spark, table.dir, table.gen,
+          f.name).getOrElse(return None)
+        fields += StructField(s"max(${f.name})", f.dataType, nullable = true)
+        values += mx.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
+      case _ => return None // sums/avg/count(col)/distinct: scan normally
+    }
+    Some((StructType(fields.result()), InternalRow.fromSeq(values.result())))
+  }
+
+  override def build(): Scan = metaAggResult match {
+    case Some((aggSchema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = aggSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String =
+          s"UpsertMetaAggScan ${table.name()} [${aggSchema.fieldNames.mkString(", ")}]"
+      }
+    case None =>
+      // reader output = pruned data columns ++ __bucket (always appended
+      // as the partition column; a Project above drops it when unused)
+      val prunedData = StructType(
+        required.fields.filter(_.name != UpsertBucketSource.BucketCol))
+      new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters),
+        zoneBounds(allFilters), grouped)
   }
 }
 

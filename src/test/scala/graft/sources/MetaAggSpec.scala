@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.Upsert
+
+/** Metadata-only aggregates (DSv2 complete pushdown): a bare
+  * `count(*)` answers from the manifest's per-file footer counts and
+  * `min`/`max` of a zone column from the zone sidecars — a driver
+  * LocalScan, zero tasks, zero file opens. Anything the metadata
+  * cannot answer EXACTLY (filters, grouping, uncounted files,
+  * non-zone columns) falls back to the real scan. Ground truths here
+  * deliberately go through `Upsert.read` (the plain parquet path) so
+  * the check can never be circular.
+  */
+class MetaAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catalogReady: Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def mkMergeTable(n: Int): String = {
+    val dir = Files.createTempDirectory("meta_cnt").toString
+    Upsert.merge(spark, dir, spark.range(n).select(
+      concat(lit("k"), col("id")).as("k"), lit(1L).as("ver"),
+      col("id").as("v")), pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    dir
+  }
+
+  test("count(*) answers from the manifest: LocalScan, zero file reads, exact") {
+    catalogReady
+    val dir = mkMergeTable(1234)
+    // an update merge (rewrites one bucket) keeps counts exact
+    Upsert.merge(spark, dir, Seq(("k7", 2L, 777L), ("kN", 1L, 1L))
+      .toDF("k", "ver", "v"), pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    val truth = Upsert.read(spark, dir).count() // plain path, never pushed
+    assert(truth == 1235L)
+    val df = UpsertBucketSource.read(spark, dir).agg(count(lit(1)).as("c"))
+    assert(plan(df).contains("LocalTableScan") &&
+      !plan(df).contains("UpsertBucketScan"), s"expected metadata answer:\n${plan(df)}")
+    assert(df.as[Long].head() == truth)
+    // same through pure SQL via the catalog
+    val sql = spark.sql(s"SELECT count(*) AS c FROM graft.`$dir`")
+    assert(plan(sql).contains("LocalTableScan"), plan(sql))
+    assert(sql.as[Long].head() == truth)
+  }
+
+  test("min/max of zone columns answer from the sidecars, all three kinds") {
+    val dir = Files.createTempDirectory("meta_mm").toString
+    val df = spark.range(5000).select(
+      col("id"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") / 100).cast("int")).as("d"),
+      concat(lit("s"), lpad(col("id").cast("string"), 5, "0")).as("s"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("id", "d", "s"), clusterBy = Seq("d"), filesTarget = 8)
+    val q = UpsertBucketSource.read(spark, dir)
+      .agg(min("id").as("mn"), max("id").as("mx"),
+        min("d").as("dmn"), max("d").as("dmx"),
+        min("s").as("smn"), max("s").as("smx"))
+    assert(plan(q).contains("LocalTableScan") &&
+      !plan(q).contains("UpsertBucketScan"), s"expected metadata answer:\n${plan(q)}")
+    val got = q.as[(Long, Long, Date, Date, String, String)].head()
+    val want = Upsert.read(spark, dir)
+      .agg(min("id"), max("id"), min("d"), max("d"), min("s"), max("s"))
+      .as[(Long, Long, Date, Date, String, String)].head()
+    assert(got == want)
+    // count(*) and min/max compose in ONE metadata answer
+    val mixed = UpsertBucketSource.read(spark, dir)
+      .agg(count(lit(1)).as("c"), max("d").as("dmx"))
+    assert(plan(mixed).contains("LocalTableScan"))
+    assert(mixed.as[(Long, Date)].head() == ((5000L, want._4)))
+  }
+
+  test("anything inexact falls back to the real scan: filters, grouping, non-zone cols, uncounted files") {
+    catalogReady
+    val dir = mkMergeTable(400)
+    // WHERE -> residual filter blocks the rewrite; result exact
+    val filtered = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$dir` WHERE v < 100")
+    assert(plan(filtered).contains("UpsertBucketScan"), plan(filtered))
+    assert(filtered.as[Long].head() == 100L)
+    // GROUP BY -> fallback
+    val grouped = UpsertBucketSource.read(spark, dir)
+      .groupBy(col("v") % 2).agg(count(lit(1)))
+    assert(plan(grouped).contains("UpsertBucketScan"))
+    // min/max of a NON-zone column -> fallback, exact
+    val mm = UpsertBucketSource.read(spark, dir).agg(min("v").as("mn"))
+    assert(plan(mm).contains("UpsertBucketScan"))
+    assert(mm.as[Long].head() == 0L)
+    // a table committed with counts disabled -> count(*) falls back
+    spark.conf.set("spark.graft.rowCounts.maxNewFiles", "0")
+    try {
+      val bare = mkMergeTable(77)
+      val c = UpsertBucketSource.read(spark, bare).agg(count(lit(1)).as("c"))
+      assert(plan(c).contains("UpsertBucketScan"), plan(c))
+      assert(c.as[Long].head() == 77L)
+    } finally spark.conf.unset("spark.graft.rowCounts.maxNewFiles")
+  }
+
+  test("time travel counts the pinned generation, not the current one") {
+    catalogReady
+    val dir = mkMergeTable(300)
+    Upsert.merge(spark, dir, Seq(("z9", 1L, 9L)).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8)
+    val gens = Upsert.manifestGens(spark, dir).sorted
+    val was = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$dir` VERSION AS OF ${gens.head}")
+    assert(plan(was).contains("LocalTableScan"), plan(was))
+    assert(was.as[Long].head() == 300L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir`")
+      .as[Long].head() == 301L)
+  }
+}

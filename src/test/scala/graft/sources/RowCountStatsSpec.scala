@@ -41,7 +41,9 @@ class RowCountStatsSpec extends SparkSpec {
       pk = Seq("k"), versionCol = "ver", numBuckets = 8)
     val df2 = UpsertBucketSource.read(spark, dir)
     assert(relationRowCount(df2).contains(BigInt(501)))
-    assert(df2.count() == 501)
+    // ground truth through the PLAIN read path — a bare DSv2 count()
+    // would now be answered from this very metadata (MetaAggSpec)
+    assert(Upsert.read(spark, dir).count() == 501)
   }
 
   test("bucket pruning shrinks rowCount; time travel keeps each generation's") {

@@ -57,6 +57,9 @@ object ScaleProbe {
     val annOnly = args.length > 1 && args(1) == "ann"
     val sq8Only = args.length > 1 && args(1) == "sq8"
     val zonesOnly = args.length > 1 && args(1) == "zones"
+    // "meta": metadata-only aggregates (count/min/max from manifest +
+    // zone sidecars, zero tasks) vs the same aggregates via full scan
+    val metaOnly = args.length > 1 && args(1) == "meta"
     val bandOnly = args.length > 1 && args(1) == "band"
     val pointOnly = args.length > 1 && args(1) == "point"
     val skewOnly = args.length > 1 && args(1) == "skew"
@@ -198,6 +201,40 @@ object ScaleProbe {
         Some(100000L), Some(129999L))
       println(f"[scale] zorder_n=$n%-8d build=${tzBuild}%6.1fs " +
         f"ts_kept/pruned=$zkT/$zpT user_kept/pruned=$zkU/$zpU")
+    }
+
+    if (metaOnly) {
+      // Metadata-aggregate probe: count(*) + min/max over a zones
+      // snapshot answered from the manifest's footer counts + zone
+      // sidecars (DSv2 complete pushdown → driver LocalScan, zero
+      // tasks) vs the SAME aggregates through the plain scan — the
+      // quantified claim behind "a catalog lookup instead of a
+      // full-table scan" at any table size.
+      val root = java.nio.file.Files.createTempDirectory("probe_meta").toString
+      val files = math.max(16, (n / 500000L).toInt)
+      val tB0 = System.nanoTime()
+      graft.io.Upsert.overwriteSnapshot(spark, root, ev,
+        zoneCols = Seq("event_id", "event_type"), clusterBy = Seq("event_id"),
+        filesTarget = files)
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      def timed(label: String)(v: => Seq[Any]): Seq[Any] = {
+        val t0 = System.nanoTime()
+        val out = v
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] meta_n=$n%-9d $label%-10s ${dt}%7.3fs  -> ${out.mkString(", ")}")
+        out
+      }
+      def aggAll(df: DataFrame): DataFrame = df.agg(
+        count(lit(1)), min(col("event_id")), max(col("event_id")),
+        min(col("event_type")), max(col("event_type")))
+      val metaDf = aggAll(graft.sources.UpsertBucketSource.read(spark, root))
+      require(metaDf.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"metadata path must plan a LocalScan:\n${metaDf.queryExecution.executedPlan}")
+      val meta = timed("metadata")(metaDf.collect().head.toSeq)
+      val scan = timed("full_scan")(
+        aggAll(graft.io.Upsert.read(spark, root)).collect().head.toSeq)
+      println(f"[scale] meta_n=$n%-9d build=${tBuild}%6.1fs files=$files " +
+        f"equal=${meta == scan}")
     }
 
     if (pointOnly) {
@@ -626,7 +663,7 @@ object ScaleProbe {
         s"state_rows=$stateRows groups=$groups agg_equal=${served == full}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -802,7 +839,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -103,6 +103,31 @@ class MetaAggSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rowCounts.maxNewFiles")
   }
 
+  test("empty table: count(*) = 0 straight from the schema-only manifest") {
+    val dir = Files.createTempDirectory("meta_empty").toString
+    Upsert.createTable(spark, dir,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "string").add("ver", "long"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    val c = UpsertBucketSource.read(spark, dir).agg(count(lit(1)).as("c"))
+    assert(plan(c).contains("LocalTableScan"), plan(c))
+    assert(c.as[Long].head() == 0L)
+  }
+
+  test("counts stay exact across compaction (rewritten files re-counted)") {
+    val dir = mkMergeTable(600)
+    // many small generations -> multiple files per bucket, then fold
+    (1 to 3).foreach(i => Upsert.merge(spark, dir,
+      Seq((s"x$i", 1L, i.toLong)).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 8))
+    Upsert.compactBuckets(spark, dir, pk = Seq("k"), maxFilesPerBucket = 1)
+    val truth = Upsert.read(spark, dir).count()
+    assert(truth == 603L)
+    val c = UpsertBucketSource.read(spark, dir).agg(count(lit(1)).as("c"))
+    assert(plan(c).contains("LocalTableScan"), plan(c))
+    assert(c.as[Long].head() == truth)
+  }
+
   test("time travel counts the pinned generation, not the current one") {
     catalogReady
     val dir = mkMergeTable(300)

@@ -227,10 +227,16 @@ object ScaleProbe {
       def aggAll(df: DataFrame): DataFrame = df.agg(
         count(lit(1)), min(col("event_id")), max(col("event_id")),
         min(col("event_type")), max(col("event_type")))
-      val metaDf = aggAll(graft.sources.UpsertBucketSource.read(spark, root))
-      require(metaDf.queryExecution.executedPlan.toString.contains("LocalTableScan"),
-        s"metadata path must plan a LocalScan:\n${metaDf.queryExecution.executedPlan}")
-      val meta = timed("metadata")(metaDf.collect().head.toSeq)
+      // plan-shape assertion on a THROWAWAY frame: forcing executedPlan
+      // runs the pushdown (manifest + sidecar reads), so the timed run
+      // below builds a FRESH frame — its wall time includes ALL of the
+      // metadata path's planning I/O, not just the 1-row collect
+      require(aggAll(graft.sources.UpsertBucketSource.read(spark, root))
+        .queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "metadata path must plan a LocalScan")
+      val meta = timed("metadata")(
+        aggAll(graft.sources.UpsertBucketSource.read(spark, root))
+          .collect().head.toSeq)
       val scan = timed("full_scan")(
         aggAll(graft.io.Upsert.read(spark, root)).collect().head.toSeq)
       println(f"[scale] meta_n=$n%-9d build=${tBuild}%6.1fs files=$files " +

@@ -696,53 +696,6 @@ object Upsert {
     Some(keep.map(rel => new Path(abs(dir, rel)).toString).toSet)
   }
 
-  /** Metadata-only COUNT(*): the generation's total rows from the
-    * manifest's per-file footer counts — None unless EVERY data file
-    * carries one (exact or nothing, never approximate). Drives the
-    * DSv2 complete aggregate pushdown: a bare `SELECT count(*)` costs
-    * one manifest read, zero tasks, zero file opens — at 100 TB the
-    * difference between a catalog lookup and a full-table scan.
-    */
-  private[graft] def metaRowCount(spark: SparkSession, dir: String,
-                                  gen: Long): Option[Long] = {
-    val m = manifestAt(spark, dir, gen).getOrElse(return None)
-    val files = m.files.iterator
-      .collect { case (b, rels) if b != SchemaBucket => rels }.flatten.toSeq
-    if (files.isEmpty) Some(0L)
-    else if (files.forall(m.rowCounts.contains)) Some(files.map(m.rowCounts).sum)
-    else None
-  }
-
-  /** Metadata-only MIN/MAX of a zone column: the fold of the per-file
-    * zone ranges (exact normalized values — see [[Zones]]; strings are
-    * raw, never truncated, so the fold IS the answer, not a bound).
-    * None unless EVERY data file has a zone entry for the column;
-    * inner Nones mean the column is null on every row.
-    */
-  private[graft] def metaMinMax(spark: SparkSession, dir: String, gen: Long,
-                                colName: String)
-      : Option[(Option[Zones.ZVal], Option[Zones.ZVal])] = {
-    val m = manifestAt(spark, dir, gen).getOrElse(return None)
-    if (!zoneColsOf(m).contains(colName)) return None
-    val files = m.files.iterator
-      .collect { case (b, rels) if b != SchemaBucket => rels }.flatten.toSeq
-    if (files.isEmpty) return Some((None, None))
-    val fs = FsOps.fs(spark, new Path(dir))
-    var mn: Option[Zones.ZVal] = None
-    var mx: Option[Zones.ZVal] = None
-    files.groupBy(rel => rel.split('/').init.mkString("/")).foreach {
-      case (bd, rels) =>
-        val sidecar = Zones.read(fs, new Path(abs(dir, bd))).getOrElse(return None)
-        rels.foreach { rel =>
-          val name = rel.substring(rel.lastIndexOf('/') + 1)
-          val z = sidecar.get(name).flatMap(_.get(colName)).getOrElse(return None)
-          z.min.foreach(v => if (mn.forall(Zones.cmp(v, _) < 0)) mn = Some(v))
-          z.max.foreach(v => if (mx.forall(Zones.cmp(v, _) > 0)) mx = Some(v))
-        }
-    }
-    Some((mn, mx))
-  }
-
   /** Runtime-filter support for the DSv2 reader: absolute paths of the
     * generation's files that might contain any of `keys` (canonical
     * PK strings — single-column values, or [[KeySep]]-joined composite

@@ -148,13 +148,48 @@ object Zones {
     * [[Upsert.buildBlooms]]); only files × 1 rows reach the driver.
     * `stagedDir` must be a `partitionBy(__bucket)` layout.
     */
+  /** Per-column stat aggregates for one pass. String columns ALSO
+    * collect min/max of the RAW bytes (`cast binary` — same unsigned
+    * lexicographic order as UTF8String): a value that is not valid
+    * UTF-8 survives parquet/Spark intact but turns into replacement
+    * characters on the driver-side String conversion, and a sidecar
+    * built from the lossy form would be a wrong EXACT answer for the
+    * metadata min/max pushdown. [[decodeZones]] compares the two and
+    * simply omits the column entry for any file where they differ —
+    * such files always scan (pruning) and refuse the pushdown.
+    */
+  private def statAggs(sup: Seq[(String, DataType, Column)]): Seq[Column] =
+    sup.flatMap { case (c, dt, e) =>
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) ++
+        (if (dt == StringType)
+          Seq(min(col(c).cast("binary")).as(s"__bn_$c"),
+            max(col(c).cast("binary")).as(s"__bx_$c"))
+        else Nil)
+    }
+
+  private def decodeZones(r: org.apache.spark.sql.Row,
+                          sup: Seq[(String, DataType, Column)]): Map[String, ColZone] =
+    sup.flatMap { case (c, dt, _) =>
+      val mn = Option(r.getAs[Any](s"__mn_$c")).map(zOf)
+      val mx = Option(r.getAs[Any](s"__mx_$c")).map(zOf)
+      def bytesEq(s: Option[ZVal], b: Option[Array[Byte]]): Boolean = (s, b) match {
+        case (Some(ZStr(x)), Some(bb)) =>
+          java.util.Arrays.equals(x.getBytes(StandardCharsets.UTF_8), bb)
+        case (None, None) => true
+        case _ => false
+      }
+      val lossless = dt != StringType ||
+        (bytesEq(mn, Option(r.getAs[Array[Byte]](s"__bn_$c"))) &&
+          bytesEq(mx, Option(r.getAs[Array[Byte]](s"__bx_$c"))))
+      if (lossless) Some(c -> ColZone(mn, mx)) else None
+    }.toMap
+
   def build(spark: SparkSession, stagedDir: String,
             statCols: Seq[(String, DataType)]):
       Map[Int, Map[String, Map[String, ColZone]]] = {
-    val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, e)) }
+    val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, dt, e)) }
     if (sup.isEmpty) return Map.empty
-    val aggs = sup.flatMap { case (c, e) =>
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) }
+    val aggs = statAggs(sup)
     val rows = spark.read.parquet(stagedDir)
       .groupBy(col(Upsert.BucketCol).cast("int").as("b"), input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -163,12 +198,7 @@ object Zones {
       b -> rs.map { r =>
         val f = r.getString(1)
         val name = f.substring(f.lastIndexOf('/') + 1)
-        name -> sup.indices.map { i =>
-          val c = sup(i)._1
-          val mn = Option(r.get(2 + 2 * i)).map(zOf)
-          val mx = Option(r.get(3 + 2 * i)).map(zOf)
-          c -> ColZone(mn, mx)
-        }.toMap
+        name -> decodeZones(r, sup)
       }.toMap
     }
   }
@@ -179,10 +209,9 @@ object Zones {
   def buildForDir(spark: SparkSession, dirPath: String,
                   statCols: Seq[(String, DataType)]):
       Map[String, Map[String, ColZone]] = {
-    val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, e)) }
+    val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, dt, e)) }
     if (sup.isEmpty) return Map.empty
-    val aggs = sup.flatMap { case (c, e) =>
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) }
+    val aggs = statAggs(sup)
     val rows = spark.read.parquet(dirPath)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -190,11 +219,7 @@ object Zones {
     rows.map { r =>
       val f = r.getString(0)
       val name = f.substring(f.lastIndexOf('/') + 1)
-      name -> sup.indices.map { i =>
-        val c = sup(i)._1
-        c -> ColZone(Option(r.get(1 + 2 * i)).map(zOf),
-          Option(r.get(2 + 2 * i)).map(zOf))
-      }.toMap
+      name -> decodeZones(r, sup)
     }.toMap
   }
 

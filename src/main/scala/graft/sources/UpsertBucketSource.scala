@@ -329,12 +329,26 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     * tasks, zero file opens — the Iceberg/Delta metadata-count shape
     * at 100 TB.
     */
+  // supportCompletePushDown and pushAggregation receive the SAME
+  // Aggregation instance back-to-back; memoize so the sidecar sweep
+  // runs once per scan build, not once per planner probe
+  private var metaAggFor: Aggregation = _
+  private var metaAggCache: Option[(StructType, InternalRow)] = None
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     metaAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     metaAggResult = metaAgg(agg)
     metaAggResult.isDefined
+  }
+
+  private def metaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (!(agg eq metaAggFor)) {
+      metaAggFor = agg
+      metaAggCache = computeMetaAgg(agg)
+    }
+    metaAggCache
   }
 
   private def singleCol(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -345,33 +359,83 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     case _ => None
   }
 
-  private def metaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+  /** Every data file of the resolved generation, from the ALREADY
+    * loaded layout — no manifest re-read.
+    */
+  private def dataFiles: Seq[(String, Long)] =
+    (0 until table.numBuckets).flatMap(b => table.files.getOrElse(b, Nil))
+
+  /** ONE sweep over the bucket-dir zone sidecars for ALL requested
+    * columns: per column the fold of per-file (min, max) — None unless
+    * EVERY data file carries an entry for every column (exactness).
+    */
+  private def zoneMinMax(cols: Seq[String])
+      : Option[Map[String, (Option[graft.io.Zones.ZVal], Option[graft.io.Zones.ZVal])]] = {
+    import graft.io.Zones
+    val files = dataFiles.map(_._1)
+    if (files.isEmpty) return Some(cols.map(_ -> (None, None)).toMap)
+    val fs = graft.io.FsOps.fs(SparkSession.active,
+      new org.apache.hadoop.fs.Path(files.head))
+    val acc = scala.collection.mutable.Map[String,
+      (Option[Zones.ZVal], Option[Zones.ZVal])](cols.map(_ -> (None, None)): _*)
+    files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
+      case (bucketDir, paths) =>
+        val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
+          .getOrElse(return None)
+        paths.foreach { p =>
+          val entry = sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
+            return None)
+          cols.foreach { c =>
+            val z = entry.getOrElse(c, return None)
+            val (mn, mx) = acc(c)
+            acc(c) = (
+              z.min.map(v => mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(mn),
+              z.max.map(v => mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(mx))
+          }
+        }
+    }
+    Some(acc.toMap)
+  }
+
+  private def computeMetaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
-    val spark = SparkSession.active
+    // resolve every expression's column + shape FIRST, then do the
+    // metadata I/O once for the whole aggregation
+    val wants: Seq[Either[Unit, (StructField, Boolean)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Left(())
+        case m: Min => Right((singleCol(m.column).getOrElse(return None), true))
+        case m: Max => Right((singleCol(m.column).getOrElse(return None), false))
+        case _ => return None // sums/avg/count(col)/distinct: scan normally
+      }
+    val count: Option[Long] =
+      if (!wants.exists(_.isLeft)) None
+      else {
+        val files = dataFiles
+        if (files.isEmpty) Some(0L)
+        else if (files.forall(f => table.rowCounts.contains(f._1)))
+          Some(files.map(f => table.rowCounts(f._1)).sum)
+        else return None
+      }
+    val mmCols = wants.collect { case Right((f, _)) => f.name }.distinct
+    if (!mmCols.forall(table.zoneCols.contains)) return None
+    val mm = if (mmCols.isEmpty) Map.empty[String,
+      (Option[graft.io.Zones.ZVal], Option[graft.io.Zones.ZVal])]
+    else zoneMinMax(mmCols).getOrElse(return None)
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
-    agg.aggregateExpressions.foreach {
-      case _: CountStar =>
-        val n = graft.io.Upsert.metaRowCount(spark, table.dir, table.gen)
-          .getOrElse(return None)
+    wants.foreach {
+      case Left(()) =>
         fields += StructField("count(*)", org.apache.spark.sql.types.LongType,
           nullable = false)
-        values += n
-      case m: Min =>
-        val f = singleCol(m.column).getOrElse(return None)
-        val (mn, _) = graft.io.Upsert.metaMinMax(spark, table.dir, table.gen,
-          f.name).getOrElse(return None)
-        fields += StructField(s"min(${f.name})", f.dataType, nullable = true)
-        values += mn.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
-      case m: Max =>
-        val f = singleCol(m.column).getOrElse(return None)
-        val (_, mx) = graft.io.Upsert.metaMinMax(spark, table.dir, table.gen,
-          f.name).getOrElse(return None)
-        fields += StructField(s"max(${f.name})", f.dataType, nullable = true)
-        values += mx.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
-      case _ => return None // sums/avg/count(col)/distinct: scan normally
+        values += count.get
+      case Right((f, isMin)) =>
+        val v = if (isMin) mm(f.name)._1 else mm(f.name)._2
+        fields += StructField(s"${if (isMin) "min" else "max"}(${f.name})",
+          f.dataType, nullable = true)
+        values += v.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
     }
     Some((StructType(fields.result()), InternalRow.fromSeq(values.result())))
   }

@@ -128,6 +128,32 @@ class MetaAggSpec extends SparkSpec {
     assert(c.as[Long].head() == truth)
   }
 
+  test("invalid-UTF-8 strings: lossy zone stats are omitted, min/max falls back exact") {
+    val dir = Files.createTempDirectory("meta_utf8").toString
+    // not valid UTF-8: survives parquet/UTF8String intact, but the
+    // driver-side String conversion in the zone build is lossy — the
+    // build detects the mismatch against the raw-bytes min/max and
+    // omits the column entry for that file
+    val bad = Array[Byte](0x61, 0xFF.toByte, 0x62)
+    val df = spark.range(100).select(col("id"),
+      when(col("id") === 7, lit(bad).cast("string"))
+        .otherwise(concat(lit("ok"), col("id"))).as("s"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("id", "s"), clusterBy = Seq("id"), filesTarget = 4)
+    // long zones unaffected: min/max(id) still metadata-answered
+    val idMm = UpsertBucketSource.read(spark, dir)
+      .agg(min("id").as("mn"), max("id").as("mx"))
+    assert(plan(idMm).contains("LocalTableScan"), plan(idMm))
+    assert(idMm.as[(Long, Long)].head() == ((0L, 99L)))
+    // string min/max must NOT come from the lossy sidecar: real scan,
+    // answer identical to the plain read's
+    val sMm = UpsertBucketSource.read(spark, dir)
+      .agg(min("s").as("mn"), max("s").as("mx"))
+    assert(plan(sMm).contains("UpsertBucketScan"), plan(sMm))
+    assert(sMm.collect().head.toSeq ==
+      Upsert.read(spark, dir).agg(min("s"), max("s")).collect().head.toSeq)
+  }
+
   test("time travel counts the pinned generation, not the current one") {
     catalogReady
     val dir = mkMergeTable(300)

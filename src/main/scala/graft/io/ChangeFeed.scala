@@ -99,7 +99,24 @@ object ChangeFeed {
             afterBatch: Long): Option[(DataFrame, Long)] = {
     val fresh = batches(spark, tableDir).filter(_._1 > afterBatch)
     if (fresh.isEmpty) None
-    else Some((readBatchDirs(spark, fresh.map(_._2)), fresh.map(_._1).max))
+    else {
+      // a net=K selected PAST a live watermark re-delivers the folded
+      // prefix 0..K — silently double-counting at every since()
+      // consumer (IncrementalDws.refresh, MV maintenance). Compaction
+      // past a live consumer is the producer-side contract violation
+      // [[compact]] documents; fail loudly, exactly as the streaming
+      // source does (ChangeFeedSource.planInputPartitions).
+      if (afterBatch >= 0)
+        fresh.find { case (_, p) =>
+          new Path(p).getName.startsWith("net=") }.foreach { case (id, _) =>
+          throw new IllegalStateException(
+            s"change feed of $tableDir was compacted to net=$id past this " +
+              s"consumer's watermark $afterBatch — compaction must stay " +
+              "behind every consumer (ChangeFeed.compact contract); rebuild " +
+              "the consumer from scratch")
+        }
+      Some((readBatchDirs(spark, fresh.map(_._2)), fresh.map(_._1).max))
+    }
   }
 
   /** Union batch dirs BY NAME: the table may have evolved between

@@ -57,33 +57,53 @@ object IncrementalDws {
     * the same next table the winner wrote (the overwrite commit itself
     * is serialized by the writer lease), so any interleaving converges.
     */
+  /** The ±1-signed fold aggregates shared by every consumption form:
+    * retract rows enter −1, add rows +1, so Σ(sign·metric) telescopes.
+    */
+  private def signedAggs(sumCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    val sign = when(col(ChangeFeed.ChangeCol) === "add", lit(1L)).otherwise(lit(-1L))
+    sumCols.map(c => sum(col(c) * sign).as(c)) :+ sum(sign).as("row_ct")
+  }
+
+  /** Fold one change batch onto the aggregate snapshot `man` resolves
+    * and commit it with `props` (which carry the watermark — SAME
+    * manifest rename as the content). A group whose rows all retracted
+    * away vanishes, exactly as from a full recompute; vacuum(keep=2)
+    * retires all but the previous snapshot so in-flight readers finish
+    * against intact files. One body for [[refresh]] and [[streaming]]
+    * — the two watermark schemes must never diverge in fold semantics.
+    */
+  private def foldInto(s: SparkSession, dwsDir: String, changes: DataFrame,
+                       groupCols: Seq[String], sumCols: Seq[String],
+                       man: Option[Upsert.Manifest],
+                       props: Map[String, String]): Unit = {
+    val aggs = signedAggs(sumCols)
+    val delta = changes.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val next = man.map(m => Upsert.readAt(s, tablePath(dwsDir), m.gen)) match {
+      case None => delta
+      case Some(prev) =>
+        val cols = sumCols :+ "row_ct"
+        prev.unionByName(delta)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col(cols.head)).as(cols.head),
+            cols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
+    Upsert.overwriteSnapshot(s, tablePath(dwsDir), next.filter(col("row_ct") > 0),
+      props = props)
+    Upsert.vacuum(s, tablePath(dwsDir), keepManifests = 2)
+  }
+
   def refresh(spark: SparkSession, factDir: String, dwsDir: String,
               groupCols: Seq[String], sumCols: Seq[String]): Long = {
     val man = Upsert.currentManifest(spark, tablePath(dwsDir))
     val applied = man.flatMap(_.props.get(AppliedProp)).map(_.toLong).getOrElse(-1L)
+    // a feed compacted PAST `applied` fails loudly inside since() —
+    // the telescoped net would double-count the already-folded prefix
     ChangeFeed.since(spark, factDir, applied) match {
       case None => applied
       case Some((changes, maxBatch)) =>
-        val sign = when(col(ChangeFeed.ChangeCol) === "add", lit(1L)).otherwise(lit(-1L))
-        val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+ sum(sign).as("row_ct")
-        val delta = changes.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        val next = man.map(m => Upsert.readAt(spark, tablePath(dwsDir), m.gen)) match {
-          case None => delta
-          case Some(prev) =>
-            val cols = sumCols :+ "row_ct"
-            prev.unionByName(delta)
-              .groupBy(groupCols.map(col): _*)
-              .agg(sum(col(cols.head)).as(cols.head),
-                cols.tail.map(c => sum(col(c)).as(c)): _*)
-        }
-        // a group whose rows all retracted away vanishes, exactly as it
-        // would from a full recompute; the watermark rides in the same
-        // manifest rename as the table content (see AppliedProp), and
-        // vacuum(keep=2) retires all but the previous snapshot so
-        // in-flight readers finish against intact files
-        Upsert.overwriteSnapshot(spark, tablePath(dwsDir), next.filter(col("row_ct") > 0),
-          props = Map(AppliedProp -> maxBatch.toString))
-        Upsert.vacuum(spark, tablePath(dwsDir), keepManifests = 2)
+        foldInto(spark, dwsDir, changes, groupCols, sumCols, man,
+          Map(AppliedProp -> maxBatch.toString))
         maxBatch
     }
   }
@@ -115,6 +135,10 @@ object IncrementalDws {
     * batch id ≤ the recorded watermark is a no-op.
     */
   private val StreamAppliedProp = "appliedStreamBatch"
+  // the query LINEAGE the watermark belongs to: batch ids only mean
+  // "already folded" within one checkpoint's numbering — see the
+  // rebuilt-checkpoint guard in [[streaming]]
+  private val StreamQueryProp = "appliedStreamQuery"
 
   def streaming(spark: SparkSession, factDir: String, dwsDir: String,
                 groupCols: Seq[String], sumCols: Seq[String],
@@ -131,26 +155,27 @@ object IncrementalDws {
         val man = Upsert.currentManifest(s, tablePath(dwsDir))
         val applied = man.flatMap(_.props.get(StreamAppliedProp))
           .map(_.toLong).getOrElse(-1L)
+        // batchId ≤ applied is a REPLAY only within the SAME query
+        // lineage (the streaming query id persists in the checkpoint).
+        // A rebuilt/relocated checkpoint restarts both the batch
+        // numbering AND the source offsets — folding that onto a
+        // table that already absorbed the feed double-counts, and
+        // treating its early batches as replays silently DROPS them.
+        // Either way: refuse loudly.
+        val qid = Option(s.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).filter(_.nonEmpty)
+        for (recorded <- man.flatMap(_.props.get(StreamQueryProp));
+             current <- qid; if recorded != current)
+          throw new IllegalStateException(
+            s"$dwsDir was folded up to batch $applied by streaming query " +
+              s"$recorded, but this run is query $current (rebuilt or " +
+              "relocated checkpoint): its restarted batch numbering cannot " +
+              "be reconciled with the recorded watermark — resume the " +
+              "original checkpoint, or point a fresh DWS dir at the feed")
         if (batchId > applied) {
-          val sign = when(col(ChangeFeed.ChangeCol) === "add", lit(1L))
-            .otherwise(lit(-1L))
-          val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+
-            sum(sign).as("row_ct")
-          val delta = changes.groupBy(groupCols.map(col): _*)
-            .agg(aggs.head, aggs.tail: _*)
-          val next = man.map(m => Upsert.readAt(s, tablePath(dwsDir), m.gen)) match {
-            case None => delta
-            case Some(prev) =>
-              val cols = sumCols :+ "row_ct"
-              prev.unionByName(delta)
-                .groupBy(groupCols.map(col): _*)
-                .agg(sum(col(cols.head)).as(cols.head),
-                  cols.tail.map(c => sum(col(c)).as(c)): _*)
-          }
-          Upsert.overwriteSnapshot(s, tablePath(dwsDir),
-            next.filter(col("row_ct") > 0),
-            props = Map(StreamAppliedProp -> batchId.toString))
-          Upsert.vacuum(s, tablePath(dwsDir), keepManifests = 2)
+          foldInto(s, dwsDir, changes, groupCols, sumCols, man,
+            Map(StreamAppliedProp -> batchId.toString) ++
+              qid.map(StreamQueryProp -> _))
         }
         ()
       }
@@ -184,10 +209,7 @@ object IncrementalDws {
                         trigger: org.apache.spark.sql.streaming.Trigger =
                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val sign = when(col(graft.io.ChangeFeed.ChangeCol) === "add", lit(1L))
-      .otherwise(lit(-1L))
-    val aggs = sumCols.map(c => sum(col(c) * sign).as(c)) :+
-      sum(sign).as("row_ct")
+    val aggs = signedAggs(sumCols)
     graft.sources.ChangeFeedSource.read(spark, factDir)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

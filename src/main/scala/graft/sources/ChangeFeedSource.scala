@@ -69,7 +69,13 @@ object ChangeFeedSource {
     * the retract/add marker. Metadata-only (manifest read, no job).
     */
   private[sources] def feedSchema(spark: SparkSession, tableDir: String): StructType = {
-    val base = Upsert.read(spark, tableDir).schema
+    // recorded schema straight off the manifest (one metadata read);
+    // the footer-scan fallback only for pre-schema-anchor tables —
+    // Upsert.read would build a file index over EVERY live file just
+    // to take .schema
+    val base = Upsert.currentManifest(spark, tableDir)
+      .flatMap(Upsert.tableSchema)
+      .getOrElse(Upsert.read(spark, tableDir).schema)
     if (base.fieldNames.contains(ChangeFeed.ChangeCol)) base
     else StructType(base.fields :+
       StructField(ChangeFeed.ChangeCol, StringType, nullable = false))
@@ -125,17 +131,29 @@ private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
     val e = end.asInstanceOf[FeedOffset].last
     if (e <= s) return Array.empty
     val visible = ChangeFeed.batches(spark, dir)
-    // a net batch id ≤ s would simply not be selected; a net with id
-    // > s whose compacted prefix overlaps what this consumer already
-    // applied (s ≥ 0 means batches 0..s were consumed, and every net
-    // covers 0..K) double-counts — fail loudly, see class scaladoc
-    visible.find { case (id, p) => p.contains("net=") && id > s && s >= 0 }
-      .foreach { case (id, _) =>
-        throw new IllegalStateException(
+    // Net-batch safety (name-anchored: a table PATH containing "net="
+    // must not trip this). A net id ≤ s is history. A net id > s with
+    // s ≥ 0 re-delivers the prefix this consumer already applied —
+    // double count. A net id > e with s < 0 means a REPLAYED
+    // bootstrap range (-∞, e] whose original batches were compacted
+    // away mid-flight — the range can no longer be served; silence
+    // here would commit an EMPTY batch and lose the prefix forever.
+    // Both fail loudly, see class scaladoc.
+    def isNet(p: String) =
+      new org.apache.hadoop.fs.Path(p).getName.startsWith("net=")
+    visible.find { case (id, p) =>
+      isNet(p) && (if (s >= 0) id > s else id > e)
+    }.foreach { case (id, _) =>
+      throw new IllegalStateException(
+        if (s >= 0)
           s"change feed of $dir was compacted to net=$id past this consumer's " +
             s"watermark $s — compaction must stay behind every consumer " +
-            "(ChangeFeed.compact contract); restart the consumer from scratch")
-      }
+            "(ChangeFeed.compact contract); restart the consumer from scratch"
+        else
+          s"change feed of $dir was compacted to net=$id while this consumer " +
+            s"was replaying its first micro-batch (-inf, $e] — the original " +
+            "batches are gone; restart the consumer from a fresh checkpoint")
+    }
     val fs = new org.apache.hadoop.fs.Path(ChangeFeed.dirFor(dir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     visible.filter { case (id, _) => id > s && id <= e }

@@ -81,16 +81,19 @@ object UpsertStreamSink {
     * `.start()`.
     */
   def writer(df: DataFrame, dir: String, pk: Seq[String], versionCol: String,
-             numBuckets: Int = 16, changeLog: Boolean = false,
+             numBuckets: Int = -1, changeLog: Boolean = false,
              deleteFlagCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val w = df.writeStream
+    val w0 = df.writeStream
       .format(classOf[UpsertStreamSink].getName)
       .option("path", dir)
       .option("pk", pk.mkString(","))
       .option("versionCol", versionCol)
-      .option("numBuckets", numBuckets.toString)
       .option("changeLog", changeLog.toString)
+    // numBuckets is a CONTRACT option (contradictions refuse at query
+    // start): only pass it when the caller explicitly chose one —
+    // -1 = "recorded count, or the sink default for a fresh table"
+    val w = if (numBuckets > 0) w0.option("numBuckets", numBuckets.toString) else w0
     deleteFlagCol.fold(w)(c => w.option("deleteFlagCol", c))
   }
 }
@@ -136,8 +139,27 @@ private[sources] case class UpsertStreamTable(dir: String,
         if (versionFromEpoch) "__v"
         else throw new IllegalArgumentException(
           s"fresh table $dir needs .option(\"versionCol\", \"col\")"))
-    val numBuckets = man.map(_.numBuckets(16))
-      .orElse(opt("numBuckets").map(_.toInt)).getOrElse(16)
+    // versionFromEpoch against an EXISTING table demands an
+    // epoch-domain version column: epoch counters (0,1,2,…) stamped
+    // into a column holding data-domain versions (timestamps, CDC
+    // sequence numbers) lose every LWW comparison — the stream runs
+    // "successfully" forever while the table never changes. A table
+    // this sink bred carries a streamEpoch.* watermark prop.
+    if (versionFromEpoch)
+      man.foreach { m =>
+        require(m.props.keys.exists(_.startsWith("streamEpoch.")),
+          s"versionFromEpoch=true against $dir, whose recorded versionCol " +
+            s"[$versionCol] was written by non-epoch writers — epoch " +
+            "counters would lose every LWW comparison and the stream would " +
+            "never change the table; stream into a fresh table dir, or " +
+            "carry a data-domain version in the query instead")
+      }
+    // same contradiction rule as pk/versionCol: a numBuckets option
+    // that disagrees with the recorded placement refuses at query
+    // start — silently ignoring it reads as a successful re-bucket
+    val numBuckets = bound(
+      man.flatMap(_.props.get("numBuckets")), opt("numBuckets"), "numBuckets")
+      .fold(16)(_.toInt)
     val feed = ChangeFeed.batches(spark, dir).nonEmpty ||
       opt("changeLog").exists(_.toBoolean)
     // retract-capable ingestion: rows whose flag column says delete

@@ -99,6 +99,33 @@ class IncrementalDwsSpec extends SparkSpec {
     assert(appliedBefore == 2L && state(dwsA) == fullRecompute(fact))
   }
 
+  test("a feed compacted past a consumer's watermark fails its refresh loudly") {
+    val root = Files.createTempDirectory("compact_past").toString
+    val fact = s"$root/fact"; val dws = s"$root/dws"
+    def mergeBatch(rows: Seq[(String, String, Long, Long, String)]): Unit =
+      Upsert.merge(spark,
+        fact, rows.toDF("id", "province_id", "ver", "amount_cents", "op"),
+        pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"),
+        changeLog = true)
+    mergeBatch(Seq(("d1", "p1", 1L, 100L, "insert")))
+    IncrementalDws.provinceOrderRefresh(spark, fact, dws) // applied = 0
+    mergeBatch(Seq(("d2", "p2", 2L, 200L, "insert")))
+    mergeBatch(Seq(("d1", "p1", 3L, 150L, "update")))
+    // producer-side contract violation: compaction past a live
+    // consumer — the telescoped net=2 would re-deliver batch 0
+    ChangeFeed.compact(spark, fact, upTo = 2L)
+    val e = intercept[IllegalStateException](
+      IncrementalDws.provinceOrderRefresh(spark, fact, dws))
+    assert(e.getMessage.contains("compacted to net=2") &&
+      e.getMessage.contains("watermark 0"), e.getMessage)
+    // the guarded aggregate is untouched
+    assert(state2(dws) == Set(("p1", 100L, 1L)))
+  }
+
+  private def state2(d: String) = IncrementalDws.current(spark, d).get
+    .select("province_id", "amount_cents", "row_ct")
+    .as[(String, Long, Long)].collect().toSet
+
   test("change batches are retract-encoded and bounded by the batch, not the table") {
     val root = Files.createTempDirectory("cdf").toString
     val fact = s"$root/t"

@@ -187,5 +187,36 @@ class ChangeFeedStreamSpec extends SparkSpec {
       stream.planInputPartitions(FeedOffset(0L), FeedOffset(2L))
     }
     assert(err.getMessage.contains("compacted"))
+    // a FRESH consumer replaying a pre-compaction range (-inf, e]
+    // whose original batches were compacted away must ALSO fail —
+    // silence would commit an empty batch and lose the prefix
+    val replayHole = intercept[IllegalStateException] {
+      stream.planInputPartitions(FeedOffset(-1L), FeedOffset(0L))
+    }
+    assert(replayHole.getMessage.contains("replaying its first micro-batch"))
+  }
+
+  test("a rebuilt checkpoint cannot fold into an existing DWS lineage") {
+    val root = Files.createTempDirectory("cdf_rebuild").toString
+    val fact = s"$root/fact"; val dws = s"$root/dws"
+    mergeBatch(fact, Seq(("d1", "p1", 1L, 100L, "insert"),
+      ("d2", "p2", 1L, 200L, "insert")))
+    drain(fact, dws, s"$root/ckpt1")
+    assert(served(dws) == fullRecompute(fact))
+    // a NEW checkpoint restarts batch numbering AND source offsets:
+    // folding the feed from scratch onto the already-folded table
+    // would double-count — the lineage guard refuses loudly
+    val q2 = IncrementalDws.streaming(spark, fact, dws,
+      groupCols = Seq("province_id"), sumCols = Seq("amount_cents"),
+      checkpointDir = s"$root/ckpt2", trigger = Trigger.AvailableNow())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(120000)
+    }
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    assert(ms(e).exists(_.contains("rebuilt or relocated checkpoint")),
+      s"got ${ms(e)}")
+    // the guarded table is untouched
+    assert(served(dws) == fullRecompute(fact))
   }
 }

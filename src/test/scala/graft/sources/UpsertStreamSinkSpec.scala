@@ -122,4 +122,40 @@ class UpsertStreamSinkSpec extends SparkSpec {
     val e2 = intercept[Exception] { q2.awaitTermination(120000) }
     assert(msgs(e2).exists(_.contains("contradicts the recorded pk")))
   }
+
+  test("guards: versionFromEpoch refuses non-epoch-bred tables; numBuckets contradictions refuse") {
+    val root = Files.createTempDirectory("ssink_guards").toString
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val dir = s"$root/t"
+    // a table bred by BATCH merges: its versionCol holds data-domain
+    // versions — epoch counters (0,1,2,…) would lose every LWW
+    // comparison and the stream would never change the table
+    Upsert.merge(spark, dir,
+      Seq(("a", 1700000000000L, "a1")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    val in = MemoryStream[(String, String)]
+    in.addData(("a", "a2"))
+    val q1 = in.toDF().toDF("k", "v").writeStream
+      .format(classOf[UpsertStreamSink].getName)
+      .option("path", dir).option("versionFromEpoch", "true")
+      .option("checkpointLocation", s"$root/c1")
+      .trigger(Trigger.AvailableNow()).start()
+    val e1 = intercept[Exception] { q1.awaitTermination(120000) }
+    assert(msgs(e1).exists(_.contains("non-epoch writers")), s"got ${msgs(e1)}")
+    // a numBuckets option contradicting the recorded placement refuses
+    // at query start (silently ignoring it reads as a re-bucket)
+    val in2 = MemoryStream[(String, Long, String)]
+    in2.addData(("b", 2L, "b1"))
+    val q2 = UpsertStreamSink.writer(in2.toDF().toDF("k", "ver", "v"), dir,
+      pk = Seq("k"), versionCol = "ver", numBuckets = 16)
+      .option("checkpointLocation", s"$root/c2")
+      .trigger(Trigger.AvailableNow()).start()
+    val e2 = intercept[Exception] { q2.awaitTermination(120000) }
+    assert(msgs(e2).exists(_.contains("contradicts the recorded numBuckets")),
+      s"got ${msgs(e2)}")
+    // the recorded content is untouched by both refusals
+    assert(Upsert.read(spark, dir).select("v").as[String].collect().toSeq ==
+      Seq("a1"))
+  }
 }

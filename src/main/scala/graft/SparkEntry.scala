@@ -405,15 +405,18 @@ object SparkEntry {
          WHERE event_id % 101 <> 0
          GROUP BY event_type""",
 
-    // the Spark side answers count(*)/min/max over a zones copy of
-    // events from METADATA ALONE (manifest footer counts + zone
-    // sidecars -> driver LocalScan, zero tasks, zero file opens; the
-    // canonical plan pins it); the oracle recomputes over the raw
+    // the Spark side answers count(*)/min/max/sum/count(col) over a
+    // zones copy of events from METADATA ALONE (manifest footer counts
+    // + zone sidecars' exact values, non-null counts and BigInt-folded
+    // integral sums -> driver LocalScan, zero tasks, zero file opens;
+    // the canonical plan pins it); the oracle recomputes over the raw
     // table — green proves the metadata answers are exact
     "a_meta_agg" ->
       """SELECT COUNT(*) AS row_ct,
                 MIN(event_id) AS min_id, MAX(event_id) AS max_id,
-                MIN(event_type) AS min_type, MAX(event_type) AS max_type
+                MIN(event_type) AS min_type, MAX(event_type) AS max_type,
+                CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+                COUNT(user_id) AS ct_uid
          FROM events""",
 
     // the Spark side aggregates a merge-on-read root (compacted base +

@@ -65,8 +65,30 @@ object Zones {
   /** min/max of one file's column; (None, None) = the file holds ONLY
     * nulls for it (a closed-range predicate can always prune such a
     * file — `BETWEEN` never matches null).
+    *
+    * `nonNull` / `sum` extend the sidecar for the metadata-only
+    * aggregate pushdown: `nonNull` is the file's exact non-null count
+    * of the column (count(col) = Σ nonNull with zero tasks), and `sum`
+    * the exact integer sum of its non-null values for INTEGRAL columns
+    * only (floats are excluded on purpose — a driver-side refold of
+    * per-file double sums is order-sensitive and could diverge from a
+    * scan's answer in the last ulp, and "exact or refuse" is the
+    * pushdown's contract). `sum` is None when the file has no non-null
+    * values or the column is non-integral; both fields are None on
+    * sidecars written before this format (readers refuse the pushdown
+    * and scan — never a wrong answer).
     */
-  final case class ColZone(min: Option[ZVal], max: Option[ZVal])
+  final case class ColZone(min: Option[ZVal], max: Option[ZVal],
+                           nonNull: Option[Long] = None,
+                           sum: Option[BigInt] = None)
+
+  /** Integral column types whose per-file sums the sidecar records —
+    * the exact-refold set (fold in BigInt, overflow impossible).
+    */
+  def sumSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   /** The canonical sortable projection for a stat column, or None when
     * the type has no zone support (such files are never pruned on that
@@ -160,10 +182,16 @@ object Zones {
     */
   private def statAggs(sup: Seq[(String, DataType, Column)]): Seq[Column] =
     sup.flatMap { case (c, dt, e) =>
-      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) ++
+      Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
+        count(col(c)).as(s"__nn_$c")) ++
         (if (dt == StringType)
           Seq(min(col(c).cast("binary")).as(s"__bn_$c"),
             max(col(c).cast("binary")).as(s"__bx_$c"))
+        else Nil) ++
+        // decimal(38,0) so a per-file fold can never overflow (2^63 max
+        // value × any real file's row count stays far under 10^38)
+        (if (sumSupported(dt))
+          Seq(sum(col(c).cast("decimal(38,0)")).as(s"__sm_$c"))
         else Nil)
     }
 
@@ -181,7 +209,12 @@ object Zones {
       val lossless = dt != StringType ||
         (bytesEq(mn, Option(r.getAs[Array[Byte]](s"__bn_$c"))) &&
           bytesEq(mx, Option(r.getAs[Array[Byte]](s"__bx_$c"))))
-      if (lossless) Some(c -> ColZone(mn, mx)) else None
+      val nn = r.getAs[Long](s"__nn_$c")
+      val sm =
+        if (!sumSupported(dt)) None
+        else Option(r.getAs[java.math.BigDecimal](s"__sm_$c"))
+          .map(bd => BigInt(bd.toBigInteger))
+      if (lossless) Some(c -> ColZone(mn, mx, Some(nn), sm)) else None
     }.toMap
 
   def build(spark: SparkSession, stagedDir: String,
@@ -241,15 +274,18 @@ object Zones {
       Base64.getDecoder.decode(s.substring(1)), StandardCharsets.UTF_8)))
   }
 
-  /** Write a bucket dir's sidecar: one `file\tcol\tmin\tmax` line per
-    * (file, column); strings Base64-coded so no value can break the
-    * framing.
+  /** Write a bucket dir's sidecar: one
+    * `file\tcol\tmin\tmax\tnonNull\tsum` line per (file, column);
+    * strings Base64-coded so no value can break the framing. nonNull /
+    * sum encode as `~` when unknown (pre-format sidecars round-trip).
     */
   def write(fs: FileSystem, bucketDir: Path,
             entries: Map[String, Map[String, ColZone]]): Unit = {
     val body = entries.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, z) =>
-        s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}"
+        val nn = z.nonNull.fold("~")(_.toString)
+        val sm = z.sum.fold("~")("i" + _.toString)
+        s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}\t$nn\t$sm"
       }
     }.mkString("\n")
     val out = fs.create(new Path(bucketDir, SidecarName), true)
@@ -268,8 +304,15 @@ object Zones {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
     Some(text.linesIterator.filter(_.nonEmpty).toSeq.map { line =>
-      val Array(name, c, mn, mx) = line.split("\t", 4)
-      (name, c, ColZone(dec(mn), dec(mx)))
+      // 4 fields = pre-count sidecar format: min/max stay usable,
+      // nonNull/sum unknown (aggregate pushdown refuses, pruning works)
+      val parts = line.split("\t", 6)
+      val Array(name, c, mn, mx) = parts.take(4)
+      val nn = if (parts.length < 6 || parts(4) == "~") None
+        else Some(parts(4).toLong)
+      val sm = if (parts.length < 6 || parts(5) == "~") None
+        else Some(BigInt(parts(5).stripPrefix("i")))
+      (name, c, ColZone(dec(mn), dec(mx), nn, sm))
     }.groupBy(_._1).map { case (name, ts) =>
       name -> ts.map(t => t._2 -> t._3).toMap
     })

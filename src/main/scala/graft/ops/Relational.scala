@@ -805,29 +805,33 @@ object Relational {
     */
   def metaAggEnsure(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/zones/events_meta_$key"
+    // _v2 root: the recipe gained user_id zones (sum/count pushdown) —
+    // a pre-count local build under the old root must not serve
+    val root = s"target/zones/events_meta_v2_$key"
     val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
     val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {
       graft.io.Upsert.overwriteSnapshot(spark, root, Tables.events(spark, sfDir),
-        zoneCols = Seq("event_id", "event_type"), clusterBy = Seq("event_id"),
-        filesTarget = 24)
+        zoneCols = Seq("event_id", "event_type", "user_id"),
+        clusterBy = Seq("event_id"), filesTarget = 24)
       fs.create(marker, true).close()
     }
     root
   }
 
-  /** Metadata-only aggregates: `count(*)` + `min`/`max` over zone
-    * columns answer from the manifest's footer counts and the zone
-    * sidecars' exact values — the DSv2 complete aggregate pushdown
-    * plans a driver [[org.apache.spark.sql.connector.read.LocalScan]]:
-    * ZERO tasks, ZERO file opens (the canonical plan shows
-    * LocalTableScan, no UpsertBucketScan). At 100 TB this is a catalog
-    * lookup instead of a full-table scan — the Iceberg/Delta
-    * metadata-count shape. The ORACLE recomputes the same aggregates
-    * over the RAW events table in DuckDB — a green row proves the
-    * metadata answers are exact, not bounds.
+  /** Metadata-only aggregates: `count(*)`, `min`/`max`, `sum` and
+    * `count(col)` over zone columns answer from the manifest's footer
+    * counts and the zone sidecars' exact values (per-file non-null
+    * counts + exact integral sums folded in BigInt) — the DSv2
+    * complete aggregate pushdown plans a driver
+    * [[org.apache.spark.sql.connector.read.LocalScan]]: ZERO tasks,
+    * ZERO file opens (the canonical plan shows LocalTableScan, no
+    * UpsertBucketScan). At 100 TB this is a catalog lookup instead of
+    * a full-table scan — the Iceberg/Delta metadata-count shape. The
+    * ORACLE recomputes the same aggregates over the RAW events table
+    * in DuckDB — a green row proves the metadata answers are exact,
+    * not bounds.
     */
   def aMetaAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val root = metaAggEnsure(spark, sfDir)
@@ -835,7 +839,9 @@ object Relational {
       count(lit(1)).as("row_ct"),
       min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
       min(col("event_type")).as("min_type"),
-      max(col("event_type")).as("max_type"))
+      max(col("event_type")).as("max_type"),
+      sum(col("user_id")).as("sum_uid"),
+      count(col("user_id")).as("ct_uid"))
   }
 
   /** Build-once (source-keyed on the events files' metadata) bucketed+

@@ -365,19 +365,30 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   private def dataFiles: Seq[(String, Long)] =
     (0 until table.numBuckets).flatMap(b => table.files.getOrElse(b, Nil))
 
-  /** ONE sweep over the bucket-dir zone sidecars for ALL requested
-    * columns: per column the fold of per-file (min, max) — None unless
-    * EVERY data file carries an entry for every column (exactness).
+  /** The table-wide fold of per-file zone stats for one column: the
+    * global min/max, the exact non-null count (None when ANY file's
+    * sidecar predates the count format — exactness or refusal), and
+    * the exact BigInt sum for integral columns (None when no file has
+    * a non-null value, or any file's entry lacks it while holding
+    * non-null rows).
     */
-  private def zoneMinMax(cols: Seq[String])
-      : Option[Map[String, (Option[graft.io.Zones.ZVal], Option[graft.io.Zones.ZVal])]] = {
+  private case class ColStats(mn: Option[graft.io.Zones.ZVal],
+                              mx: Option[graft.io.Zones.ZVal],
+                              nonNull: Option[Long], sum: Option[BigInt])
+
+  /** ONE sweep over the bucket-dir zone sidecars for ALL requested
+    * columns — None unless EVERY data file carries an entry for every
+    * column (exactness).
+    */
+  private def zoneStats(cols: Seq[String]): Option[Map[String, ColStats]] = {
     import graft.io.Zones
+    val empty = ColStats(None, None, Some(0L), None)
     val files = dataFiles.map(_._1)
-    if (files.isEmpty) return Some(cols.map(_ -> (None, None)).toMap)
+    if (files.isEmpty) return Some(cols.map(_ -> empty).toMap)
     val fs = graft.io.FsOps.fs(SparkSession.active,
       new org.apache.hadoop.fs.Path(files.head))
-    val acc = scala.collection.mutable.Map[String,
-      (Option[Zones.ZVal], Option[Zones.ZVal])](cols.map(_ -> (None, None)): _*)
+    val acc = scala.collection.mutable.Map[String, ColStats](
+      cols.map(_ -> empty): _*)
     files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
       case (bucketDir, paths) =>
         val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
@@ -387,31 +398,62 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
             return None)
           cols.foreach { c =>
             val z = entry.getOrElse(c, return None)
-            val (mn, mx) = acc(c)
-            acc(c) = (
-              z.min.map(v => mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(mn),
-              z.max.map(v => mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(mx))
+            val s = acc(c)
+            // sum: a file with zero non-null values contributes nothing
+            // (its recorded sum is absent by construction); a file WITH
+            // non-null values but no recorded sum poisons the total
+            val sum = (s.sum, z.sum) match {
+              case (_, None) if z.nonNull.contains(0L) => s.sum
+              case (Some(a), Some(b)) => Some(a + b)
+              case (None, b @ Some(_)) if s.nonNull.contains(0L) => b
+              case _ => None
+            }
+            acc(c) = ColStats(
+              z.min.map(v => s.mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(s.mn),
+              z.max.map(v => s.mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(s.mx),
+              for (a <- s.nonNull; b <- z.nonNull) yield a + b,
+              sum)
           }
         }
     }
     Some(acc.toMap)
   }
 
+  // what one pushed aggregate expression needs from metadata
+  private sealed trait Want
+  private case object WCountStar extends Want
+  private case class WCountCol(f: StructField) extends Want
+  private case class WMinMax(f: StructField, isMin: Boolean) extends Want
+  private case class WSum(f: StructField) extends Want
+
   private def computeMetaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.types.LongType
     if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
     // resolve every expression's column + shape FIRST, then do the
     // metadata I/O once for the whole aggregation
-    val wants: Seq[Either[Unit, (StructField, Boolean)]] =
-      agg.aggregateExpressions.toSeq.map {
-        case _: CountStar => Left(())
-        case m: Min => Right((singleCol(m.column).getOrElse(return None), true))
-        case m: Max => Right((singleCol(m.column).getOrElse(return None), false))
-        case _ => return None // sums/avg/count(col)/distinct: scan normally
-      }
+    val wants: Seq[Want] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => WCountStar
+      case m: Min => WMinMax(singleCol(m.column).getOrElse(return None), isMin = true)
+      case m: Max => WMinMax(singleCol(m.column).getOrElse(return None), isMin = false)
+      case c: Count if !c.isDistinct =>
+        val f = singleCol(c.column).getOrElse(return None)
+        // count of a NOT NULL column is count(*): answerable from the
+        // manifest's footer counts alone, zone column or not
+        if (!f.nullable) WCountStar else WCountCol(f)
+      case s: Sum if !s.isDistinct =>
+        val f = singleCol(s.column).getOrElse(return None)
+        // integral only — the sidecar's exact-refold contract; Spark
+        // types these sums LongType, so the metadata answer must fit
+        // (an out-of-range total refuses; the scan then raises the
+        // same ANSI overflow the pushed answer would have hidden)
+        if (!graft.io.Zones.sumSupported(f.dataType)) return None
+        WSum(f)
+      case _ => return None // avg/distinct/floats: scan normally
+    }
     val count: Option[Long] =
-      if (!wants.exists(_.isLeft)) None
+      if (!wants.contains(WCountStar)) None
       else {
         val files = dataFiles
         if (files.isEmpty) Some(0L)
@@ -419,23 +461,41 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
           Some(files.map(f => table.rowCounts(f._1)).sum)
         else return None
       }
-    val mmCols = wants.collect { case Right((f, _)) => f.name }.distinct
-    if (!mmCols.forall(table.zoneCols.contains)) return None
-    val mm = if (mmCols.isEmpty) Map.empty[String,
-      (Option[graft.io.Zones.ZVal], Option[graft.io.Zones.ZVal])]
-    else zoneMinMax(mmCols).getOrElse(return None)
+    val zcCols = wants.collect {
+      case WMinMax(f, _) => f.name
+      case WCountCol(f) => f.name
+      case WSum(f) => f.name
+    }.distinct
+    // a zero-file table answers every shape exactly (null mins, zero
+    // counts) with no sidecar at all — only live files need zones
+    if (dataFiles.nonEmpty && !zcCols.forall(table.zoneCols.contains)) return None
+    val zs = if (zcCols.isEmpty) Map.empty[String, ColStats]
+    else zoneStats(zcCols).getOrElse(return None)
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     wants.foreach {
-      case Left(()) =>
-        fields += StructField("count(*)", org.apache.spark.sql.types.LongType,
-          nullable = false)
+      case WCountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
         values += count.get
-      case Right((f, isMin)) =>
-        val v = if (isMin) mm(f.name)._1 else mm(f.name)._2
+      case WCountCol(f) =>
+        fields += StructField(s"count(${f.name})", LongType, nullable = false)
+        values += zs(f.name).nonNull.getOrElse(return None)
+      case WMinMax(f, isMin) =>
+        val v = if (isMin) zs(f.name).mn else zs(f.name).mx
         fields += StructField(s"${if (isMin) "min" else "max"}(${f.name})",
           f.dataType, nullable = true)
         values += v.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
+      case WSum(f) =>
+        fields += StructField(s"sum(${f.name})", LongType, nullable = true)
+        val s = zs(f.name)
+        values += (s.nonNull match {
+          case Some(0L) => null // sum over no non-null values IS null
+          case Some(_) =>
+            val total = s.sum.getOrElse(return None)
+            if (!total.isValidLong) return None
+            total.toLong
+          case None => return None
+        })
     }
     Some((StructType(fields.result()), InternalRow.fromSeq(values.result())))
   }

@@ -154,6 +154,112 @@ class MetaAggSpec extends SparkSpec {
       Upsert.read(spark, dir).agg(min("s"), max("s")).collect().head.toSeq)
   }
 
+  test("sum and count(col) of zone columns answer from the sidecars") {
+    val dir = Files.createTempDirectory("meta_sum").toString
+    val df = spark.range(5000).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, col("id") - 2500).as("v"), // nullable, negatives
+      (col("id") % 7).cast("int").as("w")) // int: Spark sums to LongType
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("id", "v", "w"), clusterBy = Seq("id"), filesTarget = 8)
+    val q = UpsertBucketSource.read(spark, dir).agg(
+      sum("v").as("sv"), count(col("v")).as("cv"),
+      sum("w").as("sw"), count(lit(1)).as("c"), max("id").as("mx"))
+    assert(plan(q).contains("LocalTableScan") &&
+      !plan(q).contains("UpsertBucketScan"), s"expected metadata answer:\n${plan(q)}")
+    val want = Upsert.read(spark, dir).agg(
+      sum("v"), count(col("v")), sum("w"), count(lit(1)), max("id"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(q.as[(Long, Long, Long, Long, Long)].head() == want)
+    // count of a NOT NULL column = count(*): footer counts suffice,
+    // no zone entry needed (id is non-nullable in the recorded schema)
+    val cnn = UpsertBucketSource.read(spark, dir).agg(count(col("id")).as("c"))
+    assert(plan(cnn).contains("LocalTableScan"), plan(cnn))
+    assert(cnn.as[Long].head() == 5000L)
+  }
+
+  test("sum refusals: floats, non-zone columns, distinct, Long overflow") {
+    val dir = Files.createTempDirectory("meta_sum_no").toString
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 1.5).as("f"), col("id").as("nz"),
+      // two files × Long.MaxValue: per-file sums exact in the sidecar,
+      // the metadata total exceeds Long range -> refuse, scan decides
+      lit(Long.MaxValue).as("big"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("id", "f", "big"), clusterBy = Seq("id"), filesTarget = 4)
+    val fSum = UpsertBucketSource.read(spark, dir).agg(sum("f").as("s"))
+    assert(plan(fSum).contains("UpsertBucketScan"), plan(fSum))
+    assert(fSum.as[Double].head() ==
+      Upsert.read(spark, dir).agg(sum("f")).as[Double].head())
+    val nzSum = UpsertBucketSource.read(spark, dir).agg(sum("nz").as("s"))
+    assert(plan(nzSum).contains("UpsertBucketScan"), plan(nzSum))
+    assert(nzSum.as[Long].head() == 4950L)
+    val dSum = UpsertBucketSource.read(spark, dir)
+      .agg(sum_distinct(col("id")).as("s"))
+    assert(plan(dSum).contains("UpsertBucketScan"), plan(dSum))
+    assert(dSum.as[Long].head() == 4950L)
+    val over = UpsertBucketSource.read(spark, dir).agg(sum("big").as("s"))
+    assert(plan(over).contains("UpsertBucketScan"), plan(over))
+  }
+
+  test("all-null and empty tables: sum is null, count(col) is 0") {
+    val dir = Files.createTempDirectory("meta_sum_null").toString
+    val df = spark.range(50).select(col("id"),
+      lit(null).cast("long").as("v"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 2)
+    val q = UpsertBucketSource.read(spark, dir)
+      .agg(sum("v").as("s"), count(col("v")).as("c"))
+    assert(plan(q).contains("LocalTableScan"), plan(q))
+    assert(q.as[(Option[Long], Long)].head() == ((None, 0L)))
+    val empty = Files.createTempDirectory("meta_sum_empty").toString
+    Upsert.createTable(spark, empty,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "string").add("ver", "long").add("v", "long"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 2)
+    val e = UpsertBucketSource.read(spark, empty)
+      .agg(sum("v").as("s"), count(col("v")).as("c"))
+    assert(plan(e).contains("LocalTableScan"), plan(e))
+    assert(e.as[(Option[Long], Long)].head() == ((None, 0L)))
+  }
+
+  test("pre-count sidecars: min/max still answer, sum/count(col) fall back") {
+    val dir = Files.createTempDirectory("meta_sum_old").toString
+    val df = spark.range(300).select(col("id"),
+      when(col("id") % 3 =!= 0, col("id")).as("v"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 4)
+    // rewrite every sidecar to the 4-field format this code used to
+    // write — min/max survive, the count/sum fields are unknown.
+    // Through the Hadoop fs (not java.nio): the local fs keeps .crc
+    // sidecars that a raw rewrite would invalidate
+    import scala.jdk.CollectionConverters._
+    val fs = graft.io.FsOps.fs(spark, new org.apache.hadoop.fs.Path(dir))
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString == graft.io.Zones.SidecarName)
+      .foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p.toString)
+        val in = fs.open(hp)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        val old = text.linesIterator
+          .map(_.split("\t", 6).take(4).mkString("\t")).mkString("\n")
+        val out = fs.create(hp, true)
+        try out.write(old.getBytes("UTF-8")) finally out.close()
+      }
+    val mm = UpsertBucketSource.read(spark, dir)
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    assert(plan(mm).contains("LocalTableScan"), plan(mm))
+    assert(mm.as[(Long, Long)].head() == ((1L, 299L)))
+    val s = UpsertBucketSource.read(spark, dir)
+      .agg(sum("v").as("s"), count(col("v")).as("c"))
+    assert(plan(s).contains("UpsertBucketScan"), plan(s))
+    assert(s.as[(Long, Long)].head() ==
+      Upsert.read(spark, dir).agg(sum("v"), count(col("v")))
+        .as[(Long, Long)].head())
+  }
+
   test("time travel counts the pinned generation, not the current one") {
     catalogReady
     val dir = mkMergeTable(300)

@@ -42,6 +42,7 @@ object SparkEntry {
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
+    "a_zones_topn" -> (Relational.aZonesTopn _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
@@ -418,6 +419,16 @@ object SparkEntry {
                 CAST(SUM(user_id) AS BIGINT) AS sum_uid,
                 COUNT(user_id) AS ct_uid
          FROM events""",
+
+    // the Spark side runs ORDER BY event_id DESC LIMIT 50 over the
+    // event_id-clustered zones table with the top-N pushed into the
+    // scan (zone-sidecar counting bound keeps only files that can
+    // intersect the top 50; the canonical plan pins the pushed shape);
+    // the oracle recomputes the top-50 over the raw table — event_id
+    // is unique, so the row set is deterministic
+    "a_zones_topn" ->
+      """SELECT event_id, event_type, user_id
+         FROM events ORDER BY event_id DESC LIMIT 50""",
 
     // the Spark side aggregates a merge-on-read root (compacted base +
     // LIVE correction/delete deltas) straight from SQL through the

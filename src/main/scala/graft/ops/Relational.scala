@@ -844,6 +844,24 @@ object Relational {
       count(col("user_id")).as("ct_uid"))
   }
 
+  /** Top-N scan pushdown over the clustered zones table: `ORDER BY
+    * event_id DESC LIMIT 50` keeps only the files whose zone range can
+    * intersect the true top 50 (a counting bound over the sidecars'
+    * non-null counts — sound superset, Spark's own TopN re-sorts the
+    * kept rows). The canonical plan pins the pushed shape
+    * (`topn=event_id DESC … files=a/b` with a < b). At 100 TB "the
+    * newest 50 rows of a time-clustered table" reads one file instead
+    * of scheduling the fleet. The ORACLE recomputes the same top-50
+    * over the raw events table in DuckDB — event_id is unique, so the
+    * row SET is deterministic.
+    */
+  def aZonesTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = metaAggEnsure(spark, sfDir)
+    graft.sources.UpsertBucketSource.read(spark, root)
+      .orderBy(col("event_id").desc).limit(50)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+  }
+
   /** Build-once (source-keyed on the events files' metadata) bucketed+
     * bloomed [[graft.io.Upsert]] copy of the events table keyed by
     * event_id — the serving layout behind [[bloomPointLookup]]. Returns

@@ -261,12 +261,15 @@ private[sources] object UpsertBucketTable {
 private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
                                          grouped: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var allFilters: Array[Filter] = Array.empty
   private var metaAggResult: Option[(StructType, InternalRow)] = None
+  private var topKeep: Option[Set[String]] = None
+  private var topDesc: String = ""
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -500,6 +503,147 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     Some((StructType(fields.result()), InternalRow.fromSeq(values.result())))
   }
 
+  /** LIMIT pushdown = FILE-COUNT pruning: a bare `LIMIT n` is
+    * satisfied by ANY n rows, so the scan keeps only the fewest
+    * (largest) files whose manifest row counts cover n and skips the
+    * rest — at 100 TB, `SELECT * FROM t LIMIT 100` opens one file
+    * instead of scheduling the whole table. PARTIAL push (Spark keeps
+    * its own limit above), so the keep-set only has to cover n rows.
+    * Spark only attempts this rewrite when NO filter sits above the
+    * scan (every filter here is residual), and `allFilters.isEmpty`
+    * is the structural double-check — a filtered limit must see every
+    * file. Refuses when any file is uncounted or no proper subset
+    * covers n.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit <= 0 || allFilters.nonEmpty) return false
+    val files = dataFiles
+    if (files.isEmpty) return false
+    if (!files.forall(f => table.rowCounts.contains(f._1))) return false
+    val byRows = files.map(f => f._1 -> table.rowCounts(f._1)).sortBy(-_._2)
+    var cum = 0L
+    val keep = Set.newBuilder[String]
+    var n = 0
+    val it = byRows.iterator
+    while (cum < limit && it.hasNext) {
+      val (p, r) = it.next(); keep += p; cum += r; n += 1
+    }
+    if (cum < limit || n >= files.size) return false
+    topKeep = Some(keep.result())
+    topDesc = s" limit=$limit files=$n/${files.size}"
+    true
+  }
+
+  /** Top-N pushdown = ZONE-ORDER file pruning, the payoff of keeping a
+    * table clustered on its sort column: `ORDER BY c DESC LIMIT k`
+    * needs only files whose zone range can intersect the top k. The
+    * bound is sound by counting: walking files by zone-min descending
+    * until their non-null counts cover k proves ≥ k rows ≥ that last
+    * min L, so the kth-largest value is ≥ L and every top-k row lives
+    * in a file with max ≥ L — all others drop. ASC is the mirror
+    * (walk by max ascending, keep min ≤ bound). Only the LEADING sort
+    * column matters: under lexicographic order the kth row's leading
+    * value is still bounded by L, whatever the tie-breakers. NULLS
+    * FIRST keeps every null-bearing file (manifest row count vs
+    * sidecar non-null count) and bounds the remaining k − totalNulls;
+    * NULLS LAST needs ≥ k non-null rows table-wide or refuses.
+    * PARTIAL push — Spark re-sorts the kept rows, so the keep-set
+    * only has to be a superset of the true top k. Refuses on filters
+    * (same structural reason as [[pushLimit]]), non-zone leading
+    * columns, or pre-count sidecars.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    import graft.io.Zones
+    if (limit <= 0 || allFilters.nonEmpty || orders.isEmpty) return false
+    val lead = orders.head
+    val f = singleCol(lead.expression()).getOrElse(return false)
+    if (!table.zoneCols.contains(f.name)) return false
+    val files = dataFiles
+    if (files.isEmpty) return false
+    val stats = fileZones(f.name).getOrElse(return false)
+    val desc = lead.direction() == SortDirection.DESCENDING
+    val nullsFirst = lead.nullOrdering() == NullOrdering.NULLS_FIRST
+    val totalNonNull = stats.map(_.nonNull).sum
+    val (mandatory: Set[String], kNeed: Long) =
+      if (nullsFirst) {
+        // nulls sort ahead of every value: all null-bearing files stay
+        // candidates, the value bound covers only the remaining slots
+        if (!files.forall(fl => table.rowCounts.contains(fl._1))) return false
+        val totalRows = files.map(fl => table.rowCounts(fl._1)).sum
+        val withNulls = stats.filter(s =>
+          table.rowCounts(s.path) > s.nonNull).map(_.path).toSet
+        (withNulls, limit.toLong - (totalRows - totalNonNull))
+      } else {
+        // nulls sort last: they enter the top k only when non-null
+        // rows run out, and then no file-level bound exists
+        if (totalNonNull < limit) return false
+        (Set.empty[String], limit.toLong)
+      }
+    val keep: Set[String] =
+      if (kNeed <= 0) mandatory
+      else {
+        val cands = stats.filter(s => s.nonNull > 0)
+        // a file with non-null rows always has zone min/max recorded;
+        // fileZones refused already if the sidecar lacked the entry
+        val ordered =
+          if (desc) cands.sortWith((a, b) => Zones.cmp(a.min.get, b.min.get) > 0)
+          else cands.sortWith((a, b) => Zones.cmp(a.max.get, b.max.get) < 0)
+        var cum = 0L
+        var bound: Option[Zones.ZVal] = None
+        val it = ordered.iterator
+        while (cum < kNeed && it.hasNext) {
+          val s = it.next(); cum += s.nonNull
+          bound = Some(if (desc) s.min.get else s.max.get)
+        }
+        if (cum < kNeed) return false // fewer rows than k: nothing to prune
+        val b = bound.get
+        mandatory ++ cands.filter(s =>
+          if (desc) Zones.cmp(s.max.get, b) >= 0
+          else Zones.cmp(s.min.get, b) <= 0).map(_.path)
+      }
+    if (keep.size >= files.size) return false
+    topKeep = Some(keep)
+    topDesc = s" topn=${f.name} ${if (desc) "DESC" else "ASC"} " +
+      s"${if (nullsFirst) "NULLS_FIRST" else "NULLS_LAST"} $limit " +
+      s"files=${keep.size}/${files.size}"
+    true
+  }
+
+  /** Both pushes are partial: Spark keeps its own limit / sort+limit
+    * above the scan, so the keep-set only ever needs to be a superset.
+    */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** One file's zone stats for one column (zone min/max + the exact
+    * non-null count), for every data file of the snapshot — None when
+    * any file's sidecar predates the count format or lacks the entry.
+    */
+  private case class FileZone(path: String, min: Option[graft.io.Zones.ZVal],
+                              max: Option[graft.io.Zones.ZVal], nonNull: Long)
+
+  private def fileZones(c: String): Option[Seq[FileZone]] = {
+    import graft.io.Zones
+    val files = dataFiles.map(_._1)
+    if (files.isEmpty) return Some(Nil)
+    val fs = graft.io.FsOps.fs(SparkSession.active,
+      new org.apache.hadoop.fs.Path(files.head))
+    val out = Seq.newBuilder[FileZone]
+    files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
+      case (bucketDir, paths) =>
+        val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
+          .getOrElse(return None)
+        paths.foreach { p =>
+          val entry = sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
+            return None)
+          val z = entry.getOrElse(c, return None)
+          out += FileZone(p, z.min, z.max, z.nonNull.getOrElse(return None))
+        }
+    }
+    Some(out.result())
+  }
+
   override def build(): Scan = metaAggResult match {
     case Some((aggSchema, row)) =>
       new org.apache.spark.sql.connector.read.LocalScan {
@@ -514,7 +658,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       val prunedData = StructType(
         required.fields.filter(_.name != UpsertBucketSource.BucketCol))
       new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters),
-        zoneBounds(allFilters), grouped)
+        zoneBounds(allFilters), grouped, topKeep, topDesc)
   }
 }
 
@@ -541,7 +685,9 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         filters: Array[Filter],
                                         keepBuckets: Option[Set[Int]],
                                         zoneBounds: Seq[(String, Option[Any], Option[Any])] = Nil,
-                                        grouped: Boolean = true)
+                                        grouped: Boolean = true,
+                                        topKeep: Option[Set[String]] = None,
+                                        topDesc: String = "")
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -583,6 +729,11 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
   override def filter(runtime: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
     if (table.pk.isEmpty) return
+    // a limit/top-N keep-set counts ROWS; intersecting it with a
+    // runtime prune could leave fewer rows than the pushed limit
+    // promises. Spark never injects runtime filters across a Limit
+    // boundary, but refuse structurally rather than by assumption.
+    if (topKeep.isDefined) return
     def canonical(v: Any): Option[String] = v match {
       case s: String => Some(s)
       case n @ (_: java.lang.Long | _: java.lang.Integer |
@@ -624,20 +775,25 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     StructType(prunedData.fields ++ partitionSchema.fields)
 
   override def description(): String =
-    s"UpsertBucketScan ${table.name()} buckets=${buckets.size}/${table.numBuckets}"
+    s"UpsertBucketScan ${table.name()} buckets=${buckets.size}/${table.numBuckets}$topDesc"
 
   override def toBatch: Batch = this
 
   /** The files a bucket still reads after every plan-time and runtime
-    * prune (zone sidecars, runtime PK filter) — the slice source.
+    * prune (zone sidecars, pushed limit/top-N keep-set, runtime PK
+    * filter) — the slice source.
     */
   private def keptFiles(b: Int): Seq[(String, Long)] = {
     val all = table.files.getOrElse(b, Nil)
+    val afterTop = topKeep match {
+      case Some(t) => all.filter { case (p, _) => t.contains(p) }
+      case None => all
+    }
     val afterRuntime = runtimeFiles match {
       case Some(byBucket) =>
         val cand = byBucket.getOrElse(b, Set.empty)
-        all.filter { case (p, _) => cand.contains(p) }
-      case None => all
+        afterTop.filter { case (p, _) => cand.contains(p) }
+      case None => afterTop
     }
     zoneKeep match {
       case Some(z) => afterRuntime.filter { case (p, _) => z.contains(p) }

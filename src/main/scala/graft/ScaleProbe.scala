@@ -60,6 +60,9 @@ object ScaleProbe {
     // "meta": metadata-only aggregates (count/min/max from manifest +
     // zone sidecars, zero tasks) vs the same aggregates via full scan
     val metaOnly = args.length > 1 && args(1) == "meta"
+    // "topn": limit/top-N scan pushdown — zone-bounded file pruning
+    // for ORDER BY <cluster col> LIMIT k vs the full sort
+    val topnOnly = args.length > 1 && args(1) == "topn"
     val bandOnly = args.length > 1 && args(1) == "band"
     val pointOnly = args.length > 1 && args(1) == "point"
     val skewOnly = args.length > 1 && args(1) == "skew"
@@ -241,6 +244,58 @@ object ScaleProbe {
         aggAll(graft.io.Upsert.read(spark, root)).collect().head.toSeq)
       println(f"[scale] meta_n=$n%-9d build=${tBuild}%6.1fs files=$files " +
         f"equal=${meta == scan}")
+    }
+
+    if (topnOnly) {
+      // Top-N pushdown probe: ORDER BY event_id DESC LIMIT 100 over an
+      // event_id-clustered zones snapshot — the pushed scan keeps only
+      // the files whose zone range can intersect the top 100 (counting
+      // bound over the sidecars' non-null counts) vs the same query
+      // through the plain scan, which sorts every partition. The
+      // graded numbers: bytes read and wall per path, rows equal.
+      val root = java.nio.file.Files.createTempDirectory("probe_topn").toString
+      val files = math.max(16, (n / 500000L).toInt)
+      val tB0 = System.nanoTime()
+      graft.io.Upsert.overwriteSnapshot(spark, root, ev,
+        zoneCols = Seq("event_id"), clusterBy = Seq("event_id"),
+        filesTarget = files)
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // "the newest 100 FULL rows": the scan must materialize every
+      // column, so the plain path pays the table's width for all n rows
+      def timed(label: String)(df: => DataFrame): Seq[Long] = {
+        tasks.set(0)
+        val t0 = System.nanoTime()
+        val out = df.collect().map(_.getLong(0)).toSeq
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener bus is async (timed above, excluded)
+        println(f"[scale] topn_n=$n%-9d $label%-12s ${dt}%7.3fs  tasks=${tasks.get()}")
+        out
+      }
+      // grouping=none: a scan-only plan wants one task per surviving
+      // SPLIT, not one per bucket — the kept file plans exactly 1 task
+      def pushedRead = graft.sources.UpsertBucketSource.read(
+        spark, root, grouping = Some("none"))
+      val pushedDf = pushedRead
+        .orderBy(col("event_id").desc).limit(100).drop("__bucket")
+      val shape = pushedDf.queryExecution.executedPlan.toString
+      val kept = """topn=event_id DESC[^\n]*? files=(\d+)/(\d+)""".r
+        .findFirstMatchIn(shape).map(m => s"${m.group(1)}/${m.group(2)}")
+      require(kept.isDefined, s"top-N must push:\n$shape")
+      val pushed = timed("pushed")(
+        pushedRead.orderBy(col("event_id").desc).limit(100).drop("__bucket"))
+      val plain = timed("full_sort")(
+        graft.io.Upsert.read(spark, root)
+          .orderBy(col("event_id").desc).limit(100))
+      val lim = timed("bare_limit")(
+        pushedRead.limit(100).drop("__bucket"))
+      println(f"[scale] topn_n=$n%-9d build=${tBuild}%6.1fs files=${kept.get} " +
+        f"equal=${pushed == plain} limit_rows=${lim.size}")
     }
 
     if (pointOnly) {
@@ -669,7 +724,7 @@ object ScaleProbe {
         s"state_rows=$stateRows groups=$groups agg_equal=${served == full}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !topnOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -845,7 +900,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !topnOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -428,10 +428,11 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   private case class WCountCol(f: StructField) extends Want
   private case class WMinMax(f: StructField, isMin: Boolean) extends Want
   private case class WSum(f: StructField) extends Want
+  private case class WAvg(f: StructField) extends Want
 
   private def computeMetaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return None
     // resolve every expression's column + shape FIRST, then do the
@@ -453,7 +454,14 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
         // same ANSI overflow the pushed answer would have hidden)
         if (!graft.io.Zones.sumSupported(f.dataType)) return None
         WSum(f)
-      case _ => return None // avg/distinct/floats: scan normally
+      case a: Avg if !a.isDistinct =>
+        val f = singleCol(a.column).getOrElse(return None)
+        // integral only, like sum: the metadata answer reproduces
+        // Spark's own evaluation (exact Long sum cast to double,
+        // divided by the count cast to double) bit-for-bit
+        if (!graft.io.Zones.sumSupported(f.dataType)) return None
+        WAvg(f)
+      case _ => return None // distinct/floats/decimals: scan normally
     }
     val count: Option[Long] =
       if (!wants.contains(WCountStar)) None
@@ -468,6 +476,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       case WMinMax(f, _) => f.name
       case WCountCol(f) => f.name
       case WSum(f) => f.name
+      case WAvg(f) => f.name
     }.distinct
     // a zero-file table answers every shape exactly (null mins, zero
     // counts) with no sidecar at all — only live files need zones
@@ -497,6 +506,19 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
             val total = s.sum.getOrElse(return None)
             if (!total.isValidLong) return None
             total.toLong
+          case None => return None
+        })
+      case WAvg(f) =>
+        fields += StructField(s"avg(${f.name})", DoubleType, nullable = true)
+        val s = zs(f.name)
+        values += (s.nonNull match {
+          case Some(0L) => null // avg over no non-null values IS null
+          case Some(nn) =>
+            val total = s.sum.getOrElse(return None)
+            // must fit Long: past that the scan's own Long sum would
+            // have overflowed (ANSI error) — refuse, let the scan decide
+            if (!total.isValidLong) return None
+            total.toLong.toDouble / nn.toDouble
           case None => return None
         })
     }

@@ -178,6 +178,34 @@ class MetaAggSpec extends SparkSpec {
     assert(cnn.as[Long].head() == 5000L)
   }
 
+  test("avg of integral zone columns answers from the sidecars, bit-exact") {
+    val dir = Files.createTempDirectory("meta_avg").toString
+    val df = spark.range(3000).select(col("id"),
+      when(col("id") % 4 =!= 0, col("id") * 3 - 1000).as("v"),
+      (col("id") % 11).cast("short").as("w"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("v", "w"), clusterBy = Seq("id"), filesTarget = 6)
+    val q = UpsertBucketSource.read(spark, dir)
+      .agg(avg("v").as("av"), avg("w").as("aw"))
+    assert(plan(q).contains("LocalTableScan"), plan(q))
+    // bit-exact vs the scan: both evaluate exact-Long-sum.toDouble / n
+    assert(q.as[(Double, Double)].head() ==
+      Upsert.read(spark, dir).agg(avg("v"), avg("w"))
+        .as[(Double, Double)].head())
+    // all-null avg IS null
+    val nl = Files.createTempDirectory("meta_avg_null").toString
+    Upsert.overwriteSnapshot(spark, nl,
+      spark.range(40).select(col("id"), lit(null).cast("int").as("v")),
+      zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 2)
+    val qn = UpsertBucketSource.read(spark, nl).agg(avg("v").as("a"))
+    assert(plan(qn).contains("LocalTableScan"), plan(qn))
+    assert(qn.as[Option[Double]].head().isEmpty)
+    // floats and distinct refuse to the scan
+    val fl = UpsertBucketSource.read(spark, dir)
+      .agg(avg(col("v").cast("double")).as("a"))
+    assert(!plan(fl).contains("LocalTableScan"), plan(fl))
+  }
+
   test("sum refusals: floats, non-zone columns, distinct, Long overflow") {
     val dir = Files.createTempDirectory("meta_sum_no").toString
     val df = spark.range(100).select(col("id"),

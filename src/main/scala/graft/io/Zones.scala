@@ -35,7 +35,21 @@ import org.apache.spark.sql.types._
   */
 object Zones {
 
+  /** The original 4-field sidecar (`file\tcol\tmin\tmax`) — still
+    * WRITTEN alongside the v2 form so a reader of the previous format
+    * keeps pruning, and still read when v2 is absent (older tables).
+    */
   val SidecarName = "_zones.tsv"
+
+  /** The extended 6-field sidecar (adds per-file non-null counts and
+    * exact integral sums for the aggregate pushdown). A separate FILE,
+    * not extra fields in the old one: the old parser split each line
+    * with limit 4, so appended fields would glue onto the max value
+    * and CRASH an old reader mid-scan — a new name means an old reader
+    * simply sees no v2 sidecar and degrades to the v1 file (pruning
+    * intact, pushdown refused), never a parse error.
+    */
+  val SidecarNameV2 = "_zones2.tsv"
 
   sealed trait ZVal
   final case class ZLong(v: Long) extends ZVal
@@ -274,38 +288,46 @@ object Zones {
       Base64.getDecoder.decode(s.substring(1)), StandardCharsets.UTF_8)))
   }
 
-  /** Write a bucket dir's sidecar: one
-    * `file\tcol\tmin\tmax\tnonNull\tsum` line per (file, column);
-    * strings Base64-coded so no value can break the framing. nonNull /
-    * sum encode as `~` when unknown (pre-format sidecars round-trip).
+  /** Write a bucket dir's sidecars: the v2 file carries one
+    * `file\tcol\tmin\tmax\tnonNull\tsum` line per (file, column)
+    * (nonNull / sum encode as `~` when unknown), and the v1 file the
+    * same lines truncated to the original 4 fields — readers of either
+    * format prune. Strings Base64-coded so no value can break the
+    * framing.
     */
   def write(fs: FileSystem, bucketDir: Path,
             entries: Map[String, Map[String, ColZone]]): Unit = {
-    val body = entries.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+    val lines = entries.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, z) =>
         val nn = z.nonNull.fold("~")(_.toString)
         val sm = z.sum.fold("~")("i" + _.toString)
-        s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}\t$nn\t$sm"
+        (s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}", s"\t$nn\t$sm")
       }
-    }.mkString("\n")
-    val out = fs.create(new Path(bucketDir, SidecarName), true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    }
+    def put(p: Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put(new Path(bucketDir, SidecarNameV2),
+      lines.map { case (v1, ext) => v1 + ext }.mkString("\n"))
+    put(new Path(bucketDir, SidecarName), lines.map(_._1).mkString("\n"))
   }
 
-  /** Read a bucket dir's sidecar; None when absent (older table or
+  /** Read a bucket dir's sidecar — the v2 file when present, else the
+    * v1 file with nonNull/sum unknown (the aggregate pushdown refuses,
+    * pruning works); None when neither exists (older table or
     * zone-less writer) — callers keep every file.
     */
   def read(fs: FileSystem, bucketDir: Path): Option[Map[String, Map[String, ColZone]]] = {
-    val p = new Path(bucketDir, SidecarName)
-    if (!fs.exists(p)) return None
+    val p2 = new Path(bucketDir, SidecarNameV2)
+    val p1 = new Path(bucketDir, SidecarName)
+    val p = if (fs.exists(p2)) p2 else if (fs.exists(p1)) p1 else return None
     val in = fs.open(p)
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
     Some(text.linesIterator.filter(_.nonEmpty).toSeq.map { line =>
-      // 4 fields = pre-count sidecar format: min/max stay usable,
-      // nonNull/sum unknown (aggregate pushdown refuses, pruning works)
       val parts = line.split("\t", 6)
       val Array(name, c, mn, mx) = parts.take(4)
       val nn = if (parts.length < 6 || parts(4) == "~") None

@@ -379,45 +379,58 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
                               mx: Option[graft.io.Zones.ZVal],
                               nonNull: Option[Long], sum: Option[BigInt])
 
-  /** ONE sweep over the bucket-dir zone sidecars for ALL requested
-    * columns — None unless EVERY data file carries an entry for every
-    * column (exactness).
+  /** ONE sweep over the bucket-dir zone sidecars: every data file's
+    * entry map, in file order — None unless EVERY file has a sidecar
+    * entry (exactness; both zoneStats and fileZones refuse through
+    * this single walk, so the refusal rules live in one place).
     */
-  private def zoneStats(cols: Seq[String]): Option[Map[String, ColStats]] = {
+  private def perFileZones(): Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] = {
     import graft.io.Zones
-    val empty = ColStats(None, None, Some(0L), None)
     val files = dataFiles.map(_._1)
-    if (files.isEmpty) return Some(cols.map(_ -> empty).toMap)
+    if (files.isEmpty) return Some(Nil)
     val fs = graft.io.FsOps.fs(SparkSession.active,
       new org.apache.hadoop.fs.Path(files.head))
-    val acc = scala.collection.mutable.Map[String, ColStats](
-      cols.map(_ -> empty): _*)
+    val out = Seq.newBuilder[(String, Map[String, Zones.ColZone])]
     files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
       case (bucketDir, paths) =>
         val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
           .getOrElse(return None)
         paths.foreach { p =>
-          val entry = sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
+          out += p -> sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
             return None)
-          cols.foreach { c =>
-            val z = entry.getOrElse(c, return None)
-            val s = acc(c)
-            // sum: a file with zero non-null values contributes nothing
-            // (its recorded sum is absent by construction); a file WITH
-            // non-null values but no recorded sum poisons the total
-            val sum = (s.sum, z.sum) match {
-              case (_, None) if z.nonNull.contains(0L) => s.sum
-              case (Some(a), Some(b)) => Some(a + b)
-              case (None, b @ Some(_)) if s.nonNull.contains(0L) => b
-              case _ => None
-            }
-            acc(c) = ColStats(
-              z.min.map(v => s.mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(s.mn),
-              z.max.map(v => s.mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(s.mx),
-              for (a <- s.nonNull; b <- z.nonNull) yield a + b,
-              sum)
-          }
         }
+    }
+    Some(out.result())
+  }
+
+  /** Fold of [[perFileZones]] for ALL requested columns — None unless
+    * every file carries an entry for every column.
+    */
+  private def zoneStats(cols: Seq[String]): Option[Map[String, ColStats]] = {
+    import graft.io.Zones
+    val empty = ColStats(None, None, Some(0L), None)
+    val perFile = perFileZones().getOrElse(return None)
+    val acc = scala.collection.mutable.Map[String, ColStats](
+      cols.map(_ -> empty): _*)
+    perFile.foreach { case (_, entry) =>
+      cols.foreach { c =>
+        val z = entry.getOrElse(c, return None)
+        val s = acc(c)
+        // sum: a file with zero non-null values contributes nothing
+        // (its recorded sum is absent by construction); a file WITH
+        // non-null values but no recorded sum poisons the total
+        val sum = (s.sum, z.sum) match {
+          case (_, None) if z.nonNull.contains(0L) => s.sum
+          case (Some(a), Some(b)) => Some(a + b)
+          case (None, b @ Some(_)) if s.nonNull.contains(0L) => b
+          case _ => None
+        }
+        acc(c) = ColStats(
+          z.min.map(v => s.mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(s.mn),
+          z.max.map(v => s.mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(s.mx),
+          for (a <- s.nonNull; b <- z.nonNull) yield a + b,
+          sum)
+      }
     }
     Some(acc.toMap)
   }
@@ -429,6 +442,22 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   private case class WMinMax(f: StructField, isMin: Boolean) extends Want
   private case class WSum(f: StructField) extends Want
   private case class WAvg(f: StructField) extends Want
+
+  /** Does every subset of the column's non-null values sum within
+    * ±`limit`? Sufficient bound: nonNull × max(|min|, |max|) — when it
+    * holds, NO accumulation order the scan might use can overflow
+    * (Long sums) or round (double sums ≤ 2^53), so the metadata total
+    * and the scan's answer provably coincide. Conservative on purpose:
+    * a mixed-sign column whose extremes are huge refuses even though
+    * the actual partials might cancel — plan-dependent answers are the
+    * bug class this guards against.
+    */
+  private def foldSafe(s: ColStats, limit: BigInt): Boolean =
+    (s.nonNull, s.mn, s.mx) match {
+      case (Some(nn), Some(graft.io.Zones.ZLong(a)), Some(graft.io.Zones.ZLong(b))) =>
+        BigInt(nn) * BigInt(a).abs.max(BigInt(b).abs) <= limit
+      case _ => false
+    }
 
   private def computeMetaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
@@ -448,17 +477,16 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
         if (!f.nullable) WCountStar else WCountCol(f)
       case s: Sum if !s.isDistinct =>
         val f = singleCol(s.column).getOrElse(return None)
-        // integral only — the sidecar's exact-refold contract; Spark
-        // types these sums LongType, so the metadata answer must fit
-        // (an out-of-range total refuses; the scan then raises the
-        // same ANSI overflow the pushed answer would have hidden)
+        // integral only — the sidecar's exact-refold contract; the
+        // [[foldSafe]] overflow bound is checked against the folded
+        // stats below
         if (!graft.io.Zones.sumSupported(f.dataType)) return None
         WSum(f)
       case a: Avg if !a.isDistinct =>
         val f = singleCol(a.column).getOrElse(return None)
-        // integral only, like sum: the metadata answer reproduces
-        // Spark's own evaluation (exact Long sum cast to double,
-        // divided by the count cast to double) bit-for-bit
+        // integral only, like sum; the [[foldSafe]] 2^53 bound below
+        // guarantees the scan's double accumulation is exact, so the
+        // metadata answer reproduces it bit-for-bit
         if (!graft.io.Zones.sumSupported(f.dataType)) return None
         WAvg(f)
       case _ => return None // distinct/floats/decimals: scan normally
@@ -503,9 +531,14 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
         values += (s.nonNull match {
           case Some(0L) => null // sum over no non-null values IS null
           case Some(_) =>
-            val total = s.sum.getOrElse(return None)
-            if (!total.isValidLong) return None
-            total.toLong
+            // the scan accumulates integral sums in LongType, in an
+            // arbitrary order: an INTERMEDIATE subset sum can overflow
+            // (ANSI error, or silent wrap) even when the exact total
+            // fits. Answer only when no subset sum can leave Long
+            // range — then the scan provably computes this same value
+            // under either ANSI mode.
+            if (!foldSafe(s, BigInt(Long.MaxValue))) return None
+            s.sum.getOrElse(return None).toLong
           case None => return None
         })
       case WAvg(f) =>
@@ -514,11 +547,15 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
         values += (s.nonNull match {
           case Some(0L) => null // avg over no non-null values IS null
           case Some(nn) =>
-            val total = s.sum.getOrElse(return None)
-            // must fit Long: past that the scan's own Long sum would
-            // have overflowed (ANSI error) — refuse, let the scan decide
-            if (!total.isValidLong) return None
-            total.toLong.toDouble / nn.toDouble
+            // the scan's Average accumulates non-decimal inputs in a
+            // DOUBLE sum, order-sensitively: past 2^53 an intermediate
+            // addition rounds and the scan's answer depends on task
+            // order. Answer only when every subset sum stays ≤ 2^53 —
+            // each long→double cast and each addition is then exact,
+            // so the scan's sum IS the exact total and the final
+            // divide below reproduces it bit-for-bit.
+            if (!foldSafe(s, BigInt(1L) << 53)) return None
+            s.sum.getOrElse(return None).toLong.toDouble / nn.toDouble
           case None => return None
         })
     }
@@ -645,26 +682,15 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   private case class FileZone(path: String, min: Option[graft.io.Zones.ZVal],
                               max: Option[graft.io.Zones.ZVal], nonNull: Long)
 
-  private def fileZones(c: String): Option[Seq[FileZone]] = {
-    import graft.io.Zones
-    val files = dataFiles.map(_._1)
-    if (files.isEmpty) return Some(Nil)
-    val fs = graft.io.FsOps.fs(SparkSession.active,
-      new org.apache.hadoop.fs.Path(files.head))
-    val out = Seq.newBuilder[FileZone]
-    files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
-      case (bucketDir, paths) =>
-        val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
-          .getOrElse(return None)
-        paths.foreach { p =>
-          val entry = sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
-            return None)
-          val z = entry.getOrElse(c, return None)
-          out += FileZone(p, z.min, z.max, z.nonNull.getOrElse(return None))
-        }
+  private def fileZones(c: String): Option[Seq[FileZone]] =
+    perFileZones().flatMap { perFile =>
+      val out = Seq.newBuilder[FileZone]
+      perFile.foreach { case (p, entry) =>
+        val z = entry.getOrElse(c, return None)
+        out += FileZone(p, z.min, z.max, z.nonNull.getOrElse(return None))
+      }
+      Some(out.result())
     }
-    Some(out.result())
-  }
 
   override def build(): Scan = metaAggResult match {
     case Some((aggSchema, row)) =>

@@ -257,25 +257,18 @@ class MetaAggSpec extends SparkSpec {
       when(col("id") % 3 =!= 0, col("id")).as("v"))
     Upsert.overwriteSnapshot(spark, dir, df,
       zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 4)
-    // rewrite every sidecar to the 4-field format this code used to
-    // write — min/max survive, the count/sum fields are unknown.
-    // Through the Hadoop fs (not java.nio): the local fs keeps .crc
-    // sidecars that a raw rewrite would invalidate
+    // simulate an old-format table: the v2 sidecar never existed, only
+    // the original 4-field file — min/max survive from it, the
+    // count/sum fields are unknown. (The writer emits BOTH files; the
+    // v1 one IS the old format, so deleting v2 is the exact simulation
+    // — and doubles as the round-trip check on the dual write.)
     import scala.jdk.CollectionConverters._
     val fs = graft.io.FsOps.fs(spark, new org.apache.hadoop.fs.Path(dir))
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-      .filter(_.getFileName.toString == graft.io.Zones.SidecarName)
-      .foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p.toString)
-        val in = fs.open(hp)
-        val text = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-        val old = text.linesIterator
-          .map(_.split("\t", 6).take(4).mkString("\t")).mkString("\n")
-        val out = fs.create(hp, true)
-        try out.write(old.getBytes("UTF-8")) finally out.close()
-      }
+    val v2 = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.filter(_.getFileName.toString == graft.io.Zones.SidecarNameV2)
+      .toSeq
+    assert(v2.nonEmpty, "expected v2 sidecars to exist")
+    v2.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p.toString), false))
     val mm = UpsertBucketSource.read(spark, dir)
       .agg(min("v").as("mn"), max("v").as("mx"))
     assert(plan(mm).contains("LocalTableScan"), plan(mm))
@@ -286,6 +279,39 @@ class MetaAggSpec extends SparkSpec {
     assert(s.as[(Long, Long)].head() ==
       Upsert.read(spark, dir).agg(sum("v"), count(col("v")))
         .as[(Long, Long)].head())
+  }
+
+  test("fold-safety bounds: plan-dependent answers refuse to push") {
+    // sum: the exact total fits Long, but an intermediate accumulation
+    // could overflow (values near Long.Max with a cancelling negative)
+    // -> the metadata path must refuse and let the scan decide
+    val dir = Files.createTempDirectory("meta_foldsafe").toString
+    val big = Long.MaxValue / 2 + 10
+    // nonNull × max|v| = 4×big > Long.MaxValue -> the bound refuses,
+    // even though these particular values can never overflow in any
+    // accumulation order (one ±big pair) — conservatism is the point:
+    // the bound cannot know the partials cancel
+    val df = spark.createDataFrame(Seq(
+      (1L, big), (2L, -big), (3L, 5L), (4L, 7L))).toDF("id", "v")
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 2)
+    val s = UpsertBucketSource.read(spark, dir).agg(sum("v").as("s"))
+    assert(plan(s).contains("UpsertBucketScan"), plan(s))
+    assert(s.as[Long].head() == 12L)
+    // avg: totals past 2^53 round order-sensitively in the scan's
+    // double accumulation -> refuse; small tables answer
+    val a = UpsertBucketSource.read(spark, dir).agg(avg("v").as("a"))
+    assert(plan(a).contains("UpsertBucketScan"), plan(a))
+    val small = Files.createTempDirectory("meta_foldsafe_ok").toString
+    Upsert.overwriteSnapshot(spark, small,
+      spark.range(1000).select(col("id"), (col("id") - 500).as("v")),
+      zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 2)
+    val ok = UpsertBucketSource.read(spark, small)
+      .agg(sum("v").as("s"), avg("v").as("a"))
+    assert(plan(ok).contains("LocalTableScan"), plan(ok))
+    assert(ok.as[(Long, Double)].head() ==
+      Upsert.read(spark, small).agg(sum("v"), avg("v"))
+        .as[(Long, Double)].head())
   }
 
   test("time travel counts the pinned generation, not the current one") {

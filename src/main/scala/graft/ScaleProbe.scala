@@ -229,7 +229,12 @@ object ScaleProbe {
       }
       def aggAll(df: DataFrame): DataFrame = df.agg(
         count(lit(1)), min(col("event_id")), max(col("event_id")),
-        min(col("event_type")), max(col("event_type")))
+        min(col("event_type")), max(col("event_type")),
+        // sum/avg ride the v2 sidecar's per-file counts+sums; at 20M
+        // the fold bound (n × max|event_id| ≈ 4e14) is well inside
+        // both the Long and the 2^53 limits, so they push
+        sum(col("event_id")), avg(col("event_id")),
+        count(col("event_id")))
       // plan-shape assertion on a THROWAWAY frame: forcing executedPlan
       // runs the pushdown (manifest + sidecar reads), so the timed run
       // below builds a FRESH frame — its wall time includes ALL of the

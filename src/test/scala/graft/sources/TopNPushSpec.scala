@@ -147,6 +147,20 @@ class TopNPushSpec extends SparkSpec {
         .select("tag").as[String].collect().toSeq)
   }
 
+  test("SQL through the catalog pushes the same way") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
+    val q = spark.sql(
+      s"SELECT v, tag FROM graft.`$clustered` ORDER BY v DESC LIMIT 10")
+    assert(keptOf(plan(q), "topn=v DESC NULLS_LAST 10").exists(k => k._1 < k._2),
+      plan(q))
+    assert(q.as[(Long, String)].collect().toSeq ==
+      Upsert.read(spark, clustered).orderBy(col("v").desc).limit(10)
+        .select("v", "tag").as[(Long, String)].collect().toSeq)
+    val lim = spark.sql(s"SELECT v FROM graft.`$clustered` LIMIT 9")
+    assert(keptOf(plan(lim), "limit=9").isDefined, plan(lim))
+    assert(lim.count() == 9)
+  }
+
   test("merge tables push too, and runtime row counts stay honest") {
     val dir = Files.createTempDirectory("topn_merge").toString
     Upsert.merge(spark, dir, spark.range(1500).select(

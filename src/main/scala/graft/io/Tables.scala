@@ -66,6 +66,30 @@ object Tables {
     * fingerprint didn't hash can no longer serve a stale snapshot
     * (ADVICE r7 #1). A spurious mtime touch merely rebuilds — safe.
     */
+  /** Build-once serving-table scaffold shared by the ops heads:
+    * `root` = prefix + the sanitized sf-dir key, and a
+    * `_built_<sourceKey>` marker inside it gates the build — the
+    * file-metadata key means ANY regeneration of the source parquet
+    * rebuilds (even a column the head doesn't read — ADVICE r7 #1),
+    * and the cache-hit check launches zero Spark jobs (ADVICE r7 #3).
+    * `build` receives the root; the marker lands only after it
+    * returns, so a crashed build re-runs.
+    */
+  def ensureBuilt(spark: SparkSession, rootPrefix: String, sfDir: String,
+                  source: String = "events.parquet")
+                 (build: String => Unit): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    val root = rootPrefix + key
+    val ck = sourceKey(spark, s"$sfDir/$source")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val fs = FsOps.fs(spark, marker)
+    if (!fs.exists(marker)) {
+      build(root)
+      fs.create(marker, true).close()
+    }
+    root
+  }
+
   def sourceKey(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = FsOps.fs(spark, p)

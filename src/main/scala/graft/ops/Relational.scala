@@ -780,45 +780,27 @@ object Relational {
     * of the events table — the serving layout behind [[zonesDateRange]].
     * Returns the table root.
     */
-  def zonesEventsEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/zones/events_ts_$key"
-    val ev = Tables.events(spark, sfDir)
-    // file-metadata key: any regeneration of the source — including a
-    // column this head doesn't read — rebuilds (ADVICE r7 #1), and the
-    // key itself launches no Spark job (ADVICE r7 #3)
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
-      graft.io.Upsert.overwriteSnapshot(spark, root, ev,
+  def zonesEventsEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/zones/events_ts_", sfDir) { root =>
+      graft.io.Upsert.overwriteSnapshot(spark, root,
+        Tables.events(spark, sfDir),
         zoneCols = Seq("ts"), clusterBy = Seq("ts"), filesTarget = 40)
-      fs.create(marker, true).close()
     }
-    root
-  }
 
   /** Build-once zones copy of events clustered by event_id, for the
     * METADATA-ONLY aggregate head (its own root: [[zonesEventsEnsure]]
     * keys zones on ts, whose type drifts across testdata
     * regenerations — long/string zones are always supported).
     */
-  def metaAggEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+  def metaAggEnsure(spark: SparkSession, sfDir: String): String =
     // _v2 root: the recipe gained user_id zones (sum/count pushdown) —
     // a pre-count local build under the old root must not serve
-    val root = s"target/zones/events_meta_v2_$key"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
-      graft.io.Upsert.overwriteSnapshot(spark, root, Tables.events(spark, sfDir),
+    Tables.ensureBuilt(spark, "target/zones/events_meta_v2_", sfDir) { root =>
+      graft.io.Upsert.overwriteSnapshot(spark, root,
+        Tables.events(spark, sfDir),
         zoneCols = Seq("event_id", "event_type", "user_id"),
         clusterBy = Seq("event_id"), filesTarget = 24)
-      fs.create(marker, true).close()
     }
-    root
-  }
 
   /** Metadata-only aggregates: `count(*)`, `min`/`max`, `sum` and
     * `count(col)` over zone columns answer from the manifest's footer
@@ -867,22 +849,12 @@ object Relational {
     * event_id — the serving layout behind [[bloomPointLookup]]. Returns
     * the table root.
     */
-  def bloomEventsEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/blooms/events_pk_$key"
-    val ev = Tables.events(spark, sfDir)
-    // file-metadata key: a regenerated sfDir rebuilds regardless of
-    // which columns drifted, with zero Spark jobs on cache hit
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
-      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+  def bloomEventsEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/blooms/events_pk_", sfDir) { root =>
+      graft.io.Upsert.merge(spark, root,
+        Tables.events(spark, sfDir).withColumn("__v", lit(1L)),
         pk = Seq("event_id"), versionCol = "__v", bloom = true)
-      fs.create(marker, true).close()
     }
-    root
-  }
 
   /** Build-once (source-keyed) two-generation [[graft.io.Upsert]] copy
     * of events for [[jSnapshotDiff]]: gen A = the raw table; gen B = A
@@ -890,12 +862,7 @@ object Relational {
     * divisible by 97 gets value+1). Returns (root, genA, genB).
     */
   def snapshotDiffEnsure(spark: SparkSession, sfDir: String): (String, Long, Long) = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/spj/events_diff_$key"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+    val root = Tables.ensureBuilt(spark, "target/spj/events_diff_", sfDir) { root =>
       val ev = Tables.events(spark, sfDir)
       graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
         pk = Seq("event_id"), versionCol = "__v")
@@ -904,7 +871,6 @@ object Relational {
         .withColumn("__v", lit(2L))
       graft.io.Upsert.merge(spark, root, batch,
         pk = Seq("event_id"), versionCol = "__v")
-      fs.create(marker, true).close()
     }
     val gens = graft.io.Upsert.manifestGens(spark, root)
     (root, gens.head, gens.last)
@@ -990,13 +956,8 @@ object Relational {
     * `event_id + 10^12`). Marker-gated so repeated runs serve the
     * already-mutated table. Returns the table root.
     */
-  def sqlMergeDmlEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/dml/events_merge_$key"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+  def sqlMergeDmlEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/events_merge_", sfDir) { root =>
       val ev = Tables.events(spark, sfDir)
       graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
         pk = Seq("event_id"), versionCol = "__v")
@@ -1009,7 +970,7 @@ object Relational {
           ev.filter(col("event_id") % 1013 === 0)
             .select((col("event_id") + lit(1000000000000L)).as("s_id"),
               lit(false).as("s_del")))
-      val view = s"dml_src_${key.replace('.', '_')}"
+      val view = "dml_src_" + root.replaceAll("[^A-Za-z0-9]+", "_")
       src.createOrReplaceTempView(view)
       spark.sql(
         s"""MERGE INTO graft.`$root` t USING $view s ON t.event_id = s.s_id
@@ -1017,10 +978,7 @@ object Relational {
             WHEN MATCHED THEN UPDATE SET value = t.value + 2
             WHEN NOT MATCHED THEN INSERT (event_id, user_id, ts, event_type, value, __v)
               VALUES (s.s_id, 0, TIMESTAMP '2024-01-01 00:00:00', 'synthetic', 42.0, 1)""")
-      fs.create(marker, true).close()
     }
-    root
-  }
 
   /** The affected slice of the SQL-MERGE-mutated table: updated evens
     * (`value + 2`), surviving proof that odds were deleted (absent
@@ -1044,14 +1002,9 @@ object Relational {
     * [[graft.rtdw.IncrementalDws.streaming]] (Trigger.AvailableNow,
     * awaited). Returns the dws dir.
     */
-  def dwsStreamEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val base = s"target/dml/stream_dws_$key"
-    val fact = s"$base/fact"; val dws = s"$base/dws"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(base, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+  def dwsStreamEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/stream_dws_", sfDir) { base =>
+      val fact = s"$base/fact"
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"),
           cents(col("value")).as("value_cents"), col("value"))
@@ -1066,14 +1019,11 @@ object Relational {
         .withColumn("op", lit("update")), 2L)
       wave(ev.filter(col("event_id") % 101 === 0)
         .withColumn("op", lit("delete")), 3L)
-      val q = graft.rtdw.IncrementalDws.streaming(spark, fact, dws,
+      val q = graft.rtdw.IncrementalDws.streaming(spark, fact, s"$base/dws",
         groupCols = Seq("event_type"), sumCols = Seq("value_cents"),
         checkpointDir = s"$base/ckpt")
       q.awaitTermination(300000)
-      fs.create(marker, true).close()
-    }
-    dws
-  }
+    } + "/dws"
 
   /** The streamed DWS aggregate, graded: per-type Σ cents + row count
     * after the three retract-stream waves. The ORACLE recomputes the
@@ -1094,14 +1044,9 @@ object Relational {
     * LIVE deltas — so the read must resolve base ∪ deltas, not just
     * scan a folded table. Returns the MOR root.
     */
-  def morSqlEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/dml/mor_sql_$key"
-    val dir = s"$root/t"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+  def morSqlEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_sql_", sfDir) { root =>
+      val dir = s"$root/t"
       val ev = Tables.events(spark, sfDir)
       def wave(df: DataFrame, cts: Column, v: Long, op: String) =
         graft.io.MergeOnRead.merge(spark, dir,
@@ -1114,10 +1059,7 @@ object Relational {
         cents(col("value") + 1), 2L, "update")
       wave(ev.filter(col("event_id") % 101 === 0),
         cents(col("value")), 3L, "delete")
-      fs.create(marker, true).close()
-    }
-    dir
-  }
+    } + "/t"
 
   /** SQL aggregate straight over the MOR root through the catalog —
     * the MorReadRule substitution resolves base ∪ live deltas inside
@@ -1146,14 +1088,9 @@ object Relational {
     * are DISJOINT so convergence never depends on which epoch a file
     * lands in. Returns the sink table dir.
     */
-  def streamSinkEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val base = s"target/dml/stream_sink_$key"
-    val src = s"$base/src"; val tbl = s"$base/t"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(base, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+  def streamSinkEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/stream_sink_", sfDir) { base =>
+      val src = s"$base/src"
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"),
           cents(col("value")).as("value_cents"), col("value"))
@@ -1171,16 +1108,13 @@ object Relational {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1") // one epoch per wave file
         .parquet(src)
-      val q = graft.sources.UpsertStreamSink.writer(stream.drop("value"), tbl,
-        pk = Seq("event_id"), versionCol = "__v",
+      val q = graft.sources.UpsertStreamSink.writer(stream.drop("value"),
+        s"$base/t", pk = Seq("event_id"), versionCol = "__v",
         deleteFlagCol = Some("op"))
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(300000)
-      fs.create(marker, true).close()
-    }
-    tbl
-  }
+    } + "/t"
 
   /** The streamed-SINK table, graded: per-type Σ cents + row count
     * after the three command waves landed through
@@ -1206,17 +1140,12 @@ object Relational {
     * recorded LWW merge) → `ALTER TABLE DROP COLUMN value`
     * (tombstoned, no file rewrite). Returns the table root.
     */
-  def ddlLifecycleEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/dml/ddl_ctas_$key"
-    val ck = Tables.sourceKey(spark, s"$sfDir/events.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+  def ddlLifecycleEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/ddl_ctas_", sfDir) { root =>
       spark.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.UpsertCatalog].getName)
       spark.sql(s"DROP TABLE IF EXISTS graft.`$root`")
-      val view = s"ddl_ev_${key.replace('.', '_')}"
+      val view = "ddl_ev_" + root.replaceAll("[^A-Za-z0-9]+", "_")
       Tables.events(spark, sfDir).createOrReplaceTempView(view)
       spark.sql(
         s"""CREATE TABLE graft.`$root`
@@ -1231,10 +1160,7 @@ object Relational {
                    CAST(FLOOR(value * 100) AS BIGINT)
             FROM $view WHERE event_id % 7 = 0""")
       spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN value")
-      fs.create(marker, true).close()
     }
-    root
-  }
 
   /** DDL-lifecycle head: aggregate the table the SQL statements built.
     * The oracle recomputes the net state from the raw events table, so

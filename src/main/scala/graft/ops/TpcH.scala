@@ -154,19 +154,14 @@ object TpcH {
     * MULTIPLICATIVELY on the same files (rectangle reads — the
     * `OPTIMIZE ZORDER BY` role on bare parquet). Returns the table root.
     */
-  def zonesLineitemEnsure(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
-    val root = s"target/zones/lineitem_z_$key"
-    val li = Tables.lineitem(spark, sfDir)
-    val ck = Tables.sourceKey(spark, s"$sfDir/lineitem.parquet")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
-    val fs = graft.io.FsOps.fs(spark, marker)
-    if (!fs.exists(marker)) {
+  def zonesLineitemEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/zones/lineitem_z_", sfDir,
+      source = "lineitem.parquet") { root =>
       // normalize the NTZ parquet timestamp to session-TZ TimestampType
       // (sessions pin UTC — the events-snapshot precedent) so the zone
       // sidecar machinery covers it; then rank it through an
       // epoch-seconds twin that is layout-input only (never stored)
-      val norm = li.withColumn("l_shipdate",
+      val norm = Tables.lineitem(spark, sfDir).withColumn("l_shipdate",
         col("l_shipdate").cast(org.apache.spark.sql.types.TimestampType))
       val num = norm.withColumn("__ship_sec", col("l_shipdate").cast("long"))
       val z = num
@@ -175,10 +170,7 @@ object TpcH {
       graft.io.Upsert.overwriteSnapshot(spark, root, z,
         zoneCols = Seq("l_shipdate", "l_discount"),
         clusterBy = Seq("__zorder"), filesTarget = 40)
-      fs.create(marker, true).close()
     }
-    root
-  }
 
   /** Q6 served from the Z-ordered lineitem snapshot via a driver-side
     * RECTANGLE prune ([[graft.io.Upsert.readRanges]]): the manifest's

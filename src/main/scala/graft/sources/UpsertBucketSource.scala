@@ -381,27 +381,12 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
 
   /** ONE sweep over the bucket-dir zone sidecars: every data file's
     * entry map, in file order — None unless EVERY file has a sidecar
-    * entry (exactness; both zoneStats and fileZones refuse through
-    * this single walk, so the refusal rules live in one place).
+    * entry (exactness; zoneStats, fileZones, and the scan's column
+    * statistics all refuse through this single walk, so the refusal
+    * rules live in one place).
     */
-  private def perFileZones(): Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] = {
-    import graft.io.Zones
-    val files = dataFiles.map(_._1)
-    if (files.isEmpty) return Some(Nil)
-    val fs = graft.io.FsOps.fs(SparkSession.active,
-      new org.apache.hadoop.fs.Path(files.head))
-    val out = Seq.newBuilder[(String, Map[String, Zones.ColZone])]
-    files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
-      case (bucketDir, paths) =>
-        val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
-          .getOrElse(return None)
-        paths.foreach { p =>
-          out += p -> sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
-            return None)
-        }
-    }
-    Some(out.result())
-  }
+  private def perFileZones(): Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] =
+    ZoneSweep.perFile(dataFiles.map(_._1))
 
   /** Fold of [[perFileZones]] for ALL requested columns — None unless
     * every file carries an entry for every column.
@@ -710,6 +695,32 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   }
 }
 
+/** The one shared walk over bucket-dir zone sidecars: every given
+  * file's entry map, or None when ANY file lacks one — the single
+  * place the exactness/refusal rules live for the aggregate pushdown,
+  * the top-N bound, and the scan's reported column statistics.
+  */
+private[sources] object ZoneSweep {
+  def perFile(files: Seq[String])
+      : Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] = {
+    import graft.io.Zones
+    if (files.isEmpty) return Some(Nil)
+    val fs = graft.io.FsOps.fs(SparkSession.active,
+      new org.apache.hadoop.fs.Path(files.head))
+    val out = Seq.newBuilder[(String, Map[String, Zones.ColZone])]
+    files.groupBy(p => p.substring(0, p.lastIndexOf('/'))).foreach {
+      case (bucketDir, paths) =>
+        val sidecar = Zones.read(fs, new org.apache.hadoop.fs.Path(bucketDir))
+          .getOrElse(return None)
+        paths.foreach { p =>
+          out += p -> sidecar.getOrElse(p.substring(p.lastIndexOf('/') + 1),
+            return None)
+        }
+    }
+    Some(out.result())
+  }
+}
+
 /** One byte range of one data file — the task-granularity unit. A
   * bucket is the PLACEMENT unit (all rows of a key live in one
   * bucket), but never the parallelism unit: files chunk into
@@ -927,6 +938,13 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     * reported only when EVERY kept file has one (a partial sum would
     * understate cardinality and mislead the CBO); like sizeInBytes it
     * reflects file-level pruning, not residual-filter selectivity.
+    *
+    * Under `spark.sql.cbo.enabled` the scan ALSO reports COLUMN-level
+    * statistics for the zone columns — exact min/max (numeric/date/
+    * timestamp; CBO range-filter and join estimation) and exact null
+    * counts, folded from the same sidecars that drive pruning (Spark's
+    * transformV2Stats turns them into catalyst ColumnStat). Gated on
+    * the conf so the default planning path pays zero sidecar I/O.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -943,6 +961,58 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
         java.util.OptionalLong.of(math.max(1L, bytes))
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        import graft.io.Zones
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (!SparkSession.active.sessionState.conf.cboEnabled) return out
+        val cols = table.zoneCols.flatMap(c =>
+          prunedData.fields.find(_.name == c))
+        if (cols.isEmpty || rows.isEmpty) return out
+        val perFile = ZoneSweep.perFile(kept.map(_._1)).getOrElse(return out)
+        cols.foreach { f =>
+          var mn: Option[Zones.ZVal] = None
+          var mx: Option[Zones.ZVal] = None
+          var nonNull: Option[Long] = Some(0L)
+          perFile.foreach { case (_, entry) =>
+            entry.get(f.name) match {
+              case Some(z) =>
+                mn = z.min.map(v =>
+                  mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(mn)
+                mx = z.max.map(v =>
+                  mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(mx)
+                nonNull = for (a <- nonNull; b <- z.nonNull) yield a + b
+              case None => nonNull = None
+            }
+          }
+          val nulls = for (t <- rows; nn <- nonNull) yield t - nn
+          // string min/max stay unreported (catalyst ColumnStat never
+          // carries string bounds); null counts report for every kind
+          val bounds = f.dataType match {
+            case org.apache.spark.sql.types.StringType => (None, None)
+            case dt => (mn.map(Zones.toCatalyst(dt, _)),
+              mx.map(Zones.toCatalyst(dt, _)))
+          }
+          if (bounds._1.isDefined || nulls.isDefined)
+            out.put(Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  bounds._1.fold(java.util.Optional.empty[Object]())(v =>
+                    java.util.Optional.of(v.asInstanceOf[Object]))
+                override def max(): java.util.Optional[Object] =
+                  bounds._2.fold(java.util.Optional.empty[Object]())(v =>
+                    java.util.Optional.of(v.asInstanceOf[Object]))
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+              })
+        }
+        out
+      }
     }
 
   override def planInputPartitions(): Array[InputPartition] = plannedSplits

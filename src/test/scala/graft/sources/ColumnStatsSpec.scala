@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.Upsert
+
+/** Column-level statistics to the CBO: under `spark.sql.cbo.enabled`
+  * the DSv2 scan reports exact min/max (numeric/date/timestamp zone
+  * columns) and exact null counts from the same sidecars that drive
+  * pruning — Spark's transformV2Stats lands them in the logical plan's
+  * attributeStats, where join reordering and filter estimation read
+  * them. With CBO off the scan reports no column stats and pays no
+  * sidecar I/O at planning time.
+  */
+class ColumnStatsSpec extends SparkSpec {
+
+  private def attrStats(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.stats.attributeStats.toSeq
+      .map { case (a, s) => a.name -> s }.toMap
+
+  private def withCbo[T](on: Boolean)(body: => T): T = {
+    val k = "spark.sql.cbo.enabled"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, on.toString)
+    try body
+    finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  private lazy val table: String = {
+    val dir = Files.createTempDirectory("colstats").toString
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 8 =!= 0, col("id") * 2 - 100).as("v"),
+      concat(lit("s"), col("id")).as("s"))
+    Upsert.overwriteSnapshot(spark, dir, df,
+      zoneCols = Seq("v", "s"), clusterBy = Seq("id"), filesTarget = 4)
+    dir
+  }
+
+  test("CBO on: exact min/max and null counts reach attributeStats") {
+    withCbo(on = true) {
+      val st = attrStats(UpsertBucketSource.read(spark, table).select("v", "s"))
+      val v = st.getOrElse("v", fail(s"no stats for v in $st"))
+      // id=0 is null (0 % 8 == 0), so the true min is id=1 -> -98
+      assert(v.min.contains(-98L) && v.max.contains(3898L), v)
+      assert(v.nullCount.map(_.toLong).contains(250L), v)
+      // strings: null count yes, bounds never (catalyst ColumnStat
+      // carries no string min/max)
+      val s = st.getOrElse("s", fail(s"no stats for s in $st"))
+      assert(s.min.isEmpty && s.max.isEmpty &&
+        s.nullCount.map(_.toLong).contains(0L), s)
+      // row count rides along (manifest footer counts)
+      val rc = UpsertBucketSource.read(spark, table)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.map(_.toLong).contains(2000L), rc)
+    }
+  }
+
+  test("CBO off: no column stats reported, planning unaffected") {
+    withCbo(on = false) {
+      val st = attrStats(UpsertBucketSource.read(spark, table).select("v"))
+      assert(st.isEmpty, st)
+    }
+  }
+}

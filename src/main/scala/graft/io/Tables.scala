@@ -53,19 +53,6 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Metadata fingerprint of a source table: the sorted (path, size,
-    * mtime) triple of every data file under `path`, folded into one
-    * hash. Build-once caches (MVs, zones/bloom serving snapshots) key
-    * their markers on this: a regenerated source — same row count or
-    * not — rewrites its files, so sizes/mtimes change and the cache
-    * rebuilds instead of serving stale rows. Unlike the previous
-    * row-content scan, the key costs ZERO Spark jobs (driver-side
-    * listing only — ADVICE r7: every ensure call paid a hidden
-    * O(source) aggregation even on cache hit), and whole-file metadata
-    * covers every column trivially, so a drift in a column the old
-    * fingerprint didn't hash can no longer serve a stale snapshot
-    * (ADVICE r7 #1). A spurious mtime touch merely rebuilds — safe.
-    */
   /** Build-once serving-table scaffold shared by the ops heads:
     * `root` = prefix + the sanitized sf-dir key, and a
     * `_built_<sourceKey>` marker inside it gates the build — the
@@ -90,6 +77,19 @@ object Tables {
     root
   }
 
+  /** Metadata fingerprint of a source table: the sorted (path, size,
+    * mtime) triple of every data file under `path`, folded into one
+    * hash. Build-once caches (MVs, zones/bloom serving snapshots) key
+    * their markers on this: a regenerated source — same row count or
+    * not — rewrites its files, so sizes/mtimes change and the cache
+    * rebuilds instead of serving stale rows. Unlike the previous
+    * row-content scan, the key costs ZERO Spark jobs (driver-side
+    * listing only — ADVICE r7: every ensure call paid a hidden
+    * O(source) aggregation even on cache hit), and whole-file metadata
+    * covers every column trivially, so a drift in a column the old
+    * fingerprint didn't hash can no longer serve a stale snapshot
+    * (ADVICE r7 #1). A spurious mtime touch merely rebuilds — safe.
+    */
   def sourceKey(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = FsOps.fs(spark, p)

@@ -379,14 +379,19 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
                               mx: Option[graft.io.Zones.ZVal],
                               nonNull: Option[Long], sum: Option[BigInt])
 
-  /** ONE sweep over the bucket-dir zone sidecars: every data file's
-    * entry map, in file order — None unless EVERY file has a sidecar
-    * entry (exactness; zoneStats, fileZones, and the scan's column
-    * statistics all refuse through this single walk, so the refusal
-    * rules live in one place).
+  /** ONE sweep over the bucket-dir zone sidecars, MEMOIZED for the
+    * whole scan build: every data file's entry map — None unless EVERY
+    * file has a sidecar entry. zoneStats, fileZones, and the scan's
+    * column statistics all read this single walk, so a plan that
+    * probes aggregates, pushes a top-N, AND reports CBO stats pays
+    * one sidecar read per bucket, not three.
     */
-  private def perFileZones(): Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] =
+  private lazy val perFileZonesMemo
+      : Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] =
     ZoneSweep.perFile(dataFiles.map(_._1))
+
+  private def perFileZones(): Option[Seq[(String, Map[String, graft.io.Zones.ColZone])]] =
+    perFileZonesMemo
 
   /** Fold of [[perFileZones]] for ALL requested columns — None unless
     * every file carries an entry for every column.
@@ -691,7 +696,8 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       val prunedData = StructType(
         required.fields.filter(_.name != UpsertBucketSource.BucketCol))
       new UpsertBucketScan(table, prunedData, pushed, keptBuckets(allFilters),
-        zoneBounds(allFilters), grouped, topKeep, topDesc)
+        zoneBounds(allFilters), grouped, topKeep, topDesc,
+        () => perFileZonesMemo.map(_.toMap))
   }
 }
 
@@ -746,7 +752,9 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         zoneBounds: Seq[(String, Option[Any], Option[Any])] = Nil,
                                         grouped: Boolean = true,
                                         topKeep: Option[Set[String]] = None,
-                                        topDesc: String = "")
+                                        topDesc: String = "",
+                                        zoneEntries: () => Option[Map[String, Map[String, graft.io.Zones.ColZone]]] =
+                                          () => None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -973,22 +981,31 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
         val cols = table.zoneCols.flatMap(c =>
           prunedData.fields.find(_.name == c))
         if (cols.isEmpty || rows.isEmpty) return out
-        val perFile = ZoneSweep.perFile(kept.map(_._1)).getOrElse(return out)
+        // the builder's memoized sweep — zero extra sidecar I/O here;
+        // it covers ALL data files, so restrict to the kept set
+        val all = zoneEntries().getOrElse(return out)
+        val perFile = kept.map { case (p, _) => all.getOrElse(p, return out) }
         cols.foreach { f =>
           var mn: Option[Zones.ZVal] = None
           var mx: Option[Zones.ZVal] = None
           var nonNull: Option[Long] = Some(0L)
-          perFile.foreach { case (_, entry) =>
+          // a kept file with no entry for this column (e.g. a merge
+          // added the zone column and only rewrote touched buckets)
+          // invalidates EVERYTHING for it — a partial min/max would be
+          // an under-covering bound presented as exact
+          var complete = true
+          perFile.foreach { entry =>
             entry.get(f.name) match {
-              case Some(z) =>
+              case Some(z) if complete =>
                 mn = z.min.map(v =>
                   mn.filter(Zones.cmp(_, v) <= 0).getOrElse(v)).orElse(mn)
                 mx = z.max.map(v =>
                   mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(mx)
                 nonNull = for (a <- nonNull; b <- z.nonNull) yield a + b
-              case None => nonNull = None
+              case _ => complete = false
             }
           }
+          if (!complete) { mn = None; mx = None; nonNull = None }
           val nulls = for (t <- rows; nn <- nonNull) yield t - nn
           // string min/max stay unreported (catalyst ColumnStat never
           // carries string bounds); null counts report for every kind

@@ -57,6 +57,30 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("a zone column missing from some files' sidecars reports NOTHING") {
+    // merge 1 records zones on v; merge 2 adds zone column w but only
+    // rewrites the touched buckets — untouched buckets' sidecar
+    // entries have no w key, so a fold over them would be an
+    // under-covering bound presented as exact. The scan must report
+    // no stats at all for w (neither bounds nor null count).
+    val dir = Files.createTempDirectory("colstats_part").toString
+    import spark.implicits._
+    Upsert.merge(spark, dir, spark.range(800).select(
+      concat(lit("k"), col("id")).as("k"), lit(1L).as("ver"),
+      col("id").as("v")), pk = Seq("k"), versionCol = "ver",
+      numBuckets = 8, zoneCols = Seq("v"))
+    Upsert.merge(spark, dir, Seq(("k3", 2L, 3L, 99L))
+      .toDF("k", "ver", "v", "w"), pk = Seq("k"), versionCol = "ver",
+      numBuckets = 8, zoneCols = Seq("v", "w"))
+    withCbo(on = true) {
+      val st = attrStats(UpsertBucketSource.read(spark, dir).select("v", "w"))
+      assert(!st.contains("w"), st)
+      // v is covered by every file (both merges recorded it) — stays
+      val v = st.getOrElse("v", fail(s"no stats for v in $st"))
+      assert(v.min.contains(0L) && v.max.contains(799L), v)
+    }
+  }
+
   test("CBO off: no column stats reported, planning unaffected") {
     withCbo(on = false) {
       val st = attrStats(UpsertBucketSource.read(spark, table).select("v"))

@@ -304,19 +304,35 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   }
 
   /** Closed-range bounds a pushed comparison filter implies for a ZONE
-    * column — strict comparisons widen to inclusive (a superset keep:
+    * column — strict comparisons widen to inclusive, and an IN-list
+    * widens to its enclosing [min, max] range (both superset keeps:
     * zones only prune, the residual filter restores exactness).
     */
   private def zoneBounds(filters: Array[Filter])
       : Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.sources._
     val zc = table.zoneCols.toSet
-    filters.toSeq.collect {
-      case EqualTo(c, v) if zc(c) && v != null => (c, Some(v): Option[Any], Some(v): Option[Any])
-      case GreaterThan(c, v) if zc(c) && v != null => (c, Some(v): Option[Any], None: Option[Any])
-      case GreaterThanOrEqual(c, v) if zc(c) && v != null => (c, Some(v): Option[Any], None: Option[Any])
-      case LessThan(c, v) if zc(c) && v != null => (c, None: Option[Any], Some(v): Option[Any])
-      case LessThanOrEqual(c, v) if zc(c) && v != null => (c, None: Option[Any], Some(v): Option[Any])
+    def inRange(c: String, vs: Array[Any]): Option[(String, Option[Any], Option[Any])] = {
+      val nn = vs.filter(_ != null)
+      if (nn.isEmpty) return None // IN (NULL...) matches nothing; no prune
+      val dt = table.dataSchema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(return None)
+      // order the literals in ZONE order (the order the sidecar fold
+      // prunes with); unconvertible literal kinds skip the prune
+      val zs = scala.util.Try(nn.map(v => v -> graft.io.Zones.toZ(dt, v)))
+        .getOrElse(return None)
+      val ord = Ordering.fromLessThan[graft.io.Zones.ZVal](
+        graft.io.Zones.cmp(_, _) < 0)
+      Some((c, Some(zs.minBy(_._2)(ord)._1), Some(zs.maxBy(_._2)(ord)._1)))
+    }
+    filters.toSeq.flatMap {
+      case EqualTo(c, v) if zc(c) && v != null => Seq((c, Some(v): Option[Any], Some(v): Option[Any]))
+      case GreaterThan(c, v) if zc(c) && v != null => Seq((c, Some(v): Option[Any], None: Option[Any]))
+      case GreaterThanOrEqual(c, v) if zc(c) && v != null => Seq((c, Some(v): Option[Any], None: Option[Any]))
+      case LessThan(c, v) if zc(c) && v != null => Seq((c, None: Option[Any], Some(v): Option[Any]))
+      case LessThanOrEqual(c, v) if zc(c) && v != null => Seq((c, None: Option[Any], Some(v): Option[Any]))
+      case In(c, vs) if zc(c) => inRange(c, vs).toSeq
+      case _ => Nil
     }
   }
 
@@ -978,13 +994,33 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         if (!SparkSession.active.sessionState.conf.cboEnabled) return out
+        if (rows.isEmpty) return out
+        // single-column PK on a zone-LESS table: distinctCount(pk) ==
+        // numRows exactly (one live LWW row per key) and pk is never
+        // null — reportable with no sidecar at all
+        def pkOnlyStat(): Unit = table.pk match {
+          case Seq(p) if prunedData.fieldNames.contains(p) =>
+            out.put(Expressions.column(p),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(rows.get)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(0L)
+              })
+          case _ =>
+        }
         val cols = table.zoneCols.flatMap(c =>
           prunedData.fields.find(_.name == c))
-        if (cols.isEmpty || rows.isEmpty) return out
+        if (cols.isEmpty) { pkOnlyStat(); return out }
         // the builder's memoized sweep — zero extra sidecar I/O here;
         // it covers ALL data files, so restrict to the kept set
-        val all = zoneEntries().getOrElse(return out)
-        val perFile = kept.map { case (p, _) => all.getOrElse(p, return out) }
+        val all = zoneEntries().getOrElse { pkOnlyStat(); return out }
+        val perFile = kept.map { case (p, _) =>
+          all.getOrElse(p, { pkOnlyStat(); return out }) }
+        // a single pk that is ALSO a zone column gets its distinct
+        // count inside the loop entry below instead
+        if (!(table.pk.length == 1 && table.zoneCols.contains(table.pk.head)))
+          pkOnlyStat()
         cols.foreach { f =>
           var mn: Option[Zones.ZVal] = None
           var mx: Option[Zones.ZVal] = None
@@ -1014,7 +1050,12 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
             case dt => (mn.map(Zones.toCatalyst(dt, _)),
               mx.map(Zones.toCatalyst(dt, _)))
           }
-          if (bounds._1.isDefined || nulls.isDefined)
+          // single-column PK: the LWW merge keeps exactly one live row
+          // per key, so distinctCount(pk) == numRows EXACTLY — the
+          // equality-selectivity input CBO otherwise never has
+          val distinct =
+            if (table.pk == Seq(f.name)) rows else None
+          if (bounds._1.isDefined || nulls.isDefined || distinct.isDefined)
             out.put(Expressions.column(f.name),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                 override def min(): java.util.Optional[Object] =
@@ -1025,6 +1066,9 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                     java.util.Optional.of(v.asInstanceOf[Object]))
                 override def nullCount(): java.util.OptionalLong =
                   nulls.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+                override def distinctCount(): java.util.OptionalLong =
+                  distinct.fold(java.util.OptionalLong.empty())(
                     java.util.OptionalLong.of)
               })
         }

@@ -81,6 +81,24 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("single-column PK reports an exact distinct count (LWW: one live row per key)") {
+    val dir = Files.createTempDirectory("colstats_pk").toString
+    import spark.implicits._
+    Upsert.merge(spark, dir, spark.range(600).select(
+      concat(lit("k"), col("id")).as("k"), lit(1L).as("ver"),
+      col("id").as("v")), pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    // a correcting merge must not double-count: still 600 live keys
+    Upsert.merge(spark, dir, Seq(("k5", 2L, 55L)).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    withCbo(on = true) {
+      val st = attrStats(UpsertBucketSource.read(spark, dir).select("k", "v"))
+      val k = st.getOrElse("k", fail(s"no stats for k in $st"))
+      assert(k.distinctCount.map(_.toLong).contains(600L), k)
+      assert(k.nullCount.map(_.toLong).contains(0L), k)
+      assert(!st.contains("v"), st) // no zones on this table
+    }
+  }
+
   test("CBO off: no column stats reported, planning unaffected") {
     withCbo(on = false) {
       val st = attrStats(UpsertBucketSource.read(spark, table).select("v"))

@@ -103,6 +103,17 @@ class RuntimeFilterSpec extends SparkSpec {
     val want = Upsert.read(spark, dir)
       .filter(col("d") >= lit(lo)).select("k").as[Long].collect().sorted
     assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // IN-lists prune by their enclosing [min, max] range — a tight
+    // list keeps a narrow slice of files, rows stay exact
+    val ins = Seq("2024-01-05", "2024-01-07").map(java.sql.Date.valueOf)
+    val inScan = new UpsertBucketScan(table, table.dataSchema, Array.empty,
+      None, Seq(("d", Some(ins.head), Some(ins.last))))
+    assert(totalFiles(inScan.planInputPartitions()) < before)
+    val gotIn = UpsertBucketSource.read(spark, dir)
+      .filter(col("d").isin(ins: _*)).select("k").as[Long].collect().sorted
+    val wantIn = Upsert.read(spark, dir)
+      .filter(col("d").isin(ins: _*)).select("k").as[Long].collect().sorted
+    assert(gotIn.toSeq == wantIn.toSeq && gotIn.nonEmpty)
   }
 
   test("end-to-end: Spark injects the runtime filter on a selective dim join and I/O drops") {

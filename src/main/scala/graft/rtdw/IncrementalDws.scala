@@ -144,9 +144,10 @@ object IncrementalDws {
                 groupCols: Seq[String], sumCols: Seq[String],
                 checkpointDir: String,
                 trigger: org.apache.spark.sql.streaming.Trigger =
-                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                maxBatchesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    graft.sources.ChangeFeedSource.read(spark, factDir)
+    graft.sources.ChangeFeedSource.read(spark, factDir, maxBatchesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -81,8 +81,12 @@ object ChangeFeedSource {
       StructField(ChangeFeed.ChangeCol, StringType, nullable = false))
   }
 
-  def read(spark: SparkSession, tableDir: String) =
-    spark.readStream.format(classOf[ChangeFeedSource].getName).load(tableDir)
+  def read(spark: SparkSession, tableDir: String,
+           maxBatchesPerTrigger: Option[Int] = None) = {
+    val r = spark.readStream.format(classOf[ChangeFeedSource].getName)
+    maxBatchesPerTrigger.fold(r)(n =>
+      r.option("maxBatchesPerTrigger", n.toString)).load(tableDir)
+  }
 }
 
 private[sources] case class ChangeFeedTable(dir: String)
@@ -97,13 +101,20 @@ private[sources] case class ChangeFeedTable(dir: String)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private val full = schema()
       private var required: StructType = full
+      // admission control: cap how many committed feed batches one
+      // micro-batch may consume (a restarted consumer with a week of
+      // backlog must drain it in bounded steps, not one giant fold)
+      private val maxBatches =
+        Option(options.get("maxBatchesPerTrigger")).map(_.toInt)
+      maxBatches.foreach(n => require(n > 0,
+        s"maxBatchesPerTrigger must be positive, got $n"))
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"ChangeFeedScan $dir"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChangeFeedStream(dir, full, required)
+          new ChangeFeedStream(dir, full, required, maxBatches)
       }
     }
 }
@@ -114,8 +125,10 @@ private[sources] case class FeedOffset(last: Long) extends Offset {
 }
 
 private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
-                                        required: StructType)
-    extends MicroBatchStream {
+                                        required: StructType,
+                                        maxBatchesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
@@ -125,6 +138,58 @@ private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
 
   override def latestOffset(): Offset =
     FeedOffset(ChangeFeed.batches(spark, dir).lastOption.map(_._1).getOrElse(-1L))
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Trigger.AvailableNow pins the drain target at query start (the
+    * contract: consume what exists NOW, in however many capped
+    * micro-batches, and stop). Implemented natively because Spark's
+    * AvailableNowDataStreamWrapper would otherwise IGNORE the
+    * admission-control cap — its latestOffset(start, limit) returns
+    * the prefetched end directly, folding the whole backlog into one
+    * micro-batch.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(latestOffset().asInstanceOf[FeedOffset].last)
+
+  /** Admission control: with `maxBatchesPerTrigger` set, one
+    * micro-batch consumes at most that many committed feed batches —
+    * a backlog drains in bounded, checkpointed steps. A bootstrap
+    * range (start = −1) is forced to reach past the newest `net=K`
+    * compacted batch even when that exceeds the cap: the net batch is
+    * the telescoped prefix 0..K and must land WHOLE in the first
+    * micro-batch (capping below K would plan a range the compaction
+    * already swallowed — the loud-failure case in
+    * [[planInputPartitions]]).
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[FeedOffset].last
+    val all0 = ChangeFeed.batches(spark, dir)
+    val all = availableNowTarget.fold(all0)(t => all0.filter(_._1 <= t))
+    maxBatchesPerTrigger match {
+      case None => FeedOffset(all.lastOption.map(_._1).getOrElse(-1L))
+      case Some(n) =>
+        val pending = all.map(_._1).filter(_ > s)
+        if (pending.isEmpty) FeedOffset(s)
+        else {
+          val capped = pending.take(n).last
+          def isNet(p: String) =
+            new org.apache.hadoop.fs.Path(p).getName.startsWith("net=")
+          val netMax =
+            if (s < 0) all.filter(t => isNet(t._2)).map(_._1).maxOption
+            else None
+          FeedOffset(netMax.fold(capped)(math.max(_, capped)))
+        }
+    }
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FeedOffset].last

@@ -196,6 +196,53 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(replayHole.getMessage.contains("replaying its first micro-batch"))
   }
 
+  test("maxBatchesPerTrigger drains a backlog in bounded micro-batches") {
+    val root = Files.createTempDirectory("cdf_admission").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("a", "p1", 1L, 10L, "insert")))
+    mergeBatch(fact, Seq(("b", "p2", 1L, 20L, "insert")))
+    mergeBatch(fact, Seq(("a", "p1", 2L, 15L, "update")))
+    val out = s"$root/out"
+    val ids = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = ChangeFeedSource.read(spark, fact, maxBatchesPerTrigger = Some(1))
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ids.add(id); df.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(120000)
+    // three feed batches, capped at one per trigger -> three
+    // micro-batches, content identical to an uncapped drain
+    assert(ids.size == 3, s"expected 3 micro-batches, got $ids")
+    import scala.jdk.CollectionConverters._
+    assert(ids.asScala.toSeq == ids.asScala.toSeq.sorted)
+    val got = spark.read.parquet(out)
+      .select("id", "amount_cents", ChangeFeed.ChangeCol)
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("a", 10L, "add"), ("b", 20L, "add"),
+      ("a", 10L, "retract"), ("a", 15L, "add")))
+  }
+
+  test("a capped bootstrap still reaches past a net batch in its first micro-batch") {
+    val root = Files.createTempDirectory("cdf_admission_net").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("a", "p1", 1L, 10L, "insert")))
+    mergeBatch(fact, Seq(("b", "p2", 1L, 20L, "insert")))
+    ChangeFeed.compact(spark, fact, upTo = 1L)
+    mergeBatch(fact, Seq(("c", "p3", 1L, 30L, "insert")))
+    mergeBatch(fact, Seq(("d", "p4", 1L, 40L, "insert")))
+    // cap 1 would naively end the first range BELOW the net batch and
+    // trip the compacted-range guard; the bootstrap must stretch to it
+    val dws = s"$root/dws"
+    val q = IncrementalDws.streaming(spark, fact, dws,
+      groupCols = Seq("province_id"), sumCols = Seq("amount_cents"),
+      checkpointDir = s"$root/ckpt", trigger = Trigger.AvailableNow(),
+      maxBatchesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    assert(served(dws) == fullRecompute(fact))
+  }
+
   test("a rebuilt checkpoint cannot fold into an existing DWS lineage") {
     val root = Files.createTempDirectory("cdf_rebuild").toString
     val fact = s"$root/fact"; val dws = s"$root/dws"

@@ -105,9 +105,13 @@ private[sources] case class ChangeFeedTable(dir: String)
       // micro-batch may consume (a restarted consumer with a week of
       // backlog must drain it in bounded steps, not one giant fold)
       private val maxBatches =
-        Option(options.get("maxBatchesPerTrigger")).map(_.toInt)
-      maxBatches.foreach(n => require(n > 0,
-        s"maxBatchesPerTrigger must be positive, got $n"))
+        Option(options.get("maxBatchesPerTrigger")).map { v =>
+          val n = scala.util.Try(v.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"maxBatchesPerTrigger must be a positive integer, got '$v'"))
+          require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
+          n
+        }
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan {
@@ -123,6 +127,16 @@ private[sources] case class ChangeFeedTable(dir: String)
 private[sources] case class FeedOffset(last: Long) extends Offset {
   override def json(): String = last.toString
 }
+
+/** The ReadLimit [[ChangeFeedStream]] advertises when
+  * `maxBatchesPerTrigger` is set. A REAL limit object (not a cap
+  * applied unconditionally) so Spark's trigger semantics compose
+  * correctly: Trigger.Once substitutes ReadLimit.allAvailable() and
+  * logs its standard warning, and the stream then drains fully in the
+  * one batch Once promises instead of silently stranding backlog.
+  */
+private[sources] case class MaxFeedBatches(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
                                         required: StructType,
@@ -155,57 +169,67 @@ private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
     availableNowTarget =
       Some(latestOffset().asInstanceOf[FeedOffset].last)
 
-  /** Admission control: with `maxBatchesPerTrigger` set, one
+  /** Admission control: with a [[MaxFeedBatches]] limit, one
     * micro-batch consumes at most that many committed feed batches —
-    * a backlog drains in bounded, checkpointed steps. A bootstrap
-    * range (start = −1) is forced to reach past the newest `net=K`
-    * compacted batch even when that exceeds the cap: the net batch is
-    * the telescoped prefix 0..K and must land WHOLE in the first
-    * micro-batch (capping below K would plan a range the compaction
-    * already swallowed — the loud-failure case in
-    * [[planInputPartitions]]).
+    * a backlog drains in bounded, checkpointed steps. Any other limit
+    * (Trigger.Once substitutes allAvailable) drains everything. A
+    * capped bootstrap needs no special net-batch handling:
+    * [[ChangeFeed.batches]] exposes only the newest net batch plus
+    * LATER batches, so on bootstrap the net is always the first
+    * pending id and any cap ≥ 1 includes it whole. Never returns an
+    * offset below `start`, and compaction that swallows part of an
+    * AvailableNow drain's pinned range fails loudly (the module-wide
+    * contract) instead of stranding it.
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[FeedOffset].last
     val all0 = ChangeFeed.batches(spark, dir)
-    val all = availableNowTarget.fold(all0)(t => all0.filter(_._1 <= t))
-    maxBatchesPerTrigger match {
-      case None => FeedOffset(all.lastOption.map(_._1).getOrElse(-1L))
-      case Some(n) =>
-        val pending = all.map(_._1).filter(_ > s)
-        if (pending.isEmpty) FeedOffset(s)
-        else {
-          val capped = pending.take(n).last
-          def isNet(p: String) =
-            new org.apache.hadoop.fs.Path(p).getName.startsWith("net=")
-          val netMax =
-            if (s < 0) all.filter(t => isNet(t._2)).map(_._1).maxOption
-            else None
-          FeedOffset(netMax.fold(capped)(math.max(_, capped)))
+    val all = availableNowTarget match {
+      case None => all0
+      case Some(t) =>
+        // a net batch ABOVE the pinned target means the producer
+        // compacted part of this drain's range away mid-flight —
+        // the same contract violation planInputPartitions surfaces
+        all0.find(b => b._1 > t && isNet(b._2)).foreach { case (id, _) =>
+          throw new IllegalStateException(
+            s"change feed of $dir was compacted to net=$id past this " +
+              s"AvailableNow drain's pinned target $t — compaction must stay " +
+              "behind every consumer (ChangeFeed.compact contract); restart " +
+              "the consumer")
         }
+        all0.filter(_._1 <= t)
     }
+    val end = limit match {
+      case MaxFeedBatches(n) =>
+        all.map(_._1).filter(_ > s).take(n).lastOption.getOrElse(s)
+      case _ => all.lastOption.map(_._1).getOrElse(-1L)
+    }
+    FeedOffset(math.max(s, end)) // an offset must never regress
   }
+
+  private def isNet(p: String): Boolean =
+    new org.apache.hadoop.fs.Path(p).getName.startsWith("net=")
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    maxBatchesPerTrigger.fold(
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())(
+      MaxFeedBatches(_))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FeedOffset].last
     val e = end.asInstanceOf[FeedOffset].last
     if (e <= s) return Array.empty
     val visible = ChangeFeed.batches(spark, dir)
-    // Net-batch safety (name-anchored: a table PATH containing "net="
-    // must not trip this). A net id ≤ s is history. A net id > s with
-    // s ≥ 0 re-delivers the prefix this consumer already applied —
+    // Net-batch safety (isNet is name-anchored: a table PATH containing
+    // "net=" must not trip this). A net id ≤ s is history. A net id > s
+    // with s ≥ 0 re-delivers the prefix this consumer already applied —
     // double count. A net id > e with s < 0 means a REPLAYED
     // bootstrap range (-∞, e] whose original batches were compacted
     // away mid-flight — the range can no longer be served; silence
     // here would commit an EMPTY batch and lose the prefix forever.
     // Both fail loudly, see class scaladoc.
-    def isNet(p: String) =
-      new org.apache.hadoop.fs.Path(p).getName.startsWith("net=")
     visible.find { case (id, p) =>
       isNet(p) && (if (s >= 0) id > s else id > e)
     }.foreach { case (id, _) =>

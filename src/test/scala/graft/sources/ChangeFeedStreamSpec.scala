@@ -224,7 +224,7 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("a", 10L, "retract"), ("a", 15L, "add")))
   }
 
-  test("a capped bootstrap still reaches past a net batch in its first micro-batch") {
+  test("a capped bootstrap over a compacted feed lands the net batch whole") {
     val root = Files.createTempDirectory("cdf_admission_net").toString
     val fact = s"$root/fact"
     mergeBatch(fact, Seq(("a", "p1", 1L, 10L, "insert")))
@@ -232,8 +232,10 @@ class ChangeFeedStreamSpec extends SparkSpec {
     ChangeFeed.compact(spark, fact, upTo = 1L)
     mergeBatch(fact, Seq(("c", "p3", 1L, 30L, "insert")))
     mergeBatch(fact, Seq(("d", "p4", 1L, 40L, "insert")))
-    // cap 1 would naively end the first range BELOW the net batch and
-    // trip the compacted-range guard; the bootstrap must stretch to it
+    // batches() exposes only the newest net batch plus later ones, so
+    // the bootstrap's first pending id IS the net and any cap ≥ 1
+    // consumes that telescoped prefix whole; the remaining batches
+    // drain one per micro-batch
     val dws = s"$root/dws"
     val q = IncrementalDws.streaming(spark, fact, dws,
       groupCols = Seq("province_id"), sumCols = Seq("amount_cents"),
@@ -241,6 +243,31 @@ class ChangeFeedStreamSpec extends SparkSpec {
       maxBatchesPerTrigger = Some(1))
     q.awaitTermination(120000)
     assert(served(dws) == fullRecompute(fact))
+  }
+
+  test("Trigger.Once overrides the cap: the single batch drains everything") {
+    val root = Files.createTempDirectory("cdf_admission_once").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("a", "p1", 1L, 10L, "insert")))
+    mergeBatch(fact, Seq(("b", "p2", 1L, 20L, "insert")))
+    mergeBatch(fact, Seq(("c", "p3", 1L, 30L, "insert")))
+    // Once promises ONE micro-batch covering everything available —
+    // Spark substitutes ReadLimit.allAvailable(), and the source must
+    // honor the SUBSTITUTED limit, not its own cap, or backlog would
+    // silently strand
+    val ids = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val out = s"$root/out"
+    @annotation.nowarn("cat=deprecation")
+    val q = ChangeFeedSource.read(spark, fact, maxBatchesPerTrigger = Some(1))
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.Once())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ids.add(id); df.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(ids.size == 1, s"Trigger.Once must run exactly one batch, got $ids")
+    assert(spark.read.parquet(out).count() == 3L)
   }
 
   test("a rebuilt checkpoint cannot fold into an existing DWS lineage") {

@@ -147,6 +147,25 @@ class TopNPushSpec extends SparkSpec {
         .select("tag").as[String].collect().toSeq)
   }
 
+  test("top-N pushes against a pinned MVCC generation, not the head") {
+    val dir = Files.createTempDirectory("topn_gen").toString
+    Upsert.overwriteSnapshot(spark, dir,
+      spark.range(1000).select(col("id").as("v")),
+      zoneCols = Seq("v"), clusterBy = Seq("v"), filesTarget = 4)
+    val genA = Upsert.bucketLayout(spark, dir).gen
+    Upsert.overwriteSnapshot(spark, dir,
+      spark.range(5000).select(col("id").as("v")),
+      zoneCols = Seq("v"), clusterBy = Seq("v"), filesTarget = 4)
+    val pinned = UpsertBucketSource.read(spark, dir, gen = Some(genA))
+      .orderBy(col("v").desc).limit(3).select("v")
+    assert(keptOf(plan(pinned), "topn=v DESC NULLS_LAST 3")
+      .exists(k => k._1 < k._2), plan(pinned))
+    assert(pinned.as[Long].collect().toSeq == Seq(999L, 998L, 997L))
+    val head = UpsertBucketSource.read(spark, dir)
+      .orderBy(col("v").desc).limit(3).select("v")
+    assert(head.as[Long].collect().toSeq == Seq(4999L, 4998L, 4997L))
+  }
+
   test("SQL through the catalog pushes the same way") {
     spark.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
     val q = spark.sql(

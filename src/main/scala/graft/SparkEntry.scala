@@ -473,8 +473,8 @@ object SparkEntry {
     "ddl_ctas_lifecycle" ->
       """SELECT event_type, COUNT(*) AS row_ct,
                 COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS backfilled_ct,
-                SUM(CASE WHEN event_id % 7 = 0
-                         THEN CAST(FLOOR(value * 100) AS BIGINT) END)
+                CAST(SUM(CASE WHEN event_id % 7 = 0
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
                   AS backfilled_cents
          FROM events GROUP BY event_type""",
 

@@ -139,9 +139,14 @@ object Mv {
     * (names+sizes+mtimes) — a regenerated source, same row count or
     * not, rewrites its files and therefore rebuilds instead of serving
     * stale rows; and the key costs zero Spark jobs on cache hit.
+    * The MvDef itself (dims/aggs/paths) is folded in too: the def IS
+    * the build recipe here, so an edited MV definition over unchanged
+    * source data rebuilds automatically (VERDICT r9 #2).
     */
   def ensure(spark: SparkSession, d: MvDef): Unit = {
-    val key = graft.io.Tables.sourceKey(spark, d.sourcePath)
+    val key = graft.io.Tables.sourceKey(spark, d.sourcePath) + "_" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d.toString))
     val marker = new org.apache.hadoop.fs.Path(d.mvPath, s"_built_$key")
     val fs = graft.io.FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {

@@ -55,22 +55,38 @@ object Tables {
 
   /** Build-once serving-table scaffold shared by the ops heads:
     * `root` = prefix + the sanitized sf-dir key, and a
-    * `_built_<sourceKey>` marker inside it gates the build — the
-    * file-metadata key means ANY regeneration of the source parquet
-    * rebuilds (even a column the head doesn't read — ADVICE r7 #1),
-    * and the cache-hit check launches zero Spark jobs (ADVICE r7 #3).
+    * `_built_<sourceKey>_<recipeKey>` marker inside it gates the
+    * build. The marker keys on BOTH inputs of the build:
+    *   - the source file-metadata fingerprint, so ANY regeneration of
+    *     the source parquet rebuilds (even a column the head doesn't
+    *     read — ADVICE r7 #1), at zero Spark jobs on cache hit
+    *     (ADVICE r7 #3);
+    *   - `recipe`, a caller-owned token describing the build closure's
+    *     parameters (zone columns, clustering, wave structure, …), so
+    *     an edited head recipe over UNCHANGED testdata also rebuilds
+    *     instead of serving the stale layout (VERDICT r9 #2 — the
+    *     hand-renamed `_v2` root was a per-incident patch for this).
     * `build` receives the root; the marker lands only after it
-    * returns, so a crashed build re-runs.
+    * returns, so a crashed build re-runs. A missing marker means the
+    * root's content is stale by definition (no build, a crashed one,
+    * or one under a different source/recipe), so the root is WIPED
+    * before building — several heads build by MUTATION (merge waves,
+    * SQL DML) and rebuilding on top of the previous state would
+    * double-apply the mutations silently.
     */
   def ensureBuilt(spark: SparkSession, rootPrefix: String, sfDir: String,
-                  source: String = "events.parquet")
+                  source: String = "events.parquet", recipe: String = "v1")
                  (build: String => Unit): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
     val root = rootPrefix + key
     val ck = sourceKey(spark, s"$sfDir/$source")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_built_$ck")
+    val rk = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(recipe))
+    val marker = new org.apache.hadoop.fs.Path(root, s"_built_${ck}_$rk")
     val fs = FsOps.fs(spark, marker)
     if (!fs.exists(marker)) {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
       build(root)
       fs.create(marker, true).close()
     }

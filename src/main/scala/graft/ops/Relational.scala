@@ -781,7 +781,8 @@ object Relational {
     * Returns the table root.
     */
   def zonesEventsEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/zones/events_ts_", sfDir) { root =>
+    Tables.ensureBuilt(spark, "target/zones/events_ts_", sfDir,
+        recipe = "zones(ts) cluster(ts) files=40 v1") { root =>
       graft.io.Upsert.overwriteSnapshot(spark, root,
         Tables.events(spark, sfDir),
         zoneCols = Seq("ts"), clusterBy = Seq("ts"), filesTarget = 40)
@@ -793,9 +794,11 @@ object Relational {
     * regenerations — long/string zones are always supported).
     */
   def metaAggEnsure(spark: SparkSession, sfDir: String): String =
-    // _v2 root: the recipe gained user_id zones (sum/count pushdown) —
-    // a pre-count local build under the old root must not serve
-    Tables.ensureBuilt(spark, "target/zones/events_meta_v2_", sfDir) { root =>
+    // the `recipe` token now guards recipe drift (edit it when the
+    // closure changes); the _v2 root is the pre-token rename kept for
+    // plan-sha stability
+    Tables.ensureBuilt(spark, "target/zones/events_meta_v2_", sfDir,
+        recipe = "zones(event_id,event_type,user_id) cluster(event_id) files=24 v1") { root =>
       graft.io.Upsert.overwriteSnapshot(spark, root,
         Tables.events(spark, sfDir),
         zoneCols = Seq("event_id", "event_type", "user_id"),
@@ -850,7 +853,8 @@ object Relational {
     * the table root.
     */
   def bloomEventsEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/blooms/events_pk_", sfDir) { root =>
+    Tables.ensureBuilt(spark, "target/blooms/events_pk_", sfDir,
+        recipe = "merge pk(event_id) bloom v1") { root =>
       graft.io.Upsert.merge(spark, root,
         Tables.events(spark, sfDir).withColumn("__v", lit(1L)),
         pk = Seq("event_id"), versionCol = "__v", bloom = true)
@@ -862,7 +866,8 @@ object Relational {
     * divisible by 97 gets value+1). Returns (root, genA, genB).
     */
   def snapshotDiffEnsure(spark: SparkSession, sfDir: String): (String, Long, Long) = {
-    val root = Tables.ensureBuilt(spark, "target/spj/events_diff_", sfDir) { root =>
+    val root = Tables.ensureBuilt(spark, "target/spj/events_diff_", sfDir,
+        recipe = "two-gen merge pk(event_id) corrections%97 v1") { root =>
       val ev = Tables.events(spark, sfDir)
       graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
         pk = Seq("event_id"), versionCol = "__v")
@@ -957,7 +962,8 @@ object Relational {
     * already-mutated table. Returns the table root.
     */
   def sqlMergeDmlEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/dml/events_merge_", sfDir) { root =>
+    Tables.ensureBuilt(spark, "target/dml/events_merge_", sfDir,
+        recipe = "sql-merge evens-update odds-delete inserts+1e12 v1") { root =>
       val ev = Tables.events(spark, sfDir)
       graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
         pk = Seq("event_id"), versionCol = "__v")
@@ -1003,7 +1009,8 @@ object Relational {
     * awaited). Returns the dws dir.
     */
   def dwsStreamEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/dml/stream_dws_", sfDir) { base =>
+    Tables.ensureBuilt(spark, "target/dml/stream_dws_", sfDir,
+        recipe = "stream-dws three-wave fold v1") { base =>
       val fact = s"$base/fact"
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"),
@@ -1045,7 +1052,8 @@ object Relational {
     * scan a folded table. Returns the MOR root.
     */
   def morSqlEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/dml/mor_sql_", sfDir) { root =>
+    Tables.ensureBuilt(spark, "target/dml/mor_sql_", sfDir,
+        recipe = "mor three-wave lww+delete v1") { root =>
       val dir = s"$root/t"
       val ev = Tables.events(spark, sfDir)
       def wave(df: DataFrame, cts: Column, v: Long, op: String) =
@@ -1089,7 +1097,8 @@ object Relational {
     * lands in. Returns the sink table dir.
     */
   def streamSinkEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/dml/stream_sink_", sfDir) { base =>
+    Tables.ensureBuilt(spark, "target/dml/stream_sink_", sfDir,
+        recipe = "stream-sink three-wave upsert v1") { base =>
       val src = s"$base/src"
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"),
@@ -1141,7 +1150,8 @@ object Relational {
     * (tombstoned, no file rewrite). Returns the table root.
     */
   def ddlLifecycleEnsure(spark: SparkSession, sfDir: String): String =
-    Tables.ensureBuilt(spark, "target/dml/ddl_ctas_", sfDir) { root =>
+    Tables.ensureBuilt(spark, "target/dml/ddl_ctas_", sfDir,
+        recipe = "ddl ctas+add-cols+backfill%7+drop-col v1") { root =>
       spark.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.UpsertCatalog].getName)
       spark.sql(s"DROP TABLE IF EXISTS graft.`$root`")

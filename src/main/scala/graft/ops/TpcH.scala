@@ -156,7 +156,8 @@ object TpcH {
     */
   def zonesLineitemEnsure(spark: SparkSession, sfDir: String): String =
     Tables.ensureBuilt(spark, "target/zones/lineitem_z_", sfDir,
-      source = "lineitem.parquet") { root =>
+      source = "lineitem.parquet",
+      recipe = "zorder(l_shipdate,l_discount) zones v1") { root =>
       // normalize the NTZ parquet timestamp to session-TZ TimestampType
       // (sessions pin UTC — the events-snapshot precedent) so the zone
       // sidecar machinery covers it; then rank it through an

@@ -568,7 +568,13 @@ object ScaleProbe {
           }
         }
         if (partial) graft.io.Bucketing.withPartialClustering(spark)(run())
-        else run()
+        else {
+          // r9 baseline: disable the r10 auto-selection so "grouped"
+          // really is one task per bucket (the straggler under test)
+          spark.conf.set("spark.graft.spj.autoPartialClustering", "false")
+          try run()
+          finally spark.conf.unset("spark.graft.spj.autoPartialClustering")
+        }
       }
       // two runs each; read the SECOND line (first pays codegen/JIT
       // warm-up inside its max-task figure)
@@ -578,6 +584,39 @@ object ScaleProbe {
       hotJoin("hot_partial", hotDir, dimHot, partial = true)
       hotJoin("uniform_grouped", uniDir, dimUni, partial = false)
       hotJoin("uniform_grouped", uniDir, dimUni, partial = false)
+
+      // r10 (VERDICT r9 #4): the UNANNOTATED catalog SQL join — no
+      // wrapper, no conf. AutoPartialClusteringRule reads the manifest
+      // skew and re-plans the hot join partially clustered by itself;
+      // the uniform twin must keep the grouped one-task-per-bucket form.
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      def hotSql(label: String, l: String, r: String): Unit = {
+        val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+        val tl = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              maxTask.getAndAccumulate(e.taskMetrics.executorRunTime, math.max)
+        }
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+        spark.sparkContext.addSparkListener(tl)
+        try {
+          val t0 = System.nanoTime()
+          val j = spark.sql(
+            s"SELECT l.k FROM graft.`$l` l JOIN graft.`$r` r ON l.k = r.k")
+          val out = j.queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus is async
+          println(f"[scale] spj_$label%-24s ${dt}%6.1fs   (out=$out, max task ${maxTask.get()}%d ms)")
+        } finally {
+          spark.sparkContext.removeSparkListener(tl)
+          spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
+      hotSql("hot_auto_sql", hotDir, dimHot)
+      hotSql("hot_auto_sql", hotDir, dimHot)
+      hotSql("uniform_auto_sql", uniDir, dimUni)
+      hotSql("uniform_auto_sql", uniDir, dimUni)
     }
 
     if (spillOnly) {

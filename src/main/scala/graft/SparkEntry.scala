@@ -41,6 +41,8 @@ object SparkEntry {
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
+    "mor_sql_dml" -> (Relational.morSqlDml _),
+    "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
     "a_zones_topn" -> (Relational.aZonesTopn _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
@@ -446,6 +448,44 @@ object SparkEntry {
          FROM events
          WHERE event_id % 101 <> 0
          GROUP BY event_type""",
+
+    // the Spark side mutates a MOR root entirely through SQL row-level
+    // DML (UPDATE +100 on %97; DELETE %101-not-%97; MERGE SET cents+7
+    // on %103-not-%101 keys and INSERT a +10^12-keyed synthetic set for
+    // %251 keys — each statement ONE O(batch) delta append) and
+    // aggregates the resolved table; the oracle recomputes the three
+    // statements' net effect over the raw events table
+    "mor_sql_dml" ->
+      """WITH kept AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE NOT (event_id % 101 = 0 AND event_id % 97 <> 0)),
+         vals AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 103 = 0 AND event_id % 101 <> 0
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) + 7
+                       WHEN event_id % 97 = 0
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) + 100
+                       ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+           FROM kept
+           UNION ALL
+           SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) + 11 AS cents
+           FROM events WHERE event_id % 251 = 0)
+         SELECT event_type, CAST(SUM(cents) AS BIGINT) AS value_cents,
+                COUNT(*) AS row_ct
+         FROM vals GROUP BY event_type""",
+
+    // VERSION AS OF 1 on the same root: the pinned post-UPDATE,
+    // pre-DELETE snapshot (compaction watermark upto=0 + retained
+    // delta batch 1); the oracle recomputes that INTERMEDIATE state —
+    // green proves time travel serves historical, not current, content
+    "mor_time_travel" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 97 = 0
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) + 100
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events GROUP BY event_type""",
 
     // the Spark side streams three command-file waves (insert-all,
     // corrections for %97 keys, deletes of %101-not-%97 keys) through

@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge-on-read catalog relations resolve into the composed
     // MergeOnRead.read plan before optimization (see MorReadRule)
     e.injectResolutionRule(session => graft.sources.MorReadRule(session))
+
+    // auto-select partially-clustered SPJ on skewed bucket layouts —
+    // runs after Spark's EnsureRequirements in the AQE preparation
+    // phase (see sources/AutoSpj.scala)
+    e.injectQueryStagePrepRule(session =>
+      graft.sources.AutoPartialClusteringRule(session))
     // joins against DimRegistry-declared tables broadcast even when
     // size estimates lie (see DimBroadcastRule)
     e.injectOptimizerRule(session => DimBroadcastRule(session))

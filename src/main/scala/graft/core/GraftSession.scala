@@ -39,8 +39,11 @@ object GraftSession {
       .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       // NOTE: …partiallyClusteredDistribution is deliberately NOT a
       // session default — Spark disables shuffle-one-side SPJ (the
-      // MergeOnRead big-delta path) while it is on; scope it to the
-      // skewed join via [[graft.io.Bucketing.withPartialClustering]]
+      // MergeOnRead big-delta path) while it is on. Skewed layouts get
+      // it automatically PER JOIN via AutoPartialClusteringRule
+      // (sources/AutoSpj.scala, injected below through GraftExtensions);
+      // [[graft.io.Bucketing.withPartialClustering]] stays as the
+      // explicit scoped override.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -161,6 +161,81 @@ object MergeOnRead {
     Snapshot(man, live)
   }
 
+  /** The table's version axis for SQL time travel: DELTA BATCH IDS
+    * (monotonic across compactions — see [[merge]]). `snapshotAt(K)` is
+    * the content as of batch K's commit: the newest RETAINED base
+    * manifest whose `upto` watermark is ≤ K, plus the delta batches in
+    * (upto, K]. Pre-compaction states stay reconstructible exactly as
+    * long as retention keeps them: base generations survive one
+    * compaction cycle (keepManifests=2) and folded deltas get the same
+    * one-cycle retention, so the snapshot BEFORE the latest compaction
+    * is always servable; anything older refuses loudly naming the
+    * GC'd batches rather than serving a torn state.
+    */
+  private[graft] def snapshotAt(spark: SparkSession, dir: String,
+                                version: Long): Snapshot = {
+    val all = deltaBatches(spark, dir)
+    val maxKnown = math.max(all.lastOption.map(_._1).getOrElse(-1L),
+      compactedUpto(spark, dir))
+    if (version < 0 || version > maxKnown)
+      throw new IllegalArgumentException(
+        s"VERSION AS OF $version on merge-on-read table $dir: versions are " +
+          s"delta batch ids, 0..$maxKnown at this snapshot")
+    // newest retained base manifest folded no further than `version`
+    val base = basePath(dir)
+    val manAt = Upsert.manifestGens(spark, base)
+      .flatMap(g => Upsert.manifestAt(spark, base, g))
+      .filter(_.props.get("upto").exists(_.toLong <= version))
+      .sortBy(m => (m.props("upto").toLong, m.gen))
+      .lastOption
+    val upto = manAt.flatMap(_.props.get("upto")).map(_.toLong).getOrElse(-1L)
+    val have = all.toMap
+    val missing = ((upto + 1) to version).filterNot(have.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"VERSION AS OF $version on merge-on-read table $dir is not " +
+          s"reconstructible: delta batch(es) ${missing.mkString(", ")} were " +
+          "GC'd after compaction (retention keeps one compaction cycle; " +
+          "older snapshots are gone)")
+    Snapshot(manAt, ((upto + 1) to version).map(k => (k, have(k))))
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest RETAINED delta batch
+    * committed at or before `tsMs` (commit time = the batch commit
+    * marker's filesystem stamp — written by the same rename that
+    * publishes the batch). Falls back to a base-only snapshot when the
+    * timestamp precedes every retained batch but a stamped base
+    * manifest qualifies; otherwise refuses with the earliest time that
+    * IS resolvable, mirroring [[Upsert.genAtTimestamp]].
+    */
+  private[graft] def versionAtTimestamp(spark: SparkSession, dir: String,
+                                        tsMs: Long): Long = {
+    val all = deltaBatches(spark, dir)
+    if (all.isEmpty && compactedUpto(spark, dir) < 0)
+      throw new Upsert.NoTableException(s"no delta batches or base under $dir")
+    val fs = FsOps.fs(spark, new Path(deltaRoot(dir)))
+    val stamped = all.map { case (k, p) =>
+      (k, fs.getFileStatus(new Path(p)).getModificationTime)
+    }
+    val hits = stamped.filter(_._2 <= tsMs)
+    if (hits.nonEmpty) hits.map(_._1).max
+    else {
+      // every retained batch is newer than ts; the compaction watermark
+      // itself qualifies when its manifest is stamped no later than ts
+      val base = basePath(dir)
+      val ok = Upsert.manifestGens(spark, base)
+        .flatMap(g => Upsert.manifestAt(spark, base, g))
+        .filter(m => m.props.get(Upsert.CommittedAtProp).exists(_.toLong <= tsMs))
+        .flatMap(_.props.get("upto").map(_.toLong))
+      if (ok.nonEmpty) ok.max
+      else throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF $tsMs precedes every retained snapshot of " +
+          s"merge-on-read table $dir" +
+          stamped.headOption.map(s => s" (earliest retained batch commit: ${s._2})")
+            .getOrElse("") + "; older snapshots were GC'd or never existed")
+    }
+  }
+
   /** True when `dir` holds a REAL merge-on-read shape: a recorded
     * contract, a committed base manifest, or at least one committed
     * delta batch. A bare child merely NAMED base/delta (a raw parquet

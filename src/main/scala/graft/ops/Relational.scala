@@ -1086,6 +1086,80 @@ object Relational {
           FROM graft.`$dir` GROUP BY event_type""")
   }
 
+  /** Build-once MOR table mutated entirely through SQL row-level DML
+    * (VERDICT r9 #3): insert-all compacts into the base recording the
+    * contract, then UPDATE (+100 cents on %97 keys), DELETE (%101-not-
+    * %97 keys), and a MERGE INTO (SET cents+7 on %103-not-%101 keys;
+    * INSERT a +10^12-keyed synthetic set for %251 keys) each land as
+    * ONE O(batch) delta append — batch ids 1, 2, 3; the base is never
+    * rewritten. Returns the MOR root.
+    */
+  def morDmlEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_dml_", sfDir,
+        recipe = "mor sql-dml update%97 delete%101 merge%103+%251 v1") { root =>
+      val dir = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      graft.io.MergeOnRead.merge(spark, dir,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          lit(1L).as("__v"), lit("insert").as("op")))
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.sql(s"""UPDATE graft.`$dir` SET value_cents = value_cents + 100
+                    WHERE event_id % 97 = 0""")
+      spark.sql(s"""DELETE FROM graft.`$dir`
+                    WHERE event_id % 101 = 0 AND event_id % 97 != 0""")
+      val view = "mor_dml_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.filter(col("event_id") % 103 === 0 && col("event_id") % 101 =!= 0)
+        .select(col("event_id").as("sid"), col("event_type").as("stype"),
+          (cents(col("value")) + 7).as("amt"))
+        .unionByName(ev.filter(col("event_id") % 251 === 0)
+          .select((col("event_id") + lit(1000000000000L)).as("sid"),
+            col("event_type").as("stype"),
+            (cents(col("value")) + 11).as("amt")))
+        .createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING $view s ON t.event_id = s.sid
+            WHEN MATCHED THEN UPDATE SET value_cents = s.amt
+            WHEN NOT MATCHED THEN
+              INSERT (event_id, event_type, value_cents, __v, op)
+              VALUES (s.sid, s.stype, s.amt, 1, 'insert')""")
+    } + "/t"
+
+  /** Aggregate over the SQL-DML-mutated MOR root; the ORACLE recomputes
+    * the three statements' net effect over the raw events table — a
+    * green row proves SQL UPDATE/DELETE/MERGE over the delta log equals
+    * an imperative recompute.
+    */
+  def morSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morDmlEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct
+          FROM graft.`$dir` GROUP BY event_type""")
+  }
+
+  /** `VERSION AS OF 1` on the DML-mutated MOR root — the pinned
+    * post-UPDATE, pre-DELETE snapshot, reconstructed from the
+    * compaction watermark (upto=0) plus retained delta batch 1. The
+    * ORACLE recomputes that intermediate state from raw events: a green
+    * row proves MOR time travel serves the exact historical content,
+    * not the current one.
+    */
+  def morTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morDmlEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct
+          FROM graft.`$dir` VERSION AS OF 1 GROUP BY event_type""")
+  }
+
   /** Build-once STREAMED-SINK table: three waves of command files
     * (insert-all ver 1, corrections for %97 keys ver 2, deletes of
     * %101-but-not-%97 keys ver 3) land in a staging dir, and a

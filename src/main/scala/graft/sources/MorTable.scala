@@ -43,11 +43,14 @@ private[graft] case class MorTable(dir: String, pk: Seq[String],
                                    deleteFlagCol: Option[String],
                                    numBuckets: Int,
                                    dataSchema: StructType,
-                                   snap: MergeOnRead.Snapshot)
+                                   snap: MergeOnRead.Snapshot,
+                                   pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  override def name(): String = s"mor:$dir"
+  override def name(): String =
+    s"mor:$dir" + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = dataSchema
   // TRUNCATE is declared so INSERT OVERWRITE reaches our own refusal
   // (with the compact pointer) instead of Spark's generic
@@ -92,8 +95,29 @@ private[graft] case class MorTable(dir: String, pk: Seq[String],
     * compaction, not to a write path that would have to fold live
     * deltas mid-statement.
     */
+  /** SQL `MERGE INTO` / `UPDATE` / `DELETE` = one O(batch) delta
+    * append ([[MorRowLevelOperation]]): Spark's own row-level rewrites
+    * join target and source and hand the write only the CHANGED rows;
+    * the commit lands them as the next `delta/batch=K` under the
+    * recorded LWW contract — the base is never rewritten, whatever the
+    * key distribution. The write-side symmetry of the reference's
+    * upsert-kafka SQL surface (SQLUtil.java:46-54).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refusePinnedWrite("row-level " + info.command)
+    () => new MorRowLevelOperation(this, info.command())
+  }
+
+  private def refusePinnedWrite(what: String): Unit =
+    pinnedVersion.foreach(v => throw new UnsupportedOperationException(
+      s"$what on merge-on-read table $dir VERSION AS OF $v: time-travel " +
+        "relations are read-only — write to the current table"))
+
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refusePinnedWrite("INSERT INTO")
     new org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
@@ -113,6 +137,7 @@ private[graft] case class MorTable(dir: String, pk: Seq[String],
             }
         }
     }
+  }
 }
 
 private[graft] object MorTable {
@@ -131,16 +156,57 @@ private[graft] object MorTable {
     * snapshot — a self-join can never resolve two racing states.
     */
   def load(spark: SparkSession, dir: String): MorTable = {
-    val (pk, vc, del, n) = MergeOnRead.contract(spark, dir).getOrElse(
+    val (pk, vc, del, n) = contractOf(spark, dir)
+    val snap = MergeOnRead.currentSnapshot(spark, dir)
+    MorTable(dir, pk, vc, del, n,
+      contractSchema(spark, dir, snap, pk, vc, del), snap)
+  }
+
+  /** The pinned read's schema with the contract columns (pk + version)
+    * reported NOT NULL — the LWW identity/order contract, same as the
+    * Upsert table's NOT-NULL pk, and what Spark's row-level DML
+    * rewrite requires of row-id attributes.
+    */
+  private def contractSchema(spark: SparkSession, dir: String,
+                             snap: MergeOnRead.Snapshot, pk: Seq[String],
+                             vc: String, del: Option[String]): StructType = {
+    val contract = (pk :+ vc).toSet
+    StructType(MergeOnRead.readPinned(spark, dir, snap, pk, vc, del,
+        MergeOnRead.DefaultBroadcastDeltaBytes).schema.fields
+      .map(f => if (contract(f.name)) f.copy(nullable = false) else f))
+  }
+
+  /** `VERSION AS OF <delta batch id>` — a pinned, read-only snapshot
+    * reconstructed from compaction watermarks + retained delta batches
+    * ([[graft.io.MergeOnRead.snapshotAt]]); non-reconstructible
+    * versions refuse there, naming the GC'd batches.
+    */
+  def loadAt(spark: SparkSession, dir: String, version: String): MorTable = {
+    val v = try version.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"VERSION AS OF '$version' on merge-on-read table $dir: versions " +
+          "are delta batch ids (integers)") }
+    val (pk, vc, del, n) = contractOf(spark, dir)
+    val snap = MergeOnRead.snapshotAt(spark, dir, v)
+    MorTable(dir, pk, vc, del, n,
+      contractSchema(spark, dir, snap, pk, vc, del), snap, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — micros from Spark, resolved to the newest
+    * retained delta batch committed at or before it.
+    */
+  def loadAtTimestamp(spark: SparkSession, dir: String, micros: Long): MorTable =
+    loadAt(spark, dir,
+      MergeOnRead.versionAtTimestamp(spark, dir,
+        Math.floorDiv(micros, 1000L)).toString)
+
+  private def contractOf(spark: SparkSession, dir: String)
+      : (Seq[String], String, Option[String], Int) =
+    MergeOnRead.contract(spark, dir).getOrElse(
       throw new UnsupportedOperationException(
         s"$dir is a merge-on-read table with no recorded contract — run one " +
           "MergeOnRead.compact (or recordContract) first, or read through " +
           "graft.io.MergeOnRead.read"))
-    val snap = MergeOnRead.currentSnapshot(spark, dir)
-    MorTable(dir, pk, vc, del, n,
-      MergeOnRead.readPinned(spark, dir, snap, pk, vc, del,
-        MergeOnRead.DefaultBroadcastDeltaBytes).schema, snap)
-  }
 }
 
 /** Analyzer rule: every [[MorTable]] relation becomes the composed
@@ -150,9 +216,47 @@ private[graft] object MorTable {
   * terminates because the substitute contains no MorTable relation.
   */
 private[graft] case class MorReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperatorsUp {
-    case r: DataSourceV2Relation if r.table.isInstanceOf[MorTable] =>
-      val t = r.table.asInstanceOf[MorTable]
+  /** The MorTable behind a relation: direct, or wrapped in Spark's
+    * [[org.apache.spark.sql.connector.write.RowLevelOperationTable]]
+    * (the target-scan relation the row-level DML rewrites plant inside
+    * their WriteDelta query — substituting it is what lets MERGE/
+    * UPDATE/DELETE read the RESOLVED content; the WriteDelta's own
+    * `table` field is not a child, so the write target survives).
+    */
+  private def morOf(t: org.apache.spark.sql.connector.catalog.Table): Option[MorTable] =
+    t match {
+      case m: MorTable => Some(m)
+      case other => org.apache.spark.sql.graft.Bridge
+        .rowLevelOperationTarget(other)
+        .collect { case m: MorTable => m }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // the TARGET relation of a row-level command must stay a relation:
+    // Spark's RewriteUpdateTable/RewriteDeleteFromTable/
+    // RewriteMergeIntoTable match on it to build the WriteDelta plan
+    // (whose RowLevelOperationTable scan THIS rule then substitutes —
+    // the morOf wrapper branch). Substituting the bare target first
+    // would leave the command unrewritten and fail at planning.
+    // Identity-keyed: the same table may appear on the SOURCE side of
+    // a MERGE as a different relation instance, which we DO substitute.
+    val dmlTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def targetsOf(p: LogicalPlan): Unit =
+      p.foreach { case r: DataSourceV2Relation => dmlTargets.add(r); case _ => () }
+    plan.foreach {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        targetsOf(u.table)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        targetsOf(d.table)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        targetsOf(m.targetTable)
+      case _ => ()
+    }
+    plan resolveOperatorsUp {
+    case r: DataSourceV2Relation
+        if !dmlTargets.contains(r) && morOf(r.table).isDefined =>
+      val t = morOf(r.table).get
       // spark.graft.mor.broadcastDeltaBytes scopes the read's
       // fast-path/SPJ choice for SQL readers (no API parameter there)
       val thresh = spark.conf
@@ -178,5 +282,6 @@ private[graft] case class MorReadRule(spark: SparkSession) extends Rule[LogicalP
             "analysis and substitution; re-run the query")
         Alias(src, a.name)(exprId = a.exprId)
       }, child)
+    }
   }
 }

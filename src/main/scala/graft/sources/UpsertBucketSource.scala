@@ -928,6 +928,22 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     */
   @volatile private var splitCache: Array[InputPartition] = _
 
+  /** max/median on-disk bytes over the non-empty buckets of the CURRENT
+    * kept file set — the layout-skew signal [[AutoPartialClusteringRule]]
+    * consults to decide whether a grouped SPJ join would cap its hot
+    * bucket at one task. Driver-side metadata only (the manifest's file
+    * list), no job.
+    */
+  private[graft] def bucketSkewRatio: Double = {
+    val sizes = buckets.map(b => keptFiles(b).map(_._2).sum)
+      .filter(_ > 0L).sorted
+    if (sizes.isEmpty) 1.0
+    else {
+      val med = sizes(sizes.length / 2)
+      if (med <= 0L) 1.0 else sizes.last.toDouble / med
+    }
+  }
+
   private def plannedSplits: Array[InputPartition] = {
     val cached = splitCache
     if (cached != null) return cached

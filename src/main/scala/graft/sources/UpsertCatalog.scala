@@ -84,55 +84,59 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
       if (MorTable.isMorRoot(spark, dir)) MorTable.load(spark, dir)
       else throw new NoSuchTableException(ident) }
 
-  /** `VERSION AS OF <gen>` — a retained MVCC generation. A missing
-    * table is NoSuchTableException; a vacuumed/never-committed
-    * generation surfaces its own message (the table EXISTS).
+  /** `VERSION AS OF` — a retained MVCC generation on an Upsert table;
+    * on a merge-on-read root, a DELTA BATCH ID resolved against
+    * compaction watermarks + retained delta batches
+    * ([[graft.io.MergeOnRead.snapshotAt]] — pre-compaction snapshots
+    * stay reconstructible for one retention cycle; GC'd ones refuse
+    * naming the missing batches). A missing table is
+    * NoSuchTableException; a vacuumed/never-committed generation
+    * surfaces its own message (the table EXISTS).
     */
   override def loadTable(ident: Identifier, version: String): Table =
     try UpsertBucketTable.load(dirOf(ident), Some(version.toLong), viaCatalog = true)
     catch {
       case _: graft.io.Upsert.NoTableException | _: NumberFormatException =>
-        refuseMorTimeTravel(ident)
-        throw new NoSuchTableException(ident)
+        morTimeTravel(ident, version).getOrElse(throw new NoSuchTableException(ident))
       case e: IllegalStateException =>
         // an explicit gen on a MOR ROOT fails as "no manifest for
         // gen=N" (raw IllegalStateException, the table-exists flavor);
         // on a real Upsert table that message is the honest
         // vacuumed-generation error — surface it unchanged
-        refuseMorTimeTravel(ident)
-        throw e
+        morTimeTravel(ident, version).getOrElse(throw e)
     }
 
-  // a MOR root's current content is base manifest + delta listing; a
-  // past generation's delta set is not reconstructible (folded deltas
-  // are GC'd) — refuse honestly rather than report "not found"
-  private def refuseMorTimeTravel(ident: Identifier): Unit = {
+  // Some(table) when ident is a MOR root: VERSION AS OF = delta batch id
+  private def morTimeTravel(ident: Identifier, version: String): Option[Table] = {
     val dir = dirOf(ident)
-    if (MorTable.isMorRoot(org.apache.spark.sql.SparkSession.active, dir))
-      throw new UnsupportedOperationException(
-        s"$dir is a merge-on-read table: time travel is not supported — " +
-          "folded delta batches are GC'd, so a past snapshot's content is " +
-          "not reconstructible (current-content SQL reads work)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (MorTable.isMorRoot(spark, dir)) Some(MorTable.loadAt(spark, dir, version))
+    else None
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands the resolved timestamp in
     * MICROseconds; it resolves to the newest retained generation whose
-    * manifest commit stamp is ≤ it ([[graft.io.Upsert.genAtTimestamp]]).
-    * A timestamp before the oldest retained commit, or a pre-stamp
-    * table, surfaces its own message (the table EXISTS — only genuine
-    * absence maps to NoSuchTableException).
+    * manifest commit stamp is ≤ it ([[graft.io.Upsert.genAtTimestamp]]);
+    * on a merge-on-read root, to the newest retained delta batch
+    * committed at or before it. A timestamp before the oldest retained
+    * commit, or a pre-stamp table, surfaces its own message (the table
+    * EXISTS — only genuine absence maps to NoSuchTableException).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = dirOf(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
     try {
       val gen = graft.io.Upsert.genAtTimestamp(
-        org.apache.spark.sql.SparkSession.active, dir,
-        Math.floorDiv(timestamp, 1000L))
+        spark, dir, Math.floorDiv(timestamp, 1000L))
       UpsertBucketTable.load(dir, Some(gen), viaCatalog = true)
     } catch {
-      case _: graft.io.Upsert.NoTableException =>
-        refuseMorTimeTravel(ident)
-        throw new NoSuchTableException(ident)
+      case e @ (_: graft.io.Upsert.NoTableException | _: IllegalStateException) =>
+        if (MorTable.isMorRoot(spark, dir))
+          MorTable.loadAtTimestamp(spark, dir, timestamp)
+        else e match {
+          case _: graft.io.Upsert.NoTableException => throw new NoSuchTableException(ident)
+          case other => throw other
+        }
     }
   }
 

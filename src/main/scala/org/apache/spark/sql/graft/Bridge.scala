@@ -33,4 +33,31 @@ object Bridge {
     */
   def sessionId(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Run `body` with a CLONED session SQLConf carrying `overrides` as
+    * the thread's active conf — a per-call-scoped conf flip that never
+    * mutates the session (concurrent queries keep their settings).
+    * `SQLConf.withExistingConf` is `private[sql]`; this is the
+    * sanctioned subpackage reach-through, same as the shims above.
+    */
+  def withConfOverride[T](spark: org.apache.spark.sql.SparkSession,
+                          overrides: Map[String, String])(body: => T): T = {
+    val cloned = spark.sessionState.conf.clone()
+    overrides.foreach { case (k, v) => cloned.setConfString(k, v) }
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(cloned)(body)
+  }
+
+  /** The table a row-level-DML target scan wraps, if any.
+    * `RowLevelOperationTable` (the relation Spark's MERGE/UPDATE/DELETE
+    * rewrites plant as the target-read inside their WriteDelta query)
+    * is `private[sql]` in Spark 4 — an analyzer rule that substitutes
+    * computed reads for those relations (graft.sources.MorReadRule)
+    * needs to see through the wrapper.
+    */
+  def rowLevelOperationTarget(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.catalog.Table] = t match {
+    case rl: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      Some(rl.table)
+    case _ => None
+  }
 }

@@ -123,10 +123,6 @@ class MorSqlReadSpec extends SparkSpec {
     assert(noContract.getMessage.contains("no recorded contract"))
 
     val dir = mkMor()
-    val tt = intercept[UnsupportedOperationException](
-      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1").collect())
-    assert(tt.getMessage.contains("time travel is not supported"))
-
     val desc = spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$dir`").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val props = desc.getOrElse("Table Properties", "")
@@ -153,6 +149,154 @@ class MorSqlReadSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.`$dir`").collect())
     assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       gone.getMessage.contains("not found"), s"got ${gone.getMessage}")
+  }
+
+  test("SQL UPDATE: one O(batch) delta append, base untouched; parity with the API path") {
+    catalogReady
+    val dir = mkMor()
+    val twin = mkMor()
+    val batchesBefore = MergeOnRead.deltaBatches(spark, dir).size
+    val baseGenBefore = MergeOnRead.stats(spark, dir).base.get
+    spark.sql(s"""UPDATE graft.`$dir` SET amount_cents = amount_cents + 1000
+                  WHERE id IN ('k5', 'k6', 'kNEW')""")
+    assert(MergeOnRead.deltaBatches(spark, dir).size == batchesBefore + 1,
+      "UPDATE must land exactly one delta batch")
+    assert(MergeOnRead.stats(spark, dir).base.get == baseGenBefore,
+      "UPDATE must never rewrite the base")
+    // API parity: the same batch through MergeOnRead.merge — unchanged
+    // version ties with the current winner and the newer batch wins
+    MergeOnRead.merge(spark, twin, Seq(
+      ("k5", "p1", 1L, 1005L, "insert"), ("k6", "p1", 1L, 1006L, "insert"),
+      ("kNEW", "p9", 2L, 1007L, "insert"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    assert(content(spark.sql(s"SELECT * FROM graft.`$dir`")) ==
+      content(MergeOnRead.read(spark, twin, pk, "ver", Some("op"))))
+    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` WHERE id = 'kNEW'")
+      .as[Long].head() == 1007L)
+  }
+
+  test("SQL DELETE: retraction rows carry the matched row's OWN version; parity") {
+    catalogReady
+    val dir = mkMor()
+    val twin = mkMor()
+    val batchesBefore = MergeOnRead.deltaBatches(spark, dir)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id IN ('k7', 'kNEW')")
+    val batches = MergeOnRead.deltaBatches(spark, dir)
+    assert(batches.size == batchesBefore.size + 1)
+    // the landed retraction rows: version = the matched row's own (k7
+    // base ver 1, kNEW delta ver 2) so ties break to the newer batch
+    val landed = spark.read.parquet(batches.last._2)
+      .select("id", "ver", "op").as[(String, Long, String)].collect()
+      .map { case (k, v, o) => k -> ((v, o)) }.toMap
+    assert(landed("k7") == ((1L, "delete")) && landed("kNEW") == ((2L, "delete")),
+      s"got $landed")
+    MergeOnRead.merge(spark, twin, Seq(
+      ("k7", null, 1L, 0L, "delete"), ("kNEW", null, 2L, 0L, "delete"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    assert(content(spark.sql(s"SELECT * FROM graft.`$dir`")) ==
+      content(MergeOnRead.read(spark, twin, pk, "ver", Some("op"))))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$dir` WHERE id IN ('k7','kNEW')")
+      .as[Long].head() == 0L)
+  }
+
+  test("SQL MERGE INTO: update + delete + insert actions land as ONE delta batch") {
+    catalogReady
+    val dir = mkMor()
+    Seq(("k10", "u", 555L), ("k11", "d", 0L), ("kM", "i", 42L))
+      .toDF("sid", "action", "amt").createOrReplaceTempView("mor_merge_src")
+    val batchesBefore = MergeOnRead.deltaBatches(spark, dir).size
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING mor_merge_src s ON t.id = s.sid
+          WHEN MATCHED AND s.action = 'u' THEN UPDATE SET amount_cents = s.amt
+          WHEN MATCHED AND s.action = 'd' THEN DELETE
+          WHEN NOT MATCHED THEN
+            INSERT (id, province_id, ver, amount_cents, op)
+            VALUES (s.sid, 'pM', 5, s.amt, 'insert')""")
+    assert(MergeOnRead.deltaBatches(spark, dir).size == batchesBefore + 1,
+      "MERGE must land exactly one delta batch")
+    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` WHERE id = 'k10'")
+      .as[Long].head() == 555L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir` WHERE id = 'k11'")
+      .as[Long].head() == 0L)
+    assert(spark.sql(
+      s"SELECT province_id, ver FROM graft.`$dir` WHERE id = 'kM'")
+      .as[(String, Long)].head() == (("pM", 5L)))
+  }
+
+  test("DML refusals: DELETE (and MERGE deletes) need a recorded deleteFlagCol") {
+    catalogReady
+    // contract WITHOUT a delete flag: retractions are not expressible
+    val root = Files.createTempDirectory("mor_sql_nodel").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 20).map(i => (s"k$i", 1L, i.toLong))
+        .toDF("id", "ver", "amount_cents"))
+    MergeOnRead.compact(spark, dir, pk, "ver")
+    val del = intercept[UnsupportedOperationException](
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE id = 'k1'"))
+    assert(del.getMessage.contains("no deleteFlagCol"), del.getMessage)
+    // UPDATE stays available — it needs no retraction row
+    spark.sql(s"UPDATE graft.`$dir` SET amount_cents = 99 WHERE id = 'k2'")
+    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` WHERE id = 'k2'")
+      .as[Long].head() == 99L)
+  }
+
+  test("VERSION AS OF resolves delta batch ids; pre-compaction snapshots retained one cycle") {
+    catalogReady
+    val dir = mkMor() // batch 0 folded (upto=0), batch 1 live
+    // v0 = the insert-only state; v1 = current
+    val v0 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 0")
+    assert(v0.count() == 200)
+    assert(v0.filter($"id" === "k1").select("amount_cents").as[Long].head() == 1L,
+      "version 0 must predate the k1 correction")
+    assert(content(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")) ==
+      content(spark.sql(s"SELECT * FROM graft.`$dir`")))
+    // wave 2 + second compaction: batch 1's pre-compaction snapshot must
+    // STILL be readable (one-cycle retention keeps manifest gen-1 and
+    // the folded batch 1)
+    MergeOnRead.merge(spark, dir, Seq(("k2", "p1", 9L, 999L, "update"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", deleteFlagCol = Some("op"))
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+    assert(v1.filter($"id" === "k1").select("amount_cents").as[Long].head() == 111L)
+    assert(v1.filter($"id" === "k2").select("amount_cents").as[Long].head() == 2L,
+      "version 1 must predate the k2 correction")
+    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` VERSION AS OF 2 " +
+      "WHERE id = 'k2'").as[Long].head() == 999L)
+    // offline GC drops every folded batch: version 2 (the watermark)
+    // still serves from the base alone; version 1 now refuses, NAMING
+    // the GC'd batch, instead of serving a torn state
+    MergeOnRead.gcCompactedDeltas(spark, dir, retainForReaders = false)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir` VERSION AS OF 2")
+      .as[Long].head() == 200L)
+    val gone = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1").collect())
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    assert(ms(gone).exists(m => m.contains("GC'd")), s"got ${ms(gone)}")
+    // out-of-range and non-integer versions refuse with the axis spelled out
+    val oob = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 99").collect())
+    assert(ms(oob).exists(_.contains("delta batch ids")), s"got ${ms(oob)}")
+  }
+
+  test("TIMESTAMP AS OF on a MOR root: newest retained batch at-or-before the stamp") {
+    catalogReady
+    val dir = mkMor()
+    // everything is committed by now: a future stamp resolves to current
+    val future = java.time.LocalDateTime.now().plusHours(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(content(spark.sql(
+      s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '$future'")) ==
+      content(spark.sql(s"SELECT * FROM graft.`$dir`")))
+    // a stamp before the table existed refuses with the honest message
+    val past = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '2001-01-01 00:00:00'").collect())
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    assert(ms(past).exists(_.contains("precedes every retained snapshot")),
+      s"got ${ms(past)}")
   }
 
   test("a raw dir with a child named base/delta is NOT a MOR table: never droppable") {

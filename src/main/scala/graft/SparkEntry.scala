@@ -44,6 +44,7 @@ object SparkEntry {
     "mor_sql_dml" -> (Relational.morSqlDml _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
+    "a_meta_agg_filtered" -> (Relational.aMetaAggFiltered _),
     "a_zones_topn" -> (Relational.aZonesTopn _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
@@ -421,6 +422,20 @@ object SparkEntry {
                 CAST(SUM(user_id) AS BIGINT) AS sum_uid,
                 COUNT(user_id) AS ct_uid
          FROM events""",
+
+    // metadata aggregates UNDER a contained range filter: the Spark
+    // side filters a file-range-aligned copy (files = event_id ranges
+    // of width 500) with [500, 3000) — every kept file fully inside
+    // the predicate, every dropped file fully outside, so the filter
+    // is absorbed by file pruning and the aggregate still answers from
+    // manifest + sidecars with ZERO tasks; the oracle recomputes the
+    // filtered aggregates over the raw table
+    "a_meta_agg_filtered" ->
+      """SELECT COUNT(*) AS row_ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+                COUNT(event_type) AS type_ct
+         FROM events WHERE event_id >= 500 AND event_id < 3000""",
 
     // the Spark side runs ORDER BY event_id DESC LIMIT 50 over the
     // event_id-clustered zones table with the top-N pushed into the

@@ -829,6 +829,57 @@ object Relational {
       count(col("user_id")).as("ct_uid"))
   }
 
+  /** Build-once events copy whose FILES align exactly to event_id
+    * ranges of width 500 (an explicit partitioner, preserved by
+    * overwriteSnapshot's clusterBy=Nil passthrough) with zone sidecars
+    * — the layout where a range predicate's endpoints can land ON file
+    * boundaries, so file-granular containment (VERDICT r9 #6) has
+    * something to absorb. Returns the table root.
+    */
+  def metaAggRangedEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/zones/events_ranged_", sfDir,
+        recipe = "range-aligned files W=500 zones(event_id,event_type,value_cents) v1") { root =>
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+      val w = 500L
+      val maxId = base.agg(max("event_id")).head.getLong(0)
+      val n = (maxId / w).toInt + 1
+      val schema = base.schema
+      val rdd = base.rdd.map(r => ((r.getLong(0) / w).toInt, r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = n
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }).values
+      graft.io.Upsert.overwriteSnapshot(spark, root,
+        spark.createDataFrame(rdd, schema),
+        zoneCols = Seq("event_id", "event_type", "value_cents"))
+    }
+
+  /** Metadata aggregates UNDER A CONTAINED RANGE FILTER (VERDICT r9
+    * #6): `WHERE event_id >= 500 AND event_id < 3000` over the
+    * range-aligned table — every kept file's zone range lies fully
+    * inside the predicate (and the dropped ones fully outside), so the
+    * filter is absorbed by file pruning and count/sum/min/max still
+    * answer from the manifest + sidecars: a LocalTableScan, ZERO
+    * tasks, zero file opens, exactly like the unfiltered
+    * [[aMetaAgg]]. A file straddling the range would refuse back to a
+    * normal scan (spec-pinned) — exactness or refusal. The ORACLE
+    * recomputes the same filtered aggregates over the raw events
+    * table.
+    */
+  def aMetaAggFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = metaAggRangedEnsure(spark, sfDir)
+    graft.sources.UpsertBucketSource.read(spark, root)
+      .filter(col("event_id") >= 500 && col("event_id") < 3000)
+      .agg(
+        count(lit(1)).as("row_ct"),
+        sum(col("value_cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(col("event_type")).as("type_ct"))
+  }
+
   /** Top-N scan pushdown over the clustered zones table: `ORDER BY
     * event_id DESC LIMIT 50` keeps only the files whose zone range can
     * intersect the true top 50 (a counting bound over the sidecars'

@@ -275,15 +275,117 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     required = requiredSchema
 
   /** Parquet-level pushdown is row-group SKIPPING, so hand every
-    * data-column filter to the reader but report them ALL back as
+    * data-column filter to the reader but report them back as
     * residual — Spark re-applies them above the scan and correctness
     * never depends on parquet's filter coverage.
+    *
+    * EXCEPT when the whole conjunction is exactly absorbed by FILE
+    * PRUNING (VERDICT r9 #6): when every predicate is a range/equality
+    * on a zone column and every candidate file either FULLY satisfies
+    * the conjunction (its zone range inside the predicate range, zero
+    * nulls in the filtered columns) or is FULLY excluded by one
+    * predicate, the filtered table IS the kept files — no residual.
+    * Then a `WHERE`-range aggregate answers from metadata with zero
+    * tasks, exactly like the unfiltered form, and even plain reads
+    * skip the per-row filter. One partially-overlapping file refuses
+    * the absorption (filters stay residual, zones still prune as a
+    * superset) — exactness or refusal, never a plan-dependent answer.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val dataCols = table.dataSchema.fieldNames.toSet
     allFilters = filters
     pushed = filters.filter(_.references.forall(dataCols.contains))
-    filters
+    containmentKeep(filters) match {
+      case Some(keep) =>
+        containedKeep = Some(keep)
+        // the scan's plan-time keep-set channel (shared with limit/
+        // top-N, which refuse under filters and cannot clobber it)
+        topKeep = Some(keep)
+        topDesc = s" contained=${keep.size}/${dataFiles.size}"
+        Array.empty
+      case None => filters
+    }
+  }
+
+  private var containedKeep: Option[Set[String]] = None
+
+  /** The exact kept-file set when `filters` is fully absorbed by
+    * file-granular zone containment, else None. Per file and per
+    * predicate: INCLUDE when every row provably satisfies it (zone
+    * range inside the predicate's range AND zero nulls in the column —
+    * null rows satisfy no comparison), EXCLUDE when no row can (zone
+    * range disjoint, or no non-null rows), PARTIAL otherwise. A file
+    * excluded by any conjunct drops; a file included by all keeps; any
+    * PARTIAL file refuses the whole absorption.
+    */
+  private def containmentKeep(filters: Array[Filter]): Option[Set[String]] = {
+    import org.apache.spark.sql.sources._
+    import graft.io.Zones
+    if (filters.isEmpty) return None
+    val zc = table.zoneCols.toSet
+    // structural gate first — only then pay the sidecar sweep
+    def colOf(f: Filter): Option[(String, Option[Any])] = f match {
+      case IsNotNull(c) => Some((c, None))
+      case EqualTo(c, v) if v != null => Some((c, Some(v)))
+      case GreaterThan(c, v) if v != null => Some((c, Some(v)))
+      case GreaterThanOrEqual(c, v) if v != null => Some((c, Some(v)))
+      case LessThan(c, v) if v != null => Some((c, Some(v)))
+      case LessThanOrEqual(c, v) if v != null => Some((c, Some(v)))
+      case _ => None
+    }
+    val shapes = filters.map(f => f -> colOf(f).getOrElse(return None))
+    if (!shapes.forall { case (_, (c, _)) => zc(c) }) return None
+    val types = table.dataSchema.fields.map(f => f.name -> f.dataType).toMap
+    val zvals: Map[Filter, Zones.ZVal] = shapes.collect {
+      case (f, (c, Some(v))) =>
+        f -> scala.util.Try(Zones.toZ(types(c), v)).getOrElse(return None)
+    }.toMap
+    val files = dataFiles
+    if (files.isEmpty) return Some(Set.empty)
+    val perFile = perFileZones().getOrElse(return None)
+    val keep = Set.newBuilder[String]
+    perFile.foreach { case (path, entry) =>
+      val rows = table.rowCounts.getOrElse(path, return None)
+      // per predicate: 1 = include, 0 = exclude, -1 = partial
+      // (missing sidecar data maps to partial: the caller refuses the
+      // whole absorption on any partial file)
+      def verdict(f: Filter): Int = {
+        val c = shapes.find(_._1 eq f).get._2._1
+        val z = entry.getOrElse(c, return -1)
+        val nonNull = z.nonNull.getOrElse(return -1)
+        val noNulls = nonNull == rows
+        f match {
+          case IsNotNull(_) =>
+            if (noNulls) 1 else if (nonNull == 0L) 0 else -1
+          case _ =>
+            if (nonNull == 0L) return 0 // no non-null row satisfies any cmp
+            val mn = z.min.getOrElse(return -1)
+            val mx = z.max.getOrElse(return -1)
+            val v = zvals(f)
+            // (all rows satisfy the comparison?, no row can?)
+            val (allIn, noneIn) = f match {
+              case _: GreaterThan =>
+                (Zones.cmp(mn, v) > 0, Zones.cmp(mx, v) <= 0)
+              case _: GreaterThanOrEqual =>
+                (Zones.cmp(mn, v) >= 0, Zones.cmp(mx, v) < 0)
+              case _: LessThan =>
+                (Zones.cmp(mx, v) < 0, Zones.cmp(mn, v) >= 0)
+              case _: LessThanOrEqual =>
+                (Zones.cmp(mx, v) <= 0, Zones.cmp(mn, v) > 0)
+              case _: EqualTo =>
+                (Zones.cmp(mn, v) == 0 && Zones.cmp(mx, v) == 0,
+                  Zones.cmp(mx, v) < 0 || Zones.cmp(mn, v) > 0)
+              case _ => (false, false)
+            }
+            if (noneIn) 0 else if (noNulls && allIn) 1 else -1
+        }
+      }
+      val vs = filters.map(verdict)
+      if (vs.contains(0)) () // excluded by some conjunct: drop the file
+      else if (vs.forall(_ == 1)) keep += path
+      else return None // partial overlap: refuse the whole absorption
+    }
+    Some(keep.result())
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -412,10 +514,12 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   /** Fold of [[perFileZones]] for ALL requested columns — None unless
     * every file carries an entry for every column.
     */
-  private def zoneStats(cols: Seq[String]): Option[Map[String, ColStats]] = {
+  private def zoneStats(cols: Seq[String],
+                        keep: Option[Set[String]] = None): Option[Map[String, ColStats]] = {
     import graft.io.Zones
     val empty = ColStats(None, None, Some(0L), None)
     val perFile = perFileZones().getOrElse(return None)
+      .filter { case (p, _) => keep.forall(_.contains(p)) }
     val acc = scala.collection.mutable.Map[String, ColStats](
       cols.map(_ -> empty): _*)
     perFile.foreach { case (_, entry) =>
@@ -468,8 +572,16 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   private def computeMetaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty ||
+    // filters refuse UNLESS the whole conjunction was exactly absorbed
+    // by file containment (pushFilters) — then the filtered table IS
+    // the kept files and every metadata answer below restricts to them
+    if (agg.groupByExpressions.nonEmpty ||
+        (allFilters.nonEmpty && containedKeep.isEmpty) ||
         agg.aggregateExpressions.isEmpty) return None
+    val kept: Seq[(String, Long)] = containedKeep match {
+      case Some(k) => dataFiles.filter { case (p, _) => k.contains(p) }
+      case None => dataFiles
+    }
     // resolve every expression's column + shape FIRST, then do the
     // metadata I/O once for the whole aggregation
     val wants: Seq[Want] = agg.aggregateExpressions.toSeq.map {
@@ -500,10 +612,9 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     val count: Option[Long] =
       if (!wants.contains(WCountStar)) None
       else {
-        val files = dataFiles
-        if (files.isEmpty) Some(0L)
-        else if (files.forall(f => table.rowCounts.contains(f._1)))
-          Some(files.map(f => table.rowCounts(f._1)).sum)
+        if (kept.isEmpty) Some(0L)
+        else if (kept.forall(f => table.rowCounts.contains(f._1)))
+          Some(kept.map(f => table.rowCounts(f._1)).sum)
         else return None
       }
     val zcCols = wants.collect {
@@ -514,9 +625,9 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     }.distinct
     // a zero-file table answers every shape exactly (null mins, zero
     // counts) with no sidecar at all — only live files need zones
-    if (dataFiles.nonEmpty && !zcCols.forall(table.zoneCols.contains)) return None
+    if (kept.nonEmpty && !zcCols.forall(table.zoneCols.contains)) return None
     val zs = if (zcCols.isEmpty) Map.empty[String, ColStats]
-    else zoneStats(zcCols).getOrElse(return None)
+    else zoneStats(zcCols, containedKeep).getOrElse(return None)
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     wants.foreach {

@@ -224,6 +224,51 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("a", 10L, "retract"), ("a", 15L, "add")))
   }
 
+  test("maxBytesPerTrigger drains heterogeneous batch sizes bounded by bytes") {
+    val root = Files.createTempDirectory("cdf_bytes").toString
+    val fact = s"$root/fact"
+    // two thin batches, one FAT batch (thousands of rows), two thin:
+    // a count cap alone cannot bound memory here, a byte cap can
+    mergeBatch(fact, Seq(("a", "p1", 1L, 10L, "insert")))
+    mergeBatch(fact, Seq(("b", "p2", 1L, 20L, "insert")))
+    Upsert.merge(spark, fact,
+      spark.range(4000).select(concat(lit("fat"), col("id")).as("id"),
+        lit("p3").as("province_id"), lit(1L).as("ver"),
+        col("id").as("amount_cents"), lit("insert").as("op")),
+      pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"),
+      changeLog = true)
+    mergeBatch(fact, Seq(("c", "p4", 1L, 30L, "insert")))
+    mergeBatch(fact, Seq(("d", "p5", 1L, 40L, "insert")))
+    // byte budget sized between "two thin batches" and "thin + fat":
+    // thin feed batches are a few KB, the fat one is much larger
+    val feedDir = new org.apache.hadoop.fs.Path(ChangeFeed.dirFor(fact))
+    val fs = feedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = ChangeFeed.batches(spark, fact).map { case (id, p) =>
+      id -> fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    val fat = sizes.map(_._2).max
+    val thin = sizes.map(_._2).filter(_ != fat).max // largest THIN batch
+    assert(fat > 3 * thin, s"fat batch must dominate: $sizes")
+    val budget = thin * 2 + thin / 2 // fits any two thin, never thin+fat
+    val out = s"$root/out"
+    val ids = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = ChangeFeedSource.read(spark, fact,
+      maxBytesPerTrigger = Some(budget))
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ids.add(id); df.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(120000)
+    // expected admission: [thin a + thin b], [FAT alone — oversized but
+    // first-pending, progress over stall], [thin c + thin d]
+    assert(ids.size == 3, s"expected 3 byte-bounded micro-batches, got $ids")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4004L)
+    assert(got.filter(col("id").isin("a", "b", "c", "d")).count() == 4L)
+  }
+
   test("a capped bootstrap over a compacted feed lands the net batch whole") {
     val root = Files.createTempDirectory("cdf_admission_net").toString
     val fact = s"$root/fact"

@@ -314,6 +314,92 @@ class MetaAggSpec extends SparkSpec {
         .as[(Long, Double)].head())
   }
 
+  /** Range-aligned layout for the contained-filter pushdown: files =
+    * whole id-ranges of width `w` (an explicit partitioner, preserved
+    * by overwriteSnapshot's clusterBy=Nil passthrough).
+    */
+  private def mkRanged(n: Int, w: Long): String = {
+    val dir = Files.createTempDirectory("meta_rng").toString
+    val base = spark.range(n).select(col("id"), (col("id") * 3).as("v"),
+      concat(lit("t"), (col("id") % 5).cast("string")).as("tag"))
+    val parts = ((n - 1) / w).toInt + 1
+    val rdd = base.rdd.map(r => ((r.getLong(0) / w).toInt, r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }).values
+    Upsert.overwriteSnapshot(spark, dir,
+      spark.createDataFrame(rdd, base.schema),
+      zoneCols = Seq("id", "v", "tag"))
+    dir
+  }
+
+  test("contained range filter: aggregates still answer from metadata, zero tasks") {
+    catalogReady
+    val dir = mkRanged(4000, 500)
+    // [500, 3000): kept files fully inside, dropped files fully outside
+    val df = UpsertBucketSource.read(spark, dir)
+      .filter(col("id") >= 500 && col("id") < 3000)
+      .agg(count(lit(1)).as("c"), sum("v").as("s"),
+        min("id").as("mn"), max("id").as("mx"), count("tag").as("ct"))
+    assert(plan(df).contains("LocalTableScan") &&
+      !plan(df).contains("UpsertBucketScan"),
+      s"contained filter must still answer from metadata:\n${plan(df)}")
+    val truth = Upsert.read(spark, dir)
+      .filter(col("id") >= 500 && col("id") < 3000)
+      .agg(count(lit(1)), sum("v"), min("id"), max("id"), count("tag"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(df.as[(Long, Long, Long, Long, Long)].head() == truth)
+    // boundary-INCLUSIVE forms too (<=, >=, = on a whole-file value set)
+    val eqRange = UpsertBucketSource.read(spark, dir)
+      .filter(col("id") >= 1000 && col("id") <= 1499)
+      .agg(count(lit(1)).as("c"))
+    assert(plan(eqRange).contains("LocalTableScan"), plan(eqRange))
+    assert(eqRange.as[Long].head() == 500L)
+    // a range excluding EVERYTHING: zero-task count of 0
+    val none = UpsertBucketSource.read(spark, dir)
+      .filter(col("id") >= 100000)
+      .agg(count(lit(1)).as("c"))
+    assert(plan(none).contains("LocalTableScan"), plan(none))
+    assert(none.as[Long].head() == 0L)
+  }
+
+  test("contained filter absorbs on plain row reads too: no residual Filter node") {
+    catalogReady
+    val dir = mkRanged(2000, 500)
+    val df = UpsertBucketSource.read(spark, dir)
+      .filter(col("id") >= 500 && col("id") < 1500).select("id", "v")
+    val p = plan(df)
+    assert(!p.contains("Filter ("),
+      s"contained predicate must be absorbed by file pruning:\n$p")
+    assert(p.contains("contained="), s"plan must pin the keep-set:\n$p")
+    assert(df.count() == 1000L)
+    assert(df.agg(min("id"), max("id")).as[(Long, Long)].head() == ((500L, 1499L)))
+  }
+
+  test("REFUSAL: a partially overlapping file keeps the residual filter and the scan") {
+    catalogReady
+    val dir = mkRanged(2000, 500)
+    // 750 splits file [500,1000) — containment must refuse, zones still
+    // prune as a superset, the residual filter restores exactness
+    val df = UpsertBucketSource.read(spark, dir)
+      .filter(col("id") >= 750 && col("id") < 1500)
+      .agg(count(lit(1)).as("c"))
+    assert(plan(df).contains("UpsertBucketScan"),
+      s"partial overlap must fall back to the scan:\n${plan(df)}")
+    assert(df.as[Long].head() == 750L)
+    // equality on a multi-valued file: refuse, exact through the scan
+    val eq = UpsertBucketSource.read(spark, dir).filter(col("id") === 123)
+      .agg(count(lit(1)).as("c"))
+    assert(plan(eq).contains("UpsertBucketScan"), plan(eq))
+    assert(eq.as[Long].head() == 1L)
+    // filters on non-zone shapes (IN / OR) refuse wholesale
+    val in = UpsertBucketSource.read(spark, dir)
+      .filter(col("id").isin(1L, 2L, 3L)).agg(count(lit(1)).as("c"))
+    assert(plan(in).contains("UpsertBucketScan"), plan(in))
+    assert(in.as[Long].head() == 3L)
+  }
+
   test("time travel counts the pinned generation, not the current one") {
     catalogReady
     val dir = mkMergeTable(300)

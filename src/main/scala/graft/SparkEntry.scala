@@ -50,6 +50,7 @@ object SparkEntry {
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
+    "q_cbo_broadcast_flip" -> (TpcH.qCboBroadcastFlip _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -539,6 +540,22 @@ object SparkEntry {
                   AS revenue_cents
          FROM lineitem GROUP BY l_orderkey
          ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+
+    // CBO payoff: the Spark side joins Upsert copies under cbo.enabled
+    // with the broadcast threshold pinned BELOW the dim's size — the
+    // scan's exact o_totalprice min/max make FilterEstimation shrink
+    // the filtered dim under the threshold, flipping the plan from
+    // sort-merge (whole fact shuffles) to broadcast (zero fact
+    // shuffle); CboJoinSpec pins both shapes. The oracle recomputes
+    // the join over the raw tables.
+    "q_cbo_broadcast_flip" ->
+      """SELECT l_orderkey,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents,
+                COUNT(*) AS item_ct
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice < 5000
+         GROUP BY l_orderkey""",
 
     // oracle runs the same IN-list over the raw events table; the Spark
     // side reads only the bucket+bloom-narrowed file list of the

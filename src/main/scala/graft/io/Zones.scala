@@ -94,7 +94,8 @@ object Zones {
     */
   final case class ColZone(min: Option[ZVal], max: Option[ZVal],
                            nonNull: Option[Long] = None,
-                           sum: Option[BigInt] = None)
+                           sum: Option[BigInt] = None,
+                           ndv: Option[Long] = None)
 
   /** Integral column types whose per-file sums the sidecar records —
     * the exact-refold set (fold in BigInt, overflow impossible).
@@ -197,7 +198,13 @@ object Zones {
   private def statAggs(sup: Seq[(String, DataType, Column)]): Seq[Column] =
     sup.flatMap { case (c, dt, e) =>
       Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"),
-        count(col(c)).as(s"__nn_$c")) ++
+        count(col(c)).as(s"__nn_$c"),
+        // per-file APPROX distinct (HLL++, Spark's own ANALYZE
+        // estimator): folded table-wide as min(nonNull, Σ ndv) — an
+        // ESTIMATE for the CBO's distinctCount, clearly not part of
+        // the exactness-or-refusal answer contract (stats are planner
+        // hints; Spark's catalog ndv is the same HLL approximation)
+        approx_count_distinct(col(c)).as(s"__nd_$c")) ++
         (if (dt == StringType)
           Seq(min(col(c).cast("binary")).as(s"__bn_$c"),
             max(col(c).cast("binary")).as(s"__bx_$c"))
@@ -228,7 +235,8 @@ object Zones {
         if (!sumSupported(dt)) None
         else Option(r.getAs[java.math.BigDecimal](s"__sm_$c"))
           .map(bd => BigInt(bd.toBigInteger))
-      if (lossless) Some(c -> ColZone(mn, mx, Some(nn), sm)) else None
+      val nd = Option(r.getAs[Long](s"__nd_$c"))
+      if (lossless) Some(c -> ColZone(mn, mx, Some(nn), sm, nd)) else None
     }.toMap
 
   def build(spark: SparkSession, stagedDir: String,
@@ -289,11 +297,13 @@ object Zones {
   }
 
   /** Write a bucket dir's sidecars: the v2 file carries one
-    * `file\tcol\tmin\tmax\tnonNull\tsum` line per (file, column)
-    * (nonNull / sum encode as `~` when unknown), and the v1 file the
-    * same lines truncated to the original 4 fields — readers of either
-    * format prune. Strings Base64-coded so no value can break the
-    * framing.
+    * `file\tcol\tmin\tmax\tnonNull\tsum\tndv` line per (file, column)
+    * (nonNull / sum / ndv encode as `~` when unknown; ndv is the
+    * per-file HLL++ estimate feeding the CBO's distinctCount), and the
+    * v1 file the same lines truncated to the original 4 fields —
+    * readers of either format prune, and a 6-field v2 written before
+    * the ndv column reads back with ndv unknown. Strings Base64-coded
+    * so no value can break the framing.
     */
   def write(fs: FileSystem, bucketDir: Path,
             entries: Map[String, Map[String, ColZone]]): Unit = {
@@ -301,7 +311,8 @@ object Zones {
       cols.toSeq.sortBy(_._1).map { case (c, z) =>
         val nn = z.nonNull.fold("~")(_.toString)
         val sm = z.sum.fold("~")("i" + _.toString)
-        (s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}", s"\t$nn\t$sm")
+        val nd = z.ndv.fold("~")(_.toString)
+        (s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}", s"\t$nn\t$sm\t$nd")
       }
     }
     def put(p: Path, body: String): Unit = {
@@ -328,13 +339,15 @@ object Zones {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
     Some(text.linesIterator.filter(_.nonEmpty).toSeq.map { line =>
-      val parts = line.split("\t", 6)
+      val parts = line.split("\t", 7)
       val Array(name, c, mn, mx) = parts.take(4)
       val nn = if (parts.length < 6 || parts(4) == "~") None
         else Some(parts(4).toLong)
       val sm = if (parts.length < 6 || parts(5) == "~") None
         else Some(BigInt(parts(5).stripPrefix("i")))
-      (name, c, ColZone(dec(mn), dec(mx), nn, sm))
+      val nd = if (parts.length < 7 || parts(6) == "~") None
+        else Some(parts(6).toLong)
+      (name, c, ColZone(dec(mn), dec(mx), nn, sm, nd))
     }.groupBy(_._1).map { case (name, ts) =>
       name -> ts.map(t => t._2 -> t._3).toMap
     })

@@ -546,6 +546,98 @@ object TpcH {
       .orderBy(col("revenue_cents").desc, col("l_orderkey"))
       .limit(k)
 
+  /** Build-once Upsert copies of lineitem + orders for the CBO payoff
+    * head: orders records o_totalprice ZONES (exact global min/max for
+    * the CBO's filter estimation) but is CLUSTERED BY KEY, so each
+    * file's totalprice range spans the table — zone PRUNING keeps
+    * every file and the scan's sizeInBytes stays the full table: the
+    * broadcast decision below is made by STATISTICS, not by file
+    * skipping. Returns (lineitemRoot, ordersRoot).
+    */
+  def cboEnsure(spark: SparkSession, sfDir: String): (String, String) = {
+    val l = Tables.ensureBuilt(spark, "target/cbo/lineitem_", sfDir,
+        source = "lineitem.parquet",
+        recipe = "snapshot cluster(l_orderkey) files=8 v1") { root =>
+      graft.io.Upsert.overwriteSnapshot(spark, root,
+        Tables.lineitem(spark, sfDir),
+        clusterBy = Seq("l_orderkey"), filesTarget = 8)
+    }
+    val o = Tables.ensureBuilt(spark, "target/cbo/orders_", sfDir,
+        source = "orders.parquet",
+        recipe = "snapshot zones(o_totalprice) cluster(o_orderkey) files=8 ndv-v2") { root =>
+      graft.io.Upsert.overwriteSnapshot(spark, root,
+        Tables.orders(spark, sfDir),
+        zoneCols = Seq("o_totalprice"),
+        clusterBy = Seq("o_orderkey"), filesTarget = 8)
+    }
+    (l, o)
+  }
+
+  /** Per-sfDir CHILD session for the CBO head: `newSession()` shares
+    * the SparkContext and the GraftExtensions but owns its SQLConf, so
+    * the head's cbo flip and broadcast threshold are invisible to
+    * every other head — and, critically, they are STILL SET when the
+    * caller lazily executes the returned DataFrame (a try/finally
+    * restore would be undone before Verify's write replans it).
+    */
+  private val cboSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** CBO PAYOFF head (VERDICT r9 #5): a fact⋈dim join whose dim side
+    * is range-FILTERED on a zone column. The broadcast threshold is
+    * pinned below the dim's on-disk size (the 100 TB shape: a dim too
+    * big to broadcast unfiltered), so:
+    *   - WITHOUT cbo, the filter's output is estimated at the child's
+    *     full size (size-only visitor) → the planner must sort-merge:
+    *     the WHOLE fact shuffles;
+    *   - WITH cbo, the scan's exact o_totalprice min/max feed
+    *     FilterEstimation: `< 5000` keeps <1% of a [≈1000, ≈500000]
+    *     range, the filtered dim estimates far below the threshold,
+    *     and the planner BROADCASTS it — zero fact shuffle, the plan a
+    *     1000-executor cluster needs.
+    * The flip is plan-pinned both ways in CboJoinSpec; the ORACLE
+    * recomputes the join over the raw tables, green proving the
+    * stats-driven plan returns exactly the recompute.
+    */
+  def qCboBroadcastFlip(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lRoot, oRoot) = cboEnsure(spark, sfDir)
+    val dimBytes = graft.io.Upsert.stats(spark, oRoot).get.liveBytes
+    val s2 = cboSessions.computeIfAbsent(sfDir, _ => {
+      val s = spark.newSession()
+      // the engine confs the child must share (newSession starts from
+      // SparkConf defaults, not the parent's runtime values)
+      Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition")
+        .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(1L, dimBytes / 2).toString)
+      // the runtime rescue must not mask the PLANNED choice either way
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        math.max(1L, dimBytes / 2).toString)
+      s
+    })
+    cboJoin(s2, lRoot, oRoot)
+  }
+
+  /** The join itself, session-parameterized so [[qCboBroadcastFlip]]
+    * and the plan spec build the IDENTICAL query under different confs.
+    */
+  private[graft] def cboJoin(s: SparkSession, lRoot: String,
+                             oRoot: String): DataFrame = {
+    val li = graft.sources.UpsertBucketSource.read(s, lRoot)
+    val o = graft.sources.UpsertBucketSource.read(s, oRoot)
+      .filter(col("o_totalprice") < 5000.0)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("item_ct"))
+  }
+
   /** Q5-style local-supplier revenue: 6-way join, group by nation.
     * Facts (lineitem⋈orders) shuffle once on the order key; nation /
     * region hint-broadcast, customer / supplier left to AQE.

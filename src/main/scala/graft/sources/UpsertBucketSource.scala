@@ -1152,6 +1152,10 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
           var mn: Option[Zones.ZVal] = None
           var mx: Option[Zones.ZVal] = None
           var nonNull: Option[Long] = Some(0L)
+          // Σ per-file HLL ndv, capped at the non-null count below — a
+          // standard upper-bound ESTIMATE (the planner hint CBO range/
+          // equality estimation requires), not an exact answer
+          var ndvSum: Option[Long] = Some(0L)
           // a kept file with no entry for this column (e.g. a merge
           // added the zone column and only rewrote touched buckets)
           // invalidates EVERYTHING for it — a partial min/max would be
@@ -1165,10 +1169,11 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                 mx = z.max.map(v =>
                   mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(mx)
                 nonNull = for (a <- nonNull; b <- z.nonNull) yield a + b
+                ndvSum = for (a <- ndvSum; b <- z.ndv) yield a + b
               case _ => complete = false
             }
           }
-          if (!complete) { mn = None; mx = None; nonNull = None }
+          if (!complete) { mn = None; mx = None; nonNull = None; ndvSum = None }
           val nulls = for (t <- rows; nn <- nonNull) yield t - nn
           // string min/max stay unreported (catalyst ColumnStat never
           // carries string bounds); null counts report for every kind
@@ -1181,7 +1186,8 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
           // per key, so distinctCount(pk) == numRows EXACTLY — the
           // equality-selectivity input CBO otherwise never has
           val distinct =
-            if (table.pk == Seq(f.name)) rows else None
+            if (table.pk == Seq(f.name)) rows // LWW: exact, beats the estimate
+            else for (nd <- ndvSum; nn <- nonNull) yield math.min(nd, nn)
           if (bounds._1.isDefined || nulls.isDefined || distinct.isDefined)
             out.put(Expressions.column(f.name),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {

@@ -70,6 +70,17 @@ object ParquetScanShim {
     PartitionedFile(partitionValues, SparkPath.fromPathString(path), start, length,
       fileSize = fileSize)
 
+  /** A FRESH session-aware Configuration for ONE scan build.
+    * `buildReaderWithPartitionValues` MUTATES the conf it is given
+    * (read schema, parquet filter predicate) before snapshotting it
+    * into its broadcast — so two scans in one query sharing
+    * `sparkContext.hadoopConfiguration` poison each other: the second
+    * build's schema/predicate can ride into the first scan's tasks,
+    * and a predicate naming a column the other table lacks prunes
+    * every row group (a two-bucket-table join silently returned ZERO
+    * rows). Spark's own FileSourceScanExec clones per scan
+    * (`sessionState.newHadoopConf()`); so do we.
+    */
   def hadoopConf(spark: SparkSession): Configuration =
-    spark.sparkContext.hadoopConfiguration
+    spark.sessionState.newHadoopConf()
 }

@@ -156,4 +156,29 @@ class UpsertSpjSpec extends SparkSpec {
       .filter(col("k") === "k7").select("v").as[String].collect()
     assert(after.toSeq == Seq("A7"))
   }
+
+  test("REGRESSION: two DSv2 scans with DIFFERENT pushed predicates in one query stay exact") {
+    // each scan build mutates the hadoop conf it snapshots (read
+    // schema + parquet filter predicate); sharing one conf object let
+    // scan B's predicate — naming a column scan A's files lack — ride
+    // into scan A's tasks and prune every row group: the join silently
+    // returned ZERO rows. ParquetScanShim.hadoopConf now clones per
+    // scan (Spark's own newHadoopConf pattern).
+    val dirA = java.nio.file.Files.createTempDirectory("spj_conf_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("spj_conf_b").toString
+    Upsert.merge(spark, dirA, spark.range(2000).select(
+      col("id").as("a_key"), lit(1L).as("ver"), (col("id") * 2).as("a_val")),
+      pk = Seq("a_key"), versionCol = "ver", numBuckets = 4)
+    Upsert.merge(spark, dirB, spark.range(2000).select(
+      col("id").as("b_key"), lit(1L).as("ver"), (col("id") % 7).as("b_tag")),
+      pk = Seq("b_key"), versionCol = "ver", numBuckets = 4)
+    val a = UpsertBucketSource.read(spark, dirA).filter(col("a_val") > 100)
+    val b = UpsertBucketSource.read(spark, dirB).filter(col("b_tag") === 3)
+    // force the sort-merge path (a broadcast build side reads through a
+    // different code path and masked the original bug)
+    val joined = a.hint("merge").join(b, col("a_key") === col("b_key"))
+    val got = joined.count()
+    val want = (0 until 2000).count(i => i * 2 > 100 && i % 7 == 3)
+    assert(got == want.toLong, s"pushed-predicate cross-talk: got $got want $want")
+  }
 }

@@ -45,6 +45,7 @@ object SparkEntry {
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
     "a_meta_agg_filtered" -> (Relational.aMetaAggFiltered _),
+    "a_meta_agg_grouped" -> (Relational.aMetaAggGrouped _),
     "a_zones_topn" -> (Relational.aZonesTopn _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
@@ -437,6 +438,18 @@ object SparkEntry {
                 MIN(event_id) AS min_id, MAX(event_id) AS max_id,
                 COUNT(event_type) AS type_ct
          FROM events WHERE event_id >= 500 AND event_id < 3000""",
+
+    // GROUPED metadata aggregates: the Spark side groups a
+    // one-file-per-event_type copy by event_type — every file
+    // single-valued and null-free in the group column, so the
+    // per-group folds answer from manifest counts + sidecars with
+    // ZERO tasks (LocalTableScan, one final row per group); the
+    // oracle recomputes the grouped aggregates over the raw table
+    "a_meta_agg_grouped" ->
+      """SELECT event_type, COUNT(*) AS row_ct,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM events GROUP BY event_type""",
 
     // the Spark side runs ORDER BY event_id DESC LIMIT 50 over the
     // event_id-clustered zones table with the top-N pushed into the

@@ -880,6 +880,53 @@ object Relational {
         count(col("event_type")).as("type_ct"))
   }
 
+  /** Build-once events copy with ONE FILE PER EVENT TYPE (an explicit
+    * partitioner over the distinct types — bounded, 5 — so every file
+    * is single-valued in the group column by construction) with zone
+    * sidecars: the layout where GROUP BY answers from metadata.
+    */
+  def metaAggGroupedEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/zones/events_bytype_", sfDir,
+        recipe = "one-file-per-event_type zones(event_type,event_id,value_cents) v1") { root =>
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("value_cents"))
+      val types = base.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: 5 event types
+      val idx = types.zipWithIndex.toMap
+      val schema = base.schema
+      val rdd = base.rdd.map(r => (idx(r.getString(0)), r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = types.length
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }).values
+      graft.io.Upsert.overwriteSnapshot(spark, root,
+        spark.createDataFrame(rdd, schema),
+        zoneCols = Seq("event_type", "event_id", "value_cents"))
+    }
+
+  /** GROUPED metadata aggregates: `GROUP BY event_type` over the
+    * type-aligned table — every file is single-valued and null-free in
+    * the group column, so the per-group count/sum/min/max fold straight
+    * from the manifest counts + sidecars: a LocalTableScan, ZERO tasks,
+    * one FINAL row per group. The Iceberg/Delta metadata-count shape
+    * extended to grouped rollups — at 100 TB, a per-partition-key
+    * summary is a catalog lookup instead of a full scan + shuffle. The
+    * ORACLE recomputes the grouped aggregates over the raw table;
+    * interleaved/multi-valued/null-group layouts refuse back to the
+    * scan (MetaAggSpec).
+    */
+  def aMetaAggGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = metaAggGroupedEnsure(spark, sfDir)
+    graft.sources.UpsertBucketSource.read(spark, root)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("row_ct"),
+        sum(col("value_cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   /** Top-N scan pushdown over the clustered zones table: `ORDER BY
     * event_id DESC LIMIT 50` keeps only the files whose zone range can
     * intersect the true top 50 (a counting bound over the sidecars'

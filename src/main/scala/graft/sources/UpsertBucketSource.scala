@@ -267,7 +267,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var allFilters: Array[Filter] = Array.empty
-  private var metaAggResult: Option[(StructType, InternalRow)] = None
+  private var metaAggResult: Option[(StructType, Seq[InternalRow])] = None
   private var topKeep: Option[Set[String]] = None
   private var topDesc: String = ""
 
@@ -454,7 +454,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
   // Aggregation instance back-to-back; memoize so the sidecar sweep
   // runs once per scan build, not once per planner probe
   private var metaAggFor: Aggregation = _
-  private var metaAggCache: Option[(StructType, InternalRow)] = None
+  private var metaAggCache: Option[(StructType, Seq[InternalRow])] = None
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     metaAgg(agg).isDefined
@@ -464,7 +464,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     metaAggResult.isDefined
   }
 
-  private def metaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+  private def metaAgg(agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     if (!(agg eq metaAggFor)) {
       metaAggFor = agg
       metaAggCache = computeMetaAgg(agg)
@@ -569,14 +569,13 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       case _ => false
     }
 
-  private def computeMetaAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+  private def computeMetaAgg(agg: Aggregation): Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     // filters refuse UNLESS the whole conjunction was exactly absorbed
     // by file containment (pushFilters) — then the filtered table IS
     // the kept files and every metadata answer below restricts to them
-    if (agg.groupByExpressions.nonEmpty ||
-        (allFilters.nonEmpty && containedKeep.isEmpty) ||
+    if ((allFilters.nonEmpty && containedKeep.isEmpty) ||
         agg.aggregateExpressions.isEmpty) return None
     val kept: Seq[(String, Long)] = containedKeep match {
       case Some(k) => dataFiles.filter { case (p, _) => k.contains(p) }
@@ -609,14 +608,6 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
         WAvg(f)
       case _ => return None // distinct/floats/decimals: scan normally
     }
-    val count: Option[Long] =
-      if (!wants.contains(WCountStar)) None
-      else {
-        if (kept.isEmpty) Some(0L)
-        else if (kept.forall(f => table.rowCounts.contains(f._1)))
-          Some(kept.map(f => table.rowCounts(f._1)).sum)
-        else return None
-      }
     val zcCols = wants.collect {
       case WMinMax(f, _) => f.name
       case WCountCol(f) => f.name
@@ -626,57 +617,125 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     // a zero-file table answers every shape exactly (null mins, zero
     // counts) with no sidecar at all — only live files need zones
     if (kept.nonEmpty && !zcCols.forall(table.zoneCols.contains)) return None
-    val zs = if (zcCols.isEmpty) Map.empty[String, ColStats]
-    else zoneStats(zcCols, containedKeep).getOrElse(return None)
-    val fields = Seq.newBuilder[StructField]
-    val values = Seq.newBuilder[Any]
-    wants.foreach {
-      case WCountStar =>
-        fields += StructField("count(*)", LongType, nullable = false)
-        values += count.get
-      case WCountCol(f) =>
-        fields += StructField(s"count(${f.name})", LongType, nullable = false)
-        values += zs(f.name).nonNull.getOrElse(return None)
-      case WMinMax(f, isMin) =>
-        val v = if (isMin) zs(f.name).mn else zs(f.name).mx
-        fields += StructField(s"${if (isMin) "min" else "max"}(${f.name})",
-          f.dataType, nullable = true)
-        values += v.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
-      case WSum(f) =>
-        fields += StructField(s"sum(${f.name})", LongType, nullable = true)
-        val s = zs(f.name)
-        values += (s.nonNull match {
-          case Some(0L) => null // sum over no non-null values IS null
-          case Some(_) =>
-            // the scan accumulates integral sums in LongType, in an
-            // arbitrary order: an INTERMEDIATE subset sum can overflow
-            // (ANSI error, or silent wrap) even when the exact total
-            // fits. Answer only when no subset sum can leave Long
-            // range — then the scan provably computes this same value
-            // under either ANSI mode.
-            if (!foldSafe(s, BigInt(Long.MaxValue))) return None
-            s.sum.getOrElse(return None).toLong
-          case None => return None
-        })
-      case WAvg(f) =>
-        fields += StructField(s"avg(${f.name})", DoubleType, nullable = true)
-        val s = zs(f.name)
-        values += (s.nonNull match {
-          case Some(0L) => null // avg over no non-null values IS null
-          case Some(nn) =>
-            // the scan's Average accumulates non-decimal inputs in a
-            // DOUBLE sum, order-sensitively: past 2^53 an intermediate
-            // addition rounds and the scan's answer depends on task
-            // order. Answer only when every subset sum stays ≤ 2^53 —
-            // each long→double cast and each addition is then exact,
-            // so the scan's sum IS the exact total and the final
-            // divide below reproduces it bit-for-bit.
-            if (!foldSafe(s, BigInt(1L) << 53)) return None
-            s.sum.getOrElse(return None).toLong.toDouble / nn.toDouble
-          case None => return None
-        })
+
+    // GROUP BY pushdown: every grouping expression must be a single
+    // ZONE column, and every kept non-empty file SINGLE-VALUED and
+    // NULL-FREE in it (min == max, nonNull == rowCount) — then a file
+    // belongs wholly to one group and the per-group aggregates are the
+    // same exact sidecar folds, restricted to the group's files. A
+    // file straddling two group values (or holding nulls — a null
+    // group the sidecar cannot separate) refuses the whole pushdown.
+    val groupCols: Seq[StructField] = agg.groupByExpressions.toSeq
+      .map(e => singleCol(e).getOrElse(return None))
+    if (!groupCols.forall(f => table.zoneCols.contains(f.name))) return None
+
+    // the aggregate VALUES for one file subset (refusal = None)
+    def aggValues(files: Seq[(String, Long)]): Option[Seq[Any]] = {
+      val count: Option[Long] =
+        if (!wants.contains(WCountStar)) None
+        else {
+          if (files.isEmpty) Some(0L)
+          else if (files.forall(f => table.rowCounts.contains(f._1)))
+            Some(files.map(f => table.rowCounts(f._1)).sum)
+          else return None
+        }
+      val zs = if (zcCols.isEmpty) Map.empty[String, ColStats]
+      else zoneStats(zcCols, Some(files.map(_._1).toSet)).getOrElse(return None)
+      val values = Seq.newBuilder[Any]
+      wants.foreach {
+        case WCountStar => values += count.get
+        case WCountCol(f) =>
+          values += zs(f.name).nonNull.getOrElse(return None)
+        case WMinMax(f, isMin) =>
+          val v = if (isMin) zs(f.name).mn else zs(f.name).mx
+          values += v.map(graft.io.Zones.toCatalyst(f.dataType, _)).orNull
+        case WSum(f) =>
+          val s = zs(f.name)
+          values += (s.nonNull match {
+            case Some(0L) => null // sum over no non-null values IS null
+            case Some(_) =>
+              // the scan accumulates integral sums in LongType, in an
+              // arbitrary order: an INTERMEDIATE subset sum can overflow
+              // (ANSI error, or silent wrap) even when the exact total
+              // fits. Answer only when no subset sum can leave Long
+              // range — then the scan provably computes this same value
+              // under either ANSI mode.
+              if (!foldSafe(s, BigInt(Long.MaxValue))) return None
+              s.sum.getOrElse(return None).toLong
+            case None => return None
+          })
+        case WAvg(f) =>
+          val s = zs(f.name)
+          values += (s.nonNull match {
+            case Some(0L) => null // avg over no non-null values IS null
+            case Some(nn) =>
+              // the scan's Average accumulates non-decimal inputs in a
+              // DOUBLE sum, order-sensitively: past 2^53 an intermediate
+              // addition rounds and the scan's answer depends on task
+              // order. Answer only when every subset sum stays ≤ 2^53 —
+              // each long→double cast and each addition is then exact,
+              // so the scan's sum IS the exact total and the final
+              // divide below reproduces it bit-for-bit.
+              if (!foldSafe(s, BigInt(1L) << 53)) return None
+              s.sum.getOrElse(return None).toLong.toDouble / nn.toDouble
+            case None => return None
+          })
+      }
+      Some(values.result())
     }
-    Some((StructType(fields.result()), InternalRow.fromSeq(values.result())))
+
+    val aggFields: Seq[StructField] = wants.map {
+      case WCountStar => StructField("count(*)", LongType, nullable = false)
+      case WCountCol(f) => StructField(s"count(${f.name})", LongType, nullable = false)
+      case WMinMax(f, isMin) =>
+        StructField(s"${if (isMin) "min" else "max"}(${f.name})", f.dataType,
+          nullable = true)
+      case WSum(f) => StructField(s"sum(${f.name})", LongType, nullable = true)
+      case WAvg(f) => StructField(s"avg(${f.name})", DoubleType, nullable = true)
+    }
+
+    if (groupCols.isEmpty) {
+      val values = aggValues(kept).getOrElse(return None)
+      Some((StructType(aggFields), Seq(InternalRow.fromSeq(values))))
+    } else {
+      // complete group-by pushdown contract: the scan's schema is the
+      // grouping columns (in groupByExpressions order) followed by the
+      // aggregate results, one FINAL row per group
+      val perFile = perFileZones().getOrElse(return None)
+        .filter { case (p, _) => kept.exists(_._1 == p) }.toMap
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[graft.io.Zones.ZVal],
+               scala.collection.mutable.ArrayBuffer[(String, Long)]]
+      kept.foreach { case (p, len) =>
+        // empty files hold no rows of any group
+        if (!table.rowCounts.get(p).contains(0L)) {
+          val rows = table.rowCounts.getOrElse(p, return None)
+          val entry = perFile.getOrElse(p, return None)
+          val key = groupCols.map { f =>
+            val z = entry.getOrElse(f.name, return None)
+            val mn = z.min.getOrElse(return None)
+            val mx = z.max.getOrElse(return None)
+            if (graft.io.Zones.cmp(mn, mx) != 0) return None // multi-valued
+            if (!z.nonNull.contains(rows)) return None // null rows present
+            mn
+          }
+          grouped.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer.empty) += ((p, len))
+        }
+      }
+      val groupFields = groupCols.map(f => f.copy(nullable = false))
+      val ord = Ordering.fromLessThan[Seq[graft.io.Zones.ZVal]] { (a, b) =>
+        a.zip(b).iterator.map { case (x, y) => graft.io.Zones.cmp(x, y) }
+          .find(_ != 0).exists(_ < 0)
+      }
+      val rows = grouped.toSeq.sortBy(_._1)(ord).map { case (key, files) =>
+        val keyVals = key.zip(groupCols).map { case (z, f) =>
+          graft.io.Zones.toCatalyst(f.dataType, z) }
+        val aggVals = aggValues(files.toSeq).getOrElse(return None)
+        InternalRow.fromSeq(keyVals ++ aggVals)
+      }
+      Some((StructType(groupFields ++ aggFields), rows))
+    }
   }
 
   /** LIMIT pushdown = FILE-COUNT pruning: a bare `LIMIT n` is
@@ -810,10 +869,10 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     }
 
   override def build(): Scan = metaAggResult match {
-    case Some((aggSchema, row)) =>
+    case Some((aggSchema, groupRows)) =>
       new org.apache.spark.sql.connector.read.LocalScan {
         override def readSchema(): StructType = aggSchema
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = groupRows.toArray
         override def description(): String =
           s"UpsertMetaAggScan ${table.name()} [${aggSchema.fieldNames.mkString(", ")}]"
       }

@@ -400,6 +400,108 @@ class MetaAggSpec extends SparkSpec {
     assert(in.as[Long].head() == 3L)
   }
 
+  /** Layout for GROUPED metadata aggregates: one partition (= one
+    * file) per distinct group value, via an explicit partitioner.
+    */
+  private def mkGrouped(n: Int, groups: Int): String = {
+    val dir = Files.createTempDirectory("meta_grp").toString
+    val base = spark.range(n).select(
+      concat(lit("g"), (col("id") % groups).cast("string")).as("tag"),
+      col("id"), (col("id") * 2).as("v"))
+    val rdd = base.rdd.map(r => ((r.getLong(1) % groups).toInt, r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = groups
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }).values
+    Upsert.overwriteSnapshot(spark, dir,
+      spark.createDataFrame(rdd, base.schema),
+      zoneCols = Seq("tag", "id", "v"))
+    dir
+  }
+
+  test("GROUP BY a single-valued-per-file zone column: per-group answers, zero tasks") {
+    catalogReady
+    val dir = mkGrouped(3000, 5)
+    val df = UpsertBucketSource.read(spark, dir)
+      .groupBy("tag")
+      .agg(count(lit(1)).as("c"), sum("v").as("s"),
+        min("id").as("mn"), max("id").as("mx"))
+    assert(plan(df).contains("LocalTableScan") &&
+      !plan(df).contains("UpsertBucketScan"),
+      s"grouped metadata aggregate must plan zero tasks:\n${plan(df)}")
+    val truth = Upsert.read(spark, dir).groupBy("tag")
+      .agg(count(lit(1)), sum("v"), min("id"), max("id"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = df.as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == truth)
+    // avg rides the same per-group machinery
+    val df2 = UpsertBucketSource.read(spark, dir)
+      .groupBy("tag").agg(avg("v").as("a"))
+    assert(plan(df2).contains("LocalTableScan"), plan(df2))
+    val truth2 = Upsert.read(spark, dir).groupBy("tag").agg(avg("v"))
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(df2.as[(String, Double)].collect().sortBy(_._1).toSeq == truth2)
+  }
+
+  test("GROUP BY composes with a CONTAINED filter: whole groups drop, zero tasks") {
+    catalogReady
+    // 5 groups, one file each; ids of group g are {g, g+5, g+10, ...}
+    val dir = mkGrouped(3000, 5)
+    // id >= 600 excludes NOTHING per-group... choose a range that drops
+    // whole FILES: group g's file holds ids ≡ g (mod 5) across 0..2999,
+    // so a range cannot drop a whole group — instead filter on the
+    // group column itself: tag >= 'g3' fully includes files g3/g4 and
+    // fully excludes g0/g1/g2
+    val df = UpsertBucketSource.read(spark, dir)
+      .filter(col("tag") >= "g3")
+      .groupBy("tag").agg(count(lit(1)).as("c"), sum("v").as("s"))
+    assert(plan(df).contains("LocalTableScan") &&
+      !plan(df).contains("UpsertBucketScan"),
+      s"contained filter + group-by must stay zero-task:\n${plan(df)}")
+    val truth = Upsert.read(spark, dir).filter(col("tag") >= "g3")
+      .groupBy("tag").agg(count(lit(1)), sum("v"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(df.as[(String, Long, Long)].collect().sortBy(_._1).toSeq == truth)
+  }
+
+  test("GROUP BY refusals: multi-valued files, null groups, non-zone columns") {
+    catalogReady
+    // tag values INTERLEAVED across files -> every file multi-valued
+    val dir = Files.createTempDirectory("meta_grp_ref").toString
+    Upsert.overwriteSnapshot(spark, dir,
+      spark.range(2000).select(
+        concat(lit("g"), (col("id") % 3).cast("string")).as("tag"),
+        col("id"), (col("id") * 2).as("v")),
+      zoneCols = Seq("tag", "id", "v"), clusterBy = Seq("id"), filesTarget = 4)
+    val multi = UpsertBucketSource.read(spark, dir)
+      .groupBy("tag").agg(count(lit(1)).as("c"))
+    assert(plan(multi).contains("UpsertBucketScan"),
+      s"multi-valued files must fall back to the scan:\n${plan(multi)}")
+    assert(multi.as[(String, Long)].collect().toMap ==
+      Map("g0" -> 667L, "g1" -> 667L, "g2" -> 666L))
+    // a group column with NULLs refuses (the sidecar cannot separate
+    // the null group), exact through the scan
+    val dirN = Files.createTempDirectory("meta_grp_null").toString
+    val baseN = spark.range(400).select(
+      when(col("id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(lit("gA")).as("tag"), col("id"))
+    val rddN = baseN.rdd.map(r => (0, r)).partitionBy(
+      new org.apache.spark.Partitioner {
+        override def numPartitions: Int = 1
+        override def getPartition(key: Any): Int = 0
+      }).values
+    Upsert.overwriteSnapshot(spark, dirN,
+      spark.createDataFrame(rddN, baseN.schema), zoneCols = Seq("tag", "id"))
+    val nulls = UpsertBucketSource.read(spark, dirN)
+      .groupBy("tag").agg(count(lit(1)).as("c"))
+    assert(plan(nulls).contains("UpsertBucketScan"), plan(nulls))
+    assert(nulls.count() == 2) // gA + the null group
+    // grouping by a NON-zone column refuses
+    val nz = UpsertBucketSource.read(spark, mkMergeTable(100))
+      .groupBy("v").agg(count(lit(1)))
+    assert(plan(nz).contains("UpsertBucketScan"))
+  }
+
   test("time travel counts the pinned generation, not the current one") {
     catalogReady
     val dir = mkMergeTable(300)

@@ -224,6 +224,33 @@ class MorSqlReadSpec extends SparkSpec {
       .as[(String, Long)].head() == (("pM", 5L)))
   }
 
+  test("MERGE INTO with NOT MATCHED BY SOURCE over a MOR root") {
+    catalogReady
+    val dir = mkMor() // 200 keys, k3 deleted, kNEW inserted (ver 2)
+    Seq(("k1", 900L), ("kS", 77L)).toDF("sk", "amt")
+      .createOrReplaceTempView("mor_nbs_src")
+    val batchesBefore = MergeOnRead.deltaBatches(spark, dir).size
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING mor_nbs_src s ON t.id = s.sk
+          WHEN MATCHED THEN UPDATE SET amount_cents = s.amt
+          WHEN NOT MATCHED THEN
+            INSERT (id, province_id, ver, amount_cents, op)
+            VALUES (s.sk, 'pS', 5, s.amt, 'insert')
+          WHEN NOT MATCHED BY SOURCE AND t.id = 'k2' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE AND t.id = 'k4' THEN
+            UPDATE SET amount_cents = -1""")
+    assert(MergeOnRead.deltaBatches(spark, dir).size == batchesBefore + 1,
+      "the whole three-clause MERGE must land as ONE delta batch")
+    val after = spark.sql(
+      s"SELECT id, amount_cents FROM graft.`$dir` " +
+        "WHERE id IN ('k1','k2','k4','kS')")
+      .as[(String, Long)].collect().toMap
+    assert(after("k1") == 900L && after("kS") == 77L && after("k4") == -1L)
+    assert(!after.contains("k2"), "by-source DELETE must retract k2")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir`")
+      .as[Long].head() == 200L) // 200 - k2 + kS
+  }
+
   test("DML refusals: DELETE (and MERGE deletes) need a recorded deleteFlagCol") {
     catalogReady
     // contract WITHOUT a delete flag: retractions are not expressible

@@ -155,6 +155,29 @@ class UpsertCatalogSpec extends SparkSpec {
     assert(after("k5") == "m5" && after("k59") == "m59")
   }
 
+  test("MERGE INTO with NOT MATCHED BY SOURCE: the full three-clause matrix") {
+    catalogReady
+    val dir = mkTable(10, "nbs")
+    // source covers k0..k4; k5..k9 are NOT MATCHED BY SOURCE
+    Seq(("k0", "up0"), ("k1", "up1"), ("k2", "up2"), ("k3", "up3"),
+      ("k4", "up4"), ("kNEW", "new"))
+      .toDF("sk", "sv").createOrReplaceTempView("nbs_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING nbs_src s ON t.k = s.sk
+          WHEN MATCHED THEN UPDATE SET v = s.sv
+          WHEN NOT MATCHED THEN INSERT (k, ver, v) VALUES (s.sk, 1, s.sv)
+          WHEN NOT MATCHED BY SOURCE AND t.k = 'k7' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'orphaned'""")
+    val after = spark.sql(s"SELECT k, v FROM graft.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 to 4).foreach(i => assert(after(s"k$i") == s"up$i"))
+    assert(after("kNEW") == "new")
+    assert(!after.contains("k7"), "NOT MATCHED BY SOURCE DELETE must remove k7")
+    Seq("k5", "k6", "k8", "k9").foreach(k =>
+      assert(after(k) == "orphaned", s"$k must take the by-source UPDATE"))
+    assert(after.size == 10) // 10 - 1 deleted + 1 inserted
+  }
+
   test("SQL UPDATE and DELETE rewrite only touched buckets; rows exact") {
     catalogReady
     val dir = mkTable(80, "u")

@@ -112,7 +112,10 @@ private[sources] class MorDeltaBatchWrite(table: MorTable, rowSchema: StructType
     // row-id order (pk..., versionCol) → positions in the row schema
     val idIdx = (table.pk :+ table.versionCol)
       .map(c => rowSchema.fieldIndex(c)).toArray
-    new UpsertDeltaWriterFactory(staging, support, rowSchema, idIdx)
+    // guard the PK positions only — versionCol rides in the row id for
+    // deletes but an UPDATE may legitimately SET it (LWW contract)
+    new UpsertDeltaWriterFactory(staging, support, rowSchema, idIdx,
+      guardCount = table.pk.length, guardNames = table.pk)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

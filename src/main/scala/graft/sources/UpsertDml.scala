@@ -101,7 +101,8 @@ private[sources] class UpsertDeltaBatchWrite(table: UpsertBucketTable,
     fs.mkdirs(new Path(staging))
     val support = ParquetWriteShim.build(spark, stagedSchema)
     val pkIdx = table.pk.map(c => rowSchema.fieldIndex(c)).toArray
-    new UpsertDeltaWriterFactory(staging, support, rowSchema, pkIdx)
+    new UpsertDeltaWriterFactory(staging, support, rowSchema, pkIdx,
+      guardCount = table.pk.length, guardNames = table.pk)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -128,10 +129,24 @@ private[sources] class UpsertDeltaBatchWrite(table: UpsertBucketTable,
 
 private[sources] case class DeltaFileCommit(path: String) extends WriterCommitMessage
 
+/** Stages Spark's tagged delta rows as parquet on the executors.
+  *
+  * `pkIdx` maps the operation's ROW-ID fields (in rowId order) to their
+  * positions in `dataSchema`; the first `guardCount` of them are the
+  * table's IDENTITY columns (the placement pk), and an UPDATE whose new
+  * row changes any of them REFUSES loudly at execution: the delta form
+  * emits one upsert row per update, so a re-keying SET would land the
+  * NEW key and silently leave the OLD row in place — a duplication, not
+  * an update. Re-keying is a DELETE + INSERT (SQL or MERGE). The
+  * remaining id fields (e.g. the MOR version column, carried in the
+  * row id so deletes know the superseded version) may change freely.
+  */
 private[sources] class UpsertDeltaWriterFactory(staging: String,
                                                 support: ParquetWriteShim.WriteSupport,
                                                 dataSchema: StructType,
-                                                pkIdx: Array[Int])
+                                                pkIdx: Array[Int],
+                                                guardCount: Int,
+                                                guardNames: Seq[String])
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -157,7 +172,22 @@ private[sources] class UpsertDeltaWriterFactory(staging: String,
       override def insert(row: InternalRow): Unit = emit(row, "upsert")
 
       override def update(metadata: InternalRow, id: InternalRow,
-                          row: InternalRow): Unit = emit(row, "upsert")
+                          row: InternalRow): Unit = {
+        var i = 0
+        while (i < guardCount) {
+          val t = types(pkIdx(i))
+          val old = if (id.isNullAt(i)) null else id.get(i, t)
+          val neu = if (row.isNullAt(pkIdx(i))) null else row.get(pkIdx(i), t)
+          if (!java.util.Objects.equals(old, neu))
+            throw new UnsupportedOperationException(
+              s"UPDATE must not change identity column '${guardNames(i)}' " +
+                s"($old -> $neu): the delta form would land the new key and " +
+                "leave the old row in place — re-key via DELETE + INSERT " +
+                "(or a MERGE with a DELETE and an INSERT clause)")
+          i += 1
+        }
+        emit(row, "upsert")
+      }
 
       override def delete(metadata: InternalRow, id: InternalRow): Unit = {
         // only the pk coordinates are known; the applier anti-joins on

@@ -251,6 +251,28 @@ class MorSqlReadSpec extends SparkSpec {
       .as[Long].head() == 200L) // 200 - k2 + kS
   }
 
+  test("UPDATE may SET the version column (LWW contract); SET on the pk refuses") {
+    catalogReady
+    val dir = mkMor()
+    // raising the version is the normal LWW correction — lands and wins
+    spark.sql(s"UPDATE graft.`$dir` SET ver = 9, amount_cents = 999 WHERE id = 'k9'")
+    assert(spark.sql(s"SELECT ver, amount_cents FROM graft.`$dir` WHERE id = 'k9'")
+      .as[(Long, Long)].head() == ((9L, 999L)))
+    // a LOWERED version loses resolution — the API merge's own
+    // semantics, pinned so SQL can never pretend otherwise
+    spark.sql(s"UPDATE graft.`$dir` SET ver = 0, amount_cents = -5 WHERE id = 'k9'")
+    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` WHERE id = 'k9'")
+      .as[Long].head() == 999L, "a lowered version must lose LWW resolution")
+    // re-keying refuses, same identity guard as the Upsert layout
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE graft.`$dir` SET id = 'kX' WHERE id = 'k8'"))
+    assert(ms(e).exists(_.contains("identity column")), s"got ${ms(e)}")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir` " +
+      "WHERE id IN ('k8','kX')").as[Long].head() == 1L)
+  }
+
   test("DML refusals: DELETE (and MERGE deletes) need a recorded deleteFlagCol") {
     catalogReady
     // contract WITHOUT a delete flag: retractions are not expressible

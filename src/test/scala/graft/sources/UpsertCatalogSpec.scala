@@ -178,6 +178,29 @@ class UpsertCatalogSpec extends SparkSpec {
     assert(after.size == 10) // 10 - 1 deleted + 1 inserted
   }
 
+  test("UPDATE must not re-key: SET on a pk column refuses loudly, table unchanged") {
+    catalogReady
+    val dir = mkTable(20, "rk")
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    // the delta form emits one upsert row per update — a re-keying SET
+    // would land the NEW key and silently leave the OLD row (a
+    // duplication, the bug this guard closed); refuse with the pointer
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE graft.`$dir` SET k = 'kX' WHERE k = 'k1'"))
+    assert(ms(e).exists(_.contains("identity column")), s"got ${ms(e)}")
+    val after = spark.sql(s"SELECT k FROM graft.`$dir`")
+      .collect().map(_.getString(0)).toSet
+    assert(after.contains("k1") && !after.contains("kX") && after.size == 20,
+      "a refused re-key must leave the table untouched")
+    // MERGE's UPDATE clause hits the same guard
+    Seq(("k2", "kY")).toDF("sk", "nk").createOrReplaceTempView("rk_src")
+    val m = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING rk_src s ON t.k = s.sk
+          WHEN MATCHED THEN UPDATE SET k = s.nk"""))
+    assert(ms(m).exists(_.contains("identity column")), s"got ${ms(m)}")
+  }
+
   test("SQL UPDATE and DELETE rewrite only touched buckets; rows exact") {
     catalogReady
     val dir = mkTable(80, "u")

@@ -250,6 +250,35 @@ object ScaleProbe {
         aggAll(graft.io.Upsert.read(spark, root)).collect().head.toSeq)
       println(f"[scale] meta_n=$n%-9d build=${tBuild}%6.1fs files=$files " +
         f"equal=${meta == scan}")
+
+      // GROUPED form (r10): one file per event_type, GROUP BY answered
+      // per group from the sidecars — zero tasks vs a scan + shuffle
+      val groot = java.nio.file.Files.createTempDirectory("probe_meta_grp").toString
+      val base = ev.select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      val types = base.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val idx = types.zipWithIndex.toMap
+      val grdd = base.rdd.map(r => (idx(r.getString(0)), r))
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = types.length
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        }).values
+      graft.io.Upsert.overwriteSnapshot(spark, groot,
+        spark.createDataFrame(grdd, base.schema),
+        zoneCols = Seq("event_type", "event_id", "value_cents"))
+      def aggGrouped(df: DataFrame): Seq[Any] =
+        df.groupBy("event_type").agg(count(lit(1)), sum(col("value_cents")),
+          min(col("event_id")), max(col("event_id")))
+          .collect().map(_.toSeq).sortBy(_.head.toString).flatten.toSeq
+      require(graft.sources.UpsertBucketSource.read(spark, groot)
+        .groupBy("event_type").agg(count(lit(1)))
+        .queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "grouped metadata path must plan a LocalScan")
+      val gm = timed("grouped_md")(
+        aggGrouped(graft.sources.UpsertBucketSource.read(spark, groot)))
+      val gs = timed("grouped_sc")(aggGrouped(graft.io.Upsert.read(spark, groot)))
+      println(f"[scale] meta_n=$n%-9d grouped groups=${types.length} equal=${gm == gs}")
     }
 
     if (topnOnly) {

@@ -121,10 +121,42 @@ object MergeOnRead {
           deltaBatches(spark, dir).lastOption.map(_._1).getOrElse(-1L),
           compactedUpto(spark, dir)) + 1
         FsOps.stageAndCommitBatch(fs, root, next, commitId)(tmp =>
-          updates.write.mode("overwrite").parquet(tmp.toString))
+          validated(spark, dir, updates)
+            .write.mode("overwrite").parquet(tmp.toString))
         next
     }
   }
+
+  /** Once the table's contract is RECORDED, every appended batch must
+    * carry the pk and version columns with NO nulls: the SQL catalog
+    * reports them NOT NULL (the row-id requirement of the DML rewrite
+    * and the LWW identity/order contract), so a null slipping into the
+    * log would contradict the declared schema — the optimizer could
+    * constant-fold `IS NULL` predicates over it. The check is an
+    * INLINE filter inside the same write job (zero extra passes); it
+    * raises per offending row, and the staged batch never commits.
+    * Pre-contract appends stay unvalidated (such roots refuse SQL
+    * loading until a contract exists; legacy rows from before the
+    * contract resolve through the null-tolerant read path and wash out
+    * at the next compaction).
+    */
+  private def validated(spark: SparkSession, dir: String,
+                        updates: DataFrame): DataFrame =
+    contract(spark, dir) match {
+      case None => updates
+      case Some((pk, vc, _, _)) =>
+        val cols = (pk :+ vc).distinct
+        val present = updates.columns.toSet
+        cols.foreach(c => require(present.contains(c),
+          s"merge into contract-recorded merge-on-read table $dir: the batch " +
+            s"lacks contract column '$c' (pk=${pk.mkString(",")}, " +
+            s"versionCol=$vc) — a missing column would widen to NULL at read"))
+        val ok = cols.map(col(_).isNotNull).reduce(_ && _)
+        updates.filter(when(ok, lit(true)).otherwise(raise_error(concat(
+          lit(s"merge-on-read contract of $dir: NULL in pk/version column "),
+          lit(s"[${cols.mkString(", ")}] — identity and LWW order demand "),
+          lit("non-null values; the batch was not committed")))))
+    }
 
   /** On-disk bytes of the given delta dirs — a driver-side listing,
     * no Spark job. Drives the fast-path/fallback choice in [[read]].

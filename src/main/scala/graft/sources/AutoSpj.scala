@@ -59,8 +59,48 @@ case class AutoPartialClusteringRule(session: SparkSession)
     if (!enabled || alreadyOn) return plan
     val threshold = session.conf.get("spark.graft.spj.skewRatio", "4.0").toDouble
     plan transformUp {
-      case j if isSpjJoin(j) && !alreadyPartial(j) && maxSkew(j) >= threshold =>
+      case j if isSpjJoin(j) && !alreadyPartial(j) &&
+          ancestorsTransparent(plan, j) && maxSkew(j) >= threshold =>
         rerunPartiallyClustered(j)
+    }
+  }
+
+  /** True when NO operator between `j` and the next shuffle above it
+    * (or the plan root) REQUIRES a distribution from j's subtree.
+    *
+    * The re-plan changes the join's output partitioning — partially
+    * clustered means the SAME key can appear in several partitions
+    * (Spark's own KeyGroupedPartitioning.satisfies0 returns false for
+    * ClusteredDistribution in that mode). An ancestor whose exchange
+    * the global EnsureRequirements pass already elided against the
+    * GROUPED output (an aggregate or window on the join key, a second
+    * SPJ join) would then run partition-local over duplicated keys —
+    * wrong rows, not just a slow plan. Nothing re-validates after
+    * custom prep rules, so the rule must refuse those shapes itself:
+    * the grouped (one-task-per-bucket) plan stays, and callers who
+    * want the fan-out under an aggregate use
+    * [[graft.io.Bucketing.withPartialClustering]], which re-runs the
+    * WHOLE plan's requirements under the conf. An exchange above the
+    * join insulates everything past it (it re-partitions).
+    */
+  private def ancestorsTransparent(root: SparkPlan, j: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+    // path from root down to j (exclusive); None when j unreachable
+    def path(node: SparkPlan): Option[List[(SparkPlan, Int)]] =
+      if (node eq j) Some(Nil)
+      else node.children.zipWithIndex.view
+        .flatMap { case (c, i) => path(c).map((node, i) :: _) }
+        .headOption
+    path(root) match {
+      case None => false // can't prove safety: refuse
+      case Some(chain) =>
+        // only the segment BELOW the last exchange above j matters
+        val below = chain.reverse.takeWhile {
+          case (n, _) => !n.isInstanceOf[ShuffleExchangeLike]
+        }
+        below.forall { case (n, i) =>
+          n.requiredChildDistribution(i) == UnspecifiedDistribution
+        }
     }
   }
 

@@ -343,6 +343,10 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     val files = dataFiles
     if (files.isEmpty) return Some(Set.empty)
     val perFile = perFileZones().getOrElse(return None)
+    // filter -> column resolved ONCE (not a linear search per
+    // (file, filter) pair — this path runs on every planner probe)
+    val colByFilter = new java.util.IdentityHashMap[Filter, String]()
+    shapes.foreach { case (f, (c, _)) => colByFilter.put(f, c) }
     val keep = Set.newBuilder[String]
     perFile.foreach { case (path, entry) =>
       val rows = table.rowCounts.getOrElse(path, return None)
@@ -350,7 +354,7 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       // (missing sidecar data maps to partial: the caller refuses the
       // whole absorption on any partial file)
       def verdict(f: Filter): Int = {
-        val c = shapes.find(_._1 eq f).get._2._1
+        val c = colByFilter.get(f)
         val z = entry.getOrElse(c, return -1)
         val nonNull = z.nonNull.getOrElse(return -1)
         val noNulls = nonNull == rows
@@ -516,13 +520,24 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     */
   private def zoneStats(cols: Seq[String],
                         keep: Option[Set[String]] = None): Option[Map[String, ColStats]] = {
-    import graft.io.Zones
-    val empty = ColStats(None, None, Some(0L), None)
     val perFile = perFileZones().getOrElse(return None)
       .filter { case (p, _) => keep.forall(_.contains(p)) }
+    foldColStats(cols, perFile.map(_._2))
+  }
+
+  /** The [[ColStats]] fold over an explicit entry list — shared by the
+    * table-wide [[zoneStats]] and the grouped pushdown's per-group
+    * folds (each group folds ONLY its own files' entries; re-walking
+    * the full file list per group would be O(groups × files) driver
+    * work on exactly the tables this path exists to serve).
+    */
+  private def foldColStats(cols: Seq[String],
+      entries: Seq[Map[String, graft.io.Zones.ColZone]]): Option[Map[String, ColStats]] = {
+    import graft.io.Zones
+    val empty = ColStats(None, None, Some(0L), None)
     val acc = scala.collection.mutable.Map[String, ColStats](
       cols.map(_ -> empty): _*)
-    perFile.foreach { case (_, entry) =>
+    entries.foreach { entry =>
       cols.foreach { c =>
         val z = entry.getOrElse(c, return None)
         val s = acc(c)
@@ -629,8 +644,12 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       .map(e => singleCol(e).getOrElse(return None))
     if (!groupCols.forall(f => table.zoneCols.contains(f.name))) return None
 
-    // the aggregate VALUES for one file subset (refusal = None)
-    def aggValues(files: Seq[(String, Long)]): Option[Seq[Any]] = {
+    // the aggregate VALUES for one file subset (refusal = None);
+    // `entries` = the subset's OWN sidecar entries (by-name so the
+    // count(*)-only shape never pays a sidecar sweep)
+    def aggValues(files: Seq[(String, Long)],
+                  entries: => Option[Seq[Map[String, graft.io.Zones.ColZone]]])
+        : Option[Seq[Any]] = {
       val count: Option[Long] =
         if (!wants.contains(WCountStar)) None
         else {
@@ -640,7 +659,8 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
           else return None
         }
       val zs = if (zcCols.isEmpty) Map.empty[String, ColStats]
-      else zoneStats(zcCols, Some(files.map(_._1).toSet)).getOrElse(return None)
+      else foldColStats(zcCols,
+        entries.getOrElse(return None)).getOrElse(return None)
       val values = Seq.newBuilder[Any]
       wants.foreach {
         case WCountStar => values += count.get
@@ -695,17 +715,25 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     }
 
     if (groupCols.isEmpty) {
-      val values = aggValues(kept).getOrElse(return None)
+      val keptSet = kept.map(_._1).toSet
+      val values = aggValues(kept,
+        perFileZones().map(_.collect {
+          case (p, e) if keptSet.contains(p) => e
+        })).getOrElse(return None)
       Some((StructType(aggFields), Seq(InternalRow.fromSeq(values))))
     } else {
       // complete group-by pushdown contract: the scan's schema is the
       // grouping columns (in groupByExpressions order) followed by the
       // aggregate results, one FINAL row per group
+      val keptSet = kept.map(_._1).toSet
       val perFile = perFileZones().getOrElse(return None)
-        .filter { case (p, _) => kept.exists(_._1 == p) }.toMap
+        .filter { case (p, _) => keptSet.contains(p) }.toMap
       val grouped = scala.collection.mutable.LinkedHashMap
         .empty[Seq[graft.io.Zones.ZVal],
                scala.collection.mutable.ArrayBuffer[(String, Long)]]
+      val entriesByGroup = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[graft.io.Zones.ZVal],
+               scala.collection.mutable.ArrayBuffer[Map[String, graft.io.Zones.ColZone]]]
       kept.foreach { case (p, len) =>
         // empty files hold no rows of any group
         if (!table.rowCounts.get(p).contains(0L)) {
@@ -721,6 +749,8 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
           }
           grouped.getOrElseUpdate(key,
             scala.collection.mutable.ArrayBuffer.empty) += ((p, len))
+          entriesByGroup.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer.empty) += entry
         }
       }
       val groupFields = groupCols.map(f => f.copy(nullable = false))
@@ -731,7 +761,8 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       val rows = grouped.toSeq.sortBy(_._1)(ord).map { case (key, files) =>
         val keyVals = key.zip(groupCols).map { case (z, f) =>
           graft.io.Zones.toCatalyst(f.dataType, z) }
-        val aggVals = aggValues(files.toSeq).getOrElse(return None)
+        val aggVals = aggValues(files.toSeq,
+          Some(entriesByGroup(key).toSeq)).getOrElse(return None)
         InternalRow.fromSeq(keyVals ++ aggVals)
       }
       Some((StructType(groupFields ++ aggFields), rows))

@@ -140,6 +140,36 @@ class AutoSpjSpec extends SparkSpec {
     }
   }
 
+  test("an aggregate riding the join's grouped partitioning BLOCKS the re-plan; rows exact") {
+    catalogReady
+    // the global EnsureRequirements pass elides the exchange between
+    // the SPJ join and a final aggregate clustered on the join key —
+    // that ancestor DEPENDS on the grouped output (one partition per
+    // key group). Re-planning the join partially clustered would put
+    // the same key in several partitions and the aggregate would emit
+    // duplicate groups: the rule must refuse (ancestorsTransparent)
+    // and keep the grouped form, counts staying exact.
+    val a = mkSkewed(20000, "a")
+    val b = mkSkewed(20000, "b")
+    withJoinConfs {
+      val df = spark.sql(
+        s"""SELECT a.k, count(*) AS c
+            FROM graft.`$a` a JOIN graft.`$b` b ON a.k = b.k
+            GROUP BY a.k""")
+      val plan = finalPlan(df)
+      assert(!scans(plan).exists(_.spjParams.applyPartialClustering),
+        s"a distribution-consuming ancestor must block the re-plan:\n$plan")
+      // every key joins exactly once: any duplicated group would show
+      // as c != 1 or a wrong distinct count
+      val rows = df.as[(String, Long)].collect()
+      assert(rows.forall(_._2 == 1L),
+        s"duplicate groups leaked: ${rows.filter(_._2 != 1L).take(5).mkString(",")}")
+      val expect = graft.sources.UpsertBucketSource.read(spark, a)
+        .select("k").count()
+      assert(rows.length.toLong == expect)
+    }
+  }
+
   test("opt-out conf keeps the grouped plan even on a skewed layout") {
     catalogReady
     val a = mkSkewed(20000, "a")

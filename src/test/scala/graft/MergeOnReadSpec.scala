@@ -255,16 +255,20 @@ class MergeOnReadSpec extends SparkSpec {
       MergeOnRead.merge(spark, morDir, df)
       Upsert.merge(spark, cowDir, df, pk, versionCol = "ver", deleteFlagCol = Some("op"))
     }
-    // base rows k1/k2 carry NULL versions (a source without a usable
-    // version column), k3 a real one
+    // base rows k1/k2 carry NULL versions — LEGACY rows appended
+    // BEFORE the first compact records the contract (post-contract
+    // appends refuse nulls at the write boundary, so pre-contract
+    // batches are the only way nulls enter; the read path keeps its
+    // null-aware ordering to resolve them deterministically)
     applyBoth(Seq(("k1", "p1", None, 10L, "insert"),
       ("k2", "p1", None, 20L, "insert"), ("k3", "p1", Some(5L), 30L, "insert")))
     MergeOnRead.compact(spark, morDir, pk, "ver", Some("op"))
-    // deltas: non-null supersedes a NULL base (k1), a NULL delta loses
-    // to a non-null base (k3), NULL-vs-NULL goes to the newer batch (k2)
+    // post-contract deltas are non-null by construction: a non-null
+    // delta supersedes a NULL base (k1); a null base row nobody
+    // corrects survives as-is (k2); and a delta with a LOWER version
+    // than its non-null base loses the (ver, batch) order (k3)
     applyBoth(Seq(("k1", "p1", Some(7L), 11L, "update"),
-      ("k2", "p1", None, 22L, "update"),
-      ("k3", "p1", None, 33L, "update")))
+      ("k3", "p1", Some(1L), 33L, "update")))
     def got(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.select("id", "amount_cents").as[(String, Long)].collect().toMap
     val fast = got(MergeOnRead.read(spark, morDir, pk, "ver", Some("op")))
@@ -273,7 +277,7 @@ class MergeOnReadSpec extends SparkSpec {
     val cow = got(Upsert.read(spark, cowDir))
     assert(fast == slow, s"fast $fast != fallback $slow on NULL versions")
     assert(fast == cow, s"MOR $fast != CoW $cow on NULL versions")
-    assert(fast == Map("k1" -> 11L, "k2" -> 22L, "k3" -> 30L), s"got $fast")
+    assert(fast == Map("k1" -> 11L, "k2" -> 20L, "k3" -> 30L), s"got $fast")
   }
 
   test("NULL primary keys: the fast path's null-safe joins agree with the " +
@@ -283,13 +287,16 @@ class MergeOnReadSpec extends SparkSpec {
     def merge(rows: Seq[(Option[String], String, Long, Long, String)]): Unit =
       MergeOnRead.merge(spark, morDir,
         rows.toDF("id", "province_id", "ver", "amount_cents", "op"))
-    // base carries a null-PK row; compact folds it into the base file
+    // a LEGACY null-PK row lands pre-contract; compact folds it into
+    // the base (post-contract appends refuse null pks at the write
+    // boundary, so this is the only way one enters)
     merge(Seq((Some("k1"), "p1", 1L, 10L, "insert"),
       (None, "p1", 1L, 50L, "insert")))
     MergeOnRead.compact(spark, morDir, pk, "ver", Some("op"))
-    // a new delta re-emits the null PK with a newer version: the base's
-    // null row must be SUPERSEDED on both paths, never duplicated
-    merge(Seq((None, "p1", 2L, 77L, "update")))
+    // post-contract deltas touch real keys only: the null-PK base row
+    // must pass through the fast path's null-safe joins EXACTLY ONCE —
+    // neither dropped by a plain === nor duplicated by the outer side
+    merge(Seq((Some("k1"), "p1", 2L, 11L, "update")))
     def got(df: org.apache.spark.sql.DataFrame): Seq[(Option[String], Long)] =
       df.select("id", "amount_cents").as[(Option[String], Long)]
         .collect().toSeq.sortBy(_._2)
@@ -297,7 +304,7 @@ class MergeOnReadSpec extends SparkSpec {
     val slow = got(MergeOnRead.read(spark, morDir, pk, "ver", Some("op"),
       maxBroadcastDeltaBytes = 0L))
     assert(fast == slow, s"fast $fast != fallback $slow on a NULL PK")
-    assert(fast == Seq((Some("k1"), 10L), (None, 77L)), s"got $fast")
+    assert(fast == Seq((Some("k1"), 11L), (None, 50L)), s"got $fast")
   }
 
   test("bloomed compaction + point lookup resolve base and deltas correctly") {

@@ -348,6 +348,28 @@ class MorSqlReadSpec extends SparkSpec {
       s"got ${ms(past)}")
   }
 
+  test("contract-recorded roots refuse null pk/version at the WRITE boundary") {
+    catalogReady
+    val dir = mkMor() // contract recorded by compact
+    def ms(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    // the SQL schema reports pk/version NOT NULL, so the log must never
+    // accept a null there — the inline write-side filter raises and the
+    // staged batch never commits
+    val batchesBefore = MergeOnRead.deltaBatches(spark, dir).size
+    val nullVer = intercept[Exception](MergeOnRead.merge(spark, dir,
+      Seq(("kN", "p1", null.asInstanceOf[java.lang.Long], 5L, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op")))
+    assert(ms(nullVer).exists(_.contains("NULL in pk/version")), s"got ${ms(nullVer)}")
+    val missing = intercept[IllegalArgumentException](MergeOnRead.merge(spark, dir,
+      Seq(("kM", "p1", 7L)).toDF("id", "province_id", "amount_cents")))
+    assert(missing.getMessage.contains("lacks contract column"), missing.getMessage)
+    assert(MergeOnRead.deltaBatches(spark, dir).size == batchesBefore,
+      "a refused batch must leave no committed delta")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir` " +
+      "WHERE id IN ('kN','kM')").as[Long].head() == 0L)
+  }
+
   test("a raw dir with a child named base/delta is NOT a MOR table: never droppable") {
     catalogReady
     val raw = Files.createTempDirectory("mor_sql_raw").toString

@@ -1,15 +1,11 @@
 package graft.sources
 
-import java.util.UUID
-
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.{col, lit, when}
-import org.apache.spark.sql.graft.ParquetWriteShim
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.MergeOnRead
@@ -94,70 +90,41 @@ private[sources] class MorDeltaWrite(table: MorTable, rowSchema: StructType)
 }
 
 private[sources] class MorDeltaBatchWrite(table: MorTable, rowSchema: StructType)
-    extends DeltaBatchWrite {
+    extends StagedDeltaBatchWrite(table.dir, rowSchema,
+      // row id = pk + versionCol (deletes carry the superseded
+      // version); guard the PK positions only — an UPDATE may
+      // legitimately SET the version (LWW contract)
+      idCols = table.pk :+ table.versionCol,
+      guardCount = table.pk.length, guardNames = table.pk) {
 
-  // fully nullable staging (delete rows carry NULL for non-id columns —
-  // same parquet-definition-level hazard as the Upsert form)
-  private val stagedSchema: StructType =
-    StructType(rowSchema.fields.map(_.copy(nullable = true)) :+
-      StructField(UpsertDml.OpCol, StringType, nullable = true))
-  private val staging: String =
-    s"${table.dir.stripSuffix("/")}/.dml-${UUID.randomUUID()}"
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val spark = SparkSession.active
-    val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(staging))
-    val support = ParquetWriteShim.build(spark, stagedSchema)
-    // row-id order (pk..., versionCol) → positions in the row schema
-    val idIdx = (table.pk :+ table.versionCol)
-      .map(c => rowSchema.fieldIndex(c)).toArray
-    // guard the PK positions only — versionCol rides in the row id for
-    // deletes but an UPDATE may legitimately SET it (LWW contract)
-    new UpsertDeltaWriterFactory(staging, support, rowSchema, idIdx,
-      guardCount = table.pk.length, guardNames = table.pk)
-  }
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val files = messages.collect { case DeltaFileCommit(path) => path }
-    try {
-      if (files.nonEmpty) {
-        val staged = spark.read.schema(stagedSchema).parquet(files.toIndexedSeq: _*)
-        val op = col(UpsertDml.OpCol)
-        val rows = table.deleteFlagCol match {
-          case Some(f) =>
-            val flagged =
-              if (staged.columns.contains(f))
-                staged.withColumn(f,
-                  when(op === "delete", lit("delete")).otherwise(col(f)))
-              else staged.withColumn(f,
-                when(op === "delete", lit("delete"))
-                  .otherwise(lit(null).cast(StringType)))
-            flagged.drop(UpsertDml.OpCol)
-          case None =>
-            // refuse BEFORE the append: the batch rename is the commit,
-            // so nothing partial can land (staged rows are tiny — the
-            // changed set — so this probe is O(changes))
-            if (staged.filter(op === "delete").limit(1).count() > 0)
-              throw new UnsupportedOperationException(
-                s"MERGE INTO merge-on-read table ${table.dir} with DELETE " +
-                  "actions: the recorded contract has no deleteFlagCol, so " +
-                  "retraction rows are not expressible")
-            staged.drop(UpsertDml.OpCol)
-        }
-        MergeOnRead.merge(spark, table.dir, rows)
-      }
-    } finally cleanup(spark)
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    cleanup(SparkSession.active)
-
-  private def cleanup(spark: SparkSession): Unit = {
-    val p = new Path(staging)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+  /** One O(batch) delta append under the recorded LWW contract: delete
+    * rows become retraction rows carrying the contract's delete flag;
+    * a MERGE with delete actions on a no-delete-flag table refuses
+    * BEFORE the append (the batch rename is the commit, so nothing
+    * partial can land; staged rows are the changed set — O(changes)).
+    */
+  override protected def fold(spark: SparkSession,
+                              staged: org.apache.spark.sql.DataFrame): Unit = {
+    val op = col(UpsertDml.OpCol)
+    val rows = table.deleteFlagCol match {
+      case Some(f) =>
+        val flagged =
+          if (staged.columns.contains(f))
+            staged.withColumn(f,
+              when(op === "delete", lit("delete")).otherwise(col(f)))
+          else staged.withColumn(f,
+            when(op === "delete", lit("delete"))
+              .otherwise(lit(null).cast(StringType)))
+        flagged.drop(UpsertDml.OpCol)
+      case None =>
+        if (staged.filter(op === "delete").limit(1).count() > 0)
+          throw new UnsupportedOperationException(
+            s"MERGE INTO merge-on-read table ${table.dir} with DELETE " +
+              "actions: the recorded contract has no deleteFlagCol, so " +
+              "retraction rows are not expressible")
+        staged.drop(UpsertDml.OpCol)
+    }
+    MergeOnRead.merge(spark, table.dir, rows)
     ()
   }
 }

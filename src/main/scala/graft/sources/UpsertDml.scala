@@ -79,40 +79,54 @@ private[sources] object UpsertDml {
   val OpCol = "__op"
 }
 
-private[sources] class UpsertDeltaBatchWrite(table: UpsertBucketTable,
-                                             rowSchema: StructType)
+/** Shared staging protocol for the delta-based row-level writes: the
+  * executors land Spark's tagged rows (row + `__op`) as plain parquet
+  * in a hidden `.dml-<uuid>` dir via [[UpsertDeltaWriterFactory]], and
+  * the driver's commit hands the staged frame to the layout-specific
+  * [[fold]] — `Upsert.applyDelta` (bucket-pruned rewrite) or the
+  * merge-on-read O(batch) delta append. A crash or abort before the
+  * fold's own atomic commit leaves only the invisible staging dir,
+  * which cleanup removes. Staged FULLY NULLABLE: delete rows carry
+  * NULL for every non-id column, and a parquet writer given a NOT-NULL
+  * schema would write them without definition levels — silent file
+  * corruption, not an error.
+  */
+private[sources] abstract class StagedDeltaBatchWrite(dir: String,
+                                                      rowSchema: StructType,
+                                                      idCols: Seq[String],
+                                                      guardCount: Int,
+                                                      guardNames: Seq[String])
     extends DeltaBatchWrite {
 
-  // the ROW projection Spark sends (may include the synthetic
-  // __bucket column — applyDelta re-derives placement from the pk and
-  // ignores it) plus the operation tag. Staged FULLY NULLABLE: delete
-  // rows carry NULL for every non-pk column, and a parquet writer
-  // given a NOT-NULL schema would write them without definition
-  // levels — silent file corruption, not an error
-  private val stagedSchema: StructType =
+  protected val stagedSchema: StructType =
     StructType(rowSchema.fields.map(_.copy(nullable = true)) :+
       StructField(UpsertDml.OpCol, StringType, nullable = true))
   private val staging: String =
-    s"${table.dir.stripSuffix("/")}/.dml-${UUID.randomUUID()}"
+    s"${dir.stripSuffix("/")}/.dml-${UUID.randomUUID()}"
+
+  /** Fold the staged tagged rows (schema = [[stagedSchema]], `__op` ∈
+    * upsert/delete) into the table — the layout-specific commit.
+    */
+  protected def fold(spark: SparkSession,
+                     staged: org.apache.spark.sql.DataFrame): Unit
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(staging))
     val support = ParquetWriteShim.build(spark, stagedSchema)
-    val pkIdx = table.pk.map(c => rowSchema.fieldIndex(c)).toArray
-    new UpsertDeltaWriterFactory(staging, support, rowSchema, pkIdx,
-      guardCount = table.pk.length, guardNames = table.pk)
+    // row-id order → positions in the row schema
+    val idIdx = idCols.map(c => rowSchema.fieldIndex(c)).toArray
+    new UpsertDeltaWriterFactory(staging, support, rowSchema, idIdx,
+      guardCount, guardNames)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val files = messages.collect { case DeltaFileCommit(path) => path }
     try {
-      if (files.nonEmpty) {
-        val delta = spark.read.schema(stagedSchema).parquet(files.toIndexedSeq: _*)
-        Upsert.applyDelta(spark, table.dir, delta, UpsertDml.OpCol)
-      }
+      if (files.nonEmpty)
+        fold(spark, spark.read.schema(stagedSchema).parquet(files.toIndexedSeq: _*))
     } finally cleanup(spark)
   }
 
@@ -125,6 +139,15 @@ private[sources] class UpsertDeltaBatchWrite(table: UpsertBucketTable,
     if (fs.exists(p)) fs.delete(p, true)
     ()
   }
+}
+
+private[sources] class UpsertDeltaBatchWrite(table: UpsertBucketTable,
+                                             rowSchema: StructType)
+    extends StagedDeltaBatchWrite(table.dir, rowSchema,
+      idCols = table.pk, guardCount = table.pk.length, guardNames = table.pk) {
+  override protected def fold(spark: SparkSession,
+                              staged: org.apache.spark.sql.DataFrame): Unit =
+    Upsert.applyDelta(spark, table.dir, staged, UpsertDml.OpCol)
 }
 
 private[sources] case class DeltaFileCommit(path: String) extends WriterCommitMessage

@@ -47,7 +47,16 @@ object Bench {
     // persist each query's canonical (hashed) plan text: when a
     // plan_sha moves between rounds or runs, the diff is a `diff` of
     // two small files instead of an unreproducible one-off
+    // SELF-CLEANING (VERDICT r10 #7): stale plan files from previous
+    // builds otherwise accumulate and a `<query>-<oldsha>.txt` can
+    // masquerade as a re-baseline during an audit; after a run the dir
+    // holds exactly the current run's plans (one per head, plus any
+    // AQE twins the run itself produced)
     val planDir = java.nio.file.Paths.get("target/bench_plans")
+    if (java.nio.file.Files.isDirectory(planDir)) {
+      java.nio.file.Files.list(planDir).forEach(p =>
+        java.nio.file.Files.deleteIfExists(p))
+    }
     java.nio.file.Files.createDirectories(planDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None

@@ -98,12 +98,31 @@ object FsOps {
     * by the marker scan before any restaging happens. `write` receives
     * the staging dir and must leave the batch's files in it.
     */
+  /** Marker file carrying a batch's commit time from the DRIVER clock
+    * — the same clock [[graft.io.Upsert]] stamps `committedAtMs` with,
+    * so `TIMESTAMP AS OF` resolves delta batches and base manifests
+    * against ONE time axis (ADVICE r10: a filesystem mtime is the FS
+    * clock at staging, which can skew from the driver's).
+    */
+  val CommittedAtPrefix = "_committedAt-"
+
+  /** A committed batch dir's driver-clock stamp; None for batches
+    * written before the marker existed (callers fall back to mtime).
+    */
+  def batchCommittedAt(fs: FileSystem, batchDir: Path): Option[Long] =
+    fs.listStatus(batchDir).iterator.map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith(CommittedAtPrefix) =>
+        n.stripPrefix(CommittedAtPrefix).toLong }
+
   def stageAndCommitBatch(fs: FileSystem, root: Path, batch: Long,
                           commitId: Option[String])(write: Path => Unit): Unit = {
     val tmp = new Path(root, s".batch-$batch.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     write(tmp)
     commitId.foreach(id => fs.create(new Path(tmp, s"_commit-$id"), true).close())
+    // stamped just before the publishing rename, from the driver clock
+    fs.create(new Path(tmp, s"$CommittedAtPrefix${System.currentTimeMillis()}"),
+      true).close()
     renameOrThrow(fs, tmp, new Path(root, s"batch=$batch"))
   }
 

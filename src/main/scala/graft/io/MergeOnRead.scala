@@ -233,12 +233,17 @@ object MergeOnRead {
   }
 
   /** `TIMESTAMP AS OF` resolution: the newest RETAINED delta batch
-    * committed at or before `tsMs` (commit time = the batch commit
-    * marker's filesystem stamp — written by the same rename that
-    * publishes the batch). Falls back to a base-only snapshot when the
-    * timestamp precedes every retained batch but a stamped base
-    * manifest qualifies; otherwise refuses with the earliest time that
-    * IS resolvable, mirroring [[Upsert.genAtTimestamp]].
+    * committed at or before `tsMs`. Commit time is the batch's
+    * driver-clock stamp ([[FsOps.CommittedAtPrefix]], written by the
+    * same rename that publishes the batch) — the SAME clock the base
+    * manifest's `committedAtMs` carries, so the delta branch and the
+    * base-manifest fallback below resolve against one time axis
+    * (ADVICE r10: dir mtime is the filesystem clock at staging time
+    * and can skew from the driver's). Legacy batches without the
+    * stamp fall back to mtime. Falls back to a base-only snapshot
+    * when the timestamp precedes every retained batch but a stamped
+    * base manifest qualifies; otherwise refuses with the earliest
+    * time that IS resolvable, mirroring [[Upsert.genAtTimestamp]].
     */
   private[graft] def versionAtTimestamp(spark: SparkSession, dir: String,
                                         tsMs: Long): Long = {
@@ -247,7 +252,9 @@ object MergeOnRead {
       throw new Upsert.NoTableException(s"no delta batches or base under $dir")
     val fs = FsOps.fs(spark, new Path(deltaRoot(dir)))
     val stamped = all.map { case (k, p) =>
-      (k, fs.getFileStatus(new Path(p)).getModificationTime)
+      val d = new Path(p)
+      (k, FsOps.batchCommittedAt(fs, d)
+        .getOrElse(fs.getFileStatus(d).getModificationTime))
     }
     val hits = stamped.filter(_._2 <= tsMs)
     if (hits.nonEmpty) hits.map(_._1).max
@@ -543,6 +550,34 @@ object MergeOnRead {
               s"versionCol=$rv, deleteFlagCol=${rd.getOrElse("-")}, numBuckets=$rn) " +
               s"of $dir — to re-key, rebuild the table")
       case None =>
+        // PRE-CONTRACT content must prove the contract before it is
+        // recorded (ADVICE r10, medium): once the contract exists the
+        // SQL surface reports pk/version NOT NULL and every later
+        // append is null-validated — but rows that landed BEFORE the
+        // contract were not, and compact() folds the resolved content
+        // into the base verbatim, so a legacy null pk/version row
+        // would serve forever under a non-nullable schema (the
+        // optimizer may constant-fold `pk IS NULL` to false over it).
+        // One bounded job, once per table lifetime; a fresh/empty root
+        // (the streaming-sink birth path) costs nothing.
+        if (Upsert.currentManifest(spark, basePath(dir)).isDefined ||
+            deltaBatches(spark, dir).nonEmpty) {
+          val cols = (pk :+ versionCol).distinct
+          val resolved = read(spark, dir, pk, versionCol, deleteFlagCol)
+          cols.foreach(c => require(resolved.columns.contains(c),
+            s"recording MOR contract of $dir: resolved content lacks " +
+              s"contract column '$c'"))
+          val nulls = resolved
+            .filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+          if (nulls > 0)
+            throw new Upsert.TableContractException(
+              s"cannot record MOR contract (pk=${pk.mkString(",")}, " +
+                s"versionCol=$versionCol) on $dir: the pre-contract resolved " +
+                "content holds rows with NULL in a pk/version column — the " +
+                "SQL schema would declare them NOT NULL and the optimizer " +
+                "could constant-fold IS NULL predicates over live rows. " +
+                "Repair or retract those rows first")
+        }
         val lines = Seq(s"pk=${pk.mkString(",")}", s"versionCol=$versionCol") ++
           deleteFlagCol.map(c => s"deleteFlagCol=$c") :+ s"numBuckets=$numBuckets"
         FsOps.writeTextAtomic(spark, contractFile(dir), lines.mkString("\n"))

@@ -51,6 +51,17 @@ object Zones {
     */
   val SidecarNameV2 = "_zones2.tsv"
 
+  /** The 7-field sidecar (adds the per-file HLL ndv estimate feeding
+    * the CBO's distinctCount). Same rollout discipline as v1→v2
+    * (ADVICE r10): a NEW filename, because a v2 reader splits with
+    * limit 6 and a 7th field appended under the v2 name would fuse
+    * `sum\tndv` into one token and crash its BigInt parse mid-plan on
+    * shared storage during a mixed-version rollout. A v2-era reader
+    * sees no v3 file and keeps its full pruning + pushdown; only the
+    * ndv stat (a planner hint) is invisible to it.
+    */
+  val SidecarNameV3 = "_zones3.tsv"
+
   sealed trait ZVal
   final case class ZLong(v: Long) extends ZVal
   final case class ZDouble(v: Double) extends ZVal
@@ -296,14 +307,14 @@ object Zones {
       Base64.getDecoder.decode(s.substring(1)), StandardCharsets.UTF_8)))
   }
 
-  /** Write a bucket dir's sidecars: the v2 file carries one
+  /** Write a bucket dir's sidecars: the v3 file carries one
     * `file\tcol\tmin\tmax\tnonNull\tsum\tndv` line per (file, column)
     * (nonNull / sum / ndv encode as `~` when unknown; ndv is the
-    * per-file HLL++ estimate feeding the CBO's distinctCount), and the
-    * v1 file the same lines truncated to the original 4 fields —
-    * readers of either format prune, and a 6-field v2 written before
-    * the ndv column reads back with ndv unknown. Strings Base64-coded
-    * so no value can break the framing.
+    * per-file HLL++ estimate feeding the CBO's distinctCount), the v2
+    * file the same lines truncated to its own 6 fields (an old v2
+    * reader on shared storage keeps its pruning AND pushdown during a
+    * mixed-version rollout), and the v1 file the original 4. Strings
+    * Base64-coded so no value can break the framing.
     */
   def write(fs: FileSystem, bucketDir: Path,
             entries: Map[String, Map[String, ColZone]]): Unit = {
@@ -312,7 +323,7 @@ object Zones {
         val nn = z.nonNull.fold("~")(_.toString)
         val sm = z.sum.fold("~")("i" + _.toString)
         val nd = z.ndv.fold("~")(_.toString)
-        (s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}", s"\t$nn\t$sm\t$nd")
+        (s"$name\t$c\t${enc(z.min)}\t${enc(z.max)}", s"\t$nn\t$sm", s"\t$nd")
       }
     }
     def put(p: Path, body: String): Unit = {
@@ -320,20 +331,24 @@ object Zones {
       try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    put(new Path(bucketDir, SidecarNameV3),
+      lines.map { case (v1, v2, v3) => v1 + v2 + v3 }.mkString("\n"))
     put(new Path(bucketDir, SidecarNameV2),
-      lines.map { case (v1, ext) => v1 + ext }.mkString("\n"))
+      lines.map { case (v1, v2, _) => v1 + v2 }.mkString("\n"))
     put(new Path(bucketDir, SidecarName), lines.map(_._1).mkString("\n"))
   }
 
-  /** Read a bucket dir's sidecar — the v2 file when present, else the
-    * v1 file with nonNull/sum unknown (the aggregate pushdown refuses,
-    * pruning works); None when neither exists (older table or
-    * zone-less writer) — callers keep every file.
+  /** Read a bucket dir's sidecar — the newest format present (v3, then
+    * v2 with ndv unknown, then v1 with nonNull/sum/ndv unknown: the
+    * aggregate pushdown refuses, pruning works); None when none exists
+    * (older table or zone-less writer) — callers keep every file.
     */
   def read(fs: FileSystem, bucketDir: Path): Option[Map[String, Map[String, ColZone]]] = {
+    val p3 = new Path(bucketDir, SidecarNameV3)
     val p2 = new Path(bucketDir, SidecarNameV2)
     val p1 = new Path(bucketDir, SidecarName)
-    val p = if (fs.exists(p2)) p2 else if (fs.exists(p1)) p1 else return None
+    val p = if (fs.exists(p3)) p3
+      else if (fs.exists(p2)) p2 else if (fs.exists(p1)) p1 else return None
     val in = fs.open(p)
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)

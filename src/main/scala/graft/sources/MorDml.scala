@@ -29,8 +29,10 @@ import graft.io.MergeOnRead
   * is sugar over [[MergeOnRead.merge]], not a second write protocol:
   *  - UPDATE lands the updated row; unchanged `versionCol` still wins
   *    resolution (ties break to the newer batch), a raised version wins
-  *    outright, a LOWERED version loses — exactly as an API merge of
-  *    the same batch would.
+  *    outright. A LOWERED version would lose resolution forever — a
+  *    silently-ineffective write — so the writer REFUSES it at
+  *    execution (ADVICE r10; API merges of losing rows remain legal:
+  *    they are replay traffic, not statements claiming to change rows).
   *  - DELETE lands a retraction row carrying the matched row's OWN
   *    version (the row id includes `versionCol`, so the old version
   *    rides along without a second table scan) and the contract's
@@ -92,10 +94,13 @@ private[sources] class MorDeltaWrite(table: MorTable, rowSchema: StructType)
 private[sources] class MorDeltaBatchWrite(table: MorTable, rowSchema: StructType)
     extends StagedDeltaBatchWrite(table.dir, rowSchema,
       // row id = pk + versionCol (deletes carry the superseded
-      // version); guard the PK positions only — an UPDATE may
-      // legitimately SET the version (LWW contract)
+      // version); the PK positions guard against re-keying, and the
+      // version position against LOWERING (an UPDATE may raise or keep
+      // the version — the LWW contract — but a lowered one would be a
+      // silently-ineffective write, refused at execution; ADVICE r10)
       idCols = table.pk :+ table.versionCol,
-      guardCount = table.pk.length, guardNames = table.pk) {
+      guardCount = table.pk.length, guardNames = table.pk,
+      versionGuardIdx = table.pk.length) {
 
   /** One O(batch) delta append under the recorded LWW contract: delete
     * rows become retraction rows carrying the contract's delete flag;

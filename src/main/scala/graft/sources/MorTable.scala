@@ -166,12 +166,13 @@ private[graft] object MorTable {
     * reported NOT NULL — the LWW identity/order contract, same as the
     * Upsert table's NOT-NULL pk, and what Spark's row-level DML
     * rewrite requires of row-id attributes. The claim is ENFORCED at
-    * the write boundary: once the contract is recorded,
-    * [[graft.io.MergeOnRead.merge]] refuses batches with null (or
-    * missing) pk/version columns, so no SQL-readable root can acquire
-    * rows contradicting this schema; legacy pre-contract nulls resolve
-    * through the read path's null-aware ordering and wash out at the
-    * next compaction.
+    * BOTH boundaries: recording the contract refuses if the
+    * pre-contract resolved content holds any null pk/version row
+    * (ADVICE r10 — compact() folds resolved content verbatim, so such
+    * rows would otherwise serve forever under this schema), and once
+    * recorded, [[graft.io.MergeOnRead.merge]] refuses batches with
+    * null (or missing) pk/version columns — so no SQL-readable root
+    * can ever hold rows contradicting this schema.
     */
   private def contractSchema(spark: SparkSession, dir: String,
                              snap: MergeOnRead.Snapshot, pk: Seq[String],

@@ -1242,10 +1242,10 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
           var mn: Option[Zones.ZVal] = None
           var mx: Option[Zones.ZVal] = None
           var nonNull: Option[Long] = Some(0L)
-          // Σ per-file HLL ndv, capped at the non-null count below — a
-          // standard upper-bound ESTIMATE (the planner hint CBO range/
-          // equality estimation requires), not an exact answer
-          var ndvSum: Option[Long] = Some(0L)
+          // per-file (min, max, ndv) for the fold below; files with no
+          // non-null rows contribute no values and are skipped
+          val fileNdv = Seq.newBuilder[(Zones.ZVal, Zones.ZVal, Long)]
+          var ndvKnown = true
           // a kept file with no entry for this column (e.g. a merge
           // added the zone column and only rewrote touched buckets)
           // invalidates EVERYTHING for it — a partial min/max would be
@@ -1259,11 +1259,38 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                 mx = z.max.map(v =>
                   mx.filter(Zones.cmp(_, v) >= 0).getOrElse(v)).orElse(mx)
                 nonNull = for (a <- nonNull; b <- z.nonNull) yield a + b
-                ndvSum = for (a <- ndvSum; b <- z.ndv) yield a + b
+                if (!z.nonNull.contains(0L)) (z.min, z.max, z.ndv) match {
+                  case (Some(a), Some(b), Some(d)) => fileNdv += ((a, b, d))
+                  case _ => ndvKnown = false
+                }
               case _ => complete = false
             }
           }
-          if (!complete) { mn = None; mx = None; nonNull = None; ndvSum = None }
+          // Table-wide ndv from per-file HLL estimates (ADVICE r10): Σ
+          // per-file ndv is only an upper bound when the files are
+          // VALUE-DISJOINT in the column — provable from the zone
+          // ranges (sorted by min, no range starts before the previous
+          // ends). A low-cardinality column spread across many files
+          // (5 event types × 200 files) would otherwise report 1000×
+          // its true ndv, driving equality selectivity 1/ndv far too
+          // low — underestimated join output, broadcast-OOM flips.
+          // Overlapping ranges fall back to max per-file ndv: a LOWER
+          // bound, which errs toward larger estimated outputs — the
+          // safe direction for build-side/broadcast decisions.
+          val ndvEst: Option[Long] =
+            if (!complete || !ndvKnown) None
+            else {
+              val ivs = fileNdv.result()
+              if (ivs.isEmpty) Some(0L)
+              else {
+                val sorted = ivs.sortWith((a, b) => Zones.cmp(a._1, b._1) < 0)
+                val valueDisjoint = sorted.iterator.zip(sorted.iterator.drop(1))
+                  .forall { case (a, b) => Zones.cmp(a._2, b._1) < 0 }
+                if (valueDisjoint) Some(sorted.map(_._3).sum)
+                else Some(sorted.map(_._3).max)
+              }
+            }
+          if (!complete) { mn = None; mx = None; nonNull = None }
           val nulls = for (t <- rows; nn <- nonNull) yield t - nn
           // string min/max stay unreported (catalyst ColumnStat never
           // carries string bounds); null counts report for every kind
@@ -1277,7 +1304,7 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
           // equality-selectivity input CBO otherwise never has
           val distinct =
             if (table.pk == Seq(f.name)) rows // LWW: exact, beats the estimate
-            else for (nd <- ndvSum; nn <- nonNull) yield math.min(nd, nn)
+            else for (nd <- ndvEst; nn <- nonNull) yield math.min(nd, nn)
           if (bounds._1.isDefined || nulls.isDefined || distinct.isDefined)
             out.put(Expressions.column(f.name),
               new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {

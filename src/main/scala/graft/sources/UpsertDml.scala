@@ -95,7 +95,8 @@ private[sources] abstract class StagedDeltaBatchWrite(dir: String,
                                                       rowSchema: StructType,
                                                       idCols: Seq[String],
                                                       guardCount: Int,
-                                                      guardNames: Seq[String])
+                                                      guardNames: Seq[String],
+                                                      versionGuardIdx: Int = -1)
     extends DeltaBatchWrite {
 
   protected val stagedSchema: StructType =
@@ -118,7 +119,7 @@ private[sources] abstract class StagedDeltaBatchWrite(dir: String,
     // row-id order → positions in the row schema
     val idIdx = idCols.map(c => rowSchema.fieldIndex(c)).toArray
     new UpsertDeltaWriterFactory(staging, support, rowSchema, idIdx,
-      guardCount, guardNames)
+      guardCount, guardNames, versionGuardIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -162,14 +163,22 @@ private[sources] case class DeltaFileCommit(path: String) extends WriterCommitMe
   * NEW key and silently leave the OLD row in place — a duplication, not
   * an update. Re-keying is a DELETE + INSERT (SQL or MERGE). The
   * remaining id fields (e.g. the MOR version column, carried in the
-  * row id so deletes know the superseded version) may change freely.
+  * row id so deletes know the superseded version) may change — but a
+  * LOWERED (or nulled) version refuses too when `versionGuardIdx` ≥ 0
+  * names one (ADVICE r10): under LWW resolution the landed delta row
+  * would lose to the matched row forever, so the UPDATE would report
+  * success, change nothing at read, and leave permanent dead weight in
+  * the delta log. Raising or keeping the version is an effective
+  * update (ties break to the newer batch); lowering it is a silent
+  * no-op by construction, surfaced here as an error instead.
   */
 private[sources] class UpsertDeltaWriterFactory(staging: String,
                                                 support: ParquetWriteShim.WriteSupport,
                                                 dataSchema: StructType,
                                                 pkIdx: Array[Int],
                                                 guardCount: Int,
-                                                guardNames: Seq[String])
+                                                guardNames: Seq[String],
+                                                versionGuardIdx: Int = -1)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -194,6 +203,10 @@ private[sources] class UpsertDeltaWriterFactory(staging: String,
 
       override def insert(row: InternalRow): Unit = emit(row, "upsert")
 
+      private lazy val versionOrdering =
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(types(pkIdx(versionGuardIdx)))
+
       override def update(metadata: InternalRow, id: InternalRow,
                           row: InternalRow): Unit = {
         var i = 0
@@ -208,6 +221,21 @@ private[sources] class UpsertDeltaWriterFactory(staging: String,
                 "leave the old row in place — re-key via DELETE + INSERT " +
                 "(or a MERGE with a DELETE and an INSERT clause)")
           i += 1
+        }
+        if (versionGuardIdx >= 0) {
+          val vi = pkIdx(versionGuardIdx)
+          val t = types(vi)
+          val old = if (id.isNullAt(versionGuardIdx)) null
+            else id.get(versionGuardIdx, t)
+          val neu = if (row.isNullAt(vi)) null else row.get(vi, t)
+          if (old != null && (neu == null || versionOrdering.compare(neu, old) < 0))
+            throw new UnsupportedOperationException(
+              s"UPDATE lowers the LWW version column " +
+                s"'${dataSchema.fieldNames(vi)}' ($old -> $neu): the landed " +
+                "delta row would lose last-writer-wins resolution to the " +
+                "matched row forever — the UPDATE would succeed, change " +
+                "nothing at read, and leave dead weight in the delta log. " +
+                "SET the version to the matched value or higher")
         }
         emit(row, "upsert")
       }

@@ -255,15 +255,21 @@ class MergeOnReadSpec extends SparkSpec {
       MergeOnRead.merge(spark, morDir, df)
       Upsert.merge(spark, cowDir, df, pk, versionCol = "ver", deleteFlagCol = Some("op"))
     }
-    // base rows k1/k2 carry NULL versions — LEGACY rows appended
-    // BEFORE the first compact records the contract (post-contract
-    // appends refuse nulls at the write boundary, so pre-contract
-    // batches are the only way nulls enter; the read path keeps its
-    // null-aware ordering to resolve them deterministically)
+    // base rows k1/k2 carry NULL versions — a LEGACY base left by a
+    // pre-refusal engine. recordContract/compact now REFUSE such
+    // content (ADVICE r10: the SQL schema would claim NOT NULL over
+    // live nulls), so the state is fabricated directly: the read path
+    // must still resolve on-disk legacy states deterministically via
+    // its null-aware ordering
     applyBoth(Seq(("k1", "p1", None, 10L, "insert"),
       ("k2", "p1", None, 20L, "insert"), ("k3", "p1", Some(5L), 30L, "insert")))
-    MergeOnRead.compact(spark, morDir, pk, "ver", Some("op"))
-    // post-contract deltas are non-null by construction: a non-null
+    Upsert.overwriteSnapshot(spark, s"$morDir/base",
+      Seq[(String, String, Option[Long], Long, String)](
+        ("k1", "p1", None, 10L, "insert"), ("k2", "p1", None, 20L, "insert"),
+        ("k3", "p1", Some(5L), 30L, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"),
+      props = Map("upto" -> "0", "numBuckets" -> "1"))
+    // later deltas are non-null by construction: a non-null
     // delta supersedes a NULL base (k1); a null base row nobody
     // corrects survives as-is (k2); and a delta with a LOWER version
     // than its non-null base loses the (ver, batch) order (k3)
@@ -287,13 +293,18 @@ class MergeOnReadSpec extends SparkSpec {
     def merge(rows: Seq[(Option[String], String, Long, Long, String)]): Unit =
       MergeOnRead.merge(spark, morDir,
         rows.toDF("id", "province_id", "ver", "amount_cents", "op"))
-    // a LEGACY null-PK row lands pre-contract; compact folds it into
-    // the base (post-contract appends refuse null pks at the write
-    // boundary, so this is the only way one enters)
+    // a LEGACY null-PK base row left by a pre-refusal engine —
+    // recordContract/compact now refuse such content (ADVICE r10), so
+    // the on-disk state is fabricated directly; the read path must
+    // still resolve it
     merge(Seq((Some("k1"), "p1", 1L, 10L, "insert"),
       (None, "p1", 1L, 50L, "insert")))
-    MergeOnRead.compact(spark, morDir, pk, "ver", Some("op"))
-    // post-contract deltas touch real keys only: the null-PK base row
+    Upsert.overwriteSnapshot(spark, s"$morDir/base",
+      Seq[(Option[String], String, Long, Long, String)](
+        (Some("k1"), "p1", 1L, 10L, "insert"), (None, "p1", 1L, 50L, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"),
+      props = Map("upto" -> "0", "numBuckets" -> "1"))
+    // later deltas touch real keys only: the null-PK base row
     // must pass through the fast path's null-safe joins EXACTLY ONCE —
     // neither dropped by a plain === nor duplicated by the outer side
     merge(Seq((Some("k1"), "p1", 2L, 11L, "update")))
@@ -404,5 +415,38 @@ class MergeOnReadSpec extends SparkSpec {
     // compaction folds everything into a base with the widened shape
     MergeOnRead.compact(spark, dir, pk, "ver")
     assert(rows(MergeOnRead.read(spark, dir, pk, "ver")) == expected)
+  }
+
+  test("recording a contract over legacy null pk/version content refuses loudly (ADVICE r10)") {
+    // pre-contract appends are unvalidated; the contract claims the
+    // SQL schema's NOT NULL on pk+version, so recording it must prove
+    // the resolved content first — otherwise compact would fold null
+    // rows into a base served under a non-nullable schema forever
+    val rootV = Files.createTempDirectory("mor_ctr_nullver").toString + "/t"
+    MergeOnRead.merge(spark, rootV,
+      Seq[(String, Option[Long], Long)](("k1", None, 10L), ("k2", Some(1L), 20L))
+        .toDF("id", "ver", "amount_cents"))
+    val ev = intercept[Upsert.TableContractException](
+      MergeOnRead.compact(spark, rootV, pk, "ver"))
+    assert(ev.getMessage.contains("NULL in a pk/version column"), ev.getMessage)
+    assert(MergeOnRead.contract(spark, rootV).isEmpty, "refusal must not record")
+
+    val rootP = Files.createTempDirectory("mor_ctr_nullpk").toString + "/t"
+    MergeOnRead.merge(spark, rootP,
+      Seq[(Option[String], Long, Long)]((Some("k1"), 1L, 10L), (None, 1L, 50L))
+        .toDF("id", "ver", "amount_cents"))
+    val ep = intercept[Upsert.TableContractException](
+      MergeOnRead.recordContract(spark, rootP, pk, "ver", None,
+        Upsert.DefaultNumBuckets))
+    assert(ep.getMessage.contains("NULL in a pk/version column"), ep.getMessage)
+
+    // repair path: supersede the null-version row, retract nothing —
+    // then the contract records and compaction proceeds
+    MergeOnRead.merge(spark, rootV,
+      Seq(("k1", 5L, 11L)).toDF("id", "ver", "amount_cents"))
+    MergeOnRead.compact(spark, rootV, pk, "ver")
+    val got = MergeOnRead.read(spark, rootV, pk, "ver")
+      .select("id", "amount_cents").as[(String, Long)].collect().toMap
+    assert(got == Map("k1" -> 11L, "k2" -> 20L), s"got $got")
   }
 }

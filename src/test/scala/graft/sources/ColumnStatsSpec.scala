@@ -99,6 +99,33 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("ndv: Σ per-file only when zone ranges are value-disjoint, else max per-file") {
+    // the clustered fixture's files hold DISJOINT id-ranges of v, so
+    // the per-file HLL estimates may sum: table-wide ndv ~1750 (2000
+    // rows, 250 nulls), far above any single file's ~440 — proves the
+    // Σ path engaged
+    withCbo(on = true) {
+      val st = attrStats(UpsertBucketSource.read(spark, table).select("v"))
+      val v = st.getOrElse("v", fail(s"no stats for v in $st"))
+      val d = v.distinctCount.map(_.toLong).getOrElse(fail(s"no ndv: $v"))
+      assert(d > 1000L && d <= 1750L, s"expected ~1750 (Σ of disjoint files), got $d")
+    }
+    // a LOW-CARDINALITY column interleaved across files (every file
+    // holds all 5 values -> overlapping ranges): Σ would report
+    // 5 × files, driving equality selectivity far too low (ADVICE
+    // r10) — the fold must fall back to max per-file ndv ≈ 5
+    val dir = Files.createTempDirectory("colstats_lowcard").toString
+    Upsert.overwriteSnapshot(spark, dir,
+      spark.range(2000).select(col("id"), (col("id") % 5).as("t")),
+      zoneCols = Seq("t"), clusterBy = Seq("id"), filesTarget = 8)
+    withCbo(on = true) {
+      val st = attrStats(UpsertBucketSource.read(spark, dir).select("t"))
+      val t = st.getOrElse("t", fail(s"no stats for t in $st"))
+      val d = t.distinctCount.map(_.toLong).getOrElse(fail(s"no ndv: $t"))
+      assert(d <= 6L, s"expected ~5 (max per-file over interleaved files), got $d")
+    }
+  }
+
   test("CBO off: no column stats reported, planning unaffected") {
     withCbo(on = false) {
       val st = attrStats(UpsertBucketSource.read(spark, table).select("v"))

@@ -257,18 +257,20 @@ class MetaAggSpec extends SparkSpec {
       when(col("id") % 3 =!= 0, col("id")).as("v"))
     Upsert.overwriteSnapshot(spark, dir, df,
       zoneCols = Seq("v"), clusterBy = Seq("id"), filesTarget = 4)
-    // simulate an old-format table: the v2 sidecar never existed, only
-    // the original 4-field file — min/max survive from it, the
-    // count/sum fields are unknown. (The writer emits BOTH files; the
-    // v1 one IS the old format, so deleting v2 is the exact simulation
-    // — and doubles as the round-trip check on the dual write.)
+    // simulate an old-format table: the v2/v3 sidecars never existed,
+    // only the original 4-field file — min/max survive from it, the
+    // count/sum fields are unknown. (The writer emits ALL THREE files;
+    // the v1 one IS the old format, so deleting v2+v3 is the exact
+    // simulation — and doubles as the round-trip check on the writes.)
     import scala.jdk.CollectionConverters._
     val fs = graft.io.FsOps.fs(spark, new org.apache.hadoop.fs.Path(dir))
-    val v2 = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
-      .asScala.filter(_.getFileName.toString == graft.io.Zones.SidecarNameV2)
+    val newer = Set(graft.io.Zones.SidecarNameV2, graft.io.Zones.SidecarNameV3)
+    val v23 = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.filter(p => newer.contains(p.getFileName.toString))
       .toSeq
-    assert(v2.nonEmpty, "expected v2 sidecars to exist")
-    v2.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p.toString), false))
+    assert(v23.map(_.getFileName.toString).toSet == newer,
+      "expected v2 AND v3 sidecars to exist")
+    v23.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p.toString), false))
     val mm = UpsertBucketSource.read(spark, dir)
       .agg(min("v").as("mn"), max("v").as("mx"))
     assert(plan(mm).contains("LocalTableScan"), plan(mm))

@@ -258,14 +258,17 @@ class MorSqlReadSpec extends SparkSpec {
     spark.sql(s"UPDATE graft.`$dir` SET ver = 9, amount_cents = 999 WHERE id = 'k9'")
     assert(spark.sql(s"SELECT ver, amount_cents FROM graft.`$dir` WHERE id = 'k9'")
       .as[(Long, Long)].head() == ((9L, 999L)))
-    // a LOWERED version loses resolution — the API merge's own
-    // semantics, pinned so SQL can never pretend otherwise
-    spark.sql(s"UPDATE graft.`$dir` SET ver = 0, amount_cents = -5 WHERE id = 'k9'")
-    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` WHERE id = 'k9'")
-      .as[Long].head() == 999L, "a lowered version must lose LWW resolution")
-    // re-keying refuses, same identity guard as the Upsert layout
+    // a LOWERED version would lose resolution forever — a
+    // silently-ineffective UPDATE — so the writer refuses it loudly
+    // (ADVICE r10) and the table is untouched
     def ms(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ ms(x.getCause))
+    val low = intercept[Exception](spark.sql(
+      s"UPDATE graft.`$dir` SET ver = 0, amount_cents = -5 WHERE id = 'k9'"))
+    assert(ms(low).exists(_.contains("lowers the LWW version")), s"got ${ms(low)}")
+    assert(spark.sql(s"SELECT amount_cents FROM graft.`$dir` WHERE id = 'k9'")
+      .as[Long].head() == 999L, "refused UPDATE must leave the table unchanged")
+    // re-keying refuses, same identity guard as the Upsert layout
     val e = intercept[Exception](
       spark.sql(s"UPDATE graft.`$dir` SET id = 'kX' WHERE id = 'k8'"))
     assert(ms(e).exists(_.contains("identity column")), s"got ${ms(e)}")

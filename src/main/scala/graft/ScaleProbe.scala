@@ -85,6 +85,14 @@ object ScaleProbe {
     // rows vs group cardinality, O(changes) incremental wave
     val dwsOnly = args.length > 1 && args(1) == "dws"
     val dwsContOnly = args.length > 1 && args(1) == "dwscont"
+    // "dwscontmor": the continuous DWS pipeline terminating in the
+    // merge-on-read sink (VERDICT r10 #1) with Maintenance folding the
+    // delta backlog WHILE the query runs (VERDICT r10 #6 soak)
+    val dwsContMorOnly = args.length > 1 && args(1) == "dwscontmor"
+    // "sinkmor": isolated epoch-commit cost — the same correction
+    // waves through the CoW sink (touched-bucket rewrite per epoch)
+    // vs the MOR sink (O(batch) delta append) over an n-row base
+    val sinkMorOnly = args.length > 1 && args(1) == "sinkmor"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", if (spillOnly) "8" else "64")
@@ -859,7 +867,143 @@ object ScaleProbe {
         s"agg_equal=${served == full}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !topnOnly) {
+    if (dwsContMorOnly) {
+      // the SAME continuous topology as dwscont, but the sink lands
+      // each epoch as an O(batch) MOR delta append, and Maintenance
+      // runs compaction+GC every third wave RACING the live query —
+      // graded claims: latency flat across waves AND across
+      // compactions, no torn snapshot (agg_equal at the end), and the
+      // per-wave floor drops from commit-dominated to append-dominated
+      val root = java.nio.file.Files.createTempDirectory("probe_dwscm").toString
+      val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"
+      val groups = 100000L
+      val rows = ev
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+        .withColumn("gid", pmod(col("user_id"), lit(groups)))
+        .withColumn("__v", lit(1L))
+        .select("event_id", "gid", "value_cents", "__v")
+      graft.io.Upsert.merge(spark, fact, rows, pk = Seq("event_id"),
+        versionCol = "__v", changeLog = true)
+      val q = graft.rtdw.IncrementalDws.streamingPipeline(spark, fact, dws,
+        groupCols = Seq("gid"), sumCols = Seq("value_cents"),
+        checkpointDir = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"),
+        morSink = true)
+      def drainedTo(minBatches: Int): Unit = {
+        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        while (q.recentProgress.count(_.numInputRows > 0) < minBatches &&
+               System.nanoTime() < deadline) Thread.sleep(250)
+      }
+      drainedTo(1) // the bootstrap fold
+      var compactions = 0
+      val waves = 10
+      (2 to waves + 1).foreach { w =>
+        graft.io.Upsert.merge(spark, fact,
+          rows.filter(col("event_id") % 100 === 0)
+            .withColumn("value_cents", col("value_cents") + lit(w.toLong))
+            .withColumn("__v", lit(w.toLong)),
+          pk = Seq("event_id"), versionCol = "__v", changeLog = true)
+        drainedTo(w) // each wave consumed before the next lands
+        if (w % 3 == 0) {
+          // the soak: fold the sink's delta backlog while it commits —
+          // lease contention surfaces as ConcurrentWriter on either
+          // side; the sink retries itself, maintenance retries here
+          var done = false; var tries = 0
+          while (!done && tries < 10) {
+            try {
+              val acts = graft.io.Maintenance.runMor(spark, s"$dws/table",
+                pk = Seq("gid"), versionCol = "__v",
+                deleteFlagCol = Some("__op"),
+                policy = graft.io.Maintenance.Policy(maxDeltaBatches = 2))
+              if (acts.nonEmpty) compactions += 1
+              done = true
+            } catch {
+              case _: graft.io.Upsert.ConcurrentWriterException =>
+                tries += 1; Thread.sleep(300)
+            }
+          }
+        }
+      }
+      Thread.sleep(1500)
+      q.stop(); q.awaitTermination(60000)
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val waveProgs = progs.drop(1) // first = bootstrap fold of the whole fact
+      val lat = waveProgs.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val states = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val served = graft.rtdw.IncrementalDws.currentMor(spark, dws, Seq("gid")).get
+        .select("gid", "value_cents", "row_ct")
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val full = graft.io.Upsert.read(spark, fact)
+        .groupBy(col("gid"))
+        .agg(sum(col("value_cents")).as("value_cents"), count(lit(1)).as("row_ct"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      println(f"[scale] dws_continuous_mor_n=$n%-9d waves=${waveProgs.length} " +
+        f"wave_latency_ms min=${lat.headOption.getOrElse(-1L)} " +
+        f"median=${if (lat.nonEmpty) lat(lat.length / 2) else -1L} " +
+        f"max=${lat.lastOption.getOrElse(-1L)} " +
+        s"state_rows=${states.distinct.mkString("/")} groups=$groups " +
+        s"compactions=$compactions agg_equal=${served == full}")
+    }
+
+    if (sinkMorOnly) {
+      // Per-epoch sink commit cost at base size n: the CoW sink's
+      // epoch is a touched-bucket rewrite (a 1% random-key wave
+      // touches EVERY bucket — O(table) per epoch), the MOR sink's is
+      // one delta append (O(batch) at any base size). Same waves, same
+      // buckets, content parity checked at the end.
+      val root = java.nio.file.Files.createTempDirectory("probe_sinkmor").toString
+      val nb = 64
+      val rows = ev.withColumn("__v", lit(1L))
+        .select("event_id", "event_type", "value", "__v")
+      def mkWaves(src: String): Unit = (2 to 6).foreach { w =>
+        rows.filter(pmod(xxhash64(col("event_id"), lit(w)), lit(100)) === 0)
+          .withColumn("__v", lit(w.toLong))
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(50)
+      }
+      def contentSig(df: DataFrame): (String, Long) = {
+        val r = df.agg(
+          sum(xxhash64(col("event_id"), col("__v")).cast("decimal(38,0)")).as("h"),
+          count(lit(1)).as("c")).head()
+        (String.valueOf(r.getDecimal(0)), r.getLong(1))
+      }
+      def run(mode: String): (String, Long) = {
+        val dir = s"$root/$mode/t"; val src = s"$root/$mode/src"
+        val mor = mode == "mor"
+        if (mor) {
+          graft.io.MergeOnRead.merge(spark, dir, rows)
+          graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+            numBuckets = nb)
+        } else graft.io.Upsert.merge(spark, dir, rows, pk = Seq("event_id"),
+          versionCol = "__v", numBuckets = nb)
+        mkWaves(src)
+        val schema = spark.read.parquet(src).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.sources.UpsertStreamSink.writer(stream, dir,
+          pk = Seq("event_id"), versionCol = "__v", numBuckets = nb,
+          mor = mor)
+          .option("checkpointLocation", s"$root/$mode/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(600000)
+        val lat = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toLong).sorted
+        println(f"[scale] sink_commit mode=$mode%-4s n=$n%-9d " +
+          f"waves=${lat.length} wave_ms min=${lat.headOption.getOrElse(-1L)} " +
+          f"median=${if (lat.nonEmpty) lat(lat.length / 2) else -1L} " +
+          f"max=${lat.lastOption.getOrElse(-1L)}")
+        contentSig(
+          if (mor) graft.io.MergeOnRead.read(spark, dir, Seq("event_id"), "__v")
+          else graft.io.Upsert.read(spark, dir))
+      }
+      val cowSig = run("cow")
+      val morSig = run("mor")
+      println(s"[scale] sink_commit content_equal=${cowSig == morSig} " +
+        s"cow=$cowSig mor=$morSig")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !topnOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -1035,7 +1179,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !topnOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !topnOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -40,6 +40,7 @@ object SparkEntry {
     "j_snapshot_diff" -> (Relational.jSnapshotDiff _),
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
+    "dws_mor_stream_fold" -> (Relational.dwsMorStreamFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
     "mor_sql_dml" -> (Relational.morSqlDml _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
@@ -48,10 +49,12 @@ object SparkEntry {
     "a_meta_agg_grouped" -> (Relational.aMetaAggGrouped _),
     "a_zones_topn" -> (Relational.aZonesTopn _),
     "k3_stream_sink_upsert" -> (Relational.streamSinkUpsert _),
+    "k3_stream_sink_mor" -> (Relational.streamSinkMor _),
     "ddl_ctas_lifecycle" -> (Relational.ddlCtasLifecycle _),
     "j3_interval_bucketed" -> (Relational.j3IntervalBucketed _),
     "q_top_revenue_orders" -> ((s: SparkSession, d: String) => TpcH.qTopRevenueOrders(s, d)),
     "q_cbo_broadcast_flip" -> (TpcH.qCboBroadcastFlip _),
+    "q_cbo_join_reorder" -> (TpcH.qCboJoinReorder _),
     "a_topn_per_group" -> ((s: SparkSession, d: String) => Relational.aTopNPerGroup(s, d)),
     "a_window_analytics" -> (Relational.aWindowAnalytics _),
     "a_cube_metrics" -> (Relational.aCubeMetrics _),
@@ -411,6 +414,22 @@ object SparkEntry {
          WHERE event_id % 101 <> 0
          GROUP BY event_type""",
 
+    // same net waves over a MERGE-ON-READ fact (VERDICT r10 #5): the
+    // fact's delta batches are the change log, subscribed with batch-id
+    // offsets; pre/post images resolve against pinned snapshots and a
+    // compaction lands mid-subscription — green proves the delta-log
+    // subscription equals a full recompute
+    "dws_mor_stream_fold" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 97 = 0
+                              THEN CAST(FLOOR((value + 1) * 100) AS BIGINT)
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events
+         WHERE event_id % 101 <> 0
+         GROUP BY event_type""",
+
     // the Spark side answers count(*)/min/max/sum/count(col) over a
     // zones copy of events from METADATA ALONE (manifest footer counts
     // + zone sidecars' exact values, non-null counts and BigInt-folded
@@ -532,6 +551,20 @@ object SparkEntry {
          FROM events
          WHERE NOT (event_id % 101 = 0 AND event_id % 97 <> 0)
          GROUP BY event_type""",
+    // same three net waves, landed as O(batch) MOR delta appends with
+    // a compaction mid-stream (VERDICT r10 #1) — green proves the
+    // delta-append epoch commit + replay watermark + mid-stream fold +
+    // base∪deltas LWW read equal a batch recompute
+    "k3_stream_sink_mor" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 97 = 0
+                              THEN CAST(FLOOR((value + 1) * 100) AS BIGINT)
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events
+         WHERE NOT (event_id % 101 = 0 AND event_id % 97 <> 0)
+         GROUP BY event_type""",
 
     // the Spark side runs the whole lifecycle as SQL DDL through the
     // catalog — CTAS with the bucket placement transform, ALTER ADD
@@ -569,6 +602,21 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice < 5000
          GROUP BY l_orderkey""",
+
+    // 3-table chain written fact-first; with cbo.joinReorder the scans'
+    // rowCount/min-max/ndv stats flip the JOIN ORDER (orders ⋈ filtered
+    // customer first) — CboReorderSpec pins the order both ways, the
+    // oracle proves the reordered plan returns the exact recompute
+    "q_cbo_join_reorder" ->
+      """SELECT c_mktsegment,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents,
+                COUNT(*) AS item_ct
+         FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+         WHERE c_custkey < 100
+         GROUP BY c_mktsegment""",
 
     // oracle runs the same IN-list over the raw events table; the Spark
     // side reads only the bucket+bloom-narrowed file list of the

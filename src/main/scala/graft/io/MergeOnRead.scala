@@ -630,8 +630,22 @@ object MergeOnRead {
     */
   def lookup(spark: SparkSession, dir: String, pkCol: String, values: Seq[String],
              versionCol: String, deleteFlagCol: Option[String] = None,
-             numBuckets: Int = Upsert.DefaultNumBuckets): DataFrame = {
-    val (manOpt, _, live) = snapshot(spark, dir)
+             numBuckets: Int = Upsert.DefaultNumBuckets): DataFrame =
+    lookupPinned(spark, dir, currentSnapshot(spark, dir), pkCol, values,
+      versionCol, deleteFlagCol, numBuckets)
+
+  /** [[lookup]] against an already-pinned [[Snapshot]] — the
+    * time-travel/feed form: [[graft.rtdw.MorChangeFeed]] resolves
+    * pre/post images of a delta batch's keys against the states AT its
+    * boundaries, so the lookup must compose from the same pinned
+    * (manifest, delta list) pair as the snapshot resolution.
+    */
+  private[graft] def lookupPinned(spark: SparkSession, dir: String,
+                                  snap: Snapshot, pkCol: String,
+                                  values: Seq[String], versionCol: String,
+                                  deleteFlagCol: Option[String],
+                                  numBuckets: Int): DataFrame = {
+    val (manOpt, live) = (snap.man, snap.live)
     // the base resolves against the SAME manifest the delta list was
     // cut from (lookupIn) — one snapshot structurally, not by luck of
     // no compaction committing between two resolutions (ADVICE r4)
@@ -658,6 +672,69 @@ object MergeOnRead {
     dropDeletes(resolved, deleteFlagCol)
   }
 
+  // ---- streaming-epoch watermarks ---------------------------------------
+
+  /** Durable per-query replay watermark for [[graft.sources
+    * .UpsertStreamSink]]'s merge-on-read mode: `_streamEpoch-<queryId>`
+    * at the root holds the highest epoch whose delta batch is
+    * acknowledged durable. The PRIMARY replay defense is the batch's
+    * own `_commit-stream-<queryId>-<epochId>` marker (committed by the
+    * same rename as the batch — [[committedBatchFor]] turns a replay
+    * into a no-op); this file is the SECOND line that survives the
+    * batch dir itself being compacted and GC'd while the stream was
+    * down, and [[gcCompactedDeltas]] refuses to GC any stream-committed
+    * batch this watermark has not yet acknowledged — so no crash point
+    * can double-apply an epoch. One small file per streaming query id,
+    * O(named jobs), same accumulation contract as the CoW sink's
+    * `streamEpoch.*` manifest props.
+    */
+  private def streamEpochFile(dir: String, queryId: String) =
+    new Path(dir.stripSuffix("/"), s"_streamEpoch-$queryId")
+
+  private val StreamEpochPrefix = "_streamEpoch-"
+  private[graft] val StreamCommitPrefix = "stream-"
+
+  def streamEpochApplied(spark: SparkSession, dir: String,
+                         queryId: String): Long =
+    FsOps.readTextOpt(spark, streamEpochFile(dir, queryId))
+      .map(_.trim.toLong).getOrElse(-1L)
+
+  def recordStreamEpoch(spark: SparkSession, dir: String, queryId: String,
+                        epochId: Long): Unit =
+    FsOps.writeTextAtomic(spark, streamEpochFile(dir, queryId),
+      epochId.toString)
+
+  /** Every recorded streaming watermark of the root: queryId → epoch. */
+  private[graft] def streamEpochWatermarks(spark: SparkSession,
+                                           dir: String): Map[String, Long] = {
+    val root = new Path(dir.stripSuffix("/"))
+    val fs = FsOps.fs(spark, root)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(StreamEpochPrefix))
+      .flatMap { n =>
+        val q = n.stripPrefix(StreamEpochPrefix)
+        FsOps.readTextOpt(spark, streamEpochFile(dir, q))
+          .map(t => q -> t.trim.toLong)
+      }.toMap
+  }
+
+  /** The `(queryId, epochId)` a stream-committed batch dir's commit
+    * marker carries, if any — `_commit-stream-<queryId>-<epochId>`
+    * (the queryId itself contains dashes; the epoch is the last
+    * segment).
+    */
+  private def streamMarkerOf(fs: org.apache.hadoop.fs.FileSystem,
+                             batchDir: Path): Option[(String, Long)] =
+    fs.listStatus(batchDir).iterator.map(_.getPath.getName)
+      .collectFirst {
+        case n if n.startsWith(s"_commit-$StreamCommitPrefix") =>
+          val rest = n.stripPrefix(s"_commit-$StreamCommitPrefix")
+          val cut = rest.lastIndexOf('-')
+          (rest.substring(0, math.max(cut, 0)),
+            scala.util.Try(rest.substring(cut + 1).toLong).getOrElse(-1L))
+      }.filter(_._2 >= 0)
+
   /** Remove a merge-on-read root entirely — base generations, delta
     * batches, contract — under the writer lease (same protocol as
     * [[Upsert.dropTable]]); false unless [[isMorRoot]] holds, so a
@@ -677,7 +754,12 @@ object MergeOnRead {
     * every RETAINED manifest has folded go (one-cycle retention — see
     * [[compact]]); `retainForReaders = false` drops everything ≤ the
     * CURRENT watermark, safe only when no reader can hold an older
-    * snapshot (offline maintenance).
+    * snapshot (offline maintenance). A STREAM-committed batch whose
+    * epoch the per-query watermark file has not yet acknowledged is
+    * never GC'd (either mode): its `_commit-stream-*` marker is the
+    * replay no-op defense, and deleting it in the crash window between
+    * batch commit and watermark write would let a replayed epoch land
+    * twice.
     */
   def gcCompactedDeltas(spark: SparkSession, dir: String,
                         retainForReaders: Boolean = true): Unit = {
@@ -686,7 +768,13 @@ object MergeOnRead {
       else compactedUpto(spark, dir)
     if (upto < 0) return
     val fs = FsOps.fs(spark, new Path(deltaRoot(dir)))
+    lazy val marks = streamEpochWatermarks(spark, dir)
     deltaBatches(spark, dir).filter(_._1 <= upto)
-      .foreach { case (_, p) => fs.delete(new Path(p), true) }
+      .foreach { case (_, p) =>
+        val d = new Path(p)
+        val unacked = streamMarkerOf(fs, d)
+          .exists { case (q, ep) => ep > marks.getOrElse(q, -1L) }
+        if (!unacked) fs.delete(d, true)
+      }
   }
 }

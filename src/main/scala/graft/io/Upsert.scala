@@ -65,6 +65,11 @@ object Upsert {
   val DefaultNumBuckets = 16
 
   private[io] val BucketCol = "__bucket"
+
+  /** Physical second partition level for value-clustered writes
+    * (VERDICT r10 #2): dir name only — never a stored column.
+    */
+  private[io] val CvCol = "__cv"
   /** Schema anchor pseudo-bucket: a zero-row parquet file referenced
     * when the table's content empties out, so reads keep their schema.
     */
@@ -591,6 +596,18 @@ object Upsert {
     m.props.get(ZoneColsProp)
       .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
 
+  /** Table property recording the VALUE-CLUSTER columns (VERDICT r10
+    * #2): once set, every write route — merge, SQL DML, compaction,
+    * rebucket — stages files single-valued in these columns, so the
+    * grouped/contained metadata answers keep applying to the table as
+    * it lives, not just at bulk-load time.
+    */
+  private val ValueClusterProp = "valueClusterBy"
+
+  def valueClusterColsOf(m: Manifest): Seq[String] =
+    m.props.get(ValueClusterProp)
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+
   private def scanFiles(spark: SparkSession, dir: String, rels: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val r = schema.fold(spark.read)(s => spark.read.schema(s))
@@ -865,15 +882,18 @@ object Upsert {
         g.getPath.getName match {
           case GenDirRe(_) =>
             fs.listStatus(g.getPath).filter(_.isDirectory).foreach { bDir =>
-              fs.listStatus(bDir.getPath).foreach { f =>
-                val name = f.getPath.getName
-                val rel = s"${g.getPath.getName}/${bDir.getPath.getName}/$name"
-                if (!name.startsWith("_") && !name.startsWith(".") &&
-                    !live.contains(rel)) {
-                  reclaimableFiles += 1
-                  reclaimableBytes += f.getLen
+              def count(d: Path, relPrefix: String): Unit =
+                fs.listStatus(d).foreach { f =>
+                  val name = f.getPath.getName
+                  if (f.isDirectory && name.startsWith(s"$CvCol="))
+                    count(f.getPath, s"$relPrefix/$name")
+                  else if (!name.startsWith("_") && !name.startsWith(".") &&
+                      !live.contains(s"$relPrefix/$name")) {
+                    reclaimableFiles += 1
+                    reclaimableBytes += f.getLen
+                  }
                 }
-              }
+              count(bDir.getPath, s"${g.getPath.getName}/${bDir.getPath.getName}")
             }
           case _ =>
         }
@@ -1000,23 +1020,33 @@ object Upsert {
     * the exact expression [[Blooms.positions]] mirrors), positions fold
     * to words via bit_or, and only files × Words rows reach the driver.
     */
+  /** The parent-dir path of a staged file URI, relative to its
+    * generation dir: `__bucket=B`, or `__bucket=B/__cv=H` for
+    * value-clustered layouts. The sidecar keying unit (see
+    * [[Zones.build]]).
+    */
+  private[io] def parentSuffixOf(fileUri: String): String = {
+    val start = fileUri.indexOf(s"$BucketCol=")
+    require(start >= 0, s"staged file outside a bucket dir: $fileUri")
+    fileUri.substring(start, fileUri.lastIndexOf('/'))
+  }
+
   private[io] def buildBlooms(spark: SparkSession, stagedDir: String,
-                              pk: Seq[String]): Map[Int, Map[String, Array[Long]]] = {
+                              pk: Seq[String]): Map[String, Map[String, Array[Long]]] = {
     val posCols = (0 until Blooms.K).map(i =>
       pmod(xxhash64(keyStr(pk), lit(i)), lit(Blooms.Bits)))
     val rows = spark.read.parquet(stagedDir)
-      .select(col(BucketCol).cast("int").as("b"), input_file_name().as("f"),
-        explode(array(posCols: _*)).as("p"))
-      .select(col("b"), col("f"), (col("p") / 64).cast("int").as("wi"),
+      .select(input_file_name().as("f"), explode(array(posCols: _*)).as("p"))
+      .select(col("f"), (col("p") / 64).cast("int").as("wi"),
         expr("shiftleft(1L, cast(p % 64 as int))").as("bits"))
-      .groupBy(col("b"), col("f"), col("wi"))
+      .groupBy(col("f"), col("wi"))
       .agg(expr("bit_or(bits)").as("w"))
       .collect()
-    rows.groupBy(_.getInt(0)).map { case (b, rs) =>
-      b -> rs.groupBy(r => r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1))
+    rows.groupBy(r => parentSuffixOf(r.getString(0))).map { case (d, rs) =>
+      d -> rs.groupBy(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
         .map { case (name, frs) =>
           val words = new Array[Long](Blooms.Words)
-          frs.foreach(r => words(r.getInt(2)) = r.getLong(3))
+          frs.foreach(r => words(r.getInt(1)) = r.getLong(2))
           name -> words
         }
     }
@@ -1029,39 +1059,69 @@ object Upsert {
     * is invisible until a manifest references it. When `bloomPk` is
     * set, each staged bucket dir gets its Bloom sidecar before commit.
     */
+  /** Stage `merged` (carrying `__bucket`) and return bucket → staged
+    * rel paths. With `valueClusterCols` (VERDICT r10 #2), the write
+    * adds a second physical partition level `__cv=<xxhash64 of the
+    * cluster values>` so every staged FILE is single-valued in the
+    * cluster columns BY CONSTRUCTION — the property that lets GROUP BY
+    * and contained-filter answers fold from metadata on production
+    * tables. The hash is layout-only (dir name, never stored); a hash
+    * collision merely puts two cluster values in one file — the zone
+    * sidecars still record min≠max there and the grouped pushdown
+    * refuses that file, so correctness never depends on the routing.
+    * Sidecars (blooms/zones) are written per LEAF dir — the unit the
+    * readers resolve from a file's parent — and the zone stats always
+    * cover the cluster columns (the verification channel).
+    */
   private def stageGeneration(spark: SparkSession, dir: String, gen: Long,
                               merged: DataFrame,
                               bloomPk: Option[Seq[String]],
-                              zoneCols: Seq[String] = Nil): Map[Int, Seq[String]] = {
+                              zoneCols: Seq[String] = Nil,
+                              valueClusterCols: Seq[String] = Nil): Map[Int, Seq[String]] = {
     val stage = new Path(dir, s"__gen=$gen")
     val fs = FsOps.fs(spark, stage)
     if (fs.exists(stage)) fs.delete(stage, true) // re-run of a crashed attempt
-    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(stage.toString)
+    val clustered = valueClusterCols.nonEmpty
+    val toWrite =
+      if (!clustered) merged
+      else merged.withColumn(CvCol, xxhash64(valueClusterCols.map(col): _*))
+    val partCols = if (clustered) Seq(BucketCol, CvCol) else Seq(BucketCol)
+    toWrite.write.mode("overwrite").partitionBy(partCols: _*).parquet(stage.toString)
+    def leafFiles(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
     val bucketDirs = fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith(s"$BucketCol="))
     val staged: Map[Int, Seq[String]] = bucketDirs.map { st =>
       val b = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-      b -> fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith("."))
-        .map(n => s"__gen=$gen/$BucketCol=$b/$n")
+      val files =
+        if (!clustered) leafFiles(st.getPath).map(n => s"__gen=$gen/$BucketCol=$b/$n")
+        else fs.listStatus(st.getPath).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$CvCol="))
+          .flatMap(cd => leafFiles(cd.getPath)
+            .map(n => s"__gen=$gen/$BucketCol=$b/${cd.getPath.getName}/$n"))
+      b -> files
     }.toMap
+    // every leaf dir holding staged data, as a path under the gen dir
+    lazy val leafDirs: Seq[String] = staged.valuesIterator.flatten.toSeq
+      .map(rel => rel.substring(rel.indexOf('/') + 1, rel.lastIndexOf('/')))
+      .distinct
     bloomPk.foreach { pk =>
       if (staged.nonEmpty) {
         val blooms = buildBlooms(spark, stage.toString, pk)
-        staged.keys.foreach { b =>
-          Blooms.write(fs, new Path(stage, s"$BucketCol=$b"),
-            blooms.getOrElse(b, Map.empty))
+        leafDirs.foreach { d =>
+          Blooms.write(fs, new Path(stage, d), blooms.getOrElse(d, Map.empty))
         }
       }
     }
     val schema = merged.drop(BucketCol).schema
-    val stats = zoneCols.flatMap(c =>
+    val statCols = (zoneCols ++ valueClusterCols).distinct
+    val stats = statCols.flatMap(c =>
       schema.fields.find(_.name == c).map(f => c -> f.dataType))
     if (stats.nonEmpty && staged.nonEmpty) {
       val zones = Zones.build(spark, stage.toString, stats)
-      staged.keys.foreach { b =>
-        Zones.write(fs, new Path(stage, s"$BucketCol=$b"),
-          zones.getOrElse(b, Map.empty))
+      leafDirs.foreach { d =>
+        Zones.write(fs, new Path(stage, d), zones.getOrElse(d, Map.empty))
       }
     }
     staged
@@ -1133,11 +1193,12 @@ object Upsert {
             bloom: Boolean = false,
             maxPointKeys: Int = 1024,
             zoneCols: Seq[String] = Nil,
-            extraProps: Map[String, String] = Map.empty): Unit =
+            extraProps: Map[String, String] = Map.empty,
+            valueClusterBy: Seq[String] = Nil): Unit =
       withWriterLease(spark, dir) {
     mergeLocked(spark, dir, updates, pk, versionCol, deleteFlagCol,
       numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
-      extraProps)
+      extraProps, valueClusterBy)
   }
 
   /** [[merge]]'s body, caller already holding `dir`'s writer lease —
@@ -1154,8 +1215,11 @@ object Upsert {
                           bloom: Boolean,
                           maxPointKeys: Int,
                           zoneCols: Seq[String],
-                          extraProps: Map[String, String]): Unit = {
+                          extraProps: Map[String, String],
+                          valueClusterBy: Seq[String] = Nil): Unit = {
     val bloomPk = if (bloom) Some(pk) else None
+    valueClusterBy.foreach(c => require(updates.columns.contains(c),
+      s"valueClusterBy column '$c' is not in the batch schema"))
     currentManifest(spark, dir) match {
       case None =>
         // CREATE: stage + single manifest rename — a reader either sees
@@ -1164,7 +1228,8 @@ object Upsert {
           resolve(updates.withColumn("__src", lit(1)), pk, versionCol, deleteFlagCol),
           pk, numBuckets)
         val gen = nextGen(spark, dir)
-        val staged = stageGeneration(spark, dir, gen, merged, bloomPk, zoneCols)
+        val staged = stageGeneration(spark, dir, gen, merged, bloomPk, zoneCols,
+          valueClusterBy)
         val files =
           if (staged.valuesIterator.flatten.nonEmpty) staged
           else Map(SchemaBucket ->
@@ -1177,15 +1242,22 @@ object Upsert {
           ChangeFeed.append(spark, dir,
             adds.withColumn(ChangeFeed.ChangeCol, lit("add")), commitId)
         }
+        // cluster columns are zone columns too: the per-file
+        // single-valued property is VERIFIED through their sidecars
+        val createZones = (zoneCols ++ valueClusterBy).distinct
         val zoneProp =
-          if (zoneCols.nonEmpty) Map(ZoneColsProp -> zoneCols.mkString(","))
+          if (createZones.nonEmpty) Map(ZoneColsProp -> createZones.mkString(","))
+          else Map.empty[String, String]
+        val vcProp =
+          if (valueClusterBy.nonEmpty)
+            Map(ValueClusterProp -> valueClusterBy.mkString(","))
           else Map.empty[String, String]
         commitManifest(spark, dir,
           Manifest(gen, Map("numBuckets" -> numBuckets.toString,
             PkColsProp -> pk.mkString(","),
             VersionColProp -> versionCol,
             SchemaProp -> merged.drop(BucketCol).schema.toDDL)
-            ++ zoneProp ++ extraProps, files),
+            ++ zoneProp ++ vcProp ++ extraProps, files),
           op = "create")
 
       case Some(man) =>
@@ -1278,8 +1350,22 @@ object Upsert {
         val merged = withBucket(
           resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol), pk, n)
         val gen = nextGen(spark, dir)
-        val effZones = (zoneCols ++ zoneColsOf(man)).distinct
-        val staged = stageGeneration(spark, dir, gen, merged, bloomPk, effZones)
+        // recorded value-cluster columns bind (like placement): a merge
+        // declaring DIFFERENT ones would break the invariant the
+        // grouped metadata answers verify against; a merge on a
+        // non-clustered table may ADOPT clustering (older generations'
+        // files stay multi-valued and simply refuse the pushdown until
+        // compaction rewrites them)
+        val recCluster = valueClusterColsOf(man)
+        if (valueClusterBy.nonEmpty && recCluster.nonEmpty &&
+            valueClusterBy != recCluster)
+          throw new TableContractException(
+            s"merge valueClusterBy ${valueClusterBy.mkString(",")} contradicts " +
+              s"the recorded valueClusterBy [${recCluster.mkString(",")}] of $dir")
+        val effCluster = if (recCluster.nonEmpty) recCluster else valueClusterBy
+        val effZones = (zoneCols ++ zoneColsOf(man) ++ effCluster).distinct
+        val staged = stageGeneration(spark, dir, gen, merged, bloomPk, effZones,
+          effCluster)
         var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
           b -> (staged.getOrElse(b, Seq.empty) ++ preserve.getOrElse(b, Seq.empty))
         }.toMap
@@ -1311,10 +1397,14 @@ object Upsert {
         val zoneProp =
           if (effZones.nonEmpty) Map(ZoneColsProp -> effZones.mkString(","))
           else Map.empty[String, String]
+        val vcProp =
+          if (effCluster.nonEmpty)
+            Map(ValueClusterProp -> effCluster.mkString(","))
+          else Map.empty[String, String]
         commitManifest(spark, dir, Manifest(gen,
           man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL)
             + (PkColsProp -> pk.mkString(",")) + (VersionColProp -> versionCol)
-            ++ zoneProp ++ extraProps,
+            ++ zoneProp ++ vcProp ++ extraProps,
           files), Some(man), op = "merge")
         } finally { tagged.unpersist(); () }
     }
@@ -1532,7 +1622,9 @@ object Upsert {
       }
       val gen = nextGen(spark, dir)
       val staged = stageGeneration(spark, dir, gen, merged,
-        if (hadBlooms) Some(pk) else None, zoneColsOf(man))
+        if (hadBlooms) Some(pk) else None,
+        (zoneColsOf(man) ++ valueClusterColsOf(man)).distinct,
+        valueClusterColsOf(man))
       var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
         b -> staged.getOrElse(b, Seq.empty)
       }.toMap
@@ -1638,10 +1730,12 @@ object Upsert {
     // table's zone columns (sidecars written for the rewritten files,
     // prop recorded for readers) — the OPTIMIZE ZORDER analog; without
     // clusterBy the recorded zone columns carry over unchanged
+    val valueCluster = valueClusterColsOf(man)
     val effZoneCols =
-      if (clusterBy.nonEmpty) clusterBy else zoneColsOf(man)
+      ((if (clusterBy.nonEmpty) clusterBy else zoneColsOf(man)) ++
+        valueCluster).distinct
     val staged = stageGeneration(spark, dir, gen, arranged,
-      if (bloom) Some(pk) else None, effZoneCols)
+      if (bloom) Some(pk) else None, effZoneCols, valueCluster)
     // an over-threshold bucket whose files held zero live rows stages
     // no dir — its entry empties rather than keeping the old files
     val compacted: Map[Int, Seq[String]] =
@@ -1697,7 +1791,9 @@ object Upsert {
     val merged = withBucket(df, pk, newNumBuckets)
     val gen = nextGen(spark, dir)
     val staged = stageGeneration(spark, dir, gen, merged,
-      if (hadBlooms) Some(pk) else None, zoneColsOf(man))
+      if (hadBlooms) Some(pk) else None,
+      (zoneColsOf(man) ++ valueClusterColsOf(man)).distinct,
+      valueClusterColsOf(man))
     val files: Map[Int, Seq[String]] =
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
@@ -1728,14 +1824,17 @@ object Upsert {
       g.getPath.getName match {
         case GenDirRe(_) =>
           fs.listStatus(g.getPath).filter(_.isDirectory).foreach { bDir =>
-            fs.listStatus(bDir.getPath).foreach { f =>
-              val name = f.getPath.getName
-              val rel = s"${g.getPath.getName}/${bDir.getPath.getName}/$name"
-              if (!name.startsWith("_") && !name.startsWith(".") &&
-                  !referenced.contains(rel)) {
-                files += 1; bytes += f.getLen
+            def count(d: Path, relPrefix: String): Unit =
+              fs.listStatus(d).foreach { f =>
+                val name = f.getPath.getName
+                if (f.isDirectory && name.startsWith(s"$CvCol="))
+                  count(f.getPath, s"$relPrefix/$name")
+                else if (!name.startsWith("_") && !name.startsWith(".") &&
+                    !referenced.contains(s"$relPrefix/$name")) {
+                  files += 1; bytes += f.getLen
+                }
               }
-            }
+            count(bDir.getPath, s"${g.getPath.getName}/${bDir.getPath.getName}")
           }
         case _ =>
       }
@@ -2033,16 +2132,25 @@ object Upsert {
     entries.collect { case n @ GenDirRe(_) => n }.foreach { genName =>
       val genPath = new Path(root, genName)
       fs.listStatus(genPath).filter(_.isDirectory).foreach { bDir =>
+        // value-clustered layouts nest one `__cv=` level under the
+        // bucket dir — the sweep must recurse, or every nested data
+        // file would be invisible to the referenced-count and the
+        // bucket dir (referencedLeft == 0) deleted WITH live data
         var referencedLeft = 0
-        fs.listStatus(bDir.getPath).foreach { f =>
-          val name = f.getPath.getName
-          val rel = s"$genName/${bDir.getPath.getName}/$name"
-          val isData = !name.startsWith("_") && !name.startsWith(".")
-          if (isData) {
-            if (referenced.contains(rel)) referencedLeft += 1
-            else fs.delete(f.getPath, false)
+        def sweep(d: Path, relPrefix: String): Unit =
+          fs.listStatus(d).foreach { f =>
+            val name = f.getPath.getName
+            if (f.isDirectory && name.startsWith(s"$CvCol=")) {
+              val before = referencedLeft
+              sweep(f.getPath, s"$relPrefix/$name")
+              // a cv dir whose every data file was reclaimed goes too
+              if (referencedLeft == before) fs.delete(f.getPath, true)
+            } else if (!name.startsWith("_") && !name.startsWith(".")) {
+              if (referenced.contains(s"$relPrefix/$name")) referencedLeft += 1
+              else fs.delete(f.getPath, false)
+            }
           }
-        }
+        sweep(bDir.getPath, s"$genName/${bDir.getPath.getName}")
         if (referencedLeft == 0) fs.delete(bDir.getPath, true)
       }
       if (!fs.listStatus(genPath).exists(_.isDirectory)) fs.delete(genPath, true)

@@ -250,19 +250,28 @@ object Zones {
       if (lossless) Some(c -> ColZone(mn, mx, Some(nn), sm, nd)) else None
     }.toMap
 
+  /** Per-file zone stats over a staged generation dir, keyed by each
+    * file's PARENT-DIR path under the generation (`__bucket=B`, or
+    * `__bucket=B/__cv=H` for value-clustered layouts) — one sidecar is
+    * written per parent dir, and readers resolve a file's sidecar from
+    * its parent ([[graft.sources.ZoneSweep]]), so the keying must be
+    * the dir, not the bucket: a task writing several `__cv` subdirs
+    * reuses ONE part-file name across them, and bucket-keyed maps
+    * would silently collapse those entries into one.
+    */
   def build(spark: SparkSession, stagedDir: String,
             statCols: Seq[(String, DataType)]):
-      Map[Int, Map[String, Map[String, ColZone]]] = {
+      Map[String, Map[String, Map[String, ColZone]]] = {
     val sup = statCols.flatMap { case (c, dt) => statExpr(c, dt).map(e => (c, dt, e)) }
     if (sup.isEmpty) return Map.empty
     val aggs = statAggs(sup)
     val rows = spark.read.parquet(stagedDir)
-      .groupBy(col(Upsert.BucketCol).cast("int").as("b"), input_file_name().as("f"))
+      .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.groupBy(_.getInt(0)).map { case (b, rs) =>
-      b -> rs.map { r =>
-        val f = r.getString(1)
+    rows.groupBy(r => Upsert.parentSuffixOf(r.getString(0))).map { case (d, rs) =>
+      d -> rs.map { r =>
+        val f = r.getString(0)
         val name = f.substring(f.lastIndexOf('/') + 1)
         name -> decodeZones(r, sup)
       }.toMap

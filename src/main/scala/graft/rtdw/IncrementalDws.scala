@@ -182,6 +182,56 @@ object IncrementalDws {
       }
       .start()
 
+  /** [[streaming]] over a MERGE-ON-READ fact (VERDICT r10 #5): the
+    * fact's own delta batches are its change log, subscribed through
+    * [[graft.sources.MorChangeFeedSource]]; each micro-batch's raw
+    * upsert rows become retract/add pairs via
+    * [[MorChangeFeed.retractStream]] (pre/post images resolved against
+    * the pinned snapshots at the admitted batch range's boundaries)
+    * and fold with the SAME signed aggregation — so a DWS aggregate
+    * tracks a firehose MOR fact without the fact ever producing a
+    * second feed. Exactly-once: identical watermark + query-lineage
+    * guards as [[streaming]] (the watermark rides the DWS table's own
+    * manifest commit).
+    */
+  def streamingMor(spark: SparkSession, morFactDir: String, dwsDir: String,
+                   groupCols: Seq[String], sumCols: Seq[String],
+                   checkpointDir: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                   maxBatchesPerTrigger: Option[Int] = None,
+                   maxPointKeys: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.MorChangeFeedSource.read(spark, morFactDir, maxBatchesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val s = raw.sparkSession
+        val man = Upsert.currentManifest(s, tablePath(dwsDir))
+        val applied = man.flatMap(_.props.get(StreamAppliedProp))
+          .map(_.toLong).getOrElse(-1L)
+        val qid = Option(s.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).filter(_.nonEmpty)
+        for (recorded <- man.flatMap(_.props.get(StreamQueryProp));
+             current <- qid; if recorded != current)
+          throw new IllegalStateException(
+            s"$dwsDir was folded up to batch $applied by streaming query " +
+              s"$recorded, but this run is query $current (rebuilt or " +
+              "relocated checkpoint): its restarted batch numbering cannot " +
+              "be reconciled with the recorded watermark — resume the " +
+              "original checkpoint, or point a fresh DWS dir at the feed")
+        if (batchId > applied) {
+          val changes = MorChangeFeed.retractStream(s, morFactDir, raw,
+            maxPointKeys)
+          foldInto(s, dwsDir, changes, groupCols, sumCols, man,
+            Map(StreamAppliedProp -> batchId.toString) ++
+              qid.map(StreamQueryProp -> _))
+        }
+        ()
+      }
+      .start()
+
   /** The fully-declarative form of [[streaming]] — ONE streaming query
     * with no driver-side fold logic at all: `readStream` over the
     * fact's change feed → a STATEFUL streaming aggregation of the
@@ -208,7 +258,8 @@ object IncrementalDws {
                         groupCols: Seq[String], sumCols: Seq[String],
                         checkpointDir: String,
                         trigger: org.apache.spark.sql.streaming.Trigger =
-                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        morSink: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val aggs = signedAggs(sumCols)
     graft.sources.ChangeFeedSource.read(spark, factDir)
@@ -222,9 +273,26 @@ object IncrementalDws {
       .option("pk", groupCols.mkString(","))
       .option("versionFromEpoch", "true")
       .option("deleteFlagCol", "__op")
+      // morSink: each epoch is an O(batch) delta append instead of a
+      // CoW bucket rewrite (VERDICT r10 #1) — the steady-state commit
+      // cost no longer grows with the DWS table; read through
+      // [[graft.io.MergeOnRead.read]] / [[currentMor]]
+      .option("mor", morSink.toString)
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** Read the aggregate a `morSink = true` [[streamingPipeline]]
+    * maintains (empty-safe): base ∪ live deltas, LWW by epoch,
+    * zero-row groups dropped via the delete flag.
+    */
+  def currentMor(spark: SparkSession, dwsDir: String,
+                 groupCols: Seq[String]): Option[DataFrame] = {
+    val t = tablePath(dwsDir)
+    if (!graft.io.MergeOnRead.isMorRoot(spark, t)) None
+    else Some(graft.io.MergeOnRead.read(spark, t, groupCols, "__v",
+      deleteFlagCol = Some("__op")).drop("__v", "__op"))
   }
 }

@@ -40,9 +40,21 @@ import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoin
   *
   * Defensive contract: if the re-planned subtree somehow acquires a
   * shuffle (it never should — the inputs already satisfied the join's
-  * distribution), the original grouped plan is kept: this rule may
-  * only ever trade one-task-per-bucket for split-level fan-out, never
-  * introduce an exchange.
+  * distribution), the original grouped plan is kept: the per-join form
+  * may only ever trade one-task-per-bucket for split-level fan-out,
+  * never introduce an exchange.
+  *
+  * Shapes the per-join form must REFUSE (an ancestor consumed the
+  * grouped distribution — re-planning just the join would feed it
+  * duplicated keys) fall back to re-running the WHOLE plan's
+  * requirements under the scoped conf (VERDICT r10 #4): that is the
+  * proven-safe `Bucketing.withPartialClustering` semantics —
+  * EnsureRequirements re-validates every ancestor and inserts the
+  * exchange the fan-out now demands above the join, so a skewed
+  * co-located join FEEDING AN AGGREGATE trades its straggler for
+  * split-level fan-out plus one partial→final agg exchange. Budgeted:
+  * the whole-plan form is kept only if it engaged partial clustering
+  * and added at most one exchange per rescued join.
   */
 case class AutoPartialClusteringRule(session: SparkSession)
     extends Rule[SparkPlan] {
@@ -58,11 +70,43 @@ case class AutoPartialClusteringRule(session: SparkSession)
     val alreadyOn = session.conf.get(PcKey, "false").toBoolean
     if (!enabled || alreadyOn) return plan
     val threshold = session.conf.get("spark.graft.spj.skewRatio", "4.0").toDouble
-    plan transformUp {
-      case j if isSpjJoin(j) && !alreadyPartial(j) &&
-          ancestorsTransparent(plan, j) && maxSkew(j) >= threshold =>
-        rerunPartiallyClustered(j)
+    var refused = 0
+    val perJoin = plan transformUp {
+      case j if isSpjJoin(j) && !alreadyPartial(j) && maxSkew(j) >= threshold =>
+        if (ancestorsTransparent(plan, j)) rerunPartiallyClustered(j)
+        else { refused += 1; j }
     }
+    if (refused == 0) return perJoin
+    // WHOLE-PLAN fallback (VERDICT r10 #4): a skewed join under a
+    // distribution-consuming ancestor (an aggregate whose exchange the
+    // global pass elided against the grouped output) cannot be
+    // re-planned in isolation — but re-running the ENTIRE plan's
+    // requirements under the scoped conf is the proven-safe
+    // Bucketing.withPartialClustering semantics: EnsureRequirements
+    // re-validates every ancestor and INSERTS the exchange the
+    // fan-out now demands above the join. Accepted only when partial
+    // clustering actually engaged and the plan gained at most one
+    // exchange per rescued join (a regression of an unrelated
+    // shuffle-one-side SPJ elsewhere in the plan would exceed that
+    // budget and the grouped plan stays).
+    if (!session.conf.get("spark.graft.spj.wholePlanFallback", "true").toBoolean)
+      return perJoin
+    val pristine = plan transformUp {
+      case b: BatchScanExec => b.copy(spjParams = b.spjParams.copy(
+        commonPartitionValues = None, reducers = None,
+        applyPartialClustering = false, replicatePartitions = false))
+    }
+    val whole = org.apache.spark.sql.graft.Bridge
+      .withConfOverride(session, Map(PcKey -> "true")) {
+        org.apache.spark.sql.execution.exchange.EnsureRequirements()
+          .apply(pristine)
+      }
+    val gotPartial = whole.collect { case b: BatchScanExec => b }
+      .exists(_.spjParams.applyPartialClustering)
+    def shuffles(p: SparkPlan): Int =
+      p.collect { case s: ShuffleExchangeLike => s }.size
+    if (gotPartial && shuffles(whole) <= shuffles(plan) + refused) whole
+    else perJoin
   }
 
   /** True when NO operator between `j` and the next shuffle above it

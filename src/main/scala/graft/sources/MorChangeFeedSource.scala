@@ -1,0 +1,271 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graft.ParquetScanShim
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.MergeOnRead
+
+/** Structured-Streaming SOURCE over a merge-on-read root's delta
+  * batches (VERDICT r10 #5) — `spark.readStream.format(
+  * "graft.sources.MorChangeFeedSource").load(morRoot)`: the O(batch)
+  * appends the MOR layout lands ([[graft.io.MergeOnRead.merge]], the
+  * SQL DML writes, the `mor=true` streaming sink) ARE the table's
+  * change log already, so subscribers read them directly — no second
+  * retract-encoded feed to produce and keep consistent. Each row
+  * carries its batch id as the appended `__mor_batch` column
+  * (partition-value, zero storage), which is what lets a consumer
+  * resolve PRE/POST images against the pinned snapshots at the batch
+  * boundaries ([[graft.rtdw.MorChangeFeed.retractStream]] turns this
+  * upsert log into the retract/add stream [[graft.rtdw
+  * .IncrementalDws]] folds).
+  *
+  * Offsets are delta batch ids (an offset = "batches ≤ id consumed"),
+  * riding Spark's own streaming checkpoint exactly like
+  * [[ChangeFeedSource]]. Batch ids are monotonic across compactions,
+  * and folded batches survive ONE compaction cycle ([[graft.io
+  * .MergeOnRead.gcCompactedDeltas]]); a consumer whose unread range
+  * was GC'd fails LOUDLY — keeping GC behind every subscriber is the
+  * producer's contract (the same one [[graft.io.ChangeFeed.compact]]
+  * states), not something to paper over with silent gaps.
+  *
+  * The stream's schema is pinned at query start (Spark's streaming
+  * contract): the root's current widened shape + `__mor_batch`; older
+  * batches missing later-added columns surface NULL for them (the
+  * layout's own additive-evolution contract). Requires a recorded
+  * contract — a root nobody compacted or recorded refuses, same as
+  * SQL loading.
+  */
+class MorChangeFeedSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "MorChangeFeedSource requires a path (the merge-on-read root)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MorChangeFeedSource.feedSchema(SparkSession.active, dir(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    MorChangeFeedTable(dir(new CaseInsensitiveStringMap(properties)))
+}
+
+object MorChangeFeedSource {
+  /** The batch-id column appended to every row (a partition value —
+    * never stored in the files).
+    */
+  val BatchCol = "__mor_batch"
+
+  /** Data columns of the feed: the root's current widened read shape
+    * (base ∪ live deltas), all nullable (delta batches are blind
+    * appends — a pre-contract legacy batch may hold nulls the resolved
+    * read would refuse to serve), plus [[BatchCol]].
+    */
+  private[sources] def feedSchema(spark: SparkSession, root: String): StructType = {
+    val (pk, vc, del, _) = MergeOnRead.contract(spark, root).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$root is a merge-on-read root with no recorded contract — run one " +
+          "MergeOnRead.compact (or recordContract) first; the feed needs " +
+          "the pk/version contract its consumers resolve with"))
+    val data = MergeOnRead.read(spark, root, pk, vc, del).schema
+    StructType(data.fields.map(_.copy(nullable = true)) :+
+      StructField(BatchCol, LongType, nullable = false))
+  }
+
+  def read(spark: SparkSession, root: String,
+           maxBatchesPerTrigger: Option[Int] = None) = {
+    val r0 = spark.readStream.format(classOf[MorChangeFeedSource].getName)
+    maxBatchesPerTrigger.fold(r0)(n =>
+      r0.option("maxBatchesPerTrigger", n.toString)).load(root)
+  }
+}
+
+private[sources] case class MorChangeFeedTable(dir: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"mor-cdf:$dir"
+  override def schema(): StructType =
+    MorChangeFeedSource.feedSchema(SparkSession.active, dir)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private val full = schema()
+      private var required: StructType = full
+      private val maxBatches =
+        Option(options.get("maxBatchesPerTrigger")).map { v =>
+          val n = scala.util.Try(v.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"maxBatchesPerTrigger must be a positive integer, got '$v'"))
+          require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
+          n
+        }
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String = s"MorChangeFeedScan $dir"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new MorChangeFeedStream(dir, full, required, maxBatches)
+      }
+    }
+}
+
+private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
+                                           required: StructType,
+                                           maxBatchesPerTrigger: Option[Int])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = FeedOffset(-1L)
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+
+  override def latestOffset(): Offset =
+    FeedOffset(MergeOnRead.deltaBatches(spark, dir).lastOption
+      .map(_._1).getOrElse(-1L))
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** AvailableNow pins the drain target at query start — consume what
+    * exists NOW in capped steps, then stop (native, because Spark's
+    * wrapper would fold the whole backlog into one micro-batch past
+    * the admission cap — see [[ChangeFeedStream]]).
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[FeedOffset].last)
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[FeedOffset].last
+    val all0 = MergeOnRead.deltaBatches(spark, dir).map(_._1)
+    // the GAP guard must live at ADMISSION, not only in
+    // planInputPartitions: when GC collected the consumer's whole
+    // unread range the pending list is empty, no batch is planned, and
+    // the stream would end "successfully" with those changes silently
+    // lost forever. Folded history is visible through the compaction
+    // watermark even after the batch dirs are gone.
+    val maxKnown = math.max(all0.lastOption.getOrElse(-1L),
+      MergeOnRead.compactedUpto(spark, dir))
+    if (s < maxKnown && !all0.contains(s + 1))
+      throw new IllegalStateException(
+        s"merge-on-read delta batch ${s + 1} of $dir was GC'd past this " +
+          s"consumer's watermark $s (table history reaches $maxKnown) — " +
+          "compaction/GC must stay behind every subscriber " +
+          "(gcCompactedDeltas retains one cycle); restart the consumer " +
+          "from a fresh checkpoint and re-bootstrap from the base")
+    val all = availableNowTarget.fold(all0)(t => all0.filter(_ <= t))
+    val pending = all.filter(_ > s)
+    val end = limit match {
+      case FeedAdmission(Some(mb), _) =>
+        pending.take(mb).lastOption.getOrElse(s)
+      case _ => pending.lastOption.getOrElse(s)
+    }
+    FeedOffset(math.max(s, end))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxBatchesPerTrigger.fold(
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())(
+      n => FeedAdmission(Some(n), None))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FeedOffset].last
+    val e = end.asInstanceOf[FeedOffset].last
+    if (e <= s) return Array.empty
+    val avail = MergeOnRead.deltaBatches(spark, dir).toMap
+    // batch ids are CONSECUTIVE by construction (MergeOnRead.merge);
+    // a gap in (s, e] means GC collected part of this consumer's
+    // unread range — the producer compacted past a live subscriber.
+    // Silence here would commit a batch with the gap's changes lost
+    // forever; fail loudly instead (ChangeFeed.compact's contract).
+    val missing = ((s + 1) to e).filterNot(avail.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"merge-on-read delta batch(es) ${missing.mkString(", ")} of $dir " +
+          s"were GC'd past this consumer's watermark $s — compaction/GC " +
+          "must stay behind every subscriber (gcCompactedDeltas retains one " +
+          "cycle); restart the consumer from a fresh checkpoint and " +
+          "re-bootstrap from the base")
+    val fs = graft.io.FsOps.fs(spark,
+      new org.apache.hadoop.fs.Path(dir))
+    ((s + 1) to e).flatMap { k =>
+      val p = new org.apache.hadoop.fs.Path(avail(k))
+      fs.listStatus(p).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => MorFeedPartition(k, st.getPath.toString, st.getLen))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(ParquetScanShim.hadoopConf(spark))
+    val batchField = StructType(Seq(
+      StructField(MorChangeFeedSource.BatchCol, LongType, nullable = false)))
+    val dataSchema = StructType(
+      fullSchema.fields.filterNot(_.name == MorChangeFeedSource.BatchCol))
+    val wantBatch = required.fieldNames.contains(MorChangeFeedSource.BatchCol)
+    val prunedData = StructType(
+      required.fields.filterNot(_.name == MorChangeFeedSource.BatchCol))
+    val support = ParquetScanShim.build(spark, dataSchema,
+      if (wantBatch) batchField else new StructType(), prunedData, Nil,
+      conf.value)
+    new MorFeedReaderFactory(support, wantBatch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class MorFeedPartition(batch: Long, path: String,
+                                             len: Long) extends InputPartition
+
+private[sources] class MorFeedReaderFactory(support: ParquetScanShim.ReadSupport,
+                                            wantBatch: Boolean)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    support.columnar
+
+  private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
+    val part = p.asInstanceOf[MorFeedPartition]
+    val pv =
+      if (wantBatch) new GenericInternalRow(Array[Any](part.batch))
+      else new GenericInternalRow(Array.empty[Any])
+    support.read(ParquetScanShim.partitionedFile(pv, part.path, part.len))
+      .asInstanceOf[Iterator[AnyRef]]
+  }
+
+  private class IterReader[T](it: Iterator[AnyRef]) extends PartitionReader[T] {
+    private var cur: AnyRef = _
+    override def next(): Boolean =
+      if (it.hasNext) { cur = it.next(); true } else false
+    override def get(): T = cur.asInstanceOf[T]
+    override def close(): Unit = () // per-file readers close on task completion
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new IterReader[InternalRow](rawIterator(p))
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new IterReader[ColumnarBatch](rawIterator(p))
+}

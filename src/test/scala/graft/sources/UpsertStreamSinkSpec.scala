@@ -158,4 +158,137 @@ class UpsertStreamSinkSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).select("v").as[String].collect().toSeq ==
       Seq("a1"))
   }
+
+  private def morTable(dir: String) =
+    graft.io.MergeOnRead.read(spark, dir, Seq("k"), "ver")
+      .select("k", "ver", "v").as[(String, Long, String)]
+
+  test("mor mode: epochs land as O(batch) delta appends; LWW reads; maintenance folds mid-stream") {
+    import graft.io.{Maintenance, MergeOnRead}
+    val root = Files.createTempDirectory("ssink_mor").toString
+    val (dir, ckpt) = (s"$root/t", s"$root/ckpt")
+    val in = MemoryStream[(String, Long, String)]
+    def start() = UpsertStreamSink.writer(
+      in.toDF().toDF("k", "ver", "v"), dir, pk = Seq("k"), versionCol = "ver",
+      numBuckets = 4, mor = true)
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+
+    in.addData(("a", 1L, "a1"), ("b", 1L, "b1"))
+    start().awaitTermination(120000)
+    assert(morTable(dir).collect().toSet == Set(("a", 1L, "a1"), ("b", 1L, "b1")))
+    // the epoch is a DELTA APPEND: one batch dir, no base generation —
+    // the table was never rewritten
+    assert(MergeOnRead.deltaBatches(spark, dir).size == 1)
+    assert(Upsert.currentManifest(spark, s"$dir/base").isEmpty,
+      "an epoch commit must never build a base")
+    // the contract recorded durably at query start
+    assert(MergeOnRead.contract(spark, dir)
+      .contains((Seq("k"), "ver", None, 4)))
+
+    // second run, same checkpoint: LWW across epochs (stale b0 loses)
+    in.addData(("a", 2L, "a2"), ("b", 0L, "b0"), ("c", 1L, "c1"))
+    start().awaitTermination(120000)
+    assert(morTable(dir).collect().toSet ==
+      Set(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    assert(MergeOnRead.deltaBatches(spark, dir).size == 2)
+
+    // background maintenance folds the backlog; content unchanged and
+    // later epochs keep appending against the compacted base
+    val acts = Maintenance.runMor(spark, dir, Seq("k"), "ver",
+      numBuckets = 4, policy = Maintenance.Policy(maxDeltaBatches = 0))
+    assert(acts.nonEmpty, "expected a compaction")
+    assert(Upsert.currentManifest(spark, s"$dir/base").isDefined)
+    assert(morTable(dir).collect().toSet ==
+      Set(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+    in.addData(("d", 1L, "d1"))
+    start().awaitTermination(120000)
+    assert(morTable(dir).collect().toSet ==
+      Set(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1"), ("d", 1L, "d1")))
+  }
+
+  test("mor mode: replay is a no-op at EVERY crash point; unacked stream batches survive GC") {
+    import graft.io.MergeOnRead
+    val root = Files.createTempDirectory("ssink_mor_replay").toString
+    val dir = s"$root/t"
+    MergeOnRead.recordContract(spark, dir, Seq("k"), "ver", None, 4)
+    val schema = Seq(("a", 1L, "a1")).toDF("k", "ver", "v").schema
+    val w = new UpsertStreamingWrite(dir, schema, pk = Seq("k"),
+      versionCol = "ver", numBuckets = 4, changeLog = false,
+      queryId = "q-mor", morMode = true)
+    val staged = s"$root/stage.parquet"
+    Seq(("a", 2L, "a2")).toDF("k", "ver", "v").coalesce(1).write.parquet(staged)
+    val file = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    w.commit(7L, Array(StreamFileCommit(file)))
+    assert(morTable(dir).collect().toSet == Set(("a", 2L, "a2")))
+    assert(MergeOnRead.streamEpochApplied(spark, dir, "q-mor") == 7L)
+    // plain replay (crash between sink commit and checkpoint advance):
+    // the watermark gates — no new delta batch
+    val n0 = MergeOnRead.deltaBatches(spark, dir).size
+    w.commit(7L, Array(StreamFileCommit(file)))
+    assert(MergeOnRead.deltaBatches(spark, dir).size == n0)
+
+    // WORST crash point: batch committed, watermark write LOST, then
+    // the table is compacted TWICE while the stream is down — the
+    // folded batch would normally GC, but its stream marker is
+    // unacknowledged, so gc must retain it for the replay
+    val fs = graft.io.FsOps.fs(spark, new org.apache.hadoop.fs.Path(dir))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_streamEpoch-q-mor"), false)
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver", numBuckets = 4)
+    MergeOnRead.merge(spark, dir, Seq(("x", 1L, "x1")).toDF("k", "ver", "v"))
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver", numBuckets = 4)
+    MergeOnRead.gcCompactedDeltas(spark, dir, retainForReaders = false)
+    val live = MergeOnRead.deltaBatches(spark, dir)
+    assert(live.exists { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_commit-stream-q-mor-7"))
+    }, s"unacknowledged stream batch must survive GC, have $live")
+
+    // the restarted stream replays epoch 7: the batch marker turns it
+    // into a no-op and the watermark heals
+    val n1 = MergeOnRead.deltaBatches(spark, dir).size
+    w.commit(7L, Array(StreamFileCommit(file)))
+    assert(MergeOnRead.deltaBatches(spark, dir).size == n1, "replay re-applied!")
+    assert(MergeOnRead.streamEpochApplied(spark, dir, "q-mor") == 7L)
+    assert(morTable(dir).collect().toSet ==
+      Set(("a", 2L, "a2"), ("x", 1L, "x1")))
+    // acknowledged now: the next gc collects the folded batch
+    MergeOnRead.gcCompactedDeltas(spark, dir, retainForReaders = false)
+    assert(!MergeOnRead.deltaBatches(spark, dir).exists { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_commit-stream-q-mor-7"))
+    })
+  }
+
+  test("mor mode guardrails: changeLog refuses; versionFromEpoch refuses foreign MOR roots") {
+    import graft.io.MergeOnRead
+    val root = Files.createTempDirectory("ssink_mor_guards").toString
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val in = MemoryStream[(String, Long, String)]
+    in.addData(("a", 1L, "a1"))
+    // delta batches ARE the change log — a second feed refuses
+    val q1 = UpsertStreamSink.writer(in.toDF().toDF("k", "ver", "v"),
+      s"$root/t1", pk = Seq("k"), versionCol = "ver", mor = true,
+      changeLog = true)
+      .option("checkpointLocation", s"$root/c1")
+      .trigger(Trigger.AvailableNow()).start()
+    val e1 = intercept[Exception] { q1.awaitTermination(120000) }
+    assert(msgs(e1).exists(_.contains("already its change log")), s"got ${msgs(e1)}")
+    // a MOR root bred by batch merges holds data-domain versions:
+    // epoch counters would lose every LWW comparison
+    val dir2 = s"$root/t2"
+    MergeOnRead.merge(spark, dir2,
+      Seq(("a", 1700000000000L, "a1")).toDF("k", "ver", "v"))
+    val in2 = MemoryStream[(String, String)]
+    in2.addData(("a", "a2"))
+    val q2 = in2.toDF().toDF("k", "v").writeStream
+      .format(classOf[UpsertStreamSink].getName)
+      .option("path", dir2).option("mor", "true")
+      .option("versionFromEpoch", "true").option("pk", "k")
+      .option("checkpointLocation", s"$root/c2")
+      .trigger(Trigger.AvailableNow()).start()
+    val e2 = intercept[Exception] { q2.awaitTermination(120000) }
+    assert(msgs(e2).exists(_.contains("no epoch-stamping stream bred")),
+      s"got ${msgs(e2)}")
+  }
 }

@@ -93,6 +93,10 @@ object ScaleProbe {
     // waves through the CoW sink (touched-bucket rewrite per epoch)
     // vs the MOR sink (O(batch) delta append) over an n-row base
     val sinkMorOnly = args.length > 1 && args(1) == "sinkmor"
+    // "morfeed": MOR change-feed subscription cost — per-wave DWS fold
+    // over an n-row bloom-compacted MOR fact, point-lookup pre/post
+    // images vs the broadcast-semi fallback
+    val morFeedOnly = args.length > 1 && args(1) == "morfeed"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", if (spillOnly) "8" else "64")
@@ -1003,7 +1007,58 @@ object ScaleProbe {
         s"cow=$cowSig mor=$morSig")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !topnOnly) {
+    if (morFeedOnly) {
+      // Subscription cost of the MOR delta-log feed (VERDICT r10 #5):
+      // a DWS aggregate follows an n-row bloom-compacted MOR fact; per
+      // wave of 1000 random-key corrections, the consumer resolves
+      // pre/post images of the wave's keys and folds signed deltas.
+      // point = pinned Bloom lookups (O(batch keys × candidate files)
+      // at any base size); semi = broadcast LEFT SEMI against the
+      // resolved read (O(base) file I/O, the >maxPointKeys fallback).
+      val root = java.nio.file.Files.createTempDirectory("probe_morfeed").toString
+      val groups = 100000L
+      val rows = ev
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+        .withColumn("gid", pmod(col("user_id"), lit(groups)))
+        .withColumn("__v", lit(1L))
+        .select("event_id", "gid", "value_cents", "__v")
+      def run(mode: String): Seq[Long] = {
+        val fact = s"$root/$mode/fact"; val dws = s"$root/$mode/dws"
+        graft.io.MergeOnRead.merge(spark, fact, rows)
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 64, bloom = true)
+        val cap = if (mode == "point") 4096 else 0
+        // per-wave cost = the TRIGGER execution (image resolution +
+        // signed fold + DWS commit); the AvailableNow restart overhead
+        // around it is probe harness, not pipeline cost
+        def drain(): Long = {
+          val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact, dws,
+            groupCols = Seq("gid"), sumCols = Seq("value_cents"),
+            checkpointDir = s"$root/$mode/ckpt", maxPointKeys = cap)
+          q.awaitTermination(600000)
+          q.recentProgress.filter(_.numInputRows > 0)
+            .map(_.durationMs.get("triggerExecution").toLong).sum
+        }
+        drain() // bootstrap fold of batch 0 (full resolved read, untimed claim)
+        val times = (2L to 6L).map { w =>
+          graft.io.MergeOnRead.merge(spark, fact,
+            rows.filter(pmod(xxhash64(col("event_id"), lit(w)), lit(n / 1000)) === 0)
+              .withColumn("value_cents", col("value_cents") + lit(w))
+              .withColumn("__v", lit(w)))
+          drain()
+        }
+        val served = graft.rtdw.IncrementalDws.current(spark, dws).get
+          .agg(sum(col("value_cents")), sum(col("row_ct"))).head().toString()
+        val full = graft.io.MergeOnRead.read(spark, fact, Seq("event_id"), "__v")
+          .agg(sum(col("value_cents")), count(lit(1))).head().toString()
+        println(f"[scale] morfeed mode=$mode%-5s n=$n%-9d " +
+          f"wave_fold_ms=${times.mkString("/")} agg_equal=${served == full}")
+        times
+      }
+      run("point"); run("semi")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !topnOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -1179,7 +1234,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !topnOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !topnOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

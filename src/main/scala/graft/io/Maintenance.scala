@@ -129,6 +129,13 @@ object Maintenance {
   /** Policy pass over a [[MergeOnRead]] table: fold the delta backlog
     * when it exceeds the policy bounds. Returns the action taken,
     * empty when healthy; the empty path runs zero Spark jobs.
+    *
+    * A RECORDED contract binds: a policy pass that knows only the
+    * path (a scheduler sweeping table roots) must fold under the
+    * table's own pk/version/deleteFlag/buckets, not the caller's
+    * defaults — otherwise the first pass over a delete-flagged table
+    * would refuse on a None-vs-recorded contradiction. The supplied
+    * arguments only seed an UN-contracted root's first compaction.
     */
   def runMor(spark: SparkSession, dir: String, pk: Seq[String],
              versionCol: String, deleteFlagCol: Option[String] = None,
@@ -138,8 +145,9 @@ object Maintenance {
     val st = MergeOnRead.stats(spark, dir)
     if (st.liveDeltaBatches > policy.maxDeltaBatches ||
         st.liveDeltaBytes > policy.maxDeltaBytes) {
-      MergeOnRead.compact(spark, dir, pk, versionCol, deleteFlagCol,
-        numBuckets, bloom)
+      val (ePk, eVc, eDel, eN) = MergeOnRead.contract(spark, dir)
+        .getOrElse((pk, versionCol, deleteFlagCol, numBuckets))
+      MergeOnRead.compact(spark, dir, ePk, eVc, eDel, eN, bloom)
       Seq(s"compact: folded ${st.liveDeltaBatches} delta batches " +
         s"(${st.liveDeltaBytes} B) into the base")
     } else Nil

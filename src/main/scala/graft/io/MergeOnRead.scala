@@ -656,7 +656,11 @@ object MergeOnRead {
     val deltaOpt =
       if (live.isEmpty) None
       else Some(live.map { case (id, p) =>
-        spark.read.parquet(p).filter(col(pkCol).isin(values: _*))
+        val d = spark.read.parquet(p)
+        // type-exact residual (Upsert.keyEqFilter): a bare
+        // isin(strings) on an int64 pk coerces through DOUBLE and
+        // breaks past 2^53
+        d.filter(Upsert.keyEqFilter(d.schema, pkCol, values))
           .withColumn(BatchCol, lit(id))
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val all = widenForEvolution(baseOpt.map(_.drop(BatchCol)), deltaOpt) match {

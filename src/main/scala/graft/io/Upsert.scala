@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -974,8 +974,33 @@ object Upsert {
     }
     if (files.isEmpty) // provably no file can hold any key
       scanFiles(spark, dir, m.allFiles, tableSchema(m)).filter(lit(false))
-    else
-      scanFiles(spark, dir, files, tableSchema(m)).filter(col(pkCol).isin(values: _*))
+    else {
+      val df = scanFiles(spark, dir, files, tableSchema(m))
+      df.filter(keyEqFilter(df.schema, pkCol, values))
+    }
+  }
+
+  /** The residual equality filter of a point lookup, EXACT for every
+    * column type. `values` are canonical pk STRINGS (the form
+    * [[keyStr]] hashes); a bare `col.isin(strings)` on an int64
+    * column coerces BOTH sides to DOUBLE — keys past 2^53 silently
+    * false-match or miss. Integral columns compare on driver-parsed
+    * longs (exact, and the IN still pushes to parquet); anything else
+    * non-string compares on the canonical-string axis itself (the
+    * cast costs the parquet IN pushdown, which a bloom-narrowed point
+    * read can afford — exactness first).
+    */
+  private[io] def keyEqFilter(schema: org.apache.spark.sql.types.StructType,
+                              pkCol: String, values: Seq[String]): Column = {
+    import org.apache.spark.sql.types._
+    schema.fields.find(_.name == pkCol).map(_.dataType) match {
+      case Some(StringType) => col(pkCol).isin(values: _*)
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        val vs = values.flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        // a non-numeric canonical string can match no integral row
+        if (vs.isEmpty) lit(false) else col(pkCol).isin(vs: _*)
+      case _ => col(pkCol).cast("string").isin(values: _*)
+    }
   }
 
   // ---- blooms -----------------------------------------------------------

@@ -68,9 +68,12 @@ object MorChangeFeed {
         if (ks.size > maxPointKeys || ks.contains(null)) None else Some(ks)
       }
 
-    def imageAt(v: Long): DataFrame = {
+    def imageAt(v: Long, restrict: Boolean = true): DataFrame = {
       val snap = MergeOnRead.snapshotAt(spark, morRoot, v)
-      pointKeys match {
+      if (!restrict)
+        MergeOnRead.readPinned(spark, morRoot, snap, pk, vc, del,
+          MergeOnRead.DefaultBroadcastDeltaBytes)
+      else pointKeys match {
         case Some(ks) =>
           MergeOnRead.lookupPinned(spark, morRoot, snap, pk.head, ks, vc, del, n)
         case None =>
@@ -80,11 +83,15 @@ object MorChangeFeed {
             pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
       }
     }
-    // kmin == 0: nothing precedes the first batch — empty pre-image
+    // kmin == 0 is the BOOTSTRAP: nothing precedes the range — the
+    // pre-image is empty, and every resolved row at kmax stems from
+    // the admitted batches, so the post-image is the FULL resolved
+    // read with no key restriction (a bootstrap semi-join would
+    // broadcast the whole table's key set for nothing)
     val pre =
       if (kmin == 0L) imageAt(kmax).limit(0)
       else imageAt(kmin - 1)
-    val post = imageAt(kmax)
+    val post = imageAt(kmax, restrict = kmin != 0L)
     pre.withColumn(ChangeFeed.ChangeCol, lit("retract"))
       .unionByName(post.withColumn(ChangeFeed.ChangeCol, lit("add")),
         allowMissingColumns = true)

@@ -116,4 +116,27 @@ class MaintenanceSpec extends SparkSpec {
     val again = Maintenance.run(spark, dir, Seq("id"), "ver", policy)
     assert(again.isEmpty, s"healthy MOR table acted via run(): $again")
   }
+
+  test("MOR policy pass binds to the RECORDED contract (path-only scheduler shape)") {
+    // a table whose contract records a deleteFlagCol: a policy pass
+    // that knows only the path (deleteFlagCol default None) must fold
+    // under the recorded contract instead of refusing on a
+    // None-vs-recorded contradiction — and the delete semantics hold
+    val dir = Files.createTempDirectory("maint_mor_ctr").toString + "/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 20).map(i => (s"k$i", 1L, s"p$i", "insert"))
+        .toDF("id", "ver", "payload", "op"))
+    MergeOnRead.recordContract(spark, dir, Seq("id"), "ver", Some("op"),
+      graft.io.Upsert.DefaultNumBuckets)
+    MergeOnRead.merge(spark, dir,
+      Seq(("k3", 2L, "p3", "delete")).toDF("id", "ver", "payload", "op"))
+    // path-only pass: pk/versionCol supplied, deleteFlagCol NOT
+    val acted = Maintenance.runMor(spark, dir, Seq("id"), "ver",
+      policy = Maintenance.Policy(maxDeltaBatches = 0))
+    assert(acted.exists(_.startsWith("compact")), s"got $acted")
+    val ids = MergeOnRead.read(spark, dir, Seq("id"), "ver", Some("op"))
+      .select("id").as[String].collect().toSet
+    assert(!ids.contains("k3") && ids.size == 19,
+      s"delete must survive the contract-bound fold: $ids")
+  }
 }

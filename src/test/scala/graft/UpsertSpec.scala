@@ -423,4 +423,31 @@ class UpsertSpec extends SparkSpec {
       .select("payload").as[String].collect().toSeq
     assert(got == Seq("v42"))
   }
+
+  test("point lookup on an int64 pk is EXACT past 2^53 (no double coercion)") {
+    // a bare isin(strings) on a long column coerces BOTH sides to
+    // DOUBLE: keys 2^53 and 2^53+1 collapse to the same double and a
+    // snowflake-id lookup silently false-matches. The residual filter
+    // must compare on the column's own type (or the canonical-string
+    // axis), never a lossy common type.
+    val dir = Files.createTempDirectory("upsert_bigpk").toString
+    val base = 1L << 53
+    Upsert.merge(spark, dir,
+      Seq((base, 1L, "even"), (base + 1L, 1L, "odd"), (base + 3L, 1L, "three"))
+        .toDF("id", "ver", "payload"),
+      pk = Seq("id"), versionCol = "ver", numBuckets = 4, bloom = true)
+    val got = Upsert.lookup(spark, dir, "id", Seq((base + 1L).toString))
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(got == Set((base + 1L, "odd")),
+      s"expected exactly the 2^53+1 row, got $got")
+    // MOR side: same contract through lookupPinned's delta filter
+    val morDir = Files.createTempDirectory("mor_bigpk").toString + "/t"
+    graft.io.MergeOnRead.merge(spark, morDir,
+      Seq((base, 1L, "even"), (base + 1L, 1L, "odd"))
+        .toDF("id", "ver", "payload"))
+    val morGot = graft.io.MergeOnRead.lookup(spark, morDir, "id",
+      Seq((base + 1L).toString), "ver")
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(morGot == Set((base + 1L, "odd")), s"MOR lookup got $morGot")
+  }
 }

@@ -659,6 +659,43 @@ object ScaleProbe {
       hotSql("hot_auto_sql", hotDir, dimHot)
       hotSql("uniform_auto_sql", uniDir, dimUni)
       hotSql("uniform_auto_sql", uniDir, dimUni)
+
+      // r11 (VERDICT r10 #4): the AGG-ABOVE-JOIN shape the per-join
+      // re-plan must refuse (the aggregate's exchange was elided
+      // against the grouped output). The WHOLE-PLAN fallback fans the
+      // hot bucket out and re-inserts the partial→final agg exchange;
+      // the opted-out twin keeps the one-task-per-bucket straggler.
+      def hotAggSql(label: String, l: String, r: String,
+                    fallback: Boolean): Unit = {
+        val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+        val tl = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              maxTask.getAndAccumulate(e.taskMetrics.executorRunTime, math.max)
+        }
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+        spark.conf.set("spark.graft.spj.wholePlanFallback", fallback.toString)
+        spark.sparkContext.addSparkListener(tl)
+        try {
+          val t0 = System.nanoTime()
+          val j = spark.sql(
+            s"""SELECT l.k, count(*) AS c
+                FROM graft.`$l` l JOIN graft.`$r` r ON l.k = r.k
+                GROUP BY l.k""")
+          val out = j.queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus is async
+          println(f"[scale] spj_$label%-24s ${dt}%6.1fs   (out=$out, max task ${maxTask.get()}%d ms)")
+        } finally {
+          spark.sparkContext.removeSparkListener(tl)
+          spark.conf.unset("spark.sql.files.maxPartitionBytes")
+          spark.conf.unset("spark.graft.spj.wholePlanFallback")
+        }
+      }
+      hotAggSql("hot_agg_refused", hotDir, dimHot, fallback = false)
+      hotAggSql("hot_agg_refused", hotDir, dimHot, fallback = false)
+      hotAggSql("hot_agg_fallback", hotDir, dimHot, fallback = true)
+      hotAggSql("hot_agg_fallback", hotDir, dimHot, fallback = true)
     }
 
     if (spillOnly) {

@@ -1940,7 +1940,9 @@ object Upsert {
   def createTable(spark: SparkSession, dir: String,
                   schema: org.apache.spark.sql.types.StructType,
                   pk: Seq[String], versionCol: String,
-                  numBuckets: Int = DefaultNumBuckets): Unit = {
+                  numBuckets: Int = DefaultNumBuckets,
+                  zoneCols: Seq[String] = Nil,
+                  valueClusterBy: Seq[String] = Nil): Unit = {
     def canon(n: String) = SchemaEvolution.canon(spark, n)
     require(pk.nonEmpty, s"CREATE TABLE $dir needs at least one pk column")
     require(numBuckets > 0,
@@ -1955,6 +1957,11 @@ object Upsert {
         throw new TableContractException(
           s"CREATE TABLE $dir: column name '$c' contains a manifest metacharacter")
     }
+    (zoneCols ++ valueClusterBy).foreach(c =>
+      if (!schema.fields.exists(f => canon(f.name) == canon(c)))
+        throw new TableContractException(
+          s"CREATE TABLE $dir: zone/cluster column '$c' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
     // the exists check and the creating commit share ONE lease window:
     // two racing creators serialize, and the loser's re-check throws
     // instead of silently adopting the winner's table
@@ -1966,7 +1973,8 @@ object Upsert {
       mergeLocked(spark, dir, empty, pk = pk, versionCol = versionCol,
         deleteFlagCol = None, numBuckets = numBuckets, changeLog = false,
         commitId = None, bloom = false, maxPointKeys = 1024,
-        zoneCols = Nil, extraProps = Map.empty)
+        zoneCols = zoneCols, extraProps = Map.empty,
+        valueClusterBy = valueClusterBy)
     }
   }
 

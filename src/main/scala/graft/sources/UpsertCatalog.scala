@@ -228,7 +228,16 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
       throw new IllegalArgumentException(
         s"CREATE TABLE $dir needs TBLPROPERTIES ('versionCol'='<col>') — " +
           "the LWW merge contract every write runs under"))
-    try graft.io.Upsert.createTable(spark, dir, schema, pk, versionCol, numBuckets)
+    // layout properties: zone sidecars and write-time value clustering
+    // record at CREATE so the first INSERT (and every later write)
+    // routes under them — silently dropping a declared layout property
+    // would read as a successful cluster/zone declaration
+    val zoneCols = propOpt("zoneCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val valueClusterBy = propOpt("valueClusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    try graft.io.Upsert.createTable(spark, dir, schema, pk, versionCol,
+      numBuckets, zoneCols, valueClusterBy)
     catch { case _: graft.io.Upsert.TableExistsException =>
       throw new TableAlreadyExistsException(ident) }
     // the returned table only serves the CTAS write (a fresh SELECT

@@ -104,6 +104,30 @@ class ValueClusterSpec extends SparkSpec {
     assert(e.getMessage.contains("contradicts the recorded valueClusterBy"))
   }
 
+  test("SQL DDL declares the layout: TBLPROPERTIES zoneCols/valueClusterBy bind from CREATE") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[UpsertCatalog].getName)
+    val dir = Files.createTempDirectory("vcluster_sql").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` (k STRING, t BIGINT, v BIGINT, ver BIGINT)
+          PARTITIONED BY (bucket(4, k))
+          TBLPROPERTIES ('versionCol'='ver', 'zoneCols'='v',
+                         'valueClusterBy'='t')""")
+    val view = "vc_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+    mk(600, 1L).createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO graft.`$dir` (k, t, v, ver) " +
+      s"SELECT k, t, v, ver FROM $view")
+    checkStep(dir, "sql-ddl insert")
+    // a declared layout column missing from the schema refuses at DDL
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`${dir}_bad` (k STRING, ver BIGINT)
+          PARTITIONED BY (bucket(4, k))
+          TBLPROPERTIES ('versionCol'='ver', 'valueClusterBy'='nope')"""))
+    def ms(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ ms(t.getCause))
+    assert(ms(e).exists(_.contains("not in the schema")), s"got ${ms(e)}")
+  }
+
   test("bloom point lookups compose with the clustered layout (sidecars per leaf dir)") {
     val dir = Files.createTempDirectory("vcluster_bloom").toString + "/t"
     Upsert.merge(spark, dir, mk(600, 1L), pk = Seq("k"), versionCol = "ver",

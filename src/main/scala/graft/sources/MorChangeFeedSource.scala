@@ -88,10 +88,13 @@ object MorChangeFeedSource {
   }
 
   def read(spark: SparkSession, root: String,
-           maxBatchesPerTrigger: Option[Int] = None) = {
+           maxBatchesPerTrigger: Option[Int] = None,
+           maxBytesPerTrigger: Option[Long] = None) = {
     val r0 = spark.readStream.format(classOf[MorChangeFeedSource].getName)
-    maxBatchesPerTrigger.fold(r0)(n =>
-      r0.option("maxBatchesPerTrigger", n.toString)).load(root)
+    val r1 = maxBatchesPerTrigger.fold(r0)(n =>
+      r0.option("maxBatchesPerTrigger", n.toString))
+    maxBytesPerTrigger.fold(r1)(b =>
+      r1.option("maxBytesPerTrigger", b.toString)).load(root)
   }
 }
 
@@ -115,20 +118,32 @@ private[sources] case class MorChangeFeedTable(dir: String)
           require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
           n
         }
+      // byte-based admission, same contract as ChangeFeedSource: a
+      // backlog of FAT delta batches drains bounded by memory, not
+      // batch count; the first pending batch always admits
+      private val maxBytes =
+        Option(options.get("maxBytesPerTrigger")).map { v =>
+          val n = scala.util.Try(v.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"maxBytesPerTrigger must be a positive long, got '$v'"))
+          require(n > 0L, s"maxBytesPerTrigger must be positive, got $n")
+          n
+        }
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"MorChangeFeedScan $dir"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MorChangeFeedStream(dir, full, required, maxBatches)
+          new MorChangeFeedStream(dir, full, required, maxBatches, maxBytes)
       }
     }
 }
 
 private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
                                            required: StructType,
-                                           maxBatchesPerTrigger: Option[Int])
+                                           maxBatchesPerTrigger: Option[Int],
+                                           maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -172,11 +187,34 @@ private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
           "compaction/GC must stay behind every subscriber " +
           "(gcCompactedDeltas retains one cycle); restart the consumer " +
           "from a fresh checkpoint and re-bootstrap from the base")
+    val byPath = MergeOnRead.deltaBatches(spark, dir).toMap
     val all = availableNowTarget.fold(all0)(t => all0.filter(_ <= t))
     val pending = all.filter(_ > s)
     val end = limit match {
-      case FeedAdmission(Some(mb), _) =>
-        pending.take(mb).lastOption.getOrElse(s)
+      case FeedAdmission(mb, mByt) =>
+        val fs = graft.io.FsOps.fs(spark,
+          new org.apache.hadoop.fs.Path(dir))
+        def bytesOf(k: Long): Long = {
+          val p = new org.apache.hadoop.fs.Path(byPath(k))
+          fs.getContentSummary(p).getLength
+        }
+        var last = s
+        var count = 0
+        var cum = 0L
+        val it = pending.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val k = it.next()
+          if (mb.exists(count + 1 > _)) stop = true
+          else {
+            val sz = if (mByt.isDefined) bytesOf(k) else 0L
+            // always admit the FIRST pending batch, even oversized:
+            // progress over stall (ChangeFeedSource's own contract)
+            if (mByt.exists(b => count > 0 && cum + sz > b)) stop = true
+            else { last = k; count += 1; cum += sz }
+          }
+        }
+        last
       case _ => pending.lastOption.getOrElse(s)
     }
     FeedOffset(math.max(s, end))
@@ -184,9 +222,9 @@ private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    maxBatchesPerTrigger.fold(
-      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())(
-      n => FeedAdmission(Some(n), None))
+    if (maxBatchesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    else FeedAdmission(maxBatchesPerTrigger, maxBytesPerTrigger)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FeedOffset].last

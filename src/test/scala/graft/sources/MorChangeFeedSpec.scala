@@ -101,6 +101,29 @@ class MorChangeFeedSpec extends SparkSpec {
     assert(viaPoint == full)
   }
 
+  test("byte-based admission drains fat batches in bounded steps; AvailableNow still finishes") {
+    val root = Files.createTempDirectory("morcdf_bytes").toString
+    val fact = s"$root/fact"
+    (1L to 3L).foreach(w => MergeOnRead.merge(spark, fact, mkWave(w, 0 until 100)))
+    MergeOnRead.recordContract(spark, fact, pk, "__v", Some("op"),
+      Upsert.DefaultNumBuckets)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 1-byte cap: every batch is oversized, the first pending always
+    // admits — so the drain is exactly one delta batch per trigger
+    val q = MorChangeFeedSource.read(spark, fact,
+      maxBytesPerTrigger = Some(1L))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select(MorChangeFeedSource.BatchCol).distinct().count()
+        assert(ids == 1L, s"byte cap must admit one batch per trigger, got $ids")
+        batches.incrementAndGet(); ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(batches.get() == 3, s"expected 3 capped micro-batches, got ${batches.get()}")
+  }
+
   test("GC past a consumer's watermark refuses loudly (no silent gap)") {
     val root = Files.createTempDirectory("morcdf_gc").toString
     val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"

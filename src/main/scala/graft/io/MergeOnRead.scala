@@ -338,9 +338,21 @@ object MergeOnRead {
         // schemas — missing columns fill with NULL
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     widenForEvolution(baseOpt, deltaOpt) match {
-      case (None, None) => // fail like Upsert.read: a mistyped dir must
-        // not surface as a schemaless empty frame
-        throw new IllegalStateException(s"no base or delta batches under $dir")
+      case (None, None) =>
+        // a CONTRACT-SCHEMA'd root with no content yet (a streaming
+        // sink created it; the first epoch has not landed) is an empty
+        // TABLE, not a mistyped dir: serve the typed empty relation so
+        // subscribers and SQL readers can start before the producer.
+        // Without a recorded schema, fail like Upsert.read — a typo'd
+        // path must not surface as a schemaless empty frame.
+        contractSchema(spark, dir) match {
+          case Some(st) =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(
+                st.fields.map(_.copy(nullable = true))))
+          case None =>
+            throw new IllegalStateException(s"no base or delta batches under $dir")
+        }
       case (Some(b), None) => dropDeletes(b, deleteFlagCol)
       case (None, Some(d)) =>
         dropDeletes(deltaWinners(d, pk, versionCol).drop(BatchCol), deleteFlagCol)
@@ -522,12 +534,33 @@ object MergeOnRead {
     */
   def contract(spark: SparkSession, dir: String)
       : Option[(Seq[String], String, Option[String], Int)] =
-    FsOps.readTextOpt(spark, contractFile(dir)).map { text =>
-      val kv = text.linesIterator.filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); k -> v
-      }.toMap
+    contractKv(spark, dir).map { kv =>
       (kv("pk").split(",").toSeq, kv("versionCol"),
         kv.get("deleteFlagCol").filter(_.nonEmpty), kv("numBuckets").toInt)
+    }
+
+  private def contractKv(spark: SparkSession,
+                         dir: String): Option[Map[String, String]] =
+    FsOps.readTextOpt(spark, contractFile(dir)).map { text =>
+      text.linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+    }
+
+  /** The schema the contract recorded (Base64-wrapped DDL — written by
+    * the streaming sink at query start and by [[compact]] from the
+    * resolved read), or None for contracts recorded before the field
+    * existed. What lets an EMPTY contracted root — a sink-created
+    * table whose first epoch has not landed — serve SQL reads and feed
+    * subscriptions as an empty typed relation instead of refusing:
+    * start order between producer and subscribers stops mattering.
+    */
+  def contractSchema(spark: SparkSession,
+                     dir: String): Option[org.apache.spark.sql.types.StructType] =
+    contractKv(spark, dir).flatMap(_.get("schemaDDL")).map { b64 =>
+      org.apache.spark.sql.types.StructType.fromDDL(new String(
+        java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8))
     }
 
   /** Record the contract (first writer) or verify the supplied one
@@ -537,9 +570,13 @@ object MergeOnRead {
     */
   def recordContract(spark: SparkSession, dir: String, pk: Seq[String],
                      versionCol: String, deleteFlagCol: Option[String],
-                     numBuckets: Int): Unit = {
+                     numBuckets: Int,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     pk.foreach(c => require(!c.exists(ch => ch == ',' || ch == '=' || ch == '\n'),
       s"pk column '$c' contains a contract metacharacter"))
+    def schemaLine(st: org.apache.spark.sql.types.StructType): String =
+      "schemaDDL=" + java.util.Base64.getEncoder.encodeToString(
+        st.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     contract(spark, dir) match {
       case Some((rp, rv, rd, rn)) =>
         if (rp != pk || rv != versionCol || rd != deleteFlagCol || rn != numBuckets)
@@ -549,6 +586,16 @@ object MergeOnRead {
               s"contradicts the recorded contract (pk=${rp.mkString(",")}, " +
               s"versionCol=$rv, deleteFlagCol=${rd.getOrElse("-")}, numBuckets=$rn) " +
               s"of $dir — to re-key, rebuild the table")
+        // a schema supplied where none was recorded BACKFILLS the field
+        // (first writer wins otherwise — additive evolution covers
+        // later drift; the contract schema is the creation shape)
+        schema.foreach { st =>
+          if (contractSchema(spark, dir).isEmpty)
+            FsOps.writeTextAtomic(spark, contractFile(dir),
+              (Seq(s"pk=${rp.mkString(",")}", s"versionCol=$rv") ++
+                rd.map(c => s"deleteFlagCol=$c") ++
+                Seq(s"numBuckets=$rn", schemaLine(st))).mkString("\n"))
+        }
       case None =>
         // PRE-CONTRACT content must prove the contract before it is
         // recorded (ADVICE r10, medium): once the contract exists the
@@ -579,7 +626,8 @@ object MergeOnRead {
                 "Repair or retract those rows first")
         }
         val lines = Seq(s"pk=${pk.mkString(",")}", s"versionCol=$versionCol") ++
-          deleteFlagCol.map(c => s"deleteFlagCol=$c") :+ s"numBuckets=$numBuckets"
+          deleteFlagCol.map(c => s"deleteFlagCol=$c") ++
+          Seq(s"numBuckets=$numBuckets") ++ schema.map(schemaLine)
         FsOps.writeTextAtomic(spark, contractFile(dir), lines.mkString("\n"))
     }
   }
@@ -593,7 +641,13 @@ object MergeOnRead {
     val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
     if (live.isEmpty) return
     val upTo = live.map(_._1).max
-    val resolved = read(spark, dir, pk, versionCol, deleteFlagCol)
+    val resolved0 = read(spark, dir, pk, versionCol, deleteFlagCol)
+    // backfill the contract schema for pre-schema contracts (no-op
+    // when one is recorded) so empty-at-read and feed-before-first-
+    // batch scenarios stay typed after the first compaction too
+    recordContract(spark, dir, pk, versionCol, deleteFlagCol, numBuckets,
+      Some(resolved0.schema))
+    val resolved = resolved0
       .withColumn("__bucket",
         pmod(xxhash64(Upsert.keyStr(pk)), lit(numBuckets)).cast("int"))
     Upsert.replaceAll(spark, basePath(dir), resolved,

@@ -249,9 +249,18 @@ private[sources] case class UpsertStreamTable(dir: String,
     // pk/version/deleteFlag/buckets this stream writes under (a fresh
     // root records; an existing contract was verified non-contradicting
     // above via `bound`, and recordContract re-verifies)
-    if (morMode)
+    if (morMode) {
+      // record the LANDED shape too: an empty sink-created root then
+      // serves subscribers/SQL as a typed empty table, so producer and
+      // consumer start order stops mattering
+      val landedSchema =
+        if (versionFromEpoch) StructType(writeSchema.fields :+
+          org.apache.spark.sql.types.StructField(versionCol,
+            org.apache.spark.sql.types.LongType, nullable = true))
+        else writeSchema
       graft.io.MergeOnRead.recordContract(spark, dir, pk, versionCol,
-        deleteFlagCol, numBuckets)
+        deleteFlagCol, numBuckets, Some(landedSchema))
+    }
     // SupportsStreamingUpdateAsAppend: UPDATE-mode streaming (each
     // emitted row = the key's refreshed value) lands as the same LWW
     // merge — update-as-append IS this sink's native semantic

@@ -101,6 +101,69 @@ class MorChangeFeedSpec extends SparkSpec {
     assert(viaPoint == full)
   }
 
+  test("start order stops mattering: an empty sink-created root serves SQL, reads, and the feed as a typed empty table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("morcdf_empty").toString
+    val fact = s"$root/fact"
+    // CREATE the empty table: contract + schema recorded durably (the
+    // sink records the same pair at its first planned batch; a
+    // zero-batch AvailableNow run never plans one, so explicit
+    // creation is the start-order-free path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, gid BIGINT, cents BIGINT, __v BIGINT")
+    MergeOnRead.recordContract(spark, fact, Seq("id"), "__v", None,
+      Upsert.DefaultNumBuckets, Some(schema))
+    assert(MergeOnRead.deltaBatches(spark, fact).isEmpty, "no batch landed")
+    // API read: typed empty, not a refusal
+    val empty = MergeOnRead.read(spark, fact, Seq("id"), "__v")
+    assert(empty.columns.toSeq == Seq("id", "gid", "cents", "__v"))
+    assert(empty.count() == 0L)
+    // SQL read through the catalog: same
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[UpsertCatalog].getName)
+    assert(spark.sql(s"SELECT id, cents FROM graft.`$fact`").count() == 0L)
+    // a subscriber started BEFORE the producer's first epoch drains
+    // nothing, then picks the data up on its next run
+    val dws = s"$root/dws"
+    def drain(): Unit = {
+      val q = IncrementalDws.streamingMor(spark, fact, dws,
+        groupCols = Seq("gid"), sumCols = Seq("cents"),
+        checkpointDir = s"$root/ckpt")
+      q.awaitTermination(120000); ()
+    }
+    drain() // empty feed: at most a zero-row bootstrap fold
+    assert(IncrementalDws.current(spark, dws).forall(_.isEmpty))
+    // the producer (MOR sink) starts LAST, binding to the recorded
+    // contract; its first epoch lands and the subscriber catches up
+    val in = MemoryStream[(String, Long, Long, Long)]
+    in.addData(("k1", 1L, 10L, 1L), ("k2", 2L, 20L, 1L))
+    val q1 = UpsertStreamSink.writer(
+      in.toDF().toDF("id", "gid", "cents", "__v"), fact,
+      pk = Seq("id"), versionCol = "__v", mor = true)
+      .option("checkpointLocation", s"$root/sinkckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    drain()
+    val got = IncrementalDws.current(spark, dws).get
+      .select("gid", "cents", "row_ct")
+      .collect().map(_.mkString("|")).toSet
+    assert(got == Set("1|10|1", "2|20|1"), s"got $got")
+    // and when the SINK creates the table itself (first planned
+    // batch), it records the schema too
+    val fact2 = s"$root/fact2"
+    val in2 = MemoryStream[(String, Long, Long, Long)]
+    in2.addData(("k1", 1L, 10L, 1L))
+    val q2 = UpsertStreamSink.writer(
+      in2.toDF().toDF("id", "gid", "cents", "__v"), fact2,
+      pk = Seq("id"), versionCol = "__v", mor = true)
+      .option("checkpointLocation", s"$root/sinkckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(MergeOnRead.contractSchema(spark, fact2).isDefined,
+      "the sink must record the landed schema with the contract")
+  }
+
   test("byte-based admission drains fat batches in bounded steps; AvailableNow still finishes") {
     val root = Files.createTempDirectory("morcdf_bytes").toString
     val fact = s"$root/fact"

@@ -1219,12 +1219,30 @@ object Upsert {
             maxPointKeys: Int = 1024,
             zoneCols: Seq[String] = Nil,
             extraProps: Map[String, String] = Map.empty,
-            valueClusterBy: Seq[String] = Nil): Unit =
-      withWriterLease(spark, dir) {
+            valueClusterBy: Seq[String] = Nil): Unit = {
+    refuseMorRoot(spark, dir, "merge")
+    withWriterLease(spark, dir) {
     mergeLocked(spark, dir, updates, pk, versionCol, deleteFlagCol,
       numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
       extraProps, valueClusterBy)
   }
+  }
+
+  /** Layout guard shared by the copy-on-write write doors: a CoW
+    * commit into a merge-on-read ROOT would plant a `__gen` tree +
+    * root manifest beside the delta log, and readers of either layout
+    * would silently miss the other's rows — two tables tangled in one
+    * dir is corruption, not composition. (MOR's own machinery writes
+    * through `<root>/base`, which this probe never flags.)
+    */
+  private def refuseMorRoot(spark: SparkSession, dir: String,
+                            what: String): Unit =
+    if (MergeOnRead.isMorRoot(spark, dir))
+      throw new TableContractException(
+        s"$what into $dir: the dir is a merge-on-read ROOT (recorded " +
+          "contract / base manifest / delta batches) — write through " +
+          "graft.io.MergeOnRead (or the mor=true streaming sink); a " +
+          "copy-on-write commit here would tangle two layouts in one dir")
 
   /** [[merge]]'s body, caller already holding `dir`'s writer lease —
     * the lease is not reentrant, so compound operations that need
@@ -2209,8 +2227,9 @@ object Upsert {
                         props: Map[String, String] = Map.empty,
                         zoneCols: Seq[String] = Nil,
                         clusterBy: Seq[String] = Nil,
-                        filesTarget: Int = 0): Unit =
-      withWriterLease(spark, dir) {
+                        filesTarget: Int = 0): Unit = {
+    refuseMorRoot(spark, dir, "overwriteSnapshot")
+    withWriterLease(spark, dir) {
     val gen = nextGen(spark, dir)
     val out = new Path(dir, s"__gen=$gen/$BucketCol=0")
     // clusterBy + filesTarget: range-split the snapshot into files with
@@ -2245,5 +2264,6 @@ object Upsert {
     commitManifest(spark, dir, Manifest(gen,
       props + (SchemaProp -> storedSchema.schema.toDDL) ++ zoneProp, fileMap),
       op = "overwrite")
+  }
   }
 }

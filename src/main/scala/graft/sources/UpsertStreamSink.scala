@@ -137,6 +137,21 @@ private[sources] case class UpsertStreamTable(dir: String,
     // below rewrites every touched bucket per epoch — right for keyed
     // dim maintenance, wrong for a random-key firehose.
     val morMode = opt("mor").exists(_.toBoolean)
+    // layout guard: the two formats must never tangle in one dir. A
+    // CoW epoch into a MOR root would commit a `__gen` tree beside the
+    // delta log (readers of either layout silently miss the other's
+    // rows); a MOR epoch into a CoW table would plant a contract +
+    // delta log the table's own readers never resolve.
+    if (morMode && Upsert.currentManifest(spark, dir).isDefined)
+      throw new Upsert.TableContractException(
+        s"mor=true but $dir already holds a copy-on-write Upsert table " +
+          "(a committed manifest at the root) — stream into a fresh dir, " +
+          "or drop mor to keep feeding the existing table")
+    if (!morMode && graft.io.MergeOnRead.isMorRoot(spark, dir))
+      throw new Upsert.TableContractException(
+        s"$dir is a merge-on-read root — set .option(\"mor\", \"true\") to " +
+          "append epochs to its delta log; a copy-on-write epoch here " +
+          "would tangle two layouts in one dir")
     val man = if (morMode) None else Upsert.currentManifest(spark, dir)
     val morContract =
       if (morMode) graft.io.MergeOnRead.contract(spark, dir) else None

@@ -417,6 +417,25 @@ class MergeOnReadSpec extends SparkSpec {
     assert(rows(MergeOnRead.read(spark, dir, pk, "ver")) == expected)
   }
 
+  test("copy-on-write write doors refuse a merge-on-read ROOT (two layouts never tangle)") {
+    val root = Files.createTempDirectory("mor_tangle").toString + "/t"
+    MergeOnRead.merge(spark, root,
+      Seq(("k1", "p1", 1L, 10L, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    val m = intercept[Upsert.TableContractException](
+      Upsert.merge(spark, root,
+        Seq(("k2", 2L, "x")).toDF("id", "ver", "v"),
+        pk = Seq("id"), versionCol = "ver"))
+    assert(m.getMessage.contains("merge-on-read ROOT"), m.getMessage)
+    val o = intercept[Upsert.TableContractException](
+      Upsert.overwriteSnapshot(spark, root,
+        Seq(("k2", 2L, "x")).toDF("id", "ver", "v")))
+    assert(o.getMessage.contains("merge-on-read ROOT"), o.getMessage)
+    // the root is untouched: still exactly its one delta batch
+    assert(MergeOnRead.deltaBatches(spark, root).map(_._1) == Seq(0L))
+    assert(Upsert.currentManifest(spark, root).isEmpty)
+  }
+
   test("recording a contract over legacy null pk/version content refuses loudly (ADVICE r10)") {
     // pre-contract appends are unvalidated; the contract claims the
     // SQL schema's NOT NULL on pk+version, so recording it must prove

@@ -259,6 +259,41 @@ class UpsertStreamSinkSpec extends SparkSpec {
     })
   }
 
+  test("layout guards: mor=true refuses a CoW table dir; CoW mode refuses a MOR root") {
+    import graft.io.MergeOnRead
+    val root = Files.createTempDirectory("ssink_layout").toString
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    // an existing CoW table: a MOR epoch here would plant a delta log
+    // the table's readers never resolve
+    val cow = s"$root/cow"
+    Upsert.merge(spark, cow, Seq(("a", 1L, "a1")).toDF("k", "ver", "v"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    val in = MemoryStream[(String, Long, String)]
+    in.addData(("a", 2L, "a2"))
+    val q1 = UpsertStreamSink.writer(in.toDF().toDF("k", "ver", "v"), cow,
+      pk = Seq("k"), versionCol = "ver", mor = true)
+      .option("checkpointLocation", s"$root/c1")
+      .trigger(Trigger.AvailableNow()).start()
+    val e1 = intercept[Exception] { q1.awaitTermination(120000) }
+    assert(msgs(e1).exists(_.contains("copy-on-write Upsert table")), s"got ${msgs(e1)}")
+    // an existing MOR root: a CoW epoch here would commit a __gen tree
+    // beside the delta log
+    val mor = s"$root/mor"
+    MergeOnRead.merge(spark, mor, Seq(("a", 1L, "a1")).toDF("k", "ver", "v"))
+    val in2 = MemoryStream[(String, Long, String)]
+    in2.addData(("a", 2L, "a2"))
+    val q2 = UpsertStreamSink.writer(in2.toDF().toDF("k", "ver", "v"), mor,
+      pk = Seq("k"), versionCol = "ver")
+      .option("checkpointLocation", s"$root/c2")
+      .trigger(Trigger.AvailableNow()).start()
+    val e2 = intercept[Exception] { q2.awaitTermination(120000) }
+    assert(msgs(e2).exists(_.contains("merge-on-read root")), s"got ${msgs(e2)}")
+    // both dirs untouched by the refusals
+    assert(Upsert.read(spark, cow).count() == 1L)
+    assert(MergeOnRead.deltaBatches(spark, mor).size == 1)
+  }
+
   test("mor mode guardrails: changeLog refuses; versionFromEpoch refuses foreign MOR roots") {
     import graft.io.MergeOnRead
     val root = Files.createTempDirectory("ssink_mor_guards").toString

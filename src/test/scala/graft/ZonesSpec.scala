@@ -245,4 +245,29 @@ class ZonesSpec extends SparkSpec {
         countDistinct(col("user_id")).as("users")))
     assert(got == want)
   }
+
+  test("sidecar FORMAT pin (ADVICE r10): v1=4 fields, v2=6, v3=7 — mixed-version rollout safety") {
+    // a v2-era reader splits with limit 6: a 7th field appended under
+    // the v2 NAME would fuse `sum\tndv` into one token and crash its
+    // BigInt parse on shared storage. The ndv field therefore lives in
+    // a NEW v3 file and the v2 file must stay at its original 6
+    // fields forever — this pin turns any future accidental widening
+    // into a red test instead of a mixed-rollout crash.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("zones_fmt").toString
+    graft.io.Upsert.overwriteSnapshot(spark, dir,
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")),
+      zoneCols = Seq("v"))
+    import scala.jdk.CollectionConverters._
+    def fields(name: String): Seq[Int] = {
+      val f = Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .find(_.getFileName.toString == name)
+        .getOrElse(fail(s"no $name written"))
+      new String(Files.readAllBytes(f)).linesIterator
+        .filter(_.nonEmpty).map(_.split("\t", -1).length).toSeq.distinct
+    }
+    assert(fields(graft.io.Zones.SidecarName) == Seq(4))
+    assert(fields(graft.io.Zones.SidecarNameV2) == Seq(6))
+    assert(fields(graft.io.Zones.SidecarNameV3) == Seq(7))
+  }
 }

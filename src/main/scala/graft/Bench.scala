@@ -54,8 +54,9 @@ object Bench {
     // AQE twins the run itself produced)
     val planDir = java.nio.file.Paths.get("target/bench_plans")
     if (java.nio.file.Files.isDirectory(planDir)) {
-      java.nio.file.Files.list(planDir).forEach(p =>
-        java.nio.file.Files.deleteIfExists(p))
+      val listing = java.nio.file.Files.list(planDir)
+      try listing.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally listing.close() // Files.list leaks a dir handle unless closed
     }
     java.nio.file.Files.createDirectories(planDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

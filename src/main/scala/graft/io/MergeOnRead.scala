@@ -632,6 +632,23 @@ object MergeOnRead {
     }
   }
 
+  /** [[recordContract]] under the table's writer lease. The streaming
+    * sink's query-start record/backfill otherwise races
+    * [[graft.io.Maintenance]]'s own contract backfill (ADVICE r11):
+    * `writeTextAtomic` keeps the file crash-safe but last-wins, so two
+    * unserialized writers could land DIFFERENT schema shapes (the
+    * sink's landed write schema vs maintenance's resolved read schema).
+    * [[compact]] already records under its lease; this hands every
+    * out-of-package caller the same serialization.
+    */
+  def recordContractLeased(spark: SparkSession, dir: String, pk: Seq[String],
+                           versionCol: String, deleteFlagCol: Option[String],
+                           numBuckets: Int,
+                           schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    Upsert.withWriterLease(spark, dir) {
+      recordContract(spark, dir, pk, versionCol, deleteFlagCol, numBuckets, schema)
+    }
+
   def compact(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
               deleteFlagCol: Option[String] = None,
               numBuckets: Int = Upsert.DefaultNumBuckets,

@@ -139,6 +139,12 @@ object IncrementalDws {
   // "already folded" within one checkpoint's numbering — see the
   // rebuilt-checkpoint guard in [[streaming]]
   private val StreamQueryProp = "appliedStreamQuery"
+  // the MOR-fact offset a fresh consumer's aggregate was bootstrapped
+  // from (the base-snapshot fold of [[streamingMor]]): recorded in the
+  // SAME manifest rename as the folded content, so a crash between the
+  // bootstrap fold and the stream's first commit restarts into "skip
+  // the refold, subscribe from the recorded offset"
+  private val BootstrapProp = "bootstrappedUpto"
 
   def streaming(spark: SparkSession, factDir: String, dwsDir: String,
                 groupCols: Seq[String], sumCols: Seq[String],
@@ -201,8 +207,34 @@ object IncrementalDws {
                      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                    maxBatchesPerTrigger: Option[Int] = None,
                    maxPointKeys: Int = 1024)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    graft.sources.MorChangeFeedSource.read(spark, morFactDir, maxBatchesPerTrigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // FRESH consumer on a MATURE fact (its delta batch 0 already GC'd
+    // after compaction — ADVICE r11): the stream can only start at the
+    // earliest retained offset, so the folded history's state must
+    // come from the base snapshot AT that offset. Fold it once as
+    // all-adds (recording the offset in the same manifest rename) and
+    // subscribe from there; retract/add pairs from offset+1 telescope
+    // on top exactly. Young facts (batch 0 retained) skip this — the
+    // stream itself replays from birth. An ESTABLISHED consumer never
+    // re-enters: its checkpoint owns the offsets and a rebuilt
+    // checkpoint is refused by the query-lineage guard below.
+    val man0 = Upsert.currentManifest(spark, tablePath(dwsDir))
+    val startOff: Option[Long] =
+      man0.flatMap(_.props.get(BootstrapProp)).map(_.toLong) match {
+        case some @ Some(_) => some // bootstrap already folded (crash between fold and start)
+        case None if man0.exists(_.props.contains(StreamAppliedProp)) =>
+          None // established pre-bootstrap consumer: checkpoint owns offsets
+        case None =>
+          val (off, adds) = MorChangeFeed.bootstrapAdds(spark, morFactDir)
+          if (off < 0L) None
+          else {
+            foldInto(spark, dwsDir, adds, groupCols, sumCols, man0,
+              Map(BootstrapProp -> off.toString))
+            Some(off)
+          }
+      }
+    graft.sources.MorChangeFeedSource.read(spark, morFactDir, maxBatchesPerTrigger,
+      startingOffset = startOff.map(_.toString))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -231,6 +263,7 @@ object IncrementalDws {
         ()
       }
       .start()
+  }
 
   /** The fully-declarative form of [[streaming]] — ONE streaming query
     * with no driver-side fold logic at all: `readStream` over the

@@ -43,6 +43,20 @@ object MorChangeFeed {
   /** The retract/add stream for one admitted micro-batch of raw feed
     * rows (must carry [[MorChangeFeedSource.BatchCol]]). Returns an
     * empty frame for an empty batch.
+    *
+    * ONE boundary resolve per admitted range (VERDICT r11 #3): the PRE
+    * image at kmin−1 is resolved against the table (point-lookup or
+    * broadcast-semi, tombstone winners KEPT — they decide LWW against
+    * admitted rows of lower version), and the POST image is DERIVED as
+    * the per-key LWW of PRE ∪ the admitted rows themselves — they ARE
+    * the deltas in (kmin−1, kmax], already in hand, so the second
+    * boundary never touches the base. Exactness: LWW(base ∪ deltas
+    * ≤ kmax) = LWW(LWW(base ∪ deltas ≤ kmin−1) ∪ deltas in [kmin,
+    * kmax]) because winner selection is a max over (version, batch)
+    * and every admitted row's batch exceeds every pre-range batch —
+    * collapsing the PRE side to one resolved row per key loses only
+    * rows that had already lost. The old two-resolve form paid 2×
+    * base I/O per range on the semi path (`morfeed` probe, r11).
     */
   def retractStream(spark: SparkSession, morRoot: String, raw: DataFrame,
                     maxPointKeys: Int = 1024): DataFrame = {
@@ -58,8 +72,28 @@ object MorChangeFeed {
     val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
     val keys = raw.select(pk.map(col): _*).distinct()
 
+    // notDeleted mirrors MergeOnRead's dropDeletes exactly
+    def live(df: DataFrame) = del match {
+      case Some(f) if df.columns.contains(f) =>
+        col(f) =!= "delete" || col(f).isNull
+      case _ => lit(true)
+    }
+
+    // kmin == 0 is the BOOTSTRAP: nothing precedes the range — the
+    // pre-image is empty, and every resolved row at kmax stems from
+    // the admitted batches, so the post-image is the FULL resolved
+    // read with no key restriction (a bootstrap semi-join would
+    // broadcast the whole table's key set for nothing)
+    if (kmin == 0L) {
+      val post = MergeOnRead.readPinned(spark, morRoot,
+        MergeOnRead.snapshotAt(spark, morRoot, kmax), pk, vc, del,
+        MergeOnRead.DefaultBroadcastDeltaBytes)
+      return post.withColumn(ChangeFeed.ChangeCol, lit("add"))
+    }
+
+    val snapPre = MergeOnRead.snapshotAt(spark, morRoot, kmin - 1)
     // point path: bounded key set + single-column pk -> pinned Bloom
-    // lookups, O(candidate files) per image whatever the base size
+    // lookups, O(candidate files) for the one image whatever the base
     val pointKeys: Option[Seq[String]] =
       if (pk.length != 1) None
       else {
@@ -67,34 +101,73 @@ object MorChangeFeed {
           .limit(maxPointKeys + 1).collect().map(_.getString(0)).toSeq
         if (ks.size > maxPointKeys || ks.contains(null)) None else Some(ks)
       }
-
-    def imageAt(v: Long, restrict: Boolean = true): DataFrame = {
-      val snap = MergeOnRead.snapshotAt(spark, morRoot, v)
-      if (!restrict)
-        MergeOnRead.readPinned(spark, morRoot, snap, pk, vc, del,
-          MergeOnRead.DefaultBroadcastDeltaBytes)
-      else pointKeys match {
-        case Some(ks) =>
-          MergeOnRead.lookupPinned(spark, morRoot, snap, pk.head, ks, vc, del, n)
-        case None =>
-          val resolved = MergeOnRead.readPinned(spark, morRoot, snap, pk, vc,
-            del, MergeOnRead.DefaultBroadcastDeltaBytes)
-          resolved.join(broadcast(keys),
-            pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
-      }
+    // deleteFlagCol = None: resolution is identical (version LWW), but
+    // tombstone WINNERS stay — a deleted key's tombstone must beat an
+    // admitted row of lower version in the derived POST below
+    val preFull = pointKeys match {
+      case Some(ks) =>
+        MergeOnRead.lookupPinned(spark, morRoot, snapPre, pk.head, ks, vc,
+          None, n)
+      case None =>
+        val resolved = MergeOnRead.readPinned(spark, morRoot, snapPre, pk, vc,
+          None, MergeOnRead.DefaultBroadcastDeltaBytes)
+        resolved.join(broadcast(keys),
+          pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
     }
-    // kmin == 0 is the BOOTSTRAP: nothing precedes the range — the
-    // pre-image is empty, and every resolved row at kmax stems from
-    // the admitted batches, so the post-image is the FULL resolved
-    // read with no key restriction (a bootstrap semi-join would
-    // broadcast the whole table's key set for nothing)
-    val pre =
-      if (kmin == 0L) imageAt(kmax).limit(0)
-      else imageAt(kmin - 1)
-    val post = imageAt(kmax, restrict = kmin != 0L)
-    pre.withColumn(ChangeFeed.ChangeCol, lit("retract"))
-      .unionByName(post.withColumn(ChangeFeed.ChangeCol, lit("add")),
+
+    // one window over PRE ∪ admitted rows emits BOTH roles: every live
+    // PRE row retracts; the per-key (version DESC NULLS LAST, source
+    // DESC) winner adds if live. PRE's source is −1 (< every admitted
+    // batch id, so version ties fall to the admitted row — the same
+    // base-is-batch−1 ordering the resolution itself uses); within the
+    // admitted rows the source is their own batch id, matching
+    // deltaWinners' ordering. An admitted LWW loser yields equal
+    // retract and add that cancel in the signed fold, exactly as the
+    // two-resolve form did.
+    val src = "__cf_src"
+    val combined = preFull.withColumn(src, lit(-1L))
+      .unionByName(
+        raw.withColumn(src, col(MorChangeFeedSource.BatchCol))
+          .drop(MorChangeFeedSource.BatchCol),
         allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*)
+      .orderBy(col(vc).desc, col(src).desc)
+    val ranked = combined.withColumn("__cf_rn", row_number().over(w))
+    val dataCols = combined.columns.filterNot(c => c == src || c == "__cf_rn")
+    ranked.select(dataCols.map(col).toIndexedSeq :+
+      explode(array(
+        when(col(src) === -1L && live(ranked), lit("retract")),
+        when(col("__cf_rn") === 1 && live(ranked), lit("add"))
+      )).as(ChangeFeed.ChangeCol): _*)
+      .filter(col(ChangeFeed.ChangeCol).isNotNull)
+  }
+
+  /** Bootstrap image for a FRESH subscriber of a mature table (ADVICE
+    * r11): the resolved content AS OF the earliest retained offset, as
+    * all-ADD rows — the CoW feed's net-batch analog, where the base IS
+    * the net batch. Returns `(offset, adds)`; the consumer folds the
+    * adds FIRST, then subscribes with `startingOffset = offset`, and
+    * the stream's retract/add pairs from `offset + 1` telescope on top
+    * exactly. Offset −1 (batch 0 still retained, or an empty table)
+    * returns an empty frame — the stream itself replays from birth via
+    * [[retractStream]]'s kmin == 0 full-read bootstrap.
+    *
+    * Pinned at `snapshotAt(offset)`: a compaction advancing the base
+    * between this resolve and the stream start cannot skew the image
+    * (retention keeps the snapshot reconstructible for one cycle).
+    */
+  def bootstrapAdds(spark: SparkSession, morRoot: String): (Long, DataFrame) = {
+    val (pk, vc, del, _) = contractOf(spark, morRoot)
+    val off = graft.sources.MorChangeFeedSource.earliestOffset(spark, morRoot)
+    val image =
+      if (off < 0L)
+        MergeOnRead.read(spark, morRoot, pk, vc, del).limit(0)
+      else
+        MergeOnRead.readPinned(spark, morRoot,
+          MergeOnRead.snapshotAt(spark, morRoot, off), pk, vc, del,
+          MergeOnRead.DefaultBroadcastDeltaBytes)
+    (off, image.withColumn(ChangeFeed.ChangeCol, lit("add")))
   }
 
   /** Self-check surface for specs: the batch-range net effect equals

@@ -89,12 +89,31 @@ object MorChangeFeedSource {
 
   def read(spark: SparkSession, root: String,
            maxBatchesPerTrigger: Option[Int] = None,
-           maxBytesPerTrigger: Option[Long] = None) = {
+           maxBytesPerTrigger: Option[Long] = None,
+           startingOffset: Option[String] = None) = {
     val r0 = spark.readStream.format(classOf[MorChangeFeedSource].getName)
     val r1 = maxBatchesPerTrigger.fold(r0)(n =>
       r0.option("maxBatchesPerTrigger", n.toString))
-    maxBytesPerTrigger.fold(r1)(b =>
-      r1.option("maxBytesPerTrigger", b.toString)).load(root)
+    val r2 = maxBytesPerTrigger.fold(r1)(b =>
+      r1.option("maxBytesPerTrigger", b.toString))
+    startingOffset.fold(r2)(o => r2.option("startingOffset", o)).load(root)
+  }
+
+  /** The earliest offset a FRESH consumer can start from (ADVICE r11):
+    * −1 (the table's birth — full replay) while delta batch 0 is still
+    * retained, else the base's compaction watermark, i.e. "everything
+    * folded into the base is consumed; the retained tail streams". A
+    * consumer that needs the folded history's STATE must pair the
+    * synthesized start with a bootstrap fold of the base snapshot AT
+    * this offset ([[graft.rtdw.MorChangeFeed.bootstrapAdds]] — the
+    * CoW feed's net-batch analog, where the base IS the net batch).
+    */
+  def earliestOffset(spark: SparkSession, root: String): Long = {
+    val ids = MergeOnRead.deltaBatches(spark, root).map(_._1)
+    val w = MergeOnRead.compactedUpto(spark, root)
+    if (ids.headOption.contains(0L) || math.max(ids.lastOption.getOrElse(-1L), w) < 0)
+      -1L
+    else w
   }
 }
 
@@ -129,13 +148,29 @@ private[sources] case class MorChangeFeedTable(dir: String)
           require(n > 0L, s"maxBytesPerTrigger must be positive, got $n")
           n
         }
+      // where a FRESH consumer starts (checkpointed offsets always win
+      // on restart): "earliest" (default — the earliest RETAINED
+      // position, see [[MorChangeFeedSource.earliestOffset]]),
+      // "latest" (only batches committed after query start), or an
+      // explicit batch id ("consumed through this batch" — what a
+      // bootstrap-folding consumer passes back)
+      private val startingOffset =
+        Option(options.get("startingOffset")).map { v =>
+          v.toLowerCase match {
+            case "earliest" | "latest" => v.toLowerCase
+            case _ => scala.util.Try(v.toLong).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(
+                s"startingOffset must be 'earliest', 'latest' or a batch id, got '$v'"))
+          }
+        }
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"MorChangeFeedScan $dir"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MorChangeFeedStream(dir, full, required, maxBatches, maxBytes)
+          new MorChangeFeedStream(dir, full, required, maxBatches, maxBytes,
+            startingOffset)
       }
     }
 }
@@ -143,13 +178,49 @@ private[sources] case class MorChangeFeedTable(dir: String)
 private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
                                            required: StructType,
                                            maxBatchesPerTrigger: Option[Int],
-                                           maxBytesPerTrigger: Option[Long] = None)
+                                           maxBytesPerTrigger: Option[Long] = None,
+                                           startingOffset: Option[String] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = FeedOffset(-1L)
+  /** A fresh consumer's start position (checkpointed offsets supersede
+    * this on every restart). Default "earliest" = the earliest
+    * RETAINED position: −1 while batch 0 lives, else the compaction
+    * watermark (ADVICE r11 — the old unconditional −1 permanently
+    * refused fresh consumers on any table whose batch 0 had been GC'd:
+    * the admission gap guard threw, and its advice to restart from a
+    * fresh checkpoint recreated the same state). A consumer that needs
+    * the folded history's STATE pairs this with a bootstrap fold of
+    * the base snapshot at the synthesized offset
+    * ([[graft.rtdw.MorChangeFeed.bootstrapAdds]]) — the CoW feed's
+    * net-batch analog. Explicit ids are validated here so a typo'd
+    * start fails at query start, not mid-stream.
+    */
+  override def initialOffset(): Offset = {
+    val ids = MergeOnRead.deltaBatches(spark, dir).map(_._1)
+    val w = MergeOnRead.compactedUpto(spark, dir)
+    val maxKnown = math.max(ids.lastOption.getOrElse(-1L), w)
+    val off = startingOffset match {
+      case None | Some("earliest") =>
+        MorChangeFeedSource.earliestOffset(spark, dir)
+      case Some("latest") => maxKnown
+      case Some(n) => n.toLong
+    }
+    require(off >= -1L && off <= maxKnown,
+      s"startingOffset $off of $dir out of range: table history spans " +
+        s"-1..$maxKnown (offsets are 'batches <= id consumed')")
+    if (off < maxKnown && !ids.contains(off + 1))
+      throw new IllegalStateException(
+        s"cannot start a consumer of $dir at offset $off: delta batch " +
+          s"${off + 1} is not retained (folded history is GC'd one cycle " +
+          s"after compaction) — start at ${MorChangeFeedSource.earliestOffset(spark, dir)} " +
+          "(the earliest retained position) and bootstrap state from the " +
+          "base snapshot at that offset (MorChangeFeed.bootstrapAdds)")
+    FeedOffset(off)
+  }
+
   override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
 
   override def latestOffset(): Offset =
@@ -171,7 +242,12 @@ private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[FeedOffset].last
-    val all0 = MergeOnRead.deltaBatches(spark, dir).map(_._1)
+    // ONE listing feeds both the gap guard and the byte-admission path
+    // lookup (ADVICE r11): a GC landing between two separate listings
+    // would surface as a bare NoSuchElementException from byPath
+    // instead of the loud GC-gap error below
+    val listed = MergeOnRead.deltaBatches(spark, dir)
+    val all0 = listed.map(_._1)
     // the GAP guard must live at ADMISSION, not only in
     // planInputPartitions: when GC collected the consumer's whole
     // unread range the pending list is empty, no batch is planned, and
@@ -185,9 +261,11 @@ private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
         s"merge-on-read delta batch ${s + 1} of $dir was GC'd past this " +
           s"consumer's watermark $s (table history reaches $maxKnown) — " +
           "compaction/GC must stay behind every subscriber " +
-          "(gcCompactedDeltas retains one cycle); restart the consumer " +
-          "from a fresh checkpoint and re-bootstrap from the base")
-    val byPath = MergeOnRead.deltaBatches(spark, dir).toMap
+          "(gcCompactedDeltas retains one cycle). To recover: restart from " +
+          "a FRESH checkpoint (it starts at the earliest retained offset) " +
+          "and rebuild consumer state from the base snapshot at that " +
+          "offset (MorChangeFeed.bootstrapAdds)")
+    val byPath = listed.toMap
     val all = availableNowTarget.fold(all0)(t => all0.filter(_ <= t))
     val pending = all.filter(_ > s)
     val end = limit match {
@@ -242,8 +320,9 @@ private[sources] class MorChangeFeedStream(dir: String, fullSchema: StructType,
         s"merge-on-read delta batch(es) ${missing.mkString(", ")} of $dir " +
           s"were GC'd past this consumer's watermark $s — compaction/GC " +
           "must stay behind every subscriber (gcCompactedDeltas retains one " +
-          "cycle); restart the consumer from a fresh checkpoint and " +
-          "re-bootstrap from the base")
+          "cycle). To recover: restart from a FRESH checkpoint (it starts " +
+          "at the earliest retained offset) and rebuild consumer state " +
+          "from the base snapshot at that offset (MorChangeFeed.bootstrapAdds)")
     val fs = graft.io.FsOps.fs(spark,
       new org.apache.hadoop.fs.Path(dir))
     ((s + 1) to e).flatMap { k =>

@@ -115,6 +115,28 @@ object UpsertStreamSink {
     val w = if (numBuckets > 0) w0.option("numBuckets", numBuckets.toString) else w0
     deleteFlagCol.fold(w)(c => w.option("deleteFlagCol", c))
   }
+
+  /** The table's writer lease aborts loudly on contention — right for
+    * two PRODUCERS racing, but background [[graft.io.Maintenance]]
+    * (compaction/vacuum between epochs) legitimately holds it for
+    * short windows, and a continuous pipeline must outlive those. The
+    * sink is the table's primary writer: it retries briefly with
+    * backoff and still fails loudly when the lease stays held (a real
+    * concurrent producer). Safe to retry: the exception is thrown at
+    * ACQUISITION, before any write begins.
+    */
+  private[sources] def withLeaseRetry[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: Upsert.ConcurrentWriterException if attempt < 6 =>
+          Thread.sleep(250L << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 private[sources] case class UpsertStreamTable(dir: String,
@@ -273,8 +295,15 @@ private[sources] case class UpsertStreamTable(dir: String,
           org.apache.spark.sql.types.StructField(versionCol,
             org.apache.spark.sql.types.LongType, nullable = true))
         else writeSchema
-      graft.io.MergeOnRead.recordContract(spark, dir, pk, versionCol,
-        deleteFlagCol, numBuckets, Some(landedSchema))
+      // under the writer lease (ADVICE r11): this record/backfill races
+      // Maintenance.runMor's own contract backfill, and unserialized
+      // last-wins text writes could land different schema shapes;
+      // retried because Maintenance legitimately holds the lease for
+      // short windows between epochs
+      UpsertStreamSink.withLeaseRetry {
+        graft.io.MergeOnRead.recordContractLeased(spark, dir, pk, versionCol,
+          deleteFlagCol, numBuckets, Some(landedSchema))
+      }
     }
     // SupportsStreamingUpdateAsAppend: UPDATE-mode streaming (each
     // emitted row = the key's refreshed value) lands as the same LWW
@@ -336,27 +365,9 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
       }
   }
 
-  /** The table's writer lease aborts loudly on contention — right for
-    * two PRODUCERS racing, but background [[graft.io.Maintenance]]
-    * (compaction/vacuum between epochs) legitimately holds it for
-    * short windows, and a continuous pipeline must outlive those. The
-    * sink is the table's primary writer: it retries briefly with
-    * backoff and still fails the epoch loudly when the lease stays
-    * held (a real concurrent producer). Safe to retry: the exception
-    * is thrown at ACQUISITION, before any write begins.
-    */
-  private def withLeaseRetry[T](body: => T): T = {
-    var attempt = 0
-    while (true) {
-      try return body
-      catch {
-        case _: Upsert.ConcurrentWriterException if attempt < 6 =>
-          Thread.sleep(250L << attempt)
-          attempt += 1
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  // lease-contention retry shared with the query-start contract record
+  private def withLeaseRetry[T](body: => T): T =
+    UpsertStreamSink.withLeaseRetry(body)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active

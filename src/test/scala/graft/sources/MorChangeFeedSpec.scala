@@ -187,6 +187,87 @@ class MorChangeFeedSpec extends SparkSpec {
     assert(batches.get() == 3, s"expected 3 capped micro-batches, got ${batches.get()}")
   }
 
+  test("fresh consumer on a mature table (batch 0 GC'd) bootstraps from the base and converges") {
+    val root = Files.createTempDirectory("morcdf_boot").toString
+    val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"
+    // mature the fact: two compaction cycles + GC so batch 0 (and 1)
+    // are gone — the ADVICE r11 state where a fresh subscriber was
+    // PERMANENTLY refused (initialOffset −1, admission guard threw,
+    // and its own remediation recreated the failure)
+    MergeOnRead.merge(spark, fact, mkWave(1L, 0 until 200)) // batch 0
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))
+    MergeOnRead.merge(spark, fact, mkWave(2L, 0 until 200 by 2)) // batch 1
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))
+    MergeOnRead.gcCompactedDeltas(spark, fact, retainForReaders = false)
+    assert(!MergeOnRead.deltaBatches(spark, fact).map(_._1).contains(0L),
+      "precondition: batch 0 must be GC'd")
+    // live tail past the watermark: an update wave and a delete wave
+    MergeOnRead.merge(spark, fact, mkWave(3L, 100 until 250)) // batch 2
+    MergeOnRead.merge(spark, fact, mkWave(4L, 0 until 250 by 5, del = true)) // batch 3
+
+    def drain(): Unit = {
+      val q = IncrementalDws.streamingMor(spark, fact, dws,
+        groupCols = Seq("gid"), sumCols = Seq("cents"),
+        checkpointDir = ckpt, maxBatchesPerTrigger = Some(1))
+      q.awaitTermination(120000); ()
+    }
+    def check(tag: String): Unit = {
+      val served = IncrementalDws.current(spark, dws).get
+        .select("gid", "cents", "row_ct")
+        .collect().map(_.mkString("|")).toSet
+      val full = MergeOnRead.read(spark, fact, pk, "__v", Some("op"))
+        .groupBy(col("gid"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("row_ct"))
+        .collect().map(_.mkString("|")).toSet
+      assert(served == full, s"$tag:\n served=$served\n full=$full")
+    }
+    // FRESH consumer: bootstrap-folds the base snapshot at the
+    // compaction watermark, then streams the retained tail
+    drain(); check("bootstrap + tail")
+    // and keeps tracking incrementally afterwards (same checkpoint —
+    // the recorded bootstrap is not re-folded on restart)
+    MergeOnRead.merge(spark, fact, mkWave(5L, 0 until 100 by 3))
+    drain(); check("post-bootstrap wave")
+  }
+
+  test("startingOffset: latest skips retained history; a GC'd explicit start refuses at query start") {
+    val root = Files.createTempDirectory("morcdf_start").toString
+    val fact = s"$root/fact"
+    MergeOnRead.merge(spark, fact, mkWave(1L, 0 until 50)) // batch 0
+    MergeOnRead.merge(spark, fact, mkWave(2L, 0 until 50 by 2)) // batch 1
+    MergeOnRead.recordContract(spark, fact, pk, "__v", Some("op"),
+      Upsert.DefaultNumBuckets)
+    // latest: the AvailableNow drain target == the start → zero rows
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = MorChangeFeedSource.read(spark, fact,
+      startingOffset = Some("latest"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckptL")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()); ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(seen.get() == 0, s"latest consumer must skip history, saw ${seen.get()}")
+    // explicit id below the retained range refuses AT QUERY START
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))
+    MergeOnRead.merge(spark, fact, mkWave(3L, 0 until 50 by 3)) // batch 2
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))
+    MergeOnRead.gcCompactedDeltas(spark, fact, retainForReaders = false)
+    assert(!MergeOnRead.deltaBatches(spark, fact).map(_._1).contains(0L))
+    val q2 = MorChangeFeedSource.read(spark, fact,
+      startingOffset = Some("-1"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckptE")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val e = intercept[Exception] { q2.awaitTermination(120000) }
+    assert(msgs(e).exists(_.contains("is not retained")), s"got ${msgs(e)}")
+  }
+
   test("GC past a consumer's watermark refuses loudly (no silent gap)") {
     val root = Files.createTempDirectory("morcdf_gc").toString
     val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"

@@ -113,9 +113,11 @@ object SparkEntry {
     // ---- deduplication ----
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      { lastSfDir = Some(d); Dedup.minhashLsh(s, d) }),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
-    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      { lastSfDir = Some(d); Dedup.simhashPairs(s, d) }),
     "dedup_minhash_covers_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.minhashCoversJaccard(s, d)),
     "dedup_simhash_order_inv" -> ((s: SparkSession, d: String) =>
@@ -1601,9 +1603,227 @@ object SparkEntry {
          FROM f""",
   )
 
+  /** DIRECT oracle for the persisted-index ANN heads (VERDICT r11 #1):
+    * the index's frozen centroids are INTEGER milli vectors (IvfIndex
+    * v2) and assignment/probe/scoring are exact integer arithmetic, so
+    * embedding the centroids as a VALUES literal makes the WHOLE chain
+    * SQL-expressible — the sim_lsh_topk conversion applied to learned
+    * constants. Verify evaluates [[oracleSql]] AFTER running every
+    * query in the same JVM, so the literal is read from the very index
+    * the Spark answer was served from; if the heads have not run (no
+    * index dir recorded), the entries are simply absent and the driver
+    * records the old rows-only check — never a wrong oracle.
+    */
+  // the sfDir the sketch-family heads last ran against: Verify runs
+  // every head on ONE sfDir then evaluates oracleSql in the same JVM,
+  // so the dynamic dedup oracles below mirror their signatures from
+  // the SAME documents the Spark answer read
+  @volatile private var lastSfDir: Option[String] = None
+
+  /** Driver-side mirror of [[graft.functions.Kernels.minhashShingleSig]]
+    * (VERDICT r11 #1, the lshHyperplanes pattern on per-doc constants):
+    * recomputes each doc's MinHash signature from raw text with the
+    * same published hash (XXH64 seed 42) and permutation family — an
+    * INDEPENDENT spelling of the math, so a drift in the distributed
+    * kernel diverges est_jaccard / the candidate set and fails the
+    * oracle. None for docs with no complete shingle (the kernel's null).
+    */
+  private def minhashSigMirror(text: String, ngram: Int = 3,
+                               numHashes: Int = 64): Option[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.split(" ", -1) // Spark split(col, " ") keeps trailing empties
+    val p = 2147483647L
+    val seen = new java.util.HashSet[Long]()
+    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+    var i = 0
+    while (i + ngram <= toks.length) {
+      val u = UTF8String.fromString(toks.slice(i, i + ngram).mkString(" "))
+      val x0 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      val x = ((x0 % p) + p) % p
+      if (seen.add(x)) {
+        var j = 0
+        while (j < numHashes) {
+          val h = (((2L * j + 1) * x + 7919L * (j + 1)) % p + p) % p
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen.isEmpty) None else Some(sig)
+  }
+
+  /** Driver-side mirror of [[graft.functions.Kernels.simhash64]]: the
+    * per-token bit votes over XXH64(token, seed 42), signs to bits.
+    */
+  private def simhash64Mirror(text: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val acc = new Array[Int](64)
+    text.split(" ", -1).foreach { t =>
+      val u = UTF8String.fromString(t)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** DIRECT oracles for the sketch-pair heads (VERDICT r11 #1): the
+    * per-doc signatures are mirrored driver-side from raw text
+    * ([[minhashSigMirror]]/[[simhash64Mirror]]) and embedded as VALUES
+    * literals; banding, the hot-bucket cap, pair generation,
+    * est_jaccard, chunk blocking and Hamming filtering are then all
+    * replayed in plain SQL. Banding groups by the SLICE CONTENT
+    * instead of Spark's xxhash64(slice) — equal slices iff equal hash
+    * (a 2⁻⁶⁴ collision would equally disturb the Spark answer), so the
+    * bucket structure is identical without needing xxhash64-of-arrays
+    * in DuckDB. Absent until the heads have run in this JVM.
+    */
+  private def dedupOracles: Map[String, String] = {
+    val ready = for {
+      dir <- lastSfDir
+      spark <- scala.util.Try(SparkSession.active).toOption
+    } yield {
+      val docs = graft.io.Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val sigRows = docs.flatMap { case (id, text) =>
+        minhashSigMirror(text).map(sig => s"($id, '${sig.mkString(",")}')")
+      }
+      val shRows = docs.map { case (id, text) => s"($id, ${simhash64Mirror(text)})" }
+      Map(
+        "dedup_minhash_lsh" ->
+          s"""WITH sigv(doc_id, sigstr) AS (VALUES ${sigRows.mkString(", ")}),
+                sig AS (SELECT doc_id, j, CAST(string_split(sigstr, ',')[j] AS BIGINT) AS s
+                        FROM sigv, (SELECT unnest(generate_series(1, 64)) AS j)),
+                bandl AS (SELECT doc_id, CAST((j - 1) // 8 AS INT) AS band,
+                                 list(s ORDER BY j) AS bh
+                          FROM sig GROUP BY 1, 2),
+                ok AS (SELECT band, bh FROM bandl GROUP BY 1, 2 HAVING count(*) <= 256),
+                b2 AS (SELECT bandl.doc_id, bandl.band, bandl.bh
+                       FROM bandl JOIN ok USING (band, bh)),
+                cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                         FROM b2 a JOIN b2 b
+                           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+             SELECT c.doc_a, c.doc_b,
+                    CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / 64
+                      AS est_jaccard
+             FROM cand c
+             JOIN sig sa ON sa.doc_id = c.doc_a
+             JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+             GROUP BY 1, 2""",
+        "dedup_simhash_pairs" ->
+          s"""WITH sh(doc_id, sig) AS (VALUES ${shRows.mkString(", ")}),
+                ch AS (SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS cv
+                       FROM sh, (SELECT unnest(generate_series(0, 3)) AS c)),
+                pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+                          FROM ch a JOIN ch b
+                            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8""")
+    }
+    ready.getOrElse(Map.empty)
+  }
+
+  private def ivfOracles: Map[String, String] = {
+    val sessionOpt = scala.util.Try(SparkSession.active).toOption
+    sessionOpt.fold(Map.empty[String, String]) { spark =>
+      val milli = Similarity.centroidValuesLiteral(spark, "milli").map { values =>
+        "sim_ivf_topk" ->
+          s"""WITH cent(cell, i, c) AS (VALUES $values),
+                e AS (SELECT vec_id, i,
+                             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+                nrm AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nn FROM e GROUP BY 1),
+                dist AS (SELECT e.vec_id, cent.cell,
+                                CAST(SUM((cent.c - e.v) * (cent.c - e.v)) AS BIGINT) AS d
+                         FROM e JOIN cent ON cent.i = e.i GROUP BY 1, 2),
+                assign AS (SELECT vec_id, cell FROM (
+                             SELECT vec_id, cell,
+                                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                             FROM dist) WHERE rn = 1),
+                probes AS (SELECT vec_id AS q_id, cell FROM (
+                             SELECT vec_id, cell,
+                                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                             FROM dist WHERE vec_id < 20) WHERE rn <= 4),
+                cand AS (SELECT p.q_id, a.vec_id AS c_id
+                         FROM probes p JOIN assign a
+                           ON a.cell = p.cell AND a.vec_id <> p.q_id),
+                dots AS (SELECT cd.q_id, cd.c_id, CAST(SUM(qe.v * ce.v) AS BIGINT) AS dot
+                         FROM cand cd
+                         JOIN e qe ON qe.vec_id = cd.q_id
+                         JOIN e ce ON ce.vec_id = cd.c_id AND ce.i = qe.i
+                         GROUP BY 1, 2),
+                scored AS (SELECT d.q_id, d.c_id,
+                                  CAST(d.dot AS DOUBLE) / sqrt(CAST(qn.nn * cn.nn AS DOUBLE)) AS sim
+                           FROM dots d
+                           JOIN nrm qn ON qn.vec_id = d.q_id
+                           JOIN nrm cn ON cn.vec_id = d.c_id),
+                r AS (SELECT q_id, c_id, sim,
+                             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                      FROM scored)
+             SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim FROM r WHERE rnk <= 10"""
+      }
+      val sq8 = Similarity.centroidValuesLiteral(spark, "sq8").map { values =>
+        "sim_sq8_ivf_topk" ->
+          s"""WITH cent(cell, i, c) AS (VALUES $values),
+                amax AS (SELECT MAX(list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))))) AS a
+                         FROM embeddings),
+                e AS (SELECT vec_id, i,
+                             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+                      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+                dist AS (SELECT e.vec_id, cent.cell,
+                                CAST(SUM((cent.c - e.v) * (cent.c - e.v)) AS BIGINT) AS d
+                         FROM e JOIN cent ON cent.i = e.i GROUP BY 1, 2),
+                assign AS (SELECT vec_id, cell FROM (
+                             SELECT vec_id, cell,
+                                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                             FROM dist) WHERE rn = 1),
+                probes AS (SELECT vec_id AS q_id, cell FROM (
+                             SELECT vec_id, cell,
+                                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                             FROM dist WHERE vec_id < 20) WHERE rn <= 4),
+                ce AS (SELECT vec_id AS c_id, i,
+                              GREATEST(-127, LEAST(127,
+                                CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / a + 0.5)
+                                     AS BIGINT))) AS v
+                       FROM embeddings, amax, (SELECT unnest(generate_series(1, 64)) AS i)),
+                cn AS (SELECT c_id, CAST(SUM(v * v) AS BIGINT) AS cn FROM ce GROUP BY 1),
+                qn AS (SELECT vec_id AS q_id, CAST(SUM(v * v) AS BIGINT) AS qn
+                       FROM e WHERE vec_id < 20 GROUP BY 1),
+                cand AS (SELECT p.q_id, a.vec_id AS c_id
+                         FROM probes p JOIN assign a
+                           ON a.cell = p.cell AND a.vec_id <> p.q_id),
+                dots AS (SELECT cd.q_id, cd.c_id, CAST(SUM(qe.v * ce.v) AS BIGINT) AS dot
+                         FROM cand cd
+                         JOIN e qe ON qe.vec_id = cd.q_id
+                         JOIN ce ON ce.c_id = cd.c_id AND ce.i = qe.i
+                         GROUP BY 1, 2),
+                scored AS (SELECT q_id, c_id,
+                                  CAST(dot AS DOUBLE) / sqrt(CAST(qn.qn * cn.cn AS DOUBLE)) AS sim
+                           FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id)),
+                r AS (SELECT q_id, c_id, sim,
+                             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+                      FROM scored)
+             SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rnk, sim FROM r WHERE rnk <= 10"""
+      }
+      (milli.toSeq ++ sq8.toSeq).toMap
+    }
+  }
+
   /** [[oracleSqlBase]] plus derived entries whose SQL is shared with
-    * another query (hint-free plan variants compute the same result).
+    * another query (hint-free plan variants compute the same result)
+    * and the dynamic indexed-ANN oracles ([[ivfOracles]]).
     */
   def oracleSql: Map[String, String] = oracleSqlBase +
-    ("j5_sku_chain_auto" -> oracleSqlBase("j5_sku_chain"))
+    ("j5_sku_chain_auto" -> oracleSqlBase("j5_sku_chain")) ++
+    ivfOracles ++ dedupOracles
 }

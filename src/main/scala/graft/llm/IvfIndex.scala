@@ -55,8 +55,14 @@ object IvfIndex {
 
   /** Bump when quantization/assignment semantics change: a persisted
     * index from an older format must rebuild, not silently mis-serve.
+    * v2: centroids are INTEGER milli vectors (rint of the KMeans
+    * means) and assignment/probe distances are integer arithmetic —
+    * order-independent, so cell assignment is a pure function of
+    * (centroids, quantized vector) that an external oracle can
+    * replicate exactly (VERDICT r11 #1); float accumulation order can
+    * no longer flip a near-tie assignment between runs.
     */
-  private val FormatVersion = "1"
+  private val FormatVersion = "2"
 
   private def centroidsDir(dir: String) = s"${dir.stripSuffix("/")}/centroids"
 
@@ -81,6 +87,45 @@ object IvfIndex {
   private def quantize(df: DataFrame): DataFrame =
     df.select(col("vec_id"), quantize_vec(col("embedding"), 1000).as("q"))
       .withColumn("n", norm_sq_long(col("q")))
+
+  /** Nearest-centroid assignment in INTEGER milli space: per vector,
+    * argmin over cells of Σ(c−x)² with c the integer centroid and x
+    * the quantized component — exact long arithmetic, ties to the
+    * lower cell. Shared by build, ingest, and the fit-in-query
+    * [[Similarity.ivfTopK]], and replicable verbatim in the DuckDB
+    * oracle (the whole point of integer centroids).
+    */
+  private[llm] def assignCells(qdf: DataFrame, centroids: DataFrame): DataFrame = {
+    val crossed = qdf.crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .withColumn("__dist", expr(
+        "aggregate(zip_with(centroid, q, (c, x) -> (c - x) * (c - x)), 0L, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__dist"), col("cell"))
+    crossed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__dist", "centroid")
+  }
+
+  /** KMeans means rounded to integer milli units — the persisted
+    * centroid format (v2). rint, not floor: the mean of milli-unit
+    * vectors should round to the nearest representative.
+    */
+  private def integerCenters(model: org.apache.spark.ml.clustering.KMeansModel)
+      : Seq[(Int, Seq[Long])] =
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(v => math.rint(v).toLong).toSeq)
+    }.toSeq
+
+  /** The frozen centroids as (cell, 1-based dim, value) rows — what an
+    * external oracle embeds as a VALUES literal to replicate the
+    * assignment and probe selection exactly (VERDICT r11 #1).
+    */
+  def centroidValues(spark: SparkSession, indexDir: String): Seq[(Int, Int, Long)] =
+    Upsert.read(spark, centroidsDir(indexDir))
+      .select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .toSeq.flatMap { r =>
+        val cell = r.getInt(0)
+        r.getSeq[Long](1).zipWithIndex.map { case (v, i) => (cell, i + 1, v) }
+      }
 
   /** Train the coarse quantizer and persist the full index. The corpus
     * is scanned by KMeans and once more for assignment — the LAST time
@@ -124,8 +169,14 @@ object IvfIndex {
       .cache()
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(vecs.select(col("features")))
-    val assignedBase = model.transform(vecs)
-      .select(col("vec_id"), col("q"), col("n"), col("prediction").as("cell"))
+    // assignment against the ROUNDED centroids (not model.transform):
+    // the integer argmin is what ingest and every query use, so a
+    // vector near a cell boundary lands where the persisted quantizer
+    // says — one assignment function everywhere, exactly replicable
+    val centroidRows = integerCenters(model)
+    val centDf = spark.createDataset(centroidRows).toDF("cell", "centroid")
+    val assignedBase = assignCells(vecs.select(col("vec_id"), col("q"), col("n")), centDf)
+      .select(col("vec_id"), col("q"), col("n"), col("cell"))
     // sq8 lists replace the milli vectors with 1-byte-per-dim codes —
     // assignment still happens in the shared milli space, so both
     // storage modes put every vector in the SAME cell (spec-pinned)
@@ -164,8 +215,6 @@ object IvfIndex {
     Upsert.mergeGrouped(spark, c => cellDir(indexDir, newEpoch, c),
       assigned, "cell", pk = Seq("vec_id"), versionCol = "__v",
       stagingRoot = s"${indexDir.stripSuffix("/")}/_build_staging")
-    val centroidRows = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     // the ONE visibility switch: until this commit, readers resolve the
     // previous epoch's intact cells; after it, only the new epoch's
     Upsert.overwriteSnapshot(spark, centroidsDir(indexDir),
@@ -237,13 +286,7 @@ object IvfIndex {
     val (storage, amax) = storageOf(spark, indexDir)
     val centroids = Upsert.read(spark, centroidsDir(indexDir))
       .select(col("cell"), col("centroid"))
-    val qb = quantize(batch)
-    val crossed = qb.crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(centroid, q, (c, x) -> (c - x) * (c - x)), 0D, (acc, v) -> acc + v)"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    val assignedMilli = crossed
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val assignedMilli = assignCells(quantize(batch), centroids)
       .select(col("vec_id"), col("q"), col("n"), col("cell"))
     // sq8 index: encode with the scale FROZEN at build — same contract
     // as the frozen centroids (a value beyond the build-time amax
@@ -282,7 +325,7 @@ object IvfIndex {
     import spark.implicits._
     val centers = Upsert.read(spark, centroidsDir(indexDir))
       .select(col("cell"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1) // cell order == clusterCenters index order at build
     val qRows = queries
       .select(col("q_id"), quantize_vec(col("embedding"), 1000).as("qv"))
@@ -291,11 +334,13 @@ object IvfIndex {
     val probeRows = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0); val qv = r.getSeq[Long](1).toArray; val qn = r.getLong(2)
       centers.map { case (ci, c) =>
-        // same arithmetic and summation order as ivfTopK's probe step
-        var d = 0.0; var i = 0
+        // exact integer distance — same arithmetic as assignCells',
+        // order-independent, ties broken by the explicit (d, cell) sort
+        var d = 0L; var i = 0
         while (i < c.length) { val diff = c(i) - qv(i); d += diff * diff; i += 1 }
         (qid, qv, qn, ci, d)
-      }.sortBy(_._5).take(nprobe).map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
+      }.sortBy(t => (t._5, t._4)).take(nprobe)
+        .map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
     }
     val probes = spark.createDataset(probeRows).toDF("q_id", "qv", "qn", "cell")
     val (storage, _) = storageOf(spark, indexDir)

@@ -137,20 +137,31 @@ object Similarity {
       .cache()
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(vecs.select(col("features")))
-    val assigned = model.transform(vecs)
-      .select(col("vec_id"), col("q"), col("n"), col("prediction").as("cell"))
-    val centers = model.clusterCenters
+    // integer centroids + integer argmin assignment — the SAME
+    // semantics the persisted index uses (IvfIndex v2), so the
+    // fit-in-query and indexed forms stay bit-identical and the whole
+    // chain is replicable in exact arithmetic (VERDICT r11 #1)
+    val centers: Array[(Int, Array[Long])] = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(v => math.rint(v).toLong)) }
+    val centDf = spark.createDataset(centers.toSeq.map { case (i, c) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+    val assigned = IvfIndex.assignCells(
+      vecs.select(col("vec_id"), col("q"), col("n")), centDf)
+      .select(col("vec_id"), col("q"), col("n"), col("cell"))
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("q").as("qv"), col("n").as("qn"))
       .collect()
-    // driver-side probe selection: nprobe nearest centroids per query
+    // driver-side probe selection: nprobe nearest centroids per query,
+    // exact integer distances, ties to the lower cell
     val probeRows = queries.flatMap { r =>
       val qv = r.getSeq[Long](1).toArray
       val qid = r.getLong(0); val qn = r.getLong(2)
-      centers.zipWithIndex.map { case (c, ci) =>
-        val d = c.toArray.zip(qv).map { case (cv, x) => val diff = cv - x; diff * diff }.sum
+      centers.map { case (ci, c) =>
+        var d = 0L; var i = 0
+        while (i < c.length) { val diff = c(i) - qv(i); d += diff * diff; i += 1 }
         (qid, qv, qn, ci, d)
-      }.sortBy(_._5).take(nprobe).map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
+      }.sortBy(t => (t._5, t._4)).take(nprobe)
+        .map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
     }.toSeq
     val probes = spark.createDataset(probeRows)
       .toDF("q_id", "qv", "qn", "cell")
@@ -201,8 +212,31 @@ object Similarity {
     val cnt = corpus.count() // parquet metadata-only aggregate
     if (!IvfIndex.isBuilt(spark, dir, nlist, cnt, storage))
       IvfIndex.build(spark, dir, corpus, nlist, storage)
+    builtIndexDirs.put(storage, dir)
     dir
   }
+
+  // storage mode → the index dir the last ensureIndexed resolved.
+  // Verify evaluates SparkEntry.oracleSql AFTER running every query in
+  // the same JVM, so the oracle for the indexed ANN heads can embed the
+  // index's manifest-frozen integer centroids as a VALUES literal
+  // (VERDICT r11 #1 — the sim_lsh_topk conversion, applied to learned
+  // constants): the oracle then replays assignment, probe selection,
+  // and scoring in exact arithmetic against the SAME quantizer the
+  // Spark answer was served from.
+  private val builtIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `(cell, 1-based dim, value)` VALUES rows of the frozen centroids
+    * behind the last-served indexed ANN head for `storage` — None until
+    * that head has run in this JVM (the oracle entry is omitted then,
+    * degrading to the driver's rows-only check, never to a wrong SQL).
+    */
+  def centroidValuesLiteral(spark: SparkSession, storage: String): Option[String] =
+    Option(builtIndexDirs.get(storage)).map { dir =>
+      IvfIndex.centroidValues(spark, dir)
+        .map { case (cell, i, v) => s"($cell, $i, $v)" }.mkString(", ")
+    }
 
   /** [[ivfTopKIndexed]] over SQ8-compressed inverted lists — the
     * production shape for 100 TB ANN: probe-only queries whose list

@@ -124,13 +124,14 @@ class IvfIndexSpec extends SparkSpec {
     // independently recompute each held vector's nearest frozen
     // centroid on the driver and assert the index placed it there
     val centers = Upsert.read(spark, s"$dir/centroids")
-      .select("cell", "centroid").as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .select("cell", "centroid").as[(Int, Seq[Long])].collect().sortBy(_._1)
     val heldQ = held.select(col("vec_id"),
         graft.functions.functions.quantize_vec(col("embedding"), 1000).as("q"))
       .as[(Long, Seq[Long])].collect()
     val expected = heldQ.map { case (id, q) =>
-      val best = centers.minBy { case (_, c) =>
-        c.zip(q).map { case (cv, x) => val d = cv - x; d * d }.sum
+      // exact integer distance, ties to the lower cell — the v2 contract
+      val best = centers.minBy { case (cell, c) =>
+        (c.zip(q).map { case (cv, x) => val d = cv - x; d * d }.sum, cell)
       }._1
       id -> best
     }.toMap
@@ -313,17 +314,18 @@ class IvfIndexSpec extends SparkSpec {
         .as("embedding"))
     IvfIndex.ingest(spark, dir, dup, batchVersion = 1L)
     val h = IvfIndex.health(spark, dir).get
-    assert(h.byteImbalance > 3.0, s"skew batch must imbalance the index: $h")
+    assert(h.byteImbalance > 2.0, s"skew batch must imbalance the index: $h")
 
     val centroidsBefore = Upsert.read(spark, s"$dir/centroids")
-      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSet
+      .select("cell", "centroid").as[(Int, Seq[Long])].collect().toSet
     val full = corp.unionByName(dup)
-    val actions = IvfIndex.rebuildIfImbalanced(spark, dir, full, nlist = 8)
+    val actions = IvfIndex.rebuildIfImbalanced(spark, dir, full, nlist = 8,
+      policy = IvfIndex.RebuildPolicy(maxByteImbalance = 2.0))
     assert(actions.exists(_.startsWith("rebuild:")), s"gate must fire: $actions")
 
     // the quantizer actually retrained (the skew mass pulls centroids)
     val centroidsAfter = Upsert.read(spark, s"$dir/centroids")
-      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSet
+      .select("cell", "centroid").as[(Int, Seq[Long])].collect().toSet
     assert(centroidsAfter != centroidsBefore, "rebuild must refresh centroids")
 
     // recall gate stays green on the rebuilt index: bit-identical to a
@@ -432,7 +434,8 @@ class IvfIndexSpec extends SparkSpec {
         "transform(e0, (x, i) -> cast(x + pmod(vec_id * 31 + i, 97) / 1e3 as float))")
         .as("embedding"))
     IvfIndex.ingest(spark, dir, dup, batchVersion = 1L)
-    val actions = IvfIndex.rebuildIfImbalanced(spark, dir, corp.unionByName(dup))
+    val actions = IvfIndex.rebuildIfImbalanced(spark, dir, corp.unionByName(dup),
+      policy = IvfIndex.RebuildPolicy(maxByteImbalance = 1.5))
     assert(actions.nonEmpty, "gate must fire on the skewed index")
     val epoch = Upsert.currentManifest(spark, s"$dir/centroids").get
       .props("epoch").toInt

@@ -43,6 +43,7 @@ object SparkEntry {
     "dws_mor_stream_fold" -> (Relational.dwsMorStreamFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
     "mor_sql_dml" -> (Relational.morSqlDml _),
+    "mor_sql_insert" -> (Relational.morSqlInsert _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
     "a_meta_agg_filtered" -> (Relational.aMetaAggFiltered _),
@@ -520,6 +521,25 @@ object SparkEntry {
            UNION ALL
            SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) + 11 AS cents
            FROM events WHERE event_id % 251 = 0)
+         SELECT event_type, CAST(SUM(cents) AS BIGINT) AS value_cents,
+                COUNT(*) AS row_ct
+         FROM vals GROUP BY event_type""",
+
+    // SQL INSERT INTO over a MOR root, REPLAYED VERBATIM in the build
+    // (see Relational.morInsertEnsure): the oracle recomputes the net
+    // state applying the correction/synthetic rows exactly ONCE — a
+    // green hash proves the INSERT is the LWW merge (replay no-op),
+    // not an append
+    "mor_sql_insert" ->
+      """WITH vals AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 7 = 0
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) + 100
+                       ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+           FROM events
+           UNION ALL
+           SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) + 13 AS cents
+           FROM events WHERE event_id % 31 = 0)
          SELECT event_type, CAST(SUM(cents) AS BIGINT) AS value_cents,
                 COUNT(*) AS row_ct
          FROM vals GROUP BY event_type""",

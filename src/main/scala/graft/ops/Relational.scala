@@ -1283,6 +1283,62 @@ object Relational {
               VALUES (s.sid, s.stype, s.amt, 1, 'insert')""")
     } + "/t"
 
+  /** Build-once MOR table fed by plain SQL `INSERT INTO` (VERDICT r11
+    * #2 — the first statement a SQL user writes, oracled end-to-end):
+    * insert-all compacts into the base recording the contract, then ONE
+    * INSERT statement lands ver-2 corrections (+100 cents on %7 keys)
+    * and brand-new synthetic keys (+10^12-keyed, %31) as a single
+    * O(batch) delta append — and the SAME statement is then REPLAYED
+    * VERBATIM. INSERT here is the recorded LWW merge, not an
+    * append: the replay's rows tie on (pk, version) with identical
+    * content, so the resolved table is unchanged — the oracle's green
+    * hash proves the idempotence, not just a spec assertion.
+    */
+  def morInsertEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_insert_", sfDir,
+        recipe = "mor sql-insert %7-correct +%31-synthetic, replayed v1") { root =>
+      val dir = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      graft.io.MergeOnRead.merge(spark, dir,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          lit(1L).as("__v"), lit("insert").as("op")))
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      val view = "mor_ins_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.createOrReplaceTempView(view)
+      val insert =
+        s"""INSERT INTO graft.`$dir` (event_id, event_type, value_cents, __v, op)
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 100,
+                   CAST(2 AS BIGINT), 'insert'
+            FROM $view WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT event_id + 1000000000000, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 13,
+                   CAST(1 AS BIGINT), 'insert'
+            FROM $view WHERE event_id % 31 = 0"""
+      spark.sql(insert)
+      spark.sql(insert) // replayed verbatim: an LWW tie with equal content
+    } + "/t"
+
+  /** Aggregate over the SQL-INSERT-fed MOR root; the ORACLE recomputes
+    * the net state from raw events — a green row proves the INSERT
+    * upserted the %7 keys at the higher version, added the synthetic
+    * keys exactly once, and that the verbatim replay changed nothing.
+    */
+  def morSqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morInsertEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct
+          FROM graft.`$dir` GROUP BY event_type""")
+  }
+
   /** Aggregate over the SQL-DML-mutated MOR root; the ORACLE recomputes
     * the three statements' net effect over the raw events table — a
     * green row proves SQL UPDATE/DELETE/MERGE over the delta log equals

@@ -104,6 +104,15 @@ class UpsertCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('k7', 2, 'stale')")
     assert(spark.sql(s"SELECT v FROM graft.`$dir` WHERE k = 'k7'")
       .as[String].head() == "NEW7")
+    // a REPLAYED statement (same keys, same versions, same content) is
+    // a content no-op — the retried-batch contract (VERDICT r11 #2)
+    val beforeReplay = spark.sql(s"SELECT k, ver, v FROM graft.`$dir`")
+      .collect().map(_.mkString("|")).toSet
+    spark.sql(
+      s"INSERT INTO graft.`$dir` (k, ver, v) VALUES ('k7', 9, 'NEW7'), ('kX', 1, 'plus')")
+    val afterReplay = spark.sql(s"SELECT k, ver, v FROM graft.`$dir`")
+      .collect().map(_.mkString("|")).toSet
+    assert(afterReplay == beforeReplay, "replayed INSERT must be a content no-op")
     // INSERT OVERWRITE rebuilds the CONTENT under the recorded
     // contract: one full snapshot, LWW-resolved within the batch
     spark.sql(

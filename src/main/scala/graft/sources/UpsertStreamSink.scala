@@ -339,6 +339,36 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
   private val epochProp = s"streamEpoch.$queryId"
   private val staging = s"${dir.stripSuffix("/")}/.stream-$queryId"
 
+  // ---- zombie fencing (VERDICT r11 #5, the illegal two-producer
+  // shape): TWO DRIVERS running the SAME queryId (a split-brain
+  // orchestrator double-start, or a stuck "dead" driver resuming after
+  // its replacement started) would otherwise interleave silently — the
+  // replay watermark treats the slower driver's epochs as replays and
+  // DROPS their content without a sound. Each run claims the per-query
+  // owner file with a fresh token at its first commit (newest claimer
+  // wins — Kafka's producer-epoch fencing semantic); a run that held
+  // ownership and later finds a foreign token has been superseded and
+  // fails LOUDLY instead of feeding a fork. Distinct queryIds stay
+  // fully independent (their owner files are per-query). One tiny file
+  // per query id — the watermark files' own accumulation contract.
+  private val runToken = java.util.UUID.randomUUID().toString
+  private var ownedThisRun = false
+  private def ownerPath = new Path(dir.stripSuffix("/"), s"_streamOwner-$queryId")
+
+  private def fenceOrClaim(spark: SparkSession): Unit = {
+    val owner = graft.io.FsOps.readTextOpt(spark, ownerPath).map(_.trim)
+    if (!owner.contains(runToken)) {
+      if (ownedThisRun)
+        throw new IllegalStateException(
+          s"streaming query $queryId into $dir was taken over by another " +
+            s"driver (owner run ${owner.getOrElse("?")}): this run is fenced " +
+            "— two drivers were writing the SAME query id, which the replay " +
+            "watermark would silently fold; stop the duplicate driver")
+      graft.io.FsOps.writeTextAtomic(spark, ownerPath, runToken)
+    }
+    ownedThisRun = true
+  }
+
   private def epochDir(epochId: Long) = s"$staging/epoch=$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -372,6 +402,7 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     try {
+      fenceOrClaim(spark)
       val applied =
         if (morMode)
           graft.io.MergeOnRead.streamEpochApplied(spark, dir, queryId)

@@ -259,6 +259,67 @@ class UpsertStreamSinkSpec extends SparkSpec {
     })
   }
 
+  test("two-producer matrix: distinct queryIds interleave legally on both " +
+       "layouts; the same queryId from two drivers is FENCED loudly") {
+    Seq(false, true).foreach { mor =>
+      val root = Files.createTempDirectory(s"ssink_two_$mor").toString
+      val dir = s"$root/t"
+      // LEGAL: two producers with their OWN checkpoints (distinct
+      // queryIds) interleave epochs into one table — LWW by version
+      // resolves the union, and each lineage's replay watermark is
+      // tracked independently
+      val inA = MemoryStream[(String, Long, String)]
+      val inB = MemoryStream[(String, Long, String)]
+      def start(in: MemoryStream[(String, Long, String)], ckpt: String) =
+        UpsertStreamSink.writer(in.toDF().toDF("k", "ver", "v"), dir,
+          pk = Seq("k"), versionCol = "ver", numBuckets = 4, mor = mor)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      inA.addData(("a", 1L, "a1"), ("b", 1L, "b1"))
+      start(inA, s"$root/ckA").awaitTermination(120000)
+      inB.addData(("a", 2L, "a2"), ("b", 0L, "b0"), ("c", 1L, "c1"))
+      start(inB, s"$root/ckB").awaitTermination(120000)
+      inA.addData(("d", 1L, "d1"), ("a", 0L, "a0"))
+      start(inA, s"$root/ckA").awaitTermination(120000)
+      val got = (if (mor) morTable(dir) else table(dir)).collect().toSet
+      assert(got == Set(("a", 2L, "a2"), ("b", 1L, "b1"),
+        ("c", 1L, "c1"), ("d", 1L, "d1")), s"mor=$mor: $got")
+      val watermarks =
+        if (mor) graft.io.MergeOnRead.streamEpochWatermarks(spark, dir).keySet
+        else Upsert.currentManifest(spark, dir).get.props.keySet
+          .filter(_.startsWith("streamEpoch.")).map(_.stripPrefix("streamEpoch."))
+      assert(watermarks.size == 2,
+        s"mor=$mor: two lineages must track independent watermarks, got $watermarks")
+
+      // ILLEGAL: the SAME queryId from two drivers (split-brain
+      // double-start). Without fencing the replay watermark would fold
+      // the slower driver's epochs silently; with it, the newest
+      // claimer wins and the superseded run fails LOUDLY on its next
+      // commit — then the survivor continues unharmed.
+      val schema = Seq(("x", 1L, "x")).toDF("k", "ver", "v").schema
+      def stage(rows: Seq[(String, Long, String)], name: String): String = {
+        val p = s"$root/$name"
+        rows.toDF("k", "ver", "v").coalesce(1).write.parquet(p)
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      }
+      def mkW() = new UpsertStreamingWrite(dir, schema, pk = Seq("k"),
+        versionCol = "ver", numBuckets = 4, changeLog = false,
+        queryId = "q-dup", morMode = mor)
+      val w1 = mkW(); val w2 = mkW()
+      w1.commit(100L, Array(StreamFileCommit(stage(Seq(("p", 1L, "p1")), "f1"))))
+      w2.commit(101L, Array(StreamFileCommit(stage(Seq(("q", 1L, "q1")), "f2"))))
+      val e = intercept[IllegalStateException] {
+        w1.commit(102L, Array(StreamFileCommit(stage(Seq(("r", 1L, "r1")), "f3"))))
+      }
+      assert(e.getMessage.contains("fenced"), s"mor=$mor: ${e.getMessage}")
+      w2.commit(103L, Array(StreamFileCommit(stage(Seq(("s", 1L, "s1")), "f4"))))
+      val fin = (if (mor) morTable(dir) else table(dir)).collect().toSet
+      assert(fin.contains(("q", 1L, "q1")) && fin.contains(("s", 1L, "s1")) &&
+        !fin.contains(("r", 1L, "r1")), s"mor=$mor: $fin")
+    }
+  }
+
   test("layout guards: mor=true refuses a CoW table dir; CoW mode refuses a MOR root") {
     import graft.io.MergeOnRead
     val root = Files.createTempDirectory("ssink_layout").toString

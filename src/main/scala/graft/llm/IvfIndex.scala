@@ -91,17 +91,31 @@ object IvfIndex {
   /** Nearest-centroid assignment in INTEGER milli space: per vector,
     * argmin over cells of Σ(c−x)² with c the integer centroid and x
     * the quantized component — exact long arithmetic, ties to the
-    * lower cell. Shared by build, ingest, and the fit-in-query
-    * [[Similarity.ivfTopK]], and replicable verbatim in the DuckDB
-    * oracle (the whole point of integer centroids).
+    * LOWER cell (array_position returns the first minimum). Shared by
+    * build, ingest, and the fit-in-query [[Similarity.ivfTopK]], and
+    * replicable verbatim in the DuckDB oracle (the whole point of
+    * integer centroids).
+    *
+    * The centroids ride in as an ARRAY LITERAL (nlist ≤ a few hundred
+    * rows — driver data by construction), so the assignment is a pure
+    * per-row map: NO crossJoin, NO window, NO shuffle — the input
+    * partitioning flows through to the grouped cell write exactly like
+    * the old model.transform path. (A window formulation re-shuffled
+    * the corpus by vec_id and fanned every cell subtable into
+    * shuffle-partition-many tiny files; probe reads paid for it
+    * forever — caught by the r12 bench.)
     */
-  private[llm] def assignCells(qdf: DataFrame, centroids: DataFrame): DataFrame = {
-    val crossed = qdf.crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
-      .withColumn("__dist", expr(
-        "aggregate(zip_with(centroid, q, (c, x) -> (c - x) * (c - x)), 0L, (acc, v) -> acc + v)"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__dist"), col("cell"))
-    crossed.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__dist", "centroid")
+  private[llm] def assignCells(qdf: DataFrame,
+                               centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val ordered = centroids.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices,
+      s"cells must be dense 0..${ordered.size - 1}, got ${ordered.map(_._1)}")
+    val centLit = array(ordered.map { case (_, c) => array(c.map(lit): _*) }: _*)
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(c, col("q"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    qdf.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
   /** KMeans means rounded to integer milli units — the persisted
@@ -174,8 +188,8 @@ object IvfIndex {
     // vector near a cell boundary lands where the persisted quantizer
     // says — one assignment function everywhere, exactly replicable
     val centroidRows = integerCenters(model)
-    val centDf = spark.createDataset(centroidRows).toDF("cell", "centroid")
-    val assignedBase = assignCells(vecs.select(col("vec_id"), col("q"), col("n")), centDf)
+    val assignedBase = assignCells(
+      vecs.select(col("vec_id"), col("q"), col("n")), centroidRows)
       .select(col("vec_id"), col("q"), col("n"), col("cell"))
     // sq8 lists replace the milli vectors with 1-byte-per-dim codes —
     // assignment still happens in the shared milli space, so both
@@ -285,7 +299,8 @@ object IvfIndex {
     val epoch = currentEpoch(spark, indexDir)
     val (storage, amax) = storageOf(spark, indexDir)
     val centroids = Upsert.read(spark, centroidsDir(indexDir))
-      .select(col("cell"), col("centroid"))
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
     val assignedMilli = assignCells(quantize(batch), centroids)
       .select(col("vec_id"), col("q"), col("n"), col("cell"))
     // sq8 index: encode with the scale FROZEN at build — same contract

@@ -143,10 +143,9 @@ object Similarity {
     // chain is replicable in exact arithmetic (VERDICT r11 #1)
     val centers: Array[(Int, Array[Long])] = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(v => math.rint(v).toLong)) }
-    val centDf = spark.createDataset(centers.toSeq.map { case (i, c) => (i, c.toSeq) })
-      .toDF("cell", "centroid")
     val assigned = IvfIndex.assignCells(
-      vecs.select(col("vec_id"), col("q"), col("n")), centDf)
+      vecs.select(col("vec_id"), col("q"), col("n")),
+      centers.toSeq.map { case (i, c) => (i, c.toSeq) })
       .select(col("vec_id"), col("q"), col("n"), col("cell"))
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("q").as("qv"), col("n").as("qn"))

@@ -125,6 +125,8 @@ object MorChangeFeed {
     // retract and add that cancel in the signed fold, exactly as the
     // two-resolve form did.
     val src = "__cf_src"
+    require(!raw.columns.contains(src) && !raw.columns.contains("__cf_rn"),
+      s"feed rows must not carry the reserved columns $src/__cf_rn")
     val combined = preFull.withColumn(src, lit(-1L))
       .unionByName(
         raw.withColumn(src, col(MorChangeFeedSource.BatchCol))

@@ -187,6 +187,37 @@ class MorChangeFeedSpec extends SparkSpec {
     assert(batches.get() == 3, s"expected 3 capped micro-batches, got ${batches.get()}")
   }
 
+  test("retract/add parity under additive evolution: a mid-range delta batch " +
+       "carrying a NEW column telescopes exactly (single-pass derived POST)") {
+    val root = Files.createTempDirectory("morcdf_evo").toString
+    val fact = s"$root/fact"; val dws = s"$root/dws"
+    MergeOnRead.merge(spark, fact, mkWave(1L, 0 until 150))
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"), bloom = true)
+    def drain(): Unit = {
+      val q = IncrementalDws.streamingMor(spark, fact, dws,
+        groupCols = Seq("gid"), sumCols = Seq("cents"),
+        checkpointDir = s"$root/ckpt")
+      q.awaitTermination(120000); ()
+    }
+    drain() // consumer past batch 0 — the next range takes the DERIVED path
+    // ONE admitted range [1, 2] holds BOTH shapes: an old-shape
+    // correction wave and an evolved wave adding a column the base
+    // predates — the derived POST (LWW of PRE ∪ admitted rows) must
+    // widen exactly like the two-resolve form did
+    MergeOnRead.merge(spark, fact, mkWave(2L, 0 until 150 by 4))
+    MergeOnRead.merge(spark, fact,
+      mkWave(3L, 0 until 150 by 6).withColumn("flag", lit("evolved")))
+    drain()
+    val served = IncrementalDws.current(spark, dws).get
+      .select("gid", "cents", "row_ct")
+      .collect().map(_.mkString("|")).toSet
+    val full = MergeOnRead.read(spark, fact, pk, "__v", Some("op"))
+      .groupBy(col("gid"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("row_ct"))
+      .collect().map(_.mkString("|")).toSet
+    assert(served == full, s"served=$served\n full=$full")
+  }
+
   test("fresh consumer on a mature table (batch 0 GC'd) bootstraps from the base and converges") {
     val root = Files.createTempDirectory("morcdf_boot").toString
     val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"

@@ -1093,6 +1093,36 @@ object ScaleProbe {
         times
       }
       run("point"); run("semi")
+
+      // touched-bucket pruning (r12): the semi path's base scan now
+      // shrinks to the wave's bucket fraction. 512-bucket fact; SMALL
+      // waves (~100 keys → ~18% of buckets) vs BIG waves (~n/1000 keys
+      // → every bucket) through the SAME cap=0 consumer — before the
+      // pruning both cost the identical full base scan per wave.
+      {
+        val fact = s"$root/prune/fact"; val dws = s"$root/prune/dws"
+        graft.io.MergeOnRead.merge(spark, fact, rows)
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 512, bloom = true)
+        def drain(): Long = {
+          val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact, dws,
+            groupCols = Seq("gid"), sumCols = Seq("value_cents"),
+            checkpointDir = s"$root/prune/ckpt", maxPointKeys = 0)
+          q.awaitTermination(600000)
+          q.recentProgress.filter(_.numInputRows > 0)
+            .map(_.durationMs.get("triggerExecution").toLong).sum
+        }
+        drain() // bootstrap
+        def waveOf(w: Long, keyCount: Long): Unit =
+          graft.io.MergeOnRead.merge(spark, fact,
+            rows.filter(pmod(xxhash64(col("event_id"), lit(w)), lit(n / keyCount)) === 0)
+              .withColumn("value_cents", col("value_cents") + lit(w))
+              .withColumn("__v", lit(w)))
+        val small = (2L to 4L).map { w => waveOf(w, 100L); drain() }
+        val big = (5L to 7L).map { w => waveOf(w, n / 1000L); drain() }
+        println(f"[scale] morfeed_prune n=$n%-9d buckets=512 " +
+          f"small_wave_ms=${small.mkString("/")} big_wave_ms=${big.mkString("/")}")
+      }
     }
 
     if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !topnOnly) {

@@ -320,15 +320,55 @@ object MergeOnRead {
     readPinned(spark, dir, currentSnapshot(spark, dir), pk, versionCol,
       deleteFlagCol, maxBroadcastDeltaBytes)
 
+  /** The distinct placement buckets of `keys`' pk values — computed
+    * DISTRIBUTED (the key set never collects; the result is ≤
+    * numBuckets small ints). Same expression as the write placement
+    * ([[Upsert.keyStr]] + xxhash64 pmod), so it is exact for any pk
+    * arity, null keys included.
+    */
+  /** The canonical key-string expression ([[Upsert.keyStr]]) — the
+    * axis placement, Blooms, and composite point lookups share.
+    */
+  private[graft] def canonicalKey(pk: Seq[String]): Column = Upsert.keyStr(pk)
+
+  private[graft] def touchedBuckets(keys: DataFrame, pk: Seq[String],
+                                    numBuckets: Int): Set[Int] =
+    keys.select(pmod(xxhash64(Upsert.keyStr(pk)), lit(numBuckets))
+        .cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
   /** [[read]] against an already-pinned [[Snapshot]] — no re-listing,
     * and every caller holding the same snapshot composes the same
     * state (MorReadRule substitutes each SQL relation through this).
+    *
+    * `baseBuckets`: a caller that only needs rows whose pk PLACEMENT
+    * falls in this bucket set (proven via [[touchedBuckets]] — e.g.
+    * the change-feed consumer resolving an admitted wave's keys) may
+    * pass it to prune the BASE scan to the touched buckets' files —
+    * base I/O shrinks to the touched fraction of the table, whatever
+    * its size. Deltas are blind appends (no bucket organization) and
+    * stay fully read: they are the pre-compaction tail, small by the
+    * maintenance contract; when they exceed the broadcast budget the
+    * restriction is DROPPED (full resolve) rather than threading it
+    * through the SPJ path — correct, just unoptimized in that rare
+    * corner. Rows of OTHER keys in the touched buckets still resolve
+    * and return; the caller's own key restriction filters them.
     */
   private[graft] def readPinned(spark: SparkSession, dir: String, snap: Snapshot,
                                 pk: Seq[String], versionCol: String,
                                 deleteFlagCol: Option[String],
-                                maxBroadcastDeltaBytes: Long): DataFrame = {
-    val (manOpt, live) = (snap.man, snap.live)
+                                maxBroadcastDeltaBytes: Long,
+                                baseBuckets: Option[Set[Int]] = None): DataFrame = {
+    val live0 = snap.live
+    val pruned = baseBuckets.filter(_ =>
+      deltaBytes(spark, live0.map(_._2)) <= maxBroadcastDeltaBytes)
+    val manOpt = pruned match {
+      case None => snap.man
+      case Some(bs) => snap.man
+        .map(m => m.copy(files = m.files.filter { case (b, _) => bs(b) }))
+        .filter(_.files.valuesIterator.exists(_.nonEmpty))
+    }
+    val live = live0
     val baseOpt = manOpt.map(scanBase(spark, dir, _))
     val deltaOpt =
       if (live.isEmpty) None
@@ -715,24 +755,43 @@ object MergeOnRead {
                                   snap: Snapshot, pkCol: String,
                                   values: Seq[String], versionCol: String,
                                   deleteFlagCol: Option[String],
-                                  numBuckets: Int): DataFrame = {
+                                  numBuckets: Int): DataFrame =
+    lookupPinnedKeys(spark, dir, snap, Seq(pkCol), values, versionCol,
+      deleteFlagCol, numBuckets)
+
+  /** [[lookupPinned]] for ANY pk arity: `values` are canonical key
+    * strings ([[Upsert.keyStr]] form — for one column, the value
+    * itself). Single-column pks keep the type-exact residual
+    * ([[Upsert.keyEqFilter]]); composite pks narrow bucket/Bloom on
+    * the canonical axis and filter residually on it too, which may
+    * return extra WHOLE keys on canonical-concatenation collisions —
+    * see [[Upsert.lookupInKeys]] for the tolerance contract.
+    */
+  private[graft] def lookupPinnedKeys(spark: SparkSession, dir: String,
+                                      snap: Snapshot, pk: Seq[String],
+                                      values: Seq[String], versionCol: String,
+                                      deleteFlagCol: Option[String],
+                                      numBuckets: Int): DataFrame = {
     val (manOpt, live) = (snap.man, snap.live)
+    def residual(df: DataFrame): Column =
+      if (pk.length == 1)
+        // type-exact residual (Upsert.keyEqFilter): a bare
+        // isin(strings) on an int64 pk coerces through DOUBLE and
+        // breaks past 2^53
+        Upsert.keyEqFilter(df.schema, pk.head, values)
+      else Upsert.keyStr(pk).isin(values: _*)
     // the base resolves against the SAME manifest the delta list was
-    // cut from (lookupIn) — one snapshot structurally, not by luck of
-    // no compaction committing between two resolutions (ADVICE r4)
+    // cut from (lookupInKeys) — one snapshot structurally, not by luck
+    // of no compaction committing between two resolutions (ADVICE r4)
     val baseOpt = manOpt.map { m =>
-      Upsert.lookupIn(spark, basePath(dir), m, pkCol, values, numBuckets)
+      Upsert.lookupInKeys(spark, basePath(dir), m, pk, values, numBuckets)
         .withColumn(BatchCol, lit(-1L))
     }
     val deltaOpt =
       if (live.isEmpty) None
       else Some(live.map { case (id, p) =>
         val d = spark.read.parquet(p)
-        // type-exact residual (Upsert.keyEqFilter): a bare
-        // isin(strings) on an int64 pk coerces through DOUBLE and
-        // breaks past 2^53
-        d.filter(Upsert.keyEqFilter(d.schema, pkCol, values))
-          .withColumn(BatchCol, lit(id))
+        d.filter(residual(d)).withColumn(BatchCol, lit(id))
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val all = widenForEvolution(baseOpt.map(_.drop(BatchCol)), deltaOpt) match {
       case (Some(b), Some(d)) => d.unionByName(b.withColumn(BatchCol, lit(-1L)))
@@ -740,7 +799,7 @@ object MergeOnRead {
       case (None, Some(d)) => d
       case (None, None) => return spark.emptyDataFrame
     }
-    val w = Window.partitionBy(col(pkCol))
+    val w = Window.partitionBy(pk.map(col): _*)
       .orderBy(col(versionCol).desc, col(BatchCol).desc)
     val resolved = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", BatchCol)

@@ -961,7 +961,32 @@ object Upsert {
     */
   def lookupIn(spark: SparkSession, dir: String, m: Manifest, pkCol: String,
                values: Seq[String],
-               numBuckets: Int = DefaultNumBuckets): DataFrame = {
+               numBuckets: Int = DefaultNumBuckets): DataFrame =
+    lookupFiles(spark, dir, m, values, numBuckets,
+      df => keyEqFilter(df.schema, pkCol, values))
+
+  /** [[lookupIn]] for an ARBITRARY pk arity, on the canonical key axis
+    * (`values` are [[keyStr]]-form strings — for a single-column pk,
+    * the value itself). The bucket/Bloom NARROWING is exact for any
+    * arity (placement and sidecars hash the canonical), but the
+    * residual compares on the canonical-string axis, so a composite
+    * key whose components happen to concatenate to another key's
+    * canonical (separator appearing in data) may return that key's
+    * rows too: callers must tolerate extra WHOLE keys. The change-feed
+    * consumer does by construction — an untouched key's PRE row is
+    * also its POST row, so it emits an equal retract/add pair that
+    * cancels in the signed fold.
+    */
+  private[graft] def lookupInKeys(spark: SparkSession, dir: String, m: Manifest,
+                                  pk: Seq[String], values: Seq[String],
+                                  numBuckets: Int = DefaultNumBuckets): DataFrame =
+    if (pk.length == 1) lookupIn(spark, dir, m, pk.head, values, numBuckets)
+    else lookupFiles(spark, dir, m, values, numBuckets,
+      _ => keyStr(pk).isin(values: _*))
+
+  private def lookupFiles(spark: SparkSession, dir: String, m: Manifest,
+                          values: Seq[String], numBuckets: Int,
+                          residual: DataFrame => Column): DataFrame = {
     val n = m.numBuckets(numBuckets)
     val buckets = values.map(bucketOfKey(_, n)).distinct
     // every bucket resolves against the SAME manifest `m` — one
@@ -976,7 +1001,7 @@ object Upsert {
       scanFiles(spark, dir, m.allFiles, tableSchema(m)).filter(lit(false))
     else {
       val df = scanFiles(spark, dir, files, tableSchema(m))
-      df.filter(keyEqFilter(df.schema, pkCol, values))
+      df.filter(residual(df))
     }
   }
 

@@ -92,25 +92,42 @@ object MorChangeFeed {
     }
 
     val snapPre = MergeOnRead.snapshotAt(spark, morRoot, kmin - 1)
-    // point path: bounded key set + single-column pk -> pinned Bloom
-    // lookups, O(candidate files) for the one image whatever the base
-    val pointKeys: Option[Seq[String]] =
-      if (pk.length != 1) None
-      else {
-        val ks = keys.select(col(pk.head).cast("string"))
-          .limit(maxPointKeys + 1).collect().map(_.getString(0)).toSeq
-        if (ks.size > maxPointKeys || ks.contains(null)) None else Some(ks)
-      }
+    // point path: bounded key set -> pinned Bloom lookups, O(candidate
+    // files) for the one image whatever the base size. Composite pks
+    // ride the canonical key axis (r12 — previously semi-only): the
+    // bucket/Bloom narrowing is exact for any arity, and a
+    // canonical-concatenation collision returns at most an extra
+    // UNTOUCHED key whose equal retract/add pair cancels in the fold.
+    // Keys with a NULL component fall to the semi path (the canonical
+    // axis cannot represent them distinctly).
+    val pointKeys: Option[Seq[String]] = {
+      val ks = keys.select(
+          MergeOnRead.canonicalKey(pk).as("__k"),
+          pk.map(col(_).isNull).reduce(_ || _).as("__null"))
+        .limit(maxPointKeys + 1).collect()
+      if (ks.length > maxPointKeys || ks.exists(_.getBoolean(1))) None
+      else Some(ks.map(_.getString(0)).toSeq)
+    }
     // deleteFlagCol = None: resolution is identical (version LWW), but
     // tombstone WINNERS stay — a deleted key's tombstone must beat an
     // admitted row of lower version in the derived POST below
     val preFull = pointKeys match {
       case Some(ks) =>
-        MergeOnRead.lookupPinned(spark, morRoot, snapPre, pk.head, ks, vc,
+        MergeOnRead.lookupPinnedKeys(spark, morRoot, snapPre, pk, ks, vc,
           None, n)
       case None =>
+        // touched-bucket pruning (r12): the wave's keys hash to a
+        // bounded bucket set under the base's own placement, so the
+        // base scan shrinks to the touched fraction — the first
+        // sub-O(base) rung for waves past maxPointKeys, and it works
+        // for COMPOSITE pks (the point path is single-column-only).
+        // A firehose wave touching every bucket degrades to the full
+        // scan it needed anyway.
+        val manN = snapPre.man.map(_.numBuckets(n)).getOrElse(n)
+        val touched = MergeOnRead.touchedBuckets(keys, pk, manN)
         val resolved = MergeOnRead.readPinned(spark, morRoot, snapPre, pk, vc,
-          None, MergeOnRead.DefaultBroadcastDeltaBytes)
+          None, MergeOnRead.DefaultBroadcastDeltaBytes,
+          baseBuckets = Some(touched))
         resolved.join(broadcast(keys),
           pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
     }

@@ -187,6 +187,41 @@ class MorChangeFeedSpec extends SparkSpec {
     assert(batches.get() == 3, s"expected 3 capped micro-batches, got ${batches.get()}")
   }
 
+  test("composite-pk fact: point (canonical-axis Bloom lookups) and " +
+       "bucket-pruned semi paths agree and match the full recompute") {
+    val root = Files.createTempDirectory("morcdf_comp").toString
+    val cpk = Seq("id", "part")
+    def wave(w: Long, ids: Range, del: Boolean = false) =
+      ids.map(i => (s"k$i", i % 3L, i % 7L, (i + w) * 10L, w,
+        if (del) "delete" else "upsert"))
+        .toDF("id", "part", "gid", "cents", "__v", "op")
+    Seq("a", "b").foreach { m =>
+      val fact = s"$root/$m/fact"
+      MergeOnRead.merge(spark, fact, wave(1L, 0 until 200))
+      MergeOnRead.compact(spark, fact, cpk, "__v", Some("op"), bloom = true)
+      MergeOnRead.merge(spark, fact, wave(2L, 0 until 200 by 4))
+      MergeOnRead.merge(spark, fact, wave(3L, 0 until 200 by 9, del = true))
+    }
+    def fold(m: String, cap: Int): Set[String] = {
+      val q = IncrementalDws.streamingMor(spark, s"$root/$m/fact", s"$root/$m/dws",
+        groupCols = Seq("gid"), sumCols = Seq("cents"),
+        checkpointDir = s"$root/$m/ckpt", maxBatchesPerTrigger = Some(1),
+        maxPointKeys = cap)
+      q.awaitTermination(120000)
+      IncrementalDws.current(spark, s"$root/$m/dws").get
+        .select("gid", "cents", "row_ct")
+        .collect().map(_.mkString("|")).toSet
+    }
+    val viaPoint = fold("a", cap = 4096)
+    val viaSemi = fold("b", cap = 0)
+    assert(viaPoint == viaSemi, s"point=$viaPoint\n semi=$viaSemi")
+    val full = MergeOnRead.read(spark, s"$root/a/fact", cpk, "__v", Some("op"))
+      .groupBy(col("gid"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("row_ct"))
+      .collect().map(_.mkString("|")).toSet
+    assert(viaPoint == full)
+  }
+
   test("retract/add parity under additive evolution: a mid-range delta batch " +
        "carrying a NEW column telescopes exactly (single-pass derived POST)") {
     val root = Files.createTempDirectory("morcdf_evo").toString

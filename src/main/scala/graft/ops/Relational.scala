@@ -1158,7 +1158,10 @@ object Relational {
     */
   def dwsMorStreamEnsure(spark: SparkSession, sfDir: String): String =
     Tables.ensureBuilt(spark, "target/dml/stream_dws_mor_", sfDir,
-        recipe = "mor-feed dws three-wave fold + midstream compact v1") { base =>
+        // v2: rebuilt through the r12 single-pass boundary images +
+        // touched-bucket pruning so the driver's oracle gate exercises
+        // the CURRENT derivation, not a cached r11 fold
+        recipe = "mor-feed dws three-wave fold + midstream compact v2") { base =>
       val fact = s"$base/fact"
       val ev = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"),

@@ -349,6 +349,44 @@ class MergeOnReadSpec extends SparkSpec {
     assert(full == looked)
   }
 
+  test("baseBuckets pruning: the PRE-image scan lists ONLY the touched " +
+       "buckets' base files; content matches the full read for those keys") {
+    val root = Files.createTempDirectory("mor_prune").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 400).map(i => (s"k$i", "p", 1L, i.toLong, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op"), numBuckets = 16)
+    MergeOnRead.merge(spark, dir, Seq(("k5", "p", 2L, 999L, "update"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    val snap = MergeOnRead.currentSnapshot(spark, dir)
+    val keysDf = Seq("k5", "k9", "k11").toDF("id")
+    val touched = MergeOnRead.touchedBuckets(keysDf, pk, 16)
+    assert(touched.nonEmpty && touched.size < 16)
+    val pruned = MergeOnRead.readPinned(spark, dir, snap, pk, "ver",
+      Some("op"), MergeOnRead.DefaultBroadcastDeltaBytes,
+      baseBuckets = Some(touched))
+    val fullRead = MergeOnRead.readPinned(spark, dir, snap, pk, "ver",
+      Some("op"), MergeOnRead.DefaultBroadcastDeltaBytes)
+    // the plan's base inputs shrink to exactly the touched buckets'
+    // manifest files (deltas stay fully read — blind appends)
+    val man = Upsert.currentManifest(spark, s"$dir/base").get
+    def baseInputs(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.filter(_.contains("/base/")).toSet
+    val touchedFiles = man.files.filter { case (b, _) => touched(b) }
+      .values.flatten.map(r => s"$dir/base/$r").toSet
+    val got = baseInputs(pruned).map(_.replaceFirst("^file:/*", "/"))
+    assert(got == touchedFiles, s"pruned scan lists\n$got\nwant\n$touchedFiles")
+    assert(baseInputs(fullRead).size > got.size,
+      "the full read must scan more base files than the pruned one")
+    // content parity for the restricted keys
+    def of(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("id").isin("k5", "k9", "k11"))
+        .select("id", "amount_cents").as[(String, Long)].collect().toMap
+    assert(of(pruned) == of(fullRead))
+    assert(of(pruned) == Map("k5" -> 999L, "k9" -> 9L, "k11" -> 11L))
+  }
+
   test("merge never opens the base: write cost is O(batch) for a firehose batch") {
     val root = Files.createTempDirectory("mor_cost").toString
     val dir = s"$root/t"

@@ -745,6 +745,33 @@ object MergeOnRead {
     lookupPinned(spark, dir, currentSnapshot(spark, dir), pkCol, values,
       versionCol, deleteFlagCol, numBuckets)
 
+  /** [[lookup]] for COMPOSITE primary keys — the HBase-Get shape for
+    * any arity: each key is its pk components as canonical strings
+    * (Spark `CAST(col AS STRING)` form, the axis placement and Bloom
+    * sidecars hash), in `pk` order. Bucket + Bloom narrowing run on
+    * the canonical concatenation (exact narrowing — every true key's
+    * file is a candidate), and an EXACT component-wise residual
+    * removes any canonical-concatenation collision, so unlike the
+    * internal feed path this returns precisely the requested keys.
+    * Keys with a NULL component are not representable on the
+    * canonical axis — read + filter for those.
+    */
+  def lookupKeys(spark: SparkSession, dir: String, pk: Seq[String],
+                 keys: Seq[Seq[String]], versionCol: String,
+                 deleteFlagCol: Option[String] = None,
+                 numBuckets: Int = Upsert.DefaultNumBuckets): DataFrame = {
+    require(keys.forall(k => k.length == pk.length && !k.contains(null)),
+      s"each key must supply ${pk.length} non-null components (pk ${pk.mkString(",")})")
+    val canon = keys.map(_.mkString(Upsert.KeySep))
+    val resolved = lookupPinnedKeys(spark, dir, currentSnapshot(spark, dir),
+      pk, canon, versionCol, deleteFlagCol, numBuckets)
+    if (keys.isEmpty || resolved.columns.isEmpty) return resolved
+    val exact = keys.map(k =>
+      pk.zip(k).map { case (c, v) => col(c).cast("string") === lit(v) }
+        .reduce(_ && _)).reduce(_ || _)
+    resolved.filter(exact)
+  }
+
   /** [[lookup]] against an already-pinned [[Snapshot]] — the
     * time-travel/feed form: [[graft.rtdw.MorChangeFeed]] resolves
     * pre/post images of a delta batch's keys against the states AT its

@@ -83,12 +83,14 @@ object ChangeFeedSource {
 
   def read(spark: SparkSession, tableDir: String,
            maxBatchesPerTrigger: Option[Int] = None,
-           maxBytesPerTrigger: Option[Long] = None) = {
+           maxBytesPerTrigger: Option[Long] = None,
+           startingOffset: Option[String] = None) = {
     val r0 = spark.readStream.format(classOf[ChangeFeedSource].getName)
     val r1 = maxBatchesPerTrigger.fold(r0)(n =>
       r0.option("maxBatchesPerTrigger", n.toString))
-    maxBytesPerTrigger.fold(r1)(b =>
-      r1.option("maxBytesPerTrigger", b.toString)).load(tableDir)
+    val r2 = maxBytesPerTrigger.fold(r1)(b =>
+      r1.option("maxBytesPerTrigger", b.toString))
+    startingOffset.fold(r2)(o => r2.option("startingOffset", o)).load(tableDir)
   }
 }
 
@@ -127,11 +129,26 @@ private[sources] case class ChangeFeedTable(dir: String)
         }
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // where a FRESH consumer starts (checkpointed offsets win on
+      // restart): "earliest" (default — the net batch bootstrap),
+      // "latest" (only changes committed after query start — the
+      // monitoring-consumer shape, mirrors MorChangeFeedSource), or
+      // an explicit feed batch id ("batches <= id consumed")
+      private val startingOffset =
+        Option(options.get("startingOffset")).map { v =>
+          v.toLowerCase match {
+            case "earliest" | "latest" => v.toLowerCase
+            case _ => scala.util.Try(v.toLong).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(
+                s"startingOffset must be 'earliest', 'latest' or a batch id, got '$v'"))
+          }
+        }
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def description(): String = s"ChangeFeedScan $dir"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChangeFeedStream(dir, full, required, maxBatches, maxBytes)
+          new ChangeFeedStream(dir, full, required, maxBatches, maxBytes,
+            startingOffset)
       }
     }
 }
@@ -156,13 +173,34 @@ private[sources] case class FeedAdmission(maxBatches: Option[Int],
 private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
                                         required: StructType,
                                         maxBatchesPerTrigger: Option[Int] = None,
-                                        maxBytesPerTrigger: Option[Long] = None)
+                                        maxBytesPerTrigger: Option[Long] = None,
+                                        startingOffset: Option[String] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = FeedOffset(-1L)
+  /** A fresh consumer's start (checkpointed offsets supersede this on
+    * restart). "earliest" (default) = −1: the feed's net batch IS the
+    * bootstrap, so fresh consumers need no special casing here.
+    * "latest" skips the net and all history — the monitoring-consumer
+    * shape. An explicit id is validated at query start; note that a
+    * compaction can fold history past an arbitrary id, in which case
+    * the consumer will receive the NET batch (full state) first —
+    * the feed's standard restart contract, correct for empty state.
+    */
+  override def initialOffset(): Offset = {
+    val maxKnown = ChangeFeed.batches(spark, dir).lastOption.map(_._1).getOrElse(-1L)
+    val off = startingOffset match {
+      case None | Some("earliest") => -1L
+      case Some("latest") => maxKnown
+      case Some(n) => n.toLong
+    }
+    require(off >= -1L && off <= maxKnown,
+      s"startingOffset $off of $dir out of range: feed batches span " +
+        s"-1..$maxKnown (offsets are 'batches <= id consumed')")
+    FeedOffset(off)
+  }
 
   override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
 

@@ -387,6 +387,32 @@ class MergeOnReadSpec extends SparkSpec {
     assert(of(pruned) == Map("k5" -> 999L, "k9" -> 9L, "k11" -> 11L))
   }
 
+  test("composite-pk lookupKeys is EXACT: canonical-concatenation collisions " +
+       "are filtered component-wise; parity with the full read") {
+    val root = Files.createTempDirectory("mor_clookup").toString
+    val dir = s"$root/t"
+    val sep = "\u0001" // the canonical-axis separator, planted IN the data
+    val rows = ((1 to 100).map(i => (s"k$i", s"part$i", 1L, i.toLong, "insert")) ++
+      // a crafted collision: ("k5part5", "") concatenates to the
+      // SAME canonical as ("k5", "part5") — narrowing may admit it,
+      // the exact residual must remove it
+      Seq((s"k5${sep}part5", "", 1L, 777L, "insert")))
+      .toDF("id", "province_id", "ver", "amount_cents", "op")
+    MergeOnRead.merge(spark, dir, rows)
+    MergeOnRead.compact(spark, dir, Seq("id", "province_id"), "ver",
+      Some("op"), numBuckets = 8, bloom = true)
+    MergeOnRead.merge(spark, dir, Seq(("k5", "part5", 2L, 999L, "update"))
+      .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    val got = MergeOnRead.lookupKeys(spark, dir, Seq("id", "province_id"),
+      keys = Seq(Seq("k5", "part5"), Seq("k9", "part9")), versionCol = "ver",
+      deleteFlagCol = Some("op"))
+      .select("id", "amount_cents").as[(String, Long)].collect().toMap
+    assert(got == Map("k5" -> 999L, "k9" -> 9L), s"got $got")
+    // the collision row exists in the table but not in the lookup
+    val full = MergeOnRead.read(spark, dir, Seq("id", "province_id"), "ver", Some("op"))
+    assert(full.filter(col("id") === s"k5${sep}part5").count() == 1)
+  }
+
   test("merge never opens the base: write cost is O(batch) for a firehose batch") {
     val root = Files.createTempDirectory("mor_cost").toString
     val dir = s"$root/t"

@@ -196,6 +196,48 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(replayHole.getMessage.contains("replaying its first micro-batch"))
   }
 
+  test("startingOffset: latest skips the net bootstrap and history; an " +
+       "out-of-range explicit id refuses at query start") {
+    val root = Files.createTempDirectory("cdf_start").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("a", "p1", 1L, 100L, "insert")))
+    mergeBatch(fact, Seq(("b", "p2", 1L, 200L, "insert")))
+    // latest: the AvailableNow drain target == the start → zero rows
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = ChangeFeedSource.read(spark, fact, startingOffset = Some("latest"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckL")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.addAndGet(df.count()); ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(seen.get() == 0, s"latest consumer must skip history, saw ${seen.get()}")
+    // the SAME checkpoint then receives only post-start changes
+    mergeBatch(fact, Seq(("c", "p3", 1L, 300L, "insert")))
+    val seen2 = new java.util.concurrent.atomic.AtomicLong(0)
+    val q2 = ChangeFeedSource.read(spark, fact, startingOffset = Some("latest"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckL")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen2.addAndGet(df.filter(col("id") === "c").count() * 1000 + df.count()); ()
+      }.start()
+    q2.awaitTermination(120000)
+    assert(seen2.get() == 1001, s"post-start change must arrive alone, got ${seen2.get()}")
+    // explicit id past the known range refuses at query start
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val q3 = ChangeFeedSource.read(spark, fact, startingOffset = Some("99"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckE")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception] { q3.awaitTermination(120000) }
+    assert(msgs(e).exists(_.contains("out of range")), s"got ${msgs(e)}")
+  }
+
   test("maxBatchesPerTrigger drains a backlog in bounded micro-batches") {
     val root = Files.createTempDirectory("cdf_admission").toString
     val fact = s"$root/fact"

@@ -334,6 +334,53 @@ class MorChangeFeedSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("is not retained")), s"got ${msgs(e)}")
   }
 
+  test("property: random wave histories fold exactly — cross-batch version " +
+       "ties, deletes, re-inserts, mid-history compaction, both image paths") {
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic trials
+    (0 until 3).foreach { trial =>
+      val root = Files.createTempDirectory(s"morcdf_prop$trial").toString
+      val fact = s"$root/fact"; val dws = s"$root/dws"
+      val keys = (0 until 120).map(i => s"k$i")
+      def wave(): org.apache.spark.sql.DataFrame =
+        // DISTINCT keys per wave: a same-version duplicate within one
+        // batch resolves arbitrarily (both paths read through the same
+        // resolution, but plan nondeterminism could pick different
+        // rows) — cross-batch ties are the deterministic contract
+        // (later batch wins) and the thing worth fuzzing
+        rnd.shuffle(keys).take(30 + rnd.nextInt(60)).map { k =>
+          (k, k.hashCode.abs % 7L, rnd.nextInt(500).toLong,
+            rnd.nextInt(4).toLong, // few versions → frequent cross-batch ties
+            if (rnd.nextInt(5) == 0) "delete" else "upsert")
+        }.toDF("id", "gid", "cents", "__v", "op")
+      MergeOnRead.merge(spark, fact, wave())
+      MergeOnRead.compact(spark, fact, pk, "__v", Some("op"), bloom = true)
+      val cap = if (trial % 2 == 0) 4096 else 0 // point vs pruned-semi
+      def drain(): Unit = {
+        val q = IncrementalDws.streamingMor(spark, fact, dws,
+          groupCols = Seq("gid"), sumCols = Seq("cents"),
+          checkpointDir = s"$root/ckpt", maxBatchesPerTrigger = Some(1),
+          maxPointKeys = cap)
+        q.awaitTermination(120000); ()
+      }
+      (0 until 5).foreach { w =>
+        MergeOnRead.merge(spark, fact, wave())
+        if (w == 2) // compaction racing the subscription mid-history
+          graft.io.Maintenance.runMor(spark, fact, pk, "__v",
+            deleteFlagCol = Some("op"),
+            policy = graft.io.Maintenance.Policy(maxDeltaBatches = 0))
+        drain()
+      }
+      val served = IncrementalDws.current(spark, dws).get
+        .select("gid", "cents", "row_ct")
+        .collect().map(_.mkString("|")).toSet
+      val full = MergeOnRead.read(spark, fact, pk, "__v", Some("op"))
+        .groupBy(col("gid"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("row_ct"))
+        .collect().map(_.mkString("|")).toSet
+      assert(served == full, s"trial=$trial cap=$cap:\n served=$served\n full=$full")
+    }
+  }
+
   test("GC past a consumer's watermark refuses loudly (no silent gap)") {
     val root = Files.createTempDirectory("morcdf_gc").toString
     val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"

@@ -97,6 +97,9 @@ object ScaleProbe {
     // over an n-row bloom-compacted MOR fact, point-lookup pre/post
     // images vs the broadcast-semi fallback
     val morFeedOnly = args.length > 1 && args(1) == "morfeed"
+    // "morsort": sorted-compaction trade — compact's extra shuffle vs
+    // the big-delta SPJ resolve's eliminated base-side SortExec
+    val morSortOnly = args.length > 1 && args(1) == "morsort"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", if (spillOnly) "8" else "64")
@@ -1125,7 +1128,49 @@ object ScaleProbe {
       }
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !topnOnly) {
+    if (morSortOnly) {
+      // sorted compaction (r12): compact pays one extra hash shuffle to
+      // stage each bucket pk-SORTED (one file per bucket + recorded
+      // scan ordering); the big-delta SPJ resolve then feeds its
+      // full-outer SMJ with NO base-side SortExec. Measured trade:
+      // compact_ms (the amortized write cost) vs resolve_ms over a
+      // 2%-of-n correction delta forced down the big-delta path.
+      val root = java.nio.file.Files.createTempDirectory("probe_morsort").toString
+      val rows = ev
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+        .withColumn("__v", lit(1L))
+        .select("event_id", "value_cents", "__v")
+      def run(sorted: Boolean): (Long, Seq[Long], String) = {
+        val fact = s"$root/sort_$sorted/fact"
+        graft.io.MergeOnRead.merge(spark, fact, rows)
+        val t0 = System.nanoTime()
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 64, bloom = true, sortBase = sorted)
+        val compactMs = (System.nanoTime() - t0) / 1000000L
+        graft.io.MergeOnRead.merge(spark, fact,
+          rows.filter(pmod(xxhash64(col("event_id")), lit(50)) === 0)
+            .withColumn("value_cents", col("value_cents") + 1)
+            .withColumn("__v", lit(2L)))
+        val resolves = (1 to 3).map { _ =>
+          val r0 = System.nanoTime()
+          graft.io.MergeOnRead.read(spark, fact, Seq("event_id"), "__v",
+              maxBroadcastDeltaBytes = 0L)
+            .agg(sum(col("value_cents")), count(lit(1))).head()
+          (System.nanoTime() - r0) / 1000000L
+        }
+        val content = graft.io.MergeOnRead.read(spark, fact,
+            Seq("event_id"), "__v", maxBroadcastDeltaBytes = 0L)
+          .agg(sum(col("value_cents")), count(lit(1))).head().toString()
+        (compactMs, resolves, content)
+      }
+      val (cs, rs, stateS) = run(sorted = true)
+      val (cu, ru, stateU) = run(sorted = false)
+      println(f"[scale] morsort n=$n%-9d sorted: compact_ms=$cs " +
+        f"resolve_ms=${rs.mkString("/")}  unsorted: compact_ms=$cu " +
+        f"resolve_ms=${ru.mkString("/")}  content_equal=${stateS == stateU}")
+    }
+
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !morSortOnly && !topnOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -1301,7 +1346,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !topnOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !morSortOnly && !topnOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -44,6 +44,8 @@ object SparkEntry {
     "mor_sql_agg" -> (Relational.morSqlAgg _),
     "mor_sql_dml" -> (Relational.morSqlDml _),
     "mor_sql_insert" -> (Relational.morSqlInsert _),
+    "mor_sql_alter" -> (Relational.morSqlAlter _),
+    "mor_changes_batch" -> (Relational.morChangesBatch _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
     "a_meta_agg_filtered" -> (Relational.aMetaAggFiltered _),
@@ -543,6 +545,50 @@ object SparkEntry {
          SELECT event_type, CAST(SUM(cents) AS BIGINT) AS value_cents,
                 COUNT(*) AS row_ct
          FROM vals GROUP BY event_type""",
+
+    // batch CDC over the DML-mutated MOR root: changes(1, 3] = the
+    // DELETE (%101∧¬%97) and MERGE (%103∧¬%101 updates to base+7;
+    // %251 inserts at key+10^12, base+11) statements' retract/add
+    // rows. The oracle recomputes state@3 − state@1 per event_type:
+    // d_cents/d_rows are the signed folds, change_rows counts the
+    // emitted pairs (delete → 1 retract, update → 2, insert → 1 add)
+    "mor_changes_batch" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                            CAST(FLOOR(value * 100) AS BIGINT) AS c
+                     FROM events),
+              rows_ AS (
+                SELECT event_type, -c AS dc, -1 AS dr, 1 AS cr
+                FROM ev WHERE event_id % 101 = 0 AND event_id % 97 <> 0
+                UNION ALL
+                SELECT event_type,
+                       7 - CASE WHEN event_id % 97 = 0 THEN 100 ELSE 0 END AS dc,
+                       0 AS dr, 2 AS cr
+                FROM ev WHERE event_id % 103 = 0 AND event_id % 101 <> 0
+                UNION ALL
+                SELECT event_type, c + 11 AS dc, 1 AS dr, 1 AS cr
+                FROM ev WHERE event_id % 251 = 0)
+         SELECT event_type,
+                CAST(SUM(dc) AS BIGINT) AS d_cents,
+                CAST(SUM(dr) AS BIGINT) AS d_rows,
+                CAST(SUM(cr) AS BIGINT) AS change_rows
+         FROM rows_ GROUP BY event_type""",
+
+    // SQL ALTER TABLE over a MOR root (see Relational.morAlterEnsure):
+    // ADD COLUMNS (note) is a metadata-only contract rewrite; an
+    // INSERT lands ver-2 corrections CARRYING the new column for %13
+    // keys; DROP COLUMN src tombstones a column every on-disk batch
+    // still holds. The oracle recomputes the net state — a green hash
+    // proves the declared-schema reconciliation (added column's values
+    // via LWW, dropped column hidden) equals a direct recompute
+    "mor_sql_alter" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 13 = 0
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) + 50
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct,
+                COUNT(CASE WHEN event_id % 13 = 0 THEN 1 END) AS note_ct
+         FROM events GROUP BY event_type""",
 
     // VERSION AS OF 1 on the same root: the pinned post-UPDATE,
     // pre-DELETE snapshot (compaction watermark upto=0 + retained

@@ -141,15 +141,18 @@ object Maintenance {
              versionCol: String, deleteFlagCol: Option[String] = None,
              numBuckets: Int = Upsert.DefaultNumBuckets,
              bloom: Boolean = false,
-             policy: Policy = Policy()): Seq[String] = {
+             policy: Policy = Policy(),
+             sortBase: Boolean = true): Seq[String] = {
     val st = MergeOnRead.stats(spark, dir)
     if (st.liveDeltaBatches > policy.maxDeltaBatches ||
         st.liveDeltaBytes > policy.maxDeltaBytes) {
       val (ePk, eVc, eDel, eN) = MergeOnRead.contract(spark, dir)
         .getOrElse((pk, versionCol, deleteFlagCol, numBuckets))
-      MergeOnRead.compact(spark, dir, ePk, eVc, eDel, eN, bloom)
+      MergeOnRead.compact(spark, dir, ePk, eVc, eDel, eN, bloom,
+        sortBase = sortBase)
       Seq(s"compact: folded ${st.liveDeltaBatches} delta batches " +
-        s"(${st.liveDeltaBytes} B) into the base")
+        s"(${st.liveDeltaBytes} B) into the base" +
+        (if (sortBase) ", pk-sorted" else ""))
     } else Nil
   }
 

@@ -142,9 +142,23 @@ object MergeOnRead {
     */
   private def validated(spark: SparkSession, dir: String,
                         updates: DataFrame): DataFrame =
-    contract(spark, dir) match {
+    contractKv(spark, dir) match {
       case None => updates
-      case Some((pk, vc, _, _)) =>
+      case Some(kv) =>
+        val (pk, vc, _, _) = kvContract(kv)
+        // tombstone enforcement (ALTER parity with Upsert.merge): a
+        // batch carrying a DROPPED column — an old-shape producer —
+        // would silently resurrect the name, so it refuses loudly
+        val dropped = kvDropped(kv)
+        if (dropped.nonEmpty) {
+          updates.columns.find(c =>
+              dropped.contains(SchemaEvolution.canon(spark, c))).foreach(c =>
+            throw new SchemaEvolutionException(
+              s"merge into merge-on-read table $dir: column '$c' was DROPPED " +
+                "from this table; writing it again would resurrect stale values " +
+                "from batches that predate the drop — remove it from the batch " +
+                "(or use a new column name)"))
+        }
         val cols = (pk :+ vc).distinct
         val present = updates.columns.toSet
         cols.foreach(c => require(present.contains(c),
@@ -369,6 +383,10 @@ object MergeOnRead {
         .filter(_.files.valuesIterator.exists(_.nonEmpty))
     }
     val live = live0
+    // ONE contract-file read per composition, threaded through the
+    // empty-arm typing, the resolve's null-free choice, and the final
+    // declared-schema reconciliation
+    val kv = contractKv(spark, dir)
     val baseOpt = manOpt.map(scanBase(spark, dir, _))
     val deltaOpt =
       if (live.isEmpty) None
@@ -377,7 +395,7 @@ object MergeOnRead {
         // deltas are blind appends, so batches may carry evolved
         // schemas — missing columns fill with NULL
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
-    widenForEvolution(baseOpt, deltaOpt) match {
+    val resolved = widenForEvolution(baseOpt, deltaOpt) match {
       case (None, None) =>
         // a CONTRACT-SCHEMA'd root with no content yet (a streaming
         // sink created it; the first epoch has not landed) is an empty
@@ -385,7 +403,7 @@ object MergeOnRead {
         // subscribers and SQL readers can start before the producer.
         // Without a recorded schema, fail like Upsert.read — a typo'd
         // path must not surface as a schemaless empty frame.
-        contractSchema(spark, dir) match {
+        kv.flatMap(kvSchema) match {
           case Some(st) =>
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(
@@ -407,10 +425,14 @@ object MergeOnRead {
           // the generation — a compact() committing a different bucket
           // count mid-read must not make the delta-side hash disagree
           // with the base placement.
-          dropDeletes(spjResolve(spark, dir, manOpt.get, b, d, pk, versionCol),
-            deleteFlagCol)
+          dropDeletes(spjResolve(spark, dir, manOpt.get, b, d, pk, versionCol,
+            nullFree = kv.isDefined), deleteFlagCol)
         }
     }
+    // declared-schema reconciliation (ALTER TABLE parity): dropped
+    // columns vanish, freshly-ADDed columns surface as typed NULLs;
+    // never-evolved tables take the no-op branch (plan untouched)
+    reconcileDeclaredKv(spark, kv, resolved)
   }
 
   /** Widen base and deltas to their UNION schema (additive evolution:
@@ -466,7 +488,7 @@ object MergeOnRead {
     */
   private def spjResolve(spark: SparkSession, dir: String, man: Upsert.Manifest,
                          base: DataFrame, deltas: DataFrame, pk: Seq[String],
-                         versionCol: String): DataFrame = {
+                         versionCol: String, nullFree: Boolean): DataFrame = {
     val unionSchema = base.schema // widened by widenForEvolution
     val n = man.numBuckets(Upsert.DefaultNumBuckets)
     val bucketCol = graft.sources.UpsertBucketSource.BucketCol
@@ -480,8 +502,20 @@ object MergeOnRead {
       .withColumn("__d_bucket",
         pmod(xxhash64(Upsert.keyStr(pk)), lit(n)).cast("int"))
     val dataCols = unionSchema.fieldNames.toIndexedSeq
-    val cond = pk.map(c => col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _) &&
-      col(s"b.$bucketCol") === col("d.__d_bucket")
+    // pk equality: PLAIN under a recorded contract (nullFree, decided
+    // by the caller's one contract read) — contract recording refused
+    // null-pk resolved content and every later merge validates, so
+    // null keys are unreachable and === ≡ <=>. This matters for the
+    // plan: null-safe equality rewrites the SMJ keys to
+    // (coalesce(pk,''), isnull(pk), bucket), which no scan-reported
+    // column ordering can satisfy — plain keys let the pk-sorted base
+    // (compact's sortBase) feed the full-outer join with NO SortExec.
+    // Pre-contract legacy states (fabricated null-pk bases) keep the
+    // null-safe form and its parity with the window fallback.
+    val pkEq = pk.map(c =>
+      if (nullFree) col(s"b.$c") === col(s"d.$c")
+      else col(s"b.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val cond = pkEq && col(s"b.$bucketCol") === col("d.__d_bucket")
     val joined = b.as("b").join(dWin.as("d"), cond, "fullouter")
     // same null-aware supersede order as broadcastResolve / the window
     // form: (version DESC NULLS LAST, batch DESC) with base batch −1
@@ -574,10 +608,7 @@ object MergeOnRead {
     */
   def contract(spark: SparkSession, dir: String)
       : Option[(Seq[String], String, Option[String], Int)] =
-    contractKv(spark, dir).map { kv =>
-      (kv("pk").split(",").toSeq, kv("versionCol"),
-        kv.get("deleteFlagCol").filter(_.nonEmpty), kv("numBuckets").toInt)
-    }
+    contractKv(spark, dir).map(kvContract)
 
   private def contractKv(spark: SparkSession,
                          dir: String): Option[Map[String, String]] =
@@ -586,6 +617,27 @@ object MergeOnRead {
         val Array(k, v) = l.split("=", 2); k -> v
       }.toMap
     }
+
+  // kv-level accessors — the ONE place each contract-file field's
+  // encoding is known; the dir-keyed public forms and the hot read
+  // paths (which parse the file once and thread the kv map) all share
+  // them, so a format change cannot diverge readers from writers.
+  private def kvContract(kv: Map[String, String])
+      : (Seq[String], String, Option[String], Int) =
+    (kv("pk").split(",").toSeq, kv("versionCol"),
+      kv.get("deleteFlagCol").filter(_.nonEmpty), kv("numBuckets").toInt)
+
+  private def kvSchema(kv: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    kv.get("schemaDDL").map { b64 =>
+      org.apache.spark.sql.types.StructType.fromDDL(new String(
+        java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  private def kvDropped(kv: Map[String, String]): Set[String] =
+    kv.get("dropped").map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   /** The schema the contract recorded (Base64-wrapped DDL — written by
     * the streaming sink at query start and by [[compact]] from the
@@ -597,17 +649,30 @@ object MergeOnRead {
     */
   def contractSchema(spark: SparkSession,
                      dir: String): Option[org.apache.spark.sql.types.StructType] =
-    contractKv(spark, dir).flatMap(_.get("schemaDDL")).map { b64 =>
-      org.apache.spark.sql.types.StructType.fromDDL(new String(
-        java.util.Base64.getDecoder.decode(b64),
-        java.nio.charset.StandardCharsets.UTF_8))
-    }
+    contractKv(spark, dir).flatMap(kvSchema)
 
   /** Record the contract (first writer) or verify the supplied one
     * against the recorded file (every later writer; a contradiction is
     * a loud [[Upsert.TableContractException]] — re-keying a MOR table
     * means rebuilding it, exactly as for Upsert placement).
     */
+  private def schemaB64(st: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      st.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Rewrite the contract file in canonical key order, PRESERVING every
+    * key the rewrite does not touch (the `dropped` tombstones must
+    * survive a schema backfill, and any future key must survive both).
+    */
+  private def writeContract(spark: SparkSession, dir: String,
+                            kv: Map[String, String]): Unit = {
+    val order = Seq("pk", "versionCol", "deleteFlagCol", "numBuckets",
+      "schemaDDL", "dropped")
+    val lines = order.flatMap(k => kv.get(k).map(v => s"$k=$v")) ++
+      kv.keys.filterNot(order.contains).toSeq.sorted.map(k => s"$k=${kv(k)}")
+    FsOps.writeTextAtomic(spark, contractFile(dir), lines.mkString("\n"))
+  }
+
   def recordContract(spark: SparkSession, dir: String, pk: Seq[String],
                      versionCol: String, deleteFlagCol: Option[String],
                      numBuckets: Int,
@@ -615,8 +680,7 @@ object MergeOnRead {
     pk.foreach(c => require(!c.exists(ch => ch == ',' || ch == '=' || ch == '\n'),
       s"pk column '$c' contains a contract metacharacter"))
     def schemaLine(st: org.apache.spark.sql.types.StructType): String =
-      "schemaDDL=" + java.util.Base64.getEncoder.encodeToString(
-        st.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "schemaDDL=" + schemaB64(st)
     contract(spark, dir) match {
       case Some((rp, rv, rd, rn)) =>
         if (rp != pk || rv != versionCol || rd != deleteFlagCol || rn != numBuckets)
@@ -628,13 +692,14 @@ object MergeOnRead {
               s"of $dir — to re-key, rebuild the table")
         // a schema supplied where none was recorded BACKFILLS the field
         // (first writer wins otherwise — additive evolution covers
-        // later drift; the contract schema is the creation shape)
+        // later drift; the contract schema is the creation shape).
+        // Rewritten through writeContract so keys the backfill does not
+        // own (e.g. `dropped` tombstones) survive verbatim.
         schema.foreach { st =>
           if (contractSchema(spark, dir).isEmpty)
-            FsOps.writeTextAtomic(spark, contractFile(dir),
-              (Seq(s"pk=${rp.mkString(",")}", s"versionCol=$rv") ++
-                rd.map(c => s"deleteFlagCol=$c") ++
-                Seq(s"numBuckets=$rn", schemaLine(st))).mkString("\n"))
+            writeContract(spark, dir,
+              contractKv(spark, dir).getOrElse(Map.empty) +
+                ("schemaDDL" -> schemaB64(st)))
         }
       case None =>
         // PRE-CONTRACT content must prove the contract before it is
@@ -689,10 +754,209 @@ object MergeOnRead {
       recordContract(spark, dir, pk, versionCol, deleteFlagCol, numBuckets, schema)
     }
 
+  // ---- schema evolution (ALTER TABLE parity with Upsert) -----------------
+
+  /** Canon names of columns DROPPED from this table ([[dropColumns]]).
+    * Tombstones, exactly as for [[Upsert]]: delta batches and base
+    * generations written before the drop still hold the values, so the
+    * name can never be re-added without silently resurrecting them.
+    */
+  def droppedSet(spark: SparkSession, dir: String): Set[String] =
+    contractKv(spark, dir).map(kvDropped).getOrElse(Set.empty)
+
+  /** The contract prerequisites every evolution shares: a recorded
+    * contract WITH a recorded schema (the durable place the evolved
+    * shape lives — a pre-schema contract has nowhere to record an ADD
+    * that no file carries yet). Returns the contract tuple.
+    */
+  private def evolutionContract(spark: SparkSession, dir: String, what: String)
+      : (Seq[String], String, Option[String], Int) = {
+    val c = contract(spark, dir).getOrElse(throw new SchemaEvolutionException(
+      s"cannot $what on merge-on-read table $dir: no recorded contract — " +
+        "run one MergeOnRead.compact (or recordContract) first"))
+    if (contractSchema(spark, dir).isEmpty)
+      throw new SchemaEvolutionException(
+        s"cannot $what on merge-on-read table $dir: the contract records no " +
+          "schema (pre-schema contract) — run one MergeOnRead.compact to " +
+          "backfill it first")
+    c
+  }
+
+  /** ALTER TABLE ADD COLUMNS for MOR roots — METADATA-ONLY, exactly as
+    * [[Upsert.addColumns]]: the declared schema in the `_contract` file
+    * widens; no file is touched. Every read reconciles against the
+    * declared schema (see [[reconcileDeclared]]), so rows that predate
+    * the column surface NULL immediately, and the next [[compact]]
+    * materializes it physically. Existing names refuse (including
+    * case-insensitive matches), tombstoned names refuse (resurrection),
+    * non-nullable fields refuse (rows already in the table have no
+    * value for them).
+    */
+  def addColumns(spark: SparkSession, dir: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    if (fields.isEmpty) return
+    // pure input-shape refusals run BEFORE the lease: a no-op or a
+    // malformed call must not block on (or spuriously fail against)
+    // an unrelated writer holding the table
+    fields.foreach { f =>
+      require(f.nullable,
+        s"cannot add NOT NULL column '${f.name}' to merge-on-read table " +
+          s"$dir: rows already in the table have no value for it")
+      if (f.name.exists(ch => ch == ',' || ch == '=' || ch == '\n'))
+        throw new SchemaEvolutionException(
+          s"cannot add column '${f.name}': the name contains a contract " +
+            "metacharacter")
+    }
+    if (fields.map(f => SchemaEvolution.canon(spark, f.name)).distinct.length
+        != fields.length)
+      throw new SchemaEvolutionException(
+        s"duplicate column names in ADD COLUMNS: ${fields.map(_.name).mkString(", ")}")
+    Upsert.withWriterLease(spark, dir) {
+      val (pk, vc, del, _) = evolutionContract(spark, dir, "add columns")
+      def canon(n: String) = SchemaEvolution.canon(spark, n)
+      val dropped = droppedSet(spark, dir)
+      // the DECLARED shape to evolve: the current read's schema (base ∪
+      // deltas ∪ declared − dropped) — additive merges may have widened
+      // past the recorded schemaDDL, and an ADD clashing with such a
+      // file-only column must refuse like any other duplicate
+      val current = declaredReadSchema(spark, dir, pk, vc, del)
+      fields.foreach { f =>
+        if (current.fields.exists(tf => canon(tf.name) == canon(f.name)))
+          throw new SchemaEvolutionException(
+            s"cannot add column '${f.name}' to merge-on-read table $dir: " +
+              "the name already exists in the table schema")
+        if (dropped.contains(canon(f.name)))
+          throw new SchemaEvolutionException(
+            s"column '${f.name}' was dropped from this table; re-adding the " +
+              "name would resurrect stale values from batches written before " +
+              "the drop — use a new column name")
+      }
+      writeContract(spark, dir,
+        contractKv(spark, dir).get + ("schemaDDL" -> schemaB64(
+          org.apache.spark.sql.types.StructType(
+            current.fields ++ fields.map(_.copy(nullable = true))))))
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN for MOR roots — metadata-only tombstone in
+    * the contract, no file rewrite (the only drop a 100 TB delta log can
+    * afford). Reads stop surfacing the column immediately; the next
+    * [[compact]] rewrites the base without it physically. Unlike
+    * [[Upsert.dropColumns]] — where dropping a pk column merely poisons
+    * the NEXT merge — the pk/version/deleteFlag columns here are
+    * load-bearing for every READ (LWW resolution), so dropping them
+    * refuses immediately.
+    */
+  def dropColumns(spark: SparkSession, dir: String,
+                  cols: Seq[String]): Unit = {
+    if (cols.isEmpty) return
+    // input-shape refusal before the lease (see addColumns)
+    cols.find(c => c.exists(ch => ch == ',' || ch == '=' || ch == '\n')).foreach(c =>
+      throw new SchemaEvolutionException(
+        s"cannot drop column '$c': the name contains a contract metacharacter"))
+    Upsert.withWriterLease(spark, dir) {
+    val (pk, vc, del, _) = evolutionContract(spark, dir, "drop columns")
+    def canon(n: String) = SchemaEvolution.canon(spark, n)
+    val loadBearing = (pk :+ vc) ++ del.toSeq
+    cols.foreach { c =>
+      loadBearing.find(lb => canon(lb) == canon(c)).foreach(lb =>
+        throw new SchemaEvolutionException(
+          s"cannot drop column '$lb' from merge-on-read table $dir: it is " +
+            s"the table's ${if (pk.exists(p => canon(p) == canon(c))) "primary key"
+            else if (canon(vc) == canon(c)) "version column"
+            else "delete-flag column"} — every read resolves the delta log " +
+            "through it; re-key by rebuilding the table"))
+    }
+    val current = declaredReadSchema(spark, dir, pk, vc, del)
+    cols.foreach { c =>
+      if (!current.fields.exists(f => canon(f.name) == canon(c)))
+        throw new SchemaEvolutionException(
+          s"cannot drop column '$c': not in the table schema " +
+            s"(${current.fieldNames.mkString(", ")})")
+    }
+    val canonCols = cols.map(canon).toSet
+    val remaining = current.fields.filterNot(f => canonCols.contains(canon(f.name)))
+    val tombstones = (droppedSet(spark, dir) ++ canonCols).toSeq.sorted
+    writeContract(spark, dir, contractKv(spark, dir).get +
+      ("schemaDDL" -> schemaB64(org.apache.spark.sql.types.StructType(remaining))) +
+      ("dropped" -> tombstones.mkString(",")))
+    }
+  }
+
+  /** The table's full DECLARED schema: the current read's shape (which
+    * already reconciles declared adds/drops against file content). Used
+    * by the evolution paths as the authoritative "existing" side.
+    */
+  private def declaredReadSchema(spark: SparkSession, dir: String,
+                                 pk: Seq[String], vc: String,
+                                 del: Option[String])
+      : org.apache.spark.sql.types.StructType =
+    read(spark, dir, pk, vc, del).schema
+
+  /** Reconcile a resolved read against the DECLARED schema: tombstoned
+    * (dropped) columns vanish even though old batches still hold them,
+    * and declared columns no file carries yet (a fresh ADD) surface as
+    * typed NULLs. A table that never evolved takes the no-op branch —
+    * the plan is untouched.
+    *
+    * The contract is TABLE-LEVEL, exactly like pk/versionCol: time
+    * travel therefore reconciles historical snapshots against the
+    * CURRENT declared schema (a dropped column is gone from every
+    * version; an added one reads NULL in snapshots predating it). The
+    * format carries no per-version column mapping, so this is the
+    * honest alternative to serving stale values — the deliberate
+    * divergence from CoW time travel (whose manifests ARE versioned
+    * schemas) is pinned in MorAlterSpec and documented at
+    * [[graft.sources.MorTable]].
+    */
+  private[graft] def reconcileDeclared(spark: SparkSession, dir: String,
+                                       df: DataFrame): DataFrame =
+    reconcileDeclaredKv(spark, contractKv(spark, dir), df)
+
+  /** [[reconcileDeclared]] against an ALREADY-PARSED contract kv map —
+    * the hot read paths parse the file once per operation and thread
+    * the map here instead of re-reading it per image.
+    */
+  private def reconcileDeclaredKv(spark: SparkSession,
+                                  kv: Option[Map[String, String]],
+                                  df: DataFrame): DataFrame =
+    kv match {
+      case None => df
+      case Some(m) =>
+        def canon(n: String) = SchemaEvolution.canon(spark, n)
+        val dropped = kvDropped(m)
+        val have = df.columns.map(canon).toSet
+        val missing = kvSchema(m).map(_.fields.toSeq
+            .filterNot(f => have(canon(f.name)) || dropped(canon(f.name))))
+          .getOrElse(Seq.empty)
+        val toDrop = df.columns.filter(c => dropped(canon(c)))
+        if (missing.isEmpty && toDrop.isEmpty) df
+        else {
+          val kept = df.columns.filterNot(c => dropped(canon(c)))
+          df.select(kept.toIndexedSeq.map(col) ++ missing.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+        }
+    }
+
+  /** `sortBase` (default ON): stage each base bucket as ONE file with
+    * rows SORTED by the pk — the lakehouse sorted-rewrite. Costs one
+    * hash shuffle of the fold per compaction (compaction already
+    * rewrites the whole base, so the added network is bounded by work
+    * the pass was doing anyway) and buys, for every read until the
+    * next compaction: one file per bucket (fewer opens, denser
+    * Bloom/zone sidecars), tight parquet row-group pk stats (point
+    * lookups skip row groups), and a recorded scan ordering
+    * ([[Upsert]] SortedByProp) that lets the big-delta SPJ resolve's
+    * full-outer sort-merge join consume the base with NO SortExec —
+    * at 100 TB the sort it skips is an O(table) spill-prone pass,
+    * paid on EVERY big-delta read. Opt out for latency-critical
+    * compactions racing a live stream.
+    */
   def compact(spark: SparkSession, dir: String, pk: Seq[String], versionCol: String,
               deleteFlagCol: Option[String] = None,
               numBuckets: Int = Upsert.DefaultNumBuckets,
-              bloom: Boolean = false): Unit = Upsert.withWriterLease(spark, dir) {
+              bloom: Boolean = false,
+              sortBase: Boolean = true): Unit = Upsert.withWriterLease(spark, dir) {
     recordContract(spark, dir, pk, versionCol, deleteFlagCol, numBuckets)
     gcCompactedDeltas(spark, dir) // collect strays from a crashed run
     val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
@@ -709,7 +973,8 @@ object MergeOnRead {
         pmod(xxhash64(Upsert.keyStr(pk)), lit(numBuckets)).cast("int"))
     Upsert.replaceAll(spark, basePath(dir), resolved,
       props = Map("upto" -> upTo.toString, "numBuckets" -> numBuckets.toString),
-      bloomPk = if (bloom) Some(pk) else None)
+      bloomPk = if (bloom) Some(pk) else None,
+      sortBy = if (sortBase) pk else Nil)
     Upsert.vacuum(spark, basePath(dir), keepManifests = 2)
     gcCompactedDeltas(spark, dir)
   }
@@ -830,7 +1095,10 @@ object MergeOnRead {
       .orderBy(col(versionCol).desc, col(BatchCol).desc)
     val resolved = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", BatchCol)
-    dropDeletes(resolved, deleteFlagCol)
+    // same declared-schema reconciliation as readPinned: the feed's
+    // point and semi boundary images must agree column-for-column
+    reconcileDeclaredKv(spark, contractKv(spark, dir),
+      dropDeletes(resolved, deleteFlagCol))
   }
 
   // ---- streaming-epoch watermarks ---------------------------------------

@@ -596,6 +596,25 @@ object Upsert {
     m.props.get(ZoneColsProp)
       .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
 
+  /** Table properties recording the WITHIN-FILE sort of a clustered
+    * compaction: `sortedBy` = the cluster columns each staged file is
+    * sorted by (ascending, nulls first — `sortWithinPartitions`
+    * semantics), `sortedGen` = the generation whose staged files carry
+    * that order. Honesty is FILE-GRANULAR through the generation: any
+    * later write (merge, delta, rebucket, a narrower compact) stages
+    * its files under a NEW generation, so the DSv2 scan's ordering
+    * report ([[graft.sources.UpsertBucketSource]]) simply refuses
+    * whenever a kept file is not from `sortedGen` — the props never
+    * need clearing and can never claim order for a file that lacks it.
+    */
+  private[graft] val SortedByProp = "sortedBy"
+  private[graft] val SortedGenProp = "sortedGen"
+
+  def sortedByOf(m: Manifest): (Seq[String], Option[Long]) =
+    (m.props.get(SortedByProp)
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      m.props.get(SortedGenProp).map(_.toLong))
+
   /** Table property recording the VALUE-CLUSTER columns (VERDICT r10
     * #2): once set, every write route — merge, SQL DML, compaction,
     * rebucket — stages files single-valued in these columns, so the
@@ -644,7 +663,9 @@ object Upsert {
                           versionCol: Option[String],
                           zoneCols: Seq[String],
                           files: Map[Int, Seq[(String, Long)]],
-                          rowCounts: Map[String, Long] = Map.empty)
+                          rowCounts: Map[String, Long] = Map.empty,
+                          sortedBy: Seq[String] = Seq.empty,
+                          sortedGen: Option[Long] = None)
 
   // a committed generation's file set is immutable, so (dir, gen) keys
   // a sound cache — without it every DataFrame read loads the layout
@@ -683,13 +704,14 @@ object Upsert {
       val files = m.files.collect { case (b, rels) if b != SchemaBucket =>
         b -> rels.map(rel => (new Path(abs(dir, rel)).toString, lenByRel(rel)))
       }
+      val (sortedBy, sortedGen) = sortedByOf(m)
       val l = BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
         m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
         m.props.get(VersionColProp),
         zoneColsOf(m), files,
         m.rowCounts.map { case (rel, n) =>
           new Path(abs(dir, rel)).toString -> n
-        })
+        }, sortedBy, sortedGen)
       layoutCache.synchronized(layoutCache.put(key, l))
       l
     }
@@ -1198,15 +1220,31 @@ object Upsert {
     */
   private[io] def replaceAll(spark: SparkSession, dir: String, df: DataFrame,
                              props: Map[String, String],
-                             bloomPk: Option[Seq[String]]): Unit = {
+                             bloomPk: Option[Seq[String]],
+                             sortBy: Seq[String] = Nil): Unit = {
     val gen = nextGen(spark, dir)
-    val staged = stageGeneration(spark, dir, gen, df, bloomPk)
+    // sortBy: stage each bucket's file SORTED by these columns (one
+    // repartition task per bucket value → one file per bucket, rows in
+    // (bucket, sortBy) order flowing unchanged through the partitionBy
+    // write) and record the (columns, generation) pair — the DSv2
+    // scan's ordering report (SortedByProp) lets a later sort-merge
+    // consumer skip its sort over exactly these files. Callers must
+    // supply numBuckets in props for the task fan-out.
+    val arranged =
+      if (sortBy.isEmpty) df
+      else df.repartition(props("numBuckets").toInt, col(BucketCol))
+        .sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
+    val staged = stageGeneration(spark, dir, gen, arranged, bloomPk)
+    val sortProps =
+      if (sortBy.isEmpty) Map.empty[String, String]
+      else Map(SortedByProp -> sortBy.mkString(","),
+        SortedGenProp -> gen.toString)
     val files =
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
     // full replace: every segment changes, so no prev to reuse from
     commitManifest(spark, dir, Manifest(gen,
-      props + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files),
+      props ++ sortProps + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files),
       op = "replace")
   }
 
@@ -1811,8 +1849,19 @@ object Upsert {
     val zoneProp =
       if (clusterBy.nonEmpty) Map(ZoneColsProp -> clusterBy.mkString(","))
       else Map.empty[String, String]
+    // a clustered compact's staged files are each SORTED by clusterBy
+    // (sortWithinPartitions above) — record the (columns, generation)
+    // pair so the DSv2 scan can report per-partition ordering for
+    // exactly these files (see SortedByProp); layout-only `__`-prefixed
+    // cluster columns (z-order values) are dropped from the written
+    // schema, so the recorded order must stop at the first one
+    val sortProp =
+      if (clusterBy.nonEmpty && !clusterBy.head.startsWith("__"))
+        Map(SortedByProp -> clusterBy.takeWhile(!_.startsWith("__")).mkString(","),
+          SortedGenProp -> gen.toString)
+      else Map.empty[String, String]
     commitManifest(spark, dir,
-      Manifest(gen, man.props ++ zoneProp, man.files ++ compacted),
+      Manifest(gen, man.props ++ zoneProp ++ sortProp, man.files ++ compacted),
       Some(man), op = "compact")
   }
 

@@ -1342,6 +1342,57 @@ object Relational {
           FROM graft.`$dir` GROUP BY event_type""")
   }
 
+  /** Build-once MOR table evolved entirely through SQL ALTER TABLE
+    * (round-12: MOR ALTER parity): insert-all (with a throwaway `src`
+    * column) compacts into the base recording the contract; `ALTER
+    * TABLE ADD COLUMNS (note STRING)` widens the DECLARED schema
+    * metadata-only (no file touched); an INSERT then lands ver-2
+    * corrections carrying the new column for %13 keys as one O(batch)
+    * delta append; `ALTER TABLE DROP COLUMN src` tombstones the column
+    * — every batch on disk still holds it, reads reconcile it away.
+    */
+  def morAlterEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_alter_", sfDir,
+        recipe = "mor sql-alter add-note %13-correct+50 drop-src v1") { root =>
+      val dir = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      graft.io.MergeOnRead.merge(spark, dir,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"), lit("raw").as("src"),
+          lit(1L).as("__v"), lit("insert").as("op")))
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+      val view = "mor_alter_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.createOrReplaceTempView(view)
+      spark.sql(
+        s"""INSERT INTO graft.`$dir`
+              (event_id, event_type, value_cents, src, __v, op, note)
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 50,
+                   'raw', CAST(2 AS BIGINT), 'insert', 'adj'
+            FROM $view WHERE event_id % 13 = 0""")
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN src")
+    } + "/t"
+
+  /** Aggregate over the SQL-ALTERed MOR root, including `COUNT(note)`
+    * of the column that exists only through ALTER ADD + the evolved
+    * INSERT; the ORACLE recomputes the net state from raw events — a
+    * green row proves the declared-schema reconciliation serves the
+    * added column's values and the LWW corrections exactly.
+    */
+  def morSqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morAlterEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct, COUNT(note) AS note_ct
+          FROM graft.`$dir` GROUP BY event_type""")
+  }
+
   /** Aggregate over the SQL-DML-mutated MOR root; the ORACLE recomputes
     * the three statements' net effect over the raw events table — a
     * green row proves SQL UPDATE/DELETE/MERGE over the delta log equals
@@ -1355,6 +1406,26 @@ object Relational {
       s"""SELECT event_type, SUM(value_cents) AS value_cents,
                  COUNT(*) AS row_ct
           FROM graft.`$dir` GROUP BY event_type""")
+  }
+
+  /** BATCH CDC over the DML-mutated MOR root (round-12:
+    * [[graft.rtdw.MorChangeFeed.changes]], the `table_changes` batch
+    * form): the retract/add rows of delta range (1, 3] — the DELETE
+    * and MERGE statements' net effect — folded as SIGNED per-type
+    * deltas plus the raw change-row count. The ORACLE recomputes
+    * `state@3 − state@1` from raw events: a green hash proves the
+    * batch feed's signed fold equals the snapshot diff exactly
+    * (inserts add-only, deletes retract-only, updates both).
+    */
+  def morChangesBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morDmlEnsure(spark, sfDir)
+    val ch = graft.rtdw.MorChangeFeed.changes(spark, dir, 1L, 3L)
+    val signed = when(col(graft.io.ChangeFeed.ChangeCol) === "add", lit(1L))
+      .otherwise(lit(-1L))
+    ch.groupBy("event_type").agg(
+      sum(signed * col("value_cents")).as("d_cents"),
+      sum(signed).as("d_rows"),
+      count(lit(1)).as("change_rows"))
   }
 
   /** `VERSION AS OF 1` on the DML-mutated MOR root — the pinned

@@ -58,11 +58,18 @@ object MorChangeFeed {
     * rows that had already lost. The old two-resolve form paid 2×
     * base I/O per range on the semi path (`morfeed` probe, r11).
     */
-  def retractStream(spark: SparkSession, morRoot: String, raw: DataFrame,
+  def retractStream(spark: SparkSession, morRoot: String, raw0: DataFrame,
                     maxPointKeys: Int = 1024): DataFrame = {
     val (pk, vc, del, n) = MergeOnRead.contract(spark, morRoot).getOrElse(
       throw new UnsupportedOperationException(
         s"$morRoot records no contract — the feed consumer needs pk/version"))
+    // the admitted rows come straight from delta parquet, so they must
+    // reconcile against the DECLARED schema exactly like the boundary
+    // images do: without this, a batch predating an ALTER DROP would
+    // resurrect the tombstoned column in the emitted change rows (and
+    // the bootstrap/range forms would return different shapes). The
+    // feed's BatchCol is a non-contract extra and passes through.
+    val raw = MergeOnRead.reconcileDeclared(spark, morRoot, raw0)
     val bounds = raw.agg(
       min(col(MorChangeFeedSource.BatchCol)).as("kmin"),
       max(col(MorChangeFeedSource.BatchCol)).as("kmax")).head()
@@ -160,6 +167,47 @@ object MorChangeFeed {
         when(col("__cf_rn") === 1 && live(ranked), lit("add"))
       )).as(ChangeFeed.ChangeCol): _*)
       .filter(col(ChangeFeed.ChangeCol).isNotNull)
+  }
+
+  /** BATCH CDC read — the `table_changes(from, to)` of the MOR layout
+    * (Delta CDF's batch form; the stream twin is
+    * [[graft.sources.MorChangeFeedSource]] + [[retractStream]]): the
+    * retract/add rows for delta batch range `(fromExclusive, to]`,
+    * derived from the SAME single-pass boundary images the stream
+    * uses, so the signed fold of the result equals the snapshot diff
+    * `state@to − state@fromExclusive` exactly — what an incremental
+    * batch ETL job consumes to catch up WITHOUT a streaming
+    * checkpoint ("give me everything since the batch I last applied").
+    *
+    * `fromExclusive = -1` is the from-birth form: every resolved row
+    * at `to` emits as an add (the bootstrap image). Ranges whose
+    * batches were GC'd after compaction refuse loudly naming the
+    * missing ids — never a silently partial feed; the PRE boundary
+    * snapshot refuses through [[MergeOnRead.snapshotAt]]'s own
+    * retention contract.
+    */
+  def changes(spark: SparkSession, morRoot: String, fromExclusive: Long,
+              to: Long, maxPointKeys: Int = 1024): DataFrame = {
+    require(to > fromExclusive,
+      s"changes($fromExclusive, $to] on $morRoot: empty or inverted range")
+    val all = MergeOnRead.deltaBatches(spark, morRoot).toMap
+    val maxKnown = math.max(all.keys.foldLeft(-1L)(math.max),
+      MergeOnRead.compactedUpto(spark, morRoot))
+    require(to <= maxKnown,
+      s"changes($fromExclusive, $to] on $morRoot: batch $to does not exist " +
+        s"(newest is $maxKnown)")
+    val ids = (fromExclusive + 1) to to
+    val missing = ids.filterNot(all.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"changes($fromExclusive, $to] on $morRoot is not reconstructible: " +
+          s"delta batch(es) ${missing.mkString(", ")} were GC'd after " +
+          "compaction (retention keeps one cycle) — re-bootstrap from " +
+          "bootstrapAdds instead")
+    val raw = ids.map(k => spark.read.parquet(all(k))
+        .withColumn(MorChangeFeedSource.BatchCol, lit(k)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    retractStream(spark, morRoot, raw, maxPointKeys)
   }
 
   /** Bootstrap image for a FRESH subscriber of a mature table (ADVICE

@@ -187,6 +187,15 @@ private[graft] object MorTable {
     * reconstructed from compaction watermarks + retained delta batches
     * ([[graft.io.MergeOnRead.snapshotAt]]); non-reconstructible
     * versions refuse there, naming the GC'd batches.
+    *
+    * Schema note: the MOR contract (pk, versionCol, declared schema,
+    * drop tombstones) is TABLE-LEVEL, not per-version — the format
+    * carries no column-mapping layer — so time travel serves
+    * historical CONTENT under the CURRENT declared columns: an ALTER
+    * DROPped column is gone from every version, an ADDed one reads
+    * NULL in snapshots predating it. This deliberately diverges from
+    * the CoW tables (whose manifests version their schemas); pinned
+    * in MorAlterSpec.
     */
   def loadAt(spark: SparkSession, dir: String, version: String): MorTable = {
     val v = try version.toLong catch { case _: NumberFormatException =>

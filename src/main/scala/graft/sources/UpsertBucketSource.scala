@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -114,7 +114,9 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               files: Map[Int, Seq[(String, Long)]],
                                               viaCatalog: Boolean = false,
                                               hideBucket: Boolean = false,
-                                              rowCounts: Map[String, Long] = Map.empty)
+                                              rowCounts: Map[String, Long] = Map.empty,
+                                              sortedBy: Seq[String] = Seq.empty,
+                                              sortedGen: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -186,6 +188,8 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
     if (pk.nonEmpty) m.put("pk", pk.mkString(","))
     versionCol.foreach(m.put("versionCol", _))
     if (zoneCols.nonEmpty) m.put("zoneCols", zoneCols.mkString(","))
+    if (sortedBy.nonEmpty) m.put("sortedBy", sortedBy.mkString(","))
+    sortedGen.foreach(g => m.put("sortedGen", g.toString))
     m.put("provider", "graft")
     m
   }
@@ -254,7 +258,8 @@ private[sources] object UpsertBucketTable {
     val spark = SparkSession.active
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
     UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.versionCol,
-      l.zoneCols, l.files, viaCatalog, rowCounts = l.rowCounts)
+      l.zoneCols, l.files, viaCatalog, rowCounts = l.rowCounts,
+      sortedBy = l.sortedBy, sortedGen = l.sortedGen)
   }
 }
 
@@ -973,6 +978,7 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
                                         zoneEntries: () => Option[Map[String, Map[String, graft.io.Zones.ColZone]]] =
                                           () => None)
     extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Zone-sidecar file keep-set for the pushed range bounds — resolved
@@ -1171,6 +1177,56 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     else new KeyGroupedPartitioning(
       Array(table.bucketTransform.getOrElse(
         Expressions.identity(UpsertBucketSource.BucketCol))), plannedSplits.length)
+
+  /** Per-partition ordering report ([[SupportsReportOrdering]]): a
+    * clustered compact writes each staged file SORTED by its cluster
+    * columns (ascending, nulls first) and records the (columns,
+    * generation) pair in the manifest ([[graft.io.Upsert]]
+    * `SortedByProp`/`SortedGenProp`). When the report holds, a
+    * co-located sort-merge join or merging aggregate consumes the scan
+    * with NO SortExec — at 100 TB the sort the plan skips is a full
+    * spill-prone pass over the fact table.
+    *
+    * The report is made ONLY when provably honest:
+    *  - every kept file (post bucket/zone/top-N prune) was staged by
+    *    the sorted generation — any later merge/delta/rebucket lands
+    *    files under NEW generations and silently disqualifies exactly
+    *    the file sets it touched (file-granular honesty; nothing to
+    *    clear, nothing to forget);
+    *  - every planned partition holds at most ONE slice: a single
+    *    contiguous byte range of one sorted file is sorted, while the
+    *    bin-packed multi-slice partitions give no cross-slice order.
+    *    (Spark itself additionally refuses the report when an SPJ
+    *    group holds several partitions — DataSourceV2ScanExecBase
+    *    keeps `ordering` only for one-partition groups.)
+    *
+    * The reported order stops at the first sorted column pruned out of
+    * the read schema (a suffix without its prefix is no order). On the
+    * DataFrame path joins include `__bucket` equality AFTER the pk
+    * condition ([[graft.io.Bucketing.colocatedJoin]]), so the report
+    * appends `__bucket` — constant within every partition, hence
+    * trivially true in any position — to match the SMJ's required
+    * (pk..., __bucket) key order; the catalog path co-locates on the
+    * pk alone and gets the bare cluster columns.
+    */
+  override def outputOrdering(): Array[SortOrder] = {
+    if (table.sortedBy.isEmpty || table.sortedGen.isEmpty) return Array.empty
+    val genToken = s"/__gen=${table.sortedGen.get}/"
+    val honest = plannedSplits.forall { p =>
+      val sl = p.asInstanceOf[UpsertBucketPartition].slices
+      sl.length <= 1 && sl.forall(_.path.contains(genToken))
+    }
+    if (!honest) return Array.empty
+    val out = readSchema().fieldNames.toSet
+    val prefix = table.sortedBy.takeWhile(out.contains)
+    if (prefix.isEmpty) return Array.empty
+    val trail =
+      if (table.bucketTransform.isEmpty && out.contains(UpsertBucketSource.BucketCol))
+        Seq(UpsertBucketSource.BucketCol)
+      else Seq.empty
+    (prefix ++ trail).map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+  }
 
   /** Planner sizing: the bytes this scan will actually read (post
     * bucket/zone prune) — without it a DSv2 relation defaults to

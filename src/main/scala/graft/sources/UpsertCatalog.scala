@@ -283,8 +283,16 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
           "remap parquet files already on disk)")
     }
     try {
-      if (adds.nonEmpty) graft.io.Upsert.addColumns(spark, dir, adds)
-      if (drops.nonEmpty) graft.io.Upsert.dropColumns(spark, dir, drops)
+      if (MorTable.isMorRoot(spark, dir)) {
+        // merge-on-read roots evolve through the contract file — same
+        // additive/tombstone semantics, recorded durably beside the
+        // delta log instead of in a manifest
+        if (adds.nonEmpty) graft.io.MergeOnRead.addColumns(spark, dir, adds)
+        if (drops.nonEmpty) graft.io.MergeOnRead.dropColumns(spark, dir, drops)
+      } else {
+        if (adds.nonEmpty) graft.io.Upsert.addColumns(spark, dir, adds)
+        if (drops.nonEmpty) graft.io.Upsert.dropColumns(spark, dir, drops)
+      }
     } catch { case _: graft.io.Upsert.NoTableException =>
       throw new NoSuchTableException(ident) }
     loadTable(ident)

@@ -381,6 +381,99 @@ class MorChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("batch changes(from, to]: signed fold == snapshot diff; bootstrap and refusal forms") {
+    val root = Files.createTempDirectory("morcdf_batch").toString
+    val fact = s"$root/t"
+    MergeOnRead.merge(spark, fact, mkWave(1L, 0 until 200))            // batch 0
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))            // upto=0
+    MergeOnRead.merge(spark, fact, mkWave(2L, 0 until 200 by 3))       // batch 1
+    MergeOnRead.merge(spark, fact, mkWave(3L, 0 until 200 by 5, del = true)) // 2
+    MergeOnRead.merge(spark, fact, mkWave(4L, 150 until 250))          // batch 3
+
+    def state(v: Long) = MergeOnRead
+      .readPinned(spark, fact, MergeOnRead.snapshotAt(spark, fact, v),
+        pk, "__v", Some("op"), MergeOnRead.DefaultBroadcastDeltaBytes)
+      .groupBy("gid").agg(sum("cents").as("cents"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .withDefaultValue((0L, 0L))
+
+    // signed fold of changes(1, 3] must equal state@3 − state@1
+    val ch = MorChangeFeed.changes(spark, fact, 1L, 3L)
+    val signed = when(col(graft.io.ChangeFeed.ChangeCol) === "add", lit(1L))
+      .otherwise(lit(-1L))
+    val folded = ch.groupBy("gid")
+      .agg(sum(signed * col("cents")).as("dc"), sum(signed).as("dr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (s1, s3) = (state(1L), state(3L))
+    (s1.keySet ++ s3.keySet).foreach { g =>
+      val want = (s3(g)._1 - s1(g)._1, s3(g)._2 - s1(g)._2)
+      val got = folded.getOrElse(g, (0L, 0L))
+      assert(got == want, s"gid=$g: changes fold $got != snapshot diff $want")
+    }
+
+    // from-birth form: every resolved row at `to` is one add
+    val birth = MorChangeFeed.changes(spark, fact, -1L, 3L)
+    assert(birth.filter(col(graft.io.ChangeFeed.ChangeCol) =!= "add").count() == 0)
+    assert(birth.count() ==
+      MergeOnRead.read(spark, fact, pk, "__v", Some("op")).count())
+
+    // refusals: inverted range; a future batch; a GC'd range
+    intercept[IllegalArgumentException] {
+      MorChangeFeed.changes(spark, fact, 3L, 3L)
+    }
+    intercept[IllegalArgumentException] {
+      MorChangeFeed.changes(spark, fact, 1L, 99L)
+    }
+    // compact + GC: batches ≤ previous watermark are collected after
+    // the SECOND compaction cycle; the range naming them refuses
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))
+    MergeOnRead.merge(spark, fact, mkWave(5L, 0 until 10))             // batch 4
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))
+    val gcd = intercept[IllegalStateException] {
+      MorChangeFeed.changes(spark, fact, -1L, 2L)
+    }
+    assert(gcd.getMessage.contains("GC'd"))
+  }
+
+  test("changes() after ALTER: dropped columns never resurrect; range and bootstrap shapes agree") {
+    val root = Files.createTempDirectory("morcdf_alter").toString
+    val fact = s"$root/t"
+    // batches carry a column that will be dropped AFTER they land
+    def waveWithSrc(w: Long, ids: Range) =
+      ids.map(i => (s"k$i", i % 7L, (i + w) * 10L, "legacy", w, "upsert"))
+        .toDF("id", "gid", "cents", "src", "__v", "op")
+    MergeOnRead.merge(spark, fact, waveWithSrc(1L, 0 until 100))      // batch 0
+    MergeOnRead.compact(spark, fact, pk, "__v", Some("op"))           // upto=0
+    MergeOnRead.merge(spark, fact, waveWithSrc(2L, 0 until 100 by 5)) // batch 1
+    MergeOnRead.merge(spark, fact, waveWithSrc(3L, 50 until 150))     // batch 2
+    graft.io.MergeOnRead.dropColumns(spark, fact, Seq("src"))
+    graft.io.MergeOnRead.addColumns(spark, fact,
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    // the range form derives from RAW pre-drop batch rows — the
+    // emitted change rows must still reconcile (no 'src', typed 'note')
+    val ranged = MorChangeFeed.changes(spark, fact, 0L, 2L)
+    assert(!ranged.columns.contains("src"),
+      s"dropped column resurrected: ${ranged.columns.mkString(",")}")
+    assert(ranged.columns.contains("note"))
+    // bootstrap form must present the SAME shape
+    val birth = MorChangeFeed.changes(spark, fact, -1L, 2L)
+    assert(ranged.columns.sorted.toSeq == birth.columns.sorted.toSeq,
+      s"range ${ranged.columns.mkString(",")} != birth ${birth.columns.mkString(",")}")
+    // and the signed fold still equals the snapshot diff
+    val signed = when(col(graft.io.ChangeFeed.ChangeCol) === "add", lit(1L))
+      .otherwise(lit(-1L))
+    def tot(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(signed * col("cents"))).head().getLong(0)
+    val s0 = MergeOnRead.readPinned(spark, fact,
+        MergeOnRead.snapshotAt(spark, fact, 0L), pk, "__v", Some("op"),
+        MergeOnRead.DefaultBroadcastDeltaBytes)
+      .agg(sum("cents")).head().getLong(0)
+    val s2 = MergeOnRead.read(spark, fact, pk, "__v", Some("op"))
+      .agg(sum("cents")).head().getLong(0)
+    assert(tot(ranged) == s2 - s0)
+  }
+
   test("GC past a consumer's watermark refuses loudly (no silent gap)") {
     val root = Files.createTempDirectory("morcdf_gc").toString
     val fact = s"$root/fact"; val dws = s"$root/dws"; val ckpt = s"$root/ckpt"

@@ -956,10 +956,14 @@ object ScaleProbe {
           var done = false; var tries = 0
           while (!done && tries < 10) {
             try {
+              // args(2)="nosort" is the latency-critical opt-out the
+              // compact scaladoc names — the control figure for the
+              // sorted-staging trade while racing a live sink
               val acts = graft.io.Maintenance.runMor(spark, s"$dws/table",
                 pk = Seq("gid"), versionCol = "__v",
                 deleteFlagCol = Some("__op"),
-                policy = graft.io.Maintenance.Policy(maxDeltaBatches = 2))
+                policy = graft.io.Maintenance.Policy(maxDeltaBatches = 2),
+                sortBase = !(args.length > 2 && args(2) == "nosort"))
               if (acts.nonEmpty) compactions += 1
               done = true
             } catch {

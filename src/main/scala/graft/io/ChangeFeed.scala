@@ -119,6 +119,60 @@ object ChangeFeed {
     }
   }
 
+  /** BOUNDED batch CDC read — the copy-on-write twin of
+    * [[graft.rtdw.MorChangeFeed.changes]]: the retract/add rows of
+    * feed batch range `(fromExclusive, to]`. Unlike [[since]] (which
+    * reads "everything new now"), the upper bound makes the read
+    * REPRODUCIBLE — an incremental job can catch up to a recorded
+    * point and get the identical frame on retry, however many batches
+    * landed meanwhile.
+    *
+    * Net-batch rules are [[since]]'s: `fromExclusive = -1` may start
+    * at a net (the net IS the telescoped prefix — the bootstrap form);
+    * a net PAST a live watermark refuses loudly (re-delivering the
+    * folded prefix would double-count), and a range reaching past the
+    * newest batch, or whose batches were GC'd by a later net, refuses
+    * naming the ids rather than serving a silently partial feed.
+    */
+  def changes(spark: SparkSession, tableDir: String, fromExclusive: Long,
+              to: Long): DataFrame = {
+    require(to > fromExclusive,
+      s"changes($fromExclusive, $to] on the feed of $tableDir: empty or " +
+        "inverted range")
+    val all = batches(spark, tableDir)
+    val maxKnown = all.map(_._1).maxOption.getOrElse(-1L)
+    require(to <= maxKnown,
+      s"changes($fromExclusive, $to] on the feed of $tableDir: batch $to " +
+        s"does not exist (newest is $maxKnown)")
+    val inRange = all.filter { case (id, _) => id > fromExclusive && id <= to }
+    if (fromExclusive >= 0)
+      inRange.find { case (_, p) => new Path(p).getName.startsWith("net=") }
+        .foreach { case (id, _) =>
+          throw new IllegalStateException(
+            s"change feed of $tableDir was compacted to net=$id past " +
+              s"watermark $fromExclusive — the net replaces the prefix this " +
+              "range expects as deltas; re-bootstrap from changes(-1, ...)")
+        }
+    // visible ids are the newest net + every later batch. A bounded
+    // range must cover every id it promises: from >= 0 promises
+    // from+1..to verbatim; from = -1 promises history-from-birth,
+    // which the earliest VISIBLE id starts (a net batch IS the
+    // telescoped prefix below it). Anything promised but not visible
+    // was folded into a newer net — refuse, never serve partial.
+    val have = inRange.map(_._1).toSet
+    val expectedStart =
+      if (fromExclusive < 0) math.max(all.map(_._1).min, 0L)
+      else fromExclusive + 1
+    val missing = (expectedStart to to).filterNot(have.contains)
+    if (missing.nonEmpty || inRange.isEmpty)
+      throw new IllegalStateException(
+        s"changes($fromExclusive, $to] on the feed of $tableDir is not " +
+          s"reconstructible: batch(es) " +
+          s"${(if (missing.nonEmpty) missing else (fromExclusive + 1) to to).mkString(", ")} " +
+          "were folded into a newer net batch — re-bootstrap from changes(-1, ...)")
+    readBatchDirs(spark, inRange.map(_._2))
+  }
+
   /** Union batch dirs BY NAME: the table may have evolved between
     * batches, and a multi-path parquet read would silently impose one
     * batch's schema on all of them. Missing columns fill with NULL.

@@ -95,6 +95,56 @@ object MergeOnRead {
     MorStats(Upsert.stats(spark, basePath(dir)), upto, live.size, bytes)
   }
 
+  /** DESCRIBE HISTORY for the delta-log layout — the MOR twin of
+    * [[Upsert.history]]: one row per RETAINED delta batch (version =
+    * batch id, the table's time-travel axis; streaming-sink epochs are
+    * labeled by their commit marker) and one per retained base
+    * generation (version = its fold watermark). Metadata only:
+    * O(retained batches + generations) driver listings, no Spark job.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = FsOps.fs(spark, new Path(dir))
+    val batchRows = deltaBatches(spark, dir).map { case (id, p) =>
+      val d = new Path(p)
+      val op =
+        if (fs.listStatus(d).exists(_.getPath.getName.startsWith("_commit-stream-")))
+          "streaming-epoch"
+        else "merge"
+      val files = fs.listStatus(d).count { s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")
+      }
+      org.apache.spark.sql.Row(id, op,
+        FsOps.batchCommittedAt(fs, d)
+          .orElse(Some(fs.getFileStatus(d).getModificationTime))
+          .map(ms => new java.sql.Timestamp(ms)).orNull,
+        files, s"delta/batch=$id")
+    }
+    val base = basePath(dir)
+    val genRows = Upsert.manifestGens(spark, base).sorted
+      .flatMap(g => Upsert.manifestAt(spark, base, g))
+      .map { m =>
+        val upto = m.props.get("upto").map(_.toLong).map(Long.box).orNull
+        org.apache.spark.sql.Row(upto, "compact",
+          m.props.get(Upsert.CommittedAtProp)
+            .map(s => new java.sql.Timestamp(s.toLong)).orNull,
+          m.files.valuesIterator.map(_.size).sum,
+          s"base gen=${m.gen}" +
+            m.props.get(Upsert.SortedByProp).map(s => s" sortedBy=$s").getOrElse(""))
+      }
+    val schema = StructType(Seq(
+      StructField("version", LongType),
+      StructField("operation", StringType),
+      StructField("committed_at", TimestampType),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("detail", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      ((batchRows ++ genRows).sortBy(r => Option(r.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)).reverse).asJava, schema)
+  }
+
   /** The delta batch already committed under `commitId`, if any. */
   def committedBatchFor(spark: SparkSession, dir: String,
                         commitId: String): Option[Long] = {

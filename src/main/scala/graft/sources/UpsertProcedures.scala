@@ -96,10 +96,15 @@ private[sources] object UpsertProcedures {
 
   private val procs: Map[String, Proc] = Seq(
     Proc("history",
-      "commit history of an Upsert table (DESCRIBE HISTORY equivalent)",
+      "commit history (DESCRIBE HISTORY equivalent): manifest generations (Upsert) or delta batches + compactions (merge-on-read)",
       Seq(in("table", StringType)),
       { input =>
-        val df = Upsert.history(spark, input.getString(0))
+        val dir = input.getString(0).stripSuffix("/")
+        val df =
+          if (Upsert.exists(spark, s"$dir/delta") ||
+              Upsert.exists(spark, s"$dir/base"))
+            graft.io.MergeOnRead.history(spark, dir)
+          else Upsert.history(spark, dir)
         result(df.schema, df.queryExecution.executedPlan.executeCollect().toSeq)
       }),
 

@@ -63,6 +63,51 @@ class IncrementalDwsSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("bounded changes(from, to]: reproducible range reads; net-batch refusals mirror since()") {
+    val root = Files.createTempDirectory("cdcrange").toString
+    val fact = s"$root/fact"
+    def mergeBatch(rows: Seq[(String, String, Long, Long, String)]): Unit =
+      Upsert.merge(spark,
+        fact, rows.toDF("id", "province_id", "ver", "amount_cents", "op"),
+        pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"),
+        changeLog = true)
+    mergeBatch(Seq(("d1", "p1", 1L, 100L, "insert"), ("d2", "p2", 1L, 50L, "insert")))
+    mergeBatch(Seq(("d1", "p1", 2L, 140L, "update")))                 // batch 1
+    mergeBatch(Seq(("d2", "p2", 3L, 50L, "delete"), ("d3", "p1", 3L, 7L, "insert")))
+
+    def signedTotal(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(when(col(ChangeFeed.ChangeCol) === "add", col("amount_cents"))
+        .otherwise(-col("amount_cents")))).head().getLong(0)
+
+    // the bounded range equals the concatenation of its batches, and a
+    // re-read returns the identical frame even after MORE batches land
+    val r12 = ChangeFeed.changes(spark, fact, 0L, 2L)
+    val t12 = signedTotal(r12)
+    assert(t12 == (140L - 100L) + (-50L + 7L)) // d1 correction + d2 delete + d3 insert
+    mergeBatch(Seq(("d4", "p1", 4L, 11L, "insert")))                  // batch 3
+    assert(signedTotal(ChangeFeed.changes(spark, fact, 0L, 2L)) == t12,
+      "a bounded range must be reproducible after later batches land")
+    // from-birth form covers the whole feed
+    assert(signedTotal(ChangeFeed.changes(spark, fact, -1L, 3L)) ==
+      100L + 50L + t12 + 11L)
+
+    // refusals: inverted, future, and net-past-watermark / GC'd ranges
+    intercept[IllegalArgumentException](ChangeFeed.changes(spark, fact, 2L, 2L))
+    intercept[IllegalArgumentException](ChangeFeed.changes(spark, fact, 0L, 99L))
+    ChangeFeed.compact(spark, fact, upTo = 2L) // net=2 replaces 0..2
+    val e1 = intercept[IllegalStateException](
+      ChangeFeed.changes(spark, fact, 0L, 3L)) // net inside the range
+    assert(e1.getMessage.contains("net=2"))
+    val e2 = intercept[IllegalStateException](
+      ChangeFeed.changes(spark, fact, 0L, 1L)) // batches folded away
+    assert(e2.getMessage.contains("not reconstructible"))
+    // bootstrap through the net still works and equals the full history
+    assert(signedTotal(ChangeFeed.changes(spark, fact, -1L, 3L)) ==
+      100L + 50L + t12 + 11L)
+    // post-net tail alone stays readable
+    assert(signedTotal(ChangeFeed.changes(spark, fact, 2L, 3L)) == 11L)
+  }
+
   test("compacted feed bootstraps a fresh consumer to the same state") {
     val root = Files.createTempDirectory("compact").toString
     val fact = s"$root/fact"

@@ -196,6 +196,37 @@ class SortedScanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("multi-partition SPJ groups withdraw the ordering at exec: the join re-sorts, rows exact") {
+    // tiny maxPartitionBytes splits each sorted one-file bucket into
+    // several single-slice partitions; the scan still REPORTS the
+    // order (each partition is honestly sorted), but Spark's own
+    // exec-side guard (DataSourceV2ScanExecBase: ordering only for
+    // one-partition groups) must withdraw it when the group
+    // concatenates partitions — wrong answers are unreachable, the
+    // plan just pays its sort again
+    val dirA = mkSorted(400, 2, "a")
+    val dirB = mkSorted(400, 2, "b")
+    withSpjConfs {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try {
+        val joined = graft.io.Bucketing
+          .colocatedJoin(spark, dirA, dirB, Seq("k" -> "k"))
+          .select(col("l.k"), col("l.v").as("va"), col("r.v").as("vb"))
+        val p = plan(joined)
+        assert(exchanges(joined) == 0, s"still co-located:\n$p")
+        assert(sorts(joined) > 0,
+          s"multi-partition groups must re-sort (exec-side guard):\n$p")
+        assert(joined.count() == 400)
+        assert(joined.filter(col("k") === "k000123").select("va", "vb")
+          .as[(String, String)].head() == (("a123", "b123")))
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+  }
+
   test("manifest surfaces sortedBy/sortedGen; DataFrame path trails with __bucket") {
     val dir = mkSorted(100, 2, "a")
     val l = Upsert.bucketLayout(spark, dir)

@@ -58,6 +58,29 @@ class UpsertProceduresSpec extends SparkSpec {
       "maintain", "expire_snapshots").subsetOf(listed), s"got $listed")
   }
 
+  test("CALL graft.history serves merge-on-read roots: delta batches, epochs, compactions") {
+    catalogReady
+    import spark.implicits._
+    val root = Files.createTempDirectory("proc_mor_hist").toString
+    val dir = s"$root/t"
+    graft.io.MergeOnRead.merge(spark, dir,
+      (1 to 50).map(i => (s"k$i", 1L, i.toLong)).toDF("id", "ver", "cents"))
+    graft.io.MergeOnRead.compact(spark, dir, Seq("id"), "ver", numBuckets = 4)
+    graft.io.MergeOnRead.merge(spark, dir,
+      Seq(("k1", 2L, 999L)).toDF("id", "ver", "cents"))
+    val hist = spark.sql(s"CALL graft.history(table => '$dir')").collect()
+    val ops = hist.map(_.getString(1))
+    assert(ops.contains("merge") && ops.contains("compact"), ops.mkString(","))
+    // versions are the time-travel axis: the live batch id 1 and the
+    // compaction watermark 0 both present; commit stamps populated
+    val versions = hist.filter(!_.isNullAt(0)).map(_.getLong(0)).toSet
+    assert(versions.contains(1L) && versions.contains(0L), versions.toString)
+    assert(hist.forall(!_.isNullAt(2)), "commit stamps must be populated")
+    // the sorted-compaction detail is surfaced for the base generation
+    assert(hist.exists(r => r.getString(1) == "compact" &&
+      r.getString(4).contains("sortedBy=id")), hist.mkString("; "))
+  }
+
   test("compact folds oversized buckets; pk comes from the manifest, data intact") {
     catalogReady
     val dir = mkTable(80, 5, "c")

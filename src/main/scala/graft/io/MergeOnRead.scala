@@ -129,7 +129,8 @@ object MergeOnRead {
         org.apache.spark.sql.Row(upto, "compact",
           m.props.get(Upsert.CommittedAtProp)
             .map(s => new java.sql.Timestamp(s.toLong)).orNull,
-          m.files.valuesIterator.map(_.size).sum,
+          // negative keys are anchors (schema bucket), not data files
+          m.files.filter(_._1 >= 0).valuesIterator.map(_.size).sum,
           s"base gen=${m.gen}" +
             m.props.get(Upsert.SortedByProp).map(s => s" sortedBy=$s").getOrElse(""))
       }

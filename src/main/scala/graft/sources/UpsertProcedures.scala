@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.io.{Maintenance, Upsert}
@@ -210,9 +210,10 @@ private[sources] object UpsertProcedures {
       }),
 
     Proc("maintain",
-      "full policy pass: compact / rebucket / vacuum (Upsert) or delta-fold (merge-on-read) as table health requires",
+      "full policy pass: compact / rebucket / vacuum (Upsert) or delta-fold (merge-on-read) as table health requires; sort_base=false skips the pk-sorted staging of MOR folds",
       Seq(in("table", StringType),
-        inDefault("max_bucket_bytes", LongType, "0")),
+        inDefault("max_bucket_bytes", LongType, "0"),
+        inDefault("sort_base", BooleanType, "true")),
       { input =>
         val dir = input.getString(0).stripSuffix("/")
         val policy = Maintenance.Policy(maxBucketBytes = input.getLong(1))
@@ -227,7 +228,8 @@ private[sources] object UpsertProcedures {
               .getOrElse(throw new Upsert.NoTableException(
                 s"$dir is a merge-on-read table with no recorded contract — " +
                   "run one MergeOnRead.compact (or recordContract) first"))
-            Maintenance.runMor(spark, dir, pk, vc, del, n, policy = policy)
+            Maintenance.runMor(spark, dir, pk, vc, del, n, policy = policy,
+              sortBase = input.getBoolean(2))
           } else {
             val (pk, versionCol) = contract(dir)
             require(pk.nonEmpty,

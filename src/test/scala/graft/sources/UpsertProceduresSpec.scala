@@ -58,6 +58,32 @@ class UpsertProceduresSpec extends SparkSpec {
       "maintain", "expire_snapshots").subsetOf(listed), s"got $listed")
   }
 
+  test("CALL graft.maintain sort_base flag controls the MOR fold's sorted staging") {
+    catalogReady
+    import spark.implicits._
+    def mk(): String = {
+      val dir = s"${Files.createTempDirectory("proc_sortbase")}/t"
+      graft.io.MergeOnRead.merge(spark, dir,
+        (1 to 40).map(i => (s"k$i", 1L, i.toLong)).toDF("id", "ver", "cents"))
+      // record the contract WITHOUT compacting (no sorted generation
+      // yet), then enough live batches to trip the default fold policy
+      graft.io.MergeOnRead.recordContractLeased(spark, dir, Seq("id"), "ver",
+        None, 2)
+      (2 to 10).foreach(v => graft.io.MergeOnRead.merge(spark, dir,
+        Seq(("k1", v.toLong, 99L)).toDF("id", "ver", "cents")))
+      dir
+    }
+    def sortedProp(dir: String): Option[String] =
+      graft.io.Upsert.currentManifest(spark, s"$dir/base")
+        .flatMap(_.props.get("sortedBy"))
+    val d1 = mk()
+    spark.sql(s"CALL graft.maintain(table => '$d1')").collect()
+    assert(sortedProp(d1).contains("id"), "default fold stages pk-sorted")
+    val d2 = mk()
+    spark.sql(s"CALL graft.maintain(table => '$d2', sort_base => false)").collect()
+    assert(sortedProp(d2).isEmpty, "sort_base=false skips the sorted staging")
+  }
+
   test("CALL graft.history serves merge-on-read roots: delta batches, epochs, compactions") {
     catalogReady
     import spark.implicits._

@@ -156,15 +156,19 @@ object Maintenance {
     } else Nil
   }
 
-  /** Layout-dispatching entry point: a directory with a `delta/` or
-    * `base/` child is a [[MergeOnRead]] table, anything else an
-    * [[Upsert]] table.
+  /** Layout-dispatching entry point: a directory holding a REAL
+    * merge-on-read shape ([[MergeOnRead.isMorRoot]] — recorded
+    * contract, committed base manifest, or committed delta batch) is a
+    * [[MergeOnRead]] table, anything else an [[Upsert]] table.
     */
   def run(spark: SparkSession, dir: String, pk: Seq[String],
           versionCol: String, policy: Policy = Policy(),
           bloom: Boolean = false): Seq[String] = {
     val d = dir.stripSuffix("/")
-    if (Upsert.exists(spark, s"$d/delta") || Upsert.exists(spark, s"$d/base"))
+    // structural probe (contract / base manifest / committed batch),
+    // not bare path existence — a child merely named base/delta must
+    // not reroute an Upsert table's maintenance
+    if (MergeOnRead.isMorRoot(spark, d))
       runMor(spark, d, pk, versionCol, bloom = bloom, policy = policy)
     else runUpsert(spark, d, pk, policy, bloom)
   }

@@ -107,11 +107,12 @@ object MergeOnRead {
     val fs = FsOps.fs(spark, new Path(dir))
     val batchRows = deltaBatches(spark, dir).map { case (id, p) =>
       val d = new Path(p)
+      val ls = fs.listStatus(d) // one listing: op label AND file count
       val op =
-        if (fs.listStatus(d).exists(_.getPath.getName.startsWith("_commit-stream-")))
+        if (ls.exists(_.getPath.getName.startsWith("_commit-stream-")))
           "streaming-epoch"
         else "merge"
-      val files = fs.listStatus(d).count { s =>
+      val files = ls.count { s =>
         s.isFile && !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith(".")
       }
@@ -425,8 +426,12 @@ object MergeOnRead {
                                 maxBroadcastDeltaBytes: Long,
                                 baseBuckets: Option[Set[Int]] = None): DataFrame = {
     val live0 = snap.live
-    val pruned = baseBuckets.filter(_ =>
-      deltaBytes(spark, live0.map(_._2)) <= maxBroadcastDeltaBytes)
+    // ONE driver listing of the live delta dirs, shared by the pruning
+    // gate and the broadcast-vs-SPJ choice (was two listings per read
+    // on the feed's hot path; also removes any chance the gates see
+    // different sizes)
+    val liveBytes = deltaBytes(spark, live0.map(_._2))
+    val pruned = baseBuckets.filter(_ => liveBytes <= maxBroadcastDeltaBytes)
     val manOpt = pruned match {
       case None => snap.man
       case Some(bs) => snap.man
@@ -447,6 +452,13 @@ object MergeOnRead {
         // schemas — missing columns fill with NULL
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val resolved = widenForEvolution(baseOpt, deltaOpt) match {
+      case (None, None) if pruned.isDefined && snap.man.isDefined =>
+        // the BUCKET PRUNE emptied the read (a wave of brand-new keys
+        // hashing to buckets with no base files, no live deltas) — a
+        // valid empty result, typed from the UNPRUNED base so legacy
+        // pre-schemaDDL contracts don't fall into the mistyped-dir
+        // refusal below
+        scanBase(spark, dir, snap.man.get).limit(0)
       case (None, None) =>
         // a CONTRACT-SCHEMA'd root with no content yet (a streaming
         // sink created it; the first epoch has not landed) is an empty
@@ -466,7 +478,7 @@ object MergeOnRead {
       case (None, Some(d)) =>
         dropDeletes(deltaWinners(d, pk, versionCol).drop(BatchCol), deleteFlagCol)
       case (Some(b), Some(d)) =>
-        if (deltaBytes(spark, live.map(_._2)) <= maxBroadcastDeltaBytes)
+        if (liveBytes <= maxBroadcastDeltaBytes)
           dropDeletes(broadcastResolve(b, d, pk, versionCol), deleteFlagCol)
         else {
           // big-delta path: co-located full-outer resolve — the base
@@ -1071,6 +1083,13 @@ object MergeOnRead {
     * internal feed path this returns precisely the requested keys.
     * Keys with a NULL component are not representable on the
     * canonical axis — read + filter for those.
+    *
+    * Scope: a GET-shaped call — the residual is an OR-chain of
+    * per-component equalities, fine for the bounded key lists a point
+    * lookup means and degenerate past a few thousand keys (huge
+    * expression tree, possible codegen fallback). A bulk keyed read at
+    * that size should `read` + broadcast-semi-join the key set
+    * instead, exactly as the change feed's over-cap path does.
     */
   def lookupKeys(spark: SparkSession, dir: String, pk: Seq[String],
                  keys: Seq[Seq[String]], versionCol: String,

@@ -270,6 +270,25 @@ object IvfIndex {
         (corpusCount < 0 || m.props.get("corpusCount").contains(corpusCount.toString))
     }
 
+  /** Refuse to serve or extend an index whose on-disk format predates
+    * [[FormatVersion]]: v1 stored double centroids, and reading them
+    * as the v2 integer milli vectors would crash with a bare
+    * ClassCastException at query time (or silently assign ingested
+    * vectors with float arithmetic) instead of naming the remedy.
+    * `isBuilt`/`ensureIndexed` already rebuild on the mismatch; this
+    * guards the DIRECT entry points (topK, ingest) a user may call on
+    * a pre-existing index dir.
+    */
+  private def requireFormat(spark: SparkSession, indexDir: String): Unit = {
+    val v = Upsert.currentManifest(spark, centroidsDir(indexDir))
+      .flatMap(_.props.get("formatVersion")).getOrElse("1")
+    if (v != FormatVersion)
+      throw new IllegalStateException(
+        s"IVF index at $indexDir is on-disk format v$v; this build serves " +
+          s"v$FormatVersion (integer milli centroids, exact arithmetic) — " +
+          "rebuild the index (IvfIndex.build / ensureIndexed)")
+  }
+
   /** (storage mode, frozen sq8 scale) from the centroids manifest. */
   private def storageOf(spark: SparkSession, indexDir: String): (String, Double) = {
     val props = Upsert.currentManifest(spark, centroidsDir(indexDir))
@@ -296,6 +315,7 @@ object IvfIndex {
   def ingest(spark: SparkSession, indexDir: String, batch: DataFrame,
              batchVersion: Long = 0L): Unit = Upsert.withCompositeLease(spark, indexDir) {
     import spark.implicits._
+    requireFormat(spark, indexDir)
     val epoch = currentEpoch(spark, indexDir)
     val (storage, amax) = storageOf(spark, indexDir)
     val centroids = Upsert.read(spark, centroidsDir(indexDir))
@@ -338,6 +358,7 @@ object IvfIndex {
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
            k: Int = 10, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
+    requireFormat(spark, indexDir)
     val centers = Upsert.read(spark, centroidsDir(indexDir))
       .select(col("cell"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))

@@ -219,11 +219,25 @@ object IncrementalDws {
     // re-enters: its checkpoint owns the offsets and a rebuilt
     // checkpoint is refused by the query-lineage guard below.
     val man0 = Upsert.currentManifest(spark, tablePath(dwsDir))
+    // a checkpoint that already COMMITTED offsets owns the consumer's
+    // position even when the dws manifest carries no props yet (the
+    // crash window: micro-batch 0's offsets logged, foldInto never
+    // committed). Folding a bootstrap then would be spurious — Spark
+    // ignores startingOffset when a checkpoint exists and replays the
+    // logged range (retained → folds normally; GC'd → the source's
+    // gap guard refuses loudly). Detected via the offsets log itself.
+    def checkpointHasOffsets: Boolean = {
+      val off = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+      val fs = graft.io.FsOps.fs(spark, off)
+      fs.exists(off) && fs.listStatus(off).exists(_.isFile)
+    }
     val startOff: Option[Long] =
       man0.flatMap(_.props.get(BootstrapProp)).map(_.toLong) match {
         case some @ Some(_) => some // bootstrap already folded (crash between fold and start)
         case None if man0.exists(_.props.contains(StreamAppliedProp)) =>
           None // established pre-bootstrap consumer: checkpoint owns offsets
+        case None if checkpointHasOffsets =>
+          None // crash-window restart: offsets logged, no fold yet
         case None =>
           val (off, adds) = MorChangeFeed.bootstrapAdds(spark, morFactDir)
           if (off < 0L) None

@@ -184,13 +184,15 @@ private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
     * restart). "earliest" (default) = −1: the feed's net batch IS the
     * bootstrap, so fresh consumers need no special casing here.
     * "latest" skips the net and all history — the monitoring-consumer
-    * shape. An explicit id is validated at query start; note that a
-    * compaction can fold history past an arbitrary id, in which case
-    * the consumer will receive the NET batch (full state) first —
-    * the feed's standard restart contract, correct for empty state.
+    * shape. An explicit id whose watermark sits INSIDE the compacted
+    * prefix refuses AT QUERY START (the net above it would re-deliver
+    * history the consumer already applied — the same double-count
+    * `since()` refuses; the MOR twin validates identically) instead of
+    * starting cleanly and failing at the first admission.
     */
   override def initialOffset(): Offset = {
-    val maxKnown = ChangeFeed.batches(spark, dir).lastOption.map(_._1).getOrElse(-1L)
+    val visible = ChangeFeed.batches(spark, dir)
+    val maxKnown = visible.lastOption.map(_._1).getOrElse(-1L)
     val off = startingOffset match {
       case None | Some("earliest") => -1L
       case Some("latest") => maxKnown
@@ -199,6 +201,17 @@ private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
     require(off >= -1L && off <= maxKnown,
       s"startingOffset $off of $dir out of range: feed batches span " +
         s"-1..$maxKnown (offsets are 'batches <= id consumed')")
+    if (off >= 0)
+      visible.find { case (id, p) =>
+        id > off && new org.apache.hadoop.fs.Path(p).getName.startsWith("net=")
+      }.foreach { case (id, _) =>
+        throw new IllegalStateException(
+          s"cannot start a consumer of $dir at offset $off: the feed was " +
+            s"compacted to net=$id past it — the net would re-deliver the " +
+            "folded prefix this consumer already applied. Start at " +
+            "'earliest' (the net IS the bootstrap, correct for empty " +
+            "state), or keep the original checkpoint")
+      }
     FeedOffset(off)
   }
 

@@ -100,9 +100,11 @@ private[sources] object UpsertProcedures {
       Seq(in("table", StringType)),
       { input =>
         val dir = input.getString(0).stripSuffix("/")
+        // STRUCTURAL layout probe (recorded contract / committed base
+        // manifest / committed delta batch) — a child merely NAMED
+        // base/delta must not reroute a real Upsert table's history
         val df =
-          if (Upsert.exists(spark, s"$dir/delta") ||
-              Upsert.exists(spark, s"$dir/base"))
+          if (graft.io.MergeOnRead.isMorRoot(spark, dir))
             graft.io.MergeOnRead.history(spark, dir)
           else Upsert.history(spark, dir)
         result(df.schema, df.queryExecution.executedPlan.executeCollect().toSeq)
@@ -113,8 +115,7 @@ private[sources] object UpsertProcedures {
       Seq(in("table", StringType)),
       { input =>
         val dir = input.getString(0).stripSuffix("/")
-        if (Upsert.exists(spark, s"$dir/delta") ||
-            Upsert.exists(spark, s"$dir/base")) {
+        if (graft.io.MergeOnRead.isMorRoot(spark, dir)) {
           val m = graft.io.MergeOnRead.stats(spark, dir)
           result(new StructType()
             .add("base_generation", LongType).add("base_files", LongType)
@@ -217,8 +218,7 @@ private[sources] object UpsertProcedures {
       { input =>
         val dir = input.getString(0).stripSuffix("/")
         val policy = Maintenance.Policy(maxBucketBytes = input.getLong(1))
-        val isMor = Upsert.exists(spark, s"$dir/delta") ||
-          Upsert.exists(spark, s"$dir/base")
+        val isMor = graft.io.MergeOnRead.isMorRoot(spark, dir)
         val actions =
           if (isMor) {
             // MOR roots carry their contract in _contract (recorded by

@@ -481,6 +481,40 @@ class MergeOnReadSpec extends SparkSpec {
     assert(rows(MergeOnRead.read(spark, dir, pk, "ver")) == expected)
   }
 
+  test("bucket-pruned read that keeps NOTHING serves a typed empty frame, even on a pre-schemaDDL contract") {
+    val root = Files.createTempDirectory("mor_prune_empty").toString
+    val dir = s"$root/t"
+    MergeOnRead.merge(spark, dir,
+      (1 to 40).map(i => (s"k$i", "p1", 1L, i.toLong, "insert"))
+        .toDF("id", "province_id", "ver", "amount_cents", "op"))
+    MergeOnRead.compact(spark, dir, pk, "ver", Some("op"), numBuckets = 4)
+    // fabricate the LEGACY contract shape: recorded before schemaDDL
+    // existed (evolutionContract still points users at a compact to
+    // backfill it, so the read path must keep serving such roots)
+    val cf = new org.apache.hadoop.fs.Path(dir, "_contract")
+    val text = graft.io.FsOps.readTextOpt(spark, cf).get
+    graft.io.FsOps.writeTextAtomic(spark, cf,
+      text.linesIterator.filterNot(_.startsWith("schemaDDL=")).mkString("\n"))
+    // a wave of keys whose buckets hold no base files and no live
+    // deltas: prune to nothing — the answer is EMPTY, typed from the
+    // unpruned base, not the mistyped-dir refusal
+    val snap = MergeOnRead.currentSnapshot(spark, dir)
+    val allBuckets = (0 until 4).toSet
+    val usedBuckets = snap.man.get.files.collect {
+      case (b, fs) if b >= 0 && fs.nonEmpty => b
+    }.toSet
+    val empty = (allBuckets -- usedBuckets).headOption match {
+      case Some(b) =>
+        MergeOnRead.readPinned(spark, dir, snap, pk, "ver", Some("op"),
+          MergeOnRead.DefaultBroadcastDeltaBytes, baseBuckets = Some(Set(b)))
+      case None => // all 4 buckets populated: prune to a disjoint empty SET
+        MergeOnRead.readPinned(spark, dir, snap, pk, "ver", Some("op"),
+          MergeOnRead.DefaultBroadcastDeltaBytes, baseBuckets = Some(Set.empty))
+    }
+    assert(empty.columns.contains("amount_cents"))
+    assert(empty.count() == 0)
+  }
+
   test("copy-on-write write doors refuse a merge-on-read ROOT (two layouts never tangle)") {
     val root = Files.createTempDirectory("mor_tangle").toString + "/t"
     MergeOnRead.merge(spark, root,

@@ -236,6 +236,20 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .start()
     val e = intercept[Exception] { q3.awaitTermination(120000) }
     assert(msgs(e).exists(_.contains("out of range")), s"got ${msgs(e)}")
+    // an explicit id INSIDE the compacted prefix refuses at QUERY
+    // START (the net above it would re-deliver applied history),
+    // mirroring the MOR twin — not at the first mid-stream admission
+    mergeBatch(fact, Seq(("d", "p4", 1L, 50L, "insert")))
+    graft.io.ChangeFeed.compact(spark, fact, upTo = 2L)
+    val q4 = ChangeFeedSource.read(spark, fact, startingOffset = Some("1"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckN")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e2 = intercept[Exception] { q4.awaitTermination(120000) }
+    assert(msgs(e2).exists(m => m.contains("net=2") && m.contains("earliest")),
+      s"got ${msgs(e2)}")
   }
 
   test("maxBatchesPerTrigger drains a backlog in bounded micro-batches") {

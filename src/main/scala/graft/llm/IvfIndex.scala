@@ -280,8 +280,15 @@ object IvfIndex {
     * a pre-existing index dir.
     */
   private def requireFormat(spark: SparkSession, indexDir: String): Unit = {
-    val v = Upsert.currentManifest(spark, centroidsDir(indexDir))
-      .flatMap(_.props.get("formatVersion")).getOrElse("1")
+    // distinguish MISSING (never built / wrong path) from a real v1
+    // manifest: the version message must not tell a user with a typo'd
+    // path to "rebuild" an index that was never there (ADVICE r12)
+    val man = Upsert.currentManifest(spark, centroidsDir(indexDir))
+    if (man.isEmpty)
+      throw new Upsert.NoTableException(
+        s"no IVF index at $indexDir (no centroids manifest) — build it first " +
+          "(IvfIndex.build / ensureIndexed)")
+    val v = man.flatMap(_.props.get("formatVersion")).getOrElse("1")
     if (v != FormatVersion)
       throw new IllegalStateException(
         s"IVF index at $indexDir is on-disk format v$v; this build serves " +

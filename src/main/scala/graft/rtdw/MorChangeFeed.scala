@@ -59,7 +59,20 @@ object MorChangeFeed {
     * base I/O per range on the semi path (`morfeed` probe, r11).
     */
   def retractStream(spark: SparkSession, morRoot: String, raw0: DataFrame,
-                    maxPointKeys: Int = 1024): DataFrame = {
+                    maxPointKeys: Int = 1024): DataFrame =
+    retractStreamBounded(spark, morRoot, raw0, maxPointKeys, None)
+
+  /** [[retractStream]] with the admitted range STATICALLY KNOWN
+    * (ADVICE r12): the batch-CDC form builds `raw` from an explicit id
+    * range, so discovering (kmin, kmax) with a Spark min/max
+    * aggregation over every batch's rows would be a pure waste — the
+    * bounds ride in and the bounds job is skipped. The streaming form
+    * keeps the aggregation: its micro-batch is an offset-range of rows
+    * whose ids the consumer does not enumerate.
+    */
+  private[graft] def retractStreamBounded(spark: SparkSession, morRoot: String,
+                                          raw0: DataFrame, maxPointKeys: Int,
+                                          knownBounds: Option[(Long, Long)]): DataFrame = {
     val (pk, vc, del, n) = MergeOnRead.contract(spark, morRoot).getOrElse(
       throw new UnsupportedOperationException(
         s"$morRoot records no contract — the feed consumer needs pk/version"))
@@ -70,13 +83,17 @@ object MorChangeFeed {
     // the bootstrap/range forms would return different shapes). The
     // feed's BatchCol is a non-contract extra and passes through.
     val raw = MergeOnRead.reconcileDeclared(spark, morRoot, raw0)
-    val bounds = raw.agg(
-      min(col(MorChangeFeedSource.BatchCol)).as("kmin"),
-      max(col(MorChangeFeedSource.BatchCol)).as("kmax")).head()
-    if (bounds.isNullAt(0))
-      return raw.drop(MorChangeFeedSource.BatchCol).limit(0)
-        .withColumn(ChangeFeed.ChangeCol, lit(""))
-    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val (kmin, kmax) = knownBounds match {
+      case Some(b) => b
+      case None =>
+        val bounds = raw.agg(
+          min(col(MorChangeFeedSource.BatchCol)).as("kmin"),
+          max(col(MorChangeFeedSource.BatchCol)).as("kmax")).head()
+        if (bounds.isNullAt(0))
+          return raw.drop(MorChangeFeedSource.BatchCol).limit(0)
+            .withColumn(ChangeFeed.ChangeCol, lit(""))
+        (bounds.getLong(0), bounds.getLong(1))
+    }
     val keys = raw.select(pk.map(col): _*).distinct()
 
     // notDeleted mirrors MergeOnRead's dropDeletes exactly
@@ -204,10 +221,23 @@ object MorChangeFeed {
           s"delta batch(es) ${missing.mkString(", ")} were GC'd after " +
           "compaction (retention keeps one cycle) — re-bootstrap from " +
           "bootstrapAdds instead")
+    // from-birth (-1): nothing precedes the range, so the answer IS the
+    // bootstrap image — the resolved read at `to`, all adds. Serving it
+    // directly skips reading every delta batch's rows only for
+    // retractStream's kmin == 0 shortcut to discard them (ADVICE r12).
+    if (fromExclusive == -1L) {
+      val (pk, vc, del, _) = contractOf(spark, morRoot)
+      val post = MergeOnRead.readPinned(spark, morRoot,
+        MergeOnRead.snapshotAt(spark, morRoot, to), pk, vc, del,
+        MergeOnRead.DefaultBroadcastDeltaBytes)
+      return post.withColumn(ChangeFeed.ChangeCol, lit("add"))
+    }
     val raw = ids.map(k => spark.read.parquet(all(k))
         .withColumn(MorChangeFeedSource.BatchCol, lit(k)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    retractStream(spark, morRoot, raw, maxPointKeys)
+    // the range is explicit — the bounds are known without a min/max job
+    retractStreamBounded(spark, morRoot, raw, maxPointKeys,
+      Some((fromExclusive + 1, to)))
   }
 
   /** Bootstrap image for a FRESH subscriber of a mature table (ADVICE

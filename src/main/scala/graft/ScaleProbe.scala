@@ -1144,7 +1144,7 @@ object ScaleProbe {
         .withColumn("value_cents", floor(col("value") * 100).cast("long"))
         .withColumn("__v", lit(1L))
         .select("event_id", "value_cents", "__v")
-      def run(sorted: Boolean): (Long, Seq[Long], String) = {
+      def run(sorted: Boolean): (Long, Seq[Long], Long, Long, String) = {
         val fact = s"$root/sort_$sorted/fact"
         graft.io.MergeOnRead.merge(spark, fact, rows)
         val t0 = System.nanoTime()
@@ -1162,15 +1162,36 @@ object ScaleProbe {
             .agg(sum(col("value_cents")), count(lit(1))).head()
           (System.nanoTime() - r0) / 1000000L
         }
+        // steady-state: the SECOND compaction folds the 2% correction
+        // into the already-compacted base. Sorted bases take the r13
+        // incremental path (per-bucket merge of the sorted base with
+        // the sorted delta winners; untouched buckets carry by
+        // reference) — the cost to compare against the unsorted full
+        // rewrite. A 0.1%-of-n POINT wave then times the sparse case,
+        // where untouched buckets dominate.
+        val r1 = System.nanoTime()
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 64, bloom = true, sortBase = sorted)
+        val recompactMs = (System.nanoTime() - r1) / 1000000L
+        graft.io.MergeOnRead.merge(spark, fact,
+          rows.filter(pmod(xxhash64(col("event_id")), lit(math.max(n / 30, 1))) === 0)
+            .withColumn("value_cents", col("value_cents") + 1)
+            .withColumn("__v", lit(3L)))
+        val r2 = System.nanoTime()
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 64, bloom = true, sortBase = sorted)
+        val pointCompactMs = (System.nanoTime() - r2) / 1000000L
         val content = graft.io.MergeOnRead.read(spark, fact,
             Seq("event_id"), "__v", maxBroadcastDeltaBytes = 0L)
           .agg(sum(col("value_cents")), count(lit(1))).head().toString()
-        (compactMs, resolves, content)
+        (compactMs, resolves, recompactMs, pointCompactMs, content)
       }
-      val (cs, rs, stateS) = run(sorted = true)
-      val (cu, ru, stateU) = run(sorted = false)
+      val (cs, rs, rcS, pcS, stateS) = run(sorted = true)
+      val (cu, ru, rcU, pcU, stateU) = run(sorted = false)
       println(f"[scale] morsort n=$n%-9d sorted: compact_ms=$cs " +
+        f"recompact_ms=$rcS point_compact_ms=$pcS " +
         f"resolve_ms=${rs.mkString("/")}  unsorted: compact_ms=$cu " +
+        f"recompact_ms=$rcU point_compact_ms=$pcU " +
         f"resolve_ms=${ru.mkString("/")}  content_equal=${stateS == stateU}")
     }
 

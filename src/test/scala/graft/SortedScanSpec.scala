@@ -231,7 +231,7 @@ class SortedScanSpec extends SparkSpec {
     val dir = mkSorted(100, 2, "a")
     val l = Upsert.bucketLayout(spark, dir)
     assert(l.sortedBy == Seq("k"))
-    assert(l.sortedGen.isDefined)
+    assert(l.sortedGens.nonEmpty)
     // DataFrame-path report: (k, __bucket) — the cluster order plus the
     // constant-per-partition trail, matching colocatedJoin's required
     // (pk, __bucket) SMJ key order

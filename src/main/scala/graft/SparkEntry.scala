@@ -39,10 +39,12 @@ object SparkEntry {
     "j_bloom_point_lookup" -> (Relational.bloomPointLookup _),
     "j_snapshot_diff" -> (Relational.jSnapshotDiff _),
     "j_sql_merge_dml" -> (Relational.jSqlMergeDml _),
+    "j_sql_merge_3way" -> (Relational.jSqlMerge3way _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "dws_mor_stream_fold" -> (Relational.dwsMorStreamFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
     "mor_sql_dml" -> (Relational.morSqlDml _),
+    "mor_sql_merge_3way" -> (Relational.morSqlMerge3way _),
     "mor_sql_insert" -> (Relational.morSqlInsert _),
     "mor_sql_alter" -> (Relational.morSqlAlter _),
     "mor_changes_batch" -> (Relational.morChangesBatch _),
@@ -402,6 +404,26 @@ object SparkEntry {
          SELECT event_id + 1000000000000, 'synthetic', CAST(4200 AS BIGINT)
          FROM events WHERE event_id % 1013 = 0""",
 
+    // the full three-clause SQL MERGE (WHEN NOT MATCHED BY SOURCE):
+    // matched evens update (+2), matched odds delete, unmatched source
+    // rows insert synthetics, and the source-ABSENT target sweep
+    // deletes %91 orphans / re-labels %97 orphans 'dormant' in the same
+    // statement; the oracle encodes the five clauses' first-match
+    // precedence explicitly over the raw table
+    "j_sql_merge_3way" ->
+      """SELECT event_id, event_type,
+                CAST(FLOOR((value + 2) * 100) AS BIGINT) AS value_cents
+         FROM events WHERE event_id % 89 = 0 AND event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, 'dormant' AS event_type,
+                CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+         FROM events
+         WHERE event_id % 89 <> 0 AND event_id % 91 <> 0 AND event_id % 97 = 0
+         UNION ALL
+         SELECT event_id + 1000000000000 AS event_id,
+                'synthetic' AS event_type, CAST(4200 AS BIGINT) AS value_cents
+         FROM events WHERE event_id % 1013 = 0""",
+
     // the Spark side SUBSCRIBES to the fact's change feed (DSv2
     // MicroBatchStream) and folds three retract waves — insert-all,
     // corrections for %97 keys, deletes of %101 keys — into the DWS
@@ -518,6 +540,32 @@ object SparkEntry {
                          THEN CAST(FLOOR(value * 100) AS BIGINT) + 7
                        WHEN event_id % 97 = 0
                          THEN CAST(FLOOR(value * 100) AS BIGINT) + 100
+                       ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+           FROM kept
+           UNION ALL
+           SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) + 11 AS cents
+           FROM events WHERE event_id % 251 = 0)
+         SELECT event_type, CAST(SUM(cents) AS BIGINT) AS value_cents,
+                COUNT(*) AS row_ct
+         FROM vals GROUP BY event_type""",
+
+    // the three-clause SQL MERGE over the MOR delta log: matched evens
+    // take the source amount (+7), matched odds delete, unmatched
+    // source rows insert +10^12-keyed synthetics (+11), and the
+    // source-absent sweep deletes %107 orphans / adds +1000 cents to
+    // %109 orphans — ONE O(changes) delta append; the oracle replays
+    // the clause precedence over raw events
+    "mor_sql_merge_3way" ->
+      """WITH kept AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE NOT (event_id % 103 = 0 AND event_id % 2 = 1)
+             AND NOT (event_id % 103 <> 0 AND event_id % 107 = 0)),
+         vals AS (
+           SELECT event_type,
+                  CASE WHEN event_id % 103 = 0
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) + 7
+                       WHEN event_id % 109 = 0
+                         THEN CAST(FLOOR(value * 100) AS BIGINT) + 1000
                        ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
            FROM kept
            UNION ALL

@@ -1101,6 +1101,57 @@ object Relational {
       .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
   }
 
+  /** Build-once table mutated by ONE three-clause SQL MERGE (VERDICT
+    * r12 #3 — `WHEN NOT MATCHED BY SOURCE`, the full MERGE matrix a SQL
+    * user reaches after INSERT/UPDATE/DELETE): matched evens update,
+    * matched odds delete, unmatched source rows insert, and the target
+    * rows the SOURCE DOESN'T COVER are swept in the same statement —
+    * %91 orphans deleted, %97 orphans re-labelled 'dormant'. Clause
+    * order is load-bearing (first match wins), so the oracle encodes
+    * the same precedence explicitly.
+    */
+  def sqlMerge3wayEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/events_merge3_", sfDir,
+        recipe = "sql-merge 3way upd%89even del%89odd ins%1013 bysrc-del%91 bysrc-dormant%97 v1") { root =>
+      val ev = Tables.events(spark, sfDir)
+      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v")
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      val src = ev.filter(col("event_id") % 89 === 0)
+        .select(col("event_id").as("s_id"),
+          (col("event_id") % 2 === 1).as("s_del"))
+        .unionByName(
+          ev.filter(col("event_id") % 1013 === 0)
+            .select((col("event_id") + lit(1000000000000L)).as("s_id"),
+              lit(false).as("s_del")))
+      val view = "dml3_src_" + root.replaceAll("[^A-Za-z0-9]+", "_")
+      src.createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING $view s ON t.event_id = s.s_id
+            WHEN MATCHED AND s.s_del THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = t.value + 2
+            WHEN NOT MATCHED THEN INSERT (event_id, user_id, ts, event_type, value, __v)
+              VALUES (s.s_id, 0, TIMESTAMP '2024-01-01 00:00:00', 'synthetic', 42.0, 1)
+            WHEN NOT MATCHED BY SOURCE AND t.event_id % 91 = 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.event_id % 97 = 0 THEN
+              UPDATE SET event_type = 'dormant'""")
+    }
+
+  /** The affected slice of the three-clause MERGE: updated matched
+    * evens, the source-absent sweep's survivors ('dormant' %97 rows,
+    * %91 rows gone), and the inserted synthetics. The ORACLE recomputes
+    * all five clauses' definitions (with their precedence) over the raw
+    * events table in DuckDB.
+    */
+  def jSqlMerge3way(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = sqlMerge3wayEnsure(spark, sfDir)
+    graft.io.Upsert.read(spark, root)
+      .filter(col("event_id") % 89 === 0 || col("event_id") % 91 === 0 ||
+        col("event_id") % 97 === 0 || col("event_id") >= 1000000000000L)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+  }
+
   /** Build-once STREAMED DWS aggregate: the fact table publishes three
     * change-feed waves (insert-all, correction, deletes) through
     * [[graft.io.Upsert.merge]] with `changeLog = true`, and the
@@ -1390,6 +1441,65 @@ object Relational {
     spark.sql(
       s"""SELECT event_type, SUM(value_cents) AS value_cents,
                  COUNT(*) AS row_ct, COUNT(note) AS note_ct
+          FROM graft.`$dir` GROUP BY event_type""")
+  }
+
+  /** Build-once MOR root mutated by ONE three-clause SQL MERGE
+    * (VERDICT r12 #3 — `WHEN NOT MATCHED BY SOURCE` over the delta
+    * log): matched evens take the source amount, matched odds delete,
+    * unmatched source rows insert synthetics, and target rows the
+    * source doesn't cover sweep in the same statement — %107 orphans
+    * delete (retraction rows carrying the matched version), %109
+    * orphans get +1000 cents. Everything lands as ONE O(changes) delta
+    * batch; the base is never rewritten.
+    */
+  def morMerge3wayEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_merge3_", sfDir,
+        recipe = "mor sql-merge 3way amt%103even del%103odd ins%251 bysrc-del%107 bysrc+1000%109 v1") { root =>
+      val dir = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      graft.io.MergeOnRead.merge(spark, dir,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          lit(1L).as("__v"), lit("insert").as("op")))
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      val view = "mor_merge3_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.filter(col("event_id") % 103 === 0)
+        .select(col("event_id").as("sid"), col("event_type").as("stype"),
+          (cents(col("value")) + 7).as("amt"))
+        .unionByName(ev.filter(col("event_id") % 251 === 0)
+          .select((col("event_id") + lit(1000000000000L)).as("sid"),
+            col("event_type").as("stype"),
+            (cents(col("value")) + 11).as("amt")))
+        .createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING $view s ON t.event_id = s.sid
+            WHEN MATCHED AND s.sid % 2 = 1 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value_cents = s.amt
+            WHEN NOT MATCHED THEN
+              INSERT (event_id, event_type, value_cents, __v, op)
+              VALUES (s.sid, s.stype, s.amt, 1, 'insert')
+            WHEN NOT MATCHED BY SOURCE AND t.event_id % 107 = 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.event_id % 109 = 0 THEN
+              UPDATE SET value_cents = t.value_cents + 1000""")
+    } + "/t"
+
+  /** Aggregate over the three-clause-MERGEd MOR root; the ORACLE
+    * recomputes all five clauses' net effect (with their first-match
+    * precedence) over raw events in DuckDB — a green row proves the
+    * source-absent sweep's deletes and updates landed through the same
+    * O(changes) delta append as the matched clauses.
+    */
+  def morSqlMerge3way(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morMerge3wayEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct
           FROM graft.`$dir` GROUP BY event_type""")
   }
 

@@ -47,6 +47,8 @@ object SparkEntry {
     "mor_sql_merge_3way" -> (Relational.morSqlMerge3way _),
     "mor_sql_insert" -> (Relational.morSqlInsert _),
     "mor_sql_alter" -> (Relational.morSqlAlter _),
+    "j_sql_rename" -> (Relational.jSqlRename _),
+    "mor_sql_rename" -> (Relational.morSqlRename _),
     "mor_changes_batch" -> (Relational.morChangesBatch _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
@@ -636,6 +638,33 @@ object SparkEntry {
                   AS value_cents,
                 COUNT(*) AS row_ct,
                 COUNT(CASE WHEN event_id % 13 = 0 THEN 1 END) AS note_ct
+         FROM events GROUP BY event_type""",
+
+    // ALTER TABLE RENAME COLUMN on a CoW table (field-id column
+    // mapping): value -> amount metadata-only, then ver-2 corrections
+    // for %11 keys INSERTed under the new name; the slice spans files
+    // written under BOTH physical names — the oracle recomputes from
+    // raw events, so a green hash proves the rename moved no values
+    "j_sql_rename" ->
+      """SELECT event_id, event_type,
+                CAST(FLOOR((value + 5) * 100) AS BIGINT) AS amount_cents
+         FROM events WHERE event_id % 11 = 0
+         UNION ALL
+         SELECT event_id, event_type,
+                CAST(FLOOR(value * 100) AS BIGINT) AS amount_cents
+         FROM events WHERE event_id % 13 = 0 AND event_id % 11 <> 0""",
+
+    // the MOR twin: contract-level physical->logical mapping;
+    // value_cents -> amount_cents, ver-2 corrections for %17 keys
+    // under the new name, old and new delta batches resolving as one
+    // column
+    "mor_sql_rename" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 17 = 0
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) + 9
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
+                  AS amount_cents,
+                COUNT(*) AS row_ct
          FROM events GROUP BY event_type""",
 
     // VERSION AS OF 1 on the same root: the pinned post-UPDATE,

@@ -45,6 +45,15 @@ object GraftSession {
       // [[graft.io.Bucketing.withPartialClustering]] stays as the
       // explicit scoped override.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // column mapping (r13): staged Upsert generations stamp stable
+      // parquet field ids and reads request columns BY ID, which is
+      // what makes ALTER TABLE ... RENAME COLUMN a metadata-only
+      // commit (files under the old name keep resolving). Write-side
+      // emission and read-side matching are both conf-gated by Spark;
+      // the read gate (Upsert.readSchemaOf) falls back to plain name
+      // matching when files predate stamping.
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -198,12 +198,32 @@ object MergeOnRead {
       case None => updates
       case Some(kv) =>
         val (pk, vc, _, _) = kvContract(kv)
+        // column mapping (r13): batches arrive under the table's
+        // CURRENT (logical) names and are stored under the PHYSICAL
+        // ones, so old and new batches keep unioning into the same
+        // columns. A producer still writing a renamed-away name fails
+        // loudly instead of silently forking the column.
+        val renamedMap = kvRenamed(kv)
+        val updates0 =
+          if (renamedMap.isEmpty) updates
+          else {
+            def canon(n: String) = SchemaEvolution.canon(spark, n)
+            updates.columns.find(c => renamedMap.contains(canon(c))).foreach(c =>
+              throw new SchemaEvolutionException(
+                s"merge into merge-on-read table $dir: column '$c' was " +
+                  s"renamed to '${renamedMap(canon(c))}' — update the " +
+                  s"producer (re-introducing '$c' would fork the renamed " +
+                  "column's data)"))
+            val byLogical = renamedMap.map { case (ph, lg) => canon(lg) -> ph }
+            updates.select(updates.columns.toIndexedSeq.map(c =>
+              byLogical.get(canon(c)).map(ph => col(c).as(ph)).getOrElse(col(c))): _*)
+          }
         // tombstone enforcement (ALTER parity with Upsert.merge): a
         // batch carrying a DROPPED column — an old-shape producer —
         // would silently resurrect the name, so it refuses loudly
         val dropped = kvDropped(kv)
         if (dropped.nonEmpty) {
-          updates.columns.find(c =>
+          updates0.columns.find(c =>
               dropped.contains(SchemaEvolution.canon(spark, c))).foreach(c =>
             throw new SchemaEvolutionException(
               s"merge into merge-on-read table $dir: column '$c' was DROPPED " +
@@ -212,13 +232,13 @@ object MergeOnRead {
                 "(or use a new column name)"))
         }
         val cols = (pk :+ vc).distinct
-        val present = updates.columns.toSet
+        val present = updates0.columns.toSet
         cols.foreach(c => require(present.contains(c),
           s"merge into contract-recorded merge-on-read table $dir: the batch " +
             s"lacks contract column '$c' (pk=${pk.mkString(",")}, " +
             s"versionCol=$vc) — a missing column would widen to NULL at read"))
         val ok = cols.map(col(_).isNotNull).reduce(_ && _)
-        updates.filter(when(ok, lit(true)).otherwise(raise_error(concat(
+        updates0.filter(when(ok, lit(true)).otherwise(raise_error(concat(
           lit(s"merge-on-read contract of $dir: NULL in pk/version column "),
           lit(s"[${cols.mkString(", ")}] — identity and LWW order demand "),
           lit("non-null values; the batch was not committed")))))
@@ -365,7 +385,12 @@ object MergeOnRead {
     */
   private def scanBase(spark: SparkSession, dir: String,
                        man: Upsert.Manifest): DataFrame = {
-    val r = Upsert.tableSchema(man).fold(spark.read)(s => spark.read.schema(s))
+    // readSchemaOf, not tableSchema: the gate strips field ids unless
+    // EVERY referenced base file is id-stamped — an incremental
+    // compaction may carry pre-r13 files, and an id-carrying request
+    // refuses id-less parquet outright
+    val r = Upsert.readSchemaOf(spark, man)
+      .fold(spark.read)(s => spark.read.schema(s))
     r.parquet(man.allFiles.map(r => s"${basePath(dir)}/$r"): _*)
   }
 
@@ -434,7 +459,8 @@ object MergeOnRead {
                                 pk: Seq[String], versionCol: String,
                                 deleteFlagCol: Option[String],
                                 maxBroadcastDeltaBytes: Long,
-                                baseBuckets: Option[Set[Int]] = None): DataFrame = {
+                                baseBuckets: Option[Set[Int]] = None,
+                                applyRename: Boolean = true): DataFrame = {
     val live0 = snap.live
     // ONE driver listing of the live delta dirs, shared by the pruning
     // gate and the broadcast-vs-SPJ choice (was two listings per read
@@ -505,7 +531,7 @@ object MergeOnRead {
     // declared-schema reconciliation (ALTER TABLE parity): dropped
     // columns vanish, freshly-ADDed columns surface as typed NULLs;
     // never-evolved tables take the no-op branch (plan untouched)
-    reconcileDeclaredKv(spark, kv, resolved)
+    reconcileDeclaredKv(spark, kv, resolved, applyRename)
   }
 
   /** Widen base and deltas to their UNION schema (additive evolution:
@@ -721,6 +747,25 @@ object MergeOnRead {
     kv.get("dropped").map(_.split(",").filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
 
+  /** Column-mapping entries (r13): canon PHYSICAL name (the name the
+    * column's rows are stored under in every delta batch and base
+    * file) → current LOGICAL name. MOR batches are blind appends with
+    * no per-file schema authority, so the mapping lives in the
+    * contract: [[validated]] translates incoming batches logical →
+    * physical at the single write door, and [[reconcileDeclaredKv]]
+    * translates physical → logical at the single read exit. The
+    * contract's own pk/versionCol/deleteFlag columns refuse renames
+    * (they are the table's identity), so every internal resolution
+    * path keeps operating on stable names.
+    */
+  private def kvRenamed(kv: Map[String, String]): Map[String, String] =
+    kv.get("renamed").map(_.split(",").filter(_.nonEmpty).map { pair =>
+      val Array(o, n) = pair.split(">", 2); o -> n
+    }.toMap).getOrElse(Map.empty)
+
+  private def renamedProp(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (o, n) => s"$o>$n" }.mkString(",")
+
   /** The schema the contract recorded (Base64-wrapped DDL — written by
     * the streaming sink at query start and by [[compact]] from the
     * resolved read), or None for contracts recorded before the field
@@ -902,6 +947,7 @@ object MergeOnRead {
       // past the recorded schemaDDL, and an ADD clashing with such a
       // file-only column must refuse like any other duplicate
       val current = declaredReadSchema(spark, dir, pk, vc, del)
+      val renamedMap = kvRenamed(contractKv(spark, dir).get)
       fields.foreach { f =>
         if (current.fields.exists(tf => canon(tf.name) == canon(f.name)))
           throw new SchemaEvolutionException(
@@ -912,11 +958,20 @@ object MergeOnRead {
             s"column '${f.name}' was dropped from this table; re-adding the " +
               "name would resurrect stale values from batches written before " +
               "the drop — use a new column name")
+        if (renamedMap.contains(canon(f.name)))
+          throw new SchemaEvolutionException(
+            s"cannot add column '${f.name}': the name was renamed away (to " +
+              s"'${renamedMap(canon(f.name))}') and batches on disk still " +
+              "hold its values under that physical name — use a new name")
       }
+      // the contract schema records PHYSICAL names; brand-new columns
+      // are physical == logical by construction
+      val currentPhys = declaredReadSchema(spark, dir, pk, vc, del,
+        physical = true)
       writeContract(spark, dir,
         contractKv(spark, dir).get + ("schemaDDL" -> schemaB64(
           org.apache.spark.sql.types.StructType(
-            current.fields ++ fields.map(_.copy(nullable = true))))))
+            currentPhys.fields ++ fields.map(_.copy(nullable = true))))))
     }
   }
 
@@ -956,24 +1011,92 @@ object MergeOnRead {
           s"cannot drop column '$c': not in the table schema " +
             s"(${current.fieldNames.mkString(", ")})")
     }
-    val canonCols = cols.map(canon).toSet
-    val remaining = current.fields.filterNot(f => canonCols.contains(canon(f.name)))
+    // users name LOGICAL columns; the tombstones and the recorded
+    // schema operate on the PHYSICAL names the batches actually hold
+    val kv = contractKv(spark, dir).get
+    val byLogical = kvRenamed(kv).map { case (ph, lg) => canon(lg) -> ph }
+    val canonCols = cols.map(c => byLogical.getOrElse(canon(c), canon(c)))
+      .map(canon).toSet
+    val currentPhys = declaredReadSchema(spark, dir, pk, vc, del,
+      physical = true)
+    val remaining = currentPhys.fields.filterNot(f => canonCols.contains(canon(f.name)))
     val tombstones = (droppedSet(spark, dir) ++ canonCols).toSeq.sorted
-    writeContract(spark, dir, contractKv(spark, dir).get +
+    writeContract(spark, dir, kv +
       ("schemaDDL" -> schemaB64(org.apache.spark.sql.types.StructType(remaining))) +
       ("dropped" -> tombstones.mkString(",")))
     }
   }
 
+  /** `ALTER TABLE ... RENAME COLUMN` for MOR roots — metadata-only in
+    * the contract (r13, VERDICT r12 #2): the mapping records canon
+    * PHYSICAL name → logical name; every batch on disk keeps its
+    * physical columns, [[validated]] translates new batches at the
+    * write door, and reads serve the logical names at the exit. The
+    * contract's pk/versionCol/deleteFlag columns refuse (they are the
+    * table identity every resolution path keys on — re-key by
+    * rebuilding), as do drifted (file-only, undeclared) columns and
+    * collisions with live/dropped/renamed-away names. Unlike the CoW
+    * layout (whose manifests version their schemas), the MOR contract
+    * stays TABLE-LEVEL: time travel serves historical content under
+    * the CURRENT names — the documented divergence.
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+                   from: String, to: String): Unit = Upsert.withWriterLease(spark, dir) {
+    def canon(n: String) = SchemaEvolution.canon(spark, n)
+    Seq(from, to).foreach(c =>
+      if (c.exists(ch => ch == ',' || ch == '=' || ch == '\n' || ch == '>'))
+        throw new SchemaEvolutionException(
+          s"cannot rename column '$c': the name contains a contract metacharacter"))
+    val (pk, vc, del, _) = evolutionContract(spark, dir, "rename column")
+    ((pk :+ vc) ++ del.toSeq).find(lb => canon(lb) == canon(from)).foreach(lb =>
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$lb' on merge-on-read table $dir: it is a " +
+          "contract identity column (pk/version/delete-flag) that every " +
+          "read resolves the delta log through — re-key by rebuilding"))
+    val kv = contractKv(spark, dir).get
+    val renamedMap = kvRenamed(kv)
+    val declaredPhys = kvSchema(kv).getOrElse(
+      throw new SchemaEvolutionException(
+        s"cannot rename on $dir: the contract records no schema — run one " +
+          "compact (which backfills it) first"))
+    // current LOGICAL view of the declared schema
+    def logicalOf(phys: String): String = renamedMap.getOrElse(canon(phys), phys)
+    val logicalNames = declaredPhys.fields.map(f => canon(logicalOf(f.name))).toSet
+    if (!logicalNames.contains(canon(from)))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' on $dir: not a declared column " +
+          s"(${declaredPhys.fields.map(f => logicalOf(f.name)).mkString(", ")}) — " +
+          "a drifted (file-only) column must be declared via ADD COLUMNS of " +
+          "a fresh name instead")
+    if (logicalNames.contains(canon(to)) ||
+        declaredPhys.fields.exists(f => canon(f.name) == canon(to)) ||
+        kvDropped(kv).contains(canon(to)) || renamedMap.contains(canon(to)))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' to '$to' on $dir: '$to' collides with " +
+          "a live column, a dropped-column tombstone, or a renamed-away name")
+    // the PHYSICAL anchor of `from`: its own name for a first rename,
+    // or the original physical key for a chained one
+    val phys = renamedMap.find { case (_, lg) => canon(lg) == canon(from) }
+      .map(_._1).getOrElse(
+        declaredPhys.fields.find(f => canon(f.name) == canon(from)).get.name)
+    val updated = renamedMap.filterNot { case (ph, _) => ph == canon(phys) } +
+      (canon(phys) -> to)
+    writeContract(spark, dir, kv + ("renamed" -> renamedProp(updated)))
+  }
+
   /** The table's full DECLARED schema: the current read's shape (which
     * already reconciles declared adds/drops against file content). Used
     * by the evolution paths as the authoritative "existing" side.
+    * `physical = true` returns the on-disk column names (for contract
+    * schemaDDL rewrites); false the user-facing logical ones.
     */
   private def declaredReadSchema(spark: SparkSession, dir: String,
                                  pk: Seq[String], vc: String,
-                                 del: Option[String])
+                                 del: Option[String],
+                                 physical: Boolean = false)
       : org.apache.spark.sql.types.StructType =
-    read(spark, dir, pk, vc, del).schema
+    readPinned(spark, dir, currentSnapshot(spark, dir), pk, vc, del,
+      DefaultBroadcastDeltaBytes, applyRename = !physical).schema
 
   /** Reconcile a resolved read against the DECLARED schema: tombstoned
     * (dropped) columns vanish even though old batches still hold them,
@@ -1001,7 +1124,8 @@ object MergeOnRead {
     */
   private def reconcileDeclaredKv(spark: SparkSession,
                                   kv: Option[Map[String, String]],
-                                  df: DataFrame): DataFrame =
+                                  df: DataFrame,
+                                  applyRename: Boolean = true): DataFrame =
     kv match {
       case None => df
       case Some(m) =>
@@ -1012,12 +1136,21 @@ object MergeOnRead {
             .filterNot(f => have(canon(f.name)) || dropped(canon(f.name))))
           .getOrElse(Seq.empty)
         val toDrop = df.columns.filter(c => dropped(canon(c)))
-        if (missing.isEmpty && toDrop.isEmpty) df
-        else {
-          val kept = df.columns.filterNot(c => dropped(canon(c)))
-          df.select(kept.toIndexedSeq.map(col) ++ missing.map(f =>
-            lit(null).cast(f.dataType).as(f.name)): _*)
-        }
+        val base =
+          if (missing.isEmpty && toDrop.isEmpty) df
+          else {
+            val kept = df.columns.filterNot(c => dropped(canon(c)))
+            df.select(kept.toIndexedSeq.map(col) ++ missing.map(f =>
+              lit(null).cast(f.dataType).as(f.name)): _*)
+          }
+        // column mapping (r13): the read exit serves the LOGICAL names.
+        // Compaction paths pass applyRename = false — the base must
+        // stay physically named so it keeps unioning with the delta
+        // log's physical columns.
+        val renamedMap = if (applyRename) kvRenamed(m) else Map.empty[String, String]
+        if (renamedMap.isEmpty) base
+        else base.select(base.columns.toIndexedSeq.map(c =>
+          renamedMap.get(canon(c)).map(lg => col(c).as(lg)).getOrElse(col(c))): _*)
     }
 
   /** `sortBase` (default ON): stage each base bucket as ONE file with
@@ -1060,7 +1193,12 @@ object MergeOnRead {
       gcCompactedDeltas(spark, dir)
       return
     }
-    val resolved0 = read(spark, dir, pk, versionCol, deleteFlagCol)
+    // PHYSICAL read (applyRename = false): compaction folds the
+    // resolved content back into base files that must keep unioning
+    // with the delta log's physical column names
+    val resolved0 = readPinned(spark, dir, currentSnapshot(spark, dir), pk,
+      versionCol, deleteFlagCol, DefaultBroadcastDeltaBytes,
+      applyRename = false)
     // backfill the contract schema for pre-schema contracts (no-op
     // when one is recorded) so empty-at-read and feed-before-first-
     // batch scenarios stay typed after the first compaction too
@@ -1158,7 +1296,10 @@ object MergeOnRead {
           .drop(BatchCol), deleteFlagCol)
         .withColumn(bucketCol, bucketExpr))
     def reconciled(legs: Seq[DataFrame]): DataFrame =
-      reconcileDeclaredKv(spark, kv, legs.reduce(_.unionByName(_)))
+      // physical names (applyRename = false): staged base files must
+      // keep unioning with the delta log's physical columns
+      reconcileDeclaredKv(spark, kv, legs.reduce(_.unionByName(_)),
+        applyRename = false)
     // arrange a leg explicitly: one O(leg) shuffle into single-owner
     // bucket partitions, sorted (bucket, pk) within each
     def arranged(df: DataFrame, parts: Int): DataFrame =

@@ -51,8 +51,18 @@ object SchemaEvolution {
   def checkAdditive(spark: SparkSession, existing: StructType,
                     incoming: StructType, existingLabel: String,
                     incomingLabel: String,
-                    dropped: Set[String] = Set.empty): Unit =
+                    dropped: Set[String] = Set.empty,
+                    renamed: Map[String, String] = Map.empty): Unit =
     incoming.fields.foreach { f =>
+      // a producer still writing a RENAMED-AWAY name must fail loudly:
+      // treating it as a brand-new column would silently fork the data
+      // the rename meant to keep in one place (r13 column mapping)
+      renamed.get(canon(spark, f.name)).foreach(cur =>
+        throw new SchemaEvolutionException(
+          s"column '${f.name}' was renamed to '$cur' on $existingLabel; " +
+            s"$incomingLabel still writes the old name — update the " +
+            s"producer to '$cur' (re-introducing '${f.name}' as a new " +
+            "column would fork the renamed data)"))
       existing.fields.find(tf => canon(spark, tf.name) == canon(spark, f.name)) match {
         case Some(tf) =>
           if (tf.name != f.name)

@@ -545,6 +545,78 @@ object Upsert {
     */
   private val SchemaProp = "schema"
 
+  /** Column-mapping props (r13, [[FieldIds]]): `idGen` = the earliest
+    * generation whose staged files carry parquet field ids (files from
+    * older generations may still be referenced by merge-preserve, so
+    * the id-read gate is file-granular); `maxColumnId` = the
+    * never-reuse id high-water mark; `renamedFrom` = accumulated
+    * `oldCanonName>current` pairs — both the loud-refusal marker for
+    * producers still writing a renamed-away name and the ADD tombstone
+    * that keeps a retired name from coming back as a different column.
+    */
+  private[graft] val IdGenProp = "idGen"
+  private[graft] val MaxColIdProp = "maxColumnId"
+  private[graft] val RenamedFromProp = "renamedFrom"
+
+  private[graft] def renamedFromOf(m: Manifest): Map[String, String] =
+    m.props.get(RenamedFromProp)
+      .map(_.split(",").filter(_.nonEmpty).map { p =>
+        val Array(o, n) = p.split(">", 2); o -> n
+      }.toMap).getOrElse(Map.empty)
+
+  private def genOfPath(rel: String): Long =
+    """__gen=(\d+)/""".r.findFirstMatchIn(rel).map(_.group(1).toLong).getOrElse(-1L)
+
+  /** The schema a READ should request for manifest `m`'s files: the
+    * recorded schema WITH field ids when every referenced file was
+    * staged by an id-stamping generation (ids make renamed columns
+    * resolve across old and new files, and `readAt` serve each
+    * generation under its own names) — stripped to plain name matching
+    * otherwise (Spark refuses an id-carrying request against an
+    * id-less file). A table that HAS renamed columns refuses a
+    * session that cannot honour ids instead of silently serving NULL
+    * for them.
+    */
+  private[graft] def readSchemaOf(spark: SparkSession, m: Manifest)
+      : Option[org.apache.spark.sql.types.StructType] =
+    tableSchema(m).map { st =>
+      val eligible = m.props.get(IdGenProp).exists { g =>
+        FieldIds.hasIds(st) && m.allFiles.forall(genOfPath(_) >= g.toLong)
+      }
+      if (eligible && FieldIds.idReadEnabled(spark)) st
+      else if (renamedFromOf(m).nonEmpty)
+        throw new IllegalStateException(
+          s"this table has renamed columns (${renamedFromOf(m).map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
+            "and must be read with parquet field-id matching — set " +
+            "spark.sql.parquet.fieldId.read.enabled=true (GraftSession " +
+            "sessions enable it)")
+      else FieldIds.stripIds(st)
+    }
+
+  /** Stamp `df`'s data columns with stable field ids (inheriting
+    * `prev`'s ids by canon name; fresh ids above the manifest
+    * high-water for new columns) and return the manifest props the
+    * commit must carry. One projection — row order, partitioning, and
+    * any pre-arranged write shape pass through untouched.
+    */
+  private def stampForStage(spark: SparkSession, prev: Option[Manifest],
+                            gen: Long, df: DataFrame): (DataFrame, Map[String, String]) = {
+    val prevSchema = prev.flatMap(tableSchema)
+    val prevMax = math.max(
+      prev.flatMap(_.props.get(MaxColIdProp)).map(_.toLong).getOrElse(0L),
+      prevSchema.map(FieldIds.maxId).getOrElse(0L))
+    val (stamped, newMax) = FieldIds.stamp(spark, prevSchema, prevMax, df,
+      layoutCols = Set(BucketCol, CvCol))
+    val since = prev.flatMap(_.props.get(IdGenProp)).map(_.toLong).getOrElse(gen)
+    val carried = prev.map(p => renamedFromOf(p)).getOrElse(Map.empty)
+    val renameProp =
+      if (carried.isEmpty) Map.empty[String, String]
+      else Map(RenamedFromProp -> carried.toSeq.sorted
+        .map { case (o, n) => s"$o>$n" }.mkString(","))
+    (stamped, Map(IdGenProp -> since.toString, MaxColIdProp -> newMax.toString)
+      ++ renameProp)
+  }
+
   /** Manifest record of the PK columns a merge bucketed by — the
     * placement contract the DSv2 runtime filter needs to map key
     * values to buckets/files driver-side.
@@ -571,7 +643,8 @@ object Upsert {
   private[graft] val VersionColProp = "versionCol"
 
   private[graft] def tableSchema(m: Manifest): Option[org.apache.spark.sql.types.StructType] =
-    m.props.get(SchemaProp).map(org.apache.spark.sql.types.StructType.fromDDL)
+    // JSON (preserves the field-id metadata) since r13; DDL before
+    m.props.get(SchemaProp).map(FieldIds.parse)
 
   /** Manifest prop: comma-separated [[SchemaEvolution.canon]] names of
     * explicitly dropped columns. The tombstone outlives the drop
@@ -645,7 +718,7 @@ object Upsert {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new NoTableException(s"no committed manifest under $dir"))
-    scanFiles(spark, dir, m.allFiles, tableSchema(m))
+    scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m))
   }
 
   /** Read as of generation `gen` (time travel across retained gens).
@@ -655,11 +728,14 @@ object Upsert {
   def readAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
     val m = manifestAt(spark, dir, gen).getOrElse(
       throw new IllegalStateException(s"no manifest for gen=$gen under $dir (vacuumed or never committed)"))
-    scanFiles(spark, dir, m.allFiles, tableSchema(m))
+    // the generation's OWN schema (names as declared back then) with
+    // field ids: files staged after a later rename still resolve
+    scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m))
   }
 
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
-    currentManifest(spark, dir).map(m => scanFiles(spark, dir, m.allFiles, tableSchema(m)))
+    currentManifest(spark, dir).map(m =>
+      scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m)))
 
   /** Driver-side layout snapshot for the DSv2 bucketed reader
     * ([[graft.sources.UpsertBucketSource]]). One manifest resolution +
@@ -693,7 +769,8 @@ object Upsert {
         throw new NoTableException(s"no committed manifest under $dir"))
     val key = (new Path(dir).toString, m.gen)
     layoutCache.synchronized(Option(layoutCache.get(key))).getOrElse {
-      val schema = tableSchema(m).getOrElse(scanFiles(spark, dir, m.allFiles).schema)
+      val schema = readSchemaOf(spark, m)
+        .getOrElse(scanFiles(spark, dir, m.allFiles).schema)
       val fs = FsOps.fs(spark, new Path(dir))
       // ONE listStatus per referenced bucket dir instead of one
       // getFileStatus RPC per file — O(dirs), not O(files), round
@@ -1028,9 +1105,9 @@ object Upsert {
       }
     }
     if (files.isEmpty) // provably no file can hold any key
-      scanFiles(spark, dir, m.allFiles, tableSchema(m)).filter(lit(false))
+      scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m)).filter(lit(false))
     else {
-      val df = scanFiles(spark, dir, files, tableSchema(m))
+      val df = scanFiles(spark, dir, files, readSchemaOf(spark, m))
       df.filter(residual(df))
     }
   }
@@ -1226,11 +1303,15 @@ object Upsert {
     * carries `props` — data files and metadata (e.g. the compaction
     * watermark) become visible in the same rename.
     */
-  private[io] def replaceAll(spark: SparkSession, dir: String, df: DataFrame,
+  private[io] def replaceAll(spark: SparkSession, dir: String, df0: DataFrame,
                              props: Map[String, String],
                              bloomPk: Option[Seq[String]],
                              sortBy: Seq[String] = Nil): Unit = {
     val gen = nextGen(spark, dir)
+    // field-id continuity across full rewrites: columns inherit the
+    // previous manifest's ids, so a rename committed before this
+    // replace keeps resolving over the files it writes
+    val (df, idProps) = stampForStage(spark, currentManifest(spark, dir), gen, df0)
     // sortBy: stage each bucket's file SORTED by these columns (one
     // repartition task per bucket value → one file per bucket, rows in
     // (bucket, sortBy) order flowing unchanged through the partitionBy
@@ -1250,9 +1331,11 @@ object Upsert {
     val files =
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, df.drop(BucketCol)))
-    // full replace: every segment changes, so no prev to reuse from
+    // full replace: every segment changes, so no prev to reuse from.
+    // idGen resets to THIS generation: every referenced file is new.
     commitManifest(spark, dir, Manifest(gen,
-      props ++ sortProps + (SchemaProp -> df.drop(BucketCol).schema.toDDL), files),
+      props ++ sortProps ++ idProps + (IdGenProp -> gen.toString) +
+        (SchemaProp -> FieldIds.serialize(df.drop(BucketCol).schema)), files),
       op = "replace")
   }
 
@@ -1280,7 +1363,7 @@ object Upsert {
     * sorted files (previous sorted gens that still own untouched
     * buckets + this one), pruned to those actually referenced.
     */
-  private[io] def replaceBuckets(spark: SparkSession, dir: String, df: DataFrame,
+  private[io] def replaceBuckets(spark: SparkSession, dir: String, df0: DataFrame,
                                  touched: Set[Int],
                                  props: Map[String, String],
                                  bloomPk: Option[Seq[String]],
@@ -1294,6 +1377,9 @@ object Upsert {
       s"replaceBuckets on $dir: previous base is not sorted by " +
         s"${sortBy.mkString(",")} — run a full sorted compact first")
     val gen = nextGen(spark, dir)
+    // field-id stamping first (one order-preserving projection), the
+    // ordering guard directly above it
+    val (df, idProps) = stampForStage(spark, Some(prev), gen, df0)
     val guarded = graft.plans.OrderedGuard.assertSorted(df, BucketCol +: sortBy)
     val staged = stageGeneration(spark, dir, gen, guarded, bloomPk)
     var files: Map[Int, Seq[String]] = prev.files ++
@@ -1310,9 +1396,9 @@ object Upsert {
       .flatMap(rel => genOf.findFirstMatchIn(rel).map(_.group(1).toLong)).toSet
     val keptGens = (prevGens.filter(referencedGens.contains) :+ gen).distinct.sorted
     commitManifest(spark, dir, Manifest(gen,
-      props + (SortedByProp -> sortBy.mkString(","))
+      props ++ idProps + (SortedByProp -> sortBy.mkString(","))
         + (SortedGenProp -> keptGens.mkString(","))
-        + (SchemaProp -> df.drop(BucketCol).schema.toDDL),
+        + (SchemaProp -> FieldIds.serialize(df.drop(BucketCol).schema)),
       files), Some(prev), op = "replace-buckets")
   }
 
@@ -1398,10 +1484,11 @@ object Upsert {
       case None =>
         // CREATE: stage + single manifest rename — a reader either sees
         // no table or the complete first snapshot (VERDICT r3 #4)
-        val merged = withBucket(
+        val merged0 = withBucket(
           resolve(updates.withColumn("__src", lit(1)), pk, versionCol, deleteFlagCol),
           pk, numBuckets)
         val gen = nextGen(spark, dir)
+        val (merged, idProps) = stampForStage(spark, None, gen, merged0)
         val staged = stageGeneration(spark, dir, gen, merged, bloomPk, zoneCols,
           valueClusterBy)
         val files =
@@ -1430,8 +1517,8 @@ object Upsert {
           Manifest(gen, Map("numBuckets" -> numBuckets.toString,
             PkColsProp -> pk.mkString(","),
             VersionColProp -> versionCol,
-            SchemaProp -> merged.drop(BucketCol).schema.toDDL)
-            ++ zoneProp ++ vcProp ++ extraProps, files),
+            SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
+            ++ idProps ++ zoneProp ++ vcProp ++ extraProps, files),
           op = "create")
 
       case Some(man) =>
@@ -1494,7 +1581,7 @@ object Upsert {
         }
         val preserve: Map[Int, Seq[String]] =
           pruned.map(_.map { case (b, (_, keep)) => b -> keep }).getOrElse(Map.empty)
-        val tblSchema = tableSchema(man)
+        val tblSchema = readSchemaOf(spark, man)
         val cur0 =
           if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles, tblSchema)
           else scanFiles(spark, dir, man.allFiles, tblSchema).filter(lit(false))
@@ -1510,7 +1597,7 @@ object Upsert {
         // batch column either matches a table column EXACTLY or is
         // brand-new, so the exact-name union below is resolver-safe
         SchemaEvolution.checkAdditive(spark, cur0.schema, updData.schema,
-          "table", "batch", droppedSet(man))
+          "table", "batch", droppedSet(man), renamedFromOf(man))
         val unionFields = cur0.schema.fields ++
           updData.schema.fields.filterNot(f => cur0.columns.contains(f.name))
         def widen(df: DataFrame): DataFrame = {
@@ -1521,9 +1608,10 @@ object Upsert {
         }
         val cur = widen(cur0).withColumn("__src", lit(0))
         val aligned = widen(updData).withColumn("__src", lit(1))
-        val merged = withBucket(
+        val merged0 = withBucket(
           resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol), pk, n)
         val gen = nextGen(spark, dir)
+        val (merged, idProps) = stampForStage(spark, Some(man), gen, merged0)
         // recorded value-cluster columns bind (like placement): a merge
         // declaring DIFFERENT ones would break the invariant the
         // grouped metadata answers verify against; a merge on a
@@ -1576,7 +1664,8 @@ object Upsert {
             Map(ValueClusterProp -> effCluster.mkString(","))
           else Map.empty[String, String]
         commitManifest(spark, dir, Manifest(gen,
-          man.props + (SchemaProp -> merged.drop(BucketCol).schema.toDDL)
+          man.props ++ idProps
+            + (SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
             + (PkColsProp -> pk.mkString(",")) + (VersionColProp -> versionCol)
             ++ zoneProp ++ vcProp ++ extraProps,
           files), Some(man), op = "merge")
@@ -1724,6 +1813,10 @@ object Upsert {
               stageSchemaAnchor(spark, dir, gen, merged.drop(groupCol, BucketCol)))
           val baseProps = prev.map(_.props).getOrElse(
             Map("numBuckets" -> numBuckets.toString))
+          // deliberately UNSTAMPED (no field ids): sibling groups share
+          // one staged write, and per-sibling id continuity would need
+          // per-sibling re-projection — these internal cell tables are
+          // never renamed, and the read gate simply keeps name matching
           commitManifest(spark, dir, Manifest(gen,
             baseProps + (SchemaProp -> dataSchema.toDDL)
               + (PkColsProp -> pk.mkString(","))
@@ -1765,7 +1858,7 @@ object Upsert {
       val touched: Set[Int] = tagged.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
       if (touched.isEmpty) return
-      val tblSchema = tableSchema(man)
+      val tblSchema = readSchemaOf(spark, man)
       val candFiles = touched.toSeq.flatMap(b => man.files.getOrElse(b, Seq.empty))
       val cur0 =
         if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles, tblSchema)
@@ -1784,7 +1877,7 @@ object Upsert {
       val keys = tagged.select(pk.map(col): _*).distinct()
       val survivors = widen(cur0).join(keys, pk, "left_anti")
       val upserts = widen(tagged.filter(col(opCol) =!= "delete").drop(BucketCol, opCol))
-      val merged = withBucket(survivors.unionByName(upserts), pk, n)
+      val merged1 = withBucket(survivors.unionByName(upserts), pk, n)
       // rewritten buckets keep their skipping layers: blooms when the
       // touched buckets carried sidecars, zones per the manifest
       val fs = FsOps.fs(spark, new Path(dir))
@@ -1795,6 +1888,7 @@ object Upsert {
         }
       }
       val gen = nextGen(spark, dir)
+      val (merged, idProps) = stampForStage(spark, Some(man), gen, merged1)
       val staged = stageGeneration(spark, dir, gen, merged,
         if (hadBlooms) Some(pk) else None,
         (zoneColsOf(man) ++ valueClusterColsOf(man)).distinct,
@@ -1814,11 +1908,17 @@ object Upsert {
       val mergedSchema = merged.drop(BucketCol).schema
       val committed = tableSchema(man) match {
         case Some(ps) => org.apache.spark.sql.types.StructType(
-          mergedSchema.fields.map(f => ps.fields.find(_.name == f.name).getOrElse(f)))
+          mergedSchema.fields.map { f =>
+            // keep the recorded field (nullability) but ALWAYS the
+            // stamped field id — the staged files carry it
+            ps.fields.find(_.name == f.name)
+              .map(pf => FieldIds.idOf(f).fold(pf)(FieldIds.withId(pf, _)))
+              .getOrElse(f)
+          })
         case None => mergedSchema
       }
       commitManifest(spark, dir, Manifest(gen,
-        man.props + (SchemaProp -> committed.toDDL),
+        man.props ++ idProps + (SchemaProp -> FieldIds.serialize(committed)),
         files), Some(man), op = "sql-dml")
     } finally { tagged.unpersist(); () }
   }
@@ -1867,7 +1967,8 @@ object Upsert {
     // [[stageGeneration]]. The previous form ran a write job (and a
     // bloom job) PER over-threshold bucket — a sequential chain of
     // hundreds of jobs on a wide table; this is a constant number.
-    val src = scanFiles(spark, dir, over.values.flatten.toSeq, tableSchema(man))
+    val src = scanFiles(spark, dir, over.values.flatten.toSeq,
+        readSchemaOf(spark, man))
       .withColumn(BucketCol,
         regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1).cast("int"))
     // CLUSTERED compaction: bucket-LOCAL equal-count slices (ntile over
@@ -1908,7 +2009,8 @@ object Upsert {
     val effZoneCols =
       ((if (clusterBy.nonEmpty) clusterBy else zoneColsOf(man)) ++
         valueCluster).distinct
-    val staged = stageGeneration(spark, dir, gen, arranged,
+    val (stamped, idProps) = stampForStage(spark, Some(man), gen, arranged)
+    val staged = stageGeneration(spark, dir, gen, stamped,
       if (bloom) Some(pk) else None, effZoneCols, valueCluster)
     // an over-threshold bucket whose files held zero live rows stages
     // no dir — its entry empties rather than keeping the old files
@@ -1928,8 +2030,25 @@ object Upsert {
         Map(SortedByProp -> clusterBy.takeWhile(!_.startsWith("__")).mkString(","),
           SortedGenProp -> gen.toString)
       else Map.empty[String, String]
+    // the declared shape carries over, with the staged files' field
+    // ids OVERLAID by name: on an id-stamped table this is a no-op
+    // (ids inherited), on a pre-r13 table it is the MIGRATION step — a
+    // full rewrite (maxFilesPerBucket = 0) leaves every file id-stamped
+    // and the schema id-carrying, which is what enables RENAME COLUMN.
+    // Layout-only columns (__slice/z-order) never leak into it.
+    val stampedData = stamped.drop(BucketCol).schema
+    val committedSchema = tableSchema(man) match {
+      case Some(ps) => org.apache.spark.sql.types.StructType(ps.fields.map(f =>
+        stampedData.fields.find(_.name == f.name).flatMap(FieldIds.idOf)
+          .fold(f)(FieldIds.withId(f, _))))
+      case None => org.apache.spark.sql.types.StructType(
+        stampedData.fields.filterNot(_.name.startsWith("__")))
+    }
     commitManifest(spark, dir,
-      Manifest(gen, man.props ++ zoneProp ++ sortProp, man.files ++ compacted),
+      Manifest(gen, man.props ++ idProps
+        + (SchemaProp -> FieldIds.serialize(committedSchema))
+        ++ zoneProp ++ sortProp,
+        man.files ++ compacted),
       Some(man), op = "compact")
   }
 
@@ -1972,9 +2091,11 @@ object Upsert {
           fs.exists(new Path(abs(dir, s"$parent/${Blooms.SidecarName}")))
         }
       }
-    val df = scanFiles(spark, dir, man.allFiles, tableSchema(man))
-    val merged = withBucket(df, pk, newNumBuckets)
+    val df = scanFiles(spark, dir, man.allFiles, readSchemaOf(spark, man))
+    val merged0 = withBucket(df, pk, newNumBuckets)
     val gen = nextGen(spark, dir)
+    // full rewrite: every file is new, so the id era resets to this gen
+    val (merged, idProps) = stampForStage(spark, Some(man), gen, merged0)
     val staged = stageGeneration(spark, dir, gen, merged,
       if (hadBlooms) Some(pk) else None,
       (zoneColsOf(man) ++ valueClusterColsOf(man)).distinct,
@@ -1983,7 +2104,9 @@ object Upsert {
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
     commitManifest(spark, dir, Manifest(gen,
-      man.props + ("numBuckets" -> newNumBuckets.toString), files),
+      man.props ++ idProps + (IdGenProp -> gen.toString)
+        + (SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
+        + ("numBuckets" -> newNumBuckets.toString), files),
       op = "rebucket")
   }
 
@@ -2067,24 +2190,96 @@ object Upsert {
     val tombstones = (droppedSet(man) ++ canonCols).toSeq.sorted.mkString(",")
     commitManifest(spark, dir, Manifest(nextGen(spark, dir),
       man.props +
-        (SchemaProp -> org.apache.spark.sql.types.StructType(remaining).toDDL) +
+        (SchemaProp -> FieldIds.serialize(
+          org.apache.spark.sql.types.StructType(remaining))) +
         (DroppedProp -> tombstones),
       man.files), Some(man), op = "drop-columns")
   }
 
-  /** Renames are NOT supported — a deliberate typed failure, never an
-    * accident (VERDICT r5 #7): parquet column access is name-based and
-    * this format carries no column-mapping layer, so files already
-    * written under the old name cannot be remapped without a full
-    * rewrite. The supported path is add-the-new-column (additive merge)
-    * → backfill → [[dropColumns]] on the old name.
+  /** `ALTER TABLE ... RENAME COLUMN` — METADATA-ONLY since r13
+    * (VERDICT r12 #2): the manifest's schema carries a stable parquet
+    * FIELD ID per column ([[FieldIds]]), and reads request columns by
+    * id, so renaming is one manifest flip that changes the declared
+    * name while every file on disk — old name or new — keeps
+    * resolving. `VERSION AS OF` an older generation serves that
+    * generation's own names (its manifest is untouched).
+    *
+    * Refusals (all typed, all naming the remedy):
+    *  - files staged before field-id stamping cannot be remapped — run
+    *    `compactBuckets(maxFilesPerBucket = 0)` (a full rewrite, which
+    *    stamps ids) once, then rename;
+    *  - the new name colliding with a live column, a dropped-column
+    *    tombstone, or a previously renamed-away name;
+    *  - change-feed tables: feed batches are plain appends consumed by
+    *    name, and a rename would fork the feed mid-stream.
+    *
+    * After the rename, a producer still merging the OLD name fails
+    * loudly in [[SchemaEvolution.checkAdditive]] (the `renamedFrom`
+    * tombstones) instead of silently forking a new column.
     */
   def renameColumn(spark: SparkSession, dir: String,
-                   from: String, to: String): Nothing =
-    throw new SchemaEvolutionException(
-      s"cannot rename column '$from' to '$to': parquet access is name-based and " +
-        s"files written under '$from' cannot be remapped — add '$to' via an " +
-        s"additive merge, backfill it, then dropColumns(Seq(\"$from\"))")
+                   from: String, to: String): Unit = withWriterLease(spark, dir) {
+    def canon(n: String) = SchemaEvolution.canon(spark, n)
+    Seq(from, to).foreach(c =>
+      if (c.exists(ch => ch == ',' || ch == '=' || ch == '\n' || ch == '>'))
+        throw new SchemaEvolutionException(
+          s"cannot rename column '$c': the name contains a manifest metacharacter"))
+    val man = currentManifest(spark, dir).getOrElse(
+      throw new SchemaEvolutionException(s"cannot rename: no table at $dir"))
+    val schema = tableSchema(man).getOrElse(
+      throw new SchemaEvolutionException(
+        s"cannot rename: the table at $dir has no recorded schema"))
+    if (!schema.fields.exists(f => canon(f.name) == canon(from)))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from': not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    if (schema.fields.exists(f => canon(f.name) == canon(to)))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' to '$to': the name is already a column")
+    if (droppedSet(man).contains(canon(to)))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' to '$to': '$to' was dropped from this " +
+          "table and files written before the drop still hold its values")
+    if (renamedFromOf(man).contains(canon(to)))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' to '$to': '$to' was itself renamed " +
+          s"away (to '${renamedFromOf(man)(canon(to))}') and old producers " +
+          "are refused under that name")
+    if (ChangeFeed.batches(spark, dir).nonEmpty)
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' on $dir: the table has a change feed, " +
+          "whose batches are consumed by name — renames would fork the feed")
+    val idGenOk = man.props.get(IdGenProp).exists(g =>
+      man.allFiles.forall(genOfPath(_) >= g.toLong))
+    if (!idGenOk || !FieldIds.hasIds(schema))
+      throw new SchemaEvolutionException(
+        s"cannot rename column '$from' on $dir: some live files were staged " +
+          "before field-id stamping (pre-r13) and parquet access to them is " +
+          "name-based — run compactBuckets(spark, dir, pk, maxFilesPerBucket " +
+          "= 0, clusterBy = pk) once (a full rewrite, which stamps ids), " +
+          "then rename")
+    def sub(n: String): String = if (canon(n) == canon(from)) to else n
+    val renamed = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (canon(f.name) == canon(from)) f.copy(name = to) else f))
+    // every prop that names columns follows the rename in the SAME
+    // commit — placement, zones, value clustering, sort report
+    def subList(key: String): Map[String, String] =
+      man.props.get(key).map(v =>
+        key -> v.split(",").filter(_.nonEmpty).map(sub).mkString(",")).toMap
+    // chained renames stay transitive: after a->b then b->c, a
+    // producer still writing 'a' is pointed at 'c', not the dead 'b'
+    val renames = (renamedFromOf(man).map { case (o, n) =>
+        o -> (if (canon(n) == canon(from)) to else n)
+      } + (canon(from) -> to)).toSeq.sorted
+      .map { case (o, n) => s"$o>$n" }.mkString(",")
+    commitManifest(spark, dir, Manifest(nextGen(spark, dir),
+      man.props ++ subList(PkColsProp) ++ subList(ZoneColsProp)
+        ++ subList(ValueClusterProp) ++ subList(SortedByProp)
+        ++ man.props.get(VersionColProp).map(v => VersionColProp -> sub(v))
+        + (SchemaProp -> FieldIds.serialize(renamed))
+        + (RenamedFromProp -> renames),
+      man.files), Some(man), op = "rename-column")
+  }
 
   /** DDL CREATE: commit an EMPTY first snapshot that records the full
     * table contract — schema, placement pk (order-sensitive), version
@@ -2207,15 +2402,27 @@ object Upsert {
       throw new SchemaEvolutionException(
         s"cannot add column '${fs.head.name}' twice in one statement")
     }
-    val widened = org.apache.spark.sql.types.StructType(
+    val widened0 = org.apache.spark.sql.types.StructType(
       schema.fields ++ cols.map(_.copy(nullable = true)))
-    // tombstone / type guards on the widened shape (dropped-name refusal)
-    SchemaEvolution.checkAdditive(spark, schema, widened,
+    // tombstone / type / renamed-away guards on the widened shape
+    SchemaEvolution.checkAdditive(spark, schema, widened0,
       existingLabel = s"table $dir", incomingLabel = "ALTER ADD COLUMNS",
-      dropped = droppedSet(man))
+      dropped = droppedSet(man), renamed = renamedFromOf(man))
+    // fresh field ids for the added columns (never reusing a dropped
+    // column's id — maxColumnId is the monotone high-water mark), only
+    // when the table is already id-stamped: mixing id-less fields into
+    // a stamped schema would withdraw the id-read gate
+    val prevMax = math.max(
+      man.props.get(MaxColIdProp).map(_.toLong).getOrElse(0L),
+      FieldIds.maxId(schema))
+    val widened =
+      if (FieldIds.hasIds(schema))
+        FieldIds.stampSchema(spark, Some(schema), prevMax, widened0)
+      else widened0
     commitManifest(spark, dir, Manifest(nextGen(spark, dir),
-      man.props + (SchemaProp -> widened.toDDL), man.files),
-      Some(man), op = "add-columns")
+      man.props + (SchemaProp -> FieldIds.serialize(widened))
+        + (MaxColIdProp -> math.max(prevMax, FieldIds.maxId(widened)).toString),
+      man.files), Some(man), op = "add-columns")
   }
 
   /** DDL DROP TABLE: delete the table directory — manifests, data
@@ -2386,12 +2593,17 @@ object Upsert {
         df.repartitionByRange(filesTarget, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df
-    val stored = if (layoutCols.isEmpty) arranged else arranged.drop(layoutCols: _*)
-    val storedSchema = if (layoutCols.isEmpty) df else df.drop(layoutCols: _*)
+    val stored0 = if (layoutCols.isEmpty) arranged else arranged.drop(layoutCols: _*)
+    // field-id continuity (r13): a rebuilt snapshot keeps the column
+    // ids of the table it replaces, so reads spanning the rebuild stay
+    // id-resolvable; every file is new, so the id era resets to gen
+    val (stored, idProps) = stampForStage(spark, currentManifest(spark, dir),
+      gen, stored0)
+    val storedSchema = stored.schema
     stored.write.mode("overwrite").parquet(out.toString)
     val fs = FsOps.fs(spark, out)
     val zoneStats = zoneCols.flatMap(c =>
-      storedSchema.schema.fields.find(_.name == c).map(f => c -> f.dataType))
+      storedSchema.fields.find(_.name == c).map(f => c -> f.dataType))
     if (zoneStats.nonEmpty)
       Zones.write(fs, out, Zones.buildForDir(spark, out.toString, zoneStats))
     val files = fs.listStatus(out).toSeq.map(_.getPath.getName)
@@ -2399,12 +2611,13 @@ object Upsert {
       .map(n => s"__gen=$gen/$BucketCol=0/$n")
     val fileMap =
       if (files.nonEmpty) Map(0 -> files)
-      else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, storedSchema))
+      else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, stored))
     val zoneProp =
       if (zoneCols.nonEmpty) Map(ZoneColsProp -> zoneCols.mkString(","))
       else Map.empty[String, String]
     commitManifest(spark, dir, Manifest(gen,
-      props + (SchemaProp -> storedSchema.schema.toDDL) ++ zoneProp, fileMap),
+      props ++ idProps + (IdGenProp -> gen.toString)
+        + (SchemaProp -> FieldIds.serialize(storedSchema)) ++ zoneProp, fileMap),
       op = "overwrite")
   }
   }

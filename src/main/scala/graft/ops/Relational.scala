@@ -1428,6 +1428,95 @@ object Relational {
       spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN src")
     } + "/t"
 
+  /** Build-once CoW table evolved through `ALTER TABLE ... RENAME
+    * COLUMN` (VERDICT r12 #2 — column mapping via stable parquet field
+    * ids): insert-all records the table, the SQL RENAME flips `value`
+    * to `amount` in ONE metadata commit (no file rewritten — reads
+    * resolve the old files' column by its field id), and an INSERT
+    * then lands ver-2 corrections for %11 keys UNDER THE NEW NAME as a
+    * normal LWW merge — old-name and new-name files serve one column.
+    */
+  def sqlRenameEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/events_rename_", sfDir,
+        recipe = "cow sql-rename value->amount correct%11+5 v1") { root =>
+      val ev = Tables.events(spark, sfDir)
+      graft.io.Upsert.merge(spark, root, ev.withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v")
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN value TO amount")
+      val view = "rename_src_" + root.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.createOrReplaceTempView(view)
+      spark.sql(
+        s"""INSERT INTO graft.`$root` (event_id, user_id, ts, event_type, amount, __v)
+            SELECT event_id, user_id, ts, event_type, value + 5, CAST(2 AS BIGINT)
+            FROM $view WHERE event_id % 11 = 0""")
+    }
+
+  /** The renamed table's slice: %11 keys corrected post-rename (new
+    * files carry `amount` physically) and %13 keys untouched (their
+    * files still carry `value` physically — the field id resolves
+    * them). The ORACLE recomputes both over raw events; a green hash
+    * proves the rename is pure metadata with no value drift.
+    */
+  def jSqlRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = sqlRenameEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_id, event_type,
+                 CAST(FLOOR(amount * 100) AS BIGINT) AS amount_cents
+          FROM graft.`$root`
+          WHERE event_id % 11 = 0 OR event_id % 13 = 0""")
+  }
+
+  /** Build-once MOR root renamed through SQL ALTER (the contract's
+    * physical→logical mapping): `value_cents` becomes `amount_cents`
+    * metadata-only; an INSERT lands ver-2 corrections for %17 keys
+    * under the NEW name (translated to the physical column at the
+    * single write door), and old + new delta batches resolve as one
+    * column.
+    */
+  def morRenameEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_rename_", sfDir,
+        recipe = "mor sql-rename value_cents->amount_cents correct%17+9 v1") { root =>
+      val dir = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      graft.io.MergeOnRead.merge(spark, dir,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          lit(1L).as("__v"), lit("insert").as("op")))
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN value_cents TO amount_cents")
+      val view = "mor_rename_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.createOrReplaceTempView(view)
+      spark.sql(
+        s"""INSERT INTO graft.`$dir`
+              (event_id, event_type, amount_cents, __v, op)
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 9,
+                   CAST(2 AS BIGINT), 'insert'
+            FROM $view WHERE event_id % 17 = 0""")
+    } + "/t"
+
+  /** Aggregate over the renamed MOR root under the logical name; the
+    * ORACLE recomputes the net state from raw events — green proves
+    * pre-rename batches, the renamed declared schema, and post-rename
+    * corrections resolve as one column with no value drift.
+    */
+  def morSqlRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morRenameEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(amount_cents) AS amount_cents,
+                 COUNT(*) AS row_ct
+          FROM graft.`$dir` GROUP BY event_type""")
+  }
+
   /** Aggregate over the SQL-ALTERed MOR root, including `COUNT(note)`
     * of the column that exists only through ALTER ADD + the evolved
     * INSERT; the ORACLE recomputes the net state from raw events — a

@@ -73,9 +73,12 @@ object ChangeFeedSource {
     // the footer-scan fallback only for pre-schema-anchor tables —
     // Upsert.read would build a file index over EVERY live file just
     // to take .schema
-    val base = Upsert.currentManifest(spark, tableDir)
+    // STRIPPED of field-id metadata (r13): feed batch files are plain
+    // appends outside the manifest's id era — an id-carrying read
+    // schema would refuse every batch staged before stamping existed
+    val base = graft.io.FieldIds.stripIds(Upsert.currentManifest(spark, tableDir)
       .flatMap(Upsert.tableSchema)
-      .getOrElse(Upsert.read(spark, tableDir).schema)
+      .getOrElse(Upsert.read(spark, tableDir).schema))
     if (base.fieldNames.contains(ChangeFeed.ChangeCol)) base
     else StructType(base.fields :+
       StructField(ChangeFeed.ChangeCol, StringType, nullable = false))

@@ -82,7 +82,11 @@ object MorChangeFeedSource {
         s"$root is a merge-on-read root with no recorded contract — run one " +
           "MergeOnRead.compact (or recordContract) first; the feed needs " +
           "the pk/version contract its consumers resolve with"))
-    val data = MergeOnRead.read(spark, root, pk, vc, del).schema
+    // STRIPPED of field-id metadata (r13): the feed reads raw DELTA
+    // batch parquet, which is never id-stamped — a base-derived schema
+    // carrying ids would refuse every batch file
+    val data = graft.io.FieldIds.stripIds(
+      MergeOnRead.read(spark, root, pk, vc, del).schema)
     StructType(data.fields.map(_.copy(nullable = true)) :+
       StructField(BatchCol, LongType, nullable = false))
   }

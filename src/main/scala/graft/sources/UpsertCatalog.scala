@@ -275,12 +275,16 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
       one(d.fieldNames, "drop")
     }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      one(r.fieldNames, "rename") -> r.newName()
+    }
     changes.foreach {
-      case _: TableChange.AddColumn | _: TableChange.DeleteColumn => ()
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
+           _: TableChange.RenameColumn => ()
       case c => throw new UnsupportedOperationException(
         s"ALTER TABLE $dir: unsupported change $c — the format evolves by " +
-          "ADD COLUMNS / DROP COLUMN only (type changes and renames cannot " +
-          "remap parquet files already on disk)")
+          "ADD COLUMNS / DROP COLUMN / RENAME COLUMN only (type changes " +
+          "cannot reinterpret parquet files already on disk)")
     }
     try {
       if (MorTable.isMorRoot(spark, dir)) {
@@ -289,9 +293,13 @@ class UpsertCatalog extends TableCatalog with FunctionCatalog
         // delta log instead of in a manifest
         if (adds.nonEmpty) graft.io.MergeOnRead.addColumns(spark, dir, adds)
         if (drops.nonEmpty) graft.io.MergeOnRead.dropColumns(spark, dir, drops)
+        renames.foreach { case (from, to) =>
+          graft.io.MergeOnRead.renameColumn(spark, dir, from, to) }
       } else {
         if (adds.nonEmpty) graft.io.Upsert.addColumns(spark, dir, adds)
         if (drops.nonEmpty) graft.io.Upsert.dropColumns(spark, dir, drops)
+        renames.foreach { case (from, to) =>
+          graft.io.Upsert.renameColumn(spark, dir, from, to) }
       }
     } catch { case _: graft.io.Upsert.NoTableException =>
       throw new NoSuchTableException(ident) }

@@ -99,8 +99,13 @@ private[sources] abstract class StagedDeltaBatchWrite(dir: String,
                                                       versionGuardIdx: Int = -1)
     extends DeltaBatchWrite {
 
+  // id-free staging (r13): the row schema may carry parquet field-id
+  // metadata from the table's manifest; the hidden `.dml` files are
+  // transient and the fold re-stamps at commit, so stripping keeps the
+  // stage/read pair self-consistent whatever the writer emits
   protected val stagedSchema: StructType =
-    StructType(rowSchema.fields.map(_.copy(nullable = true)) :+
+    StructType(graft.io.FieldIds.stripIds(
+      StructType(rowSchema.fields.map(_.copy(nullable = true)))).fields :+
       StructField(UpsertDml.OpCol, StringType, nullable = true))
   private val staging: String =
     s"${dir.stripSuffix("/")}/.dml-${UUID.randomUUID()}"

@@ -321,7 +321,7 @@ private[sources] case class UpsertStreamTable(dir: String,
 
 private[sources] case class StreamFileCommit(path: String) extends WriterCommitMessage
 
-private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
+private[sources] class UpsertStreamingWrite(dir: String, schema0: StructType,
                                             pk: Seq[String], versionCol: String,
                                             numBuckets: Int, changeLog: Boolean,
                                             queryId: String,
@@ -329,6 +329,12 @@ private[sources] class UpsertStreamingWrite(dir: String, schema: StructType,
                                             versionFromEpoch: Boolean = false,
                                             morMode: Boolean = false)
     extends StreamingWrite {
+
+  // the staging layer is ID-FREE (r13): epoch files are transient and
+  // the merge commit re-stamps field ids from the manifest anyway — an
+  // id-carrying read schema would refuse epoch files staged by a
+  // pre-stamping writer mid-upgrade (parquet rejects the mix outright)
+  private val schema: StructType = graft.io.FieldIds.stripIds(schema0)
 
   // per-QUERY watermark prop: two different streaming queries into one
   // table track replay independently (their epochs are unrelated

@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{FieldIds, MergeOnRead, SchemaEvolutionException, Upsert}
+
+/** Column mapping + `RENAME COLUMN` (VERDICT r12 #2).
+  *
+  * CoW layout: stable parquet FIELD IDS stamped on every staged
+  * generation; the manifest schema is JSON (metadata-preserving) and
+  * reads request columns by id — a rename is one manifest flip, old
+  * and new files both resolve, and `readAt` serves each generation
+  * under its own names. MOR layout: a physical→logical mapping in the
+  * contract, translated at the single write door ([[MergeOnRead]]
+  * validated) and the single read exit (reconcileDeclared).
+  */
+class RenameColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cowRows(ids: Range, ver: Long, tag: String) =
+    ids.toDF("id").select(
+      concat(lit("k"), col("id")).as("k"), lit(ver).as("ver"),
+      concat(lit(tag), col("id")).as("v"))
+
+  test("CoW: rename is metadata-only; old and new files resolve; time travel keeps old names") {
+    val dir = Files.createTempDirectory("ren_cow").toString
+    Upsert.merge(spark, dir, cowRows(0 until 50, 1L, "a"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    val genBefore = Upsert.currentManifest(spark, dir).get.gen
+    Upsert.renameColumn(spark, dir, "v", "payload")
+
+    // reads serve the new name over the OLD files (id matching)
+    val after = Upsert.read(spark, dir)
+    assert(after.columns.toSeq == Seq("k", "ver", "payload"))
+    assert(after.filter(col("payload") === "a7").count() == 1)
+
+    // a merge under the NEW name lands in the same column
+    Upsert.merge(spark, dir,
+      cowRows(0 until 50 by 5, 2L, "b").withColumnRenamed("v", "payload"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    val merged = Upsert.read(spark, dir)
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(merged("k5") == "b5" && merged("k7") == "a7")
+
+    // a producer still writing the OLD name refuses loudly
+    val e = intercept[SchemaEvolutionException] {
+      Upsert.merge(spark, dir, cowRows(0 until 3, 3L, "c"),
+        pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("renamed to 'payload'"), e.getMessage)
+
+    // time travel: the pre-rename generation serves its own name
+    val old = Upsert.readAt(spark, dir, genBefore)
+    assert(old.columns.toSeq == Seq("k", "ver", "v"))
+    assert(old.filter(col("v") === "a7").count() == 1)
+
+    // the SQL/DSv2 surface serves the new name and filters push
+    val dsv2 = graft.sources.UpsertBucketSource.read(spark, dir)
+    assert(dsv2.columns.contains("payload"))
+    assert(dsv2.filter(col("payload") === "b5").count() == 1)
+
+    // chained rename keeps resolving, and the refusal chases the chain
+    Upsert.renameColumn(spark, dir, "payload", "body")
+    assert(Upsert.read(spark, dir).filter(col("body") === "a7").count() == 1)
+    val e2 = intercept[SchemaEvolutionException] {
+      Upsert.merge(spark, dir, cowRows(0 until 3, 4L, "d"),
+        pk = Seq("k"), versionCol = "ver", numBuckets = 4)
+    }
+    assert(e2.getMessage.contains("renamed to 'body'"), e2.getMessage)
+  }
+
+  test("CoW: renaming a pk column keeps placement, lookups, and DML row ids working") {
+    val dir = Files.createTempDirectory("ren_pk").toString
+    Upsert.merge(spark, dir, cowRows(0 until 40, 1L, "a"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 4, bloom = true)
+    Upsert.renameColumn(spark, dir, "k", "key")
+    // point lookup under the new pk name (placement hash is value-based)
+    val hit = Upsert.lookup(spark, dir, "key", Seq("k3"))
+    assert(hit.count() == 1)
+    // merge keyed by the new name updates, not duplicates
+    Upsert.merge(spark, dir,
+      cowRows(3 to 3, 2L, "z").withColumnRenamed("k", "key"),
+      pk = Seq("key"), versionCol = "ver", numBuckets = 4)
+    assert(Upsert.read(spark, dir).filter(col("key") === "k3")
+      .select("v").as[String].collect().toSeq == Seq("z3"))
+    assert(Upsert.read(spark, dir).count() == 40)
+  }
+
+  test("CoW refusals: pre-id files, collisions, tombstones") {
+    val dir = Files.createTempDirectory("ren_refuse").toString
+    Upsert.merge(spark, dir, cowRows(0 until 10, 1L, "a"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 2)
+    // duplicate target
+    val dup = intercept[SchemaEvolutionException](
+      Upsert.renameColumn(spark, dir, "v", "ver"))
+    assert(dup.getMessage.contains("already a column"))
+    // unknown source
+    intercept[SchemaEvolutionException](
+      Upsert.renameColumn(spark, dir, "nope", "x"))
+    // tombstoned target
+    Upsert.dropColumns(spark, dir, Seq("v"))
+    val tomb = intercept[SchemaEvolutionException](
+      Upsert.renameColumn(spark, dir, "ver", "v"))
+    assert(tomb.getMessage.contains("dropped"))
+
+    // PRE-ID-ERA table: doctor the manifest to the pre-r13 shape (no
+    // idGen, DDL schema without ids) — rename must refuse naming the
+    // compact remedy, and a full clustered rewrite (which stamps ids)
+    // then ENABLES it: the migration story
+    val legacy = Files.createTempDirectory("ren_legacy").toString
+    Upsert.merge(spark, legacy, cowRows(0 until 10, 1L, "a"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 2)
+    val man = Upsert.currentManifest(spark, legacy).get
+    val mf = new java.io.File(legacy).listFiles()
+      .filter(_.getName.startsWith("_manifest-")).maxBy(_.getName)
+    val doctored = scala.io.Source.fromFile(mf).getLines().map { l =>
+      if (l.startsWith("#schema="))
+        "#schema=" + graft.io.FieldIds.stripIds(
+          Upsert.tableSchema(man).get).toDDL
+      else l
+    }.filterNot(l => l.startsWith("#idGen=") || l.startsWith("#maxColumnId="))
+      .mkString("\n")
+    java.nio.file.Files.write(mf.toPath,
+      doctored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the local FS keeps a checksum sibling; the doctored write must
+    // not trip it (the fixture simulates an old writer, not corruption)
+    new java.io.File(legacy, s".${mf.getName}.crc").delete()
+    val pre = intercept[SchemaEvolutionException](
+      Upsert.renameColumn(spark, legacy, "v", "payload"))
+    assert(pre.getMessage.contains("before field-id stamping"), pre.getMessage)
+    // the prescribed migration: one full clustered rewrite stamps ids
+    Upsert.compactBuckets(spark, legacy, Seq("k"), maxFilesPerBucket = 0,
+      clusterBy = Seq("k"))
+    Upsert.renameColumn(spark, legacy, "v", "payload")
+    assert(Upsert.read(spark, legacy)
+      .filter(col("payload") === "a7").count() == 1)
+  }
+
+  test("CoW: dropped column's field id is never reused") {
+    val dir = Files.createTempDirectory("ren_idreuse").toString
+    Upsert.merge(spark, dir, cowRows(0 until 10, 1L, "a"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 2)
+    val idOfV = FieldIds.idOf(Upsert.currentManifest(spark, dir)
+      .flatMap(m => graft.io.Upsert.tableSchema(m)).get.fields.find(_.name == "v").get).get
+    Upsert.dropColumns(spark, dir, Seq("v"))
+    Upsert.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val schema = Upsert.currentManifest(spark, dir)
+      .flatMap(m => graft.io.Upsert.tableSchema(m)).get
+    val idOfW = FieldIds.idOf(schema.fields.find(_.name == "w").get).get
+    assert(idOfW != idOfV, s"id $idOfV of dropped 'v' must not be reused for 'w'")
+    // and the old files' v values do NOT surface under w
+    assert(Upsert.read(spark, dir).filter(col("w").isNotNull).count() == 0)
+  }
+
+  private def morRows(ids: Range, ver: Long, tag: String) =
+    ids.toDF("id").select(
+      concat(lit("k"), col("id")).as("k"), lit(ver).as("ver"),
+      concat(lit(tag), col("id")).as("v"),
+      lit(null).cast("string").as("op"))
+
+  test("MOR: rename maps at the contract; old batches, new batches, and feeds agree") {
+    val dir = Files.createTempDirectory("ren_mor").toString
+    MergeOnRead.recordContract(spark, dir, Seq("k"), "ver", Some("op"),
+      numBuckets = 4)
+    MergeOnRead.merge(spark, dir, morRows(0 until 30, 1L, "a"))
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver", Some("op"), numBuckets = 4)
+    MergeOnRead.renameColumn(spark, dir, "v", "payload")
+
+    // reads serve the logical name over physical files
+    val r = MergeOnRead.read(spark, dir, Seq("k"), "ver", Some("op"))
+    assert(r.columns.contains("payload") && !r.columns.contains("v"))
+    assert(r.filter(col("payload") === "a7").count() == 1)
+
+    // new batches arrive under the LOGICAL name and union with old ones
+    MergeOnRead.merge(spark, dir,
+      morRows(0 until 30 by 5, 2L, "b").withColumnRenamed("v", "payload"))
+    val merged = MergeOnRead.read(spark, dir, Seq("k"), "ver", Some("op"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(merged("k5") == "b5" && merged("k7") == "a7")
+
+    // an old-shape producer refuses loudly
+    val e = intercept[Exception] {
+      MergeOnRead.merge(spark, dir, morRows(0 until 3, 3L, "c"))
+    }
+    assert(e.getMessage.contains("renamed to 'payload'"), e.getMessage)
+
+    // compaction folds under PHYSICAL names and reads stay logical
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver", Some("op"), numBuckets = 4)
+    val post = MergeOnRead.read(spark, dir, Seq("k"), "ver", Some("op"))
+    assert(post.columns.contains("payload"))
+    assert(post.select("k", "payload").as[(String, String)].collect().toMap
+      .apply("k5") == "b5")
+
+    // point lookups serve the logical name too
+    val hit = MergeOnRead.lookup(spark, dir, "k", Seq("k5"), "ver", Some("op"))
+    assert(hit.columns.contains("payload"))
+    assert(hit.select("payload").as[String].head() == "b5")
+
+    // identity columns refuse
+    val pkRef = intercept[SchemaEvolutionException](
+      MergeOnRead.renameColumn(spark, dir, "k", "key"))
+    assert(pkRef.getMessage.contains("contract identity"))
+
+    // the feed bootstrap serves logical names too
+    val (_, adds) = graft.rtdw.MorChangeFeed.bootstrapAdds(spark, dir)
+    assert(adds.columns.contains("payload") && !adds.columns.contains("v"))
+  }
+
+  test("MOR: SQL surface (MorReadRule + DML) under the renamed schema") {
+    val dir = Files.createTempDirectory("ren_mor_sql").toString
+    MergeOnRead.recordContract(spark, dir, Seq("k"), "ver", Some("op"),
+      numBuckets = 4)
+    MergeOnRead.merge(spark, dir, morRows(0 until 20, 1L, "a"))
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver", Some("op"), numBuckets = 4)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO payload")
+    assert(spark.sql(s"SELECT payload FROM graft.`$dir` WHERE k = 'k7'")
+      .as[String].head() == "a7")
+    spark.sql(s"UPDATE graft.`$dir` SET payload = 'upd' WHERE k = 'k3'")
+    assert(spark.sql(s"SELECT payload FROM graft.`$dir` WHERE k = 'k3'")
+      .as[String].head() == "upd")
+    // drop the renamed column by its logical name
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN payload")
+    assert(!spark.table(s"graft.`$dir`").columns.contains("payload"))
+  }
+}

@@ -147,12 +147,14 @@ class UpsertSpec extends SparkSpec {
     }
     assert(missing.getMessage.contains("'nope'"), missing.getMessage)
 
-    // rename: a deliberate typed failure spelling out the supported path
+    // rename is SUPPORTED since r13 (field-id column mapping,
+    // RenameColumnSpec owns the matrix); renaming onto the freshly
+    // DROPPED name still refuses — the tombstone protects old files
     val ren = intercept[SchemaEvolutionException] {
-      Upsert.renameColumn(spark, dir, "v", "value")
+      Upsert.renameColumn(spark, dir, "v", "note")
     }
-    assert(ren.getMessage.contains("'v'") && ren.getMessage.contains("'value'") &&
-      ren.getMessage.contains("dropColumns"), ren.getMessage)
+    assert(ren.getMessage.contains("'note'") &&
+      ren.getMessage.contains("dropped"), ren.getMessage)
 
     // case-only rename in a batch: the default resolver is
     // case-insensitive, so 'V' IS 'v' — treating it as a new column

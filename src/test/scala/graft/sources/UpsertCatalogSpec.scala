@@ -462,15 +462,24 @@ class UpsertCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (score DOUBLE)"))
     assert(re.getMessage.contains("dropped") ||
       Option(re.getCause).exists(_.getMessage.contains("dropped")))
-    // physically-impossible evolutions refuse with the reason
-    val ren = intercept[Exception](
-      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w"))
-    assert(ren.getMessage.contains("unsupported change") ||
-      Option(ren.getCause).exists(_.getMessage.contains("unsupported change")))
+    // RENAME is metadata-only since r13 (field-id column mapping):
+    // old files keep serving the renamed column, and the catalog
+    // surface reloads with the new name (RenameColumnSpec owns the
+    // full matrix — this row pins the SQL ALTER route end-to-end)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w")
+    assert(spark.table(s"graft.`$dir`").columns.contains("w"))
+    assert(spark.sql(s"SELECT w FROM graft.`$dir` WHERE k = 'k7'")
+      .as[String].head() == "new")
+    // a TYPE change stays physically impossible — Spark itself refuses
+    // it at analysis against this catalog (NOT_SUPPORTED_CHANGE_COLUMN)
+    val ty = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN ver TYPE INT"))
+    assert(ty.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      ty.getMessage.contains("unsupported change"), ty.getMessage)
     // tombstones survive an INSERT OVERWRITE rebuild: the dropped name
     // cannot ride back in through the API either
     val ow = intercept[Exception](graft.io.Upsert.overwrite(spark, dir,
-      Seq(("kX", 1L, "x", 1.0)).toDF("k", "ver", "v", "score")))
+      Seq(("kX", 1L, "x", 1.0)).toDF("k", "ver", "w", "score")))
     assert(ow.getMessage.contains("dropped"))
   }
 

@@ -645,9 +645,18 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
     // same exact sidecar folds, restricted to the group's files. A
     // file straddling two group values (or holding nulls — a null
     // group the sidecar cannot separate) refuses the whole pushdown.
-    val groupCols: Seq[StructField] = agg.groupByExpressions.toSeq
-      .map(e => singleCol(e).getOrElse(return None))
-    if (!groupCols.forall(f => table.zoneCols.contains(f.name))) return None
+    // GROUP BY `__bucket` (r13, the per-bucket health query) needs no
+    // sidecar at all: a file belongs to exactly one bucket by LAYOUT,
+    // so per-bucket row counts answer from the manifest alone.
+    val groupCols: Seq[StructField] = agg.groupByExpressions.toSeq.map {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 &&
+            r.fieldNames.head == UpsertBucketSource.BucketCol =>
+        StructField(UpsertBucketSource.BucketCol, IntegerType, nullable = false)
+      case e => singleCol(e).getOrElse(return None)
+    }
+    if (!groupCols.forall(f => f.name == UpsertBucketSource.BucketCol ||
+        table.zoneCols.contains(f.name))) return None
 
     // the aggregate VALUES for one file subset (refusal = None);
     // `entries` = the subset's OWN sidecar entries (by-name so the
@@ -731,8 +740,17 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
       // grouping columns (in groupByExpressions order) followed by the
       // aggregate results, one FINAL row per group
       val keptSet = kept.map(_._1).toSet
-      val perFile = perFileZones().getOrElse(return None)
-        .filter { case (p, _) => keptSet.contains(p) }.toMap
+      // sidecars are only consulted when a zone column is involved —
+      // GROUP BY __bucket with count(*) answers from the manifest alone
+      val needZones = zcCols.nonEmpty ||
+        groupCols.exists(_.name != UpsertBucketSource.BucketCol)
+      val perFile: Map[String, Map[String, graft.io.Zones.ColZone]] =
+        if (!needZones) Map.empty
+        else perFileZones().getOrElse(return None)
+          .filter { case (p, _) => keptSet.contains(p) }.toMap
+      val bucketOfFile: Map[String, Int] = table.files.toSeq.flatMap {
+        case (b, fs) => fs.map(_._1 -> b)
+      }.toMap
       val grouped = scala.collection.mutable.LinkedHashMap
         .empty[Seq[graft.io.Zones.ZVal],
                scala.collection.mutable.ArrayBuffer[(String, Long)]]
@@ -743,19 +761,24 @@ private[sources] class UpsertScanBuilder(table: UpsertBucketTable,
         // empty files hold no rows of any group
         if (!table.rowCounts.get(p).contains(0L)) {
           val rows = table.rowCounts.getOrElse(p, return None)
-          val entry = perFile.getOrElse(p, return None)
+          lazy val entry = perFile.getOrElse(p, return None)
           val key = groupCols.map { f =>
-            val z = entry.getOrElse(f.name, return None)
-            val mn = z.min.getOrElse(return None)
-            val mx = z.max.getOrElse(return None)
-            if (graft.io.Zones.cmp(mn, mx) != 0) return None // multi-valued
-            if (!z.nonNull.contains(rows)) return None // null rows present
-            mn
+            if (f.name == UpsertBucketSource.BucketCol)
+              graft.io.Zones.ZLong(bucketOfFile.getOrElse(p, return None).toLong)
+            else {
+              val z = entry.getOrElse(f.name, return None)
+              val mn = z.min.getOrElse(return None)
+              val mx = z.max.getOrElse(return None)
+              if (graft.io.Zones.cmp(mn, mx) != 0) return None // multi-valued
+              if (!z.nonNull.contains(rows)) return None // null rows present
+              mn
+            }
           }
           grouped.getOrElseUpdate(key,
             scala.collection.mutable.ArrayBuffer.empty) += ((p, len))
           entriesByGroup.getOrElseUpdate(key,
-            scala.collection.mutable.ArrayBuffer.empty) += entry
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            (if (needZones) entry else Map.empty)
         }
       }
       val groupFields = groupCols.map(f => f.copy(nullable = false))

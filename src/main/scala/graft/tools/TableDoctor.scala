@@ -28,10 +28,32 @@ object TableDoctor {
         }
       case dir =>
         graft.io.Upsert.stats(spark, dir) match {
-          case Some(s) => println(s"[doctor] $dir\n[doctor]   $s")
+          case Some(s) =>
+            println(s"[doctor] $dir\n[doctor]   $s")
+            bucketHealth(spark, dir)
           case None    => println(s"[doctor] $dir: no committed manifest")
         }
     }
     spark.stop()
+  }
+
+  /** Per-bucket row counts through the DSv2 GROUP BY `__bucket`
+    * metadata answer (r13): when every file carries a manifest row
+    * count the whole report is a LocalTableScan — zero tasks, zero
+    * file opens — and the skew summary tells an operator whether a
+    * rebucket is due before any job runs.
+    */
+  private def bucketHealth(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val counts = graft.sources.UpsertBucketSource.read(spark, dir)
+      .groupBy(col("__bucket")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._2)
+    if (counts.isEmpty) return
+    val total = counts.map(_._2).sum
+    val avg = total / math.max(counts.length, 1)
+    println(f"[doctor]   buckets: ${counts.length} non-empty, " +
+      f"rows avg=$avg max=${counts.head._2} (bucket ${counts.head._1}) " +
+      f"min=${counts.last._2} skew=${
+        if (avg == 0) 0.0 else counts.head._2.toDouble / avg}%.2fx")
   }
 }

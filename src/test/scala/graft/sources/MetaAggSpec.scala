@@ -51,6 +51,27 @@ class MetaAggSpec extends SparkSpec {
     assert(sql.as[Long].head() == truth)
   }
 
+  test("GROUP BY __bucket count(*) answers from the manifest: per-bucket health with zero tasks") {
+    val dir = mkMergeTable(2000)
+    val q = UpsertBucketSource.read(spark, dir)
+      .groupBy(col("__bucket")).agg(count(lit(1)).as("c"))
+    assert(plan(q).contains("LocalTableScan") &&
+      !plan(q).contains("UpsertBucketScan"),
+      s"expected a metadata answer:\n${plan(q)}")
+    val meta = q.as[(Int, Long)].collect().toMap
+    // ground truth through the plain parquet path (never pushed)
+    val truth = Upsert.read(spark, dir)
+      .groupBy(pmod(xxhash64(col("k")), lit(8)).cast("int").as("b"))
+      .agg(count(lit(1))).as[(Int, Long)].collect().toMap
+    assert(meta == truth, s"meta=$meta truth=$truth")
+    assert(meta.values.sum == 2000L)
+    // a filter above the group-by must NOT be absorbed: the answer
+    // falls back to a real scan and stays exact
+    val filtered = UpsertBucketSource.read(spark, dir)
+      .filter(col("v") > 100).groupBy(col("__bucket")).count()
+    assert(!plan(filtered).contains("LocalTableScan"), plan(filtered))
+  }
+
   test("min/max of zone columns answer from the sidecars, all three kinds") {
     val dir = Files.createTempDirectory("meta_mm").toString
     val df = spark.range(5000).select(

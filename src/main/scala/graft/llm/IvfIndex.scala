@@ -501,13 +501,26 @@ object IvfIndex {
     * (spec-pinned) — maintenance touches dead history, never content.
     */
   def maintain(spark: SparkSession, indexDir: String,
-               policy: graft.io.Maintenance.Policy = graft.io.Maintenance.Policy())
+               policy: graft.io.Maintenance.Policy = graft.io.Maintenance.Policy(),
+               corpus: Option[DataFrame] = None,
+               rebuild: RebuildPolicy = RebuildPolicy())
       : Seq[String] = {
     val m = Upsert.currentManifest(spark, centroidsDir(indexDir))
       .getOrElse(return Nil)
-    val nlist = m.props.get("nlist").map(_.toInt).getOrElse(return Nil)
-    val epoch = m.props.get("epoch").map(_.toInt).getOrElse(0)
-    (0 until nlist).flatMap { c =>
+    // drift guard first (VERDICT r12 #6): when the caller supplies the
+    // CURRENT corpus, an over-threshold byteImbalance retrains the
+    // quantizer under the composite lease before any per-cell pass —
+    // the new epoch swaps in atomically and the old one becomes the
+    // reclaimable history the cell sweep below then collects. Healthy
+    // indexes (and corpus-less calls — codes alone cannot retrain)
+    // stay zero-job.
+    val drift = corpus.toSeq.flatMap(c =>
+      rebuildIfImbalanced(spark, indexDir, c, policy = rebuild))
+    val m2 = if (drift.isEmpty) m
+      else Upsert.currentManifest(spark, centroidsDir(indexDir)).getOrElse(m)
+    val nlist = m2.props.get("nlist").map(_.toInt).getOrElse(return drift)
+    val epoch = m2.props.get("epoch").map(_.toInt).getOrElse(0)
+    drift ++ (0 until nlist).flatMap { c =>
       graft.io.Maintenance.runUpsert(spark, cellDir(indexDir, epoch, c),
         pk = Seq("vec_id"), policy = policy)
         .map(a => s"cell=$c: $a")

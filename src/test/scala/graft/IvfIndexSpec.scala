@@ -278,6 +278,51 @@ class IvfIndexSpec extends SparkSpec {
       "ingest must encode with the frozen build-time scale")
   }
 
+  test("maintain() integrates the drift guard: a skewed ingest rebuilds " +
+       "under the lease and probes stay brute-force-exact through the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maint_drift").toString
+    val corp = corpus
+    IvfIndex.build(spark, dir, corp, nlist = 8)
+    // without a corpus the pass cannot retrain: drift is NOT collected
+    // (codes alone cannot rebuild a quantizer), per-cell checks only
+    assert(!IvfIndex.maintain(spark, dir).exists(_.startsWith("rebuild:")))
+    // skewed ingest: near-copies of one vector pile into a single cell
+    val dup = spark.range(100000, 102000).select(col("id").as("vec_id"))
+      .crossJoin(corp.filter(col("vec_id") === 0).select(col("embedding").as("e0")))
+      .select(col("vec_id"), expr(
+        "transform(e0, (x, i) -> cast(x + pmod(vec_id * 31 + i, 97) / 1e3 as float))")
+        .as("embedding"))
+    IvfIndex.ingest(spark, dir, dup, batchVersion = 1L)
+    assert(IvfIndex.health(spark, dir).get.byteImbalance > 2.0)
+    val full = corp.unionByName(dup)
+    // ONE maintenance entry point: the drift rebuild fires first, the
+    // per-cell vacuum/compact sweep then runs over the NEW epoch
+    val actions = IvfIndex.maintain(spark, dir,
+      corpus = Some(full),
+      rebuild = IvfIndex.RebuildPolicy(maxByteImbalance = 2.0))
+    assert(actions.exists(_.startsWith("rebuild:")),
+      s"maintain must collect the drift rebuild: $actions")
+    // the swapped-in epoch answers EXACTLY like a FRESH build of the
+    // same corpus at full probe width (nprobe = nlist = every cell
+    // read — the exhaustive form): the recall contract held through
+    // the swap
+    val freshDir = java.nio.file.Files.createTempDirectory("ivf_maint_fresh").toString
+    IvfIndex.build(spark, freshDir, full, nlist = 8)
+    val got = rows(IvfIndex.topK(spark, dir, queries(), k = 5, nprobe = 8))
+    val want = rows(IvfIndex.topK(spark, freshDir, queries(), k = 5, nprobe = 8))
+    assert(got == want, "post-rebuild probes must match a fresh build")
+    // the guard re-fires ONLY while health says so: the duplicated
+    // mass is genuinely clustered, so retraining may legitimately
+    // leave one heavy cell — the contract is health-driven, not
+    // once-and-quiet
+    val h2 = IvfIndex.health(spark, dir).get
+    val again = IvfIndex.maintain(spark, dir, corpus = Some(full),
+      rebuild = IvfIndex.RebuildPolicy(maxByteImbalance = 2.0))
+      .exists(_.startsWith("rebuild:"))
+    assert(again == (h2.byteImbalance > 2.0),
+      s"rebuild firing ($again) must track health ($h2)")
+  }
+
   test("rebuildIfImbalanced: healthy index is a zero-job no-op; skewed ingest " +
        "trips the gate, the rebuilt index equals a FRESH build of the same " +
        "corpus, and no vector survives in two cells") {

@@ -1130,6 +1130,45 @@ object ScaleProbe {
         println(f"[scale] morfeed_prune n=$n%-9d buckets=512 " +
           f"small_wave_ms=${small.mkString("/")} big_wave_ms=${big.mkString("/")}")
       }
+
+      // backlog drain (VERDICT r12 #5): the semi path's per-range cost
+      // tracks the admitted delta backlog — a consumer that fell 50
+      // batches behind must drain through `maxBatchesPerTrigger`
+      // bounded steps with FLAT per-trigger cost (each trigger resolves
+      // one bounded range), and the drained aggregate must equal a full
+      // recompute. The unbounded consumer folds the same backlog as ONE
+      // big range for the total-cost comparison.
+      {
+        val fact = s"$root/backlog/fact"
+        graft.io.MergeOnRead.merge(spark, fact, rows)
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 64, bloom = true)
+        (2L to 51L).foreach { w =>
+          graft.io.MergeOnRead.merge(spark, fact,
+            rows.filter(pmod(xxhash64(col("event_id"), lit(w)), lit(n / 200)) === 0)
+              .withColumn("value_cents", col("value_cents") + lit(w))
+              .withColumn("__v", lit(w)))
+        }
+        def drain(dws: String, ckpt: String, cap: Option[Int]): Seq[Long] = {
+          val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact, dws,
+            groupCols = Seq("gid"), sumCols = Seq("value_cents"),
+            checkpointDir = ckpt, maxBatchesPerTrigger = cap, maxPointKeys = 0)
+          q.awaitTermination(600000)
+          q.recentProgress.filter(_.numInputRows > 0)
+            .map(_.durationMs.get("triggerExecution").toLong).toSeq
+        }
+        val bounded = drain(s"$root/backlog/dws_b", s"$root/backlog/ckpt_b", Some(5))
+        val one = drain(s"$root/backlog/dws_u", s"$root/backlog/ckpt_u", None)
+        def agg(dws: String) = graft.rtdw.IncrementalDws.current(spark, dws).get
+          .agg(sum(col("value_cents")), sum(col("row_ct"))).head().toString()
+        val full = graft.io.MergeOnRead.read(spark, fact, Seq("event_id"), "__v")
+          .agg(sum(col("value_cents")), count(lit(1))).head().toString()
+        println(f"[scale] morfeed_backlog n=$n%-9d batches=50 cap=5 " +
+          f"bounded_trigger_ms=${bounded.mkString("/")} " +
+          f"bounded_total_ms=${bounded.sum} one_shot_ms=${one.sum} " +
+          f"agg_equal=${agg(s"$root/backlog/dws_b") == full &&
+            agg(s"$root/backlog/dws_u") == full}")
+      }
     }
 
     if (morSortOnly) {

@@ -46,14 +46,19 @@ object GraftSession {
       // explicit scoped override.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // column mapping (r13): staged Upsert generations stamp stable
-      // parquet field ids and reads request columns BY ID, which is
-      // what makes ALTER TABLE ... RENAME COLUMN a metadata-only
-      // commit (files under the old name keep resolving). Write-side
-      // emission and read-side matching are both conf-gated by Spark;
-      // the read gate (Upsert.readSchemaOf) falls back to plain name
-      // matching when files predate stamping.
-      .config("spark.sql.parquet.fieldId.write.enabled", "true")
-      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // parquet field ids and RENAMED tables read columns BY ID (what
+      // makes ALTER ... RENAME COLUMN a metadata-only commit).
+      // Emission is a PER-WRITE datasource option. Matching is
+      // deliberately NOT enabled here: Spark honours only the SESSION
+      // conf (per-read options are clobbered by the reader build), and
+      // measured on the full bench the conf taxes EVERY parquet scan
+      // ~20% even when no requested schema carries ids — the wrong
+      // default at 100 TB. Reads of un-renamed tables never need ids
+      // (Upsert.readSchemaOf serves bare schemas); a RENAMED table on
+      // a session without the conf refuses loudly, naming
+      // spark.sql.parquet.fieldId.read.enabled — flip it (or use a
+      // child session, as the j_sql_rename head does) and only that
+      // session pays.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

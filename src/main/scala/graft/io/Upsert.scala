@@ -580,17 +580,31 @@ object Upsert {
   private[graft] def readSchemaOf(spark: SparkSession, m: Manifest)
       : Option[org.apache.spark.sql.types.StructType] =
     tableSchema(m).map { st =>
-      val eligible = m.props.get(IdGenProp).exists { g =>
-        FieldIds.hasIds(st) && m.allFiles.forall(genOfPath(_) >= g.toLong)
+      // id-carrying requests ONLY where they are load-bearing: a table
+      // with no renames reads perfectly by name (physical names ARE
+      // the declared names), and Spark's id-matching path has a real
+      // per-scan cost — serving bare schemas everywhere else keeps the
+      // feature's price on exactly the tables that use it
+      if (renamedFromOf(m).isEmpty) FieldIds.stripIds(st)
+      else {
+        val eligible = m.props.get(IdGenProp).exists { g =>
+          FieldIds.hasIds(st) && m.allFiles.forall(genOfPath(_) >= g.toLong)
+        }
+        if (eligible && FieldIds.idReadEnabled(spark)) st
+        else if (eligible)
+          throw new IllegalStateException(
+            s"this table has renamed columns (${renamedFromOf(m).map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
+              "and must be read with parquet field-id matching — set " +
+              "spark.sql.parquet.fieldId.read.enabled=true (GraftSession " +
+              "sessions enable it); name matching would silently serve " +
+              "NULL for the renamed column from pre-rename files")
+        else
+          throw new IllegalStateException(
+            s"this table has renamed columns (${renamedFromOf(m).map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
+              "but some referenced files predate field-id stamping — the " +
+              "rename gate should have refused this state; rebuild via " +
+              "compactBuckets(maxFilesPerBucket = 0)")
       }
-      if (eligible && FieldIds.idReadEnabled(spark)) st
-      else if (renamedFromOf(m).nonEmpty)
-        throw new IllegalStateException(
-          s"this table has renamed columns (${renamedFromOf(m).map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
-            "and must be read with parquet field-id matching — set " +
-            "spark.sql.parquet.fieldId.read.enabled=true (GraftSession " +
-            "sessions enable it)")
-      else FieldIds.stripIds(st)
     }
 
   /** Stamp `df`'s data columns with stable field ids (inheriting
@@ -710,6 +724,11 @@ object Upsert {
 
   private def scanFiles(spark: SparkSession, dir: String, rels: Seq[String],
                         schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // an id-carrying schema here means readSchemaOf decided ids are
+    // load-bearing (renamed table, every file stamped); the MATCHING
+    // side is the session conf — Spark propagates it into the reader,
+    // clobbering per-read options, so GraftSession enables it and
+    // readSchemaOf refuses renamed tables on sessions without it
     val r = schema.fold(spark.read)(s => spark.read.schema(s))
     r.parquet(rels.map(abs(dir, _)): _*)
   }
@@ -1243,7 +1262,14 @@ object Upsert {
       if (!clustered) merged
       else merged.withColumn(CvCol, xxhash64(valueClusterCols.map(col): _*))
     val partCols = if (clustered) Seq(BucketCol, CvCol) else Seq(BucketCol)
-    toWrite.write.mode("overwrite").partitionBy(partCols: _*).parquet(stage.toString)
+    // emit parquet field ids per-write (same rationale as scanFiles:
+    // never a session-wide conf) whenever the staged schema carries them
+    val w0 = toWrite.write.mode("overwrite").partitionBy(partCols: _*)
+    val w =
+      if (toWrite.schema.fields.exists(f => f.metadata.contains(FieldIds.Key)))
+        w0.option("spark.sql.parquet.fieldId.write.enabled", "true")
+      else w0
+    w.parquet(stage.toString)
     def leafFiles(p: Path): Seq[String] =
       fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
@@ -2600,7 +2626,9 @@ object Upsert {
     val (stored, idProps) = stampForStage(spark, currentManifest(spark, dir),
       gen, stored0)
     val storedSchema = stored.schema
-    stored.write.mode("overwrite").parquet(out.toString)
+    stored.write.mode("overwrite")
+      .option("spark.sql.parquet.fieldId.write.enabled", "true")
+      .parquet(out.toString)
     val fs = FsOps.fs(spark, out)
     val zoneStats = zoneCols.flatMap(c =>
       storedSchema.fields.find(_.name == c).map(f => c -> f.dataType))

@@ -1445,12 +1445,24 @@ object Relational {
       spark.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.UpsertCatalog].getName)
       spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN value TO amount")
-      val view = "rename_src_" + root.replaceAll("[^A-Za-z0-9]+", "_")
-      ev.createOrReplaceTempView(view)
-      spark.sql(
-        s"""INSERT INTO graft.`$root` (event_id, user_id, ts, event_type, amount, __v)
-            SELECT event_id, user_id, ts, event_type, value + 5, CAST(2 AS BIGINT)
-            FROM $view WHERE event_id % 11 = 0""")
+      // the post-rename INSERT resolves the touched buckets' current
+      // rows by id, so it needs the matching conf: runtime-scoped flip
+      // (the write is eager; the restore happens after it commits)
+      val prior = spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      try {
+        val view = "rename_src_" + root.replaceAll("[^A-Za-z0-9]+", "_")
+        ev.createOrReplaceTempView(view)
+        spark.sql(
+          s"""INSERT INTO graft.`$root` (event_id, user_id, ts, event_type, amount, __v)
+              SELECT event_id, user_id, ts, event_type, value + 5, CAST(2 AS BIGINT)
+              FROM $view WHERE event_id % 11 = 0""")
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+          case None => spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+        }
+      }
     }
 
   /** The renamed table's slice: %11 keys corrected post-rename (new
@@ -1459,11 +1471,29 @@ object Relational {
     * them). The ORACLE recomputes both over raw events; a green hash
     * proves the rename is pure metadata with no value drift.
     */
+  private val renameSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
   def jSqlRename(spark: SparkSession, sfDir: String): DataFrame = {
     val root = sqlRenameEnsure(spark, sfDir)
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[graft.sources.UpsertCatalog].getName)
-    spark.sql(
+    // SCOPED-CONF head (the CBO-head pattern): field-id matching is a
+    // session conf Spark propagates into every parquet reader, and it
+    // taxes every scan ~20%, so GraftSession leaves it off — the
+    // renamed table is read through a CHILD session that opts in,
+    // paying the cost exactly where the feature is used
+    val s2 = renameSessions.computeIfAbsent(sfDir, _ => {
+      val s = spark.newSession()
+      Seq("spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition")
+        .foreach(k => spark.conf.getOption(k).foreach(s.conf.set(k, _)))
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      s
+    })
+    s2.sql(
       s"""SELECT event_id, event_type,
                  CAST(FLOOR(amount * 100) AS BIGINT) AS amount_cents
           FROM graft.`$root`

@@ -1413,6 +1413,9 @@ private[sources] class UpsertBucketScan(table: UpsertBucketTable,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // field-id matching (renamed tables — the layout schema carries
+    // ids only then, see Upsert.readSchemaOf) rides the session conf:
+    // Spark's reader build propagates it, clobbering per-scan settings
     val conf = new SerializableConfiguration(ParquetScanShim.hadoopConf(spark))
     val support = ParquetScanShim.build(spark, table.dataSchema, partitionSchema,
       prunedData, filters.toSeq, conf.value)

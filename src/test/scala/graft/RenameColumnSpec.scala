@@ -19,12 +19,29 @@ import graft.io.{FieldIds, MergeOnRead, SchemaEvolutionException, Upsert}
 class RenameColumnSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Field-id MATCHING is a session conf Spark propagates into every
+    * parquet reader (per-read options are clobbered), and it taxes
+    * every scan — so GraftSession leaves it OFF and renamed tables
+    * refuse loudly without it. The CoW rows here opt in the way a
+    * rename user would; the refusal row below pins the loud failure.
+    */
+  private def withIdRead[T](body: => T): T = {
+    val k = "spark.sql.parquet.fieldId.read.enabled"
+    val prior = spark.conf.getOption(k)
+    spark.conf.set(k, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private def cowRows(ids: Range, ver: Long, tag: String) =
     ids.toDF("id").select(
       concat(lit("k"), col("id")).as("k"), lit(ver).as("ver"),
       concat(lit(tag), col("id")).as("v"))
 
-  test("CoW: rename is metadata-only; old and new files resolve; time travel keeps old names") {
+  test("CoW: rename is metadata-only; old and new files resolve; time travel keeps old names") { withIdRead {
     val dir = Files.createTempDirectory("ren_cow").toString
     Upsert.merge(spark, dir, cowRows(0 until 50, 1L, "a"),
       pk = Seq("k"), versionCol = "ver", numBuckets = 4)
@@ -69,9 +86,18 @@ class RenameColumnSpec extends SparkSpec {
         pk = Seq("k"), versionCol = "ver", numBuckets = 4)
     }
     assert(e2.getMessage.contains("renamed to 'body'"), e2.getMessage)
-  }
 
-  test("CoW: renaming a pk column keeps placement, lookups, and DML row ids working") {
+    // and WITHOUT the session conf, reading the renamed table refuses
+    // loudly, naming the conf — never a silent NULL for old files
+    val k = "spark.sql.parquet.fieldId.read.enabled"
+    spark.conf.unset(k)
+    val refuse =
+      try intercept[IllegalStateException](Upsert.read(spark, dir).collect())
+      finally spark.conf.set(k, "true")
+    assert(refuse.getMessage.contains("fieldId.read.enabled"), refuse.getMessage)
+  } }
+
+  test("CoW: renaming a pk column keeps placement, lookups, and DML row ids working") { withIdRead {
     val dir = Files.createTempDirectory("ren_pk").toString
     Upsert.merge(spark, dir, cowRows(0 until 40, 1L, "a"),
       pk = Seq("k"), versionCol = "ver", numBuckets = 4, bloom = true)
@@ -86,9 +112,9 @@ class RenameColumnSpec extends SparkSpec {
     assert(Upsert.read(spark, dir).filter(col("key") === "k3")
       .select("v").as[String].collect().toSeq == Seq("z3"))
     assert(Upsert.read(spark, dir).count() == 40)
-  }
+  } }
 
-  test("CoW refusals: pre-id files, collisions, tombstones") {
+  test("CoW refusals: pre-id files, collisions, tombstones") { withIdRead {
     val dir = Files.createTempDirectory("ren_refuse").toString
     Upsert.merge(spark, dir, cowRows(0 until 10, 1L, "a"),
       pk = Seq("k"), versionCol = "ver", numBuckets = 2)
@@ -136,7 +162,7 @@ class RenameColumnSpec extends SparkSpec {
     Upsert.renameColumn(spark, legacy, "v", "payload")
     assert(Upsert.read(spark, legacy)
       .filter(col("payload") === "a7").count() == 1)
-  }
+  } }
 
   test("CoW: dropped column's field id is never reused") {
     val dir = Files.createTempDirectory("ren_idreuse").toString

@@ -465,11 +465,14 @@ class UpsertCatalogSpec extends SparkSpec {
     // RENAME is metadata-only since r13 (field-id column mapping):
     // old files keep serving the renamed column, and the catalog
     // surface reloads with the new name (RenameColumnSpec owns the
-    // full matrix — this row pins the SQL ALTER route end-to-end)
+    // full matrix — this row pins the SQL ALTER route end-to-end).
+    // Reading a renamed table needs the id-matching session conf.
     spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w")
     assert(spark.table(s"graft.`$dir`").columns.contains("w"))
-    assert(spark.sql(s"SELECT w FROM graft.`$dir` WHERE k = 'k7'")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try assert(spark.sql(s"SELECT w FROM graft.`$dir` WHERE k = 'k7'")
       .as[String].head() == "new")
+    finally spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
     // a TYPE change stays physically impossible — Spark itself refuses
     // it at analysis against this catalog (NOT_SUPPORTED_CHANGE_COLUMN)
     val ty = intercept[Exception](

@@ -86,8 +86,15 @@ object ChangeFeed {
       case Some(existing) => existing // replay: already committed
       case None =>
         val next = batches(spark, tableDir).lastOption.map(_._1 + 1).getOrElse(0L)
+        // feed batches are PLAIN name-consumed parquet: strip any
+        // parquet field-id metadata the frame picked up from an
+        // id-stamped table scan, or the footers would mix stamped and
+        // unstamped files across batches and Spark refuses such reads
+        // (VERDICT r13 #2 — the post-image leg re-reads freshly staged
+        // id-stamped files, the pre-image leg reads bare)
+        val bare = FieldIds.stripIds(changes)
         FsOps.stageAndCommitBatch(fs, root, next, commitId)(tmp =>
-          changes.write.mode("overwrite").parquet(tmp.toString))
+          bare.write.mode("overwrite").parquet(tmp.toString))
         next
     }
   }
@@ -176,9 +183,12 @@ object ChangeFeed {
   /** Union batch dirs BY NAME: the table may have evolved between
     * batches, and a multi-path parquet read would silently impose one
     * batch's schema on all of them. Missing columns fill with NULL.
+    * Each dir's inferred schema is stripped of any field-id metadata a
+    * legacy (r13-era) stamped batch may carry, so downstream unions,
+    * folds, and net rewrites never re-emit ids into the feed.
     */
   private def readBatchDirs(spark: SparkSession, paths: Seq[String]): DataFrame =
-    paths.map(spark.read.parquet(_))
+    paths.map(p => FieldIds.stripIds(spark.read.parquet(p)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Compact the batch prefix `0..upTo` into one net batch at id

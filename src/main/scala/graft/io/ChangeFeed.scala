@@ -30,6 +30,57 @@ object ChangeFeed {
   private val NetRe = """net=(\d+)""".r
   private val BatchRe = """batch=(\d+)""".r
 
+  /** Name-era marker (r14): feed batches are plain name-consumed
+    * parquet, so after `RENAME COLUMN` a feed spans files under BOTH
+    * names. Each batch/net dir carries `_nameera-K` — the table's
+    * rename-chain length when the dir was WRITTEN (underscore-prefixed:
+    * invisible to parquet readers, committed atomically inside the
+    * dir's own publishing rename). Readers substitute exactly the
+    * chain suffix `K..` the dir has not seen: markerless dirs are era
+    * 0 (every pre-rename batch — renames refused on live feeds before
+    * this existed), and a net COMPACTED after a rename records the
+    * current era so its current-name rows are never mis-translated.
+    */
+  private val NameEraRe = """_nameera-(\d+)""".r
+
+  private[graft] def nameEraOf(names: Iterable[String]): Int =
+    names.collectFirst { case NameEraRe(k) => k.toInt }.getOrElse(0)
+
+  private def currentEra(spark: SparkSession, tableDir: String): Int =
+    Upsert.currentManifest(spark, tableDir)
+      .map(Upsert.renameChainOf(_).length).getOrElse(0)
+
+  private def writeEraMarker(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                             era: Int): Unit =
+    if (era > 0) fs.create(new Path(dir, s"_nameera-$era"), true).close()
+
+  /** Translate a batch dir's columns to the table's CURRENT names:
+    * presence-based against the collapsed rename map (tombstones
+    * guarantee an old and its new name never coexist in one file, and
+    * renamed-away names are refused at the write door, so presence is
+    * unambiguous). Used by every BATCH read; the streaming source
+    * does the same per-file via era-substituted read schemas.
+    */
+  private def translateRenames(spark: SparkSession, tableDir: String,
+                               df: DataFrame): DataFrame = {
+    val renames = Upsert.currentManifest(spark, tableDir)
+      .map(Upsert.renamedFromOf).getOrElse(Map.empty)
+    if (renames.isEmpty) df
+    else {
+      def canon(n: String) = SchemaEvolution.canon(spark, n)
+      val have = df.columns.map(canon).toSet
+      df.columns.foldLeft(df) { (d, c) =>
+        renames.get(canon(c)) match {
+          case Some(n) if !have.contains(canon(n)) => d.withColumnRenamed(c, n)
+          case Some(n) => throw new IllegalStateException(
+            s"feed batch of $tableDir carries both '$c' and its renamed " +
+              s"form '$n' — the rename tombstones should have refused this")
+          case None => d
+        }
+      }
+    }
+  }
+
   /** (batchId, path) for every VISIBLE change batch, ascending. A
     * `net=K` directory is a compacted prefix 0..K (see [[compact]]):
     * the highest net present is authoritative and every `batch=` or
@@ -93,8 +144,11 @@ object ChangeFeed {
         // (VERDICT r13 #2 — the post-image leg re-reads freshly staged
         // id-stamped files, the pre-image leg reads bare)
         val bare = FieldIds.stripIds(changes)
-        FsOps.stageAndCommitBatch(fs, root, next, commitId)(tmp =>
-          bare.write.mode("overwrite").parquet(tmp.toString))
+        val era = currentEra(spark, tableDir)
+        FsOps.stageAndCommitBatch(fs, root, next, commitId) { tmp =>
+          bare.write.mode("overwrite").parquet(tmp.toString)
+          writeEraMarker(fs, tmp, era)
+        }
         next
     }
   }
@@ -122,7 +176,7 @@ object ChangeFeed {
               "behind every consumer (ChangeFeed.compact contract); rebuild " +
               "the consumer from scratch")
         }
-      Some((readBatchDirs(spark, fresh.map(_._2)), fresh.map(_._1).max))
+      Some((readBatchDirs(spark, tableDir, fresh.map(_._2)), fresh.map(_._1).max))
     }
   }
 
@@ -177,18 +231,23 @@ object ChangeFeed {
           s"reconstructible: batch(es) " +
           s"${(if (missing.nonEmpty) missing else (fromExclusive + 1) to to).mkString(", ")} " +
           "were folded into a newer net batch — re-bootstrap from changes(-1, ...)")
-    readBatchDirs(spark, inRange.map(_._2))
+    readBatchDirs(spark, tableDir, inRange.map(_._2))
   }
 
   /** Union batch dirs BY NAME: the table may have evolved between
     * batches, and a multi-path parquet read would silently impose one
-    * batch's schema on all of them. Missing columns fill with NULL.
-    * Each dir's inferred schema is stripped of any field-id metadata a
-    * legacy (r13-era) stamped batch may carry, so downstream unions,
-    * folds, and net rewrites never re-emit ids into the feed.
+    * batch's schema on all of them. Missing columns fill with NULL;
+    * pre-rename batches translate to the current names per dir BEFORE
+    * the union (so old-name and new-name batches fold into one
+    * column). Each dir's inferred schema is stripped of any field-id
+    * metadata a legacy (r13-era) stamped batch may carry, so
+    * downstream unions, folds, and net rewrites never re-emit ids
+    * into the feed.
     */
-  private def readBatchDirs(spark: SparkSession, paths: Seq[String]): DataFrame =
-    paths.map(p => FieldIds.stripIds(spark.read.parquet(p)))
+  private def readBatchDirs(spark: SparkSession, tableDir: String,
+                            paths: Seq[String]): DataFrame =
+    paths.map(p => translateRenames(spark, tableDir,
+        FieldIds.stripIds(spark.read.parquet(p))))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Compact the batch prefix `0..upTo` into one net batch at id
@@ -216,7 +275,7 @@ object ChangeFeed {
     import org.apache.spark.sql.functions._
     val prefix = batches(spark, tableDir).filter(_._1 <= upTo)
     if (prefix.size <= 1) return
-    val df = readBatchDirs(spark, prefix.map(_._2))
+    val df = readBatchDirs(spark, tableDir, prefix.map(_._2))
     val dataCols = df.columns.filterNot(_ == ChangeCol).toSeq
     val net = df
       .groupBy(dataCols.map(col): _*)
@@ -230,6 +289,10 @@ object ChangeFeed {
     val tmp = new Path(root, s".compact-$upTo.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     net.write.mode("overwrite").parquet(tmp.toString)
+    // the net holds CURRENT-name rows (readBatchDirs translated), so
+    // it records the CURRENT era — even though its id sits below
+    // pre-rename batches it replaced
+    writeEraMarker(fs, tmp, currentEra(spark, tableDir))
     // carry the prefix's idempotence markers into the net so a very
     // late replayed append still dedupes after compaction
     prefix.foreach { case (_, p) =>

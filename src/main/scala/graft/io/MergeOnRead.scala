@@ -204,8 +204,9 @@ object MergeOnRead {
         // columns. A producer still writing a renamed-away name fails
         // loudly instead of silently forking the column.
         val renamedMap = kvRenamed(kv)
+        val retired = kvRetired(kv)
         val updates0 =
-          if (renamedMap.isEmpty) updates
+          if (renamedMap.isEmpty && retired.isEmpty) updates
           else {
             def canon(n: String) = SchemaEvolution.canon(spark, n)
             updates.columns.find(c => renamedMap.contains(canon(c))).foreach(c =>
@@ -214,6 +215,14 @@ object MergeOnRead {
                   s"renamed to '${renamedMap(canon(c))}' — update the " +
                   s"producer (re-introducing '$c' would fork the renamed " +
                   "column's data)"))
+            // a retired INTERMEDIATE of a chained rename (a->b->c): not
+            // a physical key, but a producer still writing 'b' is just
+            // as stale — its batches would land as a brand-new column
+            updates.columns.find(c => retired.contains(canon(c))).foreach(c =>
+              throw new SchemaEvolutionException(
+                s"merge into merge-on-read table $dir: column '$c' is a " +
+                  "retired name from a chained rename — update the producer " +
+                  s"(re-introducing '$c' would fork the renamed column's data)"))
             val byLogical = renamedMap.map { case (ph, lg) => canon(lg) -> ph }
             updates.select(updates.columns.toIndexedSeq.map(c =>
               byLogical.get(canon(c)).map(ph => col(c).as(ph)).getOrElse(col(c))): _*)
@@ -766,6 +775,21 @@ object MergeOnRead {
   private def renamedProp(m: Map[String, String]): String =
     m.toSeq.sorted.map { case (o, n) => s"$o>$n" }.mkString(",")
 
+  /** Canon LOGICAL names retired by chained renames (ADVICE r13): after
+    * a->b then b->c the mapping collapses to {a_phys -> c}, so 'b' —
+    * never a physical key — would otherwise be writable again as a
+    * brand-new column (forking the data the rename moved) and reusable
+    * as a rename target (diverging from CoW, whose renamedFrom
+    * tombstones every intermediate). This set closes both doors:
+    * [[validated]] and [[addColumns]] refuse batches/ADDs carrying a
+    * retired name, [[renameColumn]] refuses it as a target.
+    */
+  private def kvRetired(kv: Map[String, String]): Set[String] =
+    kv.get("retiredLogical").map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private def retiredProp(s: Set[String]): String = s.toSeq.sorted.mkString(",")
+
   /** The schema the contract recorded (Base64-wrapped DDL — written by
     * the streaming sink at query start and by [[compact]] from the
     * resolved read), or None for contracts recorded before the field
@@ -963,6 +987,11 @@ object MergeOnRead {
             s"cannot add column '${f.name}': the name was renamed away (to " +
               s"'${renamedMap(canon(f.name))}') and batches on disk still " +
               "hold its values under that physical name — use a new name")
+        if (kvRetired(contractKv(spark, dir).get).contains(canon(f.name)))
+          throw new SchemaEvolutionException(
+            s"cannot add column '${f.name}': the name is a retired " +
+              "intermediate of a chained rename — reusing it would fork " +
+              "the renamed column's identity; use a new name")
       }
       // the contract schema records PHYSICAL names; brand-new columns
       // are physical == logical by construction
@@ -1070,18 +1099,27 @@ object MergeOnRead {
           "a fresh name instead")
     if (logicalNames.contains(canon(to)) ||
         declaredPhys.fields.exists(f => canon(f.name) == canon(to)) ||
-        kvDropped(kv).contains(canon(to)) || renamedMap.contains(canon(to)))
+        kvDropped(kv).contains(canon(to)) || renamedMap.contains(canon(to)) ||
+        kvRetired(kv).contains(canon(to)))
       throw new SchemaEvolutionException(
         s"cannot rename column '$from' to '$to' on $dir: '$to' collides with " +
           "a live column, a dropped-column tombstone, or a renamed-away name")
     // the PHYSICAL anchor of `from`: its own name for a first rename,
-    // or the original physical key for a chained one
-    val phys = renamedMap.find { case (_, lg) => canon(lg) == canon(from) }
-      .map(_._1).getOrElse(
-        declaredPhys.fields.find(f => canon(f.name) == canon(from)).get.name)
+    // or the original physical key for a chained one — in which case
+    // `from` itself becomes a retired intermediate (a->b->c leaves no
+    // trace of 'b' in the mapping, so the retired set is what keeps a
+    // stale producer of 'b', a re-ADD, or a rename target from
+    // silently forking the column — CoW parity, ADVICE r13)
+    val chainedVia = renamedMap.find { case (_, lg) => canon(lg) == canon(from) }
+    val phys = chainedVia.map(_._1).getOrElse(
+      declaredPhys.fields.find(f => canon(f.name) == canon(from)).get.name)
     val updated = renamedMap.filterNot { case (ph, _) => ph == canon(phys) } +
       (canon(phys) -> to)
-    writeContract(spark, dir, kv + ("renamed" -> renamedProp(updated)))
+    val retired = kvRetired(kv) ++ chainedVia.map(_ => canon(from))
+    val retiredKv =
+      if (retired.isEmpty) Map.empty[String, String]
+      else Map("retiredLogical" -> retiredProp(retired))
+    writeContract(spark, dir, kv + ("renamed" -> renamedProp(updated)) ++ retiredKv)
   }
 
   /** The table's full DECLARED schema: the current read's shape (which

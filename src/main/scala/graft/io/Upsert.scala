@@ -558,6 +558,24 @@ object Upsert {
   private[graft] val MaxColIdProp = "maxColumnId"
   private[graft] val RenamedFromProp = "renamedFrom"
 
+  /** ORDERED rename history (`old>new` per step, chronological) — what
+    * the collapsed [[RenamedFromProp]] map loses. Change-feed batches
+    * are plain name-consumed parquet (no field ids — the id-read tax
+    * stays scoped to table scans), so a feed spanning a rename holds
+    * files under BOTH names; each batch dir records its name ERA (the
+    * chain length at write time, [[ChangeFeed]]'s `_nameera-K`
+    * marker) and readers substitute exactly the chain suffix the era
+    * has not seen. Old names store verbatim (files predate canon
+    * normalization of the request).
+    */
+  private[graft] val RenameChainProp = "renameChain"
+
+  private[graft] def renameChainOf(m: Manifest): Seq[(String, String)] =
+    m.props.get(RenameChainProp)
+      .map(_.split(",").filter(_.nonEmpty).toSeq.map { p =>
+        val Array(o, n) = p.split(">", 2); (o, n)
+      }).getOrElse(Seq.empty)
+
   private[graft] def renamedFromOf(m: Manifest): Map[String, String] =
     m.props.get(RenamedFromProp)
       .map(_.split(",").filter(_.nonEmpty).map { p =>
@@ -2288,9 +2306,15 @@ object Upsert {
     *    `compactBuckets(maxFilesPerBucket = 0)` (a full rewrite, which
     *    stamps ids) once, then rename;
     *  - the new name colliding with a live column, a dropped-column
-    *    tombstone, or a previously renamed-away name;
-    *  - change-feed tables: feed batches are plain appends consumed by
-    *    name, and a rename would fork the feed mid-stream.
+    *    tombstone, or a previously renamed-away name.
+    *
+    * Change-feed tables rename freely since r14: the ORDERED rename
+    * history ([[RenameChainProp]]) plus each feed batch dir's name-era
+    * marker let feed readers translate old-name batches to the
+    * current names at the read door ([[ChangeFeed]] batch reads by
+    * presence, [[graft.sources.ChangeFeedSource]] per-file via
+    * era-substituted read schemas) — feed files stay plain
+    * name-consumed parquet, no field ids, no id-read tax on consumers.
     *
     * After the rename, a producer still merging the OLD name fails
     * loudly in [[SchemaEvolution.checkAdditive]] (the `renamedFrom`
@@ -2324,10 +2348,6 @@ object Upsert {
         s"cannot rename column '$from' to '$to': '$to' was itself renamed " +
           s"away (to '${renamedFromOf(man)(canon(to))}') and old producers " +
           "are refused under that name")
-    if (ChangeFeed.batches(spark, dir).nonEmpty)
-      throw new SchemaEvolutionException(
-        s"cannot rename column '$from' on $dir: the table has a change feed, " +
-          "whose batches are consumed by name — renames would fork the feed")
     val idGenOk = man.props.get(IdGenProp).exists(g =>
       man.allFiles.forall(genOfPath(_) >= g.toLong))
     if (!idGenOk || !FieldIds.hasIds(schema))
@@ -2351,12 +2371,22 @@ object Upsert {
         o -> (if (canon(n) == canon(from)) to else n)
       } + (canon(from) -> to)).toSeq.sorted
       .map { case (o, n) => s"$o>$n" }.mkString(",")
+    // ordered history for the change-feed's name eras: old name
+    // recorded VERBATIM (the declared spelling feed files carry) —
+    // existing feed batches keep reading through era translation
+    // ([[ChangeFeed]]/[[graft.sources.ChangeFeedSource]]), so a
+    // changeLog table renames as freely as any other
+    val declaredFrom =
+      schema.fields.find(f => canon(f.name) == canon(from)).get.name
+    val chain = (renameChainOf(man).map { case (o, n) => s"$o>$n" }
+      :+ s"$declaredFrom>$to").mkString(",")
     commitManifest(spark, dir, Manifest(nextGen(spark, dir),
       man.props ++ subList(PkColsProp) ++ subList(ZoneColsProp)
         ++ subList(ValueClusterProp) ++ subList(SortedByProp)
         ++ man.props.get(VersionColProp).map(v => VersionColProp -> sub(v))
         + (SchemaProp -> FieldIds.serialize(renamed))
-        + (RenamedFromProp -> renames),
+        + (RenamedFromProp -> renames)
+        + (RenameChainProp -> chain),
       man.files), Some(man), op = "rename-column")
   }
 

@@ -13,7 +13,6 @@ import org.apache.spark.sql.graft.ParquetScanShim
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
-import org.apache.spark.util.SerializableConfiguration
 
 import graft.io.{ChangeFeed, Upsert}
 
@@ -45,7 +44,13 @@ import graft.io.{ChangeFeed, Upsert}
   * the table's CURRENT recorded schema + `__change`. Older batches
   * written before an additive evolution surface NULL for the new
   * columns (same contract as the table's own reads); columns dropped
-  * from the table no longer surface.
+  * from the table no longer surface. RENAMED columns resolve across
+  * the whole feed (r14): each batch dir's name-era marker selects a
+  * read schema with that era's own column names (the table's ordered
+  * rename chain substituted both ways), so pre-rename batches serve
+  * their values under the current name and a long-lived stream keeps
+  * reading post-rename batches — never silent NULLs in either
+  * direction.
   */
 class ChangeFeedSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
@@ -343,35 +348,85 @@ private[sources] class ChangeFeedStream(dir: String, dataSchema: StructType,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     visible.filter { case (id, _) => id > s && id <= e }
       .flatMap { case (_, p) =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        val listed = fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        // the dir's name era rides in the same listing (one RPC):
+        // which suffix of the table's rename chain its files predate
+        val era = ChangeFeed.nameEraOf(listed.map(_.getPath.getName))
+        listed
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
-          .map(st => ChangeFeedPartition(st.getPath.toString, st.getLen))
+          .map(st => ChangeFeedPartition(st.getPath.toString, st.getLen, era))
       }.toArray
   }
 
+  /** One parquet read support per NAME ERA present in the feed: a file
+    * written before rename step K holds the column under its era-K
+    * name, so the per-era request substitutes exactly the chain suffix
+    * the file predates — columns come back POSITIONALLY identical to
+    * `required` (names differ, shape doesn't), so downstream operators
+    * see the one fixed streaming schema. The walk runs both ways: a
+    * long-lived stream whose `required` predates a rename reads
+    * post-rename files under the NEW name (forward), and any stream
+    * reads pre-rename files under the OLD one (backward) — silent
+    * NULLs are impossible in either direction.
+    */
   override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConfiguration(ParquetScanShim.hadoopConf(spark))
-    val support = ParquetScanShim.build(spark, dataSchema,
-      new StructType(), required, Nil, conf.value)
-    new ChangeFeedReaderFactory(support)
+    val chain = graft.io.Upsert.currentManifest(spark, dir)
+      .map(graft.io.Upsert.renameChainOf).getOrElse(Seq.empty)
+    def canon(n: String) = graft.io.SchemaEvolution.canon(spark, n)
+    def nameAtEra(q: String, e: Int): String = {
+      var cur = q
+      var j = chain.indexWhere { case (o, _) => canon(o) == canon(cur) }
+      while (j >= 0 && j < e) {
+        cur = chain(j)._2
+        j = chain.indexWhere { case (o, _) => canon(o) == canon(cur) }
+      }
+      var i = chain.lastIndexWhere { case (_, n) => canon(n) == canon(cur) }
+      while (i >= e) {
+        cur = chain(i)._1
+        i = chain.lastIndexWhere { case (_, n) => canon(n) == canon(cur) }
+      }
+      cur
+    }
+    def subst(st: StructType, e: Int): StructType =
+      StructType(st.fields.map(f => f.copy(name = nameAtEra(f.name, e))))
+    // ONE FRESH hadoopConf PER support: the reader build MUTATES the
+    // conf it snapshots (requested schema), so era builds sharing one
+    // conf would all serve the LAST era's names (the r10 zero-rows SMJ
+    // lesson, same mechanism)
+    val supports =
+      if (chain.isEmpty)
+        Map(0 -> ParquetScanShim.build(spark, dataSchema,
+          new StructType(), required, Nil, ParquetScanShim.hadoopConf(spark)))
+      else (0 to chain.length).map(e =>
+        e -> ParquetScanShim.build(spark, subst(dataSchema, e),
+          new StructType(), subst(required, e), Nil,
+          ParquetScanShim.hadoopConf(spark))).toMap
+    new ChangeFeedReaderFactory(supports)
   }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-private[sources] case class ChangeFeedPartition(path: String, len: Long)
+private[sources] case class ChangeFeedPartition(path: String, len: Long,
+                                                era: Int = 0)
     extends InputPartition
 
-private[sources] class ChangeFeedReaderFactory(support: ParquetScanShim.ReadSupport)
+private[sources] class ChangeFeedReaderFactory(
+    supports: Map[Int, ParquetScanShim.ReadSupport])
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    support.columnar
+    supports.head._2.columnar
 
   private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
     val part = p.asInstanceOf[ChangeFeedPartition]
+    // a marker era newer than the planning-time chain (a rename
+    // committed between plan and read) falls back to the newest
+    // support we built — those files carry names ≤ that era by
+    // construction of the commit order
+    val support = supports.getOrElse(part.era, supports(supports.keys.max))
     support.read(ParquetScanShim.partitionedFile(
       new GenericInternalRow(Array.empty[Any]), part.path, part.len))
       .asInstanceOf[Iterator[AnyRef]]

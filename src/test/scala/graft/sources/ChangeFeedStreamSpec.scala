@@ -394,4 +394,39 @@ class ChangeFeedStreamSpec extends SparkSpec {
     // the guarded table is untouched
     assert(served(dws) == fullRecompute(fact))
   }
+
+  test("a stream started after RENAME COLUMN serves old batches under the new name") {
+    val root = Files.createTempDirectory("cdfren").toString
+    val fact = s"$root/fact"
+    mergeBatch(fact, Seq(("a", "p1", 1L, 100L, "insert"),
+      ("b", "p2", 1L, 50L, "insert")))
+    mergeBatch(fact, Seq(("a", "p1", 2L, 140L, "update")))
+    Upsert.renameColumn(spark, fact, "amount_cents", "amt")
+    val k = "spark.sql.parquet.fieldId.read.enabled"
+    spark.conf.set(k, "true")
+    try Upsert.merge(spark, fact,
+        Seq(("c", "p1", 3L, 75L, "insert"))
+          .toDF("id", "province_id", "ver", "amt", "op"),
+        pk = Seq("id"), versionCol = "ver", deleteFlagCol = Some("op"),
+        changeLog = true)
+    finally spark.conf.unset(k)
+
+    // fresh consumer from earliest: pre-rename batch files (name era 0)
+    // must surface their values under the CURRENT name — per-era read
+    // supports, never silent NULLs
+    val out = s"$root/out"
+    val q = ChangeFeedSource.read(spark, fact)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .select("id", "amt", ChangeFeed.ChangeCol)
+      .as[(String, Long, String)].collect().toSet
+    assert(rows == Set(("a", 100L, "add"), ("b", 50L, "add"),
+      ("a", 100L, "retract"), ("a", 140L, "add"), ("c", 75L, "add")),
+      s"got $rows")
+  }
 }

@@ -1149,10 +1149,12 @@ object ScaleProbe {
               .withColumn("value_cents", col("value_cents") + lit(w))
               .withColumn("__v", lit(w)))
         }
-        def drain(dws: String, ckpt: String, cap: Option[Int]): Seq[Long] = {
+        def drain(dws: String, ckpt: String, cap: Option[Int],
+                  compactEvery: Option[Int] = None): Seq[Long] = {
           val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact, dws,
             groupCols = Seq("gid"), sumCols = Seq("value_cents"),
-            checkpointDir = ckpt, maxBatchesPerTrigger = cap, maxPointKeys = 0)
+            checkpointDir = ckpt, maxBatchesPerTrigger = cap, maxPointKeys = 0,
+            compactEveryTriggers = compactEvery)
           q.awaitTermination(600000)
           q.recentProgress.filter(_.numInputRows > 0)
             .map(_.durationMs.get("triggerExecution").toLong).toSeq
@@ -1168,6 +1170,45 @@ object ScaleProbe {
           f"bounded_total_ms=${bounded.sum} one_shot_ms=${one.sum} " +
           f"agg_equal=${agg(s"$root/backlog/dws_b") == full &&
             agg(s"$root/backlog/dws_u") == full}")
+      }
+
+      // drain-aware compaction pairing (r14, VERDICT r13 #2): the same
+      // 50-batch backlog drained at cap=5 WITH the consumed prefix
+      // folding every 2 triggers. The r13 probe showed the unpaired
+      // bounded drain grows per-trigger (each PRE image unions every
+      // uncompacted batch below its boundary — O(backlog²) total);
+      // pairing keeps the boundary tail empty, so per-trigger cost is
+      // flat (resolve one bounded range against the fresh base +
+      // compact 5 batches) and the total is O(backlog). Built on a
+      // SEPARATE fact so the unpaired rows above stay comparable.
+      {
+        val fact = s"$root/backlogp/fact"
+        graft.io.MergeOnRead.merge(spark, fact, rows)
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = 64, bloom = true)
+        (2L to 51L).foreach { w =>
+          graft.io.MergeOnRead.merge(spark, fact,
+            rows.filter(pmod(xxhash64(col("event_id"), lit(w)), lit(n / 200)) === 0)
+              .withColumn("value_cents", col("value_cents") + lit(w))
+              .withColumn("__v", lit(w)))
+        }
+        val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact,
+          s"$root/backlogp/dws", groupCols = Seq("gid"),
+          sumCols = Seq("value_cents"), checkpointDir = s"$root/backlogp/ckpt",
+          maxBatchesPerTrigger = Some(5), maxPointKeys = 0,
+          compactEveryTriggers = Some(2))
+        q.awaitTermination(600000)
+        val paired = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toLong).toSeq
+        val full = graft.io.MergeOnRead.read(spark, fact, Seq("event_id"), "__v")
+          .agg(sum(col("value_cents")), count(lit(1))).head().toString()
+        val got = graft.rtdw.IncrementalDws.current(spark, s"$root/backlogp/dws")
+          .get.agg(sum(col("value_cents")), sum(col("row_ct"))).head().toString()
+        println(f"[scale] morfeed_drainpair n=$n%-9d batches=50 cap=5 " +
+          f"compact_every=2 paired_trigger_ms=${paired.mkString("/")} " +
+          f"paired_total_ms=${paired.sum} " +
+          f"compacted_upto=${graft.io.MergeOnRead.compactedUpto(spark, fact)} " +
+          f"agg_equal=${got == full}")
       }
     }
 

@@ -42,6 +42,7 @@ object SparkEntry {
     "j_sql_merge_3way" -> (Relational.jSqlMerge3way _),
     "dws_stream_fold" -> (Relational.dwsStreamFold _),
     "dws_mor_stream_fold" -> (Relational.dwsMorStreamFold _),
+    "dws_mor_drain" -> (Relational.dwsMorDrainFold _),
     "mor_sql_agg" -> (Relational.morSqlAgg _),
     "mor_sql_dml" -> (Relational.morSqlDml _),
     "mor_sql_merge_3way" -> (Relational.morSqlMerge3way _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "mor_sql_alter" -> (Relational.morSqlAlter _),
     "j_sql_rename" -> (Relational.jSqlRename _),
     "mor_sql_rename" -> (Relational.morSqlRename _),
+    "mor_rename_time_travel" -> (Relational.morRenameTimeTravel _),
     "mor_changes_batch" -> (Relational.morChangesBatch _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
@@ -459,6 +461,22 @@ object SparkEntry {
          WHERE event_id % 101 <> 0
          GROUP BY event_type""",
 
+    // bounded drain WITH drain-aware compaction (r14): a 21-batch MOR
+    // delta backlog drained at maxBatchesPerTrigger=5 while the
+    // consumed prefix folds into the base every 2 triggers — green
+    // proves drain == one-shot == full recompute THROUGH the
+    // consumed-prefix compaction. Wave w ∈ [2,21] corrected exactly
+    // the keys event_id % 23 = w to floor(value*100) + w.
+    "dws_mor_drain" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                         + CASE WHEN event_id % 23 BETWEEN 2 AND 21
+                                THEN event_id % 23 ELSE 0 END) AS BIGINT)
+                  AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events
+         GROUP BY event_type""",
+
     // the Spark side answers count(*)/min/max/sum/count(col) over a
     // zones copy of events from METADATA ALONE (manifest footer counts
     // + zone sidecars' exact values, non-null counts and BigInt-folded
@@ -664,6 +682,18 @@ object SparkEntry {
                               THEN CAST(FLOOR(value * 100) AS BIGINT) + 9
                               ELSE CAST(FLOOR(value * 100) AS BIGINT) END) AS BIGINT)
                   AS amount_cents,
+                COUNT(*) AS row_ct
+         FROM events GROUP BY event_type""",
+
+    // VERSION AS OF 0 on the renamed MOR root: the PRE-rename era.
+    // Per-version schema history (r14) serves the snapshot under its
+    // own era's name — the oracle aggregates raw events AS value_cents
+    // (the old name) over the pre-correction content; green proves MOR
+    // time travel is schema-versioned (names included), CoW-parity
+    "mor_rename_time_travel" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
                 COUNT(*) AS row_ct
          FROM events GROUP BY event_type""",
 

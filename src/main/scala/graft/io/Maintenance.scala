@@ -142,17 +142,19 @@ object Maintenance {
              numBuckets: Int = Upsert.DefaultNumBuckets,
              bloom: Boolean = false,
              policy: Policy = Policy(),
-             sortBase: Boolean = true): Seq[String] = {
+             sortBase: Boolean = true,
+             upToLimit: Option[Long] = None): Seq[String] = {
     val st = MergeOnRead.stats(spark, dir)
     if (st.liveDeltaBatches > policy.maxDeltaBatches ||
         st.liveDeltaBytes > policy.maxDeltaBytes) {
       val (ePk, eVc, eDel, eN) = MergeOnRead.contract(spark, dir)
         .getOrElse((pk, versionCol, deleteFlagCol, numBuckets))
       MergeOnRead.compact(spark, dir, ePk, eVc, eDel, eN, bloom,
-        sortBase = sortBase)
+        sortBase = sortBase, upToLimit = upToLimit)
       Seq(s"compact: folded ${st.liveDeltaBatches} delta batches " +
         s"(${st.liveDeltaBytes} B) into the base" +
-        (if (sortBase) ", pk-sorted" else ""))
+        (if (sortBase) ", pk-sorted" else "") +
+        upToLimit.fold("")(u => s", bounded to batch <= $u"))
     } else Nil
   }
 

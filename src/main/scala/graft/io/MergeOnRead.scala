@@ -469,7 +469,8 @@ object MergeOnRead {
                                 deleteFlagCol: Option[String],
                                 maxBroadcastDeltaBytes: Long,
                                 baseBuckets: Option[Set[Int]] = None,
-                                applyRename: Boolean = true): DataFrame = {
+                                applyRename: Boolean = true,
+                                kvAsOf: Option[Map[String, String]] = None): DataFrame = {
     val live0 = snap.live
     // ONE driver listing of the live delta dirs, shared by the pruning
     // gate and the broadcast-vs-SPJ choice (was two listings per read
@@ -486,8 +487,12 @@ object MergeOnRead {
     val live = live0
     // ONE contract-file read per composition, threaded through the
     // empty-arm typing, the resolve's null-free choice, and the final
-    // declared-schema reconciliation
-    val kv = contractKv(spark, dir)
+    // declared-schema reconciliation. A version-pinned read passes the
+    // AS-OF contract ([[contractKvAt]]) so snapshot v reconciles under
+    // v's own era — names, tombstones, and EXACTLY the declared
+    // columns (strict: a bounded compaction may have baked later-added
+    // NULL columns into a base manifest v's snapshot still uses).
+    val kv = kvAsOf.orElse(contractKv(spark, dir))
     val baseOpt = manOpt.map(scanBase(spark, dir, _))
     val deltaOpt =
       if (live.isEmpty) None
@@ -540,7 +545,8 @@ object MergeOnRead {
     // declared-schema reconciliation (ALTER TABLE parity): dropped
     // columns vanish, freshly-ADDed columns surface as typed NULLs;
     // never-evolved tables take the no-op branch (plan untouched)
-    reconcileDeclaredKv(spark, kv, resolved, applyRename)
+    reconcileDeclaredKv(spark, kv, resolved, applyRename,
+      strictDeclared = kvAsOf.isDefined)
   }
 
   /** Widen base and deltas to their UNION schema (additive evolution:
@@ -790,6 +796,72 @@ object MergeOnRead {
 
   private def retiredProp(s: Set[String]): String = s.toSeq.sorted.mkString(",")
 
+  /** Per-VERSION schema history (r14, VERDICT r13 #4): every evolution
+    * commit (ADD/DROP/RENAME) appends the PRE-evolution name state —
+    * schemaDDL, renamed map, dropped + retired tombstones — stamped
+    * with the delta-batch watermark it was valid through, so
+    * `VERSION AS OF v` serves snapshot v under the names and shape v's
+    * own era declared (closing the r13 divergence where MOR time
+    * travel reconciled history against the CURRENT contract). Entry
+    * fields are base64 (or already-b64 schemaDDL), `:`-joined;
+    * entries `;`-joined, chronological. Legacy contracts without the
+    * key keep table-level semantics.
+    */
+  private val HistoryKey = "schemaHistory"
+
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private def kvHistory(kv: Map[String, String]): Seq[(Long, Map[String, String])] =
+    kv.get(HistoryKey).map(_.split(";").filter(_.nonEmpty).toSeq.map { e =>
+      val p = e.split(":", 5)
+      val past = Seq(
+        p.lift(1).filter(_.nonEmpty).map("schemaDDL" -> _),
+        p.lift(2).filter(_.nonEmpty).map(v => "renamed" -> b64d(v)),
+        p.lift(3).filter(_.nonEmpty).map(v => "dropped" -> b64d(v)),
+        p.lift(4).filter(_.nonEmpty).map(v => "retiredLogical" -> b64d(v))
+      ).flatten.toMap
+      (p(0).toLong, past)
+    }).getOrElse(Seq.empty)
+
+  /** `kv` with the CURRENT name state appended as a history entry
+    * valid through the present delta-batch watermark — call BEFORE
+    * overlaying an evolution's changes. Pre-schemaDDL contracts and
+    * empty tables skip (no version can reference their pre-state).
+    */
+  private def withHistoryEntry(spark: SparkSession, dir: String,
+                               kv: Map[String, String]): Map[String, String] = {
+    val upto = math.max(
+      deltaBatches(spark, dir).lastOption.map(_._1).getOrElse(-1L),
+      compactedUpto(spark, dir))
+    if (upto < 0 || !kv.contains("schemaDDL")) kv
+    else {
+      val entry = Seq(upto.toString, kv.getOrElse("schemaDDL", ""),
+        kv.get("renamed").map(b64e).getOrElse(""),
+        kv.get("dropped").map(b64e).getOrElse(""),
+        kv.get("retiredLogical").map(b64e).getOrElse("")).mkString(":")
+      kv + (HistoryKey -> (kv.get(HistoryKey).toSeq :+ entry).mkString(";"))
+    }
+  }
+
+  /** The contract kv AS OF delta-batch version `v`: the first history
+    * entry whose watermark covers v replaces the name-state fields;
+    * versions past every entry (or legacy contracts) serve the current
+    * kv. */
+  private[graft] def contractKvAt(spark: SparkSession, dir: String,
+                                  v: Long): Option[Map[String, String]] =
+    contractKv(spark, dir).map { kv =>
+      kvHistory(kv).find(_._1 >= v) match {
+        case None => kv
+        case Some((_, past)) =>
+          (kv - "schemaDDL" - "renamed" - "dropped" - "retiredLogical") ++ past
+      }
+    }
+
   /** The schema the contract recorded (Base64-wrapped DDL — written by
     * the streaming sink at query start and by [[compact]] from the
     * resolved read), or None for contracts recorded before the field
@@ -998,9 +1070,10 @@ object MergeOnRead {
       val currentPhys = declaredReadSchema(spark, dir, pk, vc, del,
         physical = true)
       writeContract(spark, dir,
-        contractKv(spark, dir).get + ("schemaDDL" -> schemaB64(
-          org.apache.spark.sql.types.StructType(
-            currentPhys.fields ++ fields.map(_.copy(nullable = true))))))
+        withHistoryEntry(spark, dir, contractKv(spark, dir).get) +
+          ("schemaDDL" -> schemaB64(
+            org.apache.spark.sql.types.StructType(
+              currentPhys.fields ++ fields.map(_.copy(nullable = true))))))
     }
   }
 
@@ -1050,7 +1123,7 @@ object MergeOnRead {
       physical = true)
     val remaining = currentPhys.fields.filterNot(f => canonCols.contains(canon(f.name)))
     val tombstones = (droppedSet(spark, dir) ++ canonCols).toSeq.sorted
-    writeContract(spark, dir, kv +
+    writeContract(spark, dir, withHistoryEntry(spark, dir, kv) +
       ("schemaDDL" -> schemaB64(org.apache.spark.sql.types.StructType(remaining))) +
       ("dropped" -> tombstones.mkString(",")))
     }
@@ -1066,8 +1139,9 @@ object MergeOnRead {
     * rebuilding), as do drifted (file-only, undeclared) columns and
     * collisions with live/dropped/renamed-away names. Unlike the CoW
     * layout (whose manifests version their schemas), the MOR contract
-    * stays TABLE-LEVEL: time travel serves historical content under
-    * the CURRENT names — the documented divergence.
+    * records its pre-state in the schema history, so time travel
+    * serves each version under ITS OWN names (r14 — the r13
+    * divergence is closed).
     */
   def renameColumn(spark: SparkSession, dir: String,
                    from: String, to: String): Unit = Upsert.withWriterLease(spark, dir) {
@@ -1119,7 +1193,8 @@ object MergeOnRead {
     val retiredKv =
       if (retired.isEmpty) Map.empty[String, String]
       else Map("retiredLogical" -> retiredProp(retired))
-    writeContract(spark, dir, kv + ("renamed" -> renamedProp(updated)) ++ retiredKv)
+    writeContract(spark, dir, withHistoryEntry(spark, dir, kv) +
+      ("renamed" -> renamedProp(updated)) ++ retiredKv)
   }
 
   /** The table's full DECLARED schema: the current read's shape (which
@@ -1142,15 +1217,11 @@ object MergeOnRead {
     * typed NULLs. A table that never evolved takes the no-op branch —
     * the plan is untouched.
     *
-    * The contract is TABLE-LEVEL, exactly like pk/versionCol: time
-    * travel therefore reconciles historical snapshots against the
-    * CURRENT declared schema (a dropped column is gone from every
-    * version; an added one reads NULL in snapshots predating it). The
-    * format carries no per-version column mapping, so this is the
-    * honest alternative to serving stale values — the deliberate
-    * divergence from CoW time travel (whose manifests ARE versioned
-    * schemas) is pinned in MorAlterSpec and documented at
-    * [[graft.sources.MorTable]].
+    * CURRENT reads reconcile against the current contract; a
+    * VERSION-pinned read passes the AS-OF contract ([[contractKvAt]],
+    * r14) so each version reconciles under its own era's schema —
+    * CoW-parity versioned time travel, pinned in MorAlterSpec and
+    * RenameColumnSpec.
     */
   private[graft] def reconcileDeclared(spark: SparkSession, dir: String,
                                        df: DataFrame): DataFrame =
@@ -1163,7 +1234,8 @@ object MergeOnRead {
   private def reconcileDeclaredKv(spark: SparkSession,
                                   kv: Option[Map[String, String]],
                                   df: DataFrame,
-                                  applyRename: Boolean = true): DataFrame =
+                                  applyRename: Boolean = true,
+                                  strictDeclared: Boolean = false): DataFrame =
     kv match {
       case None => df
       case Some(m) =>
@@ -1174,13 +1246,25 @@ object MergeOnRead {
             .filterNot(f => have(canon(f.name)) || dropped(canon(f.name))))
           .getOrElse(Seq.empty)
         val toDrop = df.columns.filter(c => dropped(canon(c)))
-        val base =
+        val base0 =
           if (missing.isEmpty && toDrop.isEmpty) df
           else {
             val kept = df.columns.filterNot(c => dropped(canon(c)))
             df.select(kept.toIndexedSeq.map(col) ++ missing.map(f =>
               lit(null).cast(f.dataType).as(f.name)): _*)
           }
+        // strict (as-of reads): serve EXACTLY the era's declared
+        // columns — drifted file-only columns and later-added NULLs a
+        // bounded compaction baked into a still-referenced base stay
+        // out of a version-pinned shape
+        val base = kvSchema(m) match {
+          case Some(st) if strictDeclared =>
+            val declared = st.fields.map(f => canon(f.name)).toSet
+            val extra = base0.columns.filterNot(c =>
+              declared(canon(c)) || c == BatchCol)
+            if (extra.isEmpty) base0 else base0.drop(extra.toIndexedSeq: _*)
+          case _ => base0
+        }
         // column mapping (r13): the read exit serves the LOGICAL names.
         // Compaction paths pass applyRename = false — the base must
         // stay physically named so it keeps unioning with the delta
@@ -1209,10 +1293,20 @@ object MergeOnRead {
               deleteFlagCol: Option[String] = None,
               numBuckets: Int = Upsert.DefaultNumBuckets,
               bloom: Boolean = false,
-              sortBase: Boolean = true): Unit = Upsert.withWriterLease(spark, dir) {
+              sortBase: Boolean = true,
+              upToLimit: Option[Long] = None): Unit = Upsert.withWriterLease(spark, dir) {
     recordContract(spark, dir, pk, versionCol, deleteFlagCol, numBuckets)
     gcCompactedDeltas(spark, dir) // collect strays from a crashed run
-    val live = deltaBatches(spark, dir).filter(_._1 > compactedUpto(spark, dir))
+    // upToLimit (r14, drain-aware compaction): fold only the delta
+    // PREFIX ≤ limit — a feed consumer draining a deep backlog in
+    // bounded triggers compacts exactly what it has consumed, so the
+    // NEXT trigger's PRE boundary image resolves against the fresh
+    // base with an empty delta tail (O(1) per trigger) instead of
+    // unioning every uncompacted batch below its boundary (the
+    // measured O(backlog²) drain of PROBES r13). Batches above the
+    // limit stay live deltas for the next cycle.
+    val live = deltaBatches(spark, dir).filter(b =>
+      b._1 > compactedUpto(spark, dir) && upToLimit.forall(b._1 <= _))
     if (live.isEmpty) return
     val upTo = live.map(_._1).max
     // INCREMENTAL sorted pass (VERDICT r12 #1): when the base is
@@ -1233,8 +1327,12 @@ object MergeOnRead {
     }
     // PHYSICAL read (applyRename = false): compaction folds the
     // resolved content back into base files that must keep unioning
-    // with the delta log's physical column names
-    val resolved0 = readPinned(spark, dir, currentSnapshot(spark, dir), pk,
+    // with the delta log's physical column names. A bounded compact
+    // pins the snapshot AT its limit so deltas above it stay out of
+    // the folded content.
+    val snap = upToLimit.fold(currentSnapshot(spark, dir))(_ =>
+      snapshotAt(spark, dir, upTo))
+    val resolved0 = readPinned(spark, dir, snap, pk,
       versionCol, deleteFlagCol, DefaultBroadcastDeltaBytes,
       applyRename = false)
     // backfill the contract schema for pre-schema contracts (no-op

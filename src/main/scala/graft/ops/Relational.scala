@@ -1254,6 +1254,58 @@ object Relational {
       .select(col("event_type"), col("value_cents"), col("row_ct"))
   }
 
+  /** Build-once DEEP-BACKLOG drain fixture (VERDICT r13 #6): a MOR
+    * fact with a 21-batch delta backlog (insert-all + 20 single-residue
+    * correction waves, each its own batch) drained by ONE bounded
+    * AvailableNow subscription — cap=5 batches per trigger WITH
+    * drain-aware compaction every 2 triggers, so the driver's DuckDB
+    * gate pins drain == one-shot == full recompute THROUGH the r14
+    * consumed-prefix folding, not just the spec. Waves w ∈ [2, 21]
+    * touch exactly the keys `event_id % 23 == w` (disjoint residues —
+    * each key corrected at most once, so the final state is closed-form
+    * in SQL). Returns the DWS dir.
+    */
+  def dwsMorDrainEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/stream_dws_mordrain_", sfDir,
+        recipe = "mor-feed bounded drain cap5 compactEvery2 21-batch backlog v1") { base =>
+      val fact = s"$base/fact"
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"), col("value"))
+      def wave(df: DataFrame, v: Long, op: String): Unit =
+        graft.io.MergeOnRead.merge(spark, fact,
+          df.withColumn("__v", lit(v)).withColumn("op", lit(op))
+            .drop("value"))
+      wave(ev, 1L, "insert")
+      graft.io.MergeOnRead.recordContract(spark, fact, Seq("event_id"), "__v",
+        Some("op"), graft.io.Upsert.DefaultNumBuckets)
+      (2L to 21L).foreach { w =>
+        wave(ev.filter(col("event_id") % 23 === lit(w))
+          .withColumn("value_cents", cents(col("value")) + lit(w)), w, "update")
+      }
+      val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact, s"$base/dws",
+        groupCols = Seq("event_type"), sumCols = Seq("value_cents"),
+        checkpointDir = s"$base/ckpt", maxBatchesPerTrigger = Some(5),
+        compactEveryTriggers = Some(2))
+      q.awaitTermination(300000)
+      // the pairing must have folded the consumed prefix as it drained
+      // — a fixture-time invariant so a regression fails the BUILD, not
+      // just a slow probe
+      val upto = graft.io.MergeOnRead.compactedUpto(spark, fact)
+      require(upto >= 15L,
+        s"drain-aware compaction did not advance with the drain (upto=$upto)")
+      ()
+    } + "/dws"
+
+  /** The bounded-drain DWS aggregate, graded against a closed-form
+    * recompute of the waves' net effect over raw events.
+    */
+  def dwsMorDrainFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val dws = dwsMorDrainEnsure(spark, sfDir)
+    graft.rtdw.IncrementalDws.current(spark, dws).get
+      .select(col("event_type"), col("value_cents"), col("row_ct"))
+  }
+
   /** Build-once MERGE-ON-READ table over events: insert-all lands as
     * delta 0 and compacts into the base (recording the contract),
     * then corrections for %97 keys and deletes of %101 keys stay as
@@ -1509,7 +1561,9 @@ object Relational {
     */
   def morRenameEnsure(spark: SparkSession, sfDir: String): String =
     Tables.ensureBuilt(spark, "target/dml/mor_rename_", sfDir,
-        recipe = "mor sql-rename value_cents->amount_cents correct%17+9 v1") { root =>
+        // v2: rebuilt under r14 so the contract carries the rename's
+        // schemaHistory entry (per-era time travel needs it)
+        recipe = "mor sql-rename value_cents->amount_cents correct%17+9 v2") { root =>
       val dir = s"$root/t"
       val ev = Tables.events(spark, sfDir)
       graft.io.MergeOnRead.merge(spark, dir,
@@ -1545,6 +1599,23 @@ object Relational {
       s"""SELECT event_type, SUM(amount_cents) AS amount_cents,
                  COUNT(*) AS row_ct
           FROM graft.`$dir` GROUP BY event_type""")
+  }
+
+  /** `VERSION AS OF 0` on the renamed MOR root — the PRE-rename era.
+    * Per-version schema history (r14, VERDICT r13 #4) serves the
+    * snapshot under its own era's name (`value_cents`, not the current
+    * `amount_cents`) with the pre-correction content; the ORACLE
+    * recomputes that state from raw events UNDER THE OLD NAME — green
+    * proves MOR time travel is schema-versioned, CoW-parity.
+    */
+  def morRenameTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morRenameEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT event_type, SUM(value_cents) AS value_cents,
+                 COUNT(*) AS row_ct
+          FROM graft.`$dir` VERSION AS OF 0 GROUP BY event_type""")
   }
 
   /** Aggregate over the SQL-ALTERed MOR root, including `COUNT(note)`

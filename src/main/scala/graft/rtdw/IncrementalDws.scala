@@ -206,7 +206,8 @@ object IncrementalDws {
                    trigger: org.apache.spark.sql.streaming.Trigger =
                      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                    maxBatchesPerTrigger: Option[Int] = None,
-                   maxPointKeys: Int = 1024)
+                   maxPointKeys: Int = 1024,
+                   compactEveryTriggers: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // FRESH consumer on a MATURE fact (its delta batch 0 already GC'd
     // after compaction — ADVICE r11): the stream can only start at the
@@ -268,11 +269,41 @@ object IncrementalDws {
               "be reconciled with the recorded watermark — resume the " +
               "original checkpoint, or point a fresh DWS dir at the feed")
         if (batchId > applied) {
-          val changes = MorChangeFeed.retractStream(s, morFactDir, raw,
-            maxPointKeys)
+          // bounds computed ONCE here and threaded through: the
+          // retract derivation skips its internal bounds job, and the
+          // range end doubles as the drain-aware compaction limit
+          val bounds = raw.agg(
+            min(col(graft.sources.MorChangeFeedSource.BatchCol)),
+            max(col(graft.sources.MorChangeFeedSource.BatchCol))).head()
+          val known =
+            if (bounds.isNullAt(0)) None
+            else Some((bounds.getLong(0), bounds.getLong(1)))
+          val changes = MorChangeFeed.retractStreamBounded(s, morFactDir, raw,
+            maxPointKeys, known)
           foldInto(s, dwsDir, changes, groupCols, sumCols, man,
             Map(StreamAppliedProp -> batchId.toString) ++
               qid.map(StreamQueryProp -> _))
+          // drain-aware compaction pairing (VERDICT r13 next #2): a
+          // bounded drain's per-trigger PRE boundary image unions every
+          // uncompacted batch below its boundary — O(backlog²) total
+          // over a deep backlog (PROBES r13). Folding the CONSUMED
+          // prefix (≤ this trigger's kmax, never ahead of the
+          // subscription) every K triggers keeps the boundary tail
+          // empty, so per-trigger cost stays flat and the total is
+          // O(backlog). Runs AFTER the fold commits: a crash between
+          // fold and compact just leaves the prefix for the next
+          // trigger's cadence check. Same writer lease as any
+          // Maintenance.runMor; retention still keeps one compaction
+          // cycle for other subscribers.
+          for (k <- compactEveryTriggers; b <- known
+               if (batchId + 1) % k == 0) {
+            val (ePk, eVc, eDel, eN) =
+              graft.io.MergeOnRead.contract(s, morFactDir).getOrElse(
+                throw new IllegalStateException(
+                  s"$morFactDir lost its contract mid-subscription"))
+            graft.io.MergeOnRead.compact(s, morFactDir, ePk, eVc, eDel, eN,
+              upToLimit = Some(b._2))
+          }
         }
         ()
       }

@@ -44,7 +44,12 @@ private[graft] case class MorTable(dir: String, pk: Seq[String],
                                    numBuckets: Int,
                                    dataSchema: StructType,
                                    snap: MergeOnRead.Snapshot,
-                                   pinnedVersion: Option[Long] = None)
+                                   pinnedVersion: Option[Long] = None,
+                                   // contract AS OF the pinned version
+                                   // (r14): time travel reconciles under
+                                   // v's own era — names, tombstones,
+                                   // declared shape
+                                   asOfKv: Option[Map[String, String]] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -176,10 +181,11 @@ private[graft] object MorTable {
     */
   private def contractSchema(spark: SparkSession, dir: String,
                              snap: MergeOnRead.Snapshot, pk: Seq[String],
-                             vc: String, del: Option[String]): StructType = {
+                             vc: String, del: Option[String],
+                             kvAsOf: Option[Map[String, String]] = None): StructType = {
     val contract = (pk :+ vc).toSet
     StructType(MergeOnRead.readPinned(spark, dir, snap, pk, vc, del,
-        MergeOnRead.DefaultBroadcastDeltaBytes).schema.fields
+        MergeOnRead.DefaultBroadcastDeltaBytes, kvAsOf = kvAsOf).schema.fields
       .map(f => if (contract(f.name)) f.copy(nullable = false) else f))
   }
 
@@ -188,14 +194,15 @@ private[graft] object MorTable {
     * ([[graft.io.MergeOnRead.snapshotAt]]); non-reconstructible
     * versions refuse there, naming the GC'd batches.
     *
-    * Schema note: the MOR contract (pk, versionCol, declared schema,
-    * drop tombstones) is TABLE-LEVEL, not per-version — the format
-    * carries no column-mapping layer — so time travel serves
-    * historical CONTENT under the CURRENT declared columns: an ALTER
-    * DROPped column is gone from every version, an ADDed one reads
-    * NULL in snapshots predating it. This deliberately diverges from
-    * the CoW tables (whose manifests version their schemas); pinned
-    * in MorAlterSpec.
+    * Schema note (r14, VERDICT r13 #4): the contract records a
+    * per-evolution SCHEMA HISTORY ([[graft.io.MergeOnRead]]
+    * `schemaHistory` — each ADD/DROP/RENAME stamps the pre-evolution
+    * name state with its delta-batch watermark), so time travel serves
+    * snapshot v under v's OWN era: a column dropped later still
+    * surfaces, a column added later stays out, and pre-rename versions
+    * read under pre-rename names — CoW-parity versioned schemas.
+    * Contracts recorded before the history existed keep the old
+    * table-level semantics (their history is unrecoverable).
     */
   def loadAt(spark: SparkSession, dir: String, version: String): MorTable = {
     val v = try version.toLong catch { case _: NumberFormatException =>
@@ -204,8 +211,11 @@ private[graft] object MorTable {
           "are delta batch ids (integers)") }
     val (pk, vc, del, n) = contractOf(spark, dir)
     val snap = MergeOnRead.snapshotAt(spark, dir, v)
+    // the contract AS OF v (r14): the snapshot reconciles under its
+    // own era's names and declared shape, not the current contract's
+    val kvAt = MergeOnRead.contractKvAt(spark, dir, v)
     MorTable(dir, pk, vc, del, n,
-      contractSchema(spark, dir, snap, pk, vc, del), snap, Some(v))
+      contractSchema(spark, dir, snap, pk, vc, del, kvAt), snap, Some(v), kvAt)
   }
 
   /** `TIMESTAMP AS OF` — micros from Spark, resolved to the newest
@@ -284,7 +294,7 @@ private[graft] case class MorReadRule(spark: SparkSession) extends Rule[LogicalP
       // self-joins collision-free)
       val child = MergeOnRead
         .readPinned(spark, t.dir, t.snap, t.pk, t.versionCol,
-          t.deleteFlagCol, thresh)
+          t.deleteFlagCol, thresh, kvAsOf = t.asOfKv)
         .queryExecution.analyzed
       val byName = child.output.map(a => a.name -> a).toMap
       Project(r.output.map { a =>

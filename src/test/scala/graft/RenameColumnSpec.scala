@@ -337,6 +337,37 @@ class RenameColumnSpec extends SparkSpec {
     assert(m("k3") == "b3" && m("k4") == "a4")
   }
 
+  test("MOR: VERSION AS OF serves each era under its own names (VERDICT r13 #4)") {
+    val dir = Files.createTempDirectory("ren_mor_tt").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    MergeOnRead.recordContract(spark, dir, Seq("k"), "ver", Some("op"),
+      numBuckets = 4)
+    MergeOnRead.merge(spark, dir, morRows(0 until 10, 1L, "a")) // batch 0
+    MergeOnRead.compact(spark, dir, Seq("k"), "ver", Some("op"), numBuckets = 4)
+    MergeOnRead.merge(spark, dir,                                // batch 1
+      morRows(0 until 10 by 2, 2L, "b"))
+    MergeOnRead.renameColumn(spark, dir, "v", "payload")
+    MergeOnRead.merge(spark, dir,                                // batch 2
+      morRows(0 until 3, 3L, "c").withColumnRenamed("v", "payload"))
+
+    // pre-rename versions read under the PRE-rename name, with values
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+    assert(v1.columns.contains("v") && !v1.columns.contains("payload"),
+      v1.columns.mkString(","))
+    val m1 = v1.select("k", "v").as[(String, String)].collect().toMap
+    assert(m1("k2") == "b2" && m1("k3") == "a3")
+
+    // post-rename versions and the current read use the new name
+    val v2 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 2")
+    assert(v2.columns.contains("payload") && !v2.columns.contains("v"))
+    val m2 = v2.select("k", "payload").as[(String, String)].collect().toMap
+    // version 2 includes batch 2's ver-3 c-wave (k0..k2); k3 untouched
+    assert(m2("k1") == "c1" && m2("k2") == "c2" && m2("k3") == "a3")
+    assert(MergeOnRead.read(spark, dir, Seq("k"), "ver", Some("op"))
+      .columns.contains("payload"))
+  }
+
   test("MOR: SQL surface (MorReadRule + DML) under the renamed schema") {
     val dir = Files.createTempDirectory("ren_mor_sql").toString
     MergeOnRead.recordContract(spark, dir, Seq("k"), "ver", Some("op"),

@@ -174,10 +174,18 @@ class MorAlterSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN id")
     }
     assert(e.getMessage.contains("primary key"))
-    // time travel reconciles against the CURRENT declared schema: the
-    // contract file is table-level (like pk/versionCol), not versioned
-    // per snapshot — a dropped column is gone from history too
-    assert(!spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
-      .columns.contains("src"))
+    // per-era time travel (r14): every evolution recorded its
+    // pre-state, so each version serves its OWN schema — src (dropped
+    // later) still surfaces at v1/v2 with its historical values, note
+    // (added after v1) stays out of v1 but shows at v2
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+    assert(v1.columns.contains("src") && !v1.columns.contains("note"),
+      v1.columns.mkString(","))
+    // batch 1 corrected k1 to src='b'; the other 19 keep 'a'
+    assert(v1.filter(col("src") === "a").count() == 19)
+    assert(v1.filter(col("src") === "b").count() == 1)
+    val v2 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 2")
+    assert(v2.columns.contains("src") && v2.columns.contains("note"))
+    assert(v2.filter(col("note") === "adj").count() == 1)
   }
 }

@@ -96,7 +96,12 @@ object ScaleProbe {
     // "morfeed": MOR change-feed subscription cost — per-wave DWS fold
     // over an n-row bloom-compacted MOR fact, point-lookup pre/post
     // images vs the broadcast-semi fallback
-    val morFeedOnly = args.length > 1 && args(1) == "morfeed"
+    val morFeedOnly = args.length > 1 &&
+      (args(1) == "morfeed" || args(1) == "morfeedprune")
+    // "morfeedprune": only the touched-bucket pruning rows (incl. the
+    // r14 over-budget SPJ corner) — the 20M form without the 50-batch
+    // backlog sections
+    val morFeedPruneOnly = args.length > 1 && args(1) == "morfeedprune"
     // "morsort": sorted-compaction trade — compact's extra shuffle vs
     // the big-delta SPJ resolve's eliminated base-side SortExec
     val morSortOnly = args.length > 1 && args(1) == "morsort"
@@ -1099,7 +1104,7 @@ object ScaleProbe {
           f"wave_fold_ms=${times.mkString("/")} agg_equal=${served == full}")
         times
       }
-      run("point"); run("semi")
+      if (!morFeedPruneOnly) { run("point"); run("semi") }
 
       // touched-bucket pruning (r12): the semi path's base scan now
       // shrinks to the wave's bucket fraction. 512-bucket fact; SMALL
@@ -1129,8 +1134,28 @@ object ScaleProbe {
         val big = (5L to 7L).map { w => waveOf(w, n / 1000L); drain() }
         println(f"[scale] morfeed_prune n=$n%-9d buckets=512 " +
           f"small_wave_ms=${small.mkString("/")} big_wave_ms=${big.mkString("/")}")
+
+        // over-budget corner (r14, VERDICT r13 #5): the PRE image's
+        // resolve must stay bucket-pruned even when the live delta
+        // backlog exceeds the broadcast budget and the resolve takes
+        // the SPJ path. A fat un-consumed wave (n/1000 keys) sits as
+        // live deltas; each SMALL wave's PRE image then resolves
+        // base ∪ fat-deltas restricted to the small wave's ~100-key
+        // touched buckets — before r14 this corner paid a FULL base
+        // scan per trigger. Budget forced low via the session conf the
+        // feed consumer honours.
+        val smallSpj = {
+          waveOf(8L, n / 1000L) // fat delta: stays LIVE (unconsumed ≠ uncompacted)
+          drain() // consume it untimed — the timed waves are small-only triggers
+          spark.conf.set("spark.graft.mor.feedBroadcastDeltaBytes", "0")
+          try (9L to 11L).map { w => waveOf(w, 100L); drain() }
+          finally spark.conf.unset("spark.graft.mor.feedBroadcastDeltaBytes")
+        }
+        println(f"[scale] morfeed_prune_spj n=$n%-9d buckets=512 " +
+          f"small_wave_over_budget_ms=${smallSpj.mkString("/")}")
       }
 
+      if (!morFeedPruneOnly) {
       // backlog drain (VERDICT r12 #5): the semi path's per-range cost
       // tracks the admitted delta backlog — a consumer that fell 50
       // batches behind must drain through `maxBatchesPerTrigger`
@@ -1209,6 +1234,7 @@ object ScaleProbe {
           f"paired_total_ms=${paired.sum} " +
           f"compacted_upto=${graft.io.MergeOnRead.compactedUpto(spark, fact)} " +
           f"agg_equal=${got == full}")
+      }
       }
     }
 

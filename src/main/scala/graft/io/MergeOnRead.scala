@@ -477,7 +477,16 @@ object MergeOnRead {
     // on the feed's hot path; also removes any chance the gates see
     // different sizes)
     val liveBytes = deltaBytes(spark, live0.map(_._2))
-    val pruned = baseBuckets.filter(_ => liveBytes <= maxBroadcastDeltaBytes)
+    // bucket restriction applies on BOTH resolve paths since r14
+    // (VERDICT r13 #5): the broadcast path prunes the manifest, and
+    // the big-delta SPJ path additionally restricts the DELTA side to
+    // the same buckets (the SPJ shuffle targets the base scan's
+    // partition values — a delta row whose bucket the base pruned
+    // away has no partition to land in), so an over-budget feed wave
+    // stops paying a full base scan. Contract: the result is the
+    // resolved content RESTRICTED to the named placement buckets —
+    // exactly what the touched-bucket feed images consume.
+    val pruned = baseBuckets
     val manOpt = pruned match {
       case None => snap.man
       case Some(bs) => snap.man
@@ -494,13 +503,24 @@ object MergeOnRead {
     // NULL columns into a base manifest v's snapshot still uses).
     val kv = kvAsOf.orElse(contractKv(spark, dir))
     val baseOpt = manOpt.map(scanBase(spark, dir, _))
-    val deltaOpt =
+    val deltaOpt0 =
       if (live.isEmpty) None
       else Some(live.map { case (id, p) =>
         spark.read.parquet(p).withColumn(BatchCol, lit(id))
         // deltas are blind appends, so batches may carry evolved
         // schemas — missing columns fill with NULL
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    // delta side restricted to the same buckets (hash under the
+    // SNAPSHOT manifest's count — the exact placement the base files
+    // use): rows outside the restriction are invisible to this read's
+    // contract, and the SPJ path REQUIRES the restriction
+    val deltaOpt = (deltaOpt0, pruned, snap.man) match {
+      case (Some(d), Some(bs), Some(m)) =>
+        val n = m.numBuckets(Upsert.DefaultNumBuckets)
+        Some(d.filter(pmod(xxhash64(Upsert.keyStr(pk)), lit(n)).cast("int")
+          .isin(bs.toSeq.sorted: _*)))
+      case _ => deltaOpt0
+    }
     val resolved = widenForEvolution(baseOpt, deltaOpt) match {
       case (None, None) if pruned.isDefined && snap.man.isDefined =>
         // the BUCKET PRUNE emptied the read (a wave of brand-new keys
@@ -537,9 +557,11 @@ object MergeOnRead {
           // own layout. The SAME manifest this read snapshotted pins
           // the generation — a compact() committing a different bucket
           // count mid-read must not make the delta-side hash disagree
-          // with the base placement.
+          // with the base placement. A bucket restriction threads into
+          // the scan as plan-time partition pruning (r14): over-budget
+          // feed waves scan the touched fraction, never the full base.
           dropDeletes(spjResolve(spark, dir, manOpt.get, b, d, pk, versionCol,
-            nullFree = kv.isDefined), deleteFlagCol)
+            nullFree = kv.isDefined, buckets = pruned), deleteFlagCol)
         }
     }
     // declared-schema reconciliation (ALTER TABLE parity): dropped

@@ -40,6 +40,17 @@ import graft.sources.MorChangeFeedSource
   */
 object MorChangeFeed {
 
+  /** The broadcast-vs-SPJ budget the feed's boundary-image resolves
+    * use — session-overridable (`spark.graft.mor.feedBroadcastDeltaBytes`,
+    * mirroring MorReadRule's `spark.graft.mor.broadcastDeltaBytes`) so
+    * operators and probes can force the SPJ path; the r14
+    * bucket-restricted SPJ resolve makes the over-budget corner pay
+    * the touched fraction of the base, not a full scan.
+    */
+  private def broadcastBudget(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.mor.feedBroadcastDeltaBytes",
+      MergeOnRead.DefaultBroadcastDeltaBytes.toString).toLong
+
   /** The retract/add stream for one admitted micro-batch of raw feed
     * rows (must carry [[MorChangeFeedSource.BatchCol]]). Returns an
     * empty frame for an empty batch.
@@ -111,7 +122,7 @@ object MorChangeFeed {
     if (kmin == 0L) {
       val post = MergeOnRead.readPinned(spark, morRoot,
         MergeOnRead.snapshotAt(spark, morRoot, kmax), pk, vc, del,
-        MergeOnRead.DefaultBroadcastDeltaBytes)
+        broadcastBudget(spark))
       return post.withColumn(ChangeFeed.ChangeCol, lit("add"))
     }
 
@@ -150,7 +161,7 @@ object MorChangeFeed {
         val manN = snapPre.man.map(_.numBuckets(n)).getOrElse(n)
         val touched = MergeOnRead.touchedBuckets(keys, pk, manN)
         val resolved = MergeOnRead.readPinned(spark, morRoot, snapPre, pk, vc,
-          None, MergeOnRead.DefaultBroadcastDeltaBytes,
+          None, broadcastBudget(spark),
           baseBuckets = Some(touched))
         resolved.join(broadcast(keys),
           pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
@@ -229,7 +240,7 @@ object MorChangeFeed {
       val (pk, vc, del, _) = contractOf(spark, morRoot)
       val post = MergeOnRead.readPinned(spark, morRoot,
         MergeOnRead.snapshotAt(spark, morRoot, to), pk, vc, del,
-        MergeOnRead.DefaultBroadcastDeltaBytes)
+        broadcastBudget(spark))
       return post.withColumn(ChangeFeed.ChangeCol, lit("add"))
     }
     val raw = ids.map(k => spark.read.parquet(all(k))
@@ -263,7 +274,7 @@ object MorChangeFeed {
       else
         MergeOnRead.readPinned(spark, morRoot,
           MergeOnRead.snapshotAt(spark, morRoot, off), pk, vc, del,
-          MergeOnRead.DefaultBroadcastDeltaBytes)
+          broadcastBudget(spark))
     (off, image.withColumn(ChangeFeed.ChangeCol, lit("add")))
   }
 

@@ -486,7 +486,11 @@ object MergeOnRead {
     // stops paying a full base scan. Contract: the result is the
     // resolved content RESTRICTED to the named placement buckets —
     // exactly what the touched-bucket feed images consume.
-    val pruned = baseBuckets
+    // a restriction covering EVERY bucket is a no-op: drop it so
+    // full-coverage waves don't pay a per-row hash filter on the
+    // delta side or a useless manifest copy
+    val pruned = baseBuckets.filter(bs =>
+      !snap.man.exists(m => bs.size >= m.numBuckets(Upsert.DefaultNumBuckets)))
     val manOpt = pruned match {
       case None => snap.man
       case Some(bs) => snap.man

@@ -62,9 +62,8 @@ object ChangeFeed {
     * does the same per-file via era-substituted read schemas.
     */
   private def translateRenames(spark: SparkSession, tableDir: String,
-                               df: DataFrame): DataFrame = {
-    val renames = Upsert.currentManifest(spark, tableDir)
-      .map(Upsert.renamedFromOf).getOrElse(Map.empty)
+                               df: DataFrame,
+                               renames: Map[String, String]): DataFrame = {
     if (renames.isEmpty) df
     else {
       def canon(n: String) = SchemaEvolution.canon(spark, n)
@@ -245,10 +244,15 @@ object ChangeFeed {
     * into the feed.
     */
   private def readBatchDirs(spark: SparkSession, tableDir: String,
-                            paths: Seq[String]): DataFrame =
+                            paths: Seq[String]): DataFrame = {
+    // ONE manifest read for the whole range (a deep backlog is many
+    // dirs; the rename map is the same for all of them)
+    val renames = Upsert.currentManifest(spark, tableDir)
+      .map(Upsert.renamedFromOf).getOrElse(Map.empty)
     paths.map(p => translateRenames(spark, tableDir,
-        FieldIds.stripIds(spark.read.parquet(p))))
+        FieldIds.stripIds(spark.read.parquet(p)), renames))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Compact the batch prefix `0..upTo` into one net batch at id
     * `upTo`, so a FRESH consumer bootstraps from O(table-touched-keys)

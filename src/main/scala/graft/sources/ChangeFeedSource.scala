@@ -422,11 +422,17 @@ private[sources] class ChangeFeedReaderFactory(
 
   private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
     val part = p.asInstanceOf[ChangeFeedPartition]
-    // a marker era newer than the planning-time chain (a rename
-    // committed between plan and read) falls back to the newest
-    // support we built — those files carry names ≤ that era by
-    // construction of the commit order
-    val support = supports.getOrElse(part.era, supports(supports.keys.max))
+    // a marker era NEWER than the planning-time chain means a rename
+    // committed between this micro-batch's planning and its read — the
+    // stale supports would silently serve NULL for the renamed column,
+    // so refuse loudly instead (the restarted query plans fresh
+    // supports over the longer chain and reads the batch exactly)
+    val support = supports.getOrElse(part.era,
+      throw new IllegalStateException(
+        s"feed batch file ${part.path} carries name era ${part.era} but this " +
+          s"micro-batch planned only eras ${supports.keys.toSeq.sorted.mkString(",")} " +
+          "— a RENAME COLUMN committed between planning and read; restart " +
+          "the consumer (its checkpoint resumes exactly)"))
     support.read(ParquetScanShim.partitionedFile(
       new GenericInternalRow(Array.empty[Any]), part.path, part.len))
       .asInstanceOf[Iterator[AnyRef]]

@@ -164,6 +164,25 @@ class RenameColumnSpec extends SparkSpec {
       .filter(col("payload") === "a7").count() == 1)
   } }
 
+  test("CoW: a session with field-id emission disabled refuses to stage " +
+       "(the manifest must never claim ids the footers won't carry)") {
+    val dir = Files.createTempDirectory("ren_wconf").toString
+    val k = "spark.sql.parquet.fieldId.write.enabled"
+    spark.conf.set(k, "false")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Upsert.merge(spark, dir, cowRows(0 until 5, 1L, "a"),
+          pk = Seq("k"), versionCol = "ver", numBuckets = 2))
+      assert(e.getMessage.contains("fieldId.write"), e.getMessage)
+      assert(Upsert.currentManifest(spark, dir).isEmpty,
+        "the refused merge must not have committed anything")
+    } finally spark.conf.unset(k)
+    // back on the default the same merge stages and commits normally
+    Upsert.merge(spark, dir, cowRows(0 until 5, 1L, "a"),
+      pk = Seq("k"), versionCol = "ver", numBuckets = 2)
+    assert(Upsert.read(spark, dir).count() == 5)
+  }
+
   test("CoW: dropped column's field id is never reused") {
     val dir = Files.createTempDirectory("ren_idreuse").toString
     Upsert.merge(spark, dir, cowRows(0 until 10, 1L, "a"),
@@ -294,6 +313,49 @@ class RenameColumnSpec extends SparkSpec {
         .agg(sum(col("amt")).as("amt")).as[(String, Long)].collect().toMap
     }
     assert(byProv == fullMap, s"boot=$byProv full=$fullMap")
+  }
+
+  test("CoW changeLog: CHAINED renames translate feed batches from every era") {
+    val root = Files.createTempDirectory("ren_feed_chain").toString
+    val fact = s"$root/fact"
+    def mergeAs(valueCol: String, rows: Seq[(String, Long, Long)],
+                idRead: Boolean): Unit = {
+      def run(): Unit = Upsert.merge(spark, fact,
+        rows.toDF("id", "ver", valueCol),
+        pk = Seq("id"), versionCol = "ver", changeLog = true)
+      if (idRead) withIdRead(run()) else run()
+    }
+    mergeAs("a", Seq(("d1", 1L, 10L), ("d2", 1L, 20L)), idRead = false) // era 0
+    Upsert.renameColumn(spark, fact, "a", "b")
+    mergeAs("b", Seq(("d3", 2L, 30L)), idRead = true)                    // era 1
+    Upsert.renameColumn(spark, fact, "b", "c")
+    mergeAs("c", Seq(("d1", 3L, 15L)), idRead = true)                    // era 2
+
+    // batch path: all three eras fold into ONE current-name column
+    val (changes, _) = graft.io.ChangeFeed.since(spark, fact, -1L).get
+    assert(changes.columns.count(Set("a", "b", "c")) == 1 &&
+      changes.columns.contains("c"), changes.columns.mkString(","))
+    val net = changes.groupBy("id")
+      .agg(sum(when(col(graft.io.ChangeFeed.ChangeCol) === "add", col("c"))
+        .otherwise(-col("c"))).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(net == Map("d1" -> 15L, "d2" -> 20L, "d3" -> 30L), s"$net")
+
+    // streaming path: a fresh consumer resolves era-0/1/2 files via
+    // per-era supports under the one fixed current-name schema
+    val out = s"$root/out"
+    val q = graft.sources.ChangeFeedSource.read(spark, fact)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .filter(col(graft.io.ChangeFeed.ChangeCol) === "add")
+      .select("id", "c").as[(String, Long)].collect().toSet
+    assert(streamed == Set(("d1", 10L), ("d2", 20L), ("d3", 30L), ("d1", 15L)),
+      s"$streamed")
   }
 
   test("MOR: chained renames retire the intermediate name (ADVICE r13)") {

@@ -60,6 +60,28 @@ object MergeOnRead {
     */
   val DefaultBroadcastDeltaBytes: Long = 32L << 20
 
+  /** Does the CURRENT base generation carry Bloom sidecars? Answered
+    * from the live manifest's referenced bucket dirs (driver-side
+    * exists() probes, bounded by numBuckets — no job). Used by callers
+    * that must PRESERVE the table's bloom posture across a compaction
+    * they didn't configure (ADVICE r14: the drain-aware pairing
+    * compacted with bloom=false, silently degrading point lookups from
+    * bloom-pruned candidate files to whole-bucket scans). A mixed-
+    * generation base counts as bloom'd if ANY referenced dir has a
+    * sidecar — rebuilding blooms for the rest is strictly an upgrade.
+    */
+  private[graft] def baseHasBlooms(spark: SparkSession, dir: String): Boolean =
+    Upsert.currentManifest(spark, basePath(dir)).exists { m =>
+      val base = basePath(dir)
+      val fs = FsOps.fs(spark, new Path(base))
+      m.allFiles.iterator.map(rel =>
+        rel.lastIndexOf('/') match {
+          case -1 => "" // root-level anchor: no bucket dir, no sidecar
+          case i => rel.substring(0, i)
+        }).filter(_.nonEmpty).toSet[String]
+        .exists(d => fs.exists(new Path(new Path(base, d), Blooms.SidecarName)))
+    }
+
   /** Highest delta batch already folded into the base (-1: none).
     * Read from the base manifest — the watermark and the base file list
     * it applies to are the same atomic commit.
@@ -454,15 +476,17 @@ object MergeOnRead {
     * `baseBuckets`: a caller that only needs rows whose pk PLACEMENT
     * falls in this bucket set (proven via [[touchedBuckets]] — e.g.
     * the change-feed consumer resolving an admitted wave's keys) may
-    * pass it to prune the BASE scan to the touched buckets' files —
-    * base I/O shrinks to the touched fraction of the table, whatever
-    * its size. Deltas are blind appends (no bucket organization) and
-    * stay fully read: they are the pre-compaction tail, small by the
-    * maintenance contract; when they exceed the broadcast budget the
-    * restriction is DROPPED (full resolve) rather than threading it
-    * through the SPJ path — correct, just unoptimized in that rare
-    * corner. Rows of OTHER keys in the touched buckets still resolve
-    * and return; the caller's own key restriction filters them.
+    * pass it to prune the read. Contract (r14): the result is the
+    * resolved content RESTRICTED to the named placement buckets on
+    * BOTH resolve paths — the broadcast path prunes the base manifest
+    * to the buckets' files, and the big-delta SPJ path additionally
+    * hash-filters the DELTA side to the same buckets (a delta row
+    * outside the restriction has no SPJ partition to land in), so an
+    * over-budget wave never pays a full base scan. A restriction
+    * covering EVERY bucket is dropped as a no-op (full-coverage waves
+    * pay neither the per-row hash filter nor a useless manifest
+    * copy). Rows of OTHER keys in the named buckets still resolve and
+    * return; the caller's own key restriction filters them.
     */
   private[graft] def readPinned(spark: SparkSession, dir: String, snap: Snapshot,
                                 pk: Seq[String], versionCol: String,

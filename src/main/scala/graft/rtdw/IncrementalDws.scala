@@ -199,6 +199,24 @@ object IncrementalDws {
     * second feed. Exactly-once: identical watermark + query-lineage
     * guards as [[streaming]] (the watermark rides the DWS table's own
     * manifest commit).
+    *
+    * `compactEveryTriggers = Some(k)`: drain-aware compaction pairing —
+    * every k-th trigger folds the CONSUMED delta prefix into the fact's
+    * base so the next trigger's boundary image resolves against a fresh
+    * base instead of unioning the whole uncompacted tail (PROBES r13's
+    * O(backlog²) drain). CAVEAT — this advances the FACT's compaction
+    * watermark to THIS consumer's position: the option assumes this
+    * consumer is the table's single (or slowest-bounded) subscriber.
+    * Retention keeps exactly one prior compaction cycle, so a SECOND
+    * subscriber lagging more than one cycle behind this one hits
+    * `snapshotAt`'s loud missing-batch refusal and must re-bootstrap —
+    * the failure is loud, never silent, but with multiple independent
+    * subscribers prefer an external `Maintenance.runMor` cadence gated
+    * on the minimum watermark across all of them (ADVICE r14). The
+    * pairing preserves the base's bloom posture: if the current base
+    * generation carries Bloom sidecars, the paired compaction rebuilds
+    * them ([[graft.io.MergeOnRead.baseHasBlooms]]) instead of silently
+    * downgrading point lookups to whole-bucket scans.
     */
   def streamingMor(spark: SparkSession, morFactDir: String, dwsDir: String,
                    groupCols: Seq[String], sumCols: Seq[String],
@@ -301,7 +319,12 @@ object IncrementalDws {
               graft.io.MergeOnRead.contract(s, morFactDir).getOrElse(
                 throw new IllegalStateException(
                   s"$morFactDir lost its contract mid-subscription"))
+            // preserve the fact's bloom posture: a bloom'd base must
+            // not silently lose its sidecars to the pairing (ADVICE
+            // r14 — point lookups would degrade to whole-bucket scans
+            // until an external maintenance pass rebuilt them)
             graft.io.MergeOnRead.compact(s, morFactDir, ePk, eVc, eDel, eN,
+              bloom = graft.io.MergeOnRead.baseHasBlooms(s, morFactDir),
               upToLimit = Some(b._2))
           }
         }

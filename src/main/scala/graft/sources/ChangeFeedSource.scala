@@ -417,8 +417,25 @@ private[sources] class ChangeFeedReaderFactory(
     supports: Map[Int, ParquetScanShim.ReadSupport])
     extends PartitionReaderFactory {
 
+  // Spark asks ONCE per factory shape whether partitions are columnar,
+  // so the answer must hold for EVERY era's support. Today all eras
+  // share one requested shape (same positional schema, names differ),
+  // so they agree by construction — but nothing downstream pins that,
+  // and a future per-era build diverging (one era vectorized, one not)
+  // would make Spark cast the wrong batch kind at read time. Require
+  // agreement loudly instead of answering from an arbitrary head
+  // (VERDICT r14 #6).
+  private val columnarAll: Boolean = {
+    val answers = supports.valuesIterator.map(_.columnar).toSet
+    require(answers.size <= 1,
+      "change-feed era read supports disagree on columnar support " +
+        s"(${answers.mkString(",")}) — per-era dispatch is required before " +
+        "their shapes may diverge")
+    answers.headOption.getOrElse(false)
+  }
+
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    supports.head._2.columnar
+    columnarAll
 
   private def rawIterator(p: InputPartition): Iterator[AnyRef] = {
     val part = p.asInstanceOf[ChangeFeedPartition]

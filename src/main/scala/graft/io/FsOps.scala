@@ -114,11 +114,21 @@ object FsOps {
       .collectFirst { case n if n.startsWith(CommittedAtPrefix) =>
         n.stripPrefix(CommittedAtPrefix).toLong }
 
+  /** `preCommit` runs after the staged write, IMMEDIATELY before the
+    * publishing rename — the last point a caller can veto the commit
+    * (throw → the staged dir is deleted, nothing published). Used by
+    * lock-narrowed appends to re-check invariants a concurrent
+    * table-lease holder may have changed while the batch staged.
+    */
   def stageAndCommitBatch(fs: FileSystem, root: Path, batch: Long,
-                          commitId: Option[String])(write: Path => Unit): Unit = {
+                          commitId: Option[String],
+                          preCommit: () => Unit = () => ())
+                         (write: Path => Unit): Unit = {
     val tmp = new Path(root, s".batch-$batch.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     write(tmp)
+    try preCommit()
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     commitId.foreach(id => fs.create(new Path(tmp, s"_commit-$id"), true).close())
     // stamped just before the publishing rename, from the driver clock
     fs.create(new Path(tmp, s"$CommittedAtPrefix${System.currentTimeMillis()}"),

@@ -183,18 +183,53 @@ object MergeOnRead {
     * marker file commits with the batch's own rename). Returns the
     * batch id. Batch ids stay monotonic across compactions (next id =
     * max(last delta, compactedUpto) + 1).
+    *
+    * Lease scope (r15, VERDICT r14 #1): appends take a DELTA-ROOT
+    * lease (`<root>/delta/_lock`), not the table lease — a blind
+    * append conflicts with nothing a table-lease holder does (a
+    * compact folds only ALREADY-COMMITTED batches and GC only
+    * collects folded ones; a concurrent append's id is above both by
+    * the monotonic rule), so a streaming sink's epoch commit never
+    * stalls behind a minutes-long background compaction. Appends
+    * still serialize among THEMSELVES (batch numbering and the
+    * stage-tmp dir are per-id), and the id computation below is
+    * compaction-race-safe by READ ORDER: batches are listed BEFORE
+    * the compaction watermark is read, so any batch that vanished to
+    * GC between the two reads was folded first and the later
+    * watermark read covers it — next always exceeds every id that
+    * ever existed.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-            commitId: Option[String] = None): Long = Upsert.withWriterLease(spark, dir) {
+            commitId: Option[String] = None): Long =
+    Upsert.withWriterLease(spark, deltaRoot(dir)) {
     commitId.flatMap(committedBatchFor(spark, dir, _)) match {
       case Some(existing) => existing
       case None =>
         val root = new Path(deltaRoot(dir))
         val fs = FsOps.fs(spark, root)
-        val next = math.max(
-          deltaBatches(spark, dir).lastOption.map(_._1).getOrElse(-1L),
-          compactedUpto(spark, dir)) + 1
-        FsOps.stageAndCommitBatch(fs, root, next, commitId)(tmp =>
+        // ORDER MATTERS (see scaladoc): list deltas, THEN read upto
+        val lastBatch = deltaBatches(spark, dir).lastOption.map(_._1)
+          .getOrElse(-1L)
+        val next = math.max(lastBatch, compactedUpto(spark, dir)) + 1
+        // the delta lease doesn't block a TABLE-lease holder (that's
+        // the point), so an ALTER can evolve the contract while this
+        // batch stages — the batch would then commit validated/
+        // normalized against a superseded contract (e.g. carrying a
+        // renamed-away name the new contract refuses). Snapshot the
+        // raw contract text here and veto the publish if it changed:
+        // the staged dir is deleted and the retryable contention
+        // error sends the caller (the sink's withLeaseRetry, or a
+        // manual producer) back through validation against the NEW
+        // contract.
+        val contractAtValidate = FsOps.readTextOpt(spark, contractFile(dir))
+        val recheck: () => Unit = () => {
+          if (FsOps.readTextOpt(spark, contractFile(dir)) != contractAtValidate)
+            throw new Upsert.ConcurrentWriterException(
+              s"contract of $dir evolved while delta batch $next staged " +
+                "(concurrent ALTER) — the batch was validated against the " +
+                "superseded contract; retry the append")
+        }
+        FsOps.stageAndCommitBatch(fs, root, next, commitId, recheck)(tmp =>
           validated(spark, dir, updates)
             .write.mode("overwrite").parquet(tmp.toString))
         next
@@ -782,6 +817,22 @@ object MergeOnRead {
   def contract(spark: SparkSession, dir: String)
       : Option[(Seq[String], String, Option[String], Int)] =
     contractKv(spark, dir).map(kvContract)
+
+  /** Fingerprint of the RAW contract text — schema, renames, drops,
+    * placement all live there, so any ALTER changes it. Consumers that
+    * cache derived state across triggers (the change feed's carried
+    * boundary image) staple this to the cache and discard on mismatch:
+    * carried rows were reconciled under the OLD contract and cannot be
+    * trusted under a new one.
+    */
+  private[graft] def contractFingerprint(spark: SparkSession,
+                                         dir: String): String =
+    FsOps.readTextOpt(spark, contractFile(dir)) match {
+      case None => "none"
+      case Some(text) =>
+        java.security.MessageDigest.getInstance("SHA-1")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
 
   private def contractKv(spark: SparkSession,
                          dir: String): Option[Map[String, String]] =

@@ -394,8 +394,10 @@ object Upsert {
       (propLines ++ segLines).mkString("\n"))
   }
 
-  /** Next unused generation number: above every committed manifest AND
-    * every staged/orphaned generation directory.
+  /** Next unused generation number: above every committed manifest,
+    * every staged/orphaned generation directory, AND every reserved
+    * optimistic-stage intent (`_intent-<gen>` — the reservation is
+    * visible to later reservers even before the gen dir exists).
     */
   private def nextGen(spark: SparkSession, dir: String): Long = {
     val root = new Path(dir)
@@ -404,6 +406,7 @@ object Upsert {
     val seen = fs.listStatus(root).map(_.getPath.getName).collect {
       case ManifestRe(g) => g.toLong
       case GenDirRe(g) => g.toLong
+      case IntentRe(g) => g.toLong
     }
     if (seen.isEmpty) 0L else seen.max + 1
   }
@@ -420,10 +423,25 @@ object Upsert {
   // ---- writer lease -----------------------------------------------------
 
   /** What a second writer gets when a table's lease is held: a LOUD
-    * abort instead of a silent manifest clobber.
+    * abort instead of a silent manifest clobber. Non-final since r15:
+    * [[CommitConflictException]] extends it so every existing
+    * contention handler (the streaming sink's retry, operator retry
+    * loops) treats an optimistic-commit conflict exactly like lease
+    * contention — safe to retry, nothing committed.
     */
-  final class ConcurrentWriterException(msg: String)
+  class ConcurrentWriterException(msg: String)
       extends IllegalStateException(msg)
+
+  /** An OPTIMISTIC merge that staged without the table lease and, at
+    * its commit critical section, found interleaved commits it cannot
+    * rebase onto (same placement buckets touched, table metadata
+    * changed, table dropped/created concurrently). Nothing was
+    * committed; the staged generation dir is deleted by the abort
+    * path. Retrying re-stages against the new current manifest and is
+    * always correct.
+    */
+  final class CommitConflictException(msg: String)
+      extends ConcurrentWriterException(msg)
 
   /** Genuine table ABSENCE (no committed manifest) — its own type so
     * callers like [[graft.sources.UpsertCatalog]] can map exactly this
@@ -530,6 +548,129 @@ object Upsert {
     */
   def withCompositeLease[T](spark: SparkSession, dir: String)(body: => T): T =
     withWriterLease(spark, dir)(body)
+
+  // ---- optimistic commits (VERDICT r14 #1) ------------------------------
+
+  /** Optimistic concurrency for [[merge]] (default ON): the expensive
+    * stage (resolve + write) runs WITHOUT the table lease; only a
+    * short critical section around the manifest commit takes it. A
+    * writer that finds the manifest advanced REBASES — recommits on
+    * top of the interleaved state when its touched placement buckets
+    * and the table metadata are untouched by the interleaving, aborts
+    * with the retryable [[CommitConflictException]] otherwise. Two
+    * producers merging DISJOINT buckets therefore both commit; a
+    * minutes-long merge no longer serializes every other writer for
+    * its whole duration. Set `spark.graft.commit.optimistic=false` to
+    * restore whole-merge locking.
+    */
+  private def optimisticMerges(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.commit.optimistic", "true").toBoolean
+
+  private val IntentRe = """_intent-(\d+)""".r
+
+  /** A reserved optimistic stage: `_intent-<gen>` at the table root,
+    * heartbeated like the writer lease so [[vacuumLocked]] can tell a
+    * LIVE unlocked stage (skip its generation dir) from a crashed one
+    * (stale mtime — sweep it). Created under the table lease by
+    * [[reserveGen]]; released (deleted) when the merge commits or
+    * aborts.
+    */
+  private[io] final class StageIntent(fs: org.apache.hadoop.fs.FileSystem,
+                                      val path: Path, beatEvery: Long) {
+    private val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(beatEvery)
+          try fs.setTimes(path, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () } // intent gone: release races
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-intent-heartbeat-${path.getName}")
+    beat.setDaemon(true)
+    beat.start()
+    def release(): Unit = {
+      beat.interrupt()
+      try { fs.delete(path, false); () } catch { case _: Exception => () }
+    }
+  }
+
+  /** Reserve a generation number for an UNLOCKED stage: a short
+    * table-lease section picks `nextGen` and plants the intent marker
+    * — later reservers and locked writers skip the number (nextGen
+    * counts intents), and vacuum leaves the about-to-exist gen dir
+    * alone while the intent stays fresh.
+    */
+  /** Can an optimistic merge staged against `base` recommit on top of
+    * `latest`? Sound exactly when the interleaved commits are provably
+    * invisible to everything the stage computed: (1) no table METADATA
+    * moved — schema, placement contract, rename chain, id high-water,
+    * tombstones, zones, clustering, sort state, watermarks all live in
+    * manifest props, so prop equality (modulo the per-commit stamps)
+    * covers them in one comparison that can never silently miss a new
+    * prop; (2) no interleaved commit touched OUR placement buckets —
+    * their base files are then byte-identical in `latest`, so the
+    * staged resolve, bloom-preserve refs, and feed pre-image stay
+    * exact. Anything else aborts with the retryable conflict: a retry
+    * re-stages against the new state, which is always correct.
+    */
+  private def checkRebase(spark: SparkSession, dir: String,
+                          base: Manifest, latest: Manifest,
+                          touched: Set[Int]): Unit = {
+    val volatileProps = Set(CommittedAtProp, OperationProp, SegSizeProp)
+    // Nullability is NORMALIZED out of the schema comparison: a create
+    // stamps source-literal non-nullable fields that the first merge's
+    // resolve/union relaxes to nullable — commit-order cosmetics, not a
+    // contract move (names, ids, types, field count all still bind).
+    def denullify(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case st: StructType => StructType(st.fields.map(f =>
+          f.copy(dataType = denullify(f.dataType), nullable = true)))
+        case ArrayType(et, _) => ArrayType(denullify(et), containsNull = true)
+        case MapType(kt, vt, _) =>
+          MapType(denullify(kt), denullify(vt), valueContainsNull = true)
+        case other => other
+      }
+    }
+    def canon(props: Map[String, String]): Map[String, String] =
+      (props -- volatileProps).map {
+        case (SchemaProp, json) =>
+          SchemaProp -> denullify(
+            org.apache.spark.sql.types.DataType.fromJson(json)).json
+        case kv => kv
+      }
+    val bp = canon(base.props)
+    val lp = canon(latest.props)
+    if (bp != lp) {
+      val changed = (bp.keySet ++ lp.keySet)
+        .filter(k => bp.get(k) != lp.get(k)).toSeq.sorted
+      throw new CommitConflictException(
+        s"optimistic merge into $dir cannot rebase onto generation " +
+          s"${latest.gen}: interleaved commits changed table metadata " +
+          s"(${changed.mkString(", ")}) since the merge staged against " +
+          s"generation ${base.gen} — retry the merge")
+    }
+    val changedBuckets = (base.files.keySet ++ latest.files.keySet)
+      .filter(b => base.files.get(b) != latest.files.get(b))
+    val overlap = changedBuckets & touched
+    if (overlap.nonEmpty)
+      throw new CommitConflictException(
+        s"optimistic merge into $dir conflicts with interleaved commits " +
+          s"on placement buckets ${overlap.toSeq.sorted.mkString(",")} " +
+          s"(staged against generation ${base.gen}, table now at " +
+          s"${latest.gen}) — retry the merge to resolve against them")
+  }
+
+  private def reserveGen(spark: SparkSession, dir: String): (Long, StageIntent) =
+    withWriterLease(spark, dir) {
+      val gen = nextGen(spark, dir)
+      val p = new Path(dir, s"_intent-$gen")
+      val fs = FsOps.fs(spark, p)
+      require(FsOps.createExclusive(fs, p, System.currentTimeMillis().toString),
+        s"intent marker $p already exists though gen $gen was fresh under " +
+          "the table lease — filesystem anomaly, refusing to stage")
+      (gen, new StageIntent(fs, p, math.max(250L, leaseStaleMs(spark) / 3)))
+    }
 
   private def abs(dir: String, rel: String) = s"${dir.stripSuffix("/")}/$rel"
 
@@ -1535,11 +1676,56 @@ object Upsert {
             extraProps: Map[String, String] = Map.empty,
             valueClusterBy: Seq[String] = Nil): Unit = {
     refuseMorRoot(spark, dir, "merge")
-    withWriterLease(spark, dir) {
-    mergeLocked(spark, dir, updates, pk, versionCol, deleteFlagCol,
-      numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
-      extraProps, valueClusterBy)
+    if (optimisticMerges(spark))
+      mergeOptimistic(spark, dir, updates, pk, versionCol, deleteFlagCol,
+        numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
+        extraProps, valueClusterBy)
+    else withWriterLease(spark, dir) {
+      mergeLocked(spark, dir, updates, pk, versionCol, deleteFlagCol,
+        numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
+        extraProps, valueClusterBy)
+    }
   }
+
+  /** The optimistic form of [[merge]] (see [[optimisticMerges]]):
+    * reserve a generation under a SHORT table-lease section, stage
+    * with no lock held (the intent marker keeps vacuum off the staged
+    * dir), commit in a second short lease section that rebases onto
+    * interleaved disjoint commits or aborts with the retryable
+    * [[CommitConflictException]]. `beforeCommit` is a test seam — it
+    * runs after staging, immediately before the commit critical
+    * section, so specs can interleave a conflicting or disjoint
+    * commit DETERMINISTICALLY.
+    */
+  private[graft] def mergeOptimistic(spark: SparkSession, dir: String,
+                                     updates: DataFrame,
+                                     pk: Seq[String], versionCol: String,
+                                     deleteFlagCol: Option[String] = None,
+                                     numBuckets: Int = DefaultNumBuckets,
+                                     changeLog: Boolean = false,
+                                     commitId: Option[String] = None,
+                                     bloom: Boolean = false,
+                                     maxPointKeys: Int = 1024,
+                                     zoneCols: Seq[String] = Nil,
+                                     extraProps: Map[String, String] = Map.empty,
+                                     valueClusterBy: Seq[String] = Nil,
+                                     beforeCommit: () => Unit = () => ()): Unit = {
+    val (gen, intent) = reserveGen(spark, dir)
+    try
+      mergeLocked(spark, dir, updates, pk, versionCol, deleteFlagCol,
+        numBuckets, changeLog, commitId, bloom, maxPointKeys, zoneCols,
+        extraProps, valueClusterBy,
+        reservedGen = Some(gen), beforeCommit = Some(beforeCommit))
+    catch { case t: Throwable =>
+      // nothing committed: remove the staged generation so an aborted
+      // merge's garbage doesn't wait for a stale-intent vacuum
+      try {
+        val stage = new Path(dir, s"__gen=$gen")
+        val fs = FsOps.fs(spark, stage)
+        if (fs.exists(stage)) fs.delete(stage, true)
+      } catch { case _: Exception => () }
+      throw t
+    } finally intent.release()
   }
 
   /** Layout guard shared by the copy-on-write write doors: a CoW
@@ -1563,6 +1749,14 @@ object Upsert {
     * their own check-then-commit window under ONE lease
     * ([[createTable]]) compose with this instead of [[merge]].
     */
+  /** `reservedGen = Some(g)` marks the OPTIMISTIC mode (see
+    * [[mergeOptimistic]]): the caller holds no table lease, the stage
+    * writes into the pre-reserved `__gen=g`, and the commit tail runs
+    * inside its own short lease section with rebase/conflict
+    * detection. `reservedGen = None` is the classic whole-merge-locked
+    * mode — the caller already holds the table lease and the commit
+    * tail runs inline.
+    */
   private def mergeLocked(spark: SparkSession, dir: String, updates: DataFrame,
                           pk: Seq[String], versionCol: String,
                           deleteFlagCol: Option[String],
@@ -1573,7 +1767,14 @@ object Upsert {
                           maxPointKeys: Int,
                           zoneCols: Seq[String],
                           extraProps: Map[String, String],
-                          valueClusterBy: Seq[String] = Nil): Unit = {
+                          valueClusterBy: Seq[String] = Nil,
+                          reservedGen: Option[Long] = None,
+                          beforeCommit: Option[() => Unit] = None): Unit = {
+    val optimistic = reservedGen.isDefined
+    def inCommitSection(body: => Unit): Unit = {
+      beforeCommit.foreach(_()) // test seam: deterministic interleaving
+      if (optimistic) withWriterLease(spark, dir)(body) else body
+    }
     val bloomPk = if (bloom) Some(pk) else None
     valueClusterBy.foreach(c => require(updates.columns.contains(c),
       s"valueClusterBy column '$c' is not in the batch schema"))
@@ -1584,7 +1785,7 @@ object Upsert {
         val merged0 = withBucket(
           resolve(updates.withColumn("__src", lit(1)), pk, versionCol, deleteFlagCol),
           pk, numBuckets)
-        val gen = nextGen(spark, dir)
+        val gen = reservedGen.getOrElse(nextGen(spark, dir))
         val (merged, idProps) = stampForStage(spark, None, gen, merged0)
         val staged = stageGeneration(spark, dir, gen, merged, bloomPk, zoneCols,
           valueClusterBy)
@@ -1592,31 +1793,41 @@ object Upsert {
           if (staged.valuesIterator.flatten.nonEmpty) staged
           else Map(SchemaBucket ->
             stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
-        if (changeLog) {
-          val adds = staged.keys.toSeq match {
-            case Nil => merged.drop(BucketCol).limit(0)
-            case bs => scanFiles(spark, dir, bs.flatMap(staged))
+        inCommitSection {
+          // an optimistic CREATE races other creators: the loser finds
+          // a manifest it staged blind to and must not clobber it —
+          // abort retryably (the retry takes the merge branch)
+          if (optimistic && currentManifest(spark, dir).isDefined)
+            throw new CommitConflictException(
+              s"optimistic CREATE of $dir lost the race: a concurrent " +
+                "writer committed the table's first snapshot while this " +
+                "merge staged — retry to merge against it")
+          if (changeLog) {
+            val adds = staged.keys.toSeq match {
+              case Nil => merged.drop(BucketCol).limit(0)
+              case bs => scanFiles(spark, dir, bs.flatMap(staged))
+            }
+            ChangeFeed.append(spark, dir,
+              adds.withColumn(ChangeFeed.ChangeCol, lit("add")), commitId)
           }
-          ChangeFeed.append(spark, dir,
-            adds.withColumn(ChangeFeed.ChangeCol, lit("add")), commitId)
+          // cluster columns are zone columns too: the per-file
+          // single-valued property is VERIFIED through their sidecars
+          val createZones = (zoneCols ++ valueClusterBy).distinct
+          val zoneProp =
+            if (createZones.nonEmpty) Map(ZoneColsProp -> createZones.mkString(","))
+            else Map.empty[String, String]
+          val vcProp =
+            if (valueClusterBy.nonEmpty)
+              Map(ValueClusterProp -> valueClusterBy.mkString(","))
+            else Map.empty[String, String]
+          commitManifest(spark, dir,
+            Manifest(gen, Map("numBuckets" -> numBuckets.toString,
+              PkColsProp -> pk.mkString(","),
+              VersionColProp -> versionCol,
+              SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
+              ++ idProps ++ zoneProp ++ vcProp ++ extraProps, files),
+            op = "create")
         }
-        // cluster columns are zone columns too: the per-file
-        // single-valued property is VERIFIED through their sidecars
-        val createZones = (zoneCols ++ valueClusterBy).distinct
-        val zoneProp =
-          if (createZones.nonEmpty) Map(ZoneColsProp -> createZones.mkString(","))
-          else Map.empty[String, String]
-        val vcProp =
-          if (valueClusterBy.nonEmpty)
-            Map(ValueClusterProp -> valueClusterBy.mkString(","))
-          else Map.empty[String, String]
-        commitManifest(spark, dir,
-          Manifest(gen, Map("numBuckets" -> numBuckets.toString,
-            PkColsProp -> pk.mkString(","),
-            VersionColProp -> versionCol,
-            SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
-            ++ idProps ++ zoneProp ++ vcProp ++ extraProps, files),
-          op = "create")
 
       case Some(man) =>
         // the recorded placement contract is binding: a merge declaring
@@ -1707,7 +1918,7 @@ object Upsert {
         val aligned = widen(updData).withColumn("__src", lit(1))
         val merged0 = withBucket(
           resolve(cur.unionByName(aligned), pk, versionCol, deleteFlagCol), pk, n)
-        val gen = nextGen(spark, dir)
+        val gen = reservedGen.getOrElse(nextGen(spark, dir))
         val (merged, idProps) = stampForStage(spark, Some(man), gen, merged0)
         // recorded value-cluster columns bind (like placement): a merge
         // declaring DIFFERENT ones would break the invariant the
@@ -1725,47 +1936,77 @@ object Upsert {
         val effZones = (zoneCols ++ zoneColsOf(man) ++ effCluster).distinct
         val staged = stageGeneration(spark, dir, gen, merged, bloomPk, effZones,
           effCluster)
-        var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
-          b -> (staged.getOrElse(b, Seq.empty) ++ preserve.getOrElse(b, Seq.empty))
-        }.toMap
-        files = files.filter(_._2.nonEmpty)
-        // drop a stale schema anchor once real files exist again; add
-        // one when the whole table just emptied out
-        if (files.exists { case (b, _) => b != SchemaBucket }) files -= SchemaBucket
-        if (files.isEmpty)
-          files = Map(SchemaBucket ->
-            stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
-        if (changeLog) {
-          // pre/post-images restricted to the keys this batch carried —
-          // both sides are bounded by the batch, never by the table.
-          // The post-image re-reads the staged (already materialized)
-          // files instead of recomputing the merge plan.
-          val keys = tagged.select(pk.map(col): _*).distinct()
-          val pre = cur0.join(keys, pk, "left_semi")
-            .withColumn(ChangeFeed.ChangeCol, lit("retract"))
-          val post = (staged.keys.toSeq match {
-            case Nil => merged.drop(BucketCol).limit(0)
-            case bs => scanFiles(spark, dir, bs.flatMap(staged))
-          }).join(keys, pk, "left_semi")
-            .withColumn(ChangeFeed.ChangeCol, lit("add"))
-          // allowMissing: on an evolving merge the pre-image has the
-          // OLD shape and the post-image the widened one
-          ChangeFeed.append(spark, dir,
-            pre.unionByName(post, allowMissingColumns = true), commitId)
+        inCommitSection {
+          // OPTIMISTIC rebase point: re-read the manifest under the
+          // lease. Unchanged → commit exactly as the locked mode
+          // would. Advanced → rebase onto it when the interleaved
+          // commits are provably disjoint (checkRebase throws the
+          // retryable conflict otherwise): our touched buckets'
+          // base files are then IDENTICAL in `latest`, so the staged
+          // resolve, the bloom-preserve refs, and the feed pre-image
+          // all remain exact against the latest state.
+          val latest: Manifest =
+            if (!optimistic) man
+            else currentManifest(spark, dir) match {
+              case None => throw new CommitConflictException(
+                s"optimistic merge into $dir: the table vanished " +
+                  "(concurrent dropTable) while the batch staged")
+              case Some(l) =>
+                if (l.gen != man.gen) checkRebase(spark, dir, man, l, touched)
+                l
+            }
+          var files: Map[Int, Seq[String]] = latest.files ++ touched.map { b =>
+            b -> (staged.getOrElse(b, Seq.empty) ++ preserve.getOrElse(b, Seq.empty))
+          }.toMap
+          files = files.filter(_._2.nonEmpty)
+          // drop a stale schema anchor once real files exist again; add
+          // one when the whole table just emptied out
+          if (files.exists { case (b, _) => b != SchemaBucket }) files -= SchemaBucket
+          if (files.isEmpty)
+            files = Map(SchemaBucket ->
+              stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))
+          if (changeLog) {
+            // pre/post-images restricted to the keys this batch carried —
+            // both sides are bounded by the batch, never by the table.
+            // The post-image re-reads the staged (already materialized)
+            // files instead of recomputing the merge plan. Runs INSIDE
+            // the commit section in optimistic mode: feed batches must
+            // only publish for merges that go on to commit (an abort
+            // must not leave a phantom batch for feed consumers), and
+            // the feed's batch numbering serializes under the same
+            // table lease every other feed writer holds.
+            val keys = tagged.select(pk.map(col): _*).distinct()
+            val pre = cur0.join(keys, pk, "left_semi")
+              .withColumn(ChangeFeed.ChangeCol, lit("retract"))
+            val post = (staged.keys.toSeq match {
+              case Nil => merged.drop(BucketCol).limit(0)
+              case bs => scanFiles(spark, dir, bs.flatMap(staged))
+            }).join(keys, pk, "left_semi")
+              .withColumn(ChangeFeed.ChangeCol, lit("add"))
+            // allowMissing: on an evolving merge the pre-image has the
+            // OLD shape and the post-image the widened one
+            ChangeFeed.append(spark, dir,
+              pre.unionByName(post, allowMissingColumns = true), commitId)
+          }
+          val zoneProp =
+            if (effZones.nonEmpty) Map(ZoneColsProp -> effZones.mkString(","))
+            else Map.empty[String, String]
+          val vcProp =
+            if (effCluster.nonEmpty)
+              Map(ValueClusterProp -> effCluster.mkString(","))
+            else Map.empty[String, String]
+          // the committed generation must top every interleaved one;
+          // file refs keep their staged __gen=<gen> paths (path gens
+          // and manifest gens share one counter but need not match —
+          // the id-read gate is file-granular via genOfPath)
+          val commitGen = if (latest.gen >= gen) latest.gen + 1 else gen
+          commitManifest(spark, dir, Manifest(commitGen,
+            latest.props ++ idProps
+              + (SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
+              + (PkColsProp -> pk.mkString(",")) + (VersionColProp -> versionCol)
+              ++ zoneProp ++ vcProp ++ extraProps,
+            files), Some(latest), op = "merge")
         }
-        val zoneProp =
-          if (effZones.nonEmpty) Map(ZoneColsProp -> effZones.mkString(","))
-          else Map.empty[String, String]
-        val vcProp =
-          if (effCluster.nonEmpty)
-            Map(ValueClusterProp -> effCluster.mkString(","))
-          else Map.empty[String, String]
-        commitManifest(spark, dir, Manifest(gen,
-          man.props ++ idProps
-            + (SchemaProp -> FieldIds.serialize(merged.drop(BucketCol).schema))
-            + (PkColsProp -> pk.mkString(",")) + (VersionColProp -> versionCol)
-            ++ zoneProp ++ vcProp ++ extraProps,
-          files), Some(man), op = "merge")
         } finally { tagged.unpersist(); () }
     }
   }
@@ -2616,7 +2857,23 @@ object Upsert {
     if (!fs0.exists(root)) return
     {
     val fs = fs0
-    val entries = fs.listStatus(root).map(_.getPath.getName)
+    val statuses = fs.listStatus(root)
+    val entries = statuses.map(_.getPath.getName)
+    // optimistic stages in flight (fresh `_intent-<gen>`, heartbeated
+    // like the lease): their generation dirs are being written WITHOUT
+    // the table lease this vacuum holds — sweeping them would delete a
+    // live writer's staged files out from under its commit. Skip those
+    // gens; STALE intents are crashed writers — delete the marker so
+    // this (and every later) vacuum reclaims their garbage.
+    val staleMs = leaseStaleMs(spark)
+    val now = System.currentTimeMillis()
+    val liveIntents: Set[Long] = statuses.collect {
+      case s if IntentRe.matches(s.getPath.getName) =>
+        val g = s.getPath.getName.stripPrefix("_intent-").toLong
+        if (now - s.getModificationTime > staleMs) {
+          fs.delete(s.getPath, false); -1L
+        } else g
+    }.toSet - (-1L)
     val gens = entries.collect { case ManifestRe(g) => g.toLong }.sorted
     if (gens.isEmpty) return
     val keep = gens.takeRight(math.max(1, keepManifests))
@@ -2640,6 +2897,9 @@ object Upsert {
     // _SUCCESS markers goes too)
     entries.collect { case n @ GenDirRe(_) => n }.foreach { genName =>
       val genPath = new Path(root, genName)
+      if (liveIntents.contains(genName.stripPrefix("__gen=").toLong)) {
+        // in-flight optimistic stage: leave the whole dir alone
+      } else {
       fs.listStatus(genPath).filter(_.isDirectory).foreach { bDir =>
         // value-clustered layouts nest one `__cv=` level under the
         // bucket dir — the sweep must recurse, or every nested data
@@ -2663,6 +2923,7 @@ object Upsert {
         if (referencedLeft == 0) fs.delete(bDir.getPath, true)
       }
       if (!fs.listStatus(genPath).exists(_.isDirectory)) fs.delete(genPath, true)
+      }
     }
     }
   }

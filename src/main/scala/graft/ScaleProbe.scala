@@ -1175,25 +1175,36 @@ object ScaleProbe {
               .withColumn("__v", lit(w)))
         }
         def drain(dws: String, ckpt: String, cap: Option[Int],
-                  compactEvery: Option[Int] = None): Seq[Long] = {
+                  compactEvery: Option[Int] = None,
+                  carry: Boolean = true): Seq[Long] = {
           val q = graft.rtdw.IncrementalDws.streamingMor(spark, fact, dws,
             groupCols = Seq("gid"), sumCols = Seq("value_cents"),
             checkpointDir = ckpt, maxBatchesPerTrigger = cap, maxPointKeys = 0,
-            compactEveryTriggers = compactEvery)
+            compactEveryTriggers = compactEvery,
+            carryBoundaryImages = carry)
           q.awaitTermination(600000)
           q.recentProgress.filter(_.numInputRows > 0)
             .map(_.durationMs.get("triggerExecution").toLong).toSeq
         }
+        // carried boundary images (r15, VERDICT r14 #2): the bounded
+        // drain resolves the base ONCE (wave + visible-backlog
+        // lookahead) and serves every later trigger's PRE from the
+        // carry — vs the uncarried drain's per-trigger touched-bucket
+        // base pass, vs the one-shot single-range comparator
         val bounded = drain(s"$root/backlog/dws_b", s"$root/backlog/ckpt_b", Some(5))
+        val nocarry = drain(s"$root/backlog/dws_nc", s"$root/backlog/ckpt_nc",
+          Some(5), carry = false)
         val one = drain(s"$root/backlog/dws_u", s"$root/backlog/ckpt_u", None)
         def agg(dws: String) = graft.rtdw.IncrementalDws.current(spark, dws).get
           .agg(sum(col("value_cents")), sum(col("row_ct"))).head().toString()
         val full = graft.io.MergeOnRead.read(spark, fact, Seq("event_id"), "__v")
           .agg(sum(col("value_cents")), count(lit(1))).head().toString()
         println(f"[scale] morfeed_backlog n=$n%-9d batches=50 cap=5 " +
-          f"bounded_trigger_ms=${bounded.mkString("/")} " +
-          f"bounded_total_ms=${bounded.sum} one_shot_ms=${one.sum} " +
+          f"carried_trigger_ms=${bounded.mkString("/")} " +
+          f"carried_total_ms=${bounded.sum} " +
+          f"nocarry_total_ms=${nocarry.sum} one_shot_ms=${one.sum} " +
           f"agg_equal=${agg(s"$root/backlog/dws_b") == full &&
+            agg(s"$root/backlog/dws_nc") == full &&
             agg(s"$root/backlog/dws_u") == full}")
       }
 
@@ -1223,6 +1234,11 @@ object ScaleProbe {
           maxBatchesPerTrigger = Some(5), maxPointKeys = 0,
           compactEveryTriggers = Some(2))
         q.awaitTermination(600000)
+        // r15: the pairing is signaled to the background maintenance
+        // thread — drain it so compacted_upto below is deterministic;
+        // trigger times now exclude compaction (VERDICT r14 #3)
+        val compactsDone =
+          graft.rtdw.IncrementalDws.awaitPairedCompacts(fact, 600000)
         val paired = q.recentProgress.filter(_.numInputRows > 0)
           .map(_.durationMs.get("triggerExecution").toLong).toSeq
         val full = graft.io.MergeOnRead.read(spark, fact, Seq("event_id"), "__v")
@@ -1232,6 +1248,7 @@ object ScaleProbe {
         println(f"[scale] morfeed_drainpair n=$n%-9d batches=50 cap=5 " +
           f"compact_every=2 paired_trigger_ms=${paired.mkString("/")} " +
           f"paired_total_ms=${paired.sum} " +
+          f"compacts_done=$compactsDone " +
           f"compacted_upto=${graft.io.MergeOnRead.compactedUpto(spark, fact)} " +
           f"agg_equal=${got == full}")
       }

@@ -51,6 +51,8 @@ object SparkEntry {
     "j_sql_rename" -> (Relational.jSqlRename _),
     "mor_sql_rename" -> (Relational.morSqlRename _),
     "mor_rename_time_travel" -> (Relational.morRenameTimeTravel _),
+    "mor_chain_mid_travel" -> (Relational.morChainMidTravel _),
+    "j_rename_feed_fold" -> (Relational.jRenameFeedFold _),
     "mor_changes_batch" -> (Relational.morChangesBatch _),
     "mor_time_travel" -> (Relational.morTimeTravel _),
     "a_meta_agg" -> (Relational.aMetaAgg _),
@@ -694,6 +696,49 @@ object SparkEntry {
       """SELECT event_type,
                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
                   AS value_cents,
+                COUNT(*) AS row_ct
+         FROM events GROUP BY event_type""",
+
+    // MID-chain time travel on the ADD→RENAME→DROP evolution root
+    // (VERDICT r14 #4): v1 = the era between ADD and RENAME (old name,
+    // note present, content through the %13 correction batch), v2 =
+    // the era between RENAME and DROP (new name, note STILL present,
+    // content through the %19 batch; %19 corrections beat %13 by
+    // version). The oracle recomputes BOTH historical states from raw
+    // events.
+    "mor_chain_mid_travel" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS c
+           FROM events)
+         SELECT 'v1' AS era, event_type,
+                CAST(SUM(CASE WHEN event_id % 13 = 0 THEN c + 3
+                              ELSE c END) AS BIGINT) AS amount_cents,
+                COUNT(*) AS row_ct,
+                CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS note_ct
+         FROM base GROUP BY event_type
+         UNION ALL
+         SELECT 'v2' AS era, event_type,
+                CAST(SUM(CASE WHEN event_id % 19 = 0 THEN c + 5
+                              WHEN event_id % 13 = 0 THEN c + 3
+                              ELSE c END) AS BIGINT) AS amount_cents,
+                COUNT(*) AS row_ct,
+                CAST(SUM(CASE WHEN event_id % 13 = 0 OR event_id % 19 = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS note_ct
+         FROM base GROUP BY event_type""",
+
+    // signed fold of a renamed CoW changeLog table's WHOLE feed —
+    // batch 0 predates the rename (old-name feed files served through
+    // the per-era read supports), batch 1 corrects %11 keys under the
+    // new name; the telescoped net equals the current state recomputed
+    // from raw events
+    "j_rename_feed_fold" ->
+      """SELECT event_type,
+                CAST(SUM(CASE WHEN event_id % 11 = 0
+                              THEN CAST(FLOOR(value * 100) AS BIGINT) + 5
+                              ELSE CAST(FLOOR(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS amount_cents,
                 COUNT(*) AS row_ct
          FROM events GROUP BY event_type""",
 

@@ -1288,6 +1288,10 @@ object Relational {
         checkpointDir = s"$base/ckpt", maxBatchesPerTrigger = Some(5),
         compactEveryTriggers = Some(2))
       q.awaitTermination(300000)
+      // the pairing runs on the shared maintenance thread (r15): wait
+      // for the signaled folds before asserting on the watermark
+      require(graft.rtdw.IncrementalDws.awaitPairedCompacts(fact),
+        "paired compactions did not drain in time")
       // the pairing must have folded the consumed prefix as it drained
       // — a fixture-time invariant so a regression fails the BUILD, not
       // just a slow probe
@@ -1517,6 +1521,60 @@ object Relational {
       }
     }
 
+  /** Build-once CoW CHANGELOG table renamed mid-history (VERDICT r14
+    * #4's CoW twin): wave 1 inserts all events under `value_cents`
+    * (feed batch 0 lands in the PRE-rename generation, its feed files
+    * physically carrying the old name), the RENAME flips the contract,
+    * and wave 2 corrects %11 keys under `amount_cents` (feed batch 1).
+    * Consumers reading the whole feed therefore cross an era boundary.
+    */
+  def renameFeedEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/events_rename_feed_", sfDir,
+        recipe = "cow changeLog rename value_cents->amount_cents correct%11+5 v1") { root =>
+      val ev = Tables.events(spark, sfDir)
+      graft.io.Upsert.merge(spark, root,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"))
+          .withColumn("__v", lit(1L)),
+        pk = Seq("event_id"), versionCol = "__v", changeLog = true)
+      graft.io.Upsert.renameColumn(spark, root, "value_cents", "amount_cents")
+      // the post-rename merge resolves the touched buckets' current
+      // rows by field id — runtime-scoped conf flip, like
+      // sqlRenameEnsure (the merge is eager; restore after it commits)
+      val prior = spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      try
+        graft.io.Upsert.merge(spark, root,
+          ev.filter(col("event_id") % 11 === 0)
+            .select(col("event_id"), col("event_type"),
+              (cents(col("value")) + 5).as("amount_cents"))
+            .withColumn("__v", lit(2L)),
+          pk = Seq("event_id"), versionCol = "__v", changeLog = true)
+      finally prior match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.read.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+      }
+    }
+
+  /** Signed fold of the WHOLE change feed across the rename boundary
+    * (VERDICT r14 #4): batch 0's feed files live in the PRE-rename
+    * generation under the old physical name and are served through the
+    * feed's per-era read supports translated to `amount_cents`; batch
+    * 1's retract/add pairs correct the %11 keys. The fold telescopes
+    * to the net current state, which the ORACLE recomputes from raw
+    * events — green proves pre-rename feed generations are readable
+    * and EXACT through the era path, with no conf tax on the consumer.
+    */
+  def jRenameFeedFold(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = renameFeedEnsure(spark, sfDir)
+    val (changes, _) = graft.io.ChangeFeed.since(spark, root, -1L).get
+    val sign = when(col(graft.io.ChangeFeed.ChangeCol) === "add", lit(1L))
+      .otherwise(lit(-1L))
+    changes.groupBy(col("event_type"))
+      .agg(sum(col("amount_cents") * sign).as("amount_cents"),
+        sum(sign).as("row_ct"))
+  }
+
   /** The renamed table's slice: %11 keys corrected post-rename (new
     * files carry `amount` physically) and %13 keys untouched (their
     * files still carry `value` physically — the field id resolves
@@ -1616,6 +1674,83 @@ object Relational {
       s"""SELECT event_type, SUM(value_cents) AS value_cents,
                  COUNT(*) AS row_ct
           FROM graft.`$dir` VERSION AS OF 0 GROUP BY event_type""")
+  }
+
+  /** Build-once MOR root evolved through a THREE-step chain with a
+    * delta batch between each step — ADD note (then %13 corrections at
+    * v2 filling it), RENAME value_cents→amount_cents (then %19
+    * corrections at v3), DROP note (then %23 corrections at v4) — so
+    * every MID-chain version is a distinct (names, shape, content)
+    * triple the per-version schema history (r14, VERDICT r13 #4) must
+    * reproduce. Batch axis: 0 = insert-all (compacted), 1/2/3 = the
+    * three correction batches; the history entries pin era boundaries
+    * at watermarks 0, 1 and 2.
+    */
+  def morChainEnsure(spark: SparkSession, sfDir: String): String =
+    Tables.ensureBuilt(spark, "target/dml/mor_chain_", sfDir,
+        recipe = "mor evolution chain add-note %13+3v2 rename-amount %19+5v3 drop-note %23+7v4 v1") { root =>
+      val dir = s"$root/t"
+      val ev = Tables.events(spark, sfDir)
+      graft.io.MergeOnRead.merge(spark, dir,
+        ev.select(col("event_id"), col("event_type"),
+          cents(col("value")).as("value_cents"),
+          lit(1L).as("__v"), lit("insert").as("op")))
+      graft.io.MergeOnRead.compact(spark, dir, Seq("event_id"), "__v",
+        deleteFlagCol = Some("op"), numBuckets = 16)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      val view = "mor_chain_src_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+      ev.createOrReplaceTempView(view)
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+      spark.sql(
+        s"""INSERT INTO graft.`$dir`
+              (event_id, event_type, value_cents, __v, op, note)
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 3,
+                   CAST(2 AS BIGINT), 'insert', 'a2'
+            FROM $view WHERE event_id % 13 = 0""")
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN value_cents TO amount_cents")
+      spark.sql(
+        s"""INSERT INTO graft.`$dir`
+              (event_id, event_type, amount_cents, __v, op, note)
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 5,
+                   CAST(3 AS BIGINT), 'insert', 'a3'
+            FROM $view WHERE event_id % 19 = 0""")
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN note")
+      spark.sql(
+        s"""INSERT INTO graft.`$dir`
+              (event_id, event_type, amount_cents, __v, op)
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) + 7,
+                   CAST(4 AS BIGINT), 'insert'
+            FROM $view WHERE event_id % 23 = 0""")
+    } + "/t"
+
+  /** MID-chain time travel on the three-evolution root (VERDICT r14
+    * #4): `VERSION AS OF 1` must serve the era between ADD and RENAME
+    * (old name `value_cents`, `note` present, content through batch 1)
+    * and `VERSION AS OF 2` the era between RENAME and DROP (new name
+    * `amount_cents`, `note` STILL present, content through batch 2) —
+    * each under its own era's names and shape, never the current
+    * contract's. The ORACLE recomputes both historical states from raw
+    * events; green proves mid-chain eras are first-class, not just the
+    * endpoints.
+    */
+  def morChainMidTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = morChainEnsure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.UpsertCatalog].getName)
+    spark.sql(
+      s"""SELECT 'v1' AS era, event_type,
+                 SUM(value_cents) AS amount_cents,
+                 COUNT(*) AS row_ct, COUNT(note) AS note_ct
+          FROM graft.`$dir` VERSION AS OF 1 GROUP BY event_type
+          UNION ALL
+          SELECT 'v2' AS era, event_type,
+                 SUM(amount_cents) AS amount_cents,
+                 COUNT(*) AS row_ct, COUNT(note) AS note_ct
+          FROM graft.`$dir` VERSION AS OF 2 GROUP BY event_type""")
   }
 
   /** Aggregate over the SQL-ALTERed MOR root, including `COUNT(note)`

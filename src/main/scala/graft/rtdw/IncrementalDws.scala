@@ -145,6 +145,80 @@ object IncrementalDws {
   // bootstrap fold and the stream's first commit restarts into "skip
   // the refold, subscribe from the recorded offset"
   private val BootstrapProp = "bootstrappedUpto"
+  // the carried boundary image's validity stamp (VERDICT r14 #2):
+  // "<validAtBatch>:<factContractFingerprint>". Committed in the SAME
+  // manifest rename as the fold it belongs to, so a crash can never
+  // leave a carry the watermark doesn't vouch for; a carry whose
+  // validAt is not EXACTLY the next trigger's kmin−1, or whose
+  // fingerprint no longer matches the fact's contract (an ALTER
+  // happened), is ignored — stale images are detected, never trusted.
+  private val StreamCarryProp = "streamCarryAt"
+
+  private def carryRoot(dwsDir: String) = s"$dwsDir/carry"
+
+  /** The carried image committed by the PREVIOUS fold, iff it is valid
+    * at `expectAt` under the fact's CURRENT contract.
+    */
+  private def readCarry(s: SparkSession, dwsDir: String,
+                        man: Option[Upsert.Manifest], expectAt: Long,
+                        fingerprint: String): Option[MorChangeFeed.Carried] =
+    man.flatMap(_.props.get(StreamCarryProp)).flatMap { v =>
+      val Array(at, hash) = v.split(":", 2)
+      val dir = s"${carryRoot(dwsDir)}/img-$at"
+      val fs = graft.io.FsOps.fs(s, new org.apache.hadoop.fs.Path(dir))
+      if (at.toLong != expectAt || hash != fingerprint ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rows")) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/keys"))) None
+      else Some(MorChangeFeed.Carried(
+        s.read.parquet(s"$dir/rows"), s.read.parquet(s"$dir/keys")))
+    }
+
+  /** Materialize the next carried image at `img-<validAt>` (overwrite:
+    * a crash-and-replay rewrites the same dir) and return the prop
+    * that vouches for it — the caller commits the prop IN the fold's
+    * manifest rename.
+    */
+  private def writeCarry(s: SparkSession, dwsDir: String, validAt: Long,
+                         fingerprint: String,
+                         next: MorChangeFeed.Carried): Map[String, String] = {
+    val dir = s"${carryRoot(dwsDir)}/img-$validAt"
+    next.rows.write.mode("overwrite").parquet(s"$dir/rows")
+    next.keys.write.mode("overwrite").parquet(s"$dir/keys")
+    Map(StreamCarryProp -> s"$validAt:$fingerprint")
+  }
+
+  /** Drop every carry image except the one the just-committed manifest
+    * vouches for (`keep`, empty when the fold committed no carry) —
+    * runs AFTER the fold's manifest rename, so a crash anywhere leaves
+    * only ignorable orphans, never a vouched-for image missing.
+    */
+  private def gcCarry(s: SparkSession, dwsDir: String, keep: Option[Long]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(carryRoot(dwsDir))
+    val fs = graft.io.FsOps.fs(s, root)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val keepIt = keep.exists(k => st.getPath.getName == s"img-$k")
+        if (!keepIt) { fs.delete(st.getPath, true); () }
+      }
+  }
+
+  /** The distinct keys of the VISIBLE not-yet-admitted backlog (delta
+    * batches above `kmax`, capped) — they ride the current trigger's
+    * base resolve so later triggers find their waves already covered.
+    */
+  private def lookaheadKeys(s: SparkSession, factDir: String, kmax: Long,
+                            cap: Int): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val pending = graft.io.MergeOnRead.deltaBatches(s, factDir)
+      .filter(_._1 > kmax).sortBy(_._1).take(cap)
+    if (pending.isEmpty) None
+    else graft.io.MergeOnRead.contract(s, factDir).map { case (pk, _, _, _) =>
+      pending.map { case (_, p) =>
+        graft.io.MergeOnRead.reconcileDeclared(s, factDir, s.read.parquet(p))
+          .select(pk.map(col): _*)
+      }.reduce(_.unionByName(_)).distinct()
+    }
+  }
 
   def streaming(spark: SparkSession, factDir: String, dwsDir: String,
                 groupCols: Seq[String], sumCols: Seq[String],
@@ -217,6 +291,22 @@ object IncrementalDws {
     * generation carries Bloom sidecars, the paired compaction rebuilds
     * them ([[graft.io.MergeOnRead.baseHasBlooms]]) instead of silently
     * downgrading point lookups to whole-bucket scans.
+    *
+    * `carryBoundaryImages` (default on, VERDICT r14 #2): while the
+    * consumer is behind, each fold commits a CARRIED boundary image —
+    * the resolved LWW state of every key it has seen or can see coming
+    * (the visible backlog's keys ride the first trigger's base
+    * resolve) — and later triggers serve their PRE images from it
+    * instead of re-resolving the base. A deep drain then pays ONE base
+    * pass total; per-trigger cost is O(wave) at any wave density. The
+    * image is vouched for by a prop in the SAME manifest rename as its
+    * fold (validAt batch + fact-contract fingerprint): a crash, a
+    * replay, or a mid-drain ALTER leaves a stale image that is
+    * DETECTED and discarded, never trusted. Caught-up steady state
+    * writes no image (bounded size: one backlog window's keys) and
+    * keeps the Bloom point path for small waves.
+    * `carryLookaheadBatches` caps how many visible pending batches
+    * contribute keys to the shared resolve.
     */
   def streamingMor(spark: SparkSession, morFactDir: String, dwsDir: String,
                    groupCols: Seq[String], sumCols: Seq[String],
@@ -225,7 +315,9 @@ object IncrementalDws {
                      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                    maxBatchesPerTrigger: Option[Int] = None,
                    maxPointKeys: Int = 1024,
-                   compactEveryTriggers: Option[Int] = None)
+                   compactEveryTriggers: Option[Int] = None,
+                   carryBoundaryImages: Boolean = true,
+                   carryLookaheadBatches: Int = 512)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // FRESH consumer on a MATURE fact (its delta batch 0 already GC'd
     // after compaction — ADVICE r11): the stream can only start at the
@@ -296,41 +388,166 @@ object IncrementalDws {
           val known =
             if (bounds.isNullAt(0)) None
             else Some((bounds.getLong(0), bounds.getLong(1)))
-          val changes = MorChangeFeed.retractStreamBounded(s, morFactDir, raw,
-            maxPointKeys, known)
-          foldInto(s, dwsDir, changes, groupCols, sumCols, man,
-            Map(StreamAppliedProp -> batchId.toString) ++
-              qid.map(StreamQueryProp -> _))
-          // drain-aware compaction pairing (VERDICT r13 next #2): a
-          // bounded drain's per-trigger PRE boundary image unions every
-          // uncompacted batch below its boundary — O(backlog²) total
-          // over a deep backlog (PROBES r13). Folding the CONSUMED
-          // prefix (≤ this trigger's kmax, never ahead of the
-          // subscription) every K triggers keeps the boundary tail
-          // empty, so per-trigger cost stays flat and the total is
-          // O(backlog). Runs AFTER the fold commits: a crash between
-          // fold and compact just leaves the prefix for the next
-          // trigger's cadence check. Same writer lease as any
-          // Maintenance.runMor; retention still keeps one compaction
-          // cycle for other subscribers.
-          for (k <- compactEveryTriggers; b <- known
-               if (batchId + 1) % k == 0) {
-            val (ePk, eVc, eDel, eN) =
-              graft.io.MergeOnRead.contract(s, morFactDir).getOrElse(
-                throw new IllegalStateException(
-                  s"$morFactDir lost its contract mid-subscription"))
-            // preserve the fact's bloom posture: a bloom'd base must
-            // not silently lose its sidecars to the pairing (ADVICE
-            // r14 — point lookups would degrade to whole-bucket scans
-            // until an external maintenance pass rebuilt them)
-            graft.io.MergeOnRead.compact(s, morFactDir, ePk, eVc, eDel, eN,
-              bloom = graft.io.MergeOnRead.baseHasBlooms(s, morFactDir),
-              upToLimit = Some(b._2))
+          val baseProps = Map(StreamAppliedProp -> batchId.toString) ++
+            qid.map(StreamQueryProp -> _)
+          // carried boundary image (VERDICT r14 #2): while the consumer
+          // is BEHIND, the wave's PRE comes from the image the previous
+          // fold committed and the base is only touched for keys the
+          // image doesn't cover — with the visible backlog's keys
+          // riding that same resolve, a deep drain pays ONE base pass
+          // total (O(wave) per trigger at any density) instead of
+          // re-resolving the touched-bucket fraction every trigger.
+          // Caught-up steady state (no lookahead) stops writing the
+          // image, so its size stays bounded by one backlog window's
+          // keys, and small waves keep the Bloom point path.
+          val carryUse = known.filter { case (kmin, _) =>
+            carryBoundaryImages && kmin > 0
+          }.flatMap { case (kmin, kmax) =>
+            val fp = graft.io.MergeOnRead.contractFingerprint(s, morFactDir)
+            val carried = readCarry(s, dwsDir, man, kmin - 1, fp)
+            val look = lookaheadKeys(s, morFactDir, kmax, carryLookaheadBatches)
+            if (carried.isEmpty && look.isEmpty) None
+            else Some((kmin, kmax, fp, carried, look))
           }
+          carryUse match {
+            case None =>
+              val changes = MorChangeFeed.retractStreamBounded(s, morFactDir,
+                raw, maxPointKeys, known)
+              foldInto(s, dwsDir, changes, groupCols, sumCols, man, baseProps)
+              gcCarry(s, dwsDir, keep = None)
+            case Some((kmin, kmax, fp, carried, look)) =>
+              val (changes, next, cleanup) = MorChangeFeed.retractStreamCarried(
+                s, morFactDir, raw, maxPointKeys, (kmin, kmax), carried, look)
+              try {
+                // carry forward only while BEHIND: the image write is
+                // the lookahead's amortized cost — a caught-up final
+                // trigger still CONSUMES the image but stops paying for
+                // a new one (its prop then goes stale and is ignored)
+                val carryProps =
+                  if (look.isDefined) writeCarry(s, dwsDir, kmax, fp, next)
+                  else Map.empty[String, String]
+                foldInto(s, dwsDir, changes, groupCols, sumCols, man,
+                  baseProps ++ carryProps)
+                gcCarry(s, dwsDir,
+                  keep = if (look.isDefined) Some(kmax) else None)
+              } finally cleanup()
+          }
+          // drain-aware compaction pairing (VERDICT r13 next #2): fold
+          // the CONSUMED prefix (≤ this trigger's kmax, never ahead of
+          // the subscription) every K triggers so the fact's delta
+          // tail stays short. SIGNALED, not run, on this thread
+          // (VERDICT r14 #3): the micro-batch merely records the new
+          // watermark and a shared maintenance thread compacts behind
+          // it — resolve triggers no longer absorb multi-second
+          // compaction stalls, and the fold cadence is independent of
+          // compaction duration. Runs AFTER the fold commits: a crash
+          // between fold and compact just leaves the prefix for the
+          // next trigger's signal (compaction is idempotent
+          // maintenance — the aggregate never depends on it). The
+          // compact takes the TABLE lease; appends ride the delta
+          // lease (r15), so neither the signal nor the background fold
+          // ever stalls a producer. Retention still keeps one
+          // compaction cycle for other subscribers.
+          for (k <- compactEveryTriggers; b <- known
+               if (batchId + 1) % k == 0)
+            signalPairedCompact(s, morFactDir, b._2)
         }
         ()
       }
       .start()
+  }
+
+  // ---- background drain-compaction pairing (VERDICT r14 #3) -----------
+
+  /** ONE shared daemon maintenance thread for every paired
+    * subscription in the JVM: compactions are idle-time housekeeping —
+    * serializing them bounds their interference with live queries, and
+    * a consumer signals at most a watermark, never waits.
+    */
+  private lazy val compactPool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-dws-paired-compact")
+      t.setDaemon(true); t
+    })
+  // newest requested fold watermark per fact (coalesced: ten signals
+  // while one compact runs become one follow-up compact to the max)
+  private val pendingCompact =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // facts with a worker queued/running — guards double-submission
+  private val compactScheduled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Record `upTo` as the fact's wanted compaction watermark and make
+    * sure a background worker will service it. Never blocks on the
+    * compaction itself.
+    */
+  private def signalPairedCompact(s: SparkSession, factDir: String,
+                                  upTo: Long): Unit = {
+    pendingCompact.merge(factDir, java.lang.Long.valueOf(upTo),
+      (a, b) => if (a >= b) a else b)
+    if (compactScheduled.add(factDir)) {
+      compactPool.submit(new Runnable {
+        override def run(): Unit = drainPairedCompacts(s, factDir)
+      })
+      ()
+    }
+  }
+
+  /** Worker body: service the fact's pending watermark(s) until none
+    * remain, then deregister — with the standard recheck so a signal
+    * landing between "none pending" and deregistration is never lost.
+    */
+  private def drainPairedCompacts(s: SparkSession, factDir: String): Unit = {
+    var go = true
+    while (go) {
+      val up = pendingCompact.remove(factDir)
+      if (up == null) {
+        compactScheduled.remove(factDir)
+        if (pendingCompact.containsKey(factDir) && compactScheduled.add(factDir)) ()
+        else go = false
+      } else if (up.longValue > graft.io.MergeOnRead.compactedUpto(s, factDir)) {
+        try {
+          val (ePk, eVc, eDel, eN) =
+            graft.io.MergeOnRead.contract(s, factDir).getOrElse(
+              throw new IllegalStateException(
+                s"$factDir lost its contract mid-subscription"))
+          // preserve the fact's bloom posture: a bloom'd base must not
+          // silently lose its sidecars to the pairing (ADVICE r14)
+          graft.io.MergeOnRead.compact(s, factDir, ePk, eVc, eDel, eN,
+            bloom = graft.io.MergeOnRead.baseHasBlooms(s, factDir),
+            upToLimit = Some(up.longValue))
+        } catch {
+          // table-lease contention (an operator maintenance pass, a
+          // concurrent ALTER): put the watermark back and retry on the
+          // next pass — the signal is durable intent, not a one-shot
+          case _: Upsert.ConcurrentWriterException =>
+            pendingCompact.merge(factDir, up, (a, b) => if (a >= b) a else b)
+            Thread.sleep(200)
+          // anything else must NOT kill the worker with the fact still
+          // marked scheduled (pairing would silently die): report, drop
+          // this signal, keep servicing — the next trigger re-signals
+          // and compaction is pure idempotent maintenance
+          case t: Throwable =>
+            System.err.println(
+              s"[graft] paired compaction of $factDir failed " +
+                s"(upTo=${up.longValue}): $t — dropped; the next trigger " +
+                "re-signals")
+        }
+      }
+    }
+  }
+
+  /** Block until every signaled paired compaction for `factDir` has
+    * been serviced — determinism hook for probes/specs that assert on
+    * `compactedUpto` right after a drain finishes.
+    */
+  private[graft] def awaitPairedCompacts(factDir: String,
+                                         timeoutMs: Long = 120000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while ((pendingCompact.containsKey(factDir) ||
+        compactScheduled.contains(factDir)) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    !pendingCompact.containsKey(factDir) && !compactScheduled.contains(factDir)
   }
 
   /** The fully-declarative form of [[streaming]] — ONE streaming query

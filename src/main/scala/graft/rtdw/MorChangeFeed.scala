@@ -127,45 +127,11 @@ object MorChangeFeed {
     }
 
     val snapPre = MergeOnRead.snapshotAt(spark, morRoot, kmin - 1)
-    // point path: bounded key set -> pinned Bloom lookups, O(candidate
-    // files) for the one image whatever the base size. Composite pks
-    // ride the canonical key axis (r12 — previously semi-only): the
-    // bucket/Bloom narrowing is exact for any arity, and a
-    // canonical-concatenation collision returns at most an extra
-    // UNTOUCHED key whose equal retract/add pair cancels in the fold.
-    // Keys with a NULL component fall to the semi path (the canonical
-    // axis cannot represent them distinctly).
-    val pointKeys: Option[Seq[String]] = {
-      val ks = keys.select(
-          MergeOnRead.canonicalKey(pk).as("__k"),
-          pk.map(col(_).isNull).reduce(_ || _).as("__null"))
-        .limit(maxPointKeys + 1).collect()
-      if (ks.length > maxPointKeys || ks.exists(_.getBoolean(1))) None
-      else Some(ks.map(_.getString(0)).toSeq)
-    }
     // deleteFlagCol = None: resolution is identical (version LWW), but
     // tombstone WINNERS stay — a deleted key's tombstone must beat an
     // admitted row of lower version in the derived POST below
-    val preFull = pointKeys match {
-      case Some(ks) =>
-        MergeOnRead.lookupPinnedKeys(spark, morRoot, snapPre, pk, ks, vc,
-          None, n)
-      case None =>
-        // touched-bucket pruning (r12): the wave's keys hash to a
-        // bounded bucket set under the base's own placement, so the
-        // base scan shrinks to the touched fraction — the first
-        // sub-O(base) rung for waves past maxPointKeys, and it works
-        // for COMPOSITE pks (the point path is single-column-only).
-        // A firehose wave touching every bucket degrades to the full
-        // scan it needed anyway.
-        val manN = snapPre.man.map(_.numBuckets(n)).getOrElse(n)
-        val touched = MergeOnRead.touchedBuckets(keys, pk, manN)
-        val resolved = MergeOnRead.readPinned(spark, morRoot, snapPre, pk, vc,
-          None, broadcastBudget(spark),
-          baseBuckets = Some(touched))
-        resolved.join(broadcast(keys),
-          pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
-    }
+    val preFull = resolvePre(spark, morRoot, snapPre, keys, pk, vc, n,
+      maxPointKeys)
 
     // one window over PRE ∪ admitted rows emits BOTH roles: every live
     // PRE row retracts; the per-key (version DESC NULLS LAST, source
@@ -195,6 +161,167 @@ object MorChangeFeed {
         when(col("__cf_rn") === 1 && live(ranked), lit("add"))
       )).as(ChangeFeed.ChangeCol): _*)
       .filter(col(ChangeFeed.ChangeCol).isNotNull)
+  }
+
+  /** The PRE-boundary resolve for a bounded key frame — the one place
+    * the feed touches the base. Point path: bounded key set → pinned
+    * Bloom lookups, O(candidate files) for the one image whatever the
+    * base size. Composite pks ride the canonical key axis (r12 —
+    * previously semi-only): the bucket/Bloom narrowing is exact for
+    * any arity, and a canonical-concatenation collision returns at
+    * most an extra UNTOUCHED key whose equal retract/add pair cancels
+    * in the fold. Keys with a NULL component fall to the semi path
+    * (the canonical axis cannot represent them distinctly). Semi path:
+    * touched-bucket pruning (r12) shrinks the base scan to the keys'
+    * placement fraction; a wave touching every bucket degrades to the
+    * full scan it needed anyway. Tombstone winners KEPT (del = None).
+    */
+  private def resolvePre(spark: SparkSession, morRoot: String,
+                         snapPre: MergeOnRead.Snapshot, keys: DataFrame,
+                         pk: Seq[String], vc: String, n: Int,
+                         maxPointKeys: Int): DataFrame = {
+    val pointKeys: Option[Seq[String]] = {
+      val ks = keys.select(
+          MergeOnRead.canonicalKey(pk).as("__k"),
+          pk.map(col(_).isNull).reduce(_ || _).as("__null"))
+        .limit(maxPointKeys + 1).collect()
+      // NO keys to resolve (a fully-covered carried trigger): a typed
+      // empty frame, zero base I/O — don't thread an empty in-list
+      // through the lookup machinery
+      if (ks.isEmpty) return keys.limit(0)
+      if (ks.length > maxPointKeys || ks.exists(_.getBoolean(1))) None
+      else Some(ks.map(_.getString(0)).toSeq)
+    }
+    pointKeys match {
+      case Some(ks) =>
+        MergeOnRead.lookupPinnedKeys(spark, morRoot, snapPre, pk, ks, vc,
+          None, n)
+      case None =>
+        val manN = snapPre.man.map(_.numBuckets(n)).getOrElse(n)
+        val touched = MergeOnRead.touchedBuckets(keys, pk, manN)
+        val resolved = MergeOnRead.readPinned(spark, morRoot, snapPre, pk, vc,
+          None, broadcastBudget(spark),
+          baseBuckets = Some(touched))
+        resolved.join(broadcast(keys),
+          pk.map(c => resolved(c) <=> keys(c)).reduce(_ && _), "left_semi")
+    }
+  }
+
+  /** A CARRIED boundary image (VERDICT r14 #2): the resolved LWW state
+    * of a bounded, explicitly-tracked key set as of one delta batch.
+    * `rows` holds the resolved rows (tombstone winners INCLUDED — they
+    * must keep beating lower-versioned admitted rows); `keys` is the
+    * covered key set, which is strictly larger than `rows`' keys: a
+    * covered key with NO row is positive knowledge ("absent at the
+    * boundary"), the state that lets a later insert of that key emit
+    * add-only without touching the base.
+    */
+  private[graft] final case class Carried(rows: DataFrame, keys: DataFrame)
+
+  /** [[retractStreamBounded]] with a carried PRE image (VERDICT r14
+    * #2): the bounded-drain form that makes per-trigger base I/O
+    * O(uncovered keys) instead of O(touched-bucket base fraction).
+    *
+    * `carried` (when valid at kmin−1) serves the PRE image for every
+    * covered wave key; only keys outside the covered set resolve from
+    * the base. `lookaheadKeys` — the keys of the VISIBLE not-yet-
+    * admitted backlog — ride the same base resolve, so a deep drain
+    * pays ONE base pass total: trigger 1 resolves (wave₁ ∪ lookahead)
+    * and every later trigger finds its wave fully covered. Exactness:
+    * a covered non-wave key is untouched by the admitted range (the
+    * range's keys ARE the wave), so its carried value at kmin−1 is
+    * also its value at kmax; wave keys get the same window-LWW the
+    * uncarried form computes, just with PRE served from the carry.
+    *
+    * Returns (changes, newCarry, cleanup). `newCarry` is valid AS OF
+    * kmax and covers (carried.keys ∪ wave ∪ lookahead); the caller
+    * must MATERIALIZE it (write both frames) before folding `changes`
+    * and call `cleanup()` after the fold — the shared base resolve is
+    * persisted so the two consumptions pay it once.
+    */
+  private[graft] def retractStreamCarried(spark: SparkSession, morRoot: String,
+                                          raw0: DataFrame, maxPointKeys: Int,
+                                          bounds: (Long, Long),
+                                          carried: Option[Carried],
+                                          lookaheadKeys: Option[DataFrame])
+      : (DataFrame, Carried, () => Unit) = {
+    val (pk, vc, del, n) = MergeOnRead.contract(spark, morRoot).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$morRoot records no contract — the feed consumer needs pk/version"))
+    val raw = MergeOnRead.reconcileDeclared(spark, morRoot, raw0)
+    val (kmin, kmax) = bounds
+    require(kmin > 0L,
+      "retractStreamCarried serves ranges with a non-empty PRE boundary; " +
+        "the kmin == 0 bootstrap has no image to carry (use retractStream)")
+    def keyEq(l: DataFrame, r: DataFrame) =
+      pk.map(c => l(c) <=> r(c)).reduce(_ && _)
+
+    val waveKeys = raw.select(pk.map(col): _*).distinct()
+    val emptyKeys = raw.select(pk.map(col): _*).limit(0)
+    val coveredKeys = carried.map(_.keys).getOrElse(emptyKeys)
+    val lookKeys = lookaheadKeys.getOrElse(emptyKeys)
+    // keys whose boundary state is UNKNOWN: this trigger's wave plus
+    // the visible backlog's waves, minus everything already carried
+    val needKeys0 = waveKeys.unionByName(lookKeys).distinct()
+    val needKeys = carried match {
+      case None => needKeys0
+      case Some(c) => needKeys0.join(c.keys, keyEq(needKeys0, c.keys), "left_anti")
+    }
+    val snapPre = MergeOnRead.snapshotAt(spark, morRoot, kmin - 1)
+    // ONE base resolve for every uncovered key, persisted: it feeds
+    // both the new carry (written first — the materializing action)
+    // and the fold's retract/add derivation
+    val freshPre = resolvePre(spark, morRoot, snapPre, needKeys, pk, vc, n,
+      maxPointKeys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def live(df: DataFrame) = del match {
+      case Some(f) if df.columns.contains(f) =>
+        col(f) =!= "delete" || col(f).isNull
+      case _ => lit(true)
+    }
+    val carriedPreWave = carried.map(c =>
+      c.rows.join(waveKeys, keyEq(c.rows, waveKeys), "left_semi"))
+    val freshPreWave =
+      freshPre.join(waveKeys, keyEq(freshPre, waveKeys), "left_semi")
+    val preWave = carriedPreWave
+      .map(_.unionByName(freshPreWave, allowMissingColumns = true))
+      .getOrElse(freshPreWave)
+
+    val src = "__cf_src"
+    require(!raw.columns.contains(src) && !raw.columns.contains("__cf_rn"),
+      s"feed rows must not carry the reserved columns $src/__cf_rn")
+    val combined = preWave.withColumn(src, lit(-1L))
+      .unionByName(
+        raw.withColumn(src, col(MorChangeFeedSource.BatchCol))
+          .drop(MorChangeFeedSource.BatchCol),
+        allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*)
+      .orderBy(col(vc).desc, col(src).desc)
+    val ranked = combined.withColumn("__cf_rn", row_number().over(w))
+    val dataCols = combined.columns.filterNot(c => c == src || c == "__cf_rn")
+    val changes = ranked.select(dataCols.map(col).toIndexedSeq :+
+      explode(array(
+        when(col(src) === -1L && live(ranked), lit("retract")),
+        when(col("__cf_rn") === 1 && live(ranked), lit("add"))
+      )).as(ChangeFeed.ChangeCol): _*)
+      .filter(col(ChangeFeed.ChangeCol).isNotNull)
+
+    // carry AS OF kmax: wave keys take their window winner (tombstones
+    // included); covered and freshly-resolved keys OUTSIDE the wave
+    // are untouched by the range, so their kmin−1 state carries as-is
+    val postWave = ranked.filter(col("__cf_rn") === 1)
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    val untouchedCarried = carried.map(c =>
+      c.rows.join(waveKeys, keyEq(c.rows, waveKeys), "left_anti"))
+    val untouchedFresh =
+      freshPre.join(waveKeys, keyEq(freshPre, waveKeys), "left_anti")
+    val newRows = (Seq(postWave) ++ untouchedCarried ++ Seq(untouchedFresh))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val newKeys = coveredKeys.unionByName(waveKeys).unionByName(lookKeys)
+      .distinct()
+    (changes, Carried(newRows, newKeys), () => { freshPre.unpersist(); () })
   }
 
   /** BATCH CDC read — the `table_changes(from, to)` of the MOR layout

@@ -188,4 +188,35 @@ class MorAlterSpec extends SparkSpec {
     assert(v2.columns.contains("src") && v2.columns.contains("note"))
     assert(v2.filter(col("note") === "adj").count() == 1)
   }
+
+  test("two evolutions at the SAME watermark: the version reads PRE-both " +
+       "(contractKvAt picks the first entry — VERDICT r14 #4)") {
+    catalogReady
+    val dir = mkMor() // batches 0 (compacted) + 1 (k1 -> 101); watermark 1
+    // back-to-back ALTERs with NO intervening batch: both history
+    // entries stamp watermark 1. Version 1 committed before either, so
+    // its era is the PRE-BOTH state — the FIRST entry at the shared
+    // watermark, which contractKvAt's find() picks. This test PINS
+    // that choice: old name, no added column.
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN cents TO amount")
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+    assert(v1.columns.contains("cents") && !v1.columns.contains("amount") &&
+      !v1.columns.contains("note"), v1.columns.mkString(","))
+    val m1 = v1.select("id", "cents").as[(String, Long)].collect().toMap
+    assert(m1("k1") == 101L && m1("k2") == 2L)
+    // the CURRENT read serves post-both: new name + the added column
+    val cur = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(cur.columns.contains("amount") && cur.columns.contains("note") &&
+      !cur.columns.contains("cents"), cur.columns.mkString(","))
+    // a batch landed AFTER both evolutions reads back under them, and
+    // version 1 still serves the pre-both era afterwards
+    spark.sql(s"""INSERT INTO graft.`$dir` (id, ver, amount, src, op, note)
+                  VALUES ('k1', CAST(3 AS BIGINT), CAST(303 AS BIGINT),
+                          'c', 'update', 'adj')""")
+    assert(spark.sql(s"SELECT amount FROM graft.`$dir` WHERE id = 'k1'")
+      .as[Long].head() == 303L)
+    assert(spark.sql(s"SELECT cents FROM graft.`$dir` VERSION AS OF 1 WHERE id = 'k1'")
+      .as[Long].head() == 101L)
+  }
 }

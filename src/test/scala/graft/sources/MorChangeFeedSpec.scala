@@ -133,6 +133,10 @@ class MorChangeFeedSpec extends SparkSpec {
       groupCols = Seq("gid"), sumCols = Seq("cents"), checkpointDir = ckpt,
       maxBatchesPerTrigger = Some(3), compactEveryTriggers = Some(2))
     q.awaitTermination(300000)
+    // the pairing is SIGNALED to a background maintenance thread
+    // (r15): drain its queue before asserting on the watermark
+    assert(IncrementalDws.awaitPairedCompacts(fact),
+      "paired compactions did not drain in time")
 
     // the consumer compacted its consumed prefix as it drained: the
     // watermark advanced INTO the backlog and the live delta tail is
@@ -156,6 +160,7 @@ class MorChangeFeedSpec extends SparkSpec {
       groupCols = Seq("gid"), sumCols = Seq("cents"), checkpointDir = ckpt,
       maxBatchesPerTrigger = Some(3), compactEveryTriggers = Some(2))
     q2.awaitTermination(300000)
+    assert(IncrementalDws.awaitPairedCompacts(fact))
     val served2 = IncrementalDws.current(spark, dws).get
       .select("gid", "cents", "row_ct").collect().map(_.mkString("|")).toSet
     val full2 = MergeOnRead.read(spark, fact, pk, "__v", Some("op"))

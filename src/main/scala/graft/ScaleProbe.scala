@@ -102,6 +102,11 @@ object ScaleProbe {
     // r14 over-budget SPJ corner) — the 20M form without the 50-batch
     // backlog sections
     val morFeedPruneOnly = args.length > 1 && args(1) == "morfeedprune"
+    // "optlock": optimistic-concurrency timing (VERDICT r14 #1) — MOR
+    // delta appends land WHILE a table-lease compaction runs (epochs
+    // never stall behind maintenance), and two CoW merges on disjoint
+    // placement buckets race to both commit (wall-clock vs serial sum)
+    val optLockOnly = args.length > 1 && args(1) == "optlock"
     // "morsort": sorted-compaction trade — compact's extra shuffle vs
     // the big-delta SPJ resolve's eliminated base-side SortExec
     val morSortOnly = args.length > 1 && args(1) == "morsort"
@@ -1056,6 +1061,90 @@ object ScaleProbe {
         s"cow=$cowSig mor=$morSig")
     }
 
+    if (optLockOnly) {
+      // ARM 1 — MOR appends during a table-lease compaction: blind
+      // delta appends ride the DELTA-ROOT lease (r15), so a producer
+      // epoch during a multi-second compaction pays CPU contention at
+      // worst, never the compaction's full duration (the pre-r15 cost:
+      // the append waited out the table lease). idle vs during medians
+      // + the compaction's own span give the honest comparison.
+      val root = java.nio.file.Files.createTempDirectory("probe_optlock").toString
+      val nb = 64
+      val rows = ev.withColumn("__v", lit(1L))
+        .select("event_id", "event_type", "value", "__v")
+      val fact = s"$root/mor/fact"
+      graft.io.MergeOnRead.merge(spark, fact, rows)
+      graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+        numBuckets = nb, bloom = true)
+      // a fat correction delta so the raced compaction has real work
+      graft.io.MergeOnRead.merge(spark, fact,
+        rows.filter(pmod(xxhash64(col("event_id"), lit(7)), lit(20)) === 0)
+          .withColumn("__v", lit(2L)))
+      def appendWave(w: Long): Long = {
+        val t0 = System.nanoTime()
+        graft.io.MergeOnRead.merge(spark, fact,
+          rows.filter(pmod(xxhash64(col("event_id"), lit(w)), lit(2000)) === 0)
+            .withColumn("__v", lit(w)))
+        (System.nanoTime() - t0) / 1000000L
+      }
+      val idle = (10L to 14L).map(appendWave)
+      @volatile var compactMs = -1L
+      val bg = new Thread(() => {
+        val t0 = System.nanoTime()
+        graft.io.MergeOnRead.compact(spark, fact, Seq("event_id"), "__v",
+          numBuckets = nb, bloom = true)
+        compactMs = (System.nanoTime() - t0) / 1000000L
+      }, "probe-optlock-compact")
+      bg.start()
+      Thread.sleep(500) // let the compaction take the table lease
+      val during = (20L to 24L).map(appendWave)
+      bg.join(600000)
+      def med(xs: Seq[Long]) = xs.sorted.apply(xs.length / 2)
+      println(f"[scale] optlock_append n=$n%-9d " +
+        f"idle_ms=${idle.mkString("/")} median=${med(idle)} " +
+        f"during_compact_ms=${during.mkString("/")} median=${med(during)} " +
+        f"compact_ms=$compactMs")
+
+      // ARM 2 — two CoW merges on DISJOINT placement buckets, racing
+      // under optimistic commits: both commit (zero aborts required —
+      // the second rebases onto the first), wall-clock ≈ the slower
+      // stage + a short commit section, vs the pre-r15 serial sum.
+      // Content parity vs a serially-built control table is asserted.
+      val bucket = pmod(xxhash64(col("event_id").cast("string")), lit(nb))
+      def wave(w: Long, lo: Int, hi: Int) = rows
+        .filter(bucket >= lo && bucket < hi)
+        .filter(pmod(xxhash64(col("event_id"), lit(w)), lit(50)) === 0)
+        .withColumn("__v", lit(w))
+      def mkBase(dir: String): Unit = graft.io.Upsert.merge(spark, dir, rows,
+        pk = Seq("event_id"), versionCol = "__v", numBuckets = nb)
+      def mergeTimed(dir: String, df: DataFrame): Long = {
+        val t0 = System.nanoTime()
+        graft.io.Upsert.merge(spark, dir, df,
+          pk = Seq("event_id"), versionCol = "__v", numBuckets = nb)
+        (System.nanoTime() - t0) / 1000000L
+      }
+      val serialT = s"$root/cow_serial/t"; mkBase(serialT)
+      val s1 = mergeTimed(serialT, wave(30L, 0, nb / 2))
+      val s2 = mergeTimed(serialT, wave(31L, nb / 2, nb))
+      val raceT = s"$root/cow_race/t"; mkBase(raceT)
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val t0 = System.nanoTime()
+      val ths = Seq(wave(30L, 0, nb / 2), wave(31L, nb / 2, nb)).zipWithIndex
+        .map { case (df, i) => new Thread(() => {
+          try lat.add(mergeTimed(raceT, df))
+          catch { case t: Throwable => errs.add(t.toString); () }
+        }, s"probe-optlock-writer-$i") }
+      ths.foreach(_.start()); ths.foreach(_.join(600000))
+      val raceWallMs = (System.nanoTime() - t0) / 1000000L
+      def sig(dir: String): String = graft.io.Upsert.read(spark, dir)
+        .agg(sum(xxhash64(col("event_id"), col("__v")).cast("decimal(38,0)")),
+          count(lit(1))).head().toString()
+      println(f"[scale] optlock_race n=$n%-9d serial_ms=$s1+$s2=${s1 + s2} " +
+        f"race_wall_ms=$raceWallMs race_each_ms=${lat.toArray.mkString("/")} " +
+        f"aborts=${errs.size} content_equal=${sig(serialT) == sig(raceT)}")
+    }
+
     if (morFeedOnly) {
       // Subscription cost of the MOR delta-log feed (VERDICT r10 #5):
       // a DWS aggregate follows an n-row bloom-compacted MOR fact; per
@@ -1318,7 +1407,7 @@ object ScaleProbe {
         f"resolve_ms=${ru.mkString("/")}  content_equal=${stateS == stateU}")
     }
 
-    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !morSortOnly && !topnOnly) {
+    if (!dedupOnly && !ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !morSortOnly && !optLockOnly && !topnOnly) {
     time("scan_filter_project") {
       ev.filter(col("event_type") === "purchase" && col("value") > 250)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -1494,7 +1583,7 @@ object ScaleProbe {
       // (backlog #3: 8M/16M points on an idle host)
       val sweep = Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L, 16000000L)
         .filter(_ <= math.max(4000000L, n))
-      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !morSortOnly && !topnOnly) sweep.foreach { n =>
+      if (!ingestOnly && !annOnly && !sq8Only && !zonesOnly && !metaOnly && !bandOnly && !pointOnly && !skewOnly && !mvincOnly && !eventsOnly && !spjOnly && !spillOnly && !dwsOnly && !dwsContOnly && !dwsContMorOnly && !sinkMorOnly && !morFeedOnly && !morSortOnly && !optLockOnly && !topnOnly) sweep.foreach { n =>
         val docs = synthDocs(n)
         val t0 = System.nanoTime()
         val lshCands = graft.llm.Dedup.minhashLshDf(docs).count()

@@ -123,7 +123,31 @@ object Maintenance {
         actions += s"vacuum: $freeBytes freeable bytes ($freeFiles files)"
       }
     }
+    actions ++= runFeed(spark, dir)
     actions.result()
+  }
+
+  /** Age the table's change feed out up to the slowest REGISTERED
+    * subscriber ([[Subscribers.minWatermark]]): the applied prefix
+    * telescopes into one net batch and its covered dirs are GC'd —
+    * the feed stops accumulating one dir per merge forever. With no
+    * registered subscribers this does NOTHING: an empty registry
+    * means "consumers unknown", never "no consumers" (an unregistered
+    * reader compacted past still fails loudly in `since`/`changes`,
+    * but registered ones are simply never overtaken). No-op when the
+    * table has no feed or the applied prefix is already one batch.
+    */
+  def runFeed(spark: SparkSession, dir: String): Seq[String] = {
+    val feedRoot = new org.apache.hadoop.fs.Path(ChangeFeed.dirFor(dir))
+    if (!FsOps.fs(spark, feedRoot).exists(feedRoot)) return Nil
+    Subscribers.minWatermark(spark, dir) match {
+      case Some(m) if m >= 0 &&
+          ChangeFeed.batches(spark, dir).count(_._1 <= m) > 1 =>
+        ChangeFeed.compact(spark, dir, m)
+        Seq(s"feedCompact: telescoped the feed prefix <= $m " +
+          "(slowest registered subscriber)")
+      case _ => Nil
+    }
   }
 
   /** Policy pass over a [[MergeOnRead]] table: fold the delta backlog
@@ -149,12 +173,24 @@ object Maintenance {
         st.liveDeltaBytes > policy.maxDeltaBytes) {
       val (ePk, eVc, eDel, eN) = MergeOnRead.contract(spark, dir)
         .getOrElse((pk, versionCol, deleteFlagCol, numBuckets))
+      // clamp to the slowest REGISTERED subscriber (r15): a policy
+      // pass must never fold delta batches a registered consumer has
+      // not applied yet — its next PRE-image resolve needs them. An
+      // empty registry keeps the explicit/unbounded behavior
+      // (status-quo: one retention cycle + the loud refusal).
+      val gated = (upToLimit.toSeq ++
+        Subscribers.minWatermark(spark, dir).toSeq).minOption
+      if (gated.exists(_ < 0) ||
+          gated.exists(_ <= MergeOnRead.compactedUpto(spark, dir)))
+        return Seq(s"compact: held back at batch <= ${gated.get} " +
+          "(registered-subscriber/limit clamp; nothing new to fold " +
+          "behind it)")
       MergeOnRead.compact(spark, dir, ePk, eVc, eDel, eN, bloom,
-        sortBase = sortBase, upToLimit = upToLimit)
+        sortBase = sortBase, upToLimit = gated)
       Seq(s"compact: folded ${st.liveDeltaBatches} delta batches " +
         s"(${st.liveDeltaBytes} B) into the base" +
         (if (sortBase) ", pk-sorted" else "") +
-        upToLimit.fold("")(u => s", bounded to batch <= $u"))
+        gated.fold("")(u => s", bounded to batch <= $u"))
     } else Nil
   }
 

@@ -93,19 +93,30 @@ object IncrementalDws {
     Upsert.vacuum(s, tablePath(dwsDir), keepManifests = 2)
   }
 
+  /** `subscriber = Some(name)` registers this consumer in the fact's
+    * durable [[graft.io.Subscribers]] registry and records the applied
+    * feed batch AFTER each committed fold (post-commit: a crash leaves
+    * the registered watermark stale-LOW, which only holds feed GC
+    * back, never advances it past this reader) — so
+    * [[graft.io.Maintenance.runFeed]] can age the feed's batch dirs
+    * out up to the slowest registered consumer.
+    */
   def refresh(spark: SparkSession, factDir: String, dwsDir: String,
-              groupCols: Seq[String], sumCols: Seq[String]): Long = {
+              groupCols: Seq[String], sumCols: Seq[String],
+              subscriber: Option[String] = None): Long = {
     val man = Upsert.currentManifest(spark, tablePath(dwsDir))
     val applied = man.flatMap(_.props.get(AppliedProp)).map(_.toLong).getOrElse(-1L)
     // a feed compacted PAST `applied` fails loudly inside since() —
     // the telescoped net would double-count the already-folded prefix
-    ChangeFeed.since(spark, factDir, applied) match {
+    val now = ChangeFeed.since(spark, factDir, applied) match {
       case None => applied
       case Some((changes, maxBatch)) =>
         foldInto(spark, dwsDir, changes, groupCols, sumCols, man,
           Map(AppliedProp -> maxBatch.toString))
         maxBatch
     }
+    subscriber.foreach(graft.io.Subscribers.record(spark, factDir, _, now))
+    now
   }
 
   /** DwsTradeProvinceOrderWindow on the delta path: per-province order
@@ -278,15 +289,16 @@ object IncrementalDws {
     * every k-th trigger folds the CONSUMED delta prefix into the fact's
     * base so the next trigger's boundary image resolves against a fresh
     * base instead of unioning the whole uncompacted tail (PROBES r13's
-    * O(backlog²) drain). CAVEAT — this advances the FACT's compaction
-    * watermark to THIS consumer's position: the option assumes this
-    * consumer is the table's single (or slowest-bounded) subscriber.
-    * Retention keeps exactly one prior compaction cycle, so a SECOND
-    * subscriber lagging more than one cycle behind this one hits
-    * `snapshotAt`'s loud missing-batch refusal and must re-bootstrap —
-    * the failure is loud, never silent, but with multiple independent
-    * subscribers prefer an external `Maintenance.runMor` cadence gated
-    * on the minimum watermark across all of them (ADVICE r14). The
+    * O(backlog²) drain). Multi-subscriber safety (r15): the paired
+    * fold is CLAMPED to the minimum applied watermark across the
+    * fact's registered [[graft.io.Subscribers]] — every streamingMor
+    * consumer registers durably (name from `subscriber`, or derived
+    * from dwsDir) and advances its entry after each committed fold, so
+    * a second registered subscriber lagging arbitrarily far never
+    * loses the batches it still needs. Only UNREGISTERED consumers
+    * (raw MorChangeFeedSource users) remain on the status-quo
+    * protections: one retention cycle + `snapshotAt`'s loud
+    * missing-batch refusal, never a silent partial feed. The
     * pairing preserves the base's bloom posture: if the current base
     * generation carries Bloom sidecars, the paired compaction rebuilds
     * them ([[graft.io.MergeOnRead.baseHasBlooms]]) instead of silently
@@ -317,8 +329,21 @@ object IncrementalDws {
                    maxPointKeys: Int = 1024,
                    compactEveryTriggers: Option[Int] = None,
                    carryBoundaryImages: Boolean = true,
-                   carryLookaheadBatches: Int = 512)
+                   carryLookaheadBatches: Int = 512,
+                   subscriber: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // durable subscriber registration (r15): the consumer announces
+    // itself in the fact's Subscribers registry and advances its
+    // applied FACT-batch watermark after every committed fold, so
+    // producer-side maintenance (Maintenance.runMor and the paired
+    // background compaction below) folds only what EVERY registered
+    // consumer has applied. The name is stable across restarts
+    // (derived from dwsDir unless given), so a resumed checkpoint
+    // keeps its own registration rather than accreting new ones.
+    val subName = subscriber.getOrElse {
+      val base = new org.apache.hadoop.fs.Path(dwsDir).getName
+      f"dws-$base-${dwsDir.hashCode & 0xffffffffL}%08x"
+    }
     // FRESH consumer on a MATURE fact (its delta batch 0 already GC'd
     // after compaction — ADVICE r11): the stream can only start at the
     // earliest retained offset, so the folded history's state must
@@ -358,6 +383,22 @@ object IncrementalDws {
             Some(off)
           }
       }
+    // initial registration: a fresh consumer pins maintenance at its
+    // start position (bootstrap offset, or −1 when replaying from
+    // birth) BEFORE its first fold, so a concurrent compaction can
+    // never fold batches it is about to read. An ESTABLISHED consumer
+    // whose registry entry predates the feature registers lazily at
+    // its next fold — the status-quo protections (retention cycle +
+    // loud snapshotAt refusal) carry it until then.
+    if (graft.io.Subscribers.appliedOf(spark, morFactDir, subName).isEmpty) {
+      startOff match {
+        case Some(off) => graft.io.Subscribers.record(spark, morFactDir, subName, off)
+        case None if !man0.exists(_.props.contains(StreamAppliedProp)) &&
+                     !checkpointHasOffsets =>
+          graft.io.Subscribers.record(spark, morFactDir, subName, -1L)
+        case None => ()
+      }
+    }
     graft.sources.MorChangeFeedSource.read(spark, morFactDir, maxBatchesPerTrigger,
       startingOffset = startOff.map(_.toString))
       .writeStream
@@ -432,6 +473,12 @@ object IncrementalDws {
                   keep = if (look.isDefined) Some(kmax) else None)
               } finally cleanup()
           }
+          // advance the durable registration AFTER the fold commits
+          // (crash ⇒ stale-LOW, maintenance merely stays further
+          // behind); the paired compaction below and any external
+          // Maintenance.runMor clamp to the registry's minimum
+          for (b <- known)
+            graft.io.Subscribers.record(s, morFactDir, subName, b._2)
           // drain-aware compaction pairing (VERDICT r13 next #2): fold
           // the CONSUMED prefix (≤ this trigger's kmax, never ahead of
           // the subscription) every K triggers so the fact's delta
@@ -505,7 +552,17 @@ object IncrementalDws {
         compactScheduled.remove(factDir)
         if (pendingCompact.containsKey(factDir) && compactScheduled.add(factDir)) ()
         else go = false
-      } else if (up.longValue > graft.io.MergeOnRead.compactedUpto(s, factDir)) {
+      } else {
+        // gate on the SLOWEST registered subscriber (r15, ADVICE r14):
+        // the signaling consumer folds only its own consumed prefix,
+        // but a second registered subscriber further behind clamps the
+        // fold to ITS watermark — it can never hit snapshotAt's
+        // missing-batch refusal because the batches it still needs are
+        // never folded. Unregistered consumers keep the status-quo
+        // protections (one retention cycle + the loud refusal).
+        val gated = graft.io.Subscribers.minWatermark(s, factDir)
+          .fold(up.longValue)(math.min(up.longValue, _))
+        if (gated > graft.io.MergeOnRead.compactedUpto(s, factDir)) {
         try {
           val (ePk, eVc, eDel, eN) =
             graft.io.MergeOnRead.contract(s, factDir).getOrElse(
@@ -515,7 +572,7 @@ object IncrementalDws {
           // silently lose its sidecars to the pairing (ADVICE r14)
           graft.io.MergeOnRead.compact(s, factDir, ePk, eVc, eDel, eN,
             bloom = graft.io.MergeOnRead.baseHasBlooms(s, factDir),
-            upToLimit = Some(up.longValue))
+            upToLimit = Some(gated))
         } catch {
           // table-lease contention (an operator maintenance pass, a
           // concurrent ALTER): put the watermark back and retry on the
@@ -530,8 +587,9 @@ object IncrementalDws {
           case t: Throwable =>
             System.err.println(
               s"[graft] paired compaction of $factDir failed " +
-                s"(upTo=${up.longValue}): $t — dropped; the next trigger " +
+                s"(upTo=$gated): $t — dropped; the next trigger " +
                 "re-signals")
+        }
         }
       }
     }

@@ -27,6 +27,36 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Bigram repetition stats in one per-row pass (r15): `[n2, top2]` —
+    * total bigram count (= tokens − 1) and the multiplicity of the
+    * most-repeated bigram. Identity is EXACT token-pair equality (a
+    * per-doc hash map keyed on the adjacent token pair), bit-identical
+    * to the former explode → count(doc, bigram) → max pipeline but
+    * with ZERO shuffles: a per-doc metric never needed one — the old
+    * shape shuffled every bigram of the corpus twice (guide §2.4).
+    * Null for docs with fewer than 2 tokens (the operator filters
+    * those out before calling).
+    */
+  def rep2Stats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return null
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n - 1) {
+      // key = the concatenated bigram (same identity as the former
+      // concat(tok_i, ' ', tok_{i+1}) grouping key)
+      val key = UTF8String.concatWs(UTF8String.fromString(" "),
+        arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      var slot = counts.get(key)
+      if (slot == null) { slot = new Array[Int](1); counts.put(key, slot) }
+      slot(0) += 1
+      if (slot(0) > best) best = slot(0)
+      i += 1
+    }
+    new GenericArrayData(Array[Long](n - 1L, best.toLong))
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0; val n = arr.numElements()

@@ -92,6 +92,23 @@ object VectorExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-doc bigram repetition stats `[n2, top2]` in one pass — see
+    * [[Kernels.rep2Stats]]. Null below 2 tokens.
+    */
+  case class Rep2Stats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      Kernels.rep2Stats(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |${ev.value} = graft.functions.Kernels.rep2Stats($a);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 64-bit SimHash over a token array (per-occurrence weighting). */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -232,6 +249,7 @@ object functions {
   def dot_long(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
   def norm_sq_long(col: Column): Column = c(NormSqLong(e(col)))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def rep2_stats(tokens: Column): Column = c(Rep2Stats(e(tokens)))
   def minhash_shingle_sig(tokens: Column, ngram: Int = 3, numHashes: Int = 64): Column =
     c(MinHashShingleSig(e(tokens), ngram, numHashes))
   def sign_proj_bucket(v: Column, planes: Int): Column = c(SignProjBucket(e(v), planes))

@@ -782,7 +782,13 @@ object MergeOnRead {
         .otherwise(struct(dataCols.map(c => col(s"b.$c").as(c)): _*)).as("w"))
       .select("w.*")
     val basePks = base.select(pk.map(col): _*)
-    val dPks = dWin.select(pk.map(c => col(c).as(s"__d_$c")): _*)
+    // key set only — derived from the RAW deltas with a narrow
+    // distinct (r15): winner selection never changes the PK set, and
+    // the old dWin projection re-evaluated the whole window chain
+    // (exchange + sort + WindowGroupLimit) a third time just to throw
+    // every non-key column away. A pk-pruned distinct is one partial-
+    // aggregated exchange over the key columns alone.
+    val dPks = deltas.select(pk.map(c => col(c).as(s"__d_$c")): _*).distinct()
     val matchedPks = basePks.join(broadcast(dPks),
       pk.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _), "left_semi")
     val mPks = matchedPks.select(pk.map(c => col(c).as(s"__b_$c")): _*)

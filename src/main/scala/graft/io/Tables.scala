@@ -15,9 +15,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Driver-side schema memo for the source star-schema files (r15,
+    * guide §5 "the driver should do almost no data work"): every
+    * `spark.read.parquet(path)` call re-infers the schema EAGERLY —
+    * directory listing plus a parquet footer read on the driver,
+    * ~20–50 ms — and a bench pass constructs each head twice, most
+    * heads touching 2–6 tables (measured 18.6 s of the 52 s board
+    * total spent in query CONSTRUCTION, ProfileQ r15). The schema of
+    * an immutable source file is pure metadata, so it is cached keyed
+    * on (path, size, mtime): any regeneration of the testdata changes
+    * the key and re-infers; nothing row-valued is ever memoized (the
+    * no-result-caching bench rule stays intact — every query still
+    * scans the parquet). The fs stat that builds the key costs ~0.1 ms
+    * against the ~30 ms inference it saves.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), org.apache.spark.sql.types.StructType]
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = FsOps.fs(spark, p).getFileStatus(p)
+    val key = (path, st.getLen, st.getModificationTime)
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else readCached(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -41,7 +68,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
+    val raw = readCached(s, s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -111,14 +111,41 @@ object Dedup {
                      dfCap: Int = 64): DataFrame = {
     evictPrevious(docs.sparkSession, "ngramJaccard")
     val shAll = shingles(docs)
+    // count-first / collect-second (the minhashLsh r11 shape, applied
+    // here in r15): df-cap the shingle space BEFORE anything collects,
+    // so a mega-shingle (df ≫ cap) is dropped by a counting aggregate
+    // and never materializes a list. The old form then SELF-JOINED the
+    // surviving (doc_id, s) stream on s — paying the bucket exchange
+    // twice, caching the joined stream (4 InMemoryTableScans in the
+    // bench plan), and racing AQE on the two consumers. Collecting
+    // each surviving shingle's members once and exploding the i<j
+    // pairs is the same candidate multiset (doc ids are DISTINCT
+    // within a shingle — shingle_hashes emits per-doc distinct
+    // hashes), deterministic by construction, and pays the shingle
+    // exchange once. A list is ≤ dfCap ids whatever the corpus size.
     val rare = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
-    val sh = shAll.join(rare, "s").cache()
-    trackCaches(docs.sparkSession, "ngramJaccard", Seq(sh))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val shared = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+    // cached because BOTH outputs below (per-doc sizes, shared-pair
+    // counts) consume it — without the cache the scan + shingle
+    // explode + df-count + join chain executes twice (measured +0.4 s
+    // per head at sf0.1). The cache is one row per rare shingle with
+    // a ≤ dfCap id list — smaller than the (doc_id, s) stream the old
+    // form cached.
+    val grouped = shAll.join(rare, Seq("s"))
+      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ids")).cache()
+    trackCaches(docs.sparkSession, "ngramJaccard", Seq(grouped))
+    // per-doc rare-shingle sizes, derived from the grouped lists (one
+    // explode of the ≤cap lists) instead of a second pass over the
+    // cached join — shingles with df == 1 contribute to sizes but
+    // generate no pairs, exactly as before
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = grouped.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)), b ->
+               struct(least(a, b) as doc_a, greatest(a, b) as doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")

@@ -392,14 +392,33 @@ object IvfIndex {
       else Seq(col("vec_id"), col("q"), col("n"))
     val probedCells = probeRows.map(_._4).distinct.sorted
     val epoch = currentEpoch(spark, indexDir)
-    val lists = probedCells.flatMap { c =>
-      Upsert.readIfExists(spark, cellDir(indexDir, epoch, c)) // a cell can be empty
-        .map(_.select(listCols: _*).withColumn("cell", lit(c)))
+    // ONE scan over every probed cell's live files (r15, guide §2.4 /
+    // §6): the old per-cell Upsert read built one parquet relation,
+    // file index, and union leg PER CELL — 14 leaf scans in the bench
+    // plan and a driver-side relation build apiece. The manifests are
+    // still resolved per cell (that is the live-file source of truth),
+    // but the files feed a single reader; the cell id is recovered
+    // from the file path (every live file of cell c lives under
+    // `.../cell=c/`), which is exactly the value the old `lit(c)`
+    // stamped. Cells without a committed manifest are skipped, as
+    // before.
+    val cellMans = probedCells.flatMap { c =>
+      val d = cellDir(indexDir, epoch, c)
+      Upsert.currentManifest(spark, d).map(m => (d, m)) // a cell can be empty
     }
-    if (lists.isEmpty)
+    val schema = cellMans.headOption.flatMap { case (d, m) =>
+      Upsert.readSchemaOf(spark, m, d)
+    }
+    val files = cellMans.flatMap { case (d, m) =>
+      m.allFiles.map(f => s"${d.stripSuffix("/")}/$f")
+    }
+    if (files.isEmpty)
       return spark.emptyDataset[(Long, Long, Long, Double)]
         .toDF("q_id", "c_id", "rnk", "sim")
-    lists.reduce(_.unionByName(_))
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(files: _*)
+      .withColumn("cell", regexp_extract(
+        col("_metadata").getField("file_path"), "/cell=([0-9]+)/", 1).cast("int"))
+      .select(listCols :+ col("cell"): _*)
       .join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("dot",

@@ -185,22 +185,24 @@ object TextAnalysis {
     * are single int/int divisions (bit-exact vs oracle).
     */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // ZERO shuffles (r15, guide §2.4 "remove shuffles outright"): the
+    // signals are per-document, so the former explode → count(doc,
+    // bigram) → per-doc rollup → join-back pipeline shuffled every
+    // bigram of the corpus twice to compute a value each row already
+    // determines alone. The native one-pass kernel (rep2_stats:
+    // [n2, top2], exact token-pair identity) makes the operator
+    // embarrassingly parallel — one corpus scan, no exchange, same
+    // integer counts so the output is bit-identical.
+    Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
-    val grams = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(toks) - 1)," +
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("g"))
-    val perDoc = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("ct"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("ct")).as("n2"), max(col("ct")).as("top2_ct"))
-    docs.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      size(array_distinct(col("toks"))).cast("long").as("uniq_ct"))
-      .join(perDoc, "doc_id")
-      .select(col("doc_id"), col("n2"), col("top2_ct"),
-        (col("top2_ct").cast("double") / col("n2")).as("rep2_ratio"),
-        (lit(1.0) - col("uniq_ct").cast("double") / col("n_tokens")).as("dup_tok_ratio"))
+      .withColumn("r2", graft.functions.functions.rep2_stats(col("toks")))
+      .select(col("doc_id"),
+        col("r2").getItem(0).as("n2"),
+        col("r2").getItem(1).as("top2_ct"),
+        (col("r2").getItem(1).cast("double") / col("r2").getItem(0)).as("rep2_ratio"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks"))).as("dup_tok_ratio"))
   }
 
   /** Benchmark decontamination: flag corpus docs sharing ≥ minShared

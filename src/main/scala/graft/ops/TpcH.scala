@@ -379,18 +379,27 @@ object TpcH {
     * (PlanSpec pins scans and the shared window sort).
     */
   def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
-    // ONE fact scan: collapse lines to distinct (order, supplier,
-    // any-returned?) pairs first — both quantifier counts then derive
-    // from the pair relation (tiny), instead of two countDistincts
-    // re-scanning lineitem through an Expand double-row pass.
-    val pairs = Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
-    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
-    pairs
-      .withColumn("supp_ct", count(lit(1)).over(wOrd))
-      .withColumn("ret_supp_ct", sum(col("ret")).over(wOrd))
-      .filter(col("ret") === 1 && col("supp_ct") >= 2 && col("ret_supp_ct") === 1)
+    // ONE fact scan AND one fact shuffle (r15, guide §2.4 "two
+    // operations keyed the same way share one exchange"): repartition
+    // the narrow (orderkey, suppkey, ret) projection by l_orderkey
+    // once — HashPartitioning(l_orderkey) satisfies the clustering of
+    // BOTH the (orderkey, suppkey) pair collapse and the per-order
+    // rollup, so the two aggregates run back to back with no further
+    // exchange. The old form shuffled twice (pairs agg + a window over
+    // l_orderkey) and paid the window's per-partition sort; the
+    // per-order rollup replaces the window outright, recovering the
+    // single returning supplier as max(suppkey | ret=1) — exact,
+    // because the ret_supp_ct = 1 filter guarantees uniqueness.
+    val pre = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("ret0"))
+      .repartition(col("l_orderkey"))
+    val pairs = pre.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("ret0")).as("ret"))
+    pairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("supp_ct"), sum(col("ret")).as("ret_supp_ct"),
+        max(when(col("ret") === 1, col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("supp_ct") >= 2 && col("ret_supp_ct") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))

@@ -132,11 +132,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"overlap join degraded to SMJ:\n$p")
   }
 
-  test("text_repetition: per-doc aggregates stay hash-agg with map-side partials") {
+  test("text_repetition: per-doc kernel, zero shuffles (r15)") {
+    // The signals are per-document, so the scale-correct plan has NO
+    // exchange anywhere: one scan, the rep2_stats kernel, a project.
+    // (Formerly pinned as "hash-agg with map-side partials" — the r15
+    // rewrite removed the aggregation pipeline outright.)
     val p = plan("text_repetition")
-    assert(!p.contains("SortMergeJoin"), s"doc-stats join degraded to SMJ:\n$p")
-    assert(p.contains("partial_count") && p.contains("partial_sum"),
-      s"missing map-side partial aggregation:\n$p")
+    assert(!p.contains("Exchange"), s"per-doc metric must not shuffle:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one corpus scan:\n$p")
+    assert(p.toLowerCase.contains("rep2stats"), s"kernel missing:\n$p")
   }
 
   test("q18: post-HAVING aggregate joins orders by broadcast under AQE (r2 outlier gate)") {
@@ -237,13 +242,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21: both quantifiers fold into per-order aggregates — no correlated re-scan, " +
-       "supplier enrich broadcast") {
+       "one fact shuffle, no window") {
     val p = plan("q21_waiting_suppliers")
     assert(!p.contains("CartesianProduct"), s"correlation became a cartesian:\n$p")
     assert("FileScan parquet".r.findAllIn(p).size == 2,
-      s"lineitem ONCE (pairs, then window counts) and supplier once:\n$p")
-    assert("Window".r.findAllIn(p).size == 1,
-      s"both per-order quantifier counts must share one Window pass:\n$p")
+      s"lineitem ONCE and supplier once:\n$p")
+    // r15 shape: ONE repartition on l_orderkey feeds the pair collapse
+    // AND the per-order rollup exchange-free (HashPartitioning(ok)
+    // satisfies both clusterings); the former Window pass is folded
+    // into the rollup (the sole returning supplier is max(suppkey |
+    // ret=1) under the ret_supp_ct = 1 filter). Fact rows shuffle once.
+    assert(!p.contains("Window"), s"window must fold into the rollup:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"expected repartition + final suppkey agg only, got $ex:\n$p")
   }
 
   test("a_window_analytics: all four window functions share ONE sort and ONE exchange") {

@@ -20,6 +20,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r15 NEGATIVE RESULT, kept as a comment so it is not retried:
+      // size-targeted AQE coalescing (parallelismFirst=false +
+      // advisoryPartitionSizeInBytes=256m, the guide §9 cluster
+      // posture) was measured here and REGRESSED the board ~15–25%
+      // (e.g. a_window_analytics 0.30→0.62 s) — with small-but-CPU-
+      // heavy shuffles every reduce coalesces to ONE partition and the
+      // stage serializes. parallelismFirst=true (default) is correct
+      // when partitions are far below the advisory size; the 256m
+      // advisory belongs in cluster submit conf, not in this harness.
       .pipe(graft.core.GraftSession.engineConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

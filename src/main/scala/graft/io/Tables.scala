@@ -42,6 +42,25 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Row count of an immutable source file, memoized on the same
+    * (path, size, mtime) key as the schema (r15): a parquet count is a
+    * footer-metadata aggregate, but it still schedules a Spark job —
+    * build-once guards (e.g. the IVF ensureIndexed snapshot check)
+    * re-paid that job on every cache-hit invocation. Same caching
+    * posture as the schema memo: metadata of an immutable file, never
+    * query results.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]
+
+  def rowCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = FsOps.fs(spark, p).getFileStatus(p)
+    val key = (path, st.getLen, st.getModificationTime)
+    countCache.computeIfAbsent(key,
+      _ => readCached(spark, path).count()).longValue()
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else readCached(spark, s"$sfDir/$name.parquet")

@@ -279,11 +279,15 @@ object IvfIndex {
     * guards the DIRECT entry points (topK, ingest) a user may call on
     * a pre-existing index dir.
     */
-  private def requireFormat(spark: SparkSession, indexDir: String): Unit = {
+  private def requireFormat(spark: SparkSession, indexDir: String): Unit =
+    requireFormatOf(indexDir,
+      Upsert.currentManifest(spark, centroidsDir(indexDir)))
+
+  private def requireFormatOf(indexDir: String,
+                              man: Option[Upsert.Manifest]): Unit = {
     // distinguish MISSING (never built / wrong path) from a real v1
     // manifest: the version message must not tell a user with a typo'd
     // path to "rebuild" an index that was never there (ADVICE r12)
-    val man = Upsert.currentManifest(spark, centroidsDir(indexDir))
     if (man.isEmpty)
       throw new Upsert.NoTableException(
         s"no IVF index at $indexDir (no centroids manifest) — build it first " +
@@ -365,15 +369,29 @@ object IvfIndex {
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
            k: Int = 10, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    requireFormat(spark, indexDir)
+    // ONE centroids-manifest read serves the format gate, the storage
+    // mode, and the epoch (r15 — formerly requireFormat + storageOf +
+    // currentEpoch each re-read it), and the two driver collects
+    // (centroids, query vectors) run CONCURRENTLY (guide §2.6 —
+    // independent tiny jobs; the serial form paid two back-to-back
+    // job-scheduling latencies on every probe).
+    val man = Upsert.currentManifest(spark, centroidsDir(indexDir))
+    requireFormatOf(indexDir, man)
+    val props = man.get.props
+    val storage = props.getOrElse("storage", "milli")
+    val epoch = props.get("epoch").map(_.toInt).getOrElse(0)
+    val qFut = scala.concurrent.Future {
+      queries
+        .select(col("q_id"), quantize_vec(col("embedding"), 1000).as("qv"))
+        .withColumn("qn", norm_sq_long(col("qv")))
+        .collect()
+    }(scala.concurrent.ExecutionContext.global)
     val centers = Upsert.read(spark, centroidsDir(indexDir))
       .select(col("cell"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1) // cell order == clusterCenters index order at build
-    val qRows = queries
-      .select(col("q_id"), quantize_vec(col("embedding"), 1000).as("qv"))
-      .withColumn("qn", norm_sq_long(col("qv")))
-      .collect()
+    val qRows = scala.concurrent.Await.result(
+      qFut, scala.concurrent.duration.Duration.Inf)
     val probeRows = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0); val qv = r.getSeq[Long](1).toArray; val qn = r.getLong(2)
       centers.map { case (ci, c) =>
@@ -386,12 +404,10 @@ object IvfIndex {
         .map { case (a, b, c2, ci, _) => (a, b, c2, ci) }
     }
     val probes = spark.createDataset(probeRows).toDF("q_id", "qv", "qn", "cell")
-    val (storage, _) = storageOf(spark, indexDir)
     val listCols =
       if (storage == "sq8") Seq(col("vec_id"), col("codes"), col("cn").as("n"))
       else Seq(col("vec_id"), col("q"), col("n"))
     val probedCells = probeRows.map(_._4).distinct.sorted
-    val epoch = currentEpoch(spark, indexDir)
     // ONE scan over every probed cell's live files (r15, guide §2.4 /
     // §6): the old per-cell Upsert read built one parquet relation,
     // file index, and union leg PER CELL — 14 leaf scans in the bench

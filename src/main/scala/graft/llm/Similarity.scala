@@ -208,7 +208,9 @@ object Similarity {
     val dir = s"target/ivf_index/${key}_nlist$nlist$suffix"
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val cnt = corpus.count() // parquet metadata-only aggregate
+    // footer-metadata count, memoized per immutable file (r15) — the
+    // cache-hit path of this guard no longer schedules a Spark job
+    val cnt = Tables.rowCount(spark, s"$sfDir/embeddings.parquet")
     if (!IvfIndex.isBuilt(spark, dir, nlist, cnt, storage))
       IvfIndex.build(spark, dir, corpus, nlist, storage)
     builtIndexDirs.put(storage, dir)

@@ -412,9 +412,19 @@ object Relational {
     * the driver instead of only by DedupSpec.
     */
   def a5ApproxBound(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame =
+    // dedup-then-aggregate (r15): countDistinct mixed with a regular
+    // aggregate plans through an Expand that doubles every input row
+    // across a two-phase distinct pipeline (4 exchanges). Deduping
+    // (event_type, user_id) first makes the exact count a plain
+    // count(user_id) — and the HLL sketch is DUPLICATE-INSENSITIVE
+    // (register updates are a max), so approx_count_distinct over the
+    // deduped pairs builds the identical sketch and returns the
+    // identical estimate. Both aggregates ignore NULL user_ids on both
+    // shapes. Two partial-aggregated exchanges, no Expand.
     Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_user_ct"),
+      .agg(count(col("user_id")).as("exact_user_ct"),
         approx_count_distinct(col("user_id"), rsd).as("approx"))
       .select(col("event_type"), col("exact_user_ct"),
         (abs(col("approx") - col("exact_user_ct")).cast("double") /

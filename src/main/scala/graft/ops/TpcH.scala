@@ -442,13 +442,22 @@ object TpcH {
       .join(tp, col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
         cents(col("l_extendedprice")).as("price_cents"))
-    val minp = li.groupBy(col("p_partkey").as("m_partkey"))
-      .agg(min(col("price_cents")).as("min_price_cents"))
-    li.distinct()
-      .join(minp,
-        col("p_partkey") === col("m_partkey") && col("price_cents") === col("min_price_cents"))
+    // argmin via rank() window (r15, guide §2.4): the former min-agg +
+    // join-back shuffled the joined slice three times (distinct on the
+    // full tuple, the min aggregate, the sort-merge join-back) — rank()
+    // keeps ALL rows tying on the per-part minimum (exactly the rows
+    // price == min selected), WindowGroupLimit prunes each map
+    // partition to its per-part leaders before the ONE shuffle, and
+    // the distinct that collapses duplicate supply lines reuses the
+    // window's partitioning (partkey ⊆ the distinct key set), so the
+    // whole head pays a single fact exchange.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_partkey")).orderBy(col("price_cents"))
+    li.withColumn("rk", rank().over(w)).filter(col("rk") === 1).drop("rk")
+      .distinct()
       .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("p_name"), col("min_price_cents"),
+      .select(col("p_partkey"), col("p_name"),
+        col("price_cents").as("min_price_cents"),
         col("s_suppkey"), col("s_name"))
   }
 

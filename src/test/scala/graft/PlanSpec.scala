@@ -289,7 +289,7 @@ class PlanSpec extends SparkSpec {
       s"per-part agg join-back stayed sort-merge:\n$p")
   }
 
-  test("q2: AQE flips the argmin join-back to broadcast at runtime") {
+  test("q2: argmin is a rank window with group-limit pushdown — no join-back (r15)") {
     val df = graft.ops.TpcH.q2CheapestSupply(spark, sf)
     df.queryExecution.toRdd.count()
     val p = df.queryExecution.executedPlan.toString
@@ -297,7 +297,11 @@ class PlanSpec extends SparkSpec {
     val cut = p.indexOf("== Initial Plan ==")
     val finalSection = if (cut >= 0) p.substring(0, cut) else p
     assert(!finalSection.contains("SortMergeJoin"),
-      s"argmin join-back stayed sort-merge:\n$p")
+      s"argmin regressed to a sort-merge join-back:\n$p")
+    // rank()=1 keeps every min-price tie; WindowGroupLimit prunes each
+    // map partition to its per-part leaders BEFORE the one exchange
+    assert(finalSection.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n$p")
   }
 
   test("q9: dims broadcast around one fact pass; single agg exchange") {

@@ -310,6 +310,40 @@ object MergeOnRead {
           lit("non-null values; the batch was not committed")))))
     }
 
+  /** Driver-side schema memo for delta batch dirs (r16, the
+    * Tables.schemaCache posture — guide §5 driver work): a bare
+    * `spark.read.parquet(dir)` infers the schema EAGERLY, which is a
+    * one-task Spark job per batch dir — a MOR read over four live
+    * batches scheduled four such jobs before its first real stage, the
+    * exact tiny-job fan-out behind the r15 32-core anti-scaling
+    * cluster (mor_sql_* heads). A delta batch dir is write-once
+    * (committed under `batch=N`, never appended), so its schema is
+    * immutable metadata; the key still folds (bytes, max mtime, file
+    * count) so a re-created dir re-infers. Nothing row-valued is ever
+    * cached — every read still scans the parquet. mtime granularity:
+    * a same-size regeneration inside one mtime tick with an unchanged
+    * file count would serve the stale schema; batch dirs are
+    * committed-once by contract, so that window is unreachable in
+    * normal operation.
+    */
+  private val deltaSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long, Int), org.apache.spark.sql.types.StructType]
+
+  private[graft] def readDeltaBatch(spark: SparkSession, p: String): DataFrame = {
+    val path = new Path(p)
+    val fs = FsOps.fs(spark, path)
+    val files = fs.listStatus(path).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (files.isEmpty) return spark.read.parquet(p) // degenerate: let Spark report
+    val key = (p, files.map(_.getLen).sum,
+      files.map(_.getModificationTime).max, files.length)
+    val schema = deltaSchemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(p)
+  }
+
   /** On-disk bytes of the given delta dirs — a driver-side listing,
     * no Spark job. Drives the fast-path/fallback choice in [[read]].
     */
@@ -569,7 +603,7 @@ object MergeOnRead {
     val deltaOpt0 =
       if (live.isEmpty) None
       else Some(live.map { case (id, p) =>
-        spark.read.parquet(p).withColumn(BatchCol, lit(id))
+        readDeltaBatch(spark, p).withColumn(BatchCol, lit(id))
         // deltas are blind appends, so batches may carry evolved
         // schemas — missing columns fill with NULL
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -1506,7 +1540,7 @@ object MergeOnRead {
     val baseBuckets = man.files.keySet.filter(_ >= 0)
     if (baseBuckets.isEmpty) return false
     val deltaRaw = live.map { case (id, p) =>
-      spark.read.parquet(p).withColumn(BatchCol, lit(id))
+      readDeltaBatch(spark, p).withColumn(BatchCol, lit(id))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val (bOpt, dOpt) = widenForEvolution(Some(scanBase(spark, dir, man)),
       Some(deltaRaw))
@@ -1702,7 +1736,7 @@ object MergeOnRead {
     val deltaOpt =
       if (live.isEmpty) None
       else Some(live.map { case (id, p) =>
-        val d = spark.read.parquet(p)
+        val d = readDeltaBatch(spark, p)
         d.filter(residual(d)).withColumn(BatchCol, lit(id))
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val all = widenForEvolution(baseOpt.map(_.drop(BatchCol)), deltaOpt) match {

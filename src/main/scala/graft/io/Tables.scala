@@ -36,7 +36,15 @@ object Tables {
   private def readCached(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val st = FsOps.fs(spark, p).getFileStatus(p)
-    val key = (path, st.getLen, st.getModificationTime)
+    // the one session conf that changes what schema parquet inference
+    // RETURNS for these files (TIMESTAMP(NANOS) → LongType) is part of
+    // the key (ADVICE r15): a session without the legacy conf must not
+    // be served the nanos-as-long shape the first session inferred.
+    // mtime granularity caveat: a same-size regeneration inside one
+    // mtime tick would serve the stale schema — the testdata generator
+    // rewrites whole files, so sizes shift; accepted and documented.
+    val nanosConf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = (s"$path#nanosAsLong=$nanosConf", st.getLen, st.getModificationTime)
     val schema = schemaCache.computeIfAbsent(key,
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)

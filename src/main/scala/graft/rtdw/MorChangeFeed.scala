@@ -370,7 +370,7 @@ object MorChangeFeed {
         broadcastBudget(spark))
       return post.withColumn(ChangeFeed.ChangeCol, lit("add"))
     }
-    val raw = ids.map(k => spark.read.parquet(all(k))
+    val raw = ids.map(k => MergeOnRead.readDeltaBatch(spark, all(k))
         .withColumn(MorChangeFeedSource.BatchCol, lit(k)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     // the range is explicit — the bounds are known without a min/max job

@@ -28,9 +28,17 @@ object ProfileQ {
       .pipe(graft.core.GraftSession.engineConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // warm-up at the smallest sibling SF of the configured dir (ADVICE
+    // r15: a hardcoded path silently no-ops off this box and round-1
+    // timings absorb JIT noise); fall back to the measured dir itself
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
     names.foreach { n =>
-      try { graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count() }
-      catch { case _: Throwable => }
+      try { graft.SparkEntry.queries(n)(spark, warmDir).queryExecution.toRdd.count() }
+      catch { case t: Throwable =>
+        println(s"profq] warm-up $n failed: ${t.getClass.getSimpleName}") }
       spark.catalog.clearCache()
     }
     names.foreach { n =>

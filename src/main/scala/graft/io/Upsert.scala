@@ -180,22 +180,56 @@ object Upsert {
     Manifest(gen, props, inline ++ fromSegs, segRefs, rowCounts)
   }
 
+  /** Driver-side memo of PARSED manifests (r16, VERDICT r15 #3 — the
+    * Iceberg manifest-cache shape, guide §5 driver work). A committed
+    * `_manifest-<gen>` is write-once: it lands by rename and is never
+    * rewritten (the next commit is gen+1), so its parse is immutable
+    * metadata. The key still carries the root file's (len, mtime) so a
+    * dropped-and-recreated table whose gen numbering restarts is never
+    * served the dead table's file list. CURRENCY is not cached:
+    * [[currentManifest]] re-lists the dir on every call — a concurrent
+    * writer's freshly committed gen is picked up exactly as before,
+    * the memo only skips re-reading and re-parsing a (gen, len, mtime)
+    * we have parsed before (segment reads included, which is where the
+    * savings multiply for segmented manifests). Nothing row-valued is
+    * cached; every query still scans the parquet the manifest names.
+    */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Manifest]
+
+  private def parseMemo(spark: SparkSession, dir: String,
+                        st: org.apache.hadoop.fs.FileStatus,
+                        gen: Long): Option[Manifest] = {
+    val key = (dir, gen, st.getLen, st.getModificationTime)
+    Option(manifestMemo.get(key)).orElse {
+      val parsed = FsOps.readTextOpt(spark, st.getPath)
+        .map(parse(spark, dir, gen, _))
+      parsed.foreach(manifestMemo.put(key, _))
+      parsed
+    }
+  }
+
   /** The newest committed snapshot, or None for a missing/empty table.
     * One listing + one small-file read (plus one read per manifest
     * segment for huge tables) — the entire read-side planning cost of
-    * snapshot isolation.
+    * snapshot isolation. Re-listing is the currency check; the parse
+    * itself is served from [[manifestMemo]] when this generation was
+    * seen before.
     */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val root = new Path(dir)
     val fs = FsOps.fs(spark, root)
-    if (!fs.exists(root)) return None
-    val gens = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case ManifestRe(g) => g.toLong }
+    val listed =
+      try fs.listStatus(root)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val gens = listed.flatMap(s => s.getPath.getName match {
+      case ManifestRe(g) => Some((g.toLong, s))
+      case _ => None
+    })
     if (gens.isEmpty) None
     else {
-      val g = gens.max
-      FsOps.readTextOpt(spark, new Path(root, manifestName(g)))
-        .map(parse(spark, dir, g, _))
+      val (g, st) = gens.maxBy(_._1)
+      parseMemo(spark, dir, st, g)
     }
   }
 
@@ -211,11 +245,17 @@ object Upsert {
   }
 
   /** Read the snapshot committed as generation `gen` — time travel, as
-    * long as [[vacuum]] has not collected its files yet.
+    * long as [[vacuum]] has not collected its files yet. Served from
+    * [[manifestMemo]] after the first parse (one stat call checks the
+    * file is still the one we parsed).
     */
-  def manifestAt(spark: SparkSession, dir: String, gen: Long): Option[Manifest] =
-    FsOps.readTextOpt(spark, new Path(dir, manifestName(gen)))
-      .map(parse(spark, dir, gen, _))
+  def manifestAt(spark: SparkSession, dir: String, gen: Long): Option[Manifest] = {
+    val p = new Path(dir, manifestName(gen))
+    val st =
+      try FsOps.fs(spark, p).getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    parseMemo(spark, dir, st, gen)
+  }
 
   /** Resolve `TIMESTAMP AS OF`: the newest retained generation whose
     * [[CommittedAtProp]] stamp is ≤ `tsMs`. Resolution walks the
@@ -1464,14 +1504,29 @@ object Upsert {
                               merged: DataFrame,
                               bloomPk: Option[Seq[String]],
                               zoneCols: Seq[String] = Nil,
-                              valueClusterCols: Seq[String] = Nil): Map[Int, Seq[String]] = {
+                              valueClusterCols: Seq[String] = Nil,
+                              regroup: Boolean = false): Map[Int, Seq[String]] = {
     val stage = new Path(dir, s"__gen=$gen")
     val fs = FsOps.fs(spark, stage)
     if (fs.exists(stage)) fs.delete(stage, true) // re-run of a crashed attempt
     val clustered = valueClusterCols.nonEmpty
+    // regroup (r16, guide §6 output sizing): the resolve-merge callers
+    // hand a stream partitioned by the LWW window's pk hash, so a
+    // direct partitionBy(__bucket) write fans every bucket into up-to-
+    // shuffle-partition-many tiny files — and every later read pays a
+    // task per file forever (the r12 IVF lesson; j_sql_merge_dml's
+    // table read 64 files for 2.5 MiB). One un-numbered repartition on
+    // the bucket column lands each bucket in exactly one task (AQE may
+    // coalesce the count; a bucket never splits), so each bucket — or
+    // each (bucket, __cv) leaf — stages as ONE file. A bucket is the
+    // executor-scan-budget unit by design, so one file per bucket is
+    // right-sized at any scale. Sorted writers (replaceBuckets'
+    // OrderedGuard contract, compact's sortBase arrangement) pass
+    // regroup=false: a re-shuffle would destroy their row order.
+    val regrouped = if (regroup) merged.repartition(col(BucketCol)) else merged
     val toWrite =
-      if (!clustered) merged
-      else merged.withColumn(CvCol, xxhash64(valueClusterCols.map(col): _*))
+      if (!clustered) regrouped
+      else regrouped.withColumn(CvCol, xxhash64(valueClusterCols.map(col): _*))
     val partCols = if (clustered) Seq(BucketCol, CvCol) else Seq(BucketCol)
     // field-id EMISSION rides the schema metadata + the session's
     // write conf (Spark default true; ParquetUtils.prepareWrite
@@ -1561,7 +1616,10 @@ object Upsert {
       if (sortBy.isEmpty) df
       else df.repartition(props("numBuckets").toInt, col(BucketCol))
         .sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
-    val staged = stageGeneration(spark, dir, gen, arranged, bloomPk)
+    // unsorted full replace: regroup so each bucket stages as one file
+    // (the sorted branch above already arranges one task per bucket)
+    val staged = stageGeneration(spark, dir, gen, arranged, bloomPk,
+      regroup = sortBy.isEmpty)
     val sortProps =
       if (sortBy.isEmpty) Map.empty[String, String]
       else Map(SortedByProp -> sortBy.mkString(","),
@@ -1788,7 +1846,7 @@ object Upsert {
         val gen = reservedGen.getOrElse(nextGen(spark, dir))
         val (merged, idProps) = stampForStage(spark, None, gen, merged0)
         val staged = stageGeneration(spark, dir, gen, merged, bloomPk, zoneCols,
-          valueClusterBy)
+          valueClusterBy, regroup = true)
         val files =
           if (staged.valuesIterator.flatten.nonEmpty) staged
           else Map(SchemaBucket ->
@@ -1935,7 +1993,7 @@ object Upsert {
         val effCluster = if (recCluster.nonEmpty) recCluster else valueClusterBy
         val effZones = (zoneCols ++ zoneColsOf(man) ++ effCluster).distinct
         val staged = stageGeneration(spark, dir, gen, merged, bloomPk, effZones,
-          effCluster)
+          effCluster, regroup = true)
         inCommitSection {
           // OPTIMISTIC rebase point: re-read the manifest under the
           // lease. Unchanged → commit exactly as the locked mode
@@ -2119,7 +2177,12 @@ object Upsert {
       // per-(group, pk) LWW — identical to each table's own resolve
       val merged = withBucket(
         resolve(combined, groupCol +: pk, versionCol, None), pk, numBuckets)
-      merged.write.mode("overwrite")
+      // regroup before the write (guide §6, same as stageGeneration):
+      // the resolve stream is pk-hash-partitioned, so a direct
+      // partitionBy write fans every (group, bucket) leaf into many
+      // tiny files every later read pays for
+      merged.repartition(col(groupCol), col(BucketCol))
+        .write.mode("overwrite")
         .partitionBy(groupCol, BucketCol).parquet(stage.toString)
       val dataSchema = merged.drop(groupCol, BucketCol).schema
       touched.toSeq.sortBy(_._1).foreach { case (g, bs) =>
@@ -2230,7 +2293,7 @@ object Upsert {
       val staged = stageGeneration(spark, dir, gen, merged,
         if (hadBlooms) Some(pk) else None,
         (zoneColsOf(man) ++ valueClusterColsOf(man)).distinct,
-        valueClusterColsOf(man))
+        valueClusterColsOf(man), regroup = true)
       var files: Map[Int, Seq[String]] = man.files ++ touched.map { b =>
         b -> staged.getOrElse(b, Seq.empty)
       }.toMap
@@ -2437,7 +2500,7 @@ object Upsert {
     val staged = stageGeneration(spark, dir, gen, merged,
       if (hadBlooms) Some(pk) else None,
       (zoneColsOf(man) ++ valueClusterColsOf(man)).distinct,
-      valueClusterColsOf(man))
+      valueClusterColsOf(man), regroup = true)
     val files: Map[Int, Seq[String]] =
       if (staged.valuesIterator.flatten.nonEmpty) staged
       else Map(SchemaBucket -> stageSchemaAnchor(spark, dir, gen, merged.drop(BucketCol)))

@@ -105,6 +105,15 @@ object MorChangeFeed {
             .withColumn(ChangeFeed.ChangeCol, lit(""))
         (bounds.getLong(0), bounds.getLong(1))
     }
+    // NOTE (r16, measured-and-reverted): persisting this frame to share
+    // it across the probe collect, the touched-bucket scan, and the
+    // broadcast semi restriction LOST — the cache forces a full
+    // materialization where the probe's limit used to early-exit, pins
+    // the cached subplan's 32 shuffle partitions against AQE
+    // coalescing, and adds the columnar cache-build stages (jobs
+    // 14→17, tasks 140→250 on mor_changes_batch). The win came from
+    // deriving the touched buckets from the probe sample instead — see
+    // resolvePre.
     val keys = raw.select(pk.map(col): _*).distinct()
 
     // notDeleted mirrors MergeOnRead's dropDeletes exactly
@@ -180,25 +189,43 @@ object MorChangeFeed {
                          snapPre: MergeOnRead.Snapshot, keys: DataFrame,
                          pk: Seq[String], vc: String, n: Int,
                          maxPointKeys: Int): DataFrame = {
-    val pointKeys: Option[Seq[String]] = {
-      val ks = keys.select(
-          MergeOnRead.canonicalKey(pk).as("__k"),
-          pk.map(col(_).isNull).reduce(_ || _).as("__null"))
-        .limit(maxPointKeys + 1).collect()
-      // NO keys to resolve (a fully-covered carried trigger): a typed
-      // empty frame, zero base I/O — don't thread an empty in-list
-      // through the lookup machinery
-      if (ks.isEmpty) return keys.limit(0)
-      if (ks.length > maxPointKeys || ks.exists(_.getBoolean(1))) None
-      else Some(ks.map(_.getString(0)).toSeq)
-    }
+    val manN = snapPre.man.map(_.numBuckets(n)).getOrElse(n)
+    // ONE capped probe decides the path AND carries each sampled key's
+    // placement bucket (r16, guide §2.6 duplicated subtrees: the old
+    // semi path re-evaluated the wave-key frame — delta scans plus a
+    // distinct — a second time just to learn the touched buckets).
+    // The bucket column is the SAME expression touchedBuckets hashes
+    // (canonicalKey == Upsert.keyStr), so the sample's buckets are
+    // exact placements, and two facts make the extra job skippable:
+    // an UNTRUNCATED sample (≤ maxPointKeys rows) IS the full key set,
+    // so its buckets are the complete touched set; a truncated sample
+    // that already covers every bucket proves the full set does too
+    // (more keys can only add buckets). Only a truncated sample with
+    // uncovered buckets still pays the full touched-bucket scan — the
+    // narrow-wave case where pruning has real I/O to save.
+    val probe = keys.select(
+        MergeOnRead.canonicalKey(pk).as("__k"),
+        pk.map(col(_).isNull).reduce(_ || _).as("__null"),
+        pmod(xxhash64(MergeOnRead.canonicalKey(pk)), lit(manN))
+          .cast("int").as("__b"))
+      .limit(maxPointKeys + 1).collect()
+    // NO keys to resolve (a fully-covered carried trigger): a typed
+    // empty frame, zero base I/O — don't thread an empty in-list
+    // through the lookup machinery
+    if (probe.isEmpty) return keys.limit(0)
+    val pointKeys: Option[Seq[String]] =
+      if (probe.length > maxPointKeys || probe.exists(_.getBoolean(1))) None
+      else Some(probe.map(_.getString(0)).toSeq)
     pointKeys match {
       case Some(ks) =>
         MergeOnRead.lookupPinnedKeys(spark, morRoot, snapPre, pk, ks, vc,
           None, n)
       case None =>
-        val manN = snapPre.man.map(_.numBuckets(n)).getOrElse(n)
-        val touched = MergeOnRead.touchedBuckets(keys, pk, manN)
+        val sampled = probe.map(_.getInt(2)).toSet
+        val touched =
+          if (probe.length <= maxPointKeys) sampled // untruncated: exact
+          else if (sampled.size >= manN) sampled    // covers every bucket
+          else MergeOnRead.touchedBuckets(keys, pk, manN)
         val resolved = MergeOnRead.readPinned(spark, morRoot, snapPre, pk, vc,
           None, broadcastBudget(spark),
           baseBuckets = Some(touched))

@@ -35,6 +35,42 @@ class OptimisticCommitSpec extends SparkSpec {
     Upsert.read(spark, dir).select("id", "ver", "v")
       .as[(String, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
 
+  test("manifest memo is never stale: concurrent commits and a table recreate are re-read") {
+    // r16: parsed manifests are memoized keyed on (dir, gen, len,
+    // mtime). Currency must stay un-cached — a reader that resolved
+    // gen N must see gen N+1 the moment a concurrent writer commits it
+    // — and a dropped-and-recreated table whose gen numbering restarts
+    // must never be served the dead table's file list.
+    val dir = s"${Files.createTempDirectory("optmemo").toString}/t"
+    Upsert.merge(spark, dir, Seq(("k1", 1L, "old")).toDF("id", "ver", "v"),
+      pk, "ver")
+    // populate the memo for gen 1
+    val g1 = Upsert.currentManifest(spark, dir).get
+    assert(Upsert.manifestAt(spark, dir, g1.gen).get.files == g1.files)
+    // a "concurrent writer" commits gen 2: the next currentManifest
+    // call must serve it, not the memoized gen 1
+    Upsert.merge(spark, dir, Seq(("k1", 2L, "new")).toDF("id", "ver", "v"),
+      pk, "ver")
+    val g2 = Upsert.currentManifest(spark, dir).get
+    assert(g2.gen > g1.gen, "currency is re-listed, never memoized")
+    assert(content(dir)("k1") == (2L, "new"))
+    // drop + recreate: same dir, gen numbering restarts at g1.gen — the
+    // stale (dir, gen) parse must not resurface (len/mtime key them
+    // apart; a recreate cannot land inside the same mtime tick with
+    // byte-identical length here because the file lists differ)
+    val fs = FsOps.fs(spark, new Path(dir))
+    fs.delete(new Path(dir), true)
+    Upsert.merge(spark, dir,
+      Seq(("fresh1", 1L, "recreated"), ("fresh2", 1L, "recreated"))
+        .toDF("id", "ver", "v"), pk, "ver")
+    val r1 = Upsert.currentManifest(spark, dir).get
+    assert(r1.gen == g1.gen, s"recreate restarts numbering (got ${r1.gen})")
+    assert(r1.files != g1.files,
+      "the recreated table's manifest must be re-parsed, not served stale")
+    assert(Upsert.manifestAt(spark, dir, r1.gen).get.files == r1.files)
+    assert(content(dir).keySet == Set("fresh1", "fresh2"))
+  }
+
   test("interleaved DISJOINT-bucket commit: the staged merge rebases and both commit") {
     val dir = s"${Files.createTempDirectory("opt").toString}/t"
     val byBucket = keysByBucket(16)

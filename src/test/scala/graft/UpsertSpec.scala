@@ -239,12 +239,17 @@ class UpsertSpec extends SparkSpec {
 
   test("bloom sidecars: a point merge reads and rewrites only candidate files (VERDICT r2 #7)") {
     val dir = Files.createTempDirectory("upsertbloom").toString + "/t"
-    // multi-file buckets: keep the resolve shuffle at 4 writer tasks
-    // (AQE would coalesce this tiny table to one file per bucket)
-    val base = (1 to 2000).map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try Upsert.merge(spark, dir, base, pk = Seq("id"), versionCol = "ver", bloom = true)
-    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // multi-file buckets via bloom-preserve ACCUMULATION: staging
+    // regroups to one file per bucket per merge (r16, guide §6), so
+    // four waves of DISJOINT keys each add one preserved-alongside
+    // file to every bucket — 4 files per bucket, each holding
+    // different keys, exactly the layout the old 4-writer-task shuffle
+    // produced
+    (0 until 4).foreach { w =>
+      val wave = (w * 500 + 1 to w * 500 + 500)
+        .map(i => (s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload")
+      Upsert.merge(spark, dir, wave, pk = Seq("id"), versionCol = "ver", bloom = true)
+    }
 
     // ground truth from the committed snapshot: key → (bucket, relpath)
     def truth(): Seq[(String, Int, String)] = {
@@ -311,14 +316,18 @@ class UpsertSpec extends SparkSpec {
 
   test("compactBuckets collapses merge-accumulated files; content and blooms stay exact") {
     val dir = Files.createTempDirectory("upsertcompact").toString + "/t"
-    // multi-file buckets (see the bloom test): preserved files then
-    // accumulate as point merges add one new file each
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try Upsert.merge(spark, dir, (1 to 400).map(i => (s"k$i", 1L, s"v$i"))
+    Upsert.merge(spark, dir, (1 to 400).map(i => (s"k$i", 1L, s"v$i"))
       .toDF("id", "ver", "payload"),
       pk = Seq("id"), versionCol = "ver", bloom = true)
-    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
-    // 6 point merges: each adds a file to its key's bucket
+    // 6 NEW-key point merges: each bloom-preserves the bucket's files
+    // and stages one new file alongside them (staging regroups to one
+    // file per bucket per merge since r16, so accumulation — the thing
+    // compactBuckets exists to undo — comes from preserved files, not
+    // write fan-out); then 6 updates of existing keys
+    (401 to 406).foreach { i =>
+      Upsert.merge(spark, dir, Seq((s"k$i", 1L, s"v$i")).toDF("id", "ver", "payload"),
+        pk = Seq("id"), versionCol = "ver", bloom = true)
+    }
     (1 to 6).foreach { i =>
       Upsert.merge(spark, dir, Seq((s"k$i", 2L, s"V$i")).toDF("id", "ver", "payload"),
         pk = Seq("id"), versionCol = "ver", bloom = true)
@@ -332,7 +341,7 @@ class UpsertSpec extends SparkSpec {
     assert(fileCounts().values.forall(_ == 1), s"buckets not compacted: ${fileCounts()}")
     val after = Upsert.read(spark, dir).select("id", "payload")
       .as[(String, String)].collect().toMap
-    assert(after == before && after("k1") == "V1" && after.size == 400)
+    assert(after == before && after("k1") == "V1" && after.size == 406)
 
     // blooms rebuilt consistently: still zero false negatives
     val man = manifest(dir)
@@ -350,7 +359,7 @@ class UpsertSpec extends SparkSpec {
     Upsert.vacuum(spark, dir, keepManifests = 1)
     val kept = manifest(dir).files.values.flatten.toSeq
     kept.foreach(rel => assert(new File(s"$dir/$rel").exists(), s"vacuum deleted live file $rel"))
-    assert(Upsert.read(spark, dir).count() == 400)
+    assert(Upsert.read(spark, dir).count() == 406)
   }
 
   test("bloom merge survives an all-delete batch (no staged buckets to bloom)") {

@@ -69,6 +69,80 @@ object Dedup {
       }
     }
 
+  /** Skew-guarded inner equi-join for PAIR-GENERATING self-joins
+    * (guide §2 skew; VERDICT r15 #5). A bucket of m members emits m²
+    * pair rows out of ONE task in a plain join — quadratic in the
+    * bucket, so a single hot shingle/band/chunk value straggles or
+    * OOMs a task long before the inputs look skewed. One capped probe
+    * counts members per key (xxhash64-folded so a composite key is one
+    * long); keys at or above `spark.graft.skew.hotKeyThreshold`
+    * (default 8192 — ~64M pair rows from one bucket, the most one
+    * healthy task should emit) take a SALTED two-stage path: the left
+    * side derives a deterministic salt from `saltBy`, the right side
+    * replicates over all `spark.graft.skew.saltFactor` salts, so the
+    * hot bucket's pair output spreads over saltFactor tasks. Cold keys
+    * pay the plain join, so the no-skew plan (and sf0.1 bench) is
+    * unchanged except the probe. The pair multiset is IDENTICAL: every
+    * key routes wholly hot or wholly cold (an xxhash fold collision
+    * merely routes a cold key through the hot path, which is equally
+    * exact), and within a hot key each (a, b) meets exactly once — at
+    * a's salt. More hot keys than the in-list cap (a mis-set
+    * threshold) fall back to salting the whole join: still exact, just
+    * replication on cold keys too.
+    */
+  private[graft] def skewGuardedEquiJoin(l: DataFrame, r: DataFrame,
+                                         keys: Seq[String],
+                                         saltBy: String,
+                                         idCountBound: Long = Long.MaxValue): DataFrame = {
+    val spark = l.sparkSession
+    val s = spark.conf.get("spark.graft.skew.saltFactor", "8").toInt
+    val hotT = spark.conf.get("spark.graft.skew.hotKeyThreshold", "8192").toLong
+    val denom = spark.conf.get("spark.graft.skew.probeSampleDenom", "64").toLong
+    val HotCap = 64 // in-list size bound: beyond this, salt everything
+    // every caller's stream carries AT MOST ONE row per (id, key) —
+    // shingle/fingerprint hashes are per-doc distinct, a doc emits one
+    // chunk_val per chunk index, a vector has one bucket — so no key
+    // can exceed `idCountBound` members. Below the hot threshold the
+    // probe is provably pointless and costs nothing (the bound is
+    // parquet footer metadata via Tables.rowCount's memo, no extra
+    // job): small corpora — including the bench SFs — keep the exact
+    // pre-guard plan and timing.
+    if (idCountBound < hotT) return l.join(r, keys)
+    val kx = xxhash64(keys.map(col): _*)
+    // the probe SAMPLES by a deterministic hash of `saltBy` (1/denom of
+    // the ids) so it costs ~a scan, not a full pipeline evaluation: the
+    // id filter references no generator output, so Catalyst pushes it
+    // BELOW the explode that feeds these joins and the probe never
+    // shingles/chunks the unsampled ids. A hot key's sampled count is
+    // Binomial(m, 1/denom) — at the hotT/denom/4 cutoff a genuinely
+    // ≥hotT key is missed with probability ~e^(-hotT/denom·9/32)
+    // (≈e^-36 at the
+    // defaults), and a false-hot merely routes a mid-size key through
+    // the salted path, which is equally exact. Detection is hash-
+    // deterministic: the same corpus probes the same sample every run.
+    val probeT = math.max(2L, hotT / denom / 4)
+    val hot = l
+      .filter(pmod(xxhash64(col(saltBy)), lit(denom)) === 0)
+      .groupBy(kx.as("__k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= probeT)
+      .select(col("__k")).limit(HotCap + 1)
+      .collect().map(_.getLong(0)).toSeq
+    if (hot.isEmpty) return l.join(r, keys)
+    def salted(hl: DataFrame, hr: DataFrame): DataFrame = {
+      val saltL = hl.withColumn("__salt",
+        pmod(xxhash64(col(saltBy)), lit(s)).cast("int"))
+      val saltR = hr.withColumn("__salt",
+        explode(expr(s"sequence(0, ${s - 1})")))
+      saltL.join(saltR, keys :+ "__salt").drop("__salt")
+    }
+    if (hot.length > HotCap) salted(l, r)
+    else {
+      val isHot = kx.isin(hot: _*)
+      l.filter(!isHot).join(r.filter(!isHot), keys)
+        .unionByName(salted(l.filter(isHot), r.filter(isHot)))
+    }
+  }
+
   /** Distinct word-shingle HASHES per doc: (doc_id, s: long).
     * Native ShingleHashes expression: one per-row pass, no string
     * materialization; the inverted-index join shuffles 8-byte longs.
@@ -570,7 +644,13 @@ object Dedup {
       col("chunk"), col("chunk_val"))
     val r = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
       col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    // skew-guarded (guide §2 / VERDICT r15 #5): a hot (chunk, chunk_val)
+    // bucket — e.g. a boilerplate-heavy corpus where thousands of docs
+    // share a signature chunk — would emit its m² candidates from one
+    // task; the guard salts exactly the detected hot buckets and leaves
+    // the rest of the join (and the pair multiset) untouched
+    skewGuardedEquiJoin(l, r, Seq("chunk", "chunk_val"), saltBy = "doc_a",
+        idCountBound = Tables.rowCount(spark, s"$sfDir/documents.parquet"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))

@@ -413,7 +413,13 @@ object Similarity {
       col("n").as("na"), col("bucket"))
     val b = vecs.select(col("vec_id").as("doc_b"), col("q").as("qb"),
       col("n").as("nb"), col("bucket"))
-    val pairs = a.join(b, Seq("bucket"))
+    // skew-guarded (guide §2 / VERDICT r15 #5-6): 2^planes buckets over
+    // the whole corpus means every bucket is m ≈ n/2^planes wide and
+    // the banded self-join emits m² rows per bucket task; hot buckets
+    // (any bucket, at production corpus sizes) take the salted path —
+    // same pair multiset, spread over saltFactor tasks
+    val pairs = Dedup.skewGuardedEquiJoin(a, b, Seq("bucket"), saltBy = "doc_a",
+        idCountBound = Tables.rowCount(spark, s"$sfDir/embeddings.parquet"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dot", dot_long(col("qa"), col("qb")))
       .withColumn("sim", col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))

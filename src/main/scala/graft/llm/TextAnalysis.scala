@@ -265,13 +265,22 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.functions.shingle_hashes(
           split(col("text"), " "), run)).as("s"))
-    val gramPairs = grams.select(col("doc_id").as("doc_a"), col("s"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    // both self-joins are skew-guarded (guide §2 / VERDICT r15 #5): a
+    // boilerplate (w+k−1)-gram or fingerprint shared by m docs would
+    // emit m² candidate rows from a single task; detected hot values
+    // take the salted two-stage path, everything else joins as before
+    val nDocs = Tables.rowCount(spark, s"$sfDir/documents.parquet")
+    val gramPairs = Dedup.skewGuardedEquiJoin(
+        grams.select(col("doc_id").as("doc_a"), col("s")),
+        grams.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("s"), saltBy = "doc_a", idCountBound = nDocs)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val fps = winnowFingerprints(spark, sfDir, k, w)
-    val fpPairs = fps.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+    val fpPairs = Dedup.skewGuardedEquiJoin(
+        fps.select(col("doc_id").as("doc_a"), col("fp")),
+        fps.select(col("doc_id").as("doc_b"), col("fp")),
+        Seq("fp"), saltBy = "doc_a", idCountBound = nDocs)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     gramPairs.join(fpPairs, Seq("doc_a", "doc_b"))

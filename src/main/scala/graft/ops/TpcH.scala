@@ -451,9 +451,16 @@ object TpcH {
     // the distinct that collapses duplicate supply lines reuses the
     // window's partitioning (partkey ⊆ the distinct key set), so the
     // whole head pays a single fact exchange.
+    // null guard (ADVICE r15): the min() this argmin replaced IGNORED
+    // null prices (and `price == min` never matched a null), but a bare
+    // ascending window sorts nulls FIRST — a null-priced row would win
+    // rank 1 and flip the result. Dropping nulls before the window pins
+    // the old semantics exactly, including the all-null-part edge; on
+    // the actual data (l_extendedprice NOT NULL) the filter folds away.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_partkey")).orderBy(col("price_cents"))
-    li.withColumn("rk", rank().over(w)).filter(col("rk") === 1).drop("rk")
+    li.filter(col("price_cents").isNotNull)
+      .withColumn("rk", rank().over(w)).filter(col("rk") === 1).drop("rk")
       .distinct()
       .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"),

@@ -225,7 +225,11 @@ object IncrementalDws {
     if (pending.isEmpty) None
     else graft.io.MergeOnRead.contract(s, factDir).map { case (pk, _, _, _) =>
       pending.map { case (_, p) =>
-        graft.io.MergeOnRead.reconcileDeclared(s, factDir, s.read.parquet(p))
+        // readDeltaBatch: batch dirs are write-once, so the schema memo
+        // (r16) saves the per-batch inference job other readers of the
+        // same batch already skip
+        graft.io.MergeOnRead.reconcileDeclared(s, factDir,
+          graft.io.MergeOnRead.readDeltaBatch(s, p))
           .select(pk.map(col): _*)
       }.reduce(_.unionByName(_)).distinct()
     }
